@@ -1,0 +1,50 @@
+"""Portable deterministic hashing as Column expressions.
+
+Spark's native ``hash``/``xxhash64`` are fast but engine-specific — their
+values cannot be reproduced by an external oracle (DuckDB) or by a different
+engine version, which would make every hash-derived operator (minhash LSH,
+simhash, fingerprints) untestable. We instead derive 60-bit integers from
+``md5`` hex digests, which every engine computes identically:
+
+    hash60(s, seed) = int(md5(f"{seed}:{s}")[:15], 16)      # 60 bits, >= 0
+
+15 hex chars = 60 bits < 2**63, so the value fits a BIGINT in both Spark
+(``conv(..., 16, 10)``) and DuckDB (``CAST('0x' || ... AS BIGINT)``).
+
+This is the slow-but-reproducible path used for *correctness-checked*
+operators. At 100 TB scale, swap ``hash60`` for ``F.xxhash64`` via the
+``fast=True`` flag — same query shape, ~5× cheaper hashing, identical
+statistical behavior, but no cross-engine oracle.
+
+Reference parity note: the reference engine has no hashing operators at all
+(its only hash use is in-memory ``unordered_map`` buckets,
+``src/functions.cpp:75``); everything here is north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def hash60(col: Column | str, seed: int | Column = 0, fast: bool = False) -> Column:
+    """Deterministic 60-bit non-negative BIGINT hash of a string column.
+
+    ``seed`` may be a Python int or an integer Column (for per-row seeds,
+    e.g. one minhash permutation per seed value).
+    """
+    seed_col = F.lit(str(seed)) if isinstance(seed, int) else seed.cast("string")
+    payload = F.concat(seed_col, F.lit(":"), _c(col))
+    if fast:
+        # Engine-native path for production scale; NOT oracle-reproducible.
+        return F.abs(F.xxhash64(payload))
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
+
+
+def bit_at(h: Column | str, bit: int) -> Column:
+    """Bit ``bit`` (0-based from LSB) of integer column ``h`` as 0/1 int."""
+    return F.shiftrightunsigned(_c(h), bit).bitwiseAND(F.lit(1))

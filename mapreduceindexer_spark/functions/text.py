@@ -37,6 +37,44 @@ def normalize_term(token: Column | str) -> Column:
     return F.lower(F.regexp_replace(col, NON_ALPHA_RE, ""))
 
 
+def normalized_token_array(text: Column | str) -> Column:
+    """Text → array of normalized nonempty terms, order-preserving.
+
+    Array-valued sibling of :func:`tokens_normalized` for operators that
+    need token *positions* (shingling, fingerprints) — all higher-order
+    functions, JVM-side, no explode/shuffle.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.transform(F.split(col, WHITESPACE_RE), lambda t: F.lower(F.regexp_replace(t, NON_ALPHA_RE, ""))),
+        lambda t: t != "",
+    )
+
+
+def shingles(tokens: Column | str, k: int = 3) -> Column:
+    """k-token shingles ("w1 w2 w3" strings) from an ordered token array.
+
+    Documents with fewer than ``k`` tokens yield an empty array (guarded:
+    ``sequence(0, negative)`` would otherwise count *down*).
+    """
+    col = F.col(tokens) if isinstance(tokens, str) else tokens
+    return F.when(
+        F.size(col) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(col) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(col, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# Tiny fixed stopword lists for the text-analysis operators. Deliberately
+# literal (not a file/broadcast) so the DuckDB oracle can embed the same
+# lists; at scale these would be a broadcast dimension.
+STOPWORDS_EN = ("the", "a", "of", "and", "in", "to", "is", "it", "as", "by")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "zu", "ein", "mit", "von", "nicht")
+STOPWORDS_FR = ("le", "la", "et", "les", "des", "un", "une", "est", "dans", "que")
+
+
 def tokens_normalized(df: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id") -> DataFrame:
     """documents → one row per (doc_id, term), normalized, empties dropped.
 

@@ -17,7 +17,13 @@ def _c(x: Column | str) -> Column:
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
-    """Dot product of two array columns (computed in double)."""
+    """Dot product of two array columns (computed in double).
+
+    Length contract: ``zip_with`` null-pads the shorter array, so mismatched
+    lengths yield NULL (null * x = null propagates through the sum) rather
+    than a silent partial product. Callers that need a hard failure should
+    pre-check ``F.size(a) == F.size(b)``.
+    """
     prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 

@@ -1,0 +1,131 @@
+"""The inverted-index pipeline — the reference engine's entire core, Spark-first.
+
+Reference semantics (gabrieltintu/MapReduceIndexer, verified vs its golden
+outputs):
+
+- per-document distinct terms (term frequency discarded):
+  ``src/functions.cpp:75,86`` — here ``dropDuplicates(['term','doc_id'])``,
+  which Catalyst executes as a partial (map-side) + final hash aggregate,
+  the exact analogue of the reference's per-file hash map followed by the
+  mutex-guarded merge (``src/functions.cpp:110-128``). Spark's shuffle
+  replaces the shared-state mutex entirely.
+- postings: term → ascending set of doc IDs (``std::set``,
+  ``src/functions.cpp:124``) — here ``sort_array(collect_set(doc_id))``.
+- doc frequency = posting size (``src/functions.cpp:8-9,143``).
+- letter partition: first char of the (all-[a-z]) term
+  (``src/functions.cpp:114-118``).
+- output ordering within a letter: df DESC, term ASC
+  (``src/functions.cpp:7-12,142-143``).
+
+Scale design (100 TB):
+
+- The whole pipeline is shuffle-minimal: one exchange for the distinct +
+  group-agg (Catalyst fuses ``dropDuplicates`` into the same aggregation
+  when keys match), one optional exchange for letter-partitioned output.
+- **Stopword skew**: a term appearing in ~every document produces a posting
+  list the size of the corpus, all routed to one reduce task. Two built-in
+  mitigations, both semantics-preserving:
+  * ``salt_buckets=N`` — two-level aggregation: partial posting sets per
+    (term, salt) land on N different tasks, then N pre-aggregated arrays
+    (not millions of rows) merge per term. Cuts final-stage shuffle record
+    count by ~|docs per term| / N and lets AQE balance the first stage.
+  * ``segment_size=N`` — cap posting rows at N doc IDs with a ``segment``
+    ordinal, so no single row/task ever materializes an unbounded array.
+    Downstream consumers re-assemble or stream segments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduceindexer_spark.functions.text import tokens_normalized
+
+
+def term_doc_pairs(docs: DataFrame) -> DataFrame:
+    """documents → distinct (doc_id, term) pairs (operators D1 after T1/T2/F1)."""
+    return tokens_normalized(docs).dropDuplicates(["term", "doc_id"])
+
+
+def build_postings(
+    docs: DataFrame,
+    *,
+    salt_buckets: int | None = None,
+    segment_size: int | None = None,
+) -> DataFrame:
+    """documents → postings(term, letter, doc_ids ASC, df).
+
+    ``salt_buckets``/``segment_size``: skew mitigations, see module
+    docstring. Output values are identical for every setting — verified by
+    tests — so callers pick purely on scale grounds.
+    """
+    pairs = term_doc_pairs(docs)
+    if salt_buckets:
+        partial = pairs.groupBy(
+            "term", F.pmod(F.hash("doc_id"), F.lit(salt_buckets)).alias("_salt")
+        ).agg(F.collect_set("doc_id").alias("_partial"))
+        merged = partial.groupBy("term").agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("_partial")))
+            ).alias("doc_ids")
+        )
+    else:
+        merged = pairs.groupBy("term").agg(
+            F.sort_array(F.collect_set("doc_id")).alias("doc_ids")
+        )
+    postings = merged.select(
+        "term",
+        F.substring("term", 1, 1).alias("letter"),
+        "doc_ids",
+        F.size("doc_ids").cast("bigint").alias("df"),
+    )
+    if segment_size:
+        # Segment long posting lists: one row per segment_size doc IDs.
+        n_seg = F.ceil(F.size("doc_ids") / F.lit(segment_size)).cast("int")
+        postings = (
+            postings.withColumn("segment", F.explode(F.sequence(F.lit(0), n_seg - 1)))
+            .withColumn(
+                "doc_ids",
+                F.slice("doc_ids", F.col("segment") * segment_size + 1, segment_size),
+            )
+        )
+    return postings
+
+
+def letter_histogram(postings: DataFrame) -> DataFrame:
+    """letter → number of distinct terms (P1 as a query)."""
+    return postings.groupBy("letter").agg(
+        F.count("term").cast("bigint").alias("n_terms"),
+        F.sum("df").cast("bigint").alias("sum_df"),
+    )
+
+
+def sorted_index(postings: DataFrame) -> DataFrame:
+    """Rank terms within each letter by (df DESC, term ASC) — O1 as a query.
+
+    ``row_number`` pins the reference's exact output order as checkable
+    data (ties broken by term, so the rank is deterministic).
+    """
+    w = Window.partitionBy("letter").orderBy(F.desc("df"), F.asc("term"))
+    return postings.select(
+        "letter", "term", "df", F.row_number().over(w).cast("bigint").alias("rn")
+    )
+
+
+def index_lines(postings: DataFrame) -> DataFrame:
+    """Format ``term:[id1 id2 … idK]`` output lines (S3's formatting step).
+
+    Matches the reference's writer byte-for-byte
+    (``src/functions.cpp:150-162``): ids ascending, single-space separated.
+    """
+    return postings.select(
+        "letter",
+        F.concat(
+            F.col("term"),
+            F.lit(":["),
+            F.concat_ws(" ", F.transform("doc_ids", lambda d: d.cast("string"))),
+            F.lit("]"),
+        ).alias("line"),
+        "df",
+        "term",
+    )

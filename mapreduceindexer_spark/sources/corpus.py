@@ -62,10 +62,22 @@ def read_manifest_corpus(
     docs = (
         spark.read.text(paths, wholetext=True)
         .withColumn("path", F.input_file_name())
-        # input_file_name returns a file: URI; normalize to an absolute path
-        .withColumn("path", F.regexp_replace("path", "^file:(//)?", ""))
+        # input_file_name returns a percent-encoded file: URI; strip the
+        # scheme AND decode (%20 etc.) so paths with spaces/non-ASCII still
+        # match the manifest's plain paths.
+        .withColumn("path", F.url_decode(F.regexp_replace("path", "^file:(//)?", "")))
         .withColumnRenamed("value", "text")
     )
     # ids is the small side (just the manifest): broadcast it so the
     # document scan never shuffles.
-    return docs.join(F.broadcast(ids), "path", "inner").select("doc_id", "path", "text")
+    corpus = docs.join(F.broadcast(ids), "path", "inner").select("doc_id", "path", "text")
+    # Fail loudly if any manifest entry was dropped (path mismatch) or
+    # multiplied (duplicate manifest entries): the reference assigns exactly
+    # one doc ID per manifest slot.
+    n = corpus.count()
+    if n != len(paths):
+        raise ValueError(
+            f"corpus join produced {n} rows for {len(paths)} manifest entries; "
+            "path normalization mismatch or duplicate manifest paths"
+        )
+    return corpus
