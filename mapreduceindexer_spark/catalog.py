@@ -230,3 +230,253 @@ def q_bool_not(spark, sf_dir):
 )
 def q_top_terms(spark, sf_dir):
     return search.top_terms(_postings(spark, sf_dir), k=20)
+
+
+# ---------------------------------------------------------------------------
+# §2.3 relational families (lineitem / orders / customer / nation)
+# ---------------------------------------------------------------------------
+
+from mapreduceindexer_spark.operators import events as ev  # noqa: E402
+from mapreduceindexer_spark.operators import relational as rel  # noqa: E402
+
+# Shared SQL fragments for the decimal-sum determinism contract.
+def _sql_dsum(expr: str, alias: str, round_to: int = 4) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE), {round_to})"
+        f" AS {alias}"
+    )
+
+
+def _sql_davg(expr: str, alias: str) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6)"
+        f" AS {alias}"
+    )
+
+
+@register(
+    "q_filter_shipdate",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate <  TIMESTAMP '1997-01-01'
+         AND l_returnflag IN ('A', 'N')
+         AND l_linestatus LIKE 'O%'""",
+)
+def q_filter_shipdate(spark, sf_dir):
+    return rel.filter_shipdate(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "q_agg_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+               {_sql_dsum('l_quantity', 'sum_qty')},
+               {_sql_dsum('l_extendedprice', 'sum_base_price')},
+               {_sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+               {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+               {_sql_davg('l_quantity', 'avg_qty')},
+               {_sql_davg('l_extendedprice', 'avg_price')},
+               {_sql_davg('l_discount', 'avg_disc')},
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        GROUP BY l_returnflag, l_linestatus""",
+)
+def q_agg_pricing_summary(spark, sf_dir):
+    return rel.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "q_join_orders_customer",
+    f"""SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {_sql_dsum('o_totalprice', 'total_price', 2)}
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""",
+)
+def q_join_orders_customer(spark, sf_dir):
+    return rel.orders_by_nation(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "q_semi_join",
+    """SELECT c_custkey, c_mktsegment FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""",
+)
+def q_semi_join(spark, sf_dir):
+    return rel.customers_with_open_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "q_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def q_anti_join(spark, sf_dir):
+    return rel.customers_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "q_rollup",
+    f"""SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {_sql_dsum('l_quantity', 'sum_qty')}
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+)
+def q_rollup(spark, sf_dir):
+    return rel.returnflag_rollup(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "q_distinct_counts",
+    """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+              CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+              CAST(COUNT(*) AS BIGINT) AS n_rows
+       FROM lineitem""",
+)
+def q_distinct_counts(spark, sf_dir):
+    return rel.distinct_counts(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("q_approx_distinct_parts", None)  # HLL estimate: rows-only by design
+def q_approx_distinct_parts(spark, sf_dir):
+    return rel.approx_distinct_parts(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "q_window_topn",
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             FROM orders)
+       WHERE rn <= 3""",
+)
+def q_window_topn(spark, sf_dir):
+    return rel.top_orders_per_customer(load_table(spark, sf_dir, "orders"), k=3)
+
+
+@register(
+    "q_window_running",
+    """SELECT user_id, event_id,
+              ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                AS running_value,
+              lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS prev_value
+       FROM events""",
+)
+def q_window_running(spark, sf_dir):
+    return rel.running_user_value(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_setops",
+    """SELECT c_custkey FROM
+         (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+          INTERSECT
+          SELECT c_custkey FROM customer WHERE c_acctbal > 1000.0)
+       UNION
+       SELECT c_custkey FROM
+         (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          EXCEPT
+          SELECT c_custkey FROM customer WHERE c_acctbal > 1000.0)""",
+)
+def q_setops(spark, sf_dir):
+    return rel.segment_custkey_setops(load_table(spark, sf_dir, "customer"))
+
+
+@register(
+    "q_scalar_fns",
+    """SELECT o_orderkey,
+              CAST(year(o_orderdate) AS BIGINT) AS yr,
+              CAST(month(o_orderdate) AS BIGINT) AS mo,
+              CAST(day(o_orderdate) AS BIGINT) AS dd,
+              substr(o_orderpriority, 3) AS prio,
+              upper(o_orderstatus) AS status_u,
+              CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+              CAST(o_orderkey % 7 AS BIGINT) AS mod7,
+              ROUND(o_totalprice * 0.1, 2) AS price_tenth,
+              ABS(o_totalprice - 1000.0) AS abs_diff,
+              CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                AS days_since,
+              o_orderstatus || '/' || o_orderpriority AS status_prio
+       FROM orders""",
+)
+def q_scalar_fns(spark, sf_dir):
+    return rel.order_scalar_functions(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# events: JSON + time windows (batch; streaming twins in streaming/)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_json_events",
+    """SELECT event_id, event_type,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+       FROM events""",
+)
+def q_json_events(spark, sf_dir):
+    return ev.json_props(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_events_tumbling",
+    f"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {_sql_dsum('value', 'sum_value')}
+        FROM events GROUP BY 1, 2""",
+)
+def q_events_tumbling(spark, sf_dir):
+    return ev.tumbling_hourly(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_events_sliding",
+    f"""WITH g AS (
+          SELECT value,
+                 date_trunc('hour', ts)
+                   + CASE WHEN extract(minute FROM ts) >= 30
+                          THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS s1
+          FROM events),
+        x AS (SELECT unnest([s1, s1 - INTERVAL 30 MINUTE]) AS window_start, value FROM g)
+        SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n,
+               {_sql_dsum('value', 'sum_value')}
+        FROM x GROUP BY window_start""",
+)
+def q_events_sliding(spark, sf_dir):
+    return ev.sliding_hourly(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_events_session",
+    """WITH l AS (
+         SELECT user_id, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          < INTERVAL 10 MINUTE
+                     THEN 0 ELSE 1 END AS brk
+         FROM events),
+       g AS (
+         SELECT user_id, ts,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         FROM l)
+       SELECT user_id, min(ts) AS session_start,
+              CAST(COUNT(*) AS BIGINT) AS n_events
+       FROM g GROUP BY user_id, grp""",
+)
+def q_events_session(spark, sf_dir):
+    return ev.user_sessions(load_table(spark, sf_dir, "events"), gap="10 minutes")

@@ -1,0 +1,76 @@
+"""Time-window and JSON operators over the stream-shaped ``events`` table.
+
+Batch versions here (DuckDB-oracle-checkable); the Structured Streaming
+equivalents (same logical shapes with ``readStream`` + watermark) live in
+``mapreduceindexer_spark/streaming/``. The reference engine has no
+time/JSON surface at all — this is north-star extension coverage.
+
+Determinism: window boundaries are pure timestamp arithmetic (epoch-aligned
+grids), and sums follow the decimal contract from ``relational.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduceindexer_spark.operators.relational import _dsum
+
+
+def json_props(events: DataFrame) -> DataFrame:
+    """JSON family: extract a typed value from the ``props`` JSON string."""
+    return events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows: groupBy(window) — one shuffle on
+    (window, event_type); partial aggregation makes the shuffle carry one
+    row per (task, window, type), not per event."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_hourly(events: DataFrame) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes.
+
+    Spark's ``window(ts, '1 hour', '30 minutes')`` assigns each event to 2
+    overlapping windows (epoch-aligned). Event count doubles before the
+    shuffle — at scale prefer tumbling 30-min partials + a second 2-row
+    rollup per window if the aggregate is algebraic (sum/count are).
+    """
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n"), _dsum(F.col("value"), "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+def user_sessions(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user (gap-based).
+
+    Batch ``session_window`` — Spark merges events closer than ``gap``
+    into one window per user. The oracle reproduces it with the classic
+    gaps-and-islands construction (lag + cumulative break-count), which is
+    also the portable formulation for engines without session windows.
+    """
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
