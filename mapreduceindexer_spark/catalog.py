@@ -480,3 +480,319 @@ def q_events_sliding(spark, sf_dir):
 )
 def q_events_session(spark, sf_dir):
     return ev.user_sessions(load_table(spark, sf_dir, "events"), gap="10 minutes")
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: dedup / similarity / text analysis / multimodal
+# ---------------------------------------------------------------------------
+
+from mapreduceindexer_spark.operators import dedup as dd  # noqa: E402
+from mapreduceindexer_spark.operators import multimodal as mm  # noqa: E402
+from mapreduceindexer_spark.operators import similarity as sim  # noqa: E402
+from mapreduceindexer_spark.operators import textstats as ts  # noqa: E402
+
+# Ordered token arrays and distinct 3-token shingles per document (DuckDB
+# twin of functions/text.py normalized_token_array + shingles).
+SQL_TOKARR = r"""
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split_regex(text, '\s+'),
+                          t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))),
+           t -> t <> '') AS tk
+  FROM documents
+"""
+
+SQL_SHINGLES = f"""
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]) AS s
+    FROM ({SQL_TOKARR}))
+"""
+
+# Portable 60-bit hash (DuckDB twin of functions/hashing.py hash60).
+def _sql_hash60(expr: str, seed_expr: str = "0") -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({seed_expr} AS VARCHAR) || ':' || {expr}), 1, 15)"
+        " AS BIGINT)"
+    )
+
+
+# Exact Jaccard over documents sharing >= 1 shingle (tier-2 dedup).
+SQL_JACCARD = f"""
+  WITH sh AS ({SQL_SHINGLES}),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+  SELECT doc_a, doc_b,
+         ROUND(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
+@register(
+    "q_dedup_exact",
+    """SELECT md5(text) AS text_hash,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              min(doc_id) AS keeper_doc_id
+       FROM documents GROUP BY md5(text)""",
+)
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_duplicates(_docs(spark, sf_dir))
+
+
+JACCARD_THRESHOLD = 0.2
+
+
+@register(
+    "q_ngram_jaccard",
+    f"SELECT * FROM ({SQL_JACCARD}) WHERE jaccard >= {JACCARD_THRESHOLD}",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Tier-2 near-dup: exact 3-gram Jaccard >= threshold."""
+    return dd.jaccard_pairs(dd.doc_shingles(_docs(spark, sf_dir), 3), JACCARD_THRESHOLD)
+
+
+NEAR_DUP_THRESHOLD = 0.2
+
+
+@register(
+    "q_near_dup",
+    f"""WITH sh AS ({SQL_SHINGLES}),
+         seeds AS (SELECT doc_id, s, seed FROM sh, range(16) t(seed)),
+         mh AS (SELECT doc_id, seed, min({_sql_hash60('s', 'seed')}) AS mh
+                FROM seeds GROUP BY doc_id, seed),
+         sigs AS (SELECT doc_id, seed // 2 AS band,
+                         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+                  FROM mh GROUP BY doc_id, seed // 2),
+         cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM sigs a JOIN sigs b
+                     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         jac AS ({SQL_JACCARD})
+       SELECT j.doc_a, j.doc_b, j.jaccard
+       FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+       WHERE j.jaccard >= {NEAR_DUP_THRESHOLD}""",
+)
+def q_near_dup(spark, sf_dir):
+    """Tier-3 near-dup: MinHash(16) + LSH(8 bands x 2) candidates, verified
+    with exact Jaccard."""
+    return dd.near_duplicates(
+        _docs(spark, sf_dir), k=3, n_hashes=16, rows_per_band=2,
+        threshold=NEAR_DUP_THRESHOLD,
+    )
+
+
+def _sql_simhash(n_bits: int = 16) -> str:
+    sums = ",\n                ".join(
+        f"SUM(tf * (((h >> {b}) & 1) * 2 - 1)) AS s{b}" for b in range(n_bits)
+    )
+    recon = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN 1 ELSE 0 END) * {1 << b}" for b in range(n_bits)
+    )
+    return f"""
+      WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ({SQL_TERMS}) GROUP BY 1, 2),
+           h AS (SELECT doc_id, tf, {_sql_hash60('term')} AS h FROM tf),
+           s AS (SELECT doc_id,
+                {sums}
+                 FROM h GROUP BY doc_id)
+      SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM s
+    """
+
+
+@register("q_simhash", _sql_simhash(16))
+def q_simhash(spark, sf_dir):
+    """Tier-4 near-dup: 16-bit SimHash signature per document."""
+    return dd.simhash_signatures(_docs(spark, sf_dir), n_bits=16)
+
+
+# --- similarity search ---
+
+SQL_EMB = "SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings"
+SQL_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+PROBE_VEC_ID = 0
+
+
+@register(
+    "q_vector_norms",
+    """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+              ROUND(sqrt(list_sum(list_transform(
+                [CAST(x AS DOUBLE) FOR x IN embedding], x -> x * x))), 6) AS l2
+       FROM embeddings""",
+)
+def q_vector_norms(spark, sf_dir):
+    return sim.vector_norms(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q_cosine_topk",
+    f"""WITH e AS ({SQL_EMB}),
+         p AS (SELECT v AS pv FROM e WHERE vec_id = {PROBE_VEC_ID}),
+         scored AS (SELECT e.vec_id,
+                           ROUND({SQL_COS.format(a='e.v', b='p.pv')}, 6) AS cos_sim
+                    FROM e, p WHERE e.vec_id <> {PROBE_VEC_ID})
+       SELECT vec_id, cos_sim,
+              CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rn
+       FROM scored QUALIFY rn <= 10""",
+)
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for a fixed probe vector."""
+    return sim.cosine_topk(load_table(spark, sf_dir, "embeddings"), PROBE_VEC_ID, k=10)
+
+
+@register(
+    "q_ann_ivf",
+    f"""WITH e AS ({SQL_EMB}),
+         c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+         d AS (SELECT e.vec_id, c.centroid_id,
+                      ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+                                                    z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+               FROM e, c),
+         assign AS (SELECT vec_id, centroid_id AS cell
+                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY d2 ASC, centroid_id ASC) AS rn
+                          FROM d)
+                    WHERE rn = 1),
+         pc AS (SELECT cell AS probe_cell FROM assign WHERE vec_id = {PROBE_VEC_ID}),
+         p AS (SELECT v AS pv FROM e WHERE vec_id = {PROBE_VEC_ID}),
+         scored AS (SELECT e.vec_id,
+                           ROUND({SQL_COS.format(a='e.v', b='p.pv')}, 6) AS cos_sim
+                    FROM e JOIN assign ON e.vec_id = assign.vec_id, pc, p
+                    WHERE assign.cell = pc.probe_cell AND e.vec_id <> {PROBE_VEC_ID})
+       SELECT vec_id, cos_sim,
+              CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rn
+       FROM scored QUALIFY rn <= 5""",
+)
+def q_ann_ivf(spark, sf_dir):
+    """IVF-pruned ANN top-5 (deterministic centroids = 8 lowest vec_ids)."""
+    return sim.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), PROBE_VEC_ID, k=5, n_centroids=8
+    )
+
+
+# --- text analysis ---
+
+
+@register(
+    "q_tfidf",
+    f"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM ({SQL_TERMS}) GROUP BY 1, 2),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ({SQL_PAIRS}) GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+       SELECT doc_id, term, tf,
+              ROUND(ln(n_docs / df), 6) AS idf,
+              ROUND(tf * ln(n_docs / df), 6) AS tfidf
+       FROM tf JOIN df USING (term), n""",
+)
+def q_tfidf(spark, sf_dir):
+    return ts.tfidf(_docs(spark, sf_dir))
+
+
+@register(
+    "q_lang_stats",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6)
+                AS avg_chars
+       FROM documents GROUP BY lang""",
+)
+def q_lang_stats(spark, sf_dir):
+    return ts.lang_stats(_docs(spark, sf_dir))
+
+
+def _sql_in_list(words) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+from mapreduceindexer_spark.functions.text import (  # noqa: E402
+    STOPWORDS_DE,
+    STOPWORDS_EN,
+    STOPWORDS_FR,
+)
+
+
+@register(
+    "q_quality_score",
+    f"""WITH t AS ({SQL_TERMS}),
+         per AS (SELECT doc_id,
+                        CAST(count(*) AS BIGINT) AS n_tokens,
+                        CAST(SUM(CASE WHEN term IN {_sql_in_list(STOPWORDS_EN)}
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+                        ROUND(CAST(SUM(CAST(length(term) AS DECIMAL(38,10))) AS DOUBLE)
+                              / COUNT(*), 6) AS avg_token_len
+                 FROM t GROUP BY doc_id)
+       SELECT doc_id, n_tokens, n_stop,
+              ROUND(n_stop / n_tokens, 6) AS stop_ratio,
+              avg_token_len,
+              ROUND(LEAST(n_tokens / 100.0, 1.0) * (1 - n_stop / n_tokens), 6) AS quality
+       FROM per""",
+)
+def q_quality_score(spark, sf_dir):
+    return ts.quality_scores(_docs(spark, sf_dir))
+
+
+@register(
+    "q_lang_id",
+    f"""WITH t AS ({SQL_TERMS}),
+         hits AS (SELECT doc_id,
+                         CAST(SUM(CASE WHEN term IN {_sql_in_list(STOPWORDS_EN)} THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+                         CAST(SUM(CASE WHEN term IN {_sql_in_list(STOPWORDS_DE)} THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
+                         CAST(SUM(CASE WHEN term IN {_sql_in_list(STOPWORDS_FR)} THEN 1 ELSE 0 END) AS BIGINT) AS fr_hits
+                  FROM t GROUP BY doc_id)
+       SELECT doc_id, en_hits, de_hits, fr_hits,
+              CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                   WHEN de_hits >= fr_hits THEN 'de'
+                   ELSE 'fr' END AS lang_pred
+       FROM hits""",
+)
+def q_lang_id(spark, sf_dir):
+    return ts.lang_id(_docs(spark, sf_dir))
+
+
+@register(
+    "q_token_counts",
+    r"""SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+                    AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                    AS BIGINT) AS n_bpe_pieces
+        FROM documents""",
+)
+def q_token_counts(spark, sf_dir):
+    return ts.token_counts(_docs(spark, sf_dir))
+
+
+@register(
+    "q_fingerprint",
+    f"""SELECT doc_id, min(md5(s)) AS fingerprint
+        FROM ({SQL_SHINGLES}) GROUP BY doc_id""",
+)
+def q_fingerprint(spark, sf_dir):
+    return ts.fingerprints(_docs(spark, sf_dir), k=3)
+
+
+# --- multimodal ---
+
+
+@register(
+    "q_multimodal_meta",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              md5(text) AS content_md5
+       FROM documents""",
+)
+def q_multimodal_meta(spark, sf_dir):
+    return mm.media_metadata(_docs(spark, sf_dir))
+
+
+@register("q_multimodal_decode", None)  # Python decode kernel: rows-only
+def q_multimodal_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas decode plumbing with the deterministic
+    fake kernel (no media codecs in this environment)."""
+    return mm.decode_media(mm.with_binary_content(_docs(spark, sf_dir)))

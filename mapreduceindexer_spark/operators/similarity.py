@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (``ARRAY<FLOAT>``).
+
+Two tiers:
+
+- **Brute-force cosine top-k** — the correctness baseline. For a single
+  probe this is a broadcast of one row against a full scan: linear, one
+  pass, no shuffle except the final top-k (TakeOrderedAndProject). Never
+  an all-pairs crossJoin.
+- **IVF (inverted-file) top-k** — the scale path: vectors are assigned to
+  coarse cells (nearest of ``n_centroids`` centroid vectors); a probe
+  searches only its own cell. Here centroids are a deterministic sample
+  (lowest vec_ids) so the DuckDB oracle can replay the exact assignment;
+  production would k-means them (same query shape, different centroid
+  table). At 100 TB the assignment output is written bucketed by cell so
+  probes prune to one bucket — partition pruning does the fan-in.
+
+All arithmetic in double via JVM higher-order functions
+(``functions/vector.py``) — no Python UDFs. Ranks are total-ordered
+(similarity DESC, vec_id ASC on values rounded to 6 digits) so top-k frontiers
+are engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduceindexer_spark.functions.vector import cosine_similarity, dot, l2_norm
+
+
+def vector_norms(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, dim, l2) — sanity/statistics pass over the embedding table."""
+    return embeddings.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(l2_norm("embedding"), 6).alias("l2"),
+    )
+
+
+def cosine_topk(embeddings: DataFrame, probe_id: int, k: int = 10) -> DataFrame:
+    """Top-k most-similar vectors to ``probe_id`` by cosine (probe excluded).
+
+    Plan: one-row probe is broadcast; similarity is computed scan-side;
+    ``row_number`` over a global (sim DESC, vec_id) order has Spark plan a
+    single-partition window over only the filtered frontier — for pure
+    top-k without the rank column, ``orderBy().limit(k)`` plans
+    TakeOrderedAndProject (used in bench).
+    """
+    probe = embeddings.filter(F.col("vec_id") == probe_id).select(
+        F.col("embedding").alias("probe_vec")
+    )
+    scored = (
+        embeddings.filter(F.col("vec_id") != probe_id)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity("embedding", "probe_vec"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared-L2, ties → lowest
+    centroid id). Centroids = the ``n_centroids`` lowest vec_ids —
+    deterministic 'training' the oracle can replay."""
+    centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "cvec",
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "centroid_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, probe_id: int, k: int = 5, n_centroids: int = 8
+) -> DataFrame:
+    """IVF-pruned cosine top-k: search only the probe's cell.
+
+    Result can differ from exact brute force (that's ANN's contract);
+    it is still fully deterministic, so the oracle replays it exactly.
+    """
+    cells = ivf_assignments(embeddings, n_centroids)
+    probe_cell = cells.filter(F.col("vec_id") == probe_id).select(
+        F.col("cell").alias("probe_cell")
+    )
+    probe_vec = embeddings.filter(F.col("vec_id") == probe_id).select(
+        F.col("embedding").alias("probe_vec")
+    )
+    candidates = (
+        embeddings.join(cells, "vec_id")
+        .crossJoin(F.broadcast(probe_cell))
+        .filter((F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != probe_id))
+    )
+    scored = candidates.crossJoin(F.broadcast(probe_vec)).select(
+        "vec_id",
+        F.round(cosine_similarity("embedding", "probe_vec"), 6).alias("cos_sim"),
+    )
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
