@@ -796,3 +796,15 @@ def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas decode plumbing with the deterministic
     fake kernel (no media codecs in this environment)."""
     return mm.decode_media(mm.with_binary_content(_docs(spark, sf_dir)))
+
+
+# --- structured streaming (rows-only: executes a real streaming query) ---
+
+
+@register("q_events_tumbling_stream", None)
+def q_events_tumbling_stream(spark, sf_dir):
+    """Streaming twin of q_events_tumbling: availableNow backlog replay
+    through a watermarked incremental aggregation (memory sink)."""
+    from mapreduceindexer_spark.streaming import run_streaming_tumbling
+
+    return run_streaming_tumbling(spark, sf_dir)

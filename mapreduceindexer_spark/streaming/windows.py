@@ -1,0 +1,85 @@
+"""Structured Streaming window aggregations over the ``events`` table.
+
+Same logical shapes as ``operators/events.py`` (the batch twins that the
+DuckDB oracle checks), expressed against a ``readStream`` source with a
+watermark. Batch/stream parity is the design point: Structured Streaming
+runs the identical ``groupBy(window(...))`` plan incrementally, so a
+correct batch query IS the streaming query — only the source/sink and the
+watermark policy differ.
+
+Scale notes:
+
+- the watermark bounds state: hourly windows + 2h watermark keep at most
+  ~3 windows of partial aggregates per key in the state store, regardless
+  of stream length;
+- ``availableNow`` trigger processes a backlog as a bounded stream with
+  the same state-machine semantics — the pattern for backfill jobs;
+- sinks at 100 TB would be kafka/delta; the memory sink here is for tests
+  and the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` as a file stream. The parquet stores ts as TIMESTAMP(NANOS)
+    (read as long + truncated to µs, exactly like the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")  # schema only
+    # The file-stream source requires a directory basePath; point it at the
+    # sf dir and glob-filter to the events file.
+    src = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return src
+
+
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1-hour tumbling counts/sums with a 2-hour watermark —
+    the incremental twin of ``operators/events.tumbling_hourly``."""
+    src = _streaming_events(spark, sf_dir)
+    return (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the streaming aggregation over the full backlog
+    (``availableNow`` + complete-mode memory sink) and return the result
+    as a batch DataFrame — used by the harness's rows-only check and by
+    the batch-vs-stream parity test."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_tumbling_hourly(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+__all__ = ["streaming_tumbling_hourly", "run_streaming_tumbling"]

@@ -1,0 +1,22 @@
+"""Batch/stream parity: the streaming tumbling aggregation must reproduce
+the batch (oracle-checked) result exactly over a bounded backlog."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    from mapreduceindexer_spark.operators.events import tumbling_hourly
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming import run_streaming_tumbling
+
+    batch = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in tumbling_hourly(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    stream = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in run_streaming_tumbling(spark, SF_SMOKE).collect()
+    }
+    assert batch == stream
