@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line to stdout:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (forces every
+exchange/aggregation, writes nothing). One warm-up query amortizes JVM/
+codegen startup out of the per-query numbers, mirroring how BASELINE.md
+compares steady-state throughput rather than cold-start latency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_postings",          # the reference's whole pipeline (flagship)
+    "q_sorted_index",      # + letter partition & order
+    "q_agg_pricing_summary",  # TPC-H Q1 shape
+    "q_join_orders_customer",  # broadcast 3-way join
+    "q_window_topn",       # window rank
+    "q_events_tumbling",   # time windows
+    "q_dedup_exact",       # LLM pipeline: exact dedup
+    "q_near_dup",          # LLM pipeline: minhash LSH + verify
+    "q_tfidf",             # LLM pipeline: text analysis
+    "q_cosine_topk",       # LLM pipeline: similarity search
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.session import get_spark
+
+    spark = get_spark(app_name="mapreduceindexer_spark-bench")
+
+    def run(name: str) -> float:
+        df = QUERIES[name][0](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    # Warm-up: JVM JIT, codegen cache, parquet footer reads.
+    run("q_agg_pricing_summary")
+
+    times = {name: round(run(name), 3) for name in HEADLINE}
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

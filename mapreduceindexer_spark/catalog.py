@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mapreduceindexer_spark.operators import index as ix
 from mapreduceindexer_spark.operators import search
-from mapreduceindexer_spark.sources.tables import load_table
+from mapreduceindexer_spark.sources.tables import ensure_parallelism, load_table
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -75,8 +75,14 @@ SQL_POSTINGS = f"""
 """
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Catalog table loader: parallelism-hardened for single-row-group
+    test files (no-op on well-split production inputs)."""
+    return ensure_parallelism(load_table(spark, sf_dir, name))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    return _t(spark, sf_dir, "documents")
 
 
 def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,7 +270,7 @@ def _sql_davg(expr: str, alias: str) -> str:
          AND l_linestatus LIKE 'O%'""",
 )
 def q_filter_shipdate(spark, sf_dir):
-    return rel.filter_shipdate(load_table(spark, sf_dir, "lineitem"))
+    return rel.filter_shipdate(_t(spark, sf_dir, "lineitem"))
 
 
 @register(
@@ -283,7 +289,7 @@ def q_filter_shipdate(spark, sf_dir):
         GROUP BY l_returnflag, l_linestatus""",
 )
 def q_agg_pricing_summary(spark, sf_dir):
-    return rel.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+    return rel.pricing_summary(_t(spark, sf_dir, "lineitem"))
 
 
 @register(
@@ -298,8 +304,8 @@ def q_agg_pricing_summary(spark, sf_dir):
 )
 def q_join_orders_customer(spark, sf_dir):
     return rel.orders_by_nation(
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
     )
 
@@ -312,7 +318,7 @@ def q_join_orders_customer(spark, sf_dir):
 )
 def q_semi_join(spark, sf_dir):
     return rel.customers_with_open_orders(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     )
 
 
@@ -323,7 +329,7 @@ def q_semi_join(spark, sf_dir):
 )
 def q_anti_join(spark, sf_dir):
     return rel.customers_without_orders(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     )
 
 
@@ -335,7 +341,7 @@ def q_anti_join(spark, sf_dir):
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
 )
 def q_rollup(spark, sf_dir):
-    return rel.returnflag_rollup(load_table(spark, sf_dir, "lineitem"))
+    return rel.returnflag_rollup(_t(spark, sf_dir, "lineitem"))
 
 
 @register(
@@ -346,12 +352,12 @@ def q_rollup(spark, sf_dir):
        FROM lineitem""",
 )
 def q_distinct_counts(spark, sf_dir):
-    return rel.distinct_counts(load_table(spark, sf_dir, "lineitem"))
+    return rel.distinct_counts(_t(spark, sf_dir, "lineitem"))
 
 
 @register("q_approx_distinct_parts", None)  # HLL estimate: rows-only by design
 def q_approx_distinct_parts(spark, sf_dir):
-    return rel.approx_distinct_parts(load_table(spark, sf_dir, "lineitem"))
+    return rel.approx_distinct_parts(_t(spark, sf_dir, "lineitem"))
 
 
 @register(
@@ -364,7 +370,7 @@ def q_approx_distinct_parts(spark, sf_dir):
        WHERE rn <= 3""",
 )
 def q_window_topn(spark, sf_dir):
-    return rel.top_orders_per_customer(load_table(spark, sf_dir, "orders"), k=3)
+    return rel.top_orders_per_customer(_t(spark, sf_dir, "orders"), k=3)
 
 
 @register(
@@ -378,7 +384,7 @@ def q_window_topn(spark, sf_dir):
        FROM events""",
 )
 def q_window_running(spark, sf_dir):
-    return rel.running_user_value(load_table(spark, sf_dir, "events"))
+    return rel.running_user_value(_t(spark, sf_dir, "events"))
 
 
 @register(
@@ -394,7 +400,7 @@ def q_window_running(spark, sf_dir):
           SELECT c_custkey FROM customer WHERE c_acctbal > 1000.0)""",
 )
 def q_setops(spark, sf_dir):
-    return rel.segment_custkey_setops(load_table(spark, sf_dir, "customer"))
+    return rel.segment_custkey_setops(_t(spark, sf_dir, "customer"))
 
 
 @register(
@@ -407,7 +413,7 @@ def q_setops(spark, sf_dir):
               upper(o_orderstatus) AS status_u,
               CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
               CAST(o_orderkey % 7 AS BIGINT) AS mod7,
-              ROUND(o_totalprice * 0.1, 2) AS price_tenth,
+              CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS price_tenth,
               ABS(o_totalprice - 1000.0) AS abs_diff,
               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
                 AS days_since,
@@ -415,7 +421,7 @@ def q_setops(spark, sf_dir):
        FROM orders""",
 )
 def q_scalar_fns(spark, sf_dir):
-    return rel.order_scalar_functions(load_table(spark, sf_dir, "orders"))
+    return rel.order_scalar_functions(_t(spark, sf_dir, "orders"))
 
 
 # ---------------------------------------------------------------------------
@@ -430,7 +436,7 @@ def q_scalar_fns(spark, sf_dir):
        FROM events""",
 )
 def q_json_events(spark, sf_dir):
-    return ev.json_props(load_table(spark, sf_dir, "events"))
+    return ev.json_props(_t(spark, sf_dir, "events"))
 
 
 @register(
@@ -441,7 +447,7 @@ def q_json_events(spark, sf_dir):
         FROM events GROUP BY 1, 2""",
 )
 def q_events_tumbling(spark, sf_dir):
-    return ev.tumbling_hourly(load_table(spark, sf_dir, "events"))
+    return ev.tumbling_hourly(_t(spark, sf_dir, "events"))
 
 
 @register(
@@ -458,7 +464,7 @@ def q_events_tumbling(spark, sf_dir):
         FROM x GROUP BY window_start""",
 )
 def q_events_sliding(spark, sf_dir):
-    return ev.sliding_hourly(load_table(spark, sf_dir, "events"))
+    return ev.sliding_hourly(_t(spark, sf_dir, "events"))
 
 
 @register(
@@ -479,7 +485,7 @@ def q_events_sliding(spark, sf_dir):
        FROM g GROUP BY user_id, grp""",
 )
 def q_events_session(spark, sf_dir):
-    return ev.user_sessions(load_table(spark, sf_dir, "events"), gap="10 minutes")
+    return ev.user_sessions(_t(spark, sf_dir, "events"), gap="10 minutes")
 
 
 # ---------------------------------------------------------------------------
@@ -627,7 +633,7 @@ PROBE_VEC_ID = 0
        FROM embeddings""",
 )
 def q_vector_norms(spark, sf_dir):
-    return sim.vector_norms(load_table(spark, sf_dir, "embeddings"))
+    return sim.vector_norms(_t(spark, sf_dir, "embeddings"))
 
 
 @register(
@@ -643,7 +649,7 @@ def q_vector_norms(spark, sf_dir):
 )
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 for a fixed probe vector."""
-    return sim.cosine_topk(load_table(spark, sf_dir, "embeddings"), PROBE_VEC_ID, k=10)
+    return sim.cosine_topk(_t(spark, sf_dir, "embeddings"), PROBE_VEC_ID, k=10)
 
 
 @register(
@@ -672,7 +678,7 @@ def q_cosine_topk(spark, sf_dir):
 def q_ann_ivf(spark, sf_dir):
     """IVF-pruned ANN top-5 (deterministic centroids = 8 lowest vec_ids)."""
     return sim.ivf_topk(
-        load_table(spark, sf_dir, "embeddings"), PROBE_VEC_ID, k=5, n_centroids=8
+        _t(spark, sf_dir, "embeddings"), PROBE_VEC_ID, k=5, n_centroids=8
     )
 
 
@@ -808,3 +814,67 @@ def q_events_tumbling_stream(spark, sf_dir):
     from mapreduceindexer_spark.streaming import run_streaming_tumbling
 
     return run_streaming_tumbling(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Coverage completers: cube, posting-array algebra, postings ⋈ documents
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cube",
+    f"""SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {_sql_dsum('l_extendedprice', 'sum_price', 2)}
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+)
+def q_cube(spark, sf_dir):
+    """Cube family: all 4 grouping sets in one pass."""
+    from mapreduceindexer_spark.operators.relational import _dsum
+
+    return _t(spark, sf_dir, "lineitem").cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        _dsum(F.col("l_extendedprice"), "sum_price", 2),
+    )
+
+
+@register(
+    "q_array_bool",
+    f"""WITH p AS ({SQL_POSTINGS}),
+         a AS (SELECT doc_ids FROM p WHERE term = '{PROBE_TERM_A}'),
+         b AS (SELECT doc_ids FROM p WHERE term = '{PROBE_TERM_B}')
+       SELECT
+         CAST((SELECT count(*) FROM (SELECT unnest(a.doc_ids) INTERSECT SELECT unnest(b.doc_ids))) AS BIGINT) AS n_and,
+         CAST((SELECT count(*) FROM (SELECT unnest(a.doc_ids) UNION SELECT unnest(b.doc_ids))) AS BIGINT) AS n_or,
+         CAST((SELECT count(*) FROM (SELECT unnest(a.doc_ids) EXCEPT SELECT unnest(b.doc_ids))) AS BIGINT) AS n_not
+       FROM a, b""",
+)
+def q_array_bool(spark, sf_dir):
+    """Array-function family: boolean algebra directly on posting arrays
+    (array_intersect/union/except) — the small-scale shortcut the search
+    operators deliberately avoid at 100 TB."""
+    p = _postings(spark, sf_dir)
+    a = p.filter(F.col("term") == PROBE_TERM_A).select(F.col("doc_ids").alias("ids_a"))
+    b = p.filter(F.col("term") == PROBE_TERM_B).select(F.col("doc_ids").alias("ids_b"))
+    return a.crossJoin(b).select(
+        F.size(F.array_intersect("ids_a", "ids_b")).cast("bigint").alias("n_and"),
+        F.size(F.array_union("ids_a", "ids_b")).cast("bigint").alias("n_or"),
+        F.size(F.array_except("ids_a", "ids_b")).cast("bigint").alias("n_not"),
+    )
+
+
+@register(
+    "q_postings_docs_join",
+    f"""SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM ({SQL_PAIRS}) pr JOIN documents d ON pr.doc_id = d.doc_id
+        WHERE pr.term = '{PROBE_TERM_A}'
+        GROUP BY d.lang""",
+)
+def q_postings_docs_join(spark, sf_dir):
+    """Join the index back to document metadata (SURVEY q_join_postings_docs):
+    language histogram of the documents containing a probe term."""
+    pairs = _pairs(spark, sf_dir).filter(F.col("term") == PROBE_TERM_A)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return pairs.join(docs, "doc_id").groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )

@@ -91,7 +91,15 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = 16) -> DataFrame:
 
     One narrow explode (n_hashes rows per shingle) + one aggregation; the
     shuffle carries (doc, seed, min) partials thanks to map-side combine.
+
+    The explode multiplies CPU (md5 per shingle × seed), so the input is
+    explicitly spread to full parallelism first — AQE would otherwise
+    coalesce the preceding small shuffle to one partition and serialize
+    the hashing (partition sizing by bytes is blind to downstream CPU).
     """
+    from mapreduceindexer_spark.sources.tables import ensure_parallelism
+
+    sh = ensure_parallelism(sh, min_fraction=0.9)
     seeded = sh.select(
         "doc_id",
         "shingle",
@@ -139,6 +147,37 @@ def lsh_candidates(band_sigs: DataFrame) -> DataFrame:
     )
 
 
+def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given (doc_a, doc_b) pairs.
+
+    Intersections come from joining each pair's shingle sets — cost is
+    Σ|A ∪ B| over candidate pairs, not corpus-quadratic. This is the verify
+    stage of LSH dedup: candidates are few, so these joins broadcast.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("s_b"))
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_doc_b")) & (F.col("s_a") == F.col("s_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def near_duplicates(
     docs: DataFrame,
     k: int = 3,
@@ -147,17 +186,17 @@ def near_duplicates(
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard (the full tier-3
-    pipeline): (doc_a, doc_b, jaccard >= threshold)."""
+    pipeline): (doc_a, doc_b, jaccard >= threshold).
+
+    Jaccard runs on candidate pairs ONLY (``jaccard_for_pairs``) — the
+    whole point of LSH is that the quadratic verify collapses to the few
+    bucket-collision pairs.
+    """
     sh = doc_shingles(docs, k)
     cands = lsh_candidates(
         lsh_band_signatures(minhash_signatures(sh, n_hashes), rows_per_band)
     )
-    verified = jaccard_pairs(sh, threshold)
-    # Semi-join: keep only LSH-surfaced pairs (at scale, Jaccard is computed
-    # on candidates only; computing it globally here would defeat LSH — the
-    # join below is written so Catalyst prunes the global Jaccard down to
-    # candidate pairs when `cands` is small/broadcastable).
-    return verified.join(cands, ["doc_a", "doc_b"], "left_semi")
+    return jaccard_for_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_signatures(docs: DataFrame, n_bits: int = 16) -> DataFrame:

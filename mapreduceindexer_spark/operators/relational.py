@@ -196,7 +196,15 @@ def order_scalar_functions(orders: DataFrame) -> DataFrame:
         F.upper("o_orderstatus").alias("status_u"),
         F.length("o_orderpriority").cast("bigint").alias("prio_len"),
         (F.col("o_orderkey") % 7).cast("bigint").alias("mod7"),
-        F.round(F.col("o_totalprice") * 0.1, 2).alias("price_tenth"),
+        # Exact decimal arithmetic: double*0.1 is not representable in binary
+        # FP, so round() on it diverges between engines; decimal is exact.
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("0.1").cast("decimal(2,1)"),
+            2,
+        )
+        .cast("double")
+        .alias("price_tenth"),
         F.abs(F.col("o_totalprice") - 1000.0).alias("abs_diff"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
         .cast("bigint")

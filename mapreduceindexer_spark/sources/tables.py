@@ -51,6 +51,27 @@ def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Round-robin repartition a DataFrame whose scan has too few splits.
+
+    Parquet's minimum split unit is the row group; the synthetic test files
+    are single-row-group, so every scan is one task and each CPU-bound
+    narrow stage (explode, normalize, md5 minhash) runs on one core — and
+    AQE then *re-coalesces* small shuffles back to one partition. An
+    explicit-numPartitions repartition is exempt from AQE coalescing and
+    spreads the compute.
+
+    At production scale inputs have >= cluster-parallelism splits, the
+    condition is false, and this is a no-op — no extra shuffle ever appears
+    on a big scan.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, int(target * min_fraction)):
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -1,0 +1,69 @@
+"""Optimizer-contract regression tests: pushdown, pruning, broadcast,
+codegen. These pin the *plan shapes* that make the engine scale, so a
+refactor that silently un-pushes a filter or drops a broadcast fails CI
+even though answers stay correct."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def test_filter_shipdate_pushdown_and_pruning(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import pushed_filters, read_schema_columns
+
+    df = QUERIES["q_filter_shipdate"][0](spark, SF_SMOKE)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_returnflag" in pf, pf
+    # Scan must read only the columns the query touches (5 of 16).
+    (cols,) = read_schema_columns(df)
+    assert set(cols) <= {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }, cols
+
+
+def test_doc_scan_prunes_text_column(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import read_schema_columns
+
+    df = QUERIES["q_doc_scan"][0](spark, SF_SMOKE)
+    (cols,) = read_schema_columns(df)
+    # The wide `text` column must NOT be read for a metadata-only query.
+    assert "text" not in cols, cols
+
+
+def test_orders_nation_join_broadcasts(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import has_broadcast_hash_join
+
+    df = QUERIES["q_join_orders_customer"][0](spark, SF_SMOKE)
+    assert has_broadcast_hash_join(df)
+
+
+def test_postings_pipeline_is_fused(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_postings"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # Three exchanges max: the single-row-group-file parallelism repartition
+    # (absent on well-split inputs), the (term, salt) partial aggregation,
+    # and the per-term merge. The narrow prefix (scan→explode→normalize→
+    # filter) fuses into one stage; dropDuplicates folds into the salted
+    # collect_set.
+    assert plan.count("Exchange") <= 3, plan
+    # No Python evaluation anywhere in the flagship pipeline.
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_top_terms_plans_take_ordered(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_top_terms"][0](spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in explain_str(df)
