@@ -102,6 +102,29 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 from pyspark.sql import functions as F  # noqa: E402
 
 
+from pyspark.sql import Window  # noqa: E402
+
+
+@register(
+    "q_manifest_scan",
+    """SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS manifest_pos,
+              doc_id, source
+       FROM documents""",
+)
+def q_manifest_scan(spark, sf_dir):
+    """S1: the reference's manifest semantics — a document's identity is its
+    1-based position in manifest order (``src/functions.cpp:27-34,64-66``).
+    The single-partition window is fine here by construction: a manifest is
+    a tiny control file; bulk tables ship precomputed IDs instead."""
+    d = _docs(spark, sf_dir)
+    w = Window.orderBy("doc_id")
+    return d.select(
+        F.row_number().over(w).cast("bigint").alias("manifest_pos"),
+        "doc_id",
+        "source",
+    )
+
+
 @register(
     "q_doc_scan",
     "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200",
@@ -261,6 +284,44 @@ def _sql_davg(expr: str, alias: str) -> str:
 
 
 @register(
+    "q_scan_lineitem",
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+       FROM lineitem""",
+)
+def q_scan_lineitem(spark, sf_dir):
+    """Plain projection scan — pins column pruning (ReadSchema carries 5 of
+    16 lineitem columns; see tests/test_plans.py)."""
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+
+@register(
+    "q_project",
+    """SELECT l_orderkey, l_linenumber,
+              CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+                AS disc_price,
+              CAST(l_quantity AS BIGINT) AS qty_int
+       FROM lineitem""",
+)
+def q_project(spark, sf_dir):
+    """Computed projection in exact decimal (row-wise, no shuffle)."""
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")),
+            2,
+        )
+        .cast("double")
+        .alias("disc_price"),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+    )
+
+
+@register(
     "q_filter_shipdate",
     """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
        FROM lineitem
@@ -355,6 +416,20 @@ def q_distinct_counts(spark, sf_dir):
     return rel.distinct_counts(_t(spark, sf_dir, "lineitem"))
 
 
+@register(
+    "q_distinct_terms",
+    f"""SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM ({SQL_PAIRS})""",
+)
+def q_distinct_terms(spark, sf_dir):
+    """Distinct-count family on the index's own relation (D1's generalization)."""
+    return _pairs(spark, sf_dir).agg(
+        F.countDistinct("term").cast("bigint").alias("n_terms"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    )
+
+
 @register("q_approx_distinct_parts", None)  # HLL estimate: rows-only by design
 def q_approx_distinct_parts(spark, sf_dir):
     return rel.approx_distinct_parts(_t(spark, sf_dir, "lineitem"))
@@ -371,6 +446,29 @@ def q_approx_distinct_parts(spark, sf_dir):
 )
 def q_window_topn(spark, sf_dir):
     return rel.top_orders_per_customer(_t(spark, sf_dir, "orders"), k=3)
+
+
+@register(
+    "q_rank_terms_per_letter",
+    f"""SELECT letter, term, df,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               lag(df, 1) OVER w AS prev_df
+        FROM ({SQL_POSTINGS})
+        WINDOW w AS (PARTITION BY letter ORDER BY df DESC, term ASC)""",
+)
+def q_rank_terms_per_letter(spark, sf_dir):
+    """O1 as a window family: rank/dense_rank/lag over each letter partition
+    (SURVEY §2.3 'the per-letter sort is a windowed rank in disguise')."""
+    w = Window.partitionBy("letter").orderBy(F.desc("df"), F.asc("term"))
+    return _postings(spark, sf_dir).select(
+        "letter",
+        "term",
+        "df",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.lag("df", 1).over(w).alias("prev_df"),
+    )
 
 
 @register(
@@ -682,6 +780,47 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+EMBED_DUP_THRESHOLD = 0.4
+
+# IVF cell assignment (DuckDB twin of similarity.ivf_assignments with the
+# deterministic lowest-vec_id centroids).
+SQL_IVF_ASSIGN = f"""
+  WITH e0 AS ({SQL_EMB}),
+       c AS (SELECT vec_id AS centroid_id, v AS cv FROM e0 WHERE vec_id < 8),
+       d AS (SELECT e0.vec_id, c.centroid_id,
+                    ROUND(list_sum(list_transform(list_zip(e0.v, c.cv),
+                                                  z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+             FROM e0, c)
+  SELECT vec_id, centroid_id AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2 ASC, centroid_id ASC) AS rn
+        FROM d)
+  WHERE rn = 1
+"""
+
+
+@register(
+    "q_embed_dup",
+    f"""WITH e AS ({SQL_EMB}),
+         assign AS ({SQL_IVF_ASSIGN}),
+         ec AS (SELECT e.vec_id, e.v, assign.cell
+                FROM e JOIN assign ON e.vec_id = assign.vec_id)
+       SELECT * FROM (
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                ROUND({SQL_COS.format(a='a.v', b='b.v')}, 6) AS cos_sim
+         FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       WHERE cos_sim >= {EMBED_DUP_THRESHOLD}""",
+)
+def q_embed_dup(spark, sf_dir):
+    """Tier-5 dedup: embedding-cosine near-dup pairs inside IVF-cell blocks
+    (never an all-pairs crossJoin over the corpus)."""
+    return dd.embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=EMBED_DUP_THRESHOLD,
+        n_centroids=8,
+    )
+
+
 # --- text analysis ---
 
 
@@ -819,6 +958,27 @@ def q_events_tumbling_stream(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Coverage completers: cube, posting-array algebra, postings ⋈ documents
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "q_grouping_sets",
+    f"""SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {_sql_dsum('l_quantity', 'sum_qty')}
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit grouping sets (completes the rollup/cube/grouping-sets family)."""
+    from mapreduceindexer_spark.operators.relational import _dsum
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupingSets([["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            _dsum(F.col("l_quantity"), "sum_qty"),
+        )
+    )
 
 
 @register(

@@ -15,6 +15,9 @@ Four tiers, all pure DataFrame (no Python in the hot path):
    approximates cosine similarity of term-frequency vectors; near-dup
    lookup becomes an equality/bucket join on signature (or signature
    chunks for Hamming radius > 0).
+5. **Embedding-cosine** — semantic near-dup over an embedding column,
+   blocked by IVF cell assignment so the pairwise compare never leaves
+   a bounded-population cell.
 
 Hashes use the portable md5-derived ``hash60`` so a DuckDB oracle can
 reproduce every bucket decision bit-for-bit (``functions/hashing.py``; at
@@ -197,6 +200,42 @@ def near_duplicates(
         lsh_band_signatures(minhash_signatures(sh, n_hashes), rows_per_band)
     )
     return jaccard_for_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame, threshold: float = 0.4, n_centroids: int = 8
+) -> DataFrame:
+    """Tier-5 near-dup: embedding-cosine pairs within IVF-cell blocks.
+
+    Blocking = nearest-centroid assignment (``similarity.ivf_assignments``),
+    so pairs are generated per cell — never an all-pairs crossJoin over the
+    corpus. At 100 TB the centroid count scales with corpus size
+    (``cells ≈ N / target_cell_size``) so the per-cell self-join stays
+    quadratic only in a bounded constant; recall is raised with multi-probe
+    assignment (emit each vector's top-p cells — same query shape, p×
+    candidate rows). Returns (vec_a, vec_b, cos_sim >= threshold).
+    """
+    from mapreduceindexer_spark.functions.vector import cosine_similarity
+    from mapreduceindexer_spark.operators.similarity import ivf_assignments
+
+    cells = ivf_assignments(embeddings, n_centroids)
+    e = embeddings.join(cells, "vec_id")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "cell"
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "cell"
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_similarity("emb_a", "emb_b"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def simhash_signatures(docs: DataFrame, n_bits: int = 16) -> DataFrame:
