@@ -661,13 +661,28 @@ def q_ngram_jaccard(spark, sf_dir):
 
 NEAR_DUP_THRESHOLD = 0.2
 
+# Affine minhash permutation constants — the oracle replays the exact
+# (a·h_lo + b·h_hi + c) mod 2^31−1 family from functions/hashing.py.
+from mapreduceindexer_spark.functions.hashing import (  # noqa: E402
+    MINHASH_MOD,
+    minhash_perm_constants,
+)
+
+_MINHASH_VALUES = ", ".join(
+    f"({i}, {a}, {b}, {c})" for i, (a, b, c) in enumerate(minhash_perm_constants(16))
+)
+
 
 @register(
     "q_near_dup",
     f"""WITH sh AS ({SQL_SHINGLES}),
-         seeds AS (SELECT doc_id, s, seed FROM sh, range(16) t(seed)),
-         mh AS (SELECT doc_id, seed, min({_sql_hash60('s', 'seed')}) AS mh
-                FROM seeds GROUP BY doc_id, seed),
+         perms AS (SELECT * FROM (VALUES {_MINHASH_VALUES}) t(seed, a, b, c)),
+         base AS (SELECT doc_id, s, {_sql_hash60('s')} AS h FROM sh),
+         mh AS (SELECT doc_id, seed,
+                       min((a * (h & 1073741823)
+                            + b * ((h >> 30) & 1073741823)
+                            + c) % {MINHASH_MOD}) AS mh
+                FROM base, perms GROUP BY doc_id, seed),
          sigs AS (SELECT doc_id, seed // 2 AS band,
                          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
                   FROM mh GROUP BY doc_id, seed // 2),
@@ -781,12 +796,15 @@ def q_ann_ivf(spark, sf_dir):
 
 
 EMBED_DUP_THRESHOLD = 0.4
+EMBED_DUP_CELLS = 32
 
-# IVF cell assignment (DuckDB twin of similarity.ivf_assignments with the
-# deterministic lowest-vec_id centroids).
-SQL_IVF_ASSIGN = f"""
+
+def _sql_ivf_assign(n_centroids: int) -> str:
+    """IVF cell assignment (DuckDB twin of similarity.ivf_assignments with
+    the deterministic lowest-vec_id centroids)."""
+    return f"""
   WITH e0 AS ({SQL_EMB}),
-       c AS (SELECT vec_id AS centroid_id, v AS cv FROM e0 WHERE vec_id < 8),
+       c AS (SELECT vec_id AS centroid_id, v AS cv FROM e0 WHERE vec_id < {n_centroids}),
        d AS (SELECT e0.vec_id, c.centroid_id,
                     ROUND(list_sum(list_transform(list_zip(e0.v, c.cv),
                                                   z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
@@ -802,7 +820,7 @@ SQL_IVF_ASSIGN = f"""
 @register(
     "q_embed_dup",
     f"""WITH e AS ({SQL_EMB}),
-         assign AS ({SQL_IVF_ASSIGN}),
+         assign AS ({_sql_ivf_assign(EMBED_DUP_CELLS)}),
          ec AS (SELECT e.vec_id, e.v, assign.cell
                 FROM e JOIN assign ON e.vec_id = assign.vec_id)
        SELECT * FROM (
@@ -817,7 +835,7 @@ def q_embed_dup(spark, sf_dir):
     return dd.embedding_near_duplicates(
         _t(spark, sf_dir, "embeddings"),
         threshold=EMBED_DUP_THRESHOLD,
-        n_centroids=8,
+        n_centroids=EMBED_DUP_CELLS,
     )
 
 

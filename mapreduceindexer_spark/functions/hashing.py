@@ -48,3 +48,39 @@ def hash60(col: Column | str, seed: int | Column = 0, fast: bool = False) -> Col
 def bit_at(h: Column | str, bit: int) -> Column:
     """Bit ``bit`` (0-based from LSB) of integer column ``h`` as 0/1 int."""
     return F.shiftrightunsigned(_c(h), bit).bitwiseAND(F.lit(1))
+
+
+MINHASH_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
+_MASK30 = (1 << 30) - 1
+
+
+def minhash_perm_constants(n_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic affine-permutation constants ``(a, b, c)``, one triple
+    per minhash function.
+
+    Derived from a fixed-seed 64-bit LCG so every engine (and the DuckDB
+    oracle) regenerates the identical family. All values are 30-bit, which
+    bounds ``a*h_lo + b*h_hi + c`` below 2^61 — no BIGINT overflow in any
+    engine, with or without ANSI arithmetic.
+    """
+    out: list[tuple[int, int, int]] = []
+    x = 0x5DEECE66D
+
+    def nxt() -> int:
+        nonlocal x
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return (x >> 16) & _MASK30
+
+    for _ in range(n_hashes):
+        out.append((nxt() | 1, nxt() | 1, nxt()))
+    return out
+
+
+def minhash_perm(h: Column | str, a: int, b: int, c: int) -> Column:
+    """Affine permutation of a 60-bit base hash: the classic universal-hash
+    MinHash family ``(a·h_lo + b·h_hi + c) mod 2^31−1``, computed on the
+    hash's two 30-bit halves so products stay overflow-free."""
+    hc = _c(h)
+    h1 = hc.bitwiseAND(F.lit(_MASK30))
+    h2 = F.shiftrightunsigned(hc, 30).bitwiseAND(F.lit(_MASK30))
+    return (F.lit(a) * h1 + F.lit(b) * h2 + F.lit(c)) % F.lit(MINHASH_MOD)

@@ -53,10 +53,17 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct k-token shingles per document: (doc_id, shingle)."""
-    return (
-        docs.select("doc_id", F.explode(shingles(normalized_token_array("text"), k)).alias("shingle"))
-        .dropDuplicates(["doc_id", "shingle"])
+    """Distinct k-token shingles per document: (doc_id, shingle).
+
+    Dedup happens inside the row (``array_distinct`` on the shingle array
+    before exploding), so the relation is produced by a purely narrow
+    pipeline — no shuffle, one codegen stage fused with the scan.
+    """
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(normalized_token_array("text"), k))
+        ).alias("shingle"),
     )
 
 
@@ -90,28 +97,47 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
 
 
 def minhash_signatures(sh: DataFrame, n_hashes: int = 16) -> DataFrame:
-    """Per-(doc, seed) minhash values: min over shingles of hash60(shingle, seed).
+    """Per-(doc, seed) minhash values: min over shingles of
+    ``perm_seed(hash60(shingle))``.
 
-    One narrow explode (n_hashes rows per shingle) + one aggregation; the
-    shuffle carries (doc, seed, min) partials thanks to map-side combine.
+    ONE md5 per shingle, not per shingle×seed: every permutation is a cheap
+    affine map of the same 60-bit base hash (``functions/hashing.py
+    minhash_perm`` — the classic ``(a·h+b) mod p`` universal family), and
+    all ``n_hashes`` minima are computed as wide aggregates in a single
+    ``groupBy(doc_id)`` — no row explosion, and the shuffle carries
+    ``n_hashes`` partial mins per (doc, map-partition).
 
-    The explode multiplies CPU (md5 per shingle × seed), so the input is
-    explicitly spread to full parallelism first — AQE would otherwise
-    coalesce the preceding small shuffle to one partition and serialize
-    the hashing (partition sizing by bytes is blind to downstream CPU).
+    The hashing is CPU-bound, so the input is explicitly spread to full
+    parallelism first — AQE would otherwise coalesce the preceding small
+    shuffle to one partition and serialize it (partition sizing by bytes is
+    blind to downstream CPU).
     """
+    from mapreduceindexer_spark.functions.hashing import (
+        minhash_perm,
+        minhash_perm_constants,
+    )
     from mapreduceindexer_spark.sources.tables import ensure_parallelism
 
     sh = ensure_parallelism(sh, min_fraction=0.9)
-    seeded = sh.select(
-        "doc_id",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+    consts = minhash_perm_constants(n_hashes)
+    wide = (
+        sh.select("doc_id", hash60("shingle").alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(minhash_perm(F.col("h"), a, b, c)).alias(f"mh{i}")
+                for i, (a, b, c) in enumerate(consts)
+            ]
+        )
     )
-    return (
-        seeded.select("doc_id", "seed", hash60("shingle", F.col("seed")).alias("h"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("seed"), F.col(f"mh{i}").alias("mh"))
+            for i in range(n_hashes)
+        ]
+    )
+    return wide.select("doc_id", F.explode(pairs).alias("x")).select(
+        "doc_id", F.col("x.seed").alias("seed"), F.col("x.mh").alias("mh")
     )
 
 
@@ -194,8 +220,15 @@ def near_duplicates(
     Jaccard runs on candidate pairs ONLY (``jaccard_for_pairs``) — the
     whole point of LSH is that the quadratic verify collapses to the few
     bucket-collision pairs.
+
+    The shingle relation feeds four consumers (minhash, set sizes, both
+    sides of the verify join), so it is persisted — spill-to-disk, not
+    memory-only, which is exactly what a 100 TB run would do (or write it
+    once as a bucketed table and read it back).
     """
-    sh = doc_shingles(docs, k)
+    from pyspark import StorageLevel
+
+    sh = doc_shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidates(
         lsh_band_signatures(minhash_signatures(sh, n_hashes), rows_per_band)
     )
@@ -203,7 +236,7 @@ def near_duplicates(
 
 
 def embedding_near_duplicates(
-    embeddings: DataFrame, threshold: float = 0.4, n_centroids: int = 8
+    embeddings: DataFrame, threshold: float = 0.4, n_centroids: int = 32
 ) -> DataFrame:
     """Tier-5 near-dup: embedding-cosine pairs within IVF-cell blocks.
 
@@ -214,17 +247,28 @@ def embedding_near_duplicates(
     quadratic only in a bounded constant; recall is raised with multi-probe
     assignment (emit each vector's top-p cells — same query shape, p×
     candidate rows). Returns (vec_a, vec_b, cos_sim >= threshold).
+
+    L2 norms are computed ONCE per vector before pairing, so each candidate
+    pair evaluates a single higher-order dot product instead of dot + two
+    norms — pair comparison is the quadratic term, so this is a 3× cut on
+    the dominant cost.
     """
-    from mapreduceindexer_spark.functions.vector import cosine_similarity
+    from mapreduceindexer_spark.functions.vector import dot, l2_norm
     from mapreduceindexer_spark.operators.similarity import ivf_assignments
 
     cells = ivf_assignments(embeddings, n_centroids)
-    e = embeddings.join(cells, "vec_id")
+    e = embeddings.join(cells, "vec_id").withColumn("nrm", l2_norm("embedding"))
     a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "cell"
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "cell",
     )
     b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "cell"
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "cell",
     )
     return (
         a.join(b, "cell")
@@ -232,7 +276,9 @@ def embedding_near_duplicates(
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine_similarity("emb_a", "emb_b"), 6).alias("cos_sim"),
+            F.round(
+                dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
