@@ -1,0 +1,61 @@
+"""End-to-end golden test: the reference's FULL corpus, all 26 letter files.
+
+Runs the whole pipeline (manifest scan → tokenize → normalize → per-doc
+distinct → postings → letter partition → sorted sink) over the reference's
+own 355-file / 6.4 MB corpus (``checker/test.txt`` manifest, read in place
+from the read-only reference checkout) and compares every output line
+against the shipped golden outputs ``checker/test_out/{a..z}.txt``
+(33,262 lines). This is the reference's exact correctness gate
+(``checker/checker.sh:22-41``) applied to the Spark engine.
+
+Skipped automatically if the reference checkout is not present.
+"""
+
+from __future__ import annotations
+
+import os
+import string
+
+import pytest
+
+REF_CHECKER = "/root/reference/checker"
+MANIFEST = os.path.join(REF_CHECKER, "test.txt")
+GOLDEN = os.path.join(REF_CHECKER, "test_out")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(GOLDEN), reason="reference checkout not available"
+)
+
+
+@pytest.fixture(scope="module")
+def full_corpus(spark):
+    from mapreduceindexer_spark.sources.corpus import read_manifest_corpus
+
+    return read_manifest_corpus(spark, MANIFEST, base_dir=REF_CHECKER)
+
+
+def golden_lines(letter: str) -> list[str]:
+    with open(os.path.join(GOLDEN, f"{letter}.txt"), encoding="utf-8") as fh:
+        return fh.read().splitlines()
+
+
+def test_full_corpus_shape(full_corpus):
+    assert full_corpus.count() == 355
+
+
+def test_full_index_matches_golden(full_corpus, tmp_path):
+    from mapreduceindexer_spark.operators.index import build_postings
+    from mapreduceindexer_spark.operators.sink import read_index_letter, write_index
+
+    out = str(tmp_path / "index_out")
+    write_index(build_postings(full_corpus, salt_buckets=16), out)
+    total = 0
+    for letter in string.ascii_lowercase:
+        expected = golden_lines(letter)
+        got = read_index_letter(out, letter)
+        assert got == expected, (
+            f"letter {letter}: {len(got)} vs {len(expected)} lines; "
+            f"first diff: {next((g, e) for g, e in zip(got, expected) if g != e)}"
+        )
+        total += len(got)
+    assert total == 33262  # BASELINE.md index size
