@@ -566,6 +566,32 @@ def q_events_sliding(spark, sf_dir):
 
 
 @register(
+    "q_asof_join",
+    """WITH u AS (
+         SELECT user_id, ts, event_id, value,
+                CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+         FROM events WHERE event_type IN ('click', 'purchase')),
+       c AS (
+         SELECT *,
+                last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+                  OVER w AS last_click_id,
+                last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+                  OVER w AS last_click_value
+         FROM u
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       SELECT event_id, user_id, ts, last_click_id, last_click_value
+       FROM c WHERE side = 1""",
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): purchases annotated with the user's
+    most recent at-or-before click — one shuffle, no range explosion."""
+    from mapreduceindexer_spark.operators.asof import purchases_with_last_click
+
+    return purchases_with_last_click(_t(spark, sf_dir, "events"))
+
+
+@register(
     "q_events_session",
     """WITH l AS (
          SELECT user_id, ts,
@@ -971,6 +997,16 @@ def q_events_tumbling_stream(spark, sf_dir):
     from mapreduceindexer_spark.streaming import run_streaming_tumbling
 
     return run_streaming_tumbling(spark, sf_dir)
+
+
+@register("q_events_session_stream", None)
+def q_events_session_stream(spark, sf_dir):
+    """Custom stateful streaming operator: applyInPandasWithState
+    sessionization over a multi-microbatch backlog replay; emits exactly
+    the batch q_events_session result (pinned by tests/test_streaming.py)."""
+    from mapreduceindexer_spark.streaming import streaming_user_sessions
+
+    return streaming_user_sessions(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -6,6 +6,24 @@ from __future__ import annotations
 from tests.conftest import SF_SMOKE
 
 
+def test_stateful_sessions_equal_batch(spark):
+    """The applyInPandasWithState session machine, replayed over a 4-slice
+    multi-microbatch backlog (state crosses batch boundaries), must emit
+    exactly the batch session_window result."""
+    from mapreduceindexer_spark.operators.events import user_sessions
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming.stateful import streaming_user_sessions
+
+    batch = sorted(
+        tuple(r)
+        for r in user_sessions(load_table(spark, SF_SMOKE, "events"), "10 minutes")
+        .select("user_id", "session_start", "n_events")
+        .collect()
+    )
+    stream = sorted(tuple(r) for r in streaming_user_sessions(spark, SF_SMOKE).collect())
+    assert batch == stream
+
+
 def test_streaming_tumbling_equals_batch(spark):
     from mapreduceindexer_spark.operators.events import tumbling_hourly
     from mapreduceindexer_spark.sources.tables import load_table
