@@ -372,6 +372,34 @@ def q_join_orders_customer(spark, sf_dir):
 
 
 @register(
+    "q_join_5way",
+    f"""SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue', 2)}
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+        GROUP BY n_name""",
+)
+def q_join_5way(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join with local-supplier condition."""
+    return rel.local_supplier_volume(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
     "q_semi_join",
     """SELECT c_custkey, c_mktsegment FROM customer
        WHERE EXISTS (SELECT 1 FROM orders

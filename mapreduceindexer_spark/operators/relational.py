@@ -96,6 +96,58 @@ def orders_by_nation(orders: DataFrame, customer: DataFrame, nation: DataFrame) 
     )
 
 
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    year: str = "1995",
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, revenue of *local* suppliers per nation.
+
+    Join strategy at scale: the dimension chain region→nation collapses to
+    a handful of rows after the region filter and is force-broadcast, as is
+    ``supplier`` (10k/SF rows); lineitem⋈orders shuffles on orderkey
+    (the two facts) and everything else hangs off that one exchange.
+    The local-supplier condition (s_nationkey = c_nationkey) rides the
+    broadcast join, not an extra shuffle.
+    """
+    nations_in_region = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    lo = f"{year}-01-01"
+    hi = f"{int(year) + 1}-01-01"
+    return (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
+            ),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .join(
+            F.broadcast(nations_in_region),
+            customer.c_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 2),
+        )
+    )
+
+
 def customers_with_open_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Semi-join family: EXISTS as left_semi (never materializes matches)."""
     open_orders = orders.filter(F.col("o_orderstatus") == "O")
