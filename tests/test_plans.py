@@ -67,3 +67,63 @@ def test_top_terms_plans_take_ordered(spark):
 
     df = QUERIES["q_top_terms"][0](spark, SF_SMOKE)
     assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_scan_lineitem_prunes_to_projection(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import read_schema_columns
+
+    df = QUERIES["q_scan_lineitem"][0](spark, SF_SMOKE)
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+    }, cols
+
+
+def test_join_5way_pushes_region_filter_and_broadcasts(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import (
+        explain_str,
+        has_broadcast_hash_join,
+        pushed_filters,
+    )
+
+    df = QUERIES["q_join_5way"][0](spark, SF_SMOKE)
+    assert has_broadcast_hash_join(df)
+    pf = " ".join(f for fs in pushed_filters(df) for f in [fs])
+    # Region constant and the order-date range must reach the scans.
+    assert "ASIA" in pf and "o_orderdate" in pf, pf
+    # The two facts meet in at most one non-broadcast join; no cartesian.
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_asof_join"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # Union + one keyed window: exactly one hash exchange (the window's);
+    # any other Exchange is the test-file parallelism round-robin. Never a
+    # join operator, never a range explosion.
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_minhash_has_no_row_explosion(spark):
+    """The minhash stage must not multiply rows by n_hashes: one wide
+    aggregation, not an explode over seeds."""
+    from mapreduceindexer_spark.operators.dedup import doc_shingles, minhash_signatures
+    from mapreduceindexer_spark.plans import explain_str
+    from mapreduceindexer_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    mh = minhash_signatures(doc_shingles(docs, 3), n_hashes=16)
+    plan = explain_str(mh, "simple")
+    # Exactly one generate (the shingle explode) plus the final tiny
+    # seed-struct explode — never a seed explode before the aggregation.
+    assert plan.count("Generate") <= 2, plan
