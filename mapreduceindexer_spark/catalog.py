@@ -208,6 +208,20 @@ def q_index_lines(spark, sf_dir):
     return ix.index_lines(_postings(spark, sf_dir))
 
 
+@register(
+    "q_postings_merge",
+    f"SELECT term, letter, doc_ids, df FROM ({SQL_POSTINGS})",
+)
+def q_postings_merge(spark, sf_dir):
+    """Incremental index maintenance: postings built separately over two
+    disjoint document halves, then merged (operators/index.merge_postings)
+    — must equal the full rebuild, which is exactly what the oracle runs."""
+    docs = _docs(spark, sf_dir)
+    base = ix.build_postings(docs.filter(F.col("doc_id") % 2 == 0), salt_buckets=16)
+    delta = ix.build_postings(docs.filter(F.col("doc_id") % 2 == 1), salt_buckets=16)
+    return ix.merge_postings(base, delta).select("term", "letter", "doc_ids", "df")
+
+
 # ---------------------------------------------------------------------------
 # §2.2 boolean search queries
 # ---------------------------------------------------------------------------
@@ -591,6 +605,33 @@ def q_events_tumbling(spark, sf_dir):
 )
 def q_events_sliding(spark, sf_dir):
     return ev.sliding_hourly(_t(spark, sf_dir, "events"))
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_pivot",
+    f"""SELECT user_id,
+               {", ".join(f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}" for t in EVENT_TYPES)}
+        FROM events GROUP BY user_id""",
+)
+def q_pivot(spark, sf_dir):
+    """Pivot family: one row per user, one count column per event type.
+    Explicit pivot values keep the output schema static (no discovery
+    pass over the data — required for a deterministic contract AND for
+    planning at scale)."""
+    p = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return p.select(
+        "user_id",
+        *[F.col(t).cast("bigint").alias(f"n_{t}") for t in EVENT_TYPES],
+    )
 
 
 @register(

@@ -92,6 +92,36 @@ def build_postings(
     return postings
 
 
+def merge_postings(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental index maintenance: merge a delta postings relation into a
+    base one — union + per-term array merge, ONE shuffle on term.
+
+    ``merge(build(A), build(B)) ≡ build(A ∪ B)`` for disjoint doc sets
+    (posting sets union; df re-derives from the merged array), which is the
+    whole contract of incremental indexing: ingest new documents by
+    building postings over the delta only, then merge — never re-scan the
+    base corpus. Pinned by ``q_postings_merge``'s oracle, which is the
+    full-rebuild SQL.
+
+    At 100 TB the merge is a co-located join if both sides are bucketed by
+    term (see tests/test_bucketing.py) — zero shuffle instead of one.
+    """
+    unioned = base.select("term", "doc_ids").unionByName(
+        delta.select("term", "doc_ids")
+    )
+    merged = unioned.groupBy("term").agg(
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("doc_ids")))).alias(
+            "doc_ids"
+        )
+    )
+    return merged.select(
+        "term",
+        F.substring("term", 1, 1).alias("letter"),
+        "doc_ids",
+        F.size("doc_ids").cast("bigint").alias("df"),
+    )
+
+
 def letter_histogram(postings: DataFrame) -> DataFrame:
     """letter → number of distinct terms (P1 as a query)."""
     return postings.groupBy("letter").agg(
