@@ -26,8 +26,10 @@ HEADLINE = [
     "q_sorted_index",      # + letter partition & order
     "q_agg_pricing_summary",  # TPC-H Q1 shape
     "q_join_orders_customer",  # broadcast 3-way join
+    "q_join_5way",         # TPC-H Q5 shape: 6-way join
     "q_window_topn",       # window rank
     "q_events_tumbling",   # time windows
+    "q_asof_join",         # as-of join (union + keyed window)
     "q_dedup_exact",       # LLM pipeline: exact dedup
     "q_near_dup",          # LLM pipeline: minhash LSH + verify
     "q_embed_dup",         # LLM pipeline: embedding-cosine dedup (IVF-blocked)
