@@ -1056,6 +1056,29 @@ def q_multimodal_decode(spark, sf_dir):
     return mm.decode_media(mm.with_binary_content(_docs(spark, sf_dir)))
 
 
+@register("q_multimodal_features", None)  # Python encoder kernel: rows-only
+def q_multimodal_features(spark, sf_dir):
+    """Feature-extraction plumbing (blob → unit-normed float vector),
+    Arrow-batched; output shape feeds the similarity/dedup operators."""
+    return mm.extract_features(mm.with_binary_content(_docs(spark, sf_dir)))
+
+
+@register(
+    "q_multimodal_frames",
+    """WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+         nf AS (SELECT doc_id, h,
+                       1 + (CAST('0x' || substr(h, 5, 2) AS INT) % 8) AS n_frames
+                FROM m)
+       SELECT doc_id, CAST(i AS INT) AS frame_idx, md5(h || ':' || i) AS frame_md5
+       FROM nf, unnest(range(0, CAST(n_frames AS BIGINT), 2)) t(i)""",
+)
+def q_multimodal_frames(spark, sf_dir):
+    """Frame sampling: 1 blob row → N frame rows through a row-expanding
+    mapInPandas stage; the fake kernel's digests are hex-string-derived so
+    this Python stage is still fully oracle-checked."""
+    return mm.sample_frames(mm.with_binary_content(_docs(spark, sf_dir)), every_k=2)
+
+
 # --- structured streaming (rows-only: executes a real streaming query) ---
 
 

@@ -96,3 +96,122 @@ def decode_media(media: DataFrame, decode_kernel: str = "fake") -> DataFrame:
     return media.select("doc_id", "content", "media_type").mapInPandas(
         decode_batches, schema=DECODED_SCHEMA
     )
+
+
+FEATURES_SCHEMA = "doc_id bigint, feature array<float>"
+FEATURE_DIM = 16
+
+
+def extract_features(media: DataFrame, kernel: str = "fake") -> DataFrame:
+    """Feature extraction (the embed-the-image stage): blob → fixed-dim
+    float vector via Arrow-batched ``mapInPandas``.
+
+    The fake kernel derives the vector from the content digest (unit-normed,
+    deterministic); the real seam is where a vision/audio encoder batch
+    call belongs — note the batch shape is already what a GPU encoder
+    wants (one contiguous Arrow batch per call, thousands of rows).
+    Output feeds the similarity/dedup operators directly
+    (``similarity.cosine_topk``, ``dedup.embedding_near_duplicates``).
+    """
+    if kernel not in ("fake", "real"):
+        raise ValueError(f"unknown feature kernel: {kernel}")
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if kernel == "real":
+                raise NotImplementedError(
+                    "no encoder model in this environment; use kernel='fake'"
+                )
+            feats = []
+            for c in pdf["content"]:
+                d = hashlib.sha256(bytes(c)).digest()
+                v = [d[i] / 255.0 - 0.5 for i in range(FEATURE_DIM)]
+                norm = sum(x * x for x in v) ** 0.5 or 1.0
+                feats.append([x / norm for x in v])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return media.select("doc_id", "content").mapInPandas(
+        feature_batches, schema=FEATURES_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = "doc_id bigint, width int, height int, content binary"
+
+
+def resize_media(
+    media: DataFrame, max_side: int = 64, kernel: str = "fake"
+) -> DataFrame:
+    """Resize stage: blob → blob with bounded dimensions.
+
+    The fake kernel truncates the byte stream proportionally to the
+    dimension reduction (deterministic, size-monotone); the real seam is a
+    Pillow ``thumbnail`` call. Content stays binary end-to-end — the JVM
+    never inspects it, Python touches it once per batch.
+    """
+    if kernel not in ("fake", "real"):
+        raise ValueError(f"unknown resize kernel: {kernel}")
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if kernel == "real":
+                raise NotImplementedError(
+                    "no image codecs in this environment; use kernel='fake'"
+                )
+            out_w, out_h, out_c = [], [], []
+            for c in pdf["content"]:
+                w, h, _ = _fake_decode(bytes(c))
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                keep = max(1, int(len(c) * (nw * nh) / (w * h)))
+                out_w.append(nw)
+                out_h.append(nh)
+                out_c.append(bytes(c)[:keep])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "width": out_w, "height": out_h,
+                 "content": out_c}
+            )
+
+    return media.select("doc_id", "content").mapInPandas(
+        resize_batches, schema=RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
+
+
+def sample_frames(media: DataFrame, every_k: int = 2, kernel: str = "fake") -> DataFrame:
+    """Frame sampling (video → rows of frames): 1 blob row → N frame rows.
+
+    Row-expanding Python stage: ``mapInPandas`` may emit more rows than it
+    receives, which is exactly the video→frames shape. The fake kernel
+    derives ``n_frames`` from the digest (same as decode) and emits every
+    ``every_k``-th frame with a deterministic per-frame digest; the real
+    seam is a pyav/ffmpeg iterator.
+    """
+    if kernel not in ("fake", "real"):
+        raise ValueError(f"unknown frame kernel: {kernel}")
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if kernel == "real":
+                raise NotImplementedError(
+                    "no video codecs in this environment; use kernel='fake'"
+                )
+            ids, idxs, digests = [], [], []
+            for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
+                # Same n_frames as _fake_decode (hex chars 4:6 == digest
+                # byte 2); per-frame digest over hex strings so a SQL
+                # oracle can replay it (md5(blob) isn't portable).
+                h = hashlib.md5(bytes(c)).hexdigest()
+                n_frames = 1 + int(h[4:6], 16) % 8
+                for i in range(0, n_frames, every_k):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    digests.append(hashlib.md5(f"{h}:{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return media.select("doc_id", "content").mapInPandas(
+        frame_batches, schema=FRAMES_SCHEMA
+    )

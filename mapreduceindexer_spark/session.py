@@ -28,6 +28,11 @@ def get_spark(
     ``shuffle_partitions`` defaults to the core count locally; on a large
     cluster it should be ~2-3× total executor cores (AQE coalesces the
     excess at runtime, so erring high is safe).
+
+    Driver/executor memory is intentionally NOT set here: in client/local
+    mode ``spark.driver.memory`` must be fixed before the JVM launches, so
+    it belongs in ``spark-submit``/``SPARK_SUBMIT_ARGS``, not in builder
+    config (where it would silently not apply).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
@@ -45,7 +50,6 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

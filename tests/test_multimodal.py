@@ -56,6 +56,51 @@ def test_decode_media_real_kernel_raises(docs, spark):
     )
 
 
+def test_feature_extraction_unit_norm(docs):
+    from mapreduceindexer_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        with_binary_content,
+    )
+
+    rows = extract_features(with_binary_content(docs).limit(20)).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r.feature) == FEATURE_DIM
+        norm = sum(x * x for x in r.feature) ** 0.5
+        assert abs(norm - 1.0) < 1e-5, norm
+
+
+def test_resize_bounds_dimensions(docs):
+    from mapreduceindexer_spark.operators.multimodal import (
+        resize_media,
+        with_binary_content,
+    )
+
+    media = with_binary_content(docs).limit(20)
+    orig = {r.doc_id: len(r.content) for r in media.collect()}
+    for r in resize_media(media, max_side=32).collect():
+        assert max(r.width, r.height) <= 32
+        assert 1 <= len(r.content) <= orig[r.doc_id]
+
+
+def test_sample_frames_expands_rows(docs):
+    from mapreduceindexer_spark.operators.multimodal import (
+        decode_media,
+        sample_frames,
+        with_binary_content,
+    )
+
+    media = with_binary_content(docs).limit(20)
+    n_frames = {r.doc_id: r.n_frames for r in decode_media(media).collect()}
+    got = {}
+    for r in sample_frames(media, every_k=2).collect():
+        got.setdefault(r.doc_id, []).append(r.frame_idx)
+    for doc_id, idxs in got.items():
+        # Every 2nd frame of the decoded n_frames, starting at 0.
+        assert sorted(idxs) == list(range(0, n_frames[doc_id], 2))
+
+
 def test_unknown_kernel_rejected(docs):
     from mapreduceindexer_spark.operators.multimodal import (
         decode_media,
