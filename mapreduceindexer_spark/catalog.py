@@ -414,6 +414,36 @@ def q_join_5way(spark, sf_dir):
 
 
 @register(
+    "q_promo_revenue",
+    f"""SELECT
+          CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+          {_sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 'promo_revenue', 2)},
+          {_sql_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue', 2)}
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1""",
+)
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo vs total revenue per ship month —
+    fact ⋈ broadcast part dim, conditional decimal aggregates."""
+    from mapreduceindexer_spark.operators.relational import _dsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month")
+        )
+        .agg(
+            _dsum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)),
+                  "promo_revenue", 2),
+            _dsum(disc, "total_revenue", 2),
+        )
+    )
+
+
+@register(
     "q_semi_join",
     """SELECT c_custkey, c_mktsegment FROM customer
        WHERE EXISTS (SELECT 1 FROM orders
