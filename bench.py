@@ -60,6 +60,33 @@ def main() -> None:
         return min(run(name), run(name))
 
     times = {name: round(steady(name), 3) for name in HEADLINE}
+
+    # Apples-to-apples vs BASELINE.md: full index build (manifest corpus ->
+    # postings -> 26 sorted letter files) on the reference's own 6.4 MB /
+    # 355-file corpus. Reference: 1.53 s sequential, 0.71 s at (M,R)=(4,4).
+    ref_checker = "/root/reference/checker"
+    if os.path.isdir(os.path.join(ref_checker, "test_in")):
+        import tempfile
+
+        from mapreduceindexer_spark.operators.index import build_postings
+        from mapreduceindexer_spark.operators.sink import write_index
+        from mapreduceindexer_spark.sources.corpus import read_manifest_corpus
+
+        corpus = read_manifest_corpus(
+            spark, os.path.join(ref_checker, "test.txt"), base_dir=ref_checker
+        ).persist()
+        corpus.count()
+
+        def build() -> float:
+            out = tempfile.mkdtemp(prefix="refidx_bench_")
+            t0 = time.perf_counter()
+            write_index(build_postings(corpus, salt_buckets=16), out)
+            return time.perf_counter() - t0
+
+        build()  # warm-up
+        times["index_build_refcorpus"] = round(min(build(), build()), 3)
+        corpus.unpersist()
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
