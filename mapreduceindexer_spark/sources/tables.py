@@ -47,8 +47,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_session_confs(spark)
     return spark.read.parquet(path)
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime-settable confs the query contract depends on, so the
+    catalog behaves identically under a CALLER-owned SparkSession (the
+    driver harness passes its own): nanos-as-long for the events table,
+    UTC so timestamp arithmetic matches the (timezone-less) oracle, ANSI
+    off so casts/overflow yield null instead of throwing (the documented
+    oracle-matching semantics). All three are session-mutable — no JVM
+    restart needed."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
 
 
 def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
