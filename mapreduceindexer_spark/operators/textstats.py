@@ -31,27 +31,28 @@ BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 def tfidf(docs: DataFrame) -> DataFrame:
     """(doc_id, term, tf, idf, tfidf) — classic ln(N/df) weighting.
 
-    Shape: one aggregation for tf, one for df, a shuffle join on term, and
-    a broadcast of the single-row corpus count. At 100 TB the df table is
+    Shape: ONE corpus scan — tf by aggregation, then df as a window count
+    over tf (tf has exactly one row per (doc, term), so ``count() OVER
+    (PARTITION BY term)`` IS the document frequency). No self-join, no
+    second scan: scan → explode → (doc,term) agg → term-partitioned window
+    → broadcast of the single-row corpus count. At 100 TB the df column is
     exactly the index's postings df — build once, reuse both places.
     """
+    from pyspark.sql import Window
+
     terms = tokens_normalized(docs)
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
-    df = terms.dropDuplicates(["term", "doc_id"]).groupBy("term").agg(
-        F.count("*").cast("bigint").alias("df")
+    tfdf = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")).cast("bigint")
     )
     n = docs.agg(F.count("*").alias("n_docs"))
     idf_raw = F.log(F.col("n_docs") / F.col("df"))
-    return (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            F.round(idf_raw, 6).alias("idf"),
-            F.round(F.col("tf") * idf_raw, 6).alias("tfidf"),
-        )
+    return tfdf.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(idf_raw, 6).alias("idf"),
+        F.round(F.col("tf") * idf_raw, 6).alias("tfidf"),
     )
 
 
