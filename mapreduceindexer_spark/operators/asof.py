@@ -62,9 +62,13 @@ def asof_join(
     u = l.select(r.columns + [c for c in l.columns if c not in r.columns]).unionByName(
         r, allowMissingColumns=True
     )
+    # Payload aliases as final sort keys: if several right rows tie on
+    # (ts), the greatest payload tuple wins deterministically — without
+    # them, last() would pick whichever tied row happened to sort last.
+    # (Left-row ties are harmless: their null payloads are ignored.)
     w = (
         Window.partitionBy(key)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", *payload.values())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
