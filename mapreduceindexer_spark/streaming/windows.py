@@ -60,6 +60,45 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1-hour windows sliding every 30 minutes, 2-hour watermark —
+    the incremental twin of ``operators/events.sliding_hourly``. Each event
+    lands in 2 overlapping windows; watermark bounds state to ~5 open
+    windows per key."""
+    src = _streaming_events(spark, sf_dir)
+    return (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+def run_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the sliding-window stream over the full backlog (availableNow
+    + complete-mode memory sink) and return the result as a batch frame."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_sliding_hourly(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Execute the streaming aggregation over the full backlog
     (``availableNow`` + complete-mode memory sink) and return the result
@@ -82,4 +121,9 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-__all__ = ["streaming_tumbling_hourly", "run_streaming_tumbling"]
+__all__ = [
+    "streaming_tumbling_hourly",
+    "run_streaming_tumbling",
+    "streaming_sliding_hourly",
+    "run_streaming_sliding",
+]

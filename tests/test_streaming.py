@@ -6,6 +6,22 @@ from __future__ import annotations
 from tests.conftest import SF_SMOKE
 
 
+def test_streaming_sliding_equals_batch(spark):
+    from mapreduceindexer_spark.operators.events import sliding_hourly
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming import run_streaming_sliding
+
+    batch = {
+        r.window_start: (r.n, r.sum_value)
+        for r in sliding_hourly(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    stream = {
+        r.window_start: (r.n, r.sum_value)
+        for r in run_streaming_sliding(spark, SF_SMOKE).collect()
+    }
+    assert batch == stream
+
+
 def test_stateful_sessions_equal_batch(spark):
     """The applyInPandasWithState session machine, replayed over a 4-slice
     multi-microbatch backlog (state crosses batch boundaries), must emit
