@@ -920,6 +920,46 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+@register(
+    "q_ann_multiprobe",
+    f"""WITH e AS ({SQL_EMB}),
+         c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+         d AS (SELECT e.vec_id, c.centroid_id,
+                      ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+                                                    z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+               FROM e, c),
+         assign AS (SELECT vec_id, centroid_id AS cell
+                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY d2 ASC, centroid_id ASC) AS rn
+                          FROM d)
+                    WHERE rn = 1),
+         pc AS (SELECT centroid_id AS probe_cell
+                FROM (SELECT centroid_id, d2,
+                             row_number() OVER (ORDER BY d2 ASC, centroid_id ASC) AS rn
+                      FROM d WHERE vec_id = {PROBE_VEC_ID})
+                WHERE rn <= 2),
+         p AS (SELECT v AS pv FROM e WHERE vec_id = {PROBE_VEC_ID}),
+         scored AS (SELECT e.vec_id,
+                           ROUND({SQL_COS.format(a='e.v', b='p.pv')}, 6) AS cos_sim
+                    FROM e JOIN assign ON e.vec_id = assign.vec_id, p
+                    WHERE assign.cell IN (SELECT probe_cell FROM pc)
+                      AND e.vec_id <> {PROBE_VEC_ID})
+       SELECT vec_id, cos_sim,
+              CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rn
+       FROM scored QUALIFY rn <= 5""",
+)
+def q_ann_multiprobe(spark, sf_dir):
+    """Multi-probe IVF ANN: the probe searches its 2 nearest cells —
+    the standard recall dial, ~2× candidates for measurably better recall."""
+    return sim.ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        PROBE_VEC_ID,
+        k=5,
+        n_centroids=8,
+        n_probe_cells=2,
+    )
+
+
 EMBED_DUP_THRESHOLD = 0.4
 EMBED_DUP_CELLS = 32
 

@@ -96,24 +96,64 @@ def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
 
 
 def ivf_topk(
-    embeddings: DataFrame, probe_id: int, k: int = 5, n_centroids: int = 8
+    embeddings: DataFrame,
+    probe_id: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe_cells: int = 1,
 ) -> DataFrame:
-    """IVF-pruned cosine top-k: search only the probe's cell.
+    """IVF-pruned cosine top-k: search the probe's ``n_probe_cells``
+    nearest cells (multi-probe raises recall at proportional cost —
+    the standard IVF recall/latency dial).
 
     Result can differ from exact brute force (that's ANN's contract);
     it is still fully deterministic, so the oracle replays it exactly.
     """
     cells = ivf_assignments(embeddings, n_centroids)
-    probe_cell = cells.filter(F.col("vec_id") == probe_id).select(
-        F.col("cell").alias("probe_cell")
+    if n_probe_cells == 1:
+        probe_cells = cells.filter(F.col("vec_id") == probe_id).select(
+            F.col("cell").alias("probe_cell")
+        )
+    else:
+        # The probe's n nearest centroids (same distance/tie rule as the
+        # assignment itself, ranks 1..n instead of rank 1 only).
+        centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+        )
+        probe_vec0 = embeddings.filter(F.col("vec_id") == probe_id)
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "cvec",
+                    lambda a, b: (a.cast("double") - b.cast("double"))
+                    * (a.cast("double") - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+        scored_cells = probe_vec0.crossJoin(F.broadcast(centroids)).select(
+            "centroid_id", d2.alias("d2")
+        )
+        wc = Window.orderBy(F.asc("d2"), F.asc("centroid_id"))
+        probe_cells = (
+            scored_cells.withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") <= n_probe_cells)
+            .select(F.col("centroid_id").alias("probe_cell"))
+        )
+    candidates = (
+        embeddings.join(cells, "vec_id")
+        .join(
+            F.broadcast(probe_cells),
+            F.col("cell") == F.col("probe_cell"),
+            "left_semi",
+        )
+        .filter(F.col("vec_id") != probe_id)
     )
     probe_vec = embeddings.filter(F.col("vec_id") == probe_id).select(
         F.col("embedding").alias("probe_vec")
-    )
-    candidates = (
-        embeddings.join(cells, "vec_id")
-        .crossJoin(F.broadcast(probe_cell))
-        .filter((F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != probe_id))
     )
     scored = candidates.crossJoin(F.broadcast(probe_vec)).select(
         "vec_id",
