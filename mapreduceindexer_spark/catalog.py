@@ -502,6 +502,28 @@ def q_distinct_terms(spark, sf_dir):
     )
 
 
+@register(
+    "q_percentiles",
+    """SELECT l_returnflag,
+              ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+              ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+              ROUND(quantile_cont(l_quantity, 0.5), 6) AS med_qty
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_percentiles(spark, sf_dir):
+    """Exact percentiles (order statistics + linear interpolation — both
+    engines agree bit-for-bit, unlike approx sketches). At 100 TB exact
+    percentile needs a per-group sort; the approximate path is
+    percentile_approx (see q_approx_distinct_parts for the estimate
+    precedent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+    )
+
+
 @register("q_approx_distinct_parts", None)  # HLL estimate: rows-only by design
 def q_approx_distinct_parts(spark, sf_dir):
     return rel.approx_distinct_parts(_t(spark, sf_dir, "lineitem"))
