@@ -982,6 +982,62 @@ def q_ann_multiprobe(spark, sf_dir):
     )
 
 
+def _sql_kmeans_iteration(i: int, prev: str) -> str:
+    """One Lloyd's round as CTE blocks: assign to ``prev`` centroids, then
+    per-dimension exact-decimal-sum / double-division means."""
+    return f"""
+ d{i} AS (SELECT e.vec_id, e.v, c.centroid_id,
+               ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+                                             z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+          FROM e, {prev} c),
+ a{i} AS (SELECT vec_id, v, centroid_id AS cell
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2 ASC, centroid_id ASC) AS rn
+                FROM d{i})
+          WHERE rn = 1),
+ m{i} AS (SELECT cell, pos,
+               CAST(SUM(CAST(val AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS m
+          FROM (SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+                FROM a{i})
+          GROUP BY cell, pos),
+ c{i} AS (SELECT cell AS centroid_id, list(m ORDER BY pos) AS cv
+          FROM m{i} GROUP BY cell)"""
+
+
+@register(
+    "q_ann_kmeans",
+    f"""WITH e AS ({SQL_EMB}),
+ c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+{_sql_kmeans_iteration(1, 'c0')},
+{_sql_kmeans_iteration(2, 'c1')},
+ df AS (SELECT e.vec_id, e.v, c.centroid_id,
+              ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+                                            z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+        FROM e, c2 c),
+ af AS (SELECT vec_id, v, centroid_id AS cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2 ASC, centroid_id ASC) AS rn
+              FROM df)
+        WHERE rn = 1),
+ pc AS (SELECT cell AS probe_cell FROM af WHERE vec_id = {PROBE_VEC_ID}),
+ p AS (SELECT v AS pv FROM e WHERE vec_id = {PROBE_VEC_ID}),
+ scored AS (SELECT af.vec_id,
+                   ROUND({SQL_COS.format(a='af.v', b='p.pv')}, 6) AS cos_sim
+            FROM af, pc, p
+            WHERE af.cell = pc.probe_cell AND af.vec_id <> {PROBE_VEC_ID})
+ SELECT vec_id, cos_sim,
+        CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rn
+ FROM scored QUALIFY rn <= 5""",
+)
+def q_ann_kmeans(spark, sf_dir):
+    """IVF ANN over k-means-TRAINED centroids (2 deterministic Lloyd's
+    rounds): the iterative-algorithm family, oracle-replayed end to end —
+    exact decimal sums make every training iteration bit-deterministic."""
+    return sim.ivf_topk_trained(
+        _t(spark, sf_dir, "embeddings"), PROBE_VEC_ID, k=5, n_centroids=8, iters=2
+    )
+
+
 EMBED_DUP_THRESHOLD = 0.4
 EMBED_DUP_CELLS = 32
 

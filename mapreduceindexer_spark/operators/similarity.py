@@ -64,14 +64,8 @@ def cosine_topk(embeddings: DataFrame, probe_id: int, k: int = 10) -> DataFrame:
     )
 
 
-def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
-    """Assign every vector to its nearest centroid (squared-L2, ties → lowest
-    centroid id). Centroids = the ``n_centroids`` lowest vec_ids —
-    deterministic 'training' the oracle can replay."""
-    centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
-    )
-    d2 = F.round(
+def _sq_l2_to_centroid() -> "F.Column":
+    return F.round(
         F.aggregate(
             F.zip_with(
                 "embedding",
@@ -84,8 +78,13 @@ def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
         ),
         6,
     )
+
+
+def assign_to_centroids(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest centroid per vector (squared-L2, ties →
+    lowest centroid id). ``centroids`` = (centroid_id, cvec), broadcast."""
     scored = embeddings.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "centroid_id", d2.alias("d2")
+        "vec_id", "centroid_id", _sq_l2_to_centroid().alias("d2")
     )
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
     return (
@@ -93,6 +92,112 @@ def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("centroid_id").alias("cell"))
     )
+
+
+def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """Assign every vector to its nearest centroid. Centroids = the
+    ``n_centroids`` lowest vec_ids — deterministic 'training' the oracle
+    can replay; swap in ``kmeans_centroids`` for trained cells."""
+    centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    return assign_to_centroids(embeddings, centroids)
+
+
+def ivf_topk_trained(
+    embeddings: DataFrame,
+    probe_id: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF ANN over k-means-trained cells: train (deterministically),
+    assign, search the probe's cell. The full production IVF shape —
+    same query plan as ``ivf_topk``, different centroid table."""
+    cents = kmeans_centroids(embeddings, k=n_centroids, iters=iters)
+    cells = assign_to_centroids(embeddings, cents)
+    probe_cell = cells.filter(F.col("vec_id") == probe_id).select(
+        F.col("cell").alias("probe_cell")
+    )
+    probe_vec = embeddings.filter(F.col("vec_id") == probe_id).select(
+        F.col("embedding").alias("probe_vec")
+    )
+    candidates = (
+        embeddings.join(cells, "vec_id")
+        .join(
+            F.broadcast(probe_cell),
+            F.col("cell") == F.col("probe_cell"),
+            "left_semi",
+        )
+        .filter(F.col("vec_id") != probe_id)
+    )
+    scored = candidates.crossJoin(F.broadcast(probe_vec)).select(
+        "vec_id",
+        F.round(cosine_similarity("embedding", "probe_vec"), 6).alias("cos_sim"),
+    )
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column:
+    (centroid_id, cvec) after ``iters`` assign→mean rounds.
+
+    Iterative algorithms on Spark = a driver loop over DataFrame rounds;
+    each round is one assignment join + one aggregation. Determinism by
+    construction (so the DuckDB oracle can replay training exactly):
+
+    - init = the k lowest vec_ids (not random);
+    - assignment ties → lowest centroid id (as ``ivf_assignments``);
+    - new centroid = per-dimension mean computed as DECIMAL(38,10) sum /
+      count — exact and shuffle-order-independent, where a double ``avg``
+      would leak accumulation order into the result;
+    - a cell that loses all members drops out (k shrinks), same rule in
+      the oracle.
+
+    At 100 TB each round is a scan + shuffle on (cell, dim); train on a
+    sample (the plan is identical, only the input changes).
+    """
+    cents = embeddings.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    for _ in range(iters):
+        scored = embeddings.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "embedding", "centroid_id", _sq_l2_to_centroid().alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+        )
+        dims = assigned.select(
+            "cell", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        # Exact decimal SUM, then IEEE double division — decimal division
+        # scale rules differ between engines, double division doesn't.
+        means = dims.groupBy("cell", "pos").agg(
+            (
+                F.sum(F.col("col").cast("decimal(38,10)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        cents = (
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+            .select(F.col("cell").alias("centroid_id"), "cvec")
+        )
+    return cents
 
 
 def ivf_topk(
