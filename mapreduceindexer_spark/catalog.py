@@ -596,6 +596,60 @@ def q_setops(spark, sf_dir):
 
 
 @register(
+    "q_scalar_subquery",
+    """SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal
+       FROM customer
+       WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+                                 / COUNT(*)
+                          FROM customer c2
+                          WHERE c2.c_mktsegment = customer.c_mktsegment)""",
+)
+def q_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (customers above their segment's average
+    balance). Catalyst decorrelates this into an aggregate + join; the
+    DataFrame phrasing is the decorrelated form directly — same plan the
+    SQL front-end reaches. Exact decimal sum + IEEE division keeps the
+    threshold bit-identical across engines."""
+    c = _t(spark, sf_dir, "customer")
+    seg_avg = c.groupBy("c_mktsegment").agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(38,10)")).cast("double")
+            / F.count("*")
+        ).alias("seg_avg")
+    )
+    return (
+        c.join(F.broadcast(seg_avg), "c_mktsegment")
+        .filter(F.col("c_acctbal") > F.col("seg_avg"))
+        .select(
+            "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
+        )
+    )
+
+
+@register(
+    "q_setops_all",
+    """SELECT c_nationkey FROM
+         (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+          INTERSECT ALL
+          SELECT c_nationkey FROM customer WHERE c_acctbal > 0)
+       UNION ALL
+       SELECT c_nationkey FROM
+         (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          EXCEPT ALL
+          SELECT c_nationkey FROM customer WHERE c_acctbal > 5000)""",
+)
+def q_setops_all(spark, sf_dir):
+    """Multiset set ops (ALL variants preserve duplicates — different
+    operators from the distinct forms in q_setops)."""
+    c = _t(spark, sf_dir, "customer")
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    pos = c.filter(F.col("c_acctbal") > 0).select("c_nationkey")
+    bld = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_nationkey")
+    return auto.intersectAll(pos).unionAll(bld.exceptAll(rich))
+
+
+@register(
     "q_scalar_fns",
     """SELECT o_orderkey,
               CAST(year(o_orderdate) AS BIGINT) AS yr,
