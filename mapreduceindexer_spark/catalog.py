@@ -1092,6 +1092,52 @@ def q_ann_kmeans(spark, sf_dir):
     )
 
 
+@register(
+    "q_cluster_sizes",
+    f"""WITH e AS ({SQL_EMB}),
+ c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+{_sql_kmeans_iteration(1, 'c0')},
+{_sql_kmeans_iteration(2, 'c1')},
+ df AS (SELECT e.vec_id, c.centroid_id,
+              ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+                                            z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+        FROM e, c2 c),
+ af AS (SELECT vec_id, centroid_id AS cell, d2
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2 ASC, centroid_id ASC) AS rn
+              FROM df)
+        WHERE rn = 1)
+ SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+        ROUND(CAST(SUM(CAST(d2 AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6)
+          AS avg_sq_dist
+ FROM af GROUP BY cell""",
+)
+def q_cluster_sizes(spark, sf_dir):
+    """Clustering summary over the trained cells: population and mean
+    squared distance per cluster (the inertia decomposition a pipeline
+    monitors to size its IVF index)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(e, k=8, iters=2)
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", sim._sq_l2_to_centroid().alias("d2")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("centroid_id").alias("cell"), "d2")
+    )
+    return assigned.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(
+            F.sum(F.col("d2").cast("decimal(38,10)")).cast("double") / F.count("*"),
+            6,
+        ).alias("avg_sq_dist"),
+    )
+
+
 EMBED_DUP_THRESHOLD = 0.4
 EMBED_DUP_CELLS = 32
 
