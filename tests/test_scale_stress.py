@@ -39,6 +39,27 @@ def test_postings_of_replicated_corpus_are_derived_postings(spark, docs):
         assert got[term] == (want_ids, 2 * len(ids)), term
 
 
+def test_lsh_finds_every_exact_replica(spark, docs):
+    """Identical documents have identical shingle sets, hence identical
+    minhash signatures in every band — LSH recall for exact replicas is
+    exactly 1, not probabilistic. Replicate the corpus and require every
+    (doc, replica) pair at jaccard 1.0."""
+    from mapreduceindexer_spark.operators.dedup import near_duplicates
+
+    k = 1_000_000
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + k).alias("doc_id"), "text")
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in near_duplicates(both, threshold=0.99).collect()
+    }
+    doc_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    missing = [d for d in doc_ids if (d, d + k) not in pairs]
+    assert not missing, f"{len(missing)} replica pairs missed: {missing[:5]}"
+    assert all(abs(pairs[(d, d + k)] - 1.0) < 1e-9 for d in doc_ids)
+
+
 def test_salted_aggregation_under_extreme_skew(spark):
     """A term present in EVERY document (the 100 TB stopword scenario,
     maximally skewed) must aggregate correctly through the salted two-level
