@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mapreduceindexer_spark.functions.vector import cosine_similarity, dot, l2_norm
+from mapreduceindexer_spark.functions.vector import cosine_similarity, l2_norm
 
 
 def vector_norms(embeddings: DataFrame) -> DataFrame:

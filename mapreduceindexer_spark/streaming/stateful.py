@@ -34,7 +34,7 @@ import shutil
 import tempfile
 import uuid
 from datetime import timedelta
-from typing import Any, Iterator
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window

@@ -46,7 +46,6 @@ def test_decode_media_real_kernel_raises(docs, spark):
         decode_media,
         with_binary_content,
     )
-    from py4j.protocol import Py4JJavaError
 
     media = with_binary_content(docs).limit(1)
     with pytest.raises(Exception) as exc:
