@@ -767,6 +767,30 @@ def q_asof_join(spark, sf_dir):
 
 
 @register(
+    "q_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t_view
+                  FROM events WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t_view
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+               GROUP BY e.user_id)
+       SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+              CAST((v.t_view IS NOT NULL)::INT + (c.t_click IS NOT NULL)::INT
+                   + (p.t_purchase IS NOT NULL)::INT AS BIGINT) AS stages_reached
+       FROM v LEFT JOIN c ON v.user_id = c.user_id
+              LEFT JOIN p ON v.user_id = p.user_id""",
+)
+def q_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): sequence analytics over
+    the event stream as monotone-shrinking keyed aggregations."""
+    return ev.funnel(_t(spark, sf_dir, "events"))
+
+
+@register(
     "q_events_session",
     """WITH l AS (
          SELECT user_id, ts,

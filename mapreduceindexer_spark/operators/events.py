@@ -57,6 +57,38 @@ def sliding_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+def funnel(events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+    """Ordered-funnel analytics: per user, the earliest time each stage was
+    reached strictly after the previous stage (null once the chain breaks).
+
+    Shape: one small aggregate per stage, each joined back on ``user_id`` —
+    stage tables shrink monotonically, so after the first aggregation
+    everything broadcasts. No window over raw events, no per-user
+    collect_list; skew-safe because each step is a keyed aggregation.
+    """
+    out = None
+    prev_col = None
+    for i, stage in enumerate(stages):
+        col = f"t_{stage}"
+        ev = events.filter(F.col("event_type") == stage).select("user_id", "ts")
+        if out is None:
+            out = ev.groupBy("user_id").agg(F.min("ts").alias(col))
+        else:
+            nxt = (
+                ev.join(out.select("user_id", prev_col), "user_id")
+                .filter(F.col("ts") > F.col(prev_col))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias(col))
+            )
+            out = out.join(nxt, "user_id", "left")
+        prev_col = col
+    stage_cols = [f"t_{s}" for s in stages]
+    reached = sum(
+        (F.col(c).isNotNull().cast("bigint") for c in stage_cols), F.lit(0)
+    )
+    return out.select("user_id", *stage_cols, reached.alias("stages_reached"))
+
+
 def user_sessions(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     """Session windows per user (gap-based).
 
