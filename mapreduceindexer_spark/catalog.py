@@ -231,6 +231,73 @@ PROBE_TERM_B = "join"
 
 
 @register(
+    "q_term_cooccurrence",
+    f"""WITH p AS ({SQL_PAIRS}),
+         top AS (SELECT term FROM (
+                   SELECT term, count(*) AS df FROM p GROUP BY term
+                   ORDER BY df DESC, term ASC LIMIT 10)),
+         tp AS (SELECT p.doc_id, p.term FROM p JOIN top USING (term))
+       SELECT a.term AS term_a, b.term AS term_b,
+              CAST(count(*) AS BIGINT) AS n_docs
+       FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND a.term < b.term
+       GROUP BY a.term, b.term""",
+)
+def q_term_cooccurrence(spark, sf_dir):
+    """Term co-occurrence counts, PRUNED to the top-10 df terms before the
+    quadratic pair expansion — the prune-then-pair pattern that keeps
+    co-occurrence tractable at corpus scale (10 terms → ≤45 pairs per doc,
+    vs |vocab|² unbounded)."""
+    pairs = _pairs(spark, sf_dir)
+    top = (
+        pairs.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(10)
+        .select("term")
+    )
+    tp = pairs.join(F.broadcast(top), "term")
+    a = tp.select("doc_id", F.col("term").alias("term_a"))
+    b = tp.select("doc_id", F.col("term").alias("term_b"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+@register(
+    "q_value_outliers",
+    """WITH stats AS (
+         SELECT event_type,
+                CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS mu,
+                CAST(SUM(CAST(value AS DECIMAL(38,10)) * CAST(value AS DECIMAL(38,10)))
+                     AS DOUBLE) / COUNT(*) AS ex2
+         FROM events GROUP BY event_type)
+       SELECT e.event_id, e.event_type, e.value,
+              ROUND((e.value - s.mu) / sqrt(s.ex2 - s.mu * s.mu), 6) AS z
+       FROM events e JOIN stats s ON e.event_type = s.event_type
+       WHERE abs((e.value - s.mu) / sqrt(s.ex2 - s.mu * s.mu)) > 2.0""",
+)
+def q_value_outliers(spark, sf_dir):
+    """Z-score outliers per event type. Mean and E[x²] via exact decimal
+    sums + IEEE double division, so the z threshold is bit-identical
+    across engines — a double stddev() would leak accumulation order."""
+    e = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(38,10)")
+    stats = e.groupBy("event_type").agg(
+        (F.sum(dec).cast("double") / F.count("*")).alias("mu"),
+        (F.sum(dec * dec).cast("double") / F.count("*")).alias("ex2"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.sqrt(F.col("ex2") - F.col("mu") * F.col("mu"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.0)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+    )
+
+
+@register(
     "q_term_lookup",
     f"SELECT doc_id FROM ({SQL_PAIRS}) WHERE term = '{PROBE_TERM_A}'",
 )
