@@ -222,6 +222,50 @@ def q_postings_merge(spark, sf_dir):
     return ix.merge_postings(base, delta).select("term", "letter", "doc_ids", "df")
 
 
+@register(
+    "q_postings_gaps",
+    f"""WITH p AS ({SQL_POSTINGS}),
+         g AS (SELECT term, df,
+                      [CASE WHEN i = 1 THEN doc_ids[i]
+                            ELSE doc_ids[i] - doc_ids[i-1] END
+                       FOR i IN range(1, len(doc_ids) + 1)] AS gaps
+               FROM p)
+       SELECT term, df, gaps,
+              CAST(list_sum(list_transform(gaps,
+                     v -> 1 + CASE WHEN v >= 128 THEN 1 ELSE 0 END
+                            + CASE WHEN v >= 16384 THEN 1 ELSE 0 END
+                            + CASE WHEN v >= 2097152 THEN 1 ELSE 0 END))
+                   AS BIGINT) AS varint_bytes
+       FROM g""",
+)
+def q_postings_gaps(spark, sf_dir):
+    """Posting-list delta-gap encoding + varint size estimate — the classic
+    inverted-index compression transform (sorted ids → small gaps →
+    byte-aligned varints), as pure array expressions. The integer
+    byte-size ladder keeps the estimate engine-exact (float log would
+    wobble at boundaries)."""
+    p = _postings(spark, sf_dir)
+    gaps = F.transform(
+        "doc_ids",
+        lambda x, i: F.when(i == 0, x).otherwise(
+            x - F.element_at("doc_ids", i)
+        ),
+    )
+    vbytes = F.aggregate(
+        "gaps",
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc
+        + 1
+        + (v >= 128).cast("bigint")
+        + (v >= 16384).cast("bigint")
+        + (v >= 2097152).cast("bigint"),
+    )
+    return (
+        p.select("term", "df", gaps.alias("gaps"))
+        .withColumn("varint_bytes", vbytes)
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 boolean search queries
 # ---------------------------------------------------------------------------
