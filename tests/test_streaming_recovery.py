@@ -1,0 +1,128 @@
+"""Checkpoint recovery + exactly-once sink: the fault-tolerance contract.
+
+A watermarked streaming aggregation is run over half the backlog, STOPPED,
+then restarted from its checkpoint over the rest. The parquet sink must
+end up with exactly the batch answer — every window once, none duplicated,
+none lost — which is precisely Spark's checkpointed exactly-once claim,
+pinned here as a test.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+FLUSH = "__flush"
+
+
+def _write_slice(df, stream_dir: str, idx: int, tmp: str) -> None:
+    part_dir = os.path.join(tmp, f"w{idx}")
+    df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+    src = next(
+        os.path.join(part_dir, f)
+        for f in os.listdir(part_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    dst = os.path.join(stream_dir, f"slice_{idx:03d}.parquet")
+    os.replace(src, dst)
+    os.utime(dst, (1_000_000_000 + idx * 10, 1_000_000_000 + idx * 10))
+
+
+def _run_stream(spark, stream_dir: str, out_dir: str, ckpt_dir: str) -> None:
+    src = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    from datetime import timedelta
+
+    from mapreduceindexer_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_SMOKE, "events").select("ts", "event_type", "value")
+    from pyspark.sql import Window
+
+    sliced = events.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_type", "value"))
+    )
+    stream_dir = str(tmp_path / "stream")
+    out_dir = str(tmp_path / "out")
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(stream_dir)
+
+    # Phase A: half the backlog, then STOP (simulated failure point).
+    for i in (1, 2):
+        _write_slice(
+            sliced.filter(F.col("slice") == i).drop("slice"), stream_dir, i, str(tmp_path)
+        )
+    _run_stream(spark, stream_dir, out_dir, ckpt_dir)
+
+    # Phase B: rest of the backlog + a far-future flush row (pushes the
+    # watermark past every real window), restart from the SAME checkpoint.
+    for i in (3, 4):
+        _write_slice(
+            sliced.filter(F.col("slice") == i).drop("slice"), stream_dir, i, str(tmp_path)
+        )
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    flush = spark.createDataFrame(
+        [(max_ts + timedelta(days=2), FLUSH, 0.0)], "ts timestamp, event_type string, value double"
+    )
+    _write_slice(flush, stream_dir, 5, str(tmp_path))
+    _run_stream(spark, stream_dir, out_dir, ckpt_dir)
+
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(out_dir)
+        .filter(F.col("event_type") != FLUSH)
+        .collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in (
+            events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 4
+                ).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+            )
+            .collect()
+        )
+    }
+    # Exactly-once: no window lost across the restart, none duplicated.
+    n_rows = (
+        spark.read.parquet(out_dir).filter(F.col("event_type") != FLUSH).count()
+    )
+    assert n_rows == len(got), "duplicate (window, type) rows in sink"
+    assert got == want
