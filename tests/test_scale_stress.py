@@ -39,6 +39,28 @@ def test_postings_of_replicated_corpus_are_derived_postings(spark, docs):
         assert got[term] == (want_ids, 2 * len(ids)), term
 
 
+def test_postings_identical_across_parallelism(spark, docs):
+    """The reference's determinism grid (same output for every (M,R) in
+    {1,2,4}², checker.sh:141-247) translated to Spark: identical postings
+    for any shuffle-partition count."""
+    from mapreduceindexer_spark.operators.index import build_postings
+
+    results = []
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.append(
+                sorted(
+                    (r.term, list(r.doc_ids), r.df)
+                    for r in build_postings(docs, salt_buckets=4).collect()
+                )
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    assert results[0] == results[1] == results[2]
+
+
 def test_lsh_finds_every_exact_replica(spark, docs):
     """Identical documents have identical shingle sets, hence identical
     minhash signatures in every band — LSH recall for exact replicas is
