@@ -983,6 +983,41 @@ def q_dedup_exact(spark, sf_dir):
     return dd.exact_duplicates(_docs(spark, sf_dir))
 
 
+SAMPLE_RATES = {"en": 500, "de": 1000, "fr": 250}  # permille; others 100
+_SQL_RATE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())
+    + " ELSE 100 END"
+)
+
+
+@register(
+    "q_stratified_sample",
+    f"""SELECT doc_id, lang
+       FROM documents
+       WHERE ({_sql_hash60("CAST(doc_id AS VARCHAR)")}) % 1000 < ({_SQL_RATE})""",
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling for dataset curation: per-language
+    permille rates applied via a content-independent hash threshold
+    (``hash60(doc_id) % 1000 < rate``). Unlike ``df.sample()``, the
+    selection is a pure function of the row — reproducible across engines,
+    partitionings, runs, and retries, which is what makes 100 TB curation
+    auditable."""
+    from mapreduceindexer_spark.functions.hashing import hash60
+
+    d = _docs(spark, sf_dir)
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v)).otherwise(F.lit(None))
+            for k, v in SAMPLE_RATES.items()
+        ],
+        F.lit(100),
+    )
+    keep = hash60(F.col("doc_id").cast("string")) % 1000 < rate
+    return d.filter(keep).select("doc_id", "lang")
+
+
 JACCARD_THRESHOLD = 0.2
 
 
