@@ -378,6 +378,58 @@ def q_bool_not(spark, sf_dir):
     return search.bool_not(_pairs(spark, sf_dir), PROBE_TERM_A, PROBE_TERM_B)
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "q_bm25",
+    f"""WITH t AS ({SQL_TERMS}),
+         tf_t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
+                  FROM t WHERE term = '{PROBE_TERM_A}' GROUP BY doc_id),
+         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+         stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                          (SELECT CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) FROM t) AS avgdl,
+                          (SELECT count(*) FROM tf_t) AS df_t)
+       SELECT doc_id, tf, dl, score,
+              CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rn
+       FROM (SELECT tf_t.doc_id, tf, dl,
+                    ROUND(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                          * tf * ({BM25_K1} + 1.0)
+                          / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)), 6)
+                      AS score
+             FROM tf_t JOIN dl ON tf_t.doc_id = dl.doc_id, stats)
+       QUALIFY rn <= 10""",
+)
+def q_bm25(spark, sf_dir):
+    """BM25 top-10 for the probe term — ranking, the index's purpose."""
+    return search.bm25_topk(_docs(spark, sf_dir), PROBE_TERM_A, k=10)
+
+
+@register(
+    "q_phrase_search",
+    rf"""WITH tok AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(string_split_regex(text, '\s+'),
+                                  x -> lower(regexp_replace(x, '[^A-Za-z]', '', 'g'))),
+                   x -> x <> '') AS tk
+          FROM documents),
+        pos AS (SELECT doc_id, unnest(tk) AS term,
+                       generate_subscripts(tk, 1) AS pos
+                FROM tok)
+       SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+       FROM (SELECT doc_id, pos FROM pos WHERE term = '{PROBE_TERM_A}') a
+       JOIN (SELECT doc_id, pos FROM pos WHERE term = '{PROBE_TERM_B}') b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       GROUP BY a.doc_id""",
+)
+def q_phrase_search(spark, sf_dir):
+    """Positional phrase search: '{A} {B}' adjacency via the positional
+    index (pos+1 join on slim per-term streams)."""
+    return search.phrase_search(_docs(spark, sf_dir), PROBE_TERM_A, PROBE_TERM_B)
+
+
 @register(
     "q_top_terms",
     f"SELECT term, df FROM ({SQL_POSTINGS}) ORDER BY df DESC, term ASC LIMIT 20",

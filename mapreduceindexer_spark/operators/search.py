@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,6 +50,80 @@ def bool_not(pairs: DataFrame, include: str, exclude: str) -> DataFrame:
     """Documents containing ``include`` but not ``exclude`` (anti join)."""
     return docs_with_term(pairs, include).join(
         docs_with_term(pairs, exclude), "doc_id", "left_anti"
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    term: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranking for a single-term query — what the inverted index is
+    FOR: (doc_id, tf, dl, score, rn) for the top-k documents.
+
+    ``score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` with the
+    Lucene-style ``idf = ln((N − df + 0.5)/(df + 0.5) + 1)``.
+
+    Scale shape: the probe term filters FIRST (a pushed predicate on the
+    term column), so tf/df work touches only matching rows; doc lengths
+    are a narrow per-doc aggregate; N/avgdl/df are one broadcast scalar
+    row. avgdl uses the exact-decimal-sum contract so scores are
+    bit-identical across engines and partitionings.
+    """
+    from mapreduceindexer_spark.functions.text import tokens_normalized
+
+    terms = tokens_normalized(docs)
+    tf_t = (
+        terms.filter(F.col("term") == term)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dl = terms.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        terms.agg(
+            # Integer counts are exact; one IEEE double division.
+            (F.count("*").cast("double") / F.countDistinct("doc_id")).alias("avgdl")
+        )
+    ).crossJoin(tf_t.agg(F.count("*").alias("df_t")))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    score = F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        tf_t.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tf", "dl", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def phrase_search(docs: DataFrame, first: str, second: str) -> DataFrame:
+    """Positional phrase search: documents where ``first`` is immediately
+    followed by ``second`` — the positional-postings extension of the
+    index (term, doc_id, pos), matched by a pos+1 self-join.
+
+    Both sides filter to their term BEFORE the join, so the join input is
+    two slim posting streams, not the full positional index.
+    """
+    from mapreduceindexer_spark.functions.text import normalized_token_array
+
+    pos = docs.select(
+        "doc_id", F.posexplode(normalized_token_array("text")).alias("pos", "term")
+    )
+    a = pos.filter(F.col("term") == first).select("doc_id", F.col("pos").alias("pos_a"))
+    bdf = pos.filter(F.col("term") == second).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(bdf, "doc_id")
+        .filter(F.col("pos_b") == F.col("pos_a") + 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
     )
 
 
