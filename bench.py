@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q_postings",          # the reference's whole pipeline (flagship)
     "q_sorted_index",      # + letter partition & order
+    "q_bm25",              # ranking over the index (what it's for)
     "q_agg_pricing_summary",  # TPC-H Q1 shape
     "q_join_orders_customer",  # broadcast 3-way join
     "q_join_5way",         # TPC-H Q5 shape: 6-way join
