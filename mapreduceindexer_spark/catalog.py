@@ -706,6 +706,39 @@ def q_window_topn(spark, sf_dir):
 
 
 @register(
+    "q_window_range_time",
+    """SELECT event_id, user_id,
+              CAST(count(*) OVER w AS BIGINT) AS n_1h,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER w AS DOUBLE), 6)
+                AS sum_1h
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+)
+def q_window_range_time(spark, sf_dir):
+    """Time-based RANGE window frame: per user, the trailing-1-hour event
+    count and (exact-decimal) value sum at each event — the time-series
+    moving-aggregate family, distinct from ROWS frames (peers by time
+    distance, not row position)."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,10)")).over(w).cast("double"), 6
+        ).alias("sum_1h"),
+    )
+
+
+@register(
     "q_rank_terms_per_letter",
     f"""SELECT letter, term, df,
                CAST(rank() OVER w AS BIGINT) AS rnk,
