@@ -882,6 +882,30 @@ def q_json_events(spark, sf_dir):
 
 
 @register(
+    "q_value_histogram",
+    f"""SELECT event_type,
+               CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               {_sql_dsum('value', 'sum_value')}
+        FROM events GROUP BY event_type, CAST(floor(value / 50.0) AS BIGINT)""",
+)
+def q_value_histogram(spark, sf_dir):
+    """Numeric binning family: fixed-width value histogram per event type
+    (floor-division bucketing — one hash aggregate, scale-trivial)."""
+    from mapreduceindexer_spark.operators.relational import _dsum
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("bucket", F.floor(F.col("value") / 50.0).cast("bigint"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+@register(
     "q_events_tumbling",
     f"""SELECT date_trunc('hour', ts) AS window_start, event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
