@@ -1711,3 +1711,146 @@ def q_postings_docs_join(spark, sf_dir):
     return pairs.join(docs, "doc_id").groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 additions: range join, outer join, window distribution, fuzzy match,
+# regex extraction, null-handling semantics
+# ---------------------------------------------------------------------------
+
+QUANTITY_BANDS = [
+    (1, 0.0, 10.0),
+    (2, 10.0, 20.0),
+    (3, 20.0, 30.0),
+    (4, 30.0, 40.0),
+    (5, 40.0, 51.0),
+]
+
+_SQL_BANDS = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in QUANTITY_BANDS)
+
+
+@register(
+    "q_range_join",
+    f"""SELECT CAST(band_id AS BIGINT) AS band_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               {_sql_dsum('l_quantity', 'sum_qty')}
+        FROM lineitem
+        JOIN (VALUES {_SQL_BANDS}) AS b(band_id, lo, hi)
+          ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY 1""",
+)
+def q_range_join(spark, sf_dir):
+    """Range (interval/band) join: lineitem quantities matched to half-open
+    value bands. Implemented as a bucketed equi-join (never a nested loop);
+    see operators/relational.py::band_join_bucketed for the 100 TB design."""
+    bands = spark.createDataFrame(
+        QUANTITY_BANDS, "band_id INT, lo DOUBLE, hi DOUBLE"
+    )
+    return (
+        rel.quantity_band_summary(_t(spark, sf_dir, "lineitem"), bands)
+        .withColumn("band_id", F.col("band_id").cast("bigint"))
+    )
+
+
+@register(
+    "q_outer_join_daily",
+    """SELECT COALESCE(o.day, s.day) AS day,
+              CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+              CAST(COALESCE(s.n_shipped, 0) AS BIGINT) AS n_shipped
+       FROM (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+             FROM orders GROUP BY 1) o
+       FULL OUTER JOIN
+            (SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n_shipped
+             FROM lineitem GROUP BY 1) s
+       ON o.day = s.day""",
+)
+def q_outer_join_daily(spark, sf_dir):
+    """Full-outer-join family: daily orders-placed vs lineitems-shipped
+    series, keeping single-sided days (ship tail runs 3 months past the
+    last order). Aggregate-then-join: the outer join sees ~one row/day."""
+    return rel.daily_activity_outer(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "q_window_distribution",
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+              CAST(ntile(4) OVER w AS BIGINT) AS tile,
+              ROUND(percent_rank() OVER w, 6) AS pct_rank,
+              ROUND(cume_dist() OVER w, 6) AS cume
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""",
+)
+def q_window_distribution(spark, sf_dir):
+    """Window distribution functions (ntile/percent_rank/cume_dist) per
+    market segment, primary-key tiebreak for engine-independent peers."""
+    return rel.acctbal_distribution(_t(spark, sf_dir, "customer"), tiles=4)
+
+
+@register(
+    "q_fuzzy_pairs",
+    """SELECT brand,
+              CAST(count(*) AS BIGINT) AS n_close_pairs,
+              CAST(sum(dist) AS BIGINT) AS sum_dist,
+              CAST(min(dist) AS BIGINT) AS min_dist
+       FROM (SELECT a.p_brand AS brand,
+                    levenshtein(a.p_name, b.p_name) AS dist
+             FROM part a
+             JOIN part b ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+                        AND a.p_partkey < b.p_partkey
+             WHERE levenshtein(a.p_name, b.p_name) <= 4)
+       GROUP BY brand""",
+)
+def q_fuzzy_pairs(spark, sf_dir):
+    """Fuzzy-matching family: Levenshtein near-identical part names with
+    (brand, type) blocking — record-linkage shape, never all-pairs."""
+    return rel.fuzzy_name_pairs(load_table(spark, sf_dir, "part"), max_dist=4)
+
+
+@register(
+    "q_regex_extract",
+    r"""SELECT c_custkey,
+              CAST(regexp_extract(c_name, 'Customer#0*([0-9]+)', 1) AS BIGINT)
+                AS extracted_id,
+              upper(regexp_replace(c_name, '[0-9]', '', 'g')) AS name_alpha
+       FROM customer
+       WHERE regexp_matches(c_name, '7$')""",
+)
+def q_regex_extract(spark, sf_dir):
+    """Regex family: capture-group extraction, global replace, and regex
+    predicate (rlike) — one fused codegen stage over the scan."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").rlike("7$")).select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#0*([0-9]+)", 1)
+        .cast("bigint")
+        .alias("extracted_id"),
+        F.upper(F.regexp_replace("c_name", "[0-9]", "")).alias("name_alpha"),
+    )
+
+
+@register(
+    "q_null_handling",
+    """SELECT event_id,
+              COALESCE(NULLIF(event_type, 'error'), 'redacted') AS etype,
+              COALESCE(CASE WHEN value > 400 THEN NULL ELSE value END, -1.0)
+                AS capped_value,
+              (CASE WHEN value > 400 THEN NULL ELSE value END) IS NULL
+                AS was_capped
+       FROM events""",
+)
+def q_null_handling(spark, sf_dir):
+    """Null-semantics family: NULLIF / COALESCE / IS NULL round-trips —
+    pins three-valued logic parity with the oracle engine (and, with ANSI
+    mode pinned off in session.py, Spark's null-on-error cast behavior)."""
+    e = _t(spark, sf_dir, "events")
+    capped = F.when(F.col("value") > 400, F.lit(None)).otherwise(F.col("value"))
+    return e.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("redacted")).alias(
+            "etype"
+        ),
+        F.coalesce(capped, F.lit(-1.0)).alias("capped_value"),
+        capped.isNull().alias("was_capped"),
+    )

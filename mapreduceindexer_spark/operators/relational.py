@@ -265,3 +265,136 @@ def order_scalar_functions(orders: DataFrame) -> DataFrame:
             "status_prio"
         ),
     )
+
+
+def band_join_bucketed(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Range (band) join as an equi-join: each row of ``fact`` matched to the
+    band(s) whose half-open interval ``[lo, hi)`` contains ``value_col``.
+
+    The reference engine has no joins at all; this is the interval-join
+    family (SURVEY §2.3) done scale-first. A naive range join is a
+    broadcast-nested-loop (O(|fact| x |bands|) comparisons) — fine for a
+    handful of bands, fatal when ``bands`` is large (e.g. per-key dynamic
+    pricing tiers at 100 TB). Instead each band is exploded to the integer
+    buckets its interval overlaps (``sequence(floor(lo/w), floor(hi/w))``)
+    and the fact row computes its single bucket ``floor(value/w)``; the join
+    is then a plain hash equi-join on ``bucket`` with the exact interval
+    predicate as a residual filter. Shuffle cost is linear in both inputs
+    (times the small explode factor = avg interval span / bucket width + 1),
+    AQE handles bucket skew, and no nested-loop ever runs.
+    """
+    w = F.lit(bucket_width)
+    exploded = bands.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / w).cast("long"),
+                F.floor(F.col("hi") / w).cast("long"),
+            )
+        ),
+    )
+    keyed = fact.withColumn("bucket", F.floor(F.col(value_col) / w).cast("long"))
+    v = F.col(value_col)
+    return keyed.join(exploded, "bucket").filter(
+        (v >= F.col("lo")) & (v < F.col("hi"))
+    )
+
+
+def quantity_band_summary(lineitem: DataFrame, bands: DataFrame) -> DataFrame:
+    """Band-join consumer: per-band row count and exact-decimal quantity sum."""
+    joined = band_join_bucketed(lineitem, bands, "l_quantity", bucket_width=10.0)
+    return joined.groupBy("band_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        _dsum(F.col("l_quantity"), "sum_qty"),
+    )
+
+
+def daily_activity_outer(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Full-outer-join family: align two independently aggregated daily
+    series (orders placed vs lineitems shipped) on the calendar day, keeping
+    days present in only one side (nulls -> 0).
+
+    Scale: both sides pre-aggregate to ~one row per day *before* the join,
+    so the outer join is tiny regardless of fact size; the heavy lifting is
+    two map-side-combined hash aggregates. Joining the raw facts and then
+    aggregating would shuffle 100 TB to produce the same few thousand rows.
+    """
+    od = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    sd = lineitem.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_shipped")
+    )
+    return od.join(sd, "day", "full_outer").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce("n_shipped", F.lit(0)).cast("bigint").alias("n_shipped"),
+    )
+
+
+def acctbal_distribution(customer: DataFrame, tiles: int = 4) -> DataFrame:
+    """Window distribution-function family: ntile / percent_rank / cume_dist
+    per market segment. The ORDER BY carries the primary key as tiebreak so
+    every row has a distinct rank position — without it, peer groups make
+    ntile assignment engine-dependent.
+
+    Scale: one shuffle on the partition key; each segment sorts
+    independently (Tungsten sort, spills if needed). Segments are few but
+    large — if one segment dominated, pre-salting cannot help a global
+    ntile; the scalable variant computes approximate quantile boundaries
+    first and joins them in (see q_value_histogram for the fixed-boundary
+    precedent).
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(tiles).over(w).cast("bigint").alias("tile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def fuzzy_name_pairs(part: DataFrame, max_dist: int = 4) -> DataFrame:
+    """Fuzzy-matching family: near-identical part names by Levenshtein edit
+    distance, with blocking. The all-pairs comparison is O(n^2) and can
+    never run at 100 TB; blocking on (p_brand, p_type) bounds each
+    comparison group to one block (the classic record-linkage design — same
+    shape as the LSH-banded near-dup in operators/dedup.py, with the block
+    key in the role of the band signature).
+
+    Scale: self-equi-join on the block key (hash join, linear shuffle),
+    pair predicate ``a.key < b.key`` halves the block, and the edit-distance
+    UDF-free built-in runs codegen-side. Block-size skew is the one hazard:
+    a pathological block degrades to quadratic — cap block sizes upstream
+    (salt wide blocks by a cheap second key, e.g. name length bucket).
+    """
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("ptype"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("ptype"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = (
+        a.join(b, ["brand", "ptype"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    return pairs.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("n_close_pairs"),
+        F.sum("dist").cast("bigint").alias("sum_dist"),
+        F.min("dist").cast("bigint").alias("min_dist"),
+    )
