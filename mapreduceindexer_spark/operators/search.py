@@ -66,39 +66,48 @@ def bm25_topk(
     ``score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` with the
     Lucene-style ``idf = ln((N − df + 0.5)/(df + 0.5) + 1)``.
 
-    Scale shape: the probe term filters FIRST (a pushed predicate on the
-    term column), so tf/df work touches only matching rows; doc lengths
-    are a narrow per-doc aggregate; N/avgdl/df are one broadcast scalar
-    row. avgdl uses the exact-decimal-sum contract so scores are
-    bit-identical across engines and partitionings.
+    Scale shape: ONE tokenize pass over the corpus — tf and dl come out of
+    the same per-doc aggregate (tf as a conditional count), and the
+    corpus-level stats (avgdl, df) are a second tiny aggregate over the
+    per-doc relation, not a re-scan. N comes from the documents table
+    itself (a metadata-cheap count). All counts are exact integers, so
+    scores are bit-identical across engines and partitionings.
     """
     from mapreduceindexer_spark.functions.text import tokens_normalized
 
-    terms = tokens_normalized(docs)
-    tf_t = (
-        terms.filter(F.col("term") == term)
+    per_doc = (
+        tokens_normalized(docs)
         .groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-    )
-    dl = terms.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
-    stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
-        terms.agg(
-            # Integer counts are exact; one IEEE double division.
-            (F.count("*").cast("double") / F.countDistinct("doc_id")).alias("avgdl")
+        .agg(
+            F.count("*").cast("bigint").alias("dl"),
+            F.count(F.when(F.col("term") == term, True)).cast("bigint").alias("tf"),
         )
-    ).crossJoin(tf_t.agg(F.count("*").alias("df_t")))
+    )
+    stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        per_doc.agg(
+            # Integer counts are exact; one IEEE double division.
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+            F.count(F.when(F.col("tf") > 0, True)).alias("df_t"),
+        )
+    )
     idf = F.log(
         (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
     )
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     score = F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6)
+    # Top-k FIRST via distributed TakeOrderedAndProject (each partition
+    # surrenders at most k rows), THEN rank the k survivors — the global
+    # row_number window only ever sees k rows, never the full match set
+    # (a stopword probe at 100 TB would otherwise funnel every matching
+    # document through one partition).
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        tf_t.join(dl, "doc_id")
+        per_doc.filter(F.col("tf") > 0)
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "tf", "dl", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= k)
     )
 
 

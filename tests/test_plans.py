@@ -127,3 +127,47 @@ def test_minhash_has_no_row_explosion(spark):
     # Exactly one generate (the shingle explode) plus the final tiny
     # seed-struct explode — never a seed explode before the aggregation.
     assert plan.count("Generate") <= 2, plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The band join must plan as a hash equi-join on the bucket key with a
+    residual range filter — never BroadcastNestedLoopJoin/CartesianProduct,
+    which is what a naive ON lo <= v AND v < hi plans as."""
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_range_join"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_fuzzy_pairs_blocks_with_hash_join(spark):
+    """Blocked fuzzy matching must plan the self-join as a hash join on the
+    (brand, type) block key; the quadratic comparison never appears as a
+    nested loop over the whole table."""
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_fuzzy_pairs"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "HashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_outer_join_daily_aggregates_before_join(spark):
+    """Aggregate-then-join: both HashAggregates must appear BELOW the outer
+    join (the join input is daily rows, not raw facts)."""
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_outer_join_daily"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "formatted")
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("ShuffledHashJoin")
+    assert join_pos != -1, plan
+    # At least two aggregates are planned after (=physically below) the join
+    # node in the formatted tree dump.
+    assert plan.count("HashAggregate", join_pos) >= 2, plan
