@@ -1854,3 +1854,34 @@ def q_null_handling(spark, sf_dir):
         F.coalesce(capped, F.lit(-1.0)).alias("capped_value"),
         capped.isNull().alias("was_capped"),
     )
+
+
+@register(
+    "q_json_typed",
+    """SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+                AS BIGINT) AS k_decile,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_min,
+              CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max
+       FROM events
+       GROUP BY 1""",
+)
+def q_json_typed(spark, sf_dir):
+    """Schema-on-read JSON family: ``from_json`` with an explicit struct
+    schema (vs q_json_events' path extraction) — the parsed column is a
+    typed struct, so downstream expressions are ordinary typed Catalyst
+    expressions, and unrequested JSON fields are never materialized."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(F.from_json("props", "k BIGINT").alias("p"))
+    return (
+        parsed.select(F.floor(F.col("p.k") / 10).cast("bigint").alias("k_decile"),
+                      F.col("p.k").alias("k"))
+        .groupBy("k_decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("k").cast("bigint").alias("k_min"),
+            F.max("k").cast("bigint").alias("k_max"),
+        )
+    )

@@ -1,0 +1,48 @@
+"""Text-format sources/sinks: CSV and JSON-lines with explicit schemas.
+
+The reference's only format is whitespace-delimited plain text
+(``src/functions.cpp:27-34,71-87``); parquet is the engine's native
+columnar format (``sources/tables.py``). These adapters round out the
+ingest surface for the interchange formats a pipeline actually receives.
+
+Contract: **schemas are always passed explicitly** — ``inferSchema`` scans
+the data twice and lets a stray cell silently retype a column, both
+unacceptable at 100 TB. Readers are plain ``spark.read`` DataFrames, so
+every downstream projection/filter still prunes and pushes down (CSV/JSON
+support predicate pushdown at the line level: non-matching rows are
+dropped during parse, and column pruning skips unparsed fields entirely
+for JSON).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str, header: bool = True
+) -> DataFrame:
+    """CSV source with an explicit DDL schema (never inferSchema)."""
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """CSV sink; one file per partition — repartition upstream to control
+    file count (same contract as the index text sink)."""
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines source with an explicit DDL schema.
+
+    With an explicit schema Spark parses only the requested fields
+    (column pruning reaches inside the JSON parser); corrupt lines land in
+    the implicit ``_corrupt_record`` handling (PERMISSIVE mode) instead of
+    failing the job.
+    """
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (one object per line, splittable on read)."""
+    df.write.mode("overwrite").json(path)

@@ -1,0 +1,83 @@
+"""Source/sink format round-trips: parquet -> {CSV, JSONL} -> DataFrame.
+
+Pins that the interchange formats preserve values exactly (strings,
+integers, doubles, timestamps) under the explicit-schema contract of
+``sources/formats.py`` — the ingest surface beyond the reference's plain
+text and the engine's native parquet.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduceindexer_spark.sources.formats import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+)
+from mapreduceindexer_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+NATION_SCHEMA = "n_nationkey INT, n_name STRING, n_regionkey INT"
+
+ORDERS_SCHEMA = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+    "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING"
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def orders_slice(spark):
+    return (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .limit(500)
+    )
+
+
+def test_csv_roundtrip_preserves_values(spark, orders_slice, tmp_path):
+    path = str(tmp_path / "orders_csv")
+    write_csv(orders_slice, path)
+    back = read_csv(spark, path, ORDERS_SCHEMA)
+    assert back.schema == orders_slice.schema
+    assert _rows(back) == _rows(orders_slice)
+
+
+def test_jsonl_roundtrip_preserves_values(spark, orders_slice, tmp_path):
+    path = str(tmp_path / "orders_jsonl")
+    write_jsonl(orders_slice, path)
+    back = read_jsonl(spark, path, ORDERS_SCHEMA)
+    assert back.schema == orders_slice.schema
+    assert _rows(back) == _rows(orders_slice)
+
+
+def test_csv_roundtrip_small_dim(spark, tmp_path):
+    nation = load_table(spark, SF_SMOKE, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "nation_csv")
+    write_csv(nation, path)
+    back = read_csv(spark, path, NATION_SCHEMA)
+    assert _rows(back) == _rows(nation)
+
+
+def test_jsonl_reader_prunes_unrequested_fields(spark, orders_slice, tmp_path):
+    """Explicit partial schema: the JSON parser surfaces only the requested
+    fields — schema-on-read column pruning, no full-object materialization."""
+    path = str(tmp_path / "orders_jsonl_prune")
+    write_jsonl(orders_slice, path)
+    back = read_jsonl(spark, path, "o_orderkey BIGINT, o_totalprice DOUBLE")
+    assert back.columns == ["o_orderkey", "o_totalprice"]
+    assert _rows(back) == _rows(orders_slice.select("o_orderkey", "o_totalprice"))
