@@ -35,6 +35,7 @@ HEADLINE = [
     "q_near_dup",          # LLM pipeline: minhash LSH + verify
     "q_embed_dup",         # LLM pipeline: embedding-cosine dedup (IVF-blocked)
     "q_tfidf",             # LLM pipeline: text analysis
+    "q_curation_pipeline",  # LLM pipeline: 4-stage curation composite
     "q_cosine_topk",       # LLM pipeline: similarity search
     "q_ann_ivf",           # LLM pipeline: IVF-pruned ANN
 ]

@@ -1618,6 +1618,16 @@ def q_events_tumbling_stream(spark, sf_dir):
     return run_streaming_tumbling(spark, sf_dir)
 
 
+@register("q_events_dedup_stream", None)
+def q_events_dedup_stream(spark, sf_dir):
+    """Streaming exactly-once ingest dedup: the doubled (replayed) event
+    stream deduplicated by dropDuplicatesWithinWatermark — returns exactly
+    one row per original event (pinned by tests/test_streaming.py)."""
+    from mapreduceindexer_spark.streaming.windows import run_streaming_dedup
+
+    return run_streaming_dedup(spark, sf_dir)
+
+
 @register("q_events_session_stream", None)
 def q_events_session_stream(spark, sf_dir):
     """Custom stateful streaming operator: applyInPandasWithState
@@ -1884,4 +1894,48 @@ def q_json_typed(spark, sf_dir):
             F.min("k").cast("bigint").alias("k_min"),
             F.max("k").cast("bigint").alias("k_max"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation composite (LLM pipeline, all four stages)
+# ---------------------------------------------------------------------------
+
+_NEAR_DUP_ORACLE = QUERIES["q_near_dup"][1]
+_QUALITY_ORACLE = QUERIES["q_quality_score"][1]
+CURATION_QUALITY_MIN = 0.3
+
+
+@register(
+    "q_curation_pipeline",
+    f"""WITH keepers AS (SELECT min(doc_id) AS doc_id
+                         FROM documents GROUP BY md5(text)),
+         near_pairs AS ({_NEAR_DUP_ORACLE}),
+         drop_b AS (SELECT DISTINCT doc_b AS doc_id FROM near_pairs),
+         good AS (SELECT doc_id FROM ({_QUALITY_ORACLE})
+                  WHERE quality >= {CURATION_QUALITY_MIN}),
+         sampled AS (SELECT doc_id, lang FROM documents
+                     WHERE ({_sql_hash60("CAST(doc_id AS VARCHAR)")}) % 1000
+                           < ({_SQL_RATE})),
+         kept AS (SELECT s.doc_id, s.lang FROM sampled s
+                  JOIN keepers k ON s.doc_id = k.doc_id
+                  JOIN good g ON s.doc_id = g.doc_id
+                  WHERE s.doc_id NOT IN (SELECT doc_id FROM drop_b))
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+       FROM kept GROUP BY lang""",
+)
+def q_curation_pipeline(spark, sf_dir):
+    """The four LLM-pipeline stages composed end-to-end — exact dedup ->
+    MinHash-LSH near-dup removal -> quality gate -> deterministic
+    stratified sampling — returning per-language kept counts. The whole
+    program (including every LSH bucket decision) is replayed bit-for-bit
+    by the DuckDB oracle. See operators/curation.py for the scale story."""
+    from mapreduceindexer_spark.operators.curation import curation_summary
+
+    return curation_summary(
+        _docs(spark, sf_dir),
+        sample_rates=SAMPLE_RATES,
+        default_rate=100,
+        quality_threshold=CURATION_QUALITY_MIN,
+        near_dup_threshold=NEAR_DUP_THRESHOLD,
     )

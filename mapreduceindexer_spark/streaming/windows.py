@@ -126,4 +126,45 @@ __all__ = [
     "run_streaming_tumbling",
     "streaming_sliding_hourly",
     "run_streaming_sliding",
+    "streaming_dedup",
+    "run_streaming_dedup",
 ]
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: ``dropDuplicatesWithinWatermark`` on
+    the event key — the ingest-side dedup an at-least-once transport (kafka
+    replays, retried batches) makes mandatory for a training-data feed.
+
+    The source is doubled (each event emitted twice) to simulate replay;
+    the watermark bounds dedup state to the 2-hour horizon, so state size
+    tracks the duplication window, not stream length — the property that
+    lets this run forever at 100 TB/day.
+    """
+    src = _streaming_events(spark, sf_dir)
+    replayed = src.withColumn(
+        "copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("copy")
+    return replayed.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the streaming dedup over the full (doubled) backlog and
+    return the deduplicated rows as a batch DataFrame."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_dedup(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return spark.table(name)

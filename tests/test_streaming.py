@@ -54,3 +54,16 @@ def test_streaming_tumbling_equals_batch(spark):
         for r in run_streaming_tumbling(spark, SF_SMOKE).collect()
     }
     assert batch == stream
+
+
+def test_streaming_dedup_restores_original_events(spark):
+    """The doubled stream deduplicates back to exactly the original event
+    set: one row per event_id, count equal to the batch table."""
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming.windows import run_streaming_dedup
+    from tests.conftest import SF_SMOKE
+
+    out = run_streaming_dedup(spark, SF_SMOKE)
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
