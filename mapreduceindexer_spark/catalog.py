@@ -1939,3 +1939,31 @@ def q_curation_pipeline(spark, sf_dir):
         quality_threshold=CURATION_QUALITY_MIN,
         near_dup_threshold=NEAR_DUP_THRESHOLD,
     )
+
+
+@register(
+    "q_dup_clusters",
+    f"""WITH RECURSIVE pairs AS ({_NEAR_DUP_ORACLE}),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                   UNION ALL
+                   SELECT doc_b AS u, doc_a AS v FROM pairs),
+         reach(u, v) AS (
+           SELECT DISTINCT u, u AS v FROM edges
+           UNION
+           SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+       SELECT u AS doc_id, min(v) AS cluster_id
+       FROM reach GROUP BY u""",
+)
+def q_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: iterative connected components
+    (min-label propagation) over the verified near-dup pairs — the
+    transitive closure LSH pair output needs before survivor selection.
+    The oracle computes the same closure with WITH RECURSIVE; the Spark
+    side is the genuinely iterative DataFrame loop in operators/graph.py."""
+    from mapreduceindexer_spark.operators.graph import duplicate_clusters
+
+    pairs = dd.near_duplicates(
+        _docs(spark, sf_dir), k=3, n_hashes=16, rows_per_band=2,
+        threshold=NEAR_DUP_THRESHOLD,
+    )
+    return duplicate_clusters(pairs)

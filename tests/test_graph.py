@@ -1,0 +1,34 @@
+"""Connected-components unit tests: convergence beyond one propagation
+round (chains), merge of overlapping clusters, and orientation invariance."""
+
+from __future__ import annotations
+
+from mapreduceindexer_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "u BIGINT, v BIGINT")
+    return {
+        (r.doc_id, r.cluster_id) for r in connected_components(df).collect()
+    }
+
+
+def test_chain_converges_to_single_min_label(spark):
+    # 0-1-2-3-4-5: diameter 5 forces several propagation rounds.
+    edges = [(i, i + 1) for i in range(5)]
+    assert _cc(spark, edges) == {(i, 0) for i in range(6)}
+
+
+def test_disjoint_clusters_keep_separate_labels(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)]
+    got = _cc(spark, edges)
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_orientation_invariance(spark):
+    # Same component however the pair was emitted (a<b or b<a).
+    assert _cc(spark, [(5, 9), (9, 5), (9, 12)]) == {(5, 5), (9, 5), (12, 5)}
