@@ -1967,3 +1967,21 @@ def q_dup_clusters(spark, sf_dir):
         threshold=NEAR_DUP_THRESHOLD,
     )
     return duplicate_clusters(pairs)
+
+
+@register(
+    "q_user_trend",
+    """SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n,
+              ROUND(regr_slope(value, epoch_us(ts) / 3600000000.0), 6) AS slope,
+              ROUND(regr_intercept(value, epoch_us(ts) / 3600000000.0), 6)
+                AS intercept
+       FROM events
+       GROUP BY user_id
+       HAVING count(*) >= 2""",
+)
+def q_user_trend(spark, sf_dir):
+    """Grouped-map custom operator: per-user OLS value trend fitted by a
+    vectorized numpy kernel inside applyInPandas (Arrow batches), checked
+    against SQL regr_slope/regr_intercept."""
+    return ev.user_value_trend(_t(spark, sf_dir, "events"))

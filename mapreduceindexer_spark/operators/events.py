@@ -106,3 +106,54 @@ def user_sessions(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
             "n_events",
         )
     )
+
+
+def user_value_trend(events: DataFrame) -> DataFrame:
+    """Per-user OLS trend of ``value`` over time — the grouped-map
+    (``applyInPandas``) custom-operator family: one Arrow batch per group,
+    a closed-form numpy fit inside, a typed relation out.
+
+    This is the pattern for per-entity model fitting at 100 TB: the
+    groupBy shuffles each user's events to one task (bounded by the
+    per-user event count, not corpus size), Arrow moves columns in
+    batches, and the Python kernel is vectorized numpy — never a Python
+    loop over rows. Skew guard at scale: cap group size or pre-aggregate
+    per (user, hour) first.
+
+    x = hours since epoch (keeps slope magnitudes in a sane range);
+    slope/intercept are the population-covariance closed form, matching
+    SQL ``regr_slope``/``regr_intercept`` bit-for-near (rounded to 6).
+    Single-point users get slope 0 / intercept = the value, matching the
+    SQL convention of NULL -> excluded (we filter n >= 2).
+    """
+    import pandas as pd  # noqa: F401 (kernel dependency, Arrow-batched)
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        x = pdf["x"].to_numpy(dtype="float64")
+        y = pdf["value"].to_numpy(dtype="float64")
+        xm = x.mean()
+        ym = y.mean()
+        dx = x - xm
+        var = float((dx * dx).mean())
+        slope = float((dx * (y - ym)).mean() / var) if var > 0 else 0.0
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n": [len(pdf)],
+                "slope": [round(slope, 6)],
+                "intercept": [round(ym - slope * xm, 6)],
+            }
+        )
+
+    prepared = events.select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(3_600_000_000.0)).alias("x"),
+        "value",
+    )
+    out = prepared.groupBy("user_id").applyInPandas(
+        fit, "user_id BIGINT, n BIGINT, slope DOUBLE, intercept DOUBLE"
+    )
+    return out.filter(F.col("n") >= 2)
