@@ -1985,3 +1985,130 @@ def q_user_trend(spark, sf_dir):
     vectorized numpy kernel inside applyInPandas (Arrow batches), checked
     against SQL regr_slope/regr_intercept."""
     return ev.user_value_trend(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregate/report completers: arg-max, gap fill, percent-of-total, unpivot
+# ---------------------------------------------------------------------------
+
+# Exact composite ordering key: value has 2 decimals, so value*100 is an
+# exact integer; event_id disambiguates ties identically in both engines.
+_ARG_KEY_SQL = "CAST(round(value * 100) AS BIGINT) * 10000000000 + event_id"
+
+
+@register(
+    "q_argmax",
+    f"""SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               max_by(event_id, {_ARG_KEY_SQL}) AS top_event_id,
+               min_by(event_id, {_ARG_KEY_SQL}) AS bottom_event_id,
+               ROUND(max(value), 2) AS max_value
+        FROM events GROUP BY event_type""",
+)
+def q_argmax(spark, sf_dir):
+    """arg-max/arg-min aggregate family (max_by/min_by) with an exact
+    integer composite key so ties break identically in both engines."""
+    e = _t(spark, sf_dir, "events")
+    key = (F.round(F.col("value") * 100).cast("bigint") * F.lit(10_000_000_000)
+           + F.col("event_id"))
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max_by("event_id", key).alias("top_event_id"),
+        F.min_by("event_id", key).alias("bottom_event_id"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+GAP_FILL_MIN_VALUE = 300.0
+
+
+@register(
+    "q_gap_fill",
+    f"""WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS d0,
+                               max(CAST(ts AS DATE)) AS d1 FROM events),
+         spine AS (SELECT CAST(unnest(generate_series(d0, d1,
+                                      INTERVAL 1 DAY)) AS DATE) AS day
+                   FROM bounds),
+         daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                   FROM events WHERE value > {GAP_FILL_MIN_VALUE} GROUP BY 1)
+       SELECT s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_high
+       FROM spine s LEFT JOIN daily d ON s.day = d.day""",
+)
+def q_gap_fill(spark, sf_dir):
+    """Time-series gap fill: a generated calendar spine (sequence + explode,
+    bounds from the data itself) left-joined to sparse daily counts so
+    missing days surface as explicit zeros — the densification step every
+    downstream time-series model needs. The spine generation is O(days),
+    driver-free, and the join is broadcast (a spine is tiny at any scale)."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = (
+        e.filter(F.col("value") > GAP_FILL_MIN_VALUE)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_high")
+    )
+
+
+@register(
+    "q_revenue_share",
+    f"""WITH per_nation AS (
+          SELECT n_name, {_sql_dsum('o_totalprice', 'total_price', 2)}
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name)
+       SELECT n_name, total_price,
+              ROUND(total_price /
+                    CAST(SUM(CAST(total_price AS DECIMAL(38,10))) OVER ()
+                         AS DOUBLE), 6) AS share
+       FROM per_nation""",
+)
+def q_revenue_share(spark, sf_dir):
+    """Percent-of-total family: each nation's share of global order revenue
+    — a whole-relation window over the aggregate (25 rows), so the
+    unpartitioned window is trivially safe; the decimal window sum keeps
+    the denominator order-independent."""
+    from pyspark.sql import Window as W
+
+    per_nation = rel.orders_by_nation(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    ).select("n_name", "total_price")
+    total = F.sum(F.col("total_price").cast("decimal(38,10)")).over(
+        W.partitionBy()
+    )
+    return per_nation.select(
+        "n_name",
+        "total_price",
+        F.round(F.col("total_price") / total.cast("double"), 6).alias("share"),
+    )
+
+
+_Q1_SQL_FOR_UNPIVOT = QUERIES["q_agg_pricing_summary"][1]
+_UNPIVOT_MEASURES = ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"]
+
+
+@register(
+    "q_unpivot",
+    f"""WITH agg AS ({_Q1_SQL_FOR_UNPIVOT})
+       {" UNION ALL ".join(
+           f"SELECT l_returnflag, l_linestatus, '{m}' AS measure, {m} AS val FROM agg"
+           for m in _UNPIVOT_MEASURES)}""",
+)
+def q_unpivot(spark, sf_dir):
+    """Unpivot (wide → long) family: the TPC-H Q1 measure columns melted to
+    (group, measure, val) rows — the inverse of q_pivot, via the native
+    unpivot operator (Expand: no join, no shuffle beyond the aggregate)."""
+    wide = rel.pricing_summary(_t(spark, sf_dir, "lineitem"))
+    return wide.unpivot(
+        ["l_returnflag", "l_linestatus"], _UNPIVOT_MEASURES, "measure", "val"
+    )
