@@ -2112,3 +2112,74 @@ def q_unpivot(spark, sf_dir):
     return wide.unpivot(
         ["l_returnflag", "l_linestatus"], _UNPIVOT_MEASURES, "measure", "val"
     )
+
+
+@register(
+    "q_cohort_retention",
+    """WITH cohort AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                       FROM events GROUP BY user_id),
+         activity AS (SELECT DISTINCT e.user_id, c.cohort_day,
+                             datediff('day', c.cohort_day, CAST(e.ts AS DATE))
+                               AS day_offset
+                      FROM events e JOIN cohort c ON e.user_id = c.user_id)
+       SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+              CAST(count(*) AS BIGINT) AS n_users
+       FROM activity
+       WHERE day_offset <= 7
+       GROUP BY cohort_day, day_offset""",
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, counted on
+    each later day they return (first week). Two shuffles total — the
+    cohort aggregate keys by user, and the distinct+count keys by
+    (cohort_day, offset); the cohort dim joins back broadcast at scale
+    (one row per user, but only (user, cohort_day) — slim)."""
+    e = _t(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        e.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", F.col("day_offset").cast("bigint").alias("day_offset"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+@register(
+    "q_embed_centroids",
+    """WITH ex AS (SELECT label,
+                          unnest(embedding) AS v,
+                          generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings)
+       SELECT label, CAST(pos AS BIGINT) AS pos,
+              ROUND(CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE)
+                    / count(*), 6) AS avg_val
+       FROM ex GROUP BY label, pos""",
+)
+def q_embed_centroids(spark, sf_dir):
+    """Per-label centroid in long format (label, dimension, mean) — the
+    embedding-aggregation family behind IVF training, emitted per-dimension
+    so the cross-engine compare never depends on array assembly order.
+    posexplode keeps the dimension index; the mean follows the exact
+    decimal-sum contract. One shuffle on (label, pos)."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    return (
+        ex.groupBy("label", (F.col("pos0") + 1).cast("bigint").alias("pos"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_val")
+        )
+    )

@@ -224,7 +224,11 @@ def near_duplicates(
     The shingle relation feeds four consumers (minhash, set sizes, both
     sides of the verify join), so it is persisted — spill-to-disk, not
     memory-only, which is exactly what a 100 TB run would do (or write it
-    once as a bucketed table and read it back).
+    once as a bucketed table and read it back). The pair RESULT is tiny
+    (bucket collisions only), so it is materialized eagerly
+    (``localCheckpoint``) and the big shingle cache released before
+    returning — a long-lived session running many dedup queries must not
+    accumulate one cached shingle relation per call.
     """
     from pyspark import StorageLevel
 
@@ -232,7 +236,13 @@ def near_duplicates(
     cands = lsh_candidates(
         lsh_band_signatures(minhash_signatures(sh, n_hashes), rows_per_band)
     )
-    return jaccard_for_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
+    out = (
+        jaccard_for_pairs(sh, cands)
+        .filter(F.col("jaccard") >= threshold)
+        .localCheckpoint()
+    )
+    sh.unpersist()
+    return out
 
 
 def embedding_near_duplicates(

@@ -29,10 +29,13 @@ def get_spark(
     cluster it should be ~2-3× total executor cores (AQE coalesces the
     excess at runtime, so erring high is safe).
 
-    Driver/executor memory is intentionally NOT set here: in client/local
-    mode ``spark.driver.memory`` must be fixed before the JVM launches, so
-    it belongs in ``spark-submit``/``SPARK_SUBMIT_ARGS``, not in builder
-    config (where it would silently not apply).
+    ``spark.driver.memory`` (env ``SPARK_GRAFT_DRIVER_MEM``, default 8g)
+    is set in builder config: when this process launches the JVM itself
+    (plain ``python script.py`` — every path in this repo), the launcher
+    reads it before forking, so it applies. It is silently ignored only
+    when a gateway JVM already exists (pyspark shell, or a harness that
+    created the session first) — there the owner of the JVM sets memory,
+    which is the correct division of responsibility.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
@@ -52,6 +55,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
