@@ -2183,3 +2183,31 @@ def q_embed_centroids(spark, sf_dir):
             ).alias("avg_val")
         )
     )
+
+
+@register(
+    "q_attribution",
+    """SELECT v.event_id AS view_id,
+              p.event_id AS purchase_id,
+              v.user_id,
+              epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+       FROM events v JOIN events p
+         ON v.user_id = p.user_id
+        AND v.event_type = 'view' AND p.event_type = 'purchase'
+        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE""",
+)
+def q_attribution(spark, sf_dir):
+    """Interval (attribution) join: views matched to same-user purchases
+    within 30 minutes — the batch oracle of the stream-stream join in
+    streaming/joins.py."""
+    return ev.view_purchase_attribution(_t(spark, sf_dir, "events"), 30)
+
+
+@register("q_attribution_stream", None)
+def q_attribution_stream(spark, sf_dir):
+    """Watermarked stream-stream inner join (bounded state via the
+    event-time range constraint); emits exactly the batch q_attribution
+    rows (pinned by tests/test_streaming.py)."""
+    from mapreduceindexer_spark.streaming.joins import run_streaming_attribution
+
+    return run_streaming_attribution(spark, sf_dir, 30)

@@ -157,3 +157,43 @@ def user_value_trend(events: DataFrame) -> DataFrame:
         fit, "user_id BIGINT, n BIGINT, slope DOUBLE, intercept DOUBLE"
     )
     return out.filter(F.col("n") >= 2)
+
+
+def view_purchase_attribution(events: DataFrame, horizon_min: int = 30) -> DataFrame:
+    """Attribution (interval) join: each view matched to the same user's
+    purchases within the next ``horizon_min`` minutes.
+
+    Batch shape: filter each side to its type FIRST (slim inputs), hash
+    equi-join on user_id, time-range as residual predicate — never a
+    cross-time nested loop. The streaming twin
+    (``streaming/joins.py``) runs the identical join condition as a
+    watermarked stream-stream join; this batch version is the oracle.
+    """
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr(f"interval {horizon_min} minutes")
+            ),
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("view_ts"))
+            .alias("gap_us"),
+        )
+    )

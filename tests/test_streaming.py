@@ -67,3 +67,22 @@ def test_streaming_dedup_restores_original_events(spark):
     n_events = load_table(spark, SF_SMOKE, "events").count()
     assert out.count() == n_events
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_stream_stream_attribution_equals_batch(spark):
+    """The watermarked stream-stream join emits exactly the batch interval
+    join's rows over the full backlog."""
+    from mapreduceindexer_spark.operators.events import view_purchase_attribution
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming.joins import run_streaming_attribution
+    from tests.conftest import SF_SMOKE
+
+    batch = {
+        tuple(r)
+        for r in view_purchase_attribution(
+            load_table(spark, SF_SMOKE, "events"), 30
+        ).collect()
+    }
+    stream = {tuple(r) for r in run_streaming_attribution(spark, SF_SMOKE, 30).collect()}
+    assert stream == batch
+    assert batch, "fixture must produce at least one attributed pair"
