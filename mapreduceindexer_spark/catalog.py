@@ -2211,3 +2211,41 @@ def q_attribution_stream(spark, sf_dir):
     from mapreduceindexer_spark.streaming.joins import run_streaming_attribution
 
     return run_streaming_attribution(spark, sf_dir, 30)
+
+
+@register(
+    "q_window_firstlast",
+    """SELECT o_custkey, o_orderkey,
+              first_value(o_orderkey) OVER w AS first_ok,
+              last_value(o_orderkey) OVER w AS last_ok,
+              nth_value(o_orderkey, 2) OVER w AS second_ok,
+              lead(o_orderkey, 1) OVER w AS next_ok
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey
+                    ORDER BY o_orderdate ASC, o_orderkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+)
+def q_window_firstlast(spark, sf_dir):
+    """Navigation-function window family: first/last/nth/lead over an
+    explicit unbounded ROWS frame (the default frame for last_value is
+    up-to-CURRENT-ROW — a classic cross-engine trap this query pins by
+    spelling the frame out) with a total order (date, key tiebreak)."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    # lead() is position-based and must NOT carry the explicit frame
+    # (Spark rejects frames on offset functions); same window minus frame.
+    wo = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+        F.lead("o_orderkey", 1).over(wo).alias("next_ok"),
+    )

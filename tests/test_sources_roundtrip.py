@@ -81,3 +81,21 @@ def test_jsonl_reader_prunes_unrequested_fields(spark, orders_slice, tmp_path):
     back = read_jsonl(spark, path, "o_orderkey BIGINT, o_totalprice DOUBLE")
     assert back.columns == ["o_orderkey", "o_totalprice"]
     assert _rows(back) == _rows(orders_slice.select("o_orderkey", "o_totalprice"))
+
+
+def test_jsonl_reader_tolerates_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE mode: a malformed line must not fail the job — it parses
+    to an all-null row (ingest robustness contract for dirty feeds)."""
+    p = tmp_path / "dirty"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"o_orderkey": 1, "o_totalprice": 10.5}\n'
+        "THIS IS NOT JSON {{{\n"
+        '{"o_orderkey": 2, "o_totalprice": 20.0}\n'
+    )
+    back = read_jsonl(spark, str(p), "o_orderkey BIGINT, o_totalprice DOUBLE")
+    rows = sorted(
+        ((r.o_orderkey, r.o_totalprice) for r in back.collect()),
+        key=lambda t: (t[0] is not None, t),
+    )
+    assert rows == [(None, None), (1, 10.5), (2, 20.0)]
