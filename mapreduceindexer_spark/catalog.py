@@ -2249,3 +2249,39 @@ def q_window_firstlast(spark, sf_dir):
         F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
         F.lead("o_orderkey", 1).over(wo).alias("next_ok"),
     )
+
+
+# Benchmark-contamination probe set: 3-gram shingles standing in for a
+# held-out eval set's n-grams (fixed literals so the check is replayable).
+CONTAMINATION_PROBES = [
+    "big order scan",
+    "group slow spark",
+    "data a part",
+    "window fast query",
+    "stream table hash",
+    "row column sort",
+]
+
+_SQL_PROBES = ", ".join(f"'{p}'" for p in CONTAMINATION_PROBES)
+
+
+@register(
+    "q_contamination",
+    f"""SELECT doc_id, CAST(count(*) AS BIGINT) AS n_probe_hits
+        FROM ({SQL_SHINGLES})
+        WHERE s IN ({_SQL_PROBES})
+        GROUP BY doc_id""",
+)
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination detection: documents sharing any 3-gram with
+    a probe set (a held-out benchmark's shingles), with per-doc hit counts
+    — the train/test-overlap audit every LLM data pipeline must run. The
+    probe list is a broadcast IN-filter pushed into the narrow shingle
+    pipeline, so cost is one corpus scan regardless of probe-set size
+    (a large benchmark set becomes a broadcast semi-join, same shape)."""
+    sh = dd.doc_shingles(_docs(spark, sf_dir), 3)
+    return (
+        sh.filter(F.col("shingle").isin(CONTAMINATION_PROBES))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_probe_hits"))
+    )
