@@ -2285,3 +2285,51 @@ def q_contamination(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_probe_hits"))
     )
+
+
+@register(
+    "q_cross_dedup",
+    f"""WITH sh AS ({SQL_SHINGLES}),
+         perms AS (SELECT * FROM (VALUES {_MINHASH_VALUES}) t(seed, a, b, c)),
+         base AS (SELECT doc_id, s, {_sql_hash60('s')} AS h FROM sh),
+         mh AS (SELECT doc_id, seed,
+                       min((a * (h & 1073741823)
+                            + b * ((h >> 30) & 1073741823)
+                            + c) % {MINHASH_MOD}) AS mh
+                FROM base, perms GROUP BY doc_id, seed),
+         sigs AS (SELECT doc_id, seed // 2 AS band,
+                         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+                  FROM mh GROUP BY doc_id, seed // 2),
+         ref AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         cand_docs AS (SELECT doc_id FROM documents WHERE lang <> 'en'),
+         cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM sigs a
+                   JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                   JOIN ref ra ON a.doc_id = ra.doc_id
+                   JOIN cand_docs rb ON b.doc_id = rb.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+                   FROM cands c
+                   JOIN sh a ON a.doc_id = c.doc_a
+                   JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+                   GROUP BY 1, 2)
+       SELECT i.doc_a, i.doc_b,
+              ROUND(i.n_inter / (na.n + nb.n - i.n_inter), 6) AS jaccard
+       FROM inter i
+       JOIN sizes na ON na.doc_id = i.doc_a
+       JOIN sizes nb ON nb.doc_id = i.doc_b
+       WHERE ROUND(i.n_inter / (na.n + nb.n - i.n_inter), 6)
+             >= {NEAR_DUP_THRESHOLD}""",
+)
+def q_cross_dedup(spark, sf_dir):
+    """Cross-dataset dedup: candidate (non-English-labeled) documents that
+    near-match any reference (English-labeled) document — the ingest-time
+    check of NEW data against an EXISTING corpus. A-sigs ⋈ B-sigs bucket
+    join, never a self-join or all-pairs; see
+    operators/dedup.py::cross_near_duplicates."""
+    d = _docs(spark, sf_dir)
+    return dd.cross_near_duplicates(
+        d.filter(F.col("lang") == "en"),
+        d.filter(F.col("lang") != "en"),
+        k=3, n_hashes=16, rows_per_band=2, threshold=NEAR_DUP_THRESHOLD,
+    )

@@ -322,3 +322,47 @@ def simhash_signatures(docs: DataFrame, n_bits: int = 16) -> DataFrame:
         term = F.when(F.col(f"s{b}") >= 0, 1).otherwise(0) * (1 << b)
         sig = term if sig is None else sig + term
     return per_doc.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def cross_near_duplicates(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    k: int = 3,
+    n_hashes: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-dataset near-dup: candidates from ``docs_b`` that near-match
+    any reference document in ``docs_a`` — the dedup a pipeline runs when
+    ingesting NEW data against an EXISTING corpus (no self-join, no
+    re-hashing of the reference side per ingest in production: its band
+    signatures would be precomputed and stored).
+
+    Same LSH shape as ``near_duplicates`` but the bucket join is A-sigs ⋈
+    B-sigs, so cost is linear in each side plus cross-bucket collisions.
+    ``doc_id`` must be unique across both inputs (they may be slices of
+    one table). Returns (doc_a, doc_b, jaccard >= threshold).
+    """
+    from pyspark import StorageLevel
+
+    sh_a = doc_shingles(docs_a, k)
+    sh_b = doc_shingles(docs_b, k)
+    sh_all = sh_a.union(sh_b).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_a = lsh_band_signatures(minhash_signatures(sh_a, n_hashes), rows_per_band)
+    sig_b = lsh_band_signatures(minhash_signatures(sh_b, n_hashes), rows_per_band)
+    cands = (
+        sig_a.alias("a")
+        .join(
+            sig_b.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    out = (
+        jaccard_for_pairs(sh_all, cands)
+        .filter(F.col("jaccard") >= threshold)
+        .localCheckpoint()
+    )
+    sh_all.unpersist()
+    return out
