@@ -171,3 +171,30 @@ def test_outer_join_daily_aggregates_before_join(spark):
     # At least two aggregates are planned after (=physically below) the join
     # node in the formatted tree dump.
     assert plan.count("HashAggregate", join_pos) >= 2, plan
+
+
+def test_curation_pipeline_has_no_quadratic_join(spark):
+    """The 4-stage curation composite must stay LSH-shaped end to end:
+    no cartesian product, no broadcast nested loop anywhere in the plan,
+    and no Python evaluation (every stage is JVM-side)."""
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_curation_pipeline"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cross_dedup_joins_sigs_not_docs(spark):
+    """Cross-dataset dedup joins band SIGNATURES, never document text: the
+    plan must contain no cartesian/nested-loop and the candidate join side
+    must not carry the text column."""
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_cross_dedup"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
