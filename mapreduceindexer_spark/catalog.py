@@ -2333,3 +2333,180 @@ def q_cross_dedup(spark, sf_dir):
         d.filter(F.col("lang") != "en"),
         k=3, n_hashes=16, rows_per_band=2, threshold=NEAR_DUP_THRESHOLD,
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational additions: join-agg top-k (Q3 shape), HAVING on exact sums
+# (Q18 shape), exact-decimal correlation/regression, hierarchical rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_top_orders",
+    f"""WITH r AS (
+          SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                 {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue', 2)}
+          FROM customer c
+          JOIN orders o ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE c.c_mktsegment = 'BUILDING'
+            AND o.o_orderdate < TIMESTAMP '1999-01-01'
+            AND l.l_shipdate > TIMESTAMP '1997-06-01'
+          GROUP BY 1, 2, 3)
+        SELECT l_orderkey, o_orderdate, o_orderpriority, revenue
+        FROM r
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10""",
+)
+def q_top_orders(spark, sf_dir):
+    """TPC-H Q3 shape: filtered 3-way join -> per-order revenue -> global
+    top-10. The final top-k plans as TakeOrderedAndProject (k rows leave
+    each partition — no global sort materialization); the ORDER BY key
+    includes l_orderkey so the limit set is tie-deterministic. Customer is
+    a filter dimension: Catalyst pushes the mktsegment predicate below the
+    join and AQE picks broadcast once the filtered side is small."""
+    from mapreduceindexer_spark.operators.relational import _dsum
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(rev, "revenue", 2))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_big_spenders",
+    """WITH big AS (
+         SELECT l_orderkey,
+                SUM(CAST(l_quantity AS DECIMAL(38,10))) AS tq
+         FROM lineitem GROUP BY l_orderkey
+         HAVING SUM(CAST(l_quantity AS DECIMAL(38,10))) > 350),
+       j AS (
+         SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+                ROUND(CAST(b.tq AS DOUBLE), 4) AS total_qty
+         FROM big b
+         JOIN orders o ON b.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey)
+       SELECT * FROM j""",
+)
+def q_big_spenders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING over a per-order aggregate, joined back to
+    its dimensions. The HAVING predicate compares an EXACT decimal sum, so
+    the surviving-order set can never differ across engines or shuffle
+    orders (a double sum would make the threshold itself
+    accumulation-order-dependent). The aggregated `big` relation is tiny
+    relative to lineitem, so AQE broadcasts it into both joins."""
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("tq"))
+        .filter(F.col("tq") > 350)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("tq").cast("double"), 4).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q_corr_stats",
+    """WITH m AS (
+         SELECT event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(CAST(extract(hour FROM ts) AS DOUBLE)
+                              AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+                CAST(SUM(CAST(CAST(extract(hour FROM ts) AS DOUBLE)
+                              * CAST(extract(hour FROM ts) AS DOUBLE)
+                              AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+                CAST(SUM(CAST(value * CAST(extract(hour FROM ts) AS DOUBLE)
+                              AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+         FROM events GROUP BY event_type)
+       SELECT event_type, CAST(n AS BIGINT) AS n,
+              ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+              ROUND((n * sxy - sx * sy)
+                    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                AS corr
+       FROM m""",
+)
+def q_corr_stats(spark, sf_dir):
+    """Bivariate statistics per group: OLS slope and Pearson correlation of
+    event value vs hour-of-day, from the five exact-decimal co-moments
+    (n, sum x, sum y, sum x**2, sum y**2, sum xy) + IEEE double arithmetic
+    on top. One hash aggregate; built-in corr()/covar_pop() would leak
+    double accumulation order into the last bits, this never can."""
+    e = _t(spark, sf_dir, "events")
+    x = F.col("value")
+    y = F.hour("ts").cast("double")
+
+    def dsum(expr, alias):
+        return F.sum(expr.cast("decimal(38,10)")).cast("double").alias(alias)
+
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(x, "sx"),
+        dsum(y, "sy"),
+        dsum(x * x, "sxx"),
+        dsum(y * y, "syy"),
+        dsum(x * y, "sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(cov_n / (n * sxx - sx * sx), 6).alias("slope"),
+        F.round(
+            cov_n / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6
+        ).alias("corr"),
+    )
+
+
+@register(
+    "q_multi_rollup",
+    f"""WITH minute AS (
+          SELECT date_trunc('minute', ts) AS window_start,
+                 CAST(count(*) AS BIGINT) AS n,
+                 SUM(CAST(value AS DECIMAL(38,10))) AS s
+          FROM events GROUP BY 1),
+        hour AS (
+          SELECT date_trunc('hour', window_start) AS window_start,
+                 CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s
+          FROM minute GROUP BY 1),
+        day AS (
+          SELECT date_trunc('day', window_start) AS window_start,
+                 CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s
+          FROM hour GROUP BY 1)
+       SELECT 'minute' AS resolution, window_start, n,
+              ROUND(CAST(s AS DOUBLE), 4) AS sum_value FROM minute
+       UNION ALL
+       SELECT 'hour', window_start, n, ROUND(CAST(s AS DOUBLE), 4) FROM hour
+       UNION ALL
+       SELECT 'day', window_start, n, ROUND(CAST(s AS DOUBLE), 4) FROM day""",
+)
+def q_multi_rollup(spark, sf_dir):
+    """Hierarchical time rollup: hour aggregates FROM minute aggregates,
+    day from hour — see operators/events.py::multi_rollup."""
+    return ev.multi_rollup(_t(spark, sf_dir, "events"))

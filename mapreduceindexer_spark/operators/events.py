@@ -57,6 +57,42 @@ def sliding_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+def multi_rollup(events: DataFrame) -> DataFrame:
+    """Hierarchical time rollup (hypertable-style continuous aggregate):
+    minute-level aggregates computed from raw events, hour-level computed
+    FROM the minute level, day-level from the hour level — coarse
+    resolutions never rescan raw data.
+
+    The decimal sums are exact and associative, so rollup-of-rollup is
+    bit-identical to aggregating raw events at each resolution; rounding
+    happens only at the output edge. At 100 TB this is the difference
+    between one raw scan and three: the minute relation (~525k rows/year
+    per series) is the only thing the coarser levels ever read — the
+    standard materialized-rollup design (TimescaleDB continuous
+    aggregates, Druid rollup).
+    """
+    dec = F.col("value").cast("decimal(38,10)")
+    minute = events.groupBy(
+        F.date_trunc("minute", "ts").alias("window_start")
+    ).agg(F.count("*").cast("bigint").alias("n"), F.sum(dec).alias("s"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", "window_start").alias("window_start")
+    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("s").alias("s"))
+    day = hour.groupBy(
+        F.date_trunc("day", "window_start").alias("window_start")
+    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("s").alias("s"))
+
+    def out(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            "window_start",
+            "n",
+            F.round(F.col("s").cast("double"), 4).alias("sum_value"),
+        )
+
+    return out(minute, "minute").unionAll(out(hour, "hour")).unionAll(out(day, "day"))
+
+
 def funnel(events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
     """Ordered-funnel analytics: per user, the earliest time each stage was
     reached strictly after the previous stage (null once the chain breaks).
