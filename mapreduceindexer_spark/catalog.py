@@ -2510,3 +2510,162 @@ def q_multi_rollup(spark, sf_dir):
     """Hierarchical time rollup: hour aggregates FROM minute aggregates,
     day from hour — see operators/events.py::multi_rollup."""
     return ev.multi_rollup(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Curation additions: intra-doc repetition, token entropy, per-source
+# accounting, temperature-scaled mixing weights
+# ---------------------------------------------------------------------------
+
+# Word 2-grams WITH multiplicity (SQL_SHINGLES is DISTINCT 3-grams).
+SQL_2GRAMS = f"""
+  SELECT doc_id,
+         unnest([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]) AS g
+  FROM ({SQL_TOKARR})
+  WHERE len(tk) >= 2
+"""
+
+
+@register(
+    "q_repetition",
+    f"""WITH g AS ({SQL_2GRAMS}),
+         pg AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY doc_id, g)
+       SELECT doc_id,
+              CAST(SUM(cnt) AS BIGINT) AS n_2grams,
+              CAST(count(*) AS BIGINT) AS n_distinct_2grams,
+              ROUND(1 - count(*) / CAST(SUM(cnt) AS DOUBLE), 6) AS dup_2gram_ratio,
+              ROUND(max(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_2gram_frac
+       FROM pg GROUP BY doc_id""",
+)
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality gate —
+    operators/textstats.py::repetition_signals."""
+    return ts.repetition_signals(_docs(spark, sf_dir))
+
+
+@register(
+    "q_entropy",
+    f"""WITH t AS ({SQL_TERMS}),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+         p AS (SELECT doc_id,
+                      CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                      CAST(SUM(CAST(tf * log2(tf) AS DECIMAL(38,10))) AS DOUBLE) AS s
+               FROM tf GROUP BY doc_id)
+       SELECT doc_id, n_tokens,
+              ROUND(log2(n_tokens) - s / n_tokens, 6) AS entropy_bits
+       FROM p""",
+)
+def q_entropy(spark, sf_dir):
+    """Token-distribution Shannon entropy per document —
+    operators/textstats.py::token_entropy."""
+    return ts.token_entropy(_docs(spark, sf_dir))
+
+
+@register(
+    "q_domain_stats",
+    """WITH pt AS (SELECT source, md5(text) AS h, count(*) AS n,
+                          SUM(n_chars) AS chars
+                   FROM documents GROUP BY source, md5(text))
+       SELECT source,
+              CAST(SUM(n) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_unique_texts,
+              ROUND(1 - count(*) / CAST(SUM(n) AS DOUBLE), 6) AS dup_ratio,
+              CAST(SUM(chars) AS BIGINT) AS sum_chars
+       FROM pt GROUP BY source""",
+)
+def q_domain_stats(spark, sf_dir):
+    """Per-source health sheet (docs, exact-dup rate, char volume) —
+    operators/textstats.py::domain_stats."""
+    return ts.domain_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "q_mix_weights",
+    """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sqrt(CAST(count(*) AS DOUBLE)) AS DECIMAL(38,10)) AS w
+                  FROM documents GROUP BY source),
+         t AS (SELECT SUM(w) AS tw FROM s)
+       SELECT source, n_docs,
+              ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS share,
+              CAST(floor(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) * 1000000)
+                   AS BIGINT) AS docs_per_million
+       FROM s, t""",
+)
+def q_mix_weights(spark, sf_dir):
+    """Temperature-scaled (alpha = 0.5) source mixing weights —
+    operators/textstats.py::mixing_weights."""
+    return ts.mixing_weights(_docs(spark, sf_dir), alpha=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Embedding additions: int8 scalar quantization, sign-random-projection LSH
+# ---------------------------------------------------------------------------
+
+from mapreduceindexer_spark.functions.hashing import srp_plane_constants  # noqa: E402
+
+SQL_EMB_L = (
+    "SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v"
+    " FROM embeddings"
+)
+
+
+@register(
+    "q_embed_quant",
+    f"""WITH e AS ({SQL_EMB_L}),
+         s AS (SELECT vec_id, label, v,
+                      list_min(v) AS vmin,
+                      (list_max(v) - list_min(v)) / 255.0 AS scale
+               FROM e),
+         err AS (SELECT vec_id, label, len(v) AS dim,
+                        list_transform(v, x -> CASE WHEN scale = 0
+                              THEN CAST(0 AS DOUBLE)
+                              ELSE x - (vmin + floor((x - vmin) / scale + 0.5)
+                                        * scale) END) AS errs
+                 FROM s),
+         agg AS (SELECT vec_id, label, dim,
+                        CAST(list_sum(list_transform(errs,
+                             x -> CAST(floor(x * x * 1e10 + 0.5) AS BIGINT)))
+                             AS DOUBLE) / 1e10 AS sse,
+                        list_max(list_transform(errs, x -> abs(x))) AS mae
+                 FROM err)
+       SELECT vec_id, label,
+              ROUND(sqrt(sse / dim), 6) AS rmse,
+              ROUND(mae, 6) AS max_abs_err
+       FROM agg""",
+)
+def q_embed_quant(spark, sf_dir):
+    """Int8 min-max quantization with exact error accounting —
+    operators/similarity.py::quantization_error."""
+    return sim.quantization_error(_t(spark, sf_dir, "embeddings"))
+
+
+_SRP_BITS = 8
+_SRP_PLANES = srp_plane_constants(_SRP_BITS, 64)
+
+
+def _sql_srp_sig() -> str:
+    terms = []
+    for k, plane in enumerate(_SRP_PLANES):
+        lit = "[" + ", ".join(repr(c) for c in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(v, {lit}),"
+            f" z -> CAST(z[1] * z[2] AS DECIMAL(38,10)))) >= 0"
+            f" THEN {1 << k} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "q_rp_lsh",
+    f"""WITH e AS ({SQL_EMB_L}),
+         sigs AS (SELECT vec_id, v,
+                         CAST({_sql_srp_sig()} AS BIGINT) AS sig
+                  FROM e)
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.sig AS sig,
+              ROUND({SQL_COS.format(a='a.v', b='b.v')}, 6) AS cos_sim
+       FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id""",
+)
+def q_rp_lsh(spark, sf_dir):
+    """Sign-random-projection cosine LSH candidate pairs —
+    operators/similarity.py::srp_candidate_pairs."""
+    return sim.srp_candidate_pairs(_t(spark, sf_dir, "embeddings"), n_bits=_SRP_BITS)

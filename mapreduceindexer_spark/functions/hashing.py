@@ -84,3 +84,21 @@ def minhash_perm(h: Column | str, a: int, b: int, c: int) -> Column:
     h1 = hc.bitwiseAND(F.lit(_MASK30))
     h2 = F.shiftrightunsigned(hc, 30).bitwiseAND(F.lit(_MASK30))
     return (F.lit(a) * h1 + F.lit(b) * h2 + F.lit(c)) % F.lit(MINHASH_MOD)
+
+
+def srp_plane_constants(n_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic random-hyperplane components for sign-random-projection
+    (SRP) cosine LSH: ``plane[k][j] = (hash60(f"rp:{k}:{j}") % 2001 - 1000)
+    / 1000`` — uniform in [-1, 1] with 3 decimal digits, so the literal
+    round-trips bit-exactly through any engine's decimal-to-double parser.
+    Generated driver-side (hyperplanes are config, not data) and inlined
+    as array literals into both the Spark plan and the DuckDB oracle."""
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        [(h60(f"rp:{k}:{j}") % 2001 - 1000) / 1000.0 for j in range(dim)]
+        for k in range(n_bits)
+    ]

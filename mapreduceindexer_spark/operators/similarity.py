@@ -269,3 +269,101 @@ def ivf_topk(
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k)
     )
+
+
+def quantization_error(embeddings: DataFrame) -> DataFrame:
+    """Per-vector int8 (0..255) min-max scalar quantization with exact
+    reconstruction-error accounting — the storage tier every large vector
+    corpus ends up on (4x smaller than float32; recall loss measured, not
+    guessed).
+
+    Everything is per-row array arithmetic (no shuffle at all): quantize
+    with ``floor(z + 0.5)`` (identical in every engine, unlike round()'s
+    tie rules), square the reconstruction errors, and sum them through
+    DECIMAL(38,10) casts so the per-vector SSE is exact and
+    order-independent. Constant vectors (scale = 0) quantize losslessly to
+    code 0.
+    """
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    d = embeddings.select(
+        "vec_id", "label", v.alias("v"),
+        F.array_min(v).alias("vmin"), F.array_max(v).alias("vmax"),
+    ).withColumn("scale", (F.col("vmax") - F.col("vmin")) / F.lit(255.0))
+
+    def err(x):
+        q = F.floor((x - F.col("vmin")) / F.col("scale") + F.lit(0.5))
+        recon = F.col("vmin") + q * F.col("scale")
+        return F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(x - recon)
+
+    d = d.withColumn("errs", F.transform("v", err))
+    # Error-squares are ~1e-7: a double->decimal cast at that magnitude is
+    # at the mercy of each engine's conversion path, so quantize to an
+    # integer grid with floor (unambiguous everywhere) and sum exactly.
+    sse = (
+        F.aggregate(
+            F.transform(
+                "errs",
+                lambda x: F.floor(x * x * F.lit(1e10) + F.lit(0.5)).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(1e10)
+    )
+    mae = F.array_max(F.transform("errs", F.abs))
+    return d.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(sse / F.size("v")), 6).alias("rmse"),
+        F.round(mae, 6).alias("max_abs_err"),
+    )
+
+
+def srp_candidate_pairs(embeddings: DataFrame, n_bits: int = 8) -> DataFrame:
+    """Sign-random-projection (SRP) cosine LSH: each vector gets an
+    ``n_bits``-bit signature (bit k = sign of the dot product with fixed
+    hyperplane k); vectors sharing a signature become candidate pairs and
+    only THOSE pairs get an exact cosine — the hyperplane-LSH counterpart
+    of the IVF blocking in ``embedding_duplicates``.
+
+    Scale shape: signature computation is narrow per-row arithmetic
+    (hyperplanes are inlined constants — config, not data); the candidate
+    join is a hash self-equi-join on the signature, never all-pairs.
+    E[collisions] for random vectors is n^2 / 2^(n_bits+1) — size n_bits
+    to the corpus (e.g. 2 * log2(n)). Per-plane dots go through
+    DECIMAL(38,10) casts so every sign decision is bit-deterministic and
+    replayable by the SQL oracle.
+    """
+    from mapreduceindexer_spark.functions.hashing import srp_plane_constants
+
+    dim = 64
+    planes = srp_plane_constants(n_bits, dim)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    sig = F.lit(0)
+    for k, plane in enumerate(planes):
+        arr = F.array(*[F.lit(c) for c in plane])
+        dot_dec = F.aggregate(
+            F.zip_with(v, arr, lambda a, b: (a * b).cast("decimal(38,10)")),
+            F.lit(0).cast("decimal(38,10)"),
+            lambda acc, x: (acc + x).cast("decimal(38,10)"),
+        )
+        sig = sig + F.when(dot_dec >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+    sigs = embeddings.select(
+        "vec_id", v.alias("v"), sig.cast("bigint").alias("sig")
+    )
+    a = sigs.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "sig"
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "sig"
+    )
+    return (
+        a.join(b, "sig")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("sig"),
+            F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
+        )
+    )

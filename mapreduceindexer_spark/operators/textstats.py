@@ -150,3 +150,103 @@ def fingerprints(docs: DataFrame, k: int = 3) -> DataFrame:
         F.explode(shingles(normalized_token_array("text"), k)).alias("shingle"),
     )
     return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition signals over word 2-grams:
+    duplicate-2-gram ratio and most-frequent-2-gram fraction.
+
+    High values flag boilerplate/spam documents that slip past exact and
+    near dedup (repetition is WITHIN a document, not across documents) —
+    a standard quality gate in LLM data curation (Rae et al., Gopher
+    §A1.1). Shape: narrow per-row 2-gram construction (no shuffle), one
+    explode, one (doc, gram) aggregate, one per-doc aggregate — identical
+    partitioning story to the index pipeline, so it scales the same way.
+    Documents with < 2 tokens have no 2-grams and are excluded, in engine
+    and oracle alike.
+    """
+    grams = docs.select(
+        "doc_id", normalized_token_array("text").alias("tk")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("tk") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_2grams"),
+        F.count("*").cast("bigint").alias("n_distinct_2grams"),
+        F.round(1 - F.count("*") / F.sum("cnt"), 6).alias("dup_2gram_ratio"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_2gram_frac"),
+    )
+
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits).
+
+    H = log2(n) - (1/n) * sum tf * log2(tf) — the sum runs over per-term
+    contributions cast to DECIMAL(38,10), so the aggregate is exact and
+    order-independent; only the final two double ops happen in IEEE
+    arithmetic. Low entropy = repetitive/templated text, another curation
+    quality gate. One explode + two hash aggregates, no joins.
+    """
+    terms = tokens_normalized(docs)
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    contrib = (F.col("tf") * F.log2("tf")).cast("decimal(38,10)")
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sum(contrib).cast("double").alias("s"),
+    )
+    h = F.log2("n_tokens") - F.col("s") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id", "n_tokens", F.round(h, 6).alias("entropy_bits")
+    )
+
+
+def domain_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus accounting: document counts, exact-duplicate rate
+    (md5 of raw text) and character volume — the per-domain health sheet
+    a curation pipeline reviews before setting mixing weights. Two hash
+    aggregates (md5 collapses within source first); no joins."""
+    per_text = docs.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+    return per_text.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_unique_texts"),
+        F.round(1 - F.count("*") / F.sum("n"), 6).alias("dup_ratio"),
+        F.sum("chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+def mixing_weights(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Temperature-scaled source mixing weights: share_i proportional to
+    n_i ** alpha (alpha < 1 upweights small sources — the multilingual /
+    multi-domain sampling scheme from GPT-3 / XLM-R style pipelines).
+
+    The normalizer is a sum of per-source DECIMAL(38,10) casts of
+    n**alpha, so shares are bit-deterministic; the per-source relation is
+    one aggregate row per domain and broadcasts at any corpus size.
+    """
+    per_src = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    n_dbl = F.col("n_docs").cast("double")
+    # sqrt is IEEE-exactly-rounded in every engine; pow(x, 0.5) is not —
+    # route the common alpha through sqrt so the oracle replays it bit-exact.
+    w_dbl = F.sqrt(n_dbl) if alpha == 0.5 else F.pow(n_dbl, F.lit(alpha))
+    w = w_dbl.cast("decimal(38,10)")
+    weighted = per_src.select("source", "n_docs", w.alias("w"))
+    total = weighted.agg(F.sum("w").alias("tw"))
+    share = F.col("w").cast("double") / F.col("tw").cast("double")
+    return weighted.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        F.round(share, 6).alias("share"),
+        F.floor(share * 1000000).cast("bigint").alias("docs_per_million"),
+    )
