@@ -2669,3 +2669,293 @@ def q_rp_lsh(spark, sf_dir):
     """Sign-random-projection cosine LSH candidate pairs —
     operators/similarity.py::srp_candidate_pairs."""
     return sim.srp_candidate_pairs(_t(spark, sf_dir, "embeddings"), n_bits=_SRP_BITS)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-maintenance additions: upsert/merge, SCD2 intervals,
+# deterministic split assignment, canonical selection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_upsert",
+    """WITH updates AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                ROUND(o_totalprice * 1.1, 4) AS o_totalprice,
+                o_orderdate, o_orderpriority, 2 AS version
+         FROM orders WHERE o_orderkey % 10 = 0),
+       base AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                ROUND(o_totalprice, 4) AS o_totalprice,
+                o_orderdate, o_orderpriority, 1 AS version
+         FROM orders),
+       merged AS (
+         SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                      ORDER BY version DESC) AS rn
+         FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
+       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              o_orderdate, o_orderpriority, CAST(version AS INT) AS version
+       FROM merged WHERE rn = 1""",
+)
+def q_upsert(spark, sf_dir):
+    """MERGE/upsert as latest-version-wins: union base snapshot with an
+    update batch, keep row_number() = 1 per key ordered by version. The
+    canonical lakehouse merge shape — one shuffle on the merge key, no
+    join (union + dedup beats an outer join when updates rewrite whole
+    rows). At 100 TB the base is bucketed by key so only the update's
+    buckets rewrite (compaction handles the rest)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority", F.lit(1).alias("version"),
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority", F.lit(2).alias("version"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    return (
+        base.unionAll(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("version", F.col("version").cast("int"))
+    )
+
+
+@register(
+    "q_scd2",
+    """WITH seq AS (
+         SELECT user_id, ts, event_type,
+                lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS valid_to,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS version
+         FROM events)
+       SELECT user_id, event_type AS state, ts AS valid_from, valid_to,
+              CAST(version AS BIGINT) AS version,
+              CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+       FROM seq WHERE user_id < 50""",
+)
+def q_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type 2: each per-user event opens a state
+    interval [valid_from, valid_to) closed by lead() over event time
+    (event_id tiebreak keeps the interval chain total-ordered). One keyed
+    window, no self-join — the standard temporal-table build at any
+    scale."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.when(F.lead("ts").over(w).isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@register(
+    "q_train_split",
+    """WITH a AS (
+         SELECT doc_id, source,
+                CAST('0x' || substr(md5('0:split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 100 AS bucket
+         FROM documents)
+       SELECT source,
+              CASE WHEN bucket < 90 THEN 'train'
+                   WHEN bucket < 95 THEN 'val'
+                   ELSE 'test' END AS split,
+              CAST(count(*) AS BIGINT) AS n_docs
+       FROM a GROUP BY source, CASE WHEN bucket < 90 THEN 'train'
+                                    WHEN bucket < 95 THEN 'val'
+                                    ELSE 'test' END""",
+)
+def q_train_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by content-stable
+    hash bucket (never random(): assignment must survive reruns, engine
+    changes, and corpus growth). Pure narrow projection + one aggregate;
+    the per-(source, split) counts are the audit sheet."""
+    from mapreduceindexer_spark.functions.hashing import hash60
+
+    d = _docs(spark, sf_dir)
+    bucket = hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+@register(
+    "q_canonical",
+    f"""WITH fp AS (SELECT doc_id, min(md5(s)) AS f
+                    FROM ({SQL_SHINGLES}) GROUP BY doc_id),
+         c AS (SELECT f, min(doc_id) AS canonical_id, count(*) AS n
+               FROM fp GROUP BY f)
+       SELECT fp.doc_id, c.canonical_id,
+              CASE WHEN fp.doc_id = c.canonical_id THEN 1 ELSE 0 END AS is_kept
+       FROM fp JOIN c ON fp.f = c.f WHERE c.n > 1""",
+)
+def q_canonical(spark, sf_dir):
+    """Canonical selection over duplicate clusters keyed by the winnowing
+    fingerprint (min shingle digest — the cheap one-value-per-doc dedup
+    key): every cluster member maps to its survivor (min doc_id — a
+    deterministic keep-first policy; swap the min key for a quality score
+    to keep-best). Aggregate + self-equi-join on the fingerprint: this is
+    the dedup DELETE list at any scale, emitted only for clusters with
+    > 1 member. For byte-exact dedup swap the key for md5(text) — same
+    plan, stricter clusters."""
+    d = _docs(spark, sf_dir)
+    fp = ts.fingerprints(d, k=3).withColumnRenamed("fingerprint", "f")
+    c = fp.groupBy("f").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n")
+    )
+    return (
+        fp.join(c, "f")
+        .filter(F.col("n") > 1)
+        .select(
+            "doc_id",
+            "canonical_id",
+            F.when(F.col("doc_id") == F.col("canonical_id"), 1)
+            .otherwise(0)
+            .alias("is_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget additions: context chunking, sequence packing, corpus
+# n-gram frequencies
+# ---------------------------------------------------------------------------
+
+_CHUNK = 32  # tokens per context chunk (tiny to exercise multi-chunk docs)
+_PACK_BIN = 2048  # tokens per packed training sequence
+
+
+@register(
+    "q_context_chunks",
+    f"""WITH n AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                      t -> t <> '')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     unnest(range(0, CAST(ceil(n_tokens / {_CHUNK}.0) AS BIGINT))) AS chunk_id
+              FROM n WHERE n_tokens > 0)
+       SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+              CAST(least({_CHUNK}, n_tokens - chunk_id * {_CHUNK}) AS BIGINT)
+                AS tokens_in_chunk
+       FROM c""",
+)
+def q_context_chunks(spark, sf_dir):
+    """Context-window chunking: split each document into fixed-budget token
+    chunks (the preprocessing step before training-sequence assembly).
+    Narrow per-row arithmetic + one explode of a generated index range —
+    no shuffle at all; chunk boundaries are pure arithmetic on the token
+    count, so the chunk table is reproducible without retokenizing."""
+    d = _docs(spark, sf_dir)
+    n = d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    c = n.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"),
+                       F.ceil(F.col("n_tokens") / _CHUNK).cast("bigint") - 1)
+        ).alias("chunk_id"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.least(F.lit(_CHUNK).cast("bigint"),
+                F.col("n_tokens") - F.col("chunk_id") * _CHUNK)
+        .cast("bigint")
+        .alias("tokens_in_chunk"),
+    )
+
+
+@register(
+    "q_sequence_pack",
+    f"""WITH n AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                      t -> t <> '')) AS BIGINT) AS n_tokens
+          FROM documents),
+        o AS (SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) - n_tokens AS start_off
+              FROM n)
+       SELECT CAST(start_off // {_PACK_BIN} AS BIGINT) AS bin,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       FROM o GROUP BY start_off // {_PACK_BIN}""",
+)
+def q_sequence_pack(spark, sf_dir):
+    """Greedy contiguous sequence packing: documents in stable doc_id order
+    are laid end-to-end and each starts in the {_PACK_BIN}-token bin its
+    offset falls in — the deterministic packing audit (docs per bin,
+    tokens per bin) used to size training batches. The global running sum
+    is a single-partition window here; at 100 TB packing runs per shard
+    (partition-local offsets + a per-shard base), which is the documented
+    production layout — packing across shard boundaries has no training
+    benefit."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    n = d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    o = n.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        o.groupBy(F.floor(F.col("start_off") / _PACK_BIN).cast("bigint").alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+@register(
+    "q_ngram_freq",
+    f"""WITH g AS ({SQL_2GRAMS}),
+         f AS (SELECT g, CAST(count(*) AS BIGINT) AS freq,
+                      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+               FROM g GROUP BY g)
+       SELECT g AS gram, freq, n_docs
+       FROM f ORDER BY freq DESC, g ASC LIMIT 20""",
+)
+def q_ngram_freq(spark, sf_dir):
+    """Corpus-level 2-gram frequency table (top 20): the boilerplate
+    detector — phrases with huge corpus frequency but broad doc spread are
+    templates/headers to strip before training. One explode + one
+    aggregate + TakeOrderedAndProject; the tie-break on the gram makes the
+    top-k frontier deterministic."""
+    grams = ts.doc_2grams(_docs(spark, sf_dir))
+    return (
+        grams.groupBy(F.col("g").alias("gram"))
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.desc("freq"), F.asc("gram"))
+        .limit(20)
+    )

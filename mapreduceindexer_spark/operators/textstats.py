@@ -152,20 +152,10 @@ def fingerprints(docs: DataFrame, k: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
 
 
-def repetition_signals(docs: DataFrame) -> DataFrame:
-    """Gopher-style intra-document repetition signals over word 2-grams:
-    duplicate-2-gram ratio and most-frequent-2-gram fraction.
-
-    High values flag boilerplate/spam documents that slip past exact and
-    near dedup (repetition is WITHIN a document, not across documents) —
-    a standard quality gate in LLM data curation (Rae et al., Gopher
-    §A1.1). Shape: narrow per-row 2-gram construction (no shuffle), one
-    explode, one (doc, gram) aggregate, one per-doc aggregate — identical
-    partitioning story to the index pipeline, so it scales the same way.
-    Documents with < 2 tokens have no 2-grams and are excluded, in engine
-    and oracle alike.
-    """
-    grams = docs.select(
+def doc_2grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g) word-2-gram stream WITH multiplicity — narrow per-row
+    construction (no shuffle); docs with < 2 tokens contribute nothing."""
+    return docs.select(
         "doc_id", normalized_token_array("text").alias("tk")
     ).select(
         "doc_id",
@@ -179,7 +169,24 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),
     )
-    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition signals over word 2-grams:
+    duplicate-2-gram ratio and most-frequent-2-gram fraction.
+
+    High values flag boilerplate/spam documents that slip past exact and
+    near dedup (repetition is WITHIN a document, not across documents) —
+    a standard quality gate in LLM data curation (Rae et al., Gopher
+    §A1.1). Shape: narrow per-row 2-gram construction (no shuffle), one
+    explode, one (doc, gram) aggregate, one per-doc aggregate — identical
+    partitioning story to the index pipeline, so it scales the same way.
+    Documents with < 2 tokens have no 2-grams and are excluded, in engine
+    and oracle alike.
+    """
+    per_gram = doc_2grams(docs).groupBy("doc_id", "g").agg(
+        F.count("*").alias("cnt")
+    )
     return per_gram.groupBy("doc_id").agg(
         F.sum("cnt").cast("bigint").alias("n_2grams"),
         F.count("*").cast("bigint").alias("n_distinct_2grams"),
