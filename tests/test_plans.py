@@ -198,3 +198,68 @@ def test_cross_dedup_joins_sigs_not_docs(spark):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_top_orders_plans_take_ordered_and_pushes_filters(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str, pushed_filters
+
+    df = QUERIES["q_top_orders"][0](spark, SF_SMOKE)
+    # Global top-10 must be TakeOrderedAndProject (k rows per partition),
+    # never a full sort.
+    assert "TakeOrderedAndProject" in explain_str(df)
+    # Every dimension filter reaches its scan.
+    pf = " ".join(pushed_filters(df))
+    assert "c_mktsegment" in pf and "o_orderdate" in pf and "l_shipdate" in pf, pf
+
+
+def test_rp_lsh_is_hash_join_on_signature(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_rp_lsh"][0](spark, SF_SMOKE)
+    plan = explain_str(df)
+    # Candidate generation must be an equi-join on the signature — an
+    # all-pairs nested loop here is the O(n^2) scale-killer SRP exists
+    # to avoid.
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # Signature computation is pure JVM arithmetic, no Python boundary.
+    assert "EvalPython" not in plan, plan
+
+
+def test_multi_rollup_scans_events_once(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_multi_rollup"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # Coarse resolutions must derive from the minute aggregate, never by
+    # re-truncating raw event timestamps: date_trunc at hour/day must be
+    # applied to window_start (the minute column), not to ts.
+    assert "date_trunc(hour, ts" not in plan, plan
+    assert "date_trunc(day, ts" not in plan, plan
+    # Three chained partial+final aggregate levels.
+    assert plan.count("HashAggregate") >= 6, plan
+
+
+def test_quantization_is_narrow_no_shuffle(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_embed_quant"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # Pure per-row array arithmetic: the only exchange allowed is the
+    # test-input parallelism repartition, never a data-dependent shuffle.
+    assert plan.count("Exchange") <= 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_sequence_pack_single_window_then_agg(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_sequence_pack"][0](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "Window" in plan
+    assert "EvalPython" not in plan, plan
