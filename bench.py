@@ -38,6 +38,10 @@ HEADLINE = [
     "q_curation_pipeline",  # LLM pipeline: 4-stage curation composite
     "q_cosine_topk",       # LLM pipeline: similarity search
     "q_ann_ivf",           # LLM pipeline: IVF-pruned ANN
+    "q_top_orders",        # TPC-H Q3 shape: join-agg top-k
+    "q_multi_rollup",      # hierarchical time rollup (minute->hour->day)
+    "q_repetition",        # LLM pipeline: intra-doc repetition gate
+    "q_rp_lsh",            # LLM pipeline: SRP cosine LSH candidates
 ]
 
 

@@ -2959,3 +2959,71 @@ def q_ngram_freq(spark, sf_dir):
         .orderBy(F.desc("freq"), F.asc("gram"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Search-surface additions: multi-term BM25, prefix lookup, approx quantiles
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("table", "window", "stream")
+
+
+def _sql_bm25_multi() -> str:
+    tf_cols = ",\n               ".join(
+        f"CAST(count(*) FILTER (term = '{t}') AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n               ".join(
+        f"count(*) FILTER (tf{i} > 0) AS df{i}" for i in range(len(_BM25_TERMS))
+    )
+    contribs = "\n             + ".join(
+        f"ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * tf{i} * 2.2 / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    any_tf = " OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))
+    return f"""WITH t AS ({SQL_TERMS}),
+       pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+               {tf_cols}
+              FROM t GROUP BY doc_id),
+       st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl,
+               {df_cols}
+              FROM pd),
+       sc AS (SELECT doc_id, dl,
+                     ROUND({contribs}, 6) AS score
+              FROM pd, st WHERE {any_tf})
+       SELECT doc_id, dl, score,
+              CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rn
+       FROM sc QUALIFY rn <= 10"""
+
+
+@register("q_bm25_multi", _sql_bm25_multi())
+def q_bm25_multi(spark, sf_dir):
+    """Multi-term ranked BM25 (disjunctive query) —
+    operators/search.py::bm25_multi_topk."""
+    return search.bm25_multi_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+
+
+@register(
+    "q_prefix_search",
+    f"""SELECT term, letter, df FROM ({SQL_POSTINGS})
+        WHERE term LIKE 's%'""",
+)
+def q_prefix_search(spark, sf_dir):
+    """Prefix wildcard lookup (``s*``) over the term dictionary —
+    operators/search.py::prefix_search."""
+    return search.prefix_search(_postings(spark, sf_dir), "s")
+
+
+@register("q_approx_quantiles", None)  # sketch estimate: rows-only by design
+def q_approx_quantiles(spark, sf_dir):
+    """Approximate quantiles per event type (Greenwald-Khanna sketch,
+    mergeable partials — the shuffle carries sketches, not values). The
+    exact-percentile twin is q_percentiles; tests pin the sketch within
+    its accuracy bound of the exact answer. Estimates are
+    engine-specific, hence rows-only."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("q_50_90_99")
+    )

@@ -140,3 +140,73 @@ def top_terms(postings: DataFrame, k: int = 20) -> DataFrame:
     """Top-k terms by (df DESC, term ASC) — planned as TakeOrderedAndProject,
     so only k rows ever leave each partition."""
     return postings.select("term", "df").orderBy(F.desc("df"), F.asc("term")).limit(k)
+
+
+def bm25_multi_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Multi-term BM25: per-document score summed over the query terms —
+    the standard ranked disjunctive query.
+
+    Same one-tokenize-pass shape as the single-term ranker: one per-doc
+    aggregate produces dl and one conditional tf per query term (a query
+    is a handful of terms — each is a cheap conditional count in the SAME
+    aggregate, not a join); one tiny corpus-stats aggregate yields every
+    df plus avgdl. The per-term score contributions are combined in a
+    fixed expression order, so the sum is bit-deterministic. Top-k via
+    TakeOrderedAndProject, then the k survivors are ranked.
+    """
+    from mapreduceindexer_spark.functions.text import tokens_normalized
+
+    aggs = [F.count("*").cast("bigint").alias("dl")]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.count(F.when(F.col("term") == t, True)).cast("bigint").alias(f"tf{i}")
+        )
+    per_doc = tokens_normalized(docs).groupBy("doc_id").agg(*aggs)
+    stat_aggs = [
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    ]
+    for i in range(len(terms)):
+        stat_aggs.append(
+            F.count(F.when(F.col(f"tf{i}") > 0, True)).alias(f"df{i}")
+        )
+    stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        per_doc.agg(*stat_aggs)
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            + 1.0
+        )
+        denom = F.col(f"tf{i}") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        score = score + idf * F.col(f"tf{i}") * (k1 + 1.0) / denom
+    scored = scored.filter(
+        sum((F.col(f"tf{i}") > 0).cast("int") for i in range(len(terms))) > 0
+    ).select("doc_id", "dl", F.round(score, 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+    )
+
+
+def prefix_search(postings: DataFrame, prefix: str) -> DataFrame:
+    """Prefix (wildcard ``prefix*``) dictionary lookup over the postings
+    relation: every indexed term starting with ``prefix``, with its df.
+
+    On the letter-partitioned postings layout the first-letter partition
+    prunes the scan to one partition; within it the term dictionary is
+    sorted, so at scale this is a range scan, not a full filter.
+    """
+    return (
+        postings.filter(F.col("term").startswith(prefix))
+        .select("term", "letter", "df")
+    )

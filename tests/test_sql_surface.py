@@ -55,3 +55,41 @@ def test_sql_join_equals_dataframe_join(spark):
     got = sorted(tuple(r) for r in sql.collect())
     want = sorted(tuple(r) for r in df.collect())
     assert got == want
+
+
+def test_approx_quantiles_within_sketch_bound(spark):
+    """GK-sketch guarantee is on RANK error, not value distance (tail
+    quantiles sit in sparse regions where neighboring values are far
+    apart): the fraction of group values at-or-below the sketch answer
+    must bracket the requested quantile within the sketch tolerance."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.sources.tables import load_table
+    from tests.conftest import SF_CHECK
+
+    approx = {
+        r["event_type"]: r["q_50_90_99"]
+        for r in QUERIES["q_approx_quantiles"][0](spark, SF_CHECK).collect()
+    }
+    vals = (
+        load_table(spark, SF_CHECK, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sort_array(F.collect_list("value")).alias("vs"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    eps = 0.01  # well above 1/accuracy = 1e-4; guards discreteness too
+    assert set(approx) == {r["event_type"] for r in vals}
+    for r in vals:
+        import bisect
+
+        vs, n = r["vs"], r["n"]
+        for q, a in zip((0.5, 0.9, 0.99), approx[r["event_type"]]):
+            below = bisect.bisect_left(vs, a) / n   # frac strictly below
+            at_or_below = bisect.bisect_right(vs, a) / n
+            assert below <= q + eps and at_or_below >= q - eps, (
+                r["event_type"], q, a, below, at_or_below,
+            )
