@@ -3027,3 +3027,118 @@ def q_approx_quantiles(spark, sf_dir):
     return e.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("q_50_90_99")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality & safety surface: Q13 count distribution, column profiling,
+# blocklist gate, regex redaction
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("slow", "big", "hash")
+
+
+@register(
+    "q_order_distribution",
+    """WITH per_cust AS (
+         SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+         FROM customer c
+         LEFT JOIN orders o
+           ON c.c_custkey = o.o_custkey
+          AND o.o_orderpriority <> '1-URGENT'
+         GROUP BY c.c_custkey)
+       SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+       FROM per_cust
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC""",
+)
+def q_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left-outer count per customer (zero-order
+    customers kept), then count-of-counts —
+    operators/relational.py::order_count_distribution."""
+    return rel.order_count_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+]
+
+
+def _sql_profile() -> str:
+    parts = []
+    for name, typ in _PROFILE_COLS:
+        if typ == "double":
+            mn = f"CAST(CAST(round(min({name}), 2) AS DECIMAL(18,2)) AS VARCHAR)"
+            mx = f"CAST(CAST(round(max({name}), 2) AS DECIMAL(18,2)) AS VARCHAR)"
+        else:
+            mn, mx = f"CAST(min({name}) AS VARCHAR)", f"CAST(max({name}) AS VARCHAR)"
+        parts.append(
+            f"""SELECT '{name}' AS col_name,
+                  CAST(count(*) FILTER ({name} IS NULL) AS BIGINT) AS n_null,
+                  CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+                  {mn} AS min_val, {mx} AS max_val
+               FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("q_profile", _sql_profile())
+def q_profile(spark, sf_dir):
+    """Column-profiling sheet over orders (nulls / exact distinct /
+    min / max per column, one scan) —
+    operators/relational.py::profile_columns."""
+    return rel.profile_columns(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+@register(
+    "q_blocklist",
+    f"""SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_hits,
+              list_sort(list(DISTINCT term)) AS hit_terms,
+              count(*) >= 5 AS flagged
+       FROM ({SQL_TERMS})
+       WHERE term IN {_BLOCKLIST!r}
+       GROUP BY doc_id""",
+)
+def q_blocklist(spark, sf_dir):
+    """Safety blocklist gate: per-doc hit counts over a fixed term list —
+    operators/textstats.py::blocklist_hits."""
+    return ts.blocklist_hits(_docs(spark, sf_dir), _BLOCKLIST, flag_threshold=5)
+
+
+@register(
+    "q_scrub",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+                AS n_redacted,
+              CAST(SUM(length(regexp_replace(props, '[0-9]+', '<NUM>', 'g')))
+                AS BIGINT) AS scrubbed_chars
+       FROM events
+       GROUP BY event_type""",
+)
+def q_scrub(spark, sf_dir):
+    """PII-shaped regex redaction audit: replace every digit run in the
+    raw JSON payload with a placeholder and account for what was
+    redacted, per event type. The scrub itself (regexp_replace) and the
+    occurrence count (regexp_count) are both JVM codegen expressions over
+    the scan — the whole query is one narrow pass plus a 5-row aggregate,
+    so it runs at ingest bandwidth at any scale. Digit runs stand in for
+    the usual PII alternation (emails/phones/SSNs) — same operator shape,
+    synthetic-corpus-friendly pattern."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.regexp_count("props", F.lit(r"[0-9]+")))
+        .cast("bigint")
+        .alias("n_redacted"),
+        F.sum(F.length(F.regexp_replace("props", r"[0-9]+", "<NUM>")))
+        .cast("bigint")
+        .alias("scrubbed_chars"),
+    )

@@ -398,3 +398,67 @@ def fuzzy_name_pairs(part: DataFrame, max_dist: int = 4) -> DataFrame:
         F.sum("dist").cast("bigint").alias("sum_dist"),
         F.min("dist").cast("bigint").alias("min_dist"),
     )
+
+
+def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed k orders, for every k —
+    including the zero-order customers the inner join would drop (hence
+    the left outer join with the filter ON the join, not WHERE).
+
+    Two hash aggregates: per-customer order count (shuffle on custkey —
+    the natural key, no skew), then the tiny count-of-counts. The second
+    groupBy's input is one row per customer but its output is a few dozen
+    rows; partial map-side aggregation collapses almost everything before
+    the second (trivial) shuffle.
+    """
+    o = orders.filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        customer.join(o, customer["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(customer["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def profile_columns(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
+    """One-pass data-profiling sheet: per column, null count, exact
+    distinct count, and min/max rendered as strings (doubles through
+    DECIMAL(18,2) so both engines print the same digits).
+
+    All statistics come from a single aggregate over one scan; the
+    several exact COUNT(DISTINCT)s plan as one Expand (row multiplied by
+    n_cols) feeding one hash aggregate — still one pass over the data,
+    with partial aggregation collapsing each column's domain map-side. At
+    warehouse scale swap countDistinct for approx_count_distinct and the
+    plan loses the Expand entirely; exact is kept here because profiles
+    feed data-contract checks that compare engines.
+    """
+
+    def fmt(c, typ):
+        if typ == "double":
+            return F.round(c, 2).cast("decimal(18,2)").cast("string")
+        return c.cast("string")
+
+    aggs = []
+    for name, typ in cols:
+        c = F.col(name)
+        aggs += [
+            F.sum(c.isNull().cast("bigint")).alias(f"{name}__nn"),
+            F.countDistinct(c).alias(f"{name}__nd"),
+            fmt(F.min(c), typ).alias(f"{name}__min"),
+            fmt(F.max(c), typ).alias(f"{name}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{n}', {n}__nn, {n}__nd, {n}__min, {n}__max" for n, _ in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(col_name, n_null, n_distinct, min_val, max_val)"
+        )
+    )

@@ -257,3 +257,26 @@ def mixing_weights(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
         F.round(share, 6).alias("share"),
         F.floor(share * 1000000).cast("bigint").alias("docs_per_million"),
     )
+
+
+def blocklist_hits(
+    docs: DataFrame, terms: tuple[str, ...], flag_threshold: int = 5
+) -> DataFrame:
+    """Safety / content-policy gate: per-document blocklist term counts.
+
+    The standard first-pass filter of an LLM curation pipeline — a fixed
+    term list (slurs, boilerplate markers, spam vocabulary) matched
+    against normalized tokens. Tokenize once (the same T1+T2 pass as the
+    index pipeline), filter to the blocklist with an IN predicate (a tiny
+    literal set — codegen emits a switch, no join), then one hash
+    aggregate per document. Documents with zero hits never leave the map
+    side, so output volume is bounded by the blocklist's corpus frequency,
+    not corpus size.
+    """
+    hits = tokens_normalized(docs).filter(F.col("term").isin(*terms))
+    n = F.count("*").cast("bigint")
+    return hits.groupBy("doc_id").agg(
+        n.alias("n_hits"),
+        F.sort_array(F.collect_set("term")).alias("hit_terms"),
+        (n >= flag_threshold).alias("flagged"),
+    )
