@@ -3142,3 +3142,146 @@ def q_scrub(spark, sf_dir):
         .cast("bigint")
         .alias("scrubbed_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-support additions: Q2 / Q16 / Q22 shapes (no partsupp table in
+# the synthetic schema — the part-supplier relation is derived from
+# lineitem, same join topology)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_min_cost_supplier",
+    """WITH pc AS (
+         SELECT l_partkey, l_suppkey,
+                l_extendedprice / l_quantity AS unit_cost,
+                min(l_extendedprice / l_quantity)
+                  OVER (PARTITION BY l_partkey) AS min_cost
+         FROM lineitem),
+       win AS (
+         SELECT l_partkey, min(l_suppkey) AS l_suppkey,
+                min(unit_cost) AS unit_cost
+         FROM pc WHERE unit_cost = min_cost
+         GROUP BY l_partkey)
+       SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+              ROUND(w.unit_cost, 6) AS min_cost
+       FROM win w
+       JOIN part p ON w.l_partkey = p.p_partkey
+       JOIN supplier s ON w.l_suppkey = s.s_suppkey""",
+)
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: cheapest supplier per part (argmin over a window
+    min, ties broken by min suppkey), joined back to both dimensions.
+    The window partitions on the fact's own join key, so the min and the
+    filter ride the same hash partitioning as the downstream part join —
+    one shuffle total on the fact. Both dimension joins broadcast. The
+    tie-break makes the survivor set deterministic; the raw IEEE division
+    is bit-identical in both engines, so the equality filter selects the
+    same rows (rounding happens only at output)."""
+    l = _t(spark, sf_dir, "lineitem")
+    cost = F.col("l_extendedprice") / F.col("l_quantity")
+    w = Window.partitionBy("l_partkey")
+    pc = l.select(
+        "l_partkey", "l_suppkey", cost.alias("unit_cost")
+    ).withColumn("min_cost", F.min("unit_cost").over(w))
+    win = (
+        pc.filter(F.col("unit_cost") == F.col("min_cost"))
+        .groupBy("l_partkey")
+        .agg(F.min("l_suppkey").alias("l_suppkey"), F.min("unit_cost").alias("unit_cost"))
+    )
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        win.join(p, win["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), win["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name",
+            F.round("unit_cost", 6).alias("min_cost"),
+        )
+    )
+
+
+@register(
+    "q_supplier_variety",
+    """SELECT p.p_brand, p.p_size,
+              CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM lineitem l
+       JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE l.l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p.p_brand, p.p_size
+       ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_size ASC""",
+)
+def q_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct (non-excluded) suppliers serve
+    each (brand, size) bucket. The exclusion list is a filtered dimension
+    — an anti-join against a broadcast few-row relation, applied to the
+    fact before the part join so excluded rows never shuffle. Distinct
+    count shuffles once on the group key."""
+    l = _t(spark, sf_dir, "lineitem")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(bad), l["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(p, F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+    )
+
+
+@register(
+    "q_idle_customers",
+    """WITH avg_bal AS (
+         SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+                / count(*) AS ab
+         FROM customer WHERE c_acctbal > 0)
+       SELECT c.c_mktsegment,
+              CAST(count(*) AS BIGINT) AS n_custs,
+              ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,10))) AS DOUBLE), 4)
+                AS total_bal
+       FROM customer c, avg_bal
+       WHERE c.c_acctbal > avg_bal.ab
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+       GROUP BY c.c_mktsegment
+       ORDER BY c.c_mktsegment""",
+)
+def q_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: wealthy-but-inactive customers — balance above
+    the positive-balance average, no orders in the trailing window —
+    summarized per segment. The global average is one broadcast scalar (exact decimal
+    sum, one IEEE division, so the > threshold splits identically in both
+    engines); inactivity is an anti-join on the orders fact. The
+    anti-join shuffles on custkey and is the only wide edge."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(38,10)")).cast("double")
+            / F.count("*")
+        ).alias("ab")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_custs"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,10)")).cast("double"), 4
+            ).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -263,3 +263,45 @@ def test_sequence_pack_single_window_then_agg(spark):
     plan = explain_str(df)
     assert "Window" in plan
     assert "EvalPython" not in plan, plan
+
+
+def test_min_cost_supplier_single_fact_shuffle(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str, has_broadcast_hash_join
+
+    df = QUERIES["q_min_cost_supplier"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # Window min and the argmin groupBy both partition on l_partkey, so
+    # the fact shuffles once; both dimension joins broadcast. Budget: one
+    # fact exchange + the small-file parallelism repartition + broadcast
+    # exchanges (which are not partition shuffles but still print as
+    # BroadcastExchange — count only Exchange hashpartitioning).
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert has_broadcast_hash_join(df)
+
+
+def test_supplier_variety_anti_join_broadcasts(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_supplier_variety"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # The exclusion list is a few-row filtered dimension: the anti-join
+    # must be broadcast (no shuffle of the fact for the exclusion).
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_idle_customers_scalar_broadcast_and_anti_join(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_idle_customers"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # One-row average joins via broadcast (nested-loop on a single row is
+    # fine); inactivity is an anti-join, and the orders date filter must
+    # reach the scan so the anti-join input is the trailing window only.
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    from mapreduceindexer_spark.plans import pushed_filters
+
+    assert "o_orderdate" in " ".join(pushed_filters(df))
