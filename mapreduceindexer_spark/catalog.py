@@ -3285,3 +3285,75 @@ def q_idle_customers(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph family #2: PageRank over the term co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_PR_TOP, _PR_DAMP, _PR_ITERS = 20, 0.85, 5
+
+
+def _sql_pagerank() -> str:
+    head = f"""WITH p AS ({SQL_PAIRS}),
+       top AS (SELECT term FROM (
+                 SELECT term, count(*) AS df FROM p GROUP BY term
+                 ORDER BY df DESC, term ASC LIMIT {_PR_TOP})),
+       tp AS (SELECT p.doc_id, p.term FROM p JOIN top USING (term)),
+       e AS (SELECT a.term AS src, b.term AS dst
+             FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND a.term <> b.term
+             GROUP BY 1, 2),
+       nodes AS (SELECT src AS node FROM e
+                 UNION SELECT dst FROM e),
+       deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+       nn AS (SELECT count(*) AS n FROM nodes),
+       r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    iters = []
+    for i in range(_PR_ITERS):
+        iters.append(
+            f""",
+       r{i + 1} AS (
+         SELECT nd.node,
+                (1 - {_PR_DAMP}) / nn.n + {_PR_DAMP} *
+                CAST(COALESCE(s.sc, CAST(0 AS DECIMAL(38,10))) AS DOUBLE) AS rank
+         FROM nodes nd CROSS JOIN nn
+         LEFT JOIN (SELECT e.dst AS node,
+                           SUM(CAST(r.rank / d.out_deg AS DECIMAL(38,10))) AS sc
+                    FROM r{i} r
+                    JOIN e ON r.node = e.src
+                    JOIN deg d ON e.src = d.src
+                    GROUP BY e.dst) s ON nd.node = s.node)"""
+        )
+    return (
+        head
+        + "".join(iters)
+        + f"\n       SELECT node, ROUND(rank, 6) AS rank FROM r{_PR_ITERS}"
+    )
+
+
+@register("q_pagerank", _sql_pagerank())
+def q_pagerank(spark, sf_dir):
+    """PageRank (K fixed iterations) over the pruned term co-occurrence
+    graph — operators/graph.py::pagerank. The probe graph is small by
+    construction (top-df terms); the operator's per-round join/agg shape
+    is what scales. Oracle unrolls the identical K rounds in SQL."""
+    from mapreduceindexer_spark.operators.graph import pagerank
+
+    pairs = _pairs(spark, sf_dir)
+    top = (
+        pairs.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(_PR_TOP)
+        .select("term")
+    )
+    tp = pairs.join(F.broadcast(top), "term")
+    a = tp.select("doc_id", F.col("term").alias("src"))
+    b = tp.select("doc_id", F.col("term").alias("dst"))
+    edges = (
+        a.join(b, "doc_id")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return pagerank(edges, damping=_PR_DAMP, iters=_PR_ITERS)

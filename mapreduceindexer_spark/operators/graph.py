@@ -82,3 +82,52 @@ def duplicate_clusters(near_pairs: DataFrame) -> DataFrame:
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     return connected_components(edges)
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (pass both
+    directions for an undirected graph). Returns (node, rank).
+
+    The second iterative-graph family next to connected_components — the
+    same per-round Spark mechanics apply: every round is one join keyed on
+    src plus one aggregate keyed on dst (stable partitioning round over
+    round), and localCheckpoint truncates the exponentially-growing
+    lineage. A fixed iteration count (not a convergence test) keeps the
+    computation replayable by the SQL oracle, which unrolls the same K
+    rounds.
+
+    Determinism: per-edge contribution rank/out_deg is one IEEE division;
+    contributions are cast to DECIMAL(38,10) before the per-node sum, so
+    accumulation order can never flip a bit; teleport uses one driver-side
+    double (1-d)/n. The node count is a driver scalar (like the
+    convergence counter above), not a data collect.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    teleport = (1.0 - damping) / n
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).cast("decimal(38,10)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + damping * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint()
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

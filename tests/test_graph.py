@@ -32,3 +32,31 @@ def test_disjoint_clusters_keep_separate_labels(spark):
 def test_orientation_invariance(spark):
     # Same component however the pair was emitted (a<b or b<a).
     assert _cc(spark, [(5, 9), (9, 5), (9, 12)]) == {(5, 5), (9, 5), (12, 5)}
+
+
+def test_pagerank_conserves_mass_and_ranks_hub_highest(spark):
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.operators.graph import pagerank
+
+    # Star graph (hub 0 <-> spokes 1..4), undirected = both directions.
+    und = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    edges = spark.createDataFrame(und, "src BIGINT, dst BIGINT")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=10).collect()}
+    # Probability mass is conserved (no dangling nodes in this graph).
+    assert abs(sum(got.values()) - 1.0) < 1e-4, got
+    # The hub dominates every spoke; spokes are symmetric.
+    assert all(got[0] > got[i] for i in range(1, 5)), got
+    spoke = {round(got[i], 6) for i in range(1, 5)}
+    assert len(spoke) == 1, got
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    from mapreduceindexer_spark.operators.graph import pagerank
+
+    # Directed 4-cycle: perfectly symmetric, so rank stays uniform at 1/4.
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)], "src BIGINT, dst BIGINT"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=7).collect()}
+    assert all(abs(v - 0.25) < 1e-9 for v in got.values()), got
