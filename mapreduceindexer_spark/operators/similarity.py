@@ -41,10 +41,10 @@ def cosine_topk(embeddings: DataFrame, probe_id: int, k: int = 10) -> DataFrame:
     """Top-k most-similar vectors to ``probe_id`` by cosine (probe excluded).
 
     Plan: one-row probe is broadcast; similarity is computed scan-side;
-    ``row_number`` over a global (sim DESC, vec_id) order has Spark plan a
-    single-partition window over only the filtered frontier — for pure
-    top-k without the rank column, ``orderBy().limit(k)`` plans
-    TakeOrderedAndProject (used in bench).
+    ``orderBy().limit(k)`` plans a distributed TakeOrderedAndProject
+    (each partition surrenders at most k rows), and only the k survivors
+    flow through the rank window — the full corpus never funnels into a
+    single window partition.
     """
     probe = embeddings.filter(F.col("vec_id") == probe_id).select(
         F.col("embedding").alias("probe_vec")
@@ -57,10 +57,23 @@ def cosine_topk(embeddings: DataFrame, probe_id: int, k: int = 10) -> DataFrame:
             F.round(cosine_similarity("embedding", "probe_vec"), 6).alias("cos_sim"),
         )
     )
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(vec_id, cos_sim) → the top-k rows with a 1-based ``rn`` rank.
+
+    Top-k FIRST via ``orderBy().limit(k)`` (TakeOrderedAndProject: every
+    partition contributes at most k rows to the driver-side merge), THEN
+    the global row_number window — which therefore only ever sees k rows.
+    The (cos_sim DESC, vec_id ASC) order is total, so limit-then-rank is
+    value-identical to rank-then-filter.
+    """
     w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= k)
+        scored.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
     )
 
 
@@ -135,11 +148,7 @@ def ivf_topk_trained(
         "vec_id",
         F.round(cosine_similarity("embedding", "probe_vec"), 6).alias("cos_sim"),
     )
-    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def kmeans_centroids(
@@ -264,11 +273,7 @@ def ivf_topk(
         "vec_id",
         F.round(cosine_similarity("embedding", "probe_vec"), 6).alias("cos_sim"),
     )
-    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def quantization_error(embeddings: DataFrame) -> DataFrame:
