@@ -3357,3 +3357,510 @@ def q_pagerank(spark, sf_dir):
         .distinct()
     )
     return pagerank(edges, damping=_PR_DAMP, iters=_PR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Decision-support shapes: TPC-H Q17 / Q19 / Q21 analogues
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_small_qty_revenue",
+    """WITH pa AS (
+         SELECT l_partkey,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)
+                  / COUNT(*) AS avg_qty
+         FROM lineitem GROUP BY l_partkey)
+       SELECT p.p_brand,
+              ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,10)))
+                         AS DOUBLE) / 7.0, 4) AS avg_yearly,
+              CAST(COUNT(*) AS BIGINT) AS n_items
+       FROM lineitem l
+       JOIN pa ON l.l_partkey = pa.l_partkey
+       JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE l.l_quantity < 0.5 * pa.avg_qty
+       GROUP BY p.p_brand""",
+)
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue locked in small-quantity orders — each
+    lineitem compared against its part's average quantity. The correlated
+    scalar subquery de-correlates into an aggregate-then-rejoin: one
+    groupBy(l_partkey) pass builds the per-part average, then a shuffle
+    equi-join on l_partkey applies the threshold (both sides hash-partition
+    on the same key, so AQE can coalesce; the part dim is broadcast).
+    Average = exact decimal sum cast to double / count — identical IEEE
+    division in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,10)")).cast(
+                    "double"
+                )
+                / 7.0,
+                4,
+            ).alias("avg_yearly"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_disjunctive_join",
+    """SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(38,10))) AS DOUBLE), 4) AS revenue,
+              CAST(COUNT(*) AS BIGINT) AS n_items
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity BETWEEN 1 AND 11)
+          OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+              AND l.l_quantity BETWEEN 10 AND 20)
+          OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+              AND l.l_quantity BETWEEN 20 AND 30)""",
+)
+def q_disjunctive_join(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Catalyst splits the disjunction: the part-only disjuncts
+    (brand IN (...), size >= 1) and the lineitem-only disjunct
+    (quantity within the union of ranges) are pushed below the join as
+    partial filters, shrinking both scan outputs before the (broadcast)
+    join evaluates the full residual condition."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+    q, br, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((br == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((br == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+        | ((br == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,10)"
+                )
+            ).cast("double"),
+            4,
+        ).alias("revenue"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
+
+
+@register(
+    "q_waiting_suppliers",
+    """WITH li AS (
+         SELECT l.l_orderkey, l.l_suppkey,
+                (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderstatus = 'F'),
+       per_order AS (
+         SELECT l_orderkey,
+                COUNT(DISTINCT l_suppkey) AS n_supp,
+                COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+         FROM li GROUP BY l_orderkey),
+       blamed AS (
+         SELECT DISTINCT li.l_orderkey, li.l_suppkey
+         FROM li JOIN per_order USING (l_orderkey)
+         WHERE li.late AND per_order.n_supp >= 2 AND per_order.n_late = 1)
+       SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+       FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+       GROUP BY s.s_name
+       ORDER BY numwait DESC, s_name ASC
+       LIMIT 10""",
+)
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: the supplier solely to blame for a multi-supplier
+    order shipping late (late = shipped > 60 days after order date — this
+    schema has no commit/receipt dates, so ship-lag is the lateness
+    signal). The classic EXISTS + NOT EXISTS double self-join is
+    re-expressed Spark-first as ONE aggregation per order (distinct
+    suppliers, distinct late suppliers) re-joined to the late lines —
+    two shuffles on l_orderkey total (which AQE colocates), versus the
+    four self-join shuffles of the literal SQL transcription; the oracle
+    states the identical aggregate formulation."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+    )
+    blamed = (
+        li.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        blamed.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: BPE-style adjacent-pair statistics; event-sequence Markov
+# transitions; winsorization; incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bpe_pairs",
+    r"""WITH t AS (
+         SELECT doc_id, unnest(arr) AS tok,
+                generate_subscripts(arr, 1) AS pos
+         FROM (SELECT doc_id, string_split_regex(text, '\s+') AS arr
+               FROM documents)),
+       n AS (
+         SELECT doc_id, pos,
+                lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS term
+         FROM t),
+       p AS (
+         SELECT doc_id, term AS a,
+                lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+         FROM n)
+       SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM p WHERE a <> '' AND b IS NOT NULL AND b <> ''
+       GROUP BY a, b
+       ORDER BY n_pairs DESC, a ASC, b ASC
+       LIMIT 20""",
+)
+def q_bpe_pairs(spark, sf_dir):
+    """The first step of BPE-style vocabulary induction: corpus-wide
+    adjacent-token-pair frequencies (the pair a real tokenizer trainer
+    would merge next). Positions come from one posexplode of the raw
+    whitespace split; adjacency is lead() over (doc, pos) — a window
+    partitioned per document, so no global funnel; the pair count is one
+    hash aggregate and the top-20 is TakeOrderedAndProject. A full BPE
+    trainer is this query in a driver loop (like kmeans_centroids /
+    pagerank): re-tokenize against the grown vocab, recount, merge."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "tok")
+    ).select(
+        "doc_id",
+        "pos",
+        F.lower(F.regexp_replace("tok", "[^A-Za-z]", "")).alias("term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        F.col("term").alias("a"), F.lead("term").over(w).alias("b")
+    )
+    return (
+        pairs.filter(
+            (F.col("a") != "") & F.col("b").isNotNull() & (F.col("b") != "")
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_event_transitions",
+    """WITH s AS (
+         SELECT event_type AS src,
+                lead(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS dst
+         FROM events),
+       c AS (
+         SELECT src, dst, COUNT(*) AS n
+         FROM s WHERE dst IS NOT NULL GROUP BY src, dst),
+       tot AS (SELECT src, SUM(n) AS t FROM c GROUP BY src)
+       SELECT c.src, c.dst, CAST(c.n AS BIGINT) AS n,
+              ROUND(CAST(c.n AS DOUBLE) / tot.t, 6) AS p
+       FROM c JOIN tot USING (src)""",
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current). The sequence order is (ts, event_id) —
+    a total order, so lead() is deterministic under any shuffle. The
+    window partitions by user_id (bounded state per user); the transition
+    matrix itself is |types|^2 rows, so the per-src normalizer join is a
+    broadcast."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    c = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = c.groupBy("src").agg(F.sum("n").alias("t"))
+    return c.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p"),
+    )
+
+
+@register(
+    "q_winsorize",
+    """WITH b AS (
+         SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+                quantile_cont(l_extendedprice, 0.99) AS hi
+         FROM lineitem)
+       SELECT l.l_returnflag,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN l.l_extendedprice < b.lo
+                            OR l.l_extendedprice > b.hi
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+              ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,10)))
+                         AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+              ROUND(CAST(SUM(CAST(least(greatest(l.l_extendedprice, b.lo),
+                                        b.hi) AS DECIMAL(38,10)))
+                         AS DOUBLE) / COUNT(*), 6) AS mean_winsor
+       FROM lineitem l CROSS JOIN b
+       GROUP BY l.l_returnflag""",
+)
+def q_winsorize(spark, sf_dir):
+    """Winsorization — the standard outlier treatment before training-data
+    statistics: clamp a metric to its exact [p01, p99] and compare means.
+    The two global quantiles are one exact-percentile aggregate reduced to
+    a single broadcast row (scalar-subquery shape); the clamp + re-mean is
+    then a single scan-side pass. At 100 TB the cutoffs would come from
+    approx_percentile instead — same plan, sketch aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("hi"),
+    )
+    x = F.col("l_extendedprice")
+    clamped = F.least(F.greatest(x, F.col("lo")), F.col("hi"))
+    return (
+        li.crossJoin(F.broadcast(b))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(((x < F.col("lo")) | (x > F.col("hi"))).cast("int"))
+            .cast("bigint")
+            .alias("n_clipped"),
+            F.round(
+                F.sum(x.cast("decimal(38,10)")).cast("double") / F.count("*"),
+                6,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clamped.cast("decimal(38,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_winsor"),
+        )
+    )
+
+
+@register(
+    "q_incr_agg",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                         AS DOUBLE), 4) AS revenue
+       FROM orders GROUP BY 1""",
+)
+def q_incr_agg(spark, sf_dir):
+    """Incremental aggregate maintenance: a 'materialized' partial
+    aggregate over the history (orderdate < 1999-01-01) merged with the
+    delta partition's partial aggregate — the monoid merge (sum of
+    decimal sums, sum of counts) is exactly what keeps a 100 TB rollup
+    updatable without rescanning history. The oracle is the full
+    recompute; matching it IS the incremental-view-maintenance
+    correctness statement (merge ≡ rebuild)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        "o_orderdate",
+        "o_totalprice",
+    )
+    split = "1999-01-01"
+
+    def partial(df):
+        return df.groupBy("month").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("s"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < split))
+    delta = partial(o.filter(F.col("o_orderdate") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.round(F.sum("s").cast("double"), 4).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding distinct, gram matrix, and an oracle-checked Arrow Python path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rolling_distinct",
+    """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+       du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+       SELECT d.day AS day,
+              CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS users_7d
+       FROM days d JOIN du u
+         ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+       GROUP BY d.day""",
+)
+def q_rolling_distinct(spark, sf_dir):
+    """Trailing-7-day distinct users per day — the sliding-window DISTINCT
+    that plain window frames cannot express (COUNT(DISTINCT) OVER RANGE is
+    unsupported in both engines). Shape: collapse to distinct (day, user)
+    pairs first (the only big aggregation), then a band join against the
+    tiny day spine (broadcast) fans each pair into at most 7 window rows
+    before the final distinct count. At 100 TB the exact fan-out gives way
+    to per-day HLL sketches merged over the trailing window — same spine
+    join, sketch-merge instead of re-count."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    return (
+        du.join(
+            F.broadcast(days.select(F.col("day").alias("anchor"))),
+            (F.col("day") >= F.date_sub(F.col("anchor"), 6))
+            & (F.col("day") <= F.col("anchor")),
+        )
+        .groupBy(F.col("anchor").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("users_7d"))
+    )
+
+
+@register(
+    "q_gram_matrix",
+    """WITH x AS (
+         SELECT vec_id,
+                CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+                CAST(unnest(embedding) AS DOUBLE) AS v
+         FROM embeddings)
+       SELECT a.i AS i, b.i AS j,
+              ROUND(CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,10))) AS DOUBLE),
+                    6) AS g
+       FROM x a JOIN x b USING (vec_id)
+       WHERE a.i <= b.i
+       GROUP BY a.i, b.i""",
+)
+def q_gram_matrix(spark, sf_dir):
+    """Gram matrix X^T X over the embedding column (upper triangle) — the
+    d x d reduction under PCA/whitening/covariance of an embedding corpus.
+    Per-vector outer products stream out of a self-equi-join of the
+    posexploded coordinates on vec_id (co-partitioned, so one shuffle);
+    the reduce keys on (i, j) — at most d^2/2 groups regardless of corpus
+    size, so the final aggregate is tiny no matter how many rows feed it.
+    Exact decimal accumulation keeps the double sums order-independent."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"),
+    ).select("vec_id", F.col("i").cast("bigint").alias("i"), "v")
+    a = x.select("vec_id", F.col("i").alias("ai"), F.col("v").alias("av"))
+    b = x.select("vec_id", F.col("i").alias("bi"), F.col("v").alias("bv"))
+    return (
+        a.join(b, "vec_id")
+        .filter(F.col("ai") <= F.col("bi"))
+        .groupBy(F.col("ai").alias("i"), F.col("bi").alias("j"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("av") * F.col("bv")).cast("decimal(38,10)")
+                ).cast("double"),
+                6,
+            ).alias("g")
+        )
+    )
+
+
+@register(
+    "q_sentences",
+    r"""WITH s AS (
+         SELECT doc_id,
+                CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS sent_idx,
+                unnest(arr) AS sent
+         FROM (SELECT doc_id,
+                      string_split_regex(text, '[.!?]+|\bthe\b') AS arr
+               FROM documents))
+       SELECT doc_id, sent_idx,
+              CAST(length(sent) AS BIGINT) AS n_sent_chars
+       FROM s WHERE sent <> ''""",
+)
+def q_sentences(spark, sf_dir):
+    """Sentence/record segmentation through the Arrow Python path — the one
+    exact-oracle-checked mapInPandas query (the multimodal ones are
+    rows-only by nature). The kernel is pure per-row regex work: no
+    shuffle, batches stream through Arrow, output may be any multiple of
+    the input rows (mapInPandas, unlike a scalar pandas_udf, may change
+    cardinality — that is why it is the right tool for explode-shaped
+    Python logic). The same regex drives the DuckDB oracle, so the Python
+    slow path is held to the same bit-exact standard as the JVM fast
+    path. (The synthetic corpus has no punctuation, so the delimiter also
+    fires on the stopword 'the' — keeping the 1-row-in/N-rows-out shape
+    real.)"""
+    import re
+
+    import pandas as pd
+
+    pat = re.compile(r"[.!?]+|\bthe\b")
+
+    def split_sentences(batches):
+        for pdf in batches:
+            out_doc, out_idx, out_len = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for idx, seg in enumerate(pat.split(text or "")):
+                    if seg != "":
+                        out_doc.append(doc_id)
+                        out_idx.append(idx)
+                        out_len.append(len(seg))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "sent_idx": pd.Series(out_idx, dtype="int64"),
+                    "n_sent_chars": pd.Series(out_len, dtype="int64"),
+                }
+            )
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        split_sentences,
+        "doc_id bigint, sent_idx bigint, n_sent_chars bigint",
+    )

@@ -305,3 +305,91 @@ def test_idle_customers_scalar_broadcast_and_anti_join(spark):
     from mapreduceindexer_spark.plans import pushed_filters
 
     assert "o_orderdate" in " ".join(pushed_filters(df))
+
+
+def test_disjunctive_join_pushes_or_predicates_to_both_scans(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import pushed_filters
+
+    df = QUERIES["q_disjunctive_join"][0](spark, SF_SMOKE)
+    pf = " ".join(pushed_filters(df))
+    # Catalyst must split the OR-of-ANDs: the lineitem-only disjunction
+    # (quantity ranges) and the part-only disjunction (brand/size) each
+    # reach their own scan as a pushed filter — the join evaluates only
+    # the residual.
+    assert "l_quantity" in pf, pf
+    assert "p_brand" in pf, pf
+
+
+def test_small_qty_revenue_broadcasts_part_dim(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str, has_broadcast_hash_join
+
+    df = QUERIES["q_small_qty_revenue"][0](spark, SF_SMOKE)
+    assert has_broadcast_hash_join(df)
+    # The per-part average join keys on l_partkey, same as the aggregate
+    # that produced it — the fact never shuffles on anything else.
+    plan = explain_str(df, "simple")
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_waiting_suppliers_topk_and_bounded_shuffles(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_waiting_suppliers"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # Final top-10 must be TakeOrderedAndProject (distributed partial
+    # top-k), and the agg-rejoin formulation keeps the shuffle count far
+    # below the classic 4-self-join EXISTS/NOT EXISTS transcription.
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 6, plan
+
+
+def test_rolling_distinct_broadcasts_day_spine(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_rolling_distinct"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # The band join fans pairs over the tiny day spine: broadcast
+    # nested-loop against the spine, never a shuffled cartesian.
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_pairs_plans_take_ordered_topk(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_bpe_pairs"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    # The adjacency window partitions per document — never a global sort.
+    assert "Window" in plan, plan
+
+
+def test_sentences_is_single_pass_arrow_no_shuffle(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str, read_schema_columns
+
+    df = QUERIES["q_sentences"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # Pure per-row Python kernel: Arrow-batched MapInPandas, zero
+    # exchanges, and the scan reads only (doc_id, text).
+    assert "MapInPandas" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    (cols,) = read_schema_columns(df)
+    assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_gram_matrix_single_fact_shuffle(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_gram_matrix"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # Self-join on vec_id (co-partitioned or broadcast) + the (i, j)
+    # reduce whose key space is d^2 — bounded regardless of corpus size.
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "CartesianProduct" not in plan, plan
