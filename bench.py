@@ -42,6 +42,12 @@ HEADLINE = [
     "q_multi_rollup",      # hierarchical time rollup (minute->hour->day)
     "q_repetition",        # LLM pipeline: intra-doc repetition gate
     "q_rp_lsh",            # LLM pipeline: SRP cosine LSH candidates
+    "q_disjunctive_join",  # TPC-H Q19 shape: OR-of-ANDs pushdown
+    "q_waiting_suppliers",  # TPC-H Q21 shape: agg-rejoin double-exists
+    "q_countmin",          # count-min sketch build + heavy-hitter probe
+    "q_gram_matrix",       # X^T X reduction over embeddings
+    "q_rolling_distinct",  # sliding 7-day DISTINCT (spine band join)
+    "q_bpe_pairs",         # BPE adjacent-pair frequencies
 ]
 
 

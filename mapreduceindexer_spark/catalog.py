@@ -3864,3 +3864,70 @@ def q_sentences(spark, sf_dir):
         split_sentences,
         "doc_id bigint, sent_idx bigint, n_sent_chars bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: portable-hash distributed sketch, fully oracle-replayed
+# ---------------------------------------------------------------------------
+
+_CM_D, _CM_W, _CM_PROBES = 4, 256, 10
+
+
+def _sql_countmin() -> str:
+    h = _sql_hash60("term", "i")
+    return f"""WITH t AS ({SQL_TERMS}),
+       tf AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term),
+       ix AS (SELECT unnest(range({_CM_D})) AS i),
+       b AS (SELECT term, cnt, i, {h} % {_CM_W} AS bucket
+             FROM tf CROSS JOIN ix),
+       counters AS (SELECT i, bucket, SUM(cnt) AS c FROM b GROUP BY i, bucket),
+       probes AS (SELECT term, cnt FROM tf
+                  ORDER BY cnt DESC, term ASC LIMIT {_CM_PROBES}),
+       pb AS (SELECT term, cnt, i, {h} % {_CM_W} AS bucket
+              FROM probes CROSS JOIN ix)
+       SELECT pb.term, CAST(pb.cnt AS BIGINT) AS true_cnt,
+              CAST(MIN(c.c) AS BIGINT) AS cm_est
+       FROM pb JOIN counters c ON pb.i = c.i AND pb.bucket = c.bucket
+       GROUP BY pb.term, pb.cnt"""
+
+
+@register("q_countmin", _sql_countmin())
+def q_countmin(spark, sf_dir):
+    """Count-min sketch over corpus term occurrences — the mergeable
+    sketch behind heavy-hitter monitoring on streams too large to count
+    exactly. Build: d x w counters (d=4 rows, w=256 buckets), each
+    counter the sum of occurrence counts hashing into it — one hash
+    aggregate whose key space is d*w regardless of corpus size (the
+    defining property: partial sketches from every partition merge by
+    addition). Probe: the top-10 true heavy hitters are estimated by
+    min-over-rows; joined against the tiny counter table by broadcast.
+    The portable md5 hash60 makes every bucket decision — and therefore
+    every collision and every overestimate — bit-reproducible in the
+    DuckDB oracle; production swaps hash60(fast=True) (xxhash64) for ~5x
+    cheaper hashing with identical structure."""
+    from mapreduceindexer_spark.functions.hashing import hash60
+    from mapreduceindexer_spark.functions.text import tokens_normalized
+
+    tf = (
+        tokens_normalized(_docs(spark, sf_dir))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ix_arr = F.array([F.lit(i) for i in range(_CM_D)])
+
+    def with_buckets(df):
+        return df.select(
+            "term", "cnt", F.explode(ix_arr).alias("i")
+        ).withColumn("bucket", hash60(F.col("term"), F.col("i")) % _CM_W)
+
+    counters = (
+        with_buckets(tf).groupBy("i", "bucket").agg(F.sum("cnt").alias("c"))
+    )
+    probes = tf.orderBy(F.desc("cnt"), F.asc("term")).limit(_CM_PROBES)
+    return (
+        with_buckets(probes)
+        .join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("term", "cnt")
+        .agg(F.min("c").cast("bigint").alias("cm_est"))
+        .select("term", F.col("cnt").cast("bigint").alias("true_cnt"), "cm_est")
+    )

@@ -393,3 +393,16 @@ def test_gram_matrix_single_fact_shuffle(spark):
     # reduce whose key space is d^2 — bounded regardless of corpus size.
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_countmin_probe_broadcasts_counters(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_countmin"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # The sketch is d*w rows regardless of corpus size — the probe joins
+    # it by broadcast; the heavy-hitter probe itself is a distributed
+    # top-k, never a global sort.
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
