@@ -48,6 +48,9 @@ HEADLINE = [
     "q_gram_matrix",       # X^T X reduction over embeddings
     "q_rolling_distinct",  # sliding 7-day DISTINCT (spine band join)
     "q_bpe_pairs",         # BPE adjacent-pair frequencies
+    "q_hll",               # HyperLogLog distinct sketch (bit-replayed)
+    "q_bloom",             # Bloom-filter membership with FP audit
+    "q_priority_late",     # TPC-H Q4 shape: correlated-EXISTS semi join
 ]
 
 

@@ -406,3 +406,52 @@ def test_countmin_probe_broadcasts_counters(spark):
     # top-k, never a global sort.
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hll_register_aggregate_is_bounded(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_hll"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # The sketch reduces to a 256-key register table, then two scalar
+    # aggregates joined 1x1 — no cartesian blowup, no Python in the path.
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bloom_probe_broadcasts_bits(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_bloom"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # The bit array (<= 8192 rows) and the probe-hit table broadcast; the
+    # corpus itself is never shuffled by the membership test.
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # top-N probes, no global sort
+
+
+def test_priority_late_is_semi_join_with_pushdown(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str, pushed_filters
+
+    df = QUERIES["q_priority_late"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "LeftSemi" in plan, plan
+    pf = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pf, pf  # year window reaches the orders scan
+
+
+def test_linestatus_priority_pushes_shipdate(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import pushed_filters, read_schema_columns
+
+    df = QUERIES["q_linestatus_priority"][0](spark, SF_SMOKE)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf, pf
+    schemas = read_schema_columns(df)
+    # lineitem scan reads only join key, group key, and the pushed date.
+    assert any(
+        set(c) <= {"l_orderkey", "l_linestatus", "l_shipdate"} for c in schemas
+    ), schemas
