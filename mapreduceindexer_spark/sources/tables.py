@@ -41,8 +41,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB applies, keeping oracle comparisons bit-identical.
     """
     df = _read_parquet_nanos_safe(spark, os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+            # TIMESTAMP_NTZ, which unix_micros()/window() reject. Session tz
+            # is pinned UTC, so this cast is a wall-clock-preserving
+            # reinterpretation — identical instants to the DuckDB oracle.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
