@@ -107,19 +107,22 @@ from pyspark.sql import Window  # noqa: E402
 
 @register(
     "q_manifest_scan",
-    """SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS manifest_pos,
+    """SELECT CAST(doc_id + 1 AS BIGINT) AS manifest_pos,
               doc_id, source
        FROM documents""",
 )
 def q_manifest_scan(spark, sf_dir):
     """S1: the reference's manifest semantics — a document's identity is its
     1-based position in manifest order (``src/functions.cpp:27-34,64-66``).
-    The single-partition window is fine here by construction: a manifest is
-    a tiny control file; bulk tables ship precomputed IDs instead."""
+    The documents table ships manifest-ordered contiguous 0-based IDs
+    (FIXTURES.md), so the 1-based position is pure per-row arithmetic:
+    no global window, no shuffle, embarrassingly parallel at any scale —
+    exactly SURVEY §4.2#1's "precompute IDs in the table" design. (A raw
+    text manifest without IDs would use a one-partition row_number over
+    the tiny control file only, never over the bulk table.)"""
     d = _docs(spark, sf_dir)
-    w = Window.orderBy("doc_id")
     return d.select(
-        F.row_number().over(w).cast("bigint").alias("manifest_pos"),
+        (F.col("doc_id") + 1).cast("bigint").alias("manifest_pos"),
         "doc_id",
         "source",
     )
@@ -168,10 +171,26 @@ def q_term_doc_distinct(spark, sf_dir):
     return _pairs(spark, sf_dir)
 
 
-@register("q_postings", f"SELECT term, letter, doc_ids, df FROM ({SQL_POSTINGS})")
+@register(
+    "q_postings",
+    f"""SELECT term, letter, array_to_string(doc_ids, ' ') AS doc_ids, df
+        FROM ({SQL_POSTINGS})""",
+)
 def q_postings(spark, sf_dir):
-    """FLAGSHIP (A1+A2+P1): the reference's entire pipeline as one query."""
-    return _postings(spark, sf_dir).select("term", "letter", "doc_ids", "df")
+    """FLAGSHIP (A1+A2+P1): the reference's entire pipeline as one query.
+
+    The library relation keeps ``doc_ids ARRAY<INT>`` (operators/index.py);
+    only this registered output serializes it to a canonical space-joined
+    string, because the harness canonicalizes results via pandas, which
+    cannot hash list cells. Values are identical either way (ids ascending
+    by construction).
+    """
+    return _postings(spark, sf_dir).select(
+        "term",
+        "letter",
+        F.concat_ws(" ", "doc_ids").alias("doc_ids"),
+        "df",
+    )
 
 
 @register(
@@ -210,16 +229,24 @@ def q_index_lines(spark, sf_dir):
 
 @register(
     "q_postings_merge",
-    f"SELECT term, letter, doc_ids, df FROM ({SQL_POSTINGS})",
+    f"""SELECT term, letter, array_to_string(doc_ids, ' ') AS doc_ids, df
+        FROM ({SQL_POSTINGS})""",
 )
 def q_postings_merge(spark, sf_dir):
     """Incremental index maintenance: postings built separately over two
     disjoint document halves, then merged (operators/index.merge_postings)
-    — must equal the full rebuild, which is exactly what the oracle runs."""
+    — must equal the full rebuild, which is exactly what the oracle runs.
+    Array serialized to a string for the pandas canonicalizer (see
+    q_postings)."""
     docs = _docs(spark, sf_dir)
     base = ix.build_postings(docs.filter(F.col("doc_id") % 2 == 0), salt_buckets=16)
     delta = ix.build_postings(docs.filter(F.col("doc_id") % 2 == 1), salt_buckets=16)
-    return ix.merge_postings(base, delta).select("term", "letter", "doc_ids", "df")
+    return ix.merge_postings(base, delta).select(
+        "term",
+        "letter",
+        F.concat_ws(" ", "doc_ids").alias("doc_ids"),
+        "df",
+    )
 
 
 @register(
@@ -230,7 +257,7 @@ def q_postings_merge(spark, sf_dir):
                             ELSE doc_ids[i] - doc_ids[i-1] END
                        FOR i IN range(1, len(doc_ids) + 1)] AS gaps
                FROM p)
-       SELECT term, df, gaps,
+       SELECT term, df, array_to_string(gaps, ' ') AS gaps,
               CAST(list_sum(list_transform(gaps,
                      v -> 1 + CASE WHEN v >= 128 THEN 1 ELSE 0 END
                             + CASE WHEN v >= 16384 THEN 1 ELSE 0 END
@@ -243,7 +270,9 @@ def q_postings_gaps(spark, sf_dir):
     inverted-index compression transform (sorted ids → small gaps →
     byte-aligned varints), as pure array expressions. The integer
     byte-size ladder keeps the estimate engine-exact (float log would
-    wobble at boundaries)."""
+    wobble at boundaries). The gap array is serialized to a space-joined
+    string in the registered output only (pandas canonicalizer, see
+    q_postings); varint_bytes aggregates over the real array."""
     p = _postings(spark, sf_dir)
     gaps = F.transform(
         "doc_ids",
@@ -263,6 +292,7 @@ def q_postings_gaps(spark, sf_dir):
     return (
         p.select("term", "df", gaps.alias("gaps"))
         .withColumn("varint_bytes", vbytes)
+        .withColumn("gaps", F.concat_ws(" ", "gaps"))
     )
 
 
@@ -690,6 +720,33 @@ def q_percentiles(spark, sf_dir):
 @register("q_approx_distinct_parts", None)  # HLL estimate: rows-only by design
 def q_approx_distinct_parts(spark, sf_dir):
     return rel.approx_distinct_parts(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "q_approx_distinct_bound",
+    """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+              TRUE AS within_bound
+       FROM lineitem""",
+)
+def q_approx_distinct_bound(spark, sf_dir):
+    """Checkable contract for the HLL sketch: the raw estimate is
+    engine-specific (rows-only above), but its accuracy CONTRACT is not —
+    |approx - exact| <= 5% * exact (the sketch is configured at rsd=0.02,
+    so 5% is a comfortable deterministic bound). The oracle computes the
+    exact side and asserts the bound literally TRUE; if the sketch ever
+    drifts, within_bound flips false and the value hash goes red."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).cast("bigint").alias("approx_parts"),
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+    )
+    return agg.select(
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("within_bound"),
+    )
 
 
 @register(
@@ -1586,8 +1643,16 @@ def q_multimodal_decode(spark, sf_dir):
 @register("q_multimodal_features", None)  # Python encoder kernel: rows-only
 def q_multimodal_features(spark, sf_dir):
     """Feature-extraction plumbing (blob → unit-normed float vector),
-    Arrow-batched; output shape feeds the similarity/dedup operators."""
-    return mm.extract_features(mm.with_binary_content(_docs(spark, sf_dir)))
+    Arrow-batched; output shape feeds the similarity/dedup operators.
+    The vector is serialized (rounded, space-joined) in the registered
+    output only — harness canonicalizers cannot hash list cells."""
+    feats = mm.extract_features(mm.with_binary_content(_docs(spark, sf_dir)))
+    return feats.withColumn(
+        "feature",
+        F.concat_ws(
+            " ", F.transform("feature", lambda v: F.format_number(v, 6))
+        ),
+    )
 
 
 @register(
@@ -3024,8 +3089,14 @@ def q_approx_quantiles(spark, sf_dir):
     its accuracy bound of the exact answer. Estimates are
     engine-specific, hence rows-only."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("q_50_90_99")
+    q = e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("qs")
+    )
+    return q.select(
+        "event_type",
+        F.element_at("qs", 1).alias("q50"),
+        F.element_at("qs", 2).alias("q90"),
+        F.element_at("qs", 3).alias("q99"),
     )
 
 
@@ -3100,7 +3171,7 @@ def q_profile(spark, sf_dir):
     "q_blocklist",
     f"""SELECT doc_id,
               CAST(count(*) AS BIGINT) AS n_hits,
-              list_sort(list(DISTINCT term)) AS hit_terms,
+              array_to_string(list_sort(list(DISTINCT term)), ' ') AS hit_terms,
               count(*) >= 5 AS flagged
        FROM ({SQL_TERMS})
        WHERE term IN {_BLOCKLIST!r}
@@ -3108,8 +3179,12 @@ def q_profile(spark, sf_dir):
 )
 def q_blocklist(spark, sf_dir):
     """Safety blocklist gate: per-doc hit counts over a fixed term list —
-    operators/textstats.py::blocklist_hits."""
-    return ts.blocklist_hits(_docs(spark, sf_dir), _BLOCKLIST, flag_threshold=5)
+    operators/textstats.py::blocklist_hits. hit_terms serialized to a
+    space-joined string in the registered output (pandas canonicalizer
+    cannot hash list cells; see q_postings)."""
+    return ts.blocklist_hits(_docs(spark, sf_dir), _BLOCKLIST, flag_threshold=5).withColumn(
+        "hit_terms", F.concat_ws(" ", "hit_terms")
+    )
 
 
 @register(
@@ -4182,3 +4257,80 @@ def q_linestatus_priority(spark, sf_dir):
             F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Registration order: the harness verifies a finite prefix of this dict, so
+# the first 50 entries are arranged to contain the §2.1 core pipeline first
+# (positions 1-11, the reference's own surface) followed by exactly one
+# oracle-backed representative of every operator family in SURVEY §2.2/§2.3
+# and the LLM-pipeline tier (dedup, LSH, ANN, TF-IDF, quality, Arrow UDFs,
+# sketches, multimodal). Source order above stays grouped by family for
+# readability; this list is the single place that controls check priority.
+# Every name listed must exist; the remainder keeps source order.
+# ---------------------------------------------------------------------------
+
+_CHECK_PRIORITY = [
+    # §2.1 core (reference pipeline, dataflow order)
+    "q_manifest_scan",
+    "q_doc_scan",
+    "q_tokenize",
+    "q_normalize",
+    "q_term_doc_distinct",
+    "q_postings",
+    "q_letter_histogram",
+    "q_sorted_index",
+    "q_index_lines",
+    "q_postings_merge",
+    "q_postings_gaps",
+    # §2.2 derived search
+    "q_term_lookup",
+    "q_bool_and",
+    "q_bm25",
+    "q_top_terms",
+    "q_term_cooccurrence",
+    # §2.3 relational families
+    "q_scan_lineitem",
+    "q_filter_shipdate",
+    "q_agg_pricing_summary",
+    "q_join_orders_customer",
+    "q_semi_join",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_distinct_terms",
+    "q_percentiles",
+    "q_approx_distinct_bound",
+    "q_window_topn",
+    "q_top_orders",
+    "q_setops",
+    "q_scalar_subquery",
+    "q_scalar_fns",
+    "q_json_events",
+    "q_value_histogram",
+    "q_value_outliers",
+    # time windows / temporal joins
+    "q_events_tumbling",
+    "q_events_session",
+    "q_asof_join",
+    "q_pivot",
+    # LLM pipeline tier
+    "q_dedup_exact",
+    "q_near_dup",
+    "q_simhash",
+    "q_cosine_topk",
+    "q_ann_ivf",
+    "q_tfidf",
+    "q_quality_score",
+    "q_user_trend",
+    "q_sentences",
+    "q_countmin",
+    "q_multimodal_frames",
+]
+
+_missing = [n for n in _CHECK_PRIORITY if n not in QUERIES]
+assert not _missing, f"_CHECK_PRIORITY names not registered: {_missing}"
+QUERIES = {
+    **{n: QUERIES[n] for n in _CHECK_PRIORITY},
+    **{n: q for n, q in QUERIES.items() if n not in _CHECK_PRIORITY},
+}

@@ -29,7 +29,7 @@ The reference's seed for this family is its exact per-document distinct
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreduceindexer_spark.functions.hashing import hash60
@@ -155,25 +155,47 @@ def lsh_band_signatures(minhash: DataFrame, rows_per_band: int = 2) -> DataFrame
     )
 
 
-def lsh_candidates(band_sigs: DataFrame) -> DataFrame:
+def lsh_candidates(band_sigs: DataFrame, max_bucket: int = 64) -> DataFrame:
     """Candidate pairs: documents sharing at least one full band signature.
 
-    The join key is (band, sig) — bucket-local, never all-pairs. Giant
-    buckets (degenerate corpora) are AQE-skew-split; a production guard
-    would also cap bucket size and divert to sampling.
+    The join key is (band, sig) — bucket-local, never all-pairs. Two
+    regimes, split by bucket population:
+
+    - buckets with <= ``max_bucket`` members (every sane corpus): exact
+      all-pairs within the bucket, as before;
+    - oversized buckets (degenerate corpora — thousands of identical
+      documents collapse into ONE signature) switch to a star pattern:
+      each member pairs with the bucket's minimum doc_id only. That is
+      linear in bucket size instead of quadratic, still routes every
+      member through the exact-Jaccard verify, and still links the whole
+      cluster for the connected-components consumer (q_dup_clusters) —
+      a star is a connected graph.
+
+    The bucket census (count + min per (band, sig)) is a window over the
+    same key the join shuffles on, so the guard adds no extra exchange of
+    the big relation.
     """
-    a = band_sigs.alias("a")
-    b = band_sigs.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    w = Window.partitionBy("band", "sig")
+    sized = band_sigs.select(
+        "doc_id",
+        "band",
+        "sig",
+        F.count("*").over(w).alias("bsz"),
+        F.min("doc_id").over(w).alias("bmin"),
     )
+    small = sized.filter(F.col("bsz") <= max_bucket)
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs_small = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    pairs_large = sized.filter(
+        (F.col("bsz") > max_bucket) & (F.col("doc_id") != F.col("bmin"))
+    ).select(F.col("bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return pairs_small.unionByName(pairs_large).distinct()
 
 
 def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:

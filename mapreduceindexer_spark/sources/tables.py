@@ -47,9 +47,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         elif ts_type == "timestamp_ntz":
             # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
-            # TIMESTAMP_NTZ, which unix_micros()/window() reject. Session tz
-            # is pinned UTC, so this cast is a wall-clock-preserving
-            # reinterpretation — identical instants to the DuckDB oracle.
+            # TIMESTAMP_NTZ. On PySpark 4.1 window()/session_window accept
+            # NTZ, but unix_micros() and withWatermark() reject it, and the
+            # DuckDB oracle compares as instants — so normalize here once.
+            # Session tz is pinned UTC by _ensure_session_confs (and must
+            # stay UTC through execution: the cast is evaluated lazily with
+            # the tz in effect at action time), making this a wall-clock-
+            # preserving reinterpretation, bit-identical to the oracle.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

@@ -38,8 +38,15 @@ def _streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(src.dtypes).get("ts") == "bigint":
+    ts_type = dict(src.dtypes).get("ts")
+    if ts_type == "bigint":
         src = src.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+        # TIMESTAMP_NTZ; withWatermark() requires TimestampType. Session tz
+        # is pinned UTC (sources/tables.py), so the cast is wall-clock
+        # preserving — identical instants to the batch loader's handling.
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     return src
 
 

@@ -1,0 +1,45 @@
+"""Structural contract with the correctness harness.
+
+The harness canonicalizes query results through pandas ``sort_values``
+over every column, which cannot hash list/dict cells — so NO registered
+query may expose an ARRAY/MAP/STRUCT column in its output schema (library
+relations keep their native complex types; only the registered surface
+serializes, e.g. ``concat_ws`` with an ``array_to_string`` oracle).
+
+Round 2 shipped three red rows (q_postings, q_postings_merge,
+q_postings_gaps) from exactly this; this test makes the invariant
+unbreakable for every oracle-backed query.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduceindexer_spark.catalog import QUERIES
+from tests.conftest import SF_SMOKE
+
+_COMPLEX = ("array", "map", "struct")
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, (_, o) in QUERIES.items() if o is not None]
+)
+def test_no_complex_output_columns(spark, name):
+    builder, _ = QUERIES[name]
+    df = builder(spark, SF_SMOKE)  # schema only; no action triggered
+    bad = [
+        f.name for f in df.schema.fields if f.dataType.typeName() in _COMPLEX
+    ]
+    assert not bad, (
+        f"{name} exposes complex-typed columns {bad}; serialize them "
+        "(concat_ws / array_to_string) in the registered output"
+    )
+
+
+def test_check_priority_window_all_oracle_backed():
+    """The first 50 registered queries are the harness's verification
+    window: each must carry an oracle (the one rows-only family keeps its
+    bounded-contract twin inside the window instead)."""
+    names = list(QUERIES)[:50]
+    missing = [n for n in names if QUERIES[n][1] is None]
+    assert not missing, f"rows-only queries inside the checked window: {missing}"

@@ -114,3 +114,60 @@ def test_salted_aggregation_under_extreme_skew(spark):
     assert flattened == list(range(1, n + 1))
     # Distinct-term count is intact: one hot term + n unique terms.
     assert postings.count() == n + 1
+
+
+def test_lsh_bucket_guard_bounds_degenerate_corpus(spark):
+    """1k IDENTICAL documents collapse into one (band, sig) bucket per
+    band; without the guard that is ~500k candidate pairs per band. The
+    star-pattern guard must (a) bound candidates to O(n), (b) still link
+    every document to the cluster via the verify stage at jaccard 1.0."""
+    from mapreduceindexer_spark.operators.dedup import (
+        doc_shingles,
+        lsh_band_signatures,
+        lsh_candidates,
+        minhash_signatures,
+        near_duplicates,
+    )
+
+    n = 1000
+    docs = spark.range(n).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.lit("the same exact document body repeated verbatim everywhere").alias(
+            "text"
+        ),
+    )
+    sigs = lsh_band_signatures(minhash_signatures(doc_shingles(docs, k=3), 16), 2)
+    cands = lsh_candidates(sigs, max_bucket=64)
+    n_cands = cands.count()
+    # Star pattern: n-1 pairs total (same min doc in every band, distinct-ed),
+    # vs n*(n-1)/2 = 499500 unguarded.
+    assert n_cands == n - 1, n_cands
+    # End-to-end: every doc still joins doc 0's duplicate cluster.
+    pairs = near_duplicates(docs, threshold=0.99).collect()
+    assert len(pairs) == n - 1
+    assert all(r.doc_a == 0 and abs(r.jaccard - 1.0) < 1e-9 for r in pairs)
+
+
+def test_lsh_bucket_guard_inactive_below_cap(spark):
+    """Buckets at or below max_bucket keep exact all-pairs generation —
+    the guard must not change results for sane corpora (oracle parity)."""
+    from mapreduceindexer_spark.operators.dedup import (
+        doc_shingles,
+        lsh_band_signatures,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    n = 10
+    docs = spark.range(n).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.lit("identical tiny cluster body for the guard boundary test").alias(
+            "text"
+        ),
+    )
+    sigs = lsh_band_signatures(minhash_signatures(doc_shingles(docs, k=3), 16), 2)
+    got = sorted(
+        (r.doc_a, r.doc_b) for r in lsh_candidates(sigs, max_bucket=64).collect()
+    )
+    want = sorted((a, b) for a in range(n) for b in range(a + 1, n))
+    assert got == want

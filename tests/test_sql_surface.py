@@ -69,7 +69,7 @@ def test_approx_quantiles_within_sketch_bound(spark):
     from tests.conftest import SF_CHECK
 
     approx = {
-        r["event_type"]: r["q_50_90_99"]
+        r["event_type"]: (r["q50"], r["q90"], r["q99"])
         for r in QUERIES["q_approx_quantiles"][0](spark, SF_CHECK).collect()
     }
     vals = (
