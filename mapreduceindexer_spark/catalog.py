@@ -3580,23 +3580,22 @@ def q_waiting_suppliers(spark, sf_dir):
             ).alias("late"),
         )
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late"
-        ),
+    # One pass: collapse lines to (order, supplier, any-late), then a
+    # window over the order gives both counts — no second lineitem scan,
+    # no agg-rejoin. max(late) per (order, supp) ≡ COUNT(DISTINCT CASE
+    # WHEN late THEN suppkey) counting a supplier once if ANY line is
+    # late; the window shuffles only the tiny per-(order, supp) relation.
+    os_rel = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
     )
-    blamed = (
-        li.filter(F.col("late"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .join(
-            per_order.filter(
-                (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
-            ),
-            "l_orderkey",
-        )
-    )
+    w_ord = Window.partitionBy("l_orderkey")
+    blamed = os_rel.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count("*").over(w_ord).alias("n_supp"),
+        F.sum(F.col("late").cast("int")).over(w_ord).alias("n_late"),
+    ).filter(F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     s = _t(spark, sf_dir, "supplier")
     return (
         blamed.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))

@@ -340,10 +340,13 @@ def test_waiting_suppliers_topk_and_bounded_shuffles(spark):
     df = QUERIES["q_waiting_suppliers"][0](spark, SF_SMOKE)
     plan = explain_str(df, "simple")
     # Final top-10 must be TakeOrderedAndProject (distributed partial
-    # top-k), and the agg-rejoin formulation keeps the shuffle count far
-    # below the classic 4-self-join EXISTS/NOT EXISTS transcription.
+    # top-k). The single-pass formulation (per-(order, supp) agg + window
+    # over order) reads lineitem ONCE and needs only three hash exchanges
+    # ((order, supp) agg, order window, s_name agg) vs the classic
+    # 4-self-join EXISTS/NOT EXISTS transcription.
     assert "TakeOrderedAndProject" in plan, plan
-    assert plan.count("Exchange hashpartitioning") <= 6, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert plan.count("lineitem.parquet") == 1, plan
 
 
 def test_rolling_distinct_broadcasts_day_spine(spark):
