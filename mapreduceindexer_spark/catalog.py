@@ -4081,27 +4081,32 @@ def q_hll(spark, sf_dir):
     rho = F.when(w == 0, F.lit(53)).otherwise(
         F.instr(F.lpad(F.bin(w), 52, "0"), "1")
     )
+    # ONE pass over the distinct relation: per-bucket max(rho) builds the
+    # registers AND per-bucket count(*) sums to the exact distinct count
+    # (buckets partition the value space), so the truth side needs no
+    # second scan/distinct/crossJoin — it rides the same 256-row agg.
     r = hh.select((F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho")).groupBy(
         "bucket"
-    ).agg(F.max("rho").alias("rho"))
+    ).agg(F.max("rho").alias("rho"), F.count("*").alias("n_vals"))
     spine = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
     reg = spine.join(r, "bucket", "left").select(
-        F.coalesce("rho", F.lit(0)).alias("rho")
+        F.coalesce("rho", F.lit(0)).alias("rho"),
+        F.coalesce("n_vals", F.lit(0)).alias("n_vals"),
     )
     agg = reg.agg(
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - rho)")).alias("s_scaled"),
         F.sum(F.when(F.col("rho") > 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_nonempty"),
+        F.sum("n_vals").cast("bigint").alias("true_distinct"),
     )
-    truth = t.agg(F.count("*").alias("true_distinct"))
     raw = F.lit(_HLL_CONST) / F.col("s_scaled")
     n_empty = F.lit(_HLL_M) - F.col("n_nonempty")
     est = F.when(
         (raw <= 2.5 * _HLL_M) & (n_empty > 0),
         F.round(F.lit(_HLL_M) * F.log(F.lit(_HLL_M) / n_empty.cast("double"))),
     ).otherwise(F.round(raw))
-    return agg.crossJoin(truth).select(
+    return agg.select(
         F.lit(_HLL_M).cast("bigint").alias("m"),
         "n_nonempty",
         "s_scaled",
@@ -4206,11 +4211,18 @@ def q_priority_late(spark, sf_dir):
     filter prunes orders before the join; the semi join stops at the first
     matching line per order, so the probe side never expands — at scale
     this is one shuffle on orderkey with AQE free to pick broadcast when
-    the filtered year is small."""
+    the filtered year is small.
+
+    The orders-side year bound implies l_shipdate > 1997-01-01 + 60d on
+    any line that can satisfy the EXISTS — a transitive predicate Catalyst
+    cannot derive across the non-equi join condition, so it is stated
+    explicitly and lands in the lineitem scan's PushedFilters (pinned in
+    tests/test_plans.py). At 100 TB with date-partitioned lineitem this is
+    the difference between scanning ~1.5 years and scanning everything."""
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
     )
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-03-02")
     late = orders.join(
         li,
         (orders.o_orderkey == li.l_orderkey)

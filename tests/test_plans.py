@@ -458,3 +458,16 @@ def test_linestatus_priority_pushes_shipdate(spark):
     assert any(
         set(c) <= {"l_orderkey", "l_linestatus", "l_shipdate"} for c in schemas
     ), schemas
+
+
+def test_priority_late_derived_shipdate_pushdown(spark):
+    """Q4 shape: the orders-side year bound implies a lineitem shipdate
+    lower bound across the non-equi EXISTS condition; the query states it
+    explicitly and it must land in the lineitem scan's PushedFilters."""
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import pushed_filters
+
+    df = QUERIES["q_priority_late"][0](spark, SF_SMOKE)
+    pf = [" ".join(p) for p in (pushed_filters(df),)]
+    all_pf = pf[0]
+    assert "l_shipdate" in all_pf and "GreaterThan" in all_pf, all_pf
