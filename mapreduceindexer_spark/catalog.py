@@ -4270,6 +4270,84 @@ def q_linestatus_priority(spark, sf_dir):
     )
 
 
+ANN_BATCH_PROBES = (20, 21, 22, 23)
+
+
+@register(
+    "q_ann_batch",
+    f"""WITH e AS ({SQL_EMB}),
+         c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+         d AS (SELECT e.vec_id, c.centroid_id,
+                      ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+                                                    z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+               FROM e, c),
+         assign AS (SELECT vec_id, centroid_id AS cell
+                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY d2 ASC, centroid_id ASC) AS rn
+                          FROM d)
+                    WHERE rn = 1),
+         probes AS (SELECT e.vec_id AS probe_id, e.v AS pv, a.cell AS probe_cell
+                    FROM e JOIN assign a ON e.vec_id = a.vec_id
+                    WHERE e.vec_id IN {ANN_BATCH_PROBES}),
+         scored AS (SELECT p.probe_id, e.vec_id,
+                           ROUND({SQL_COS.format(a='e.v', b='p.pv')}, 6) AS cos_sim
+                    FROM e
+                    JOIN assign ON e.vec_id = assign.vec_id
+                    JOIN probes p ON assign.cell = p.probe_cell
+                    WHERE e.vec_id <> p.probe_id)
+       SELECT probe_id, vec_id, cos_sim,
+              CAST(row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rn
+       FROM scored QUALIFY rn <= 5""",
+)
+def q_ann_batch(spark, sf_dir):
+    """Batched IVF ANN: top-5 per probe for a 4-probe batch sharing ONE
+    corpus scan/assignment — operators/similarity.py::ann_batch_topk (the
+    embedding-search-service shape; single-probe twin is q_ann_ivf)."""
+    return sim.ann_batch_topk(
+        _t(spark, sf_dir, "embeddings"), list(ANN_BATCH_PROBES), k=5, n_centroids=8
+    )
+
+
+@register(
+    "q_lm_score",
+    r"""WITH tkl AS (
+         SELECT doc_id,
+                list_filter(list_transform(string_split_regex(text, '\s+'),
+                    t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))),
+                    t -> t <> '') AS tk
+         FROM documents),
+       bg AS (
+         SELECT doc_id,
+                unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS g
+         FROM tkl WHERE len(tk) >= 2),
+       cab AS (SELECT g, COUNT(*) AS c_ab FROM bg GROUP BY g),
+       ca AS (SELECT split_part(g, ' ', 1) AS a, COUNT(*) AS c_a
+              FROM bg GROUP BY 1),
+       v AS (SELECT COUNT(DISTINCT term) AS v
+             FROM (SELECT unnest(tk) AS term FROM tkl) u),
+       scored AS (
+         SELECT bg.doc_id,
+                ((cab.c_ab + 1) * 1000000000000) // (ca.c_a + v.v) AS sp
+         FROM bg
+         JOIN cab USING (g)
+         JOIN ca ON split_part(bg.g, ' ', 1) = ca.a
+         CROSS JOIN v)
+       SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              CAST(SUM(sp) AS BIGINT) AS sum_scaled_p,
+              ROUND(CAST(SUM(sp) AS DOUBLE) / COUNT(*) / 1000000000000.0, 9)
+                AS avg_p
+       FROM scored GROUP BY doc_id""",
+)
+def q_lm_score(spark, sf_dir):
+    """Bigram-LM quality scoring (perplexity-filter shape) —
+    operators/textstats.py::lm_score. Probabilities are exact scaled
+    integers so the oracle replays the model bit-for-bit; see the
+    operator docstring for the determinism contract."""
+    return ts.lm_score(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the harness verifies a finite prefix of this dict, so
 # the first 50 entries are arranged to contain the §2.1 core pipeline first

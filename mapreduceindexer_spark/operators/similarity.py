@@ -372,3 +372,59 @@ def srp_candidate_pairs(embeddings: DataFrame, n_bits: int = 8) -> DataFrame:
             F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
         )
     )
+
+
+def ann_batch_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """Batched IVF ANN: top-k per probe for a whole SET of probe vectors in
+    one plan — the embedding-search-service shape (N queries against one
+    corpus scan), vs the single-probe ``ivf_topk``.
+
+    Plan: centroids once; full-corpus cell assignment ONCE (one
+    broadcast-crossJoin + per-vector argmin window); the probe set's own
+    assignment runs on just the probe rows (tiny). Probes then broadcast
+    against the assigned corpus on ``cell == probe_cell`` — one
+    broadcast-hash join fans every probe's candidate cell out of the same
+    scan, so adding probes adds join output, never corpus passes. Top-k
+    is a window partitioned BY PROBE (each partition = one cell's
+    candidates, bounded by cell population — no global funnel).
+
+    At 100 TB: assignments are precomputed and bucketed by cell; the
+    probe join prunes to the probed buckets; the per-probe window is
+    unchanged. Probe batches beyond broadcast size shuffle on cell
+    instead — same shape, same single corpus pass.
+    """
+    centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    cells = assign_to_centroids(embeddings, centroids)
+    probe_emb = embeddings.filter(F.col("vec_id").isin(list(probe_ids)))
+    probe_cells = assign_to_centroids(probe_emb, centroids)
+    probes = probe_emb.join(probe_cells, "vec_id").select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("cell").alias("probe_cell"),
+    )
+    scored = (
+        embeddings.join(cells, "vec_id")
+        .join(F.broadcast(probes), F.col("cell") == F.col("probe_cell"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_similarity("embedding", "probe_vec"), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return scored.withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rn") <= k)

@@ -280,3 +280,58 @@ def blocklist_hits(
         F.sort_array(F.collect_set("term")).alias("hit_terms"),
         (n >= flag_threshold).alias("flagged"),
     )
+
+
+def lm_score(docs: DataFrame) -> DataFrame:
+    """Bigram language-model quality gate — the perplexity-style filter a
+    curation pipeline runs to drop garbled/boilerplate text (CCNet-shape:
+    score each document under a corpus-trained n-gram LM).
+
+    Model: add-one-smoothed bigram probabilities p(b|a) = (c_ab + 1) /
+    (c_a + V) trained on the corpus itself (at production scale the counts
+    come from a held-out reference corpus — same plan, different input).
+
+    Determinism contract: every probability is materialized as the exact
+    integer floor((c_ab+1) · 10^12 / (c_a+V)) — pure int64 arithmetic both
+    engines replay bit-for-bit — summed exactly as BIGINT per document;
+    the reported avg divides the exact sum by exact counts in one IEEE
+    double expression. No float accumulates across rows anywhere.
+    (int64 headroom: overflows only when a single bigram exceeds ~9·10^6
+    occurrences; a 100 TB run scales the factor down or uses DECIMAL(38).)
+
+    Plan: bigrams are a narrow per-row construction (doc_2grams); the
+    model is two hash aggregates (bigram counts, predecessor counts); the
+    scoring join shuffles on the bigram string then the predecessor token;
+    V is a single-row broadcast. At scale both count relations are far
+    smaller than the corpus and the joins are plain equi-joins — no
+    windows, no Python.
+    """
+    bg = doc_2grams(docs)
+    cab = bg.groupBy("g").agg(F.count("*").alias("c_ab"))
+    a_of_g = F.substring_index("g", " ", 1)
+    ca = (
+        bg.select(a_of_g.alias("a"))
+        .groupBy("a")
+        .agg(F.count("*").alias("c_a"))
+    )
+    vocab = tokens_normalized(docs).agg(
+        F.countDistinct("term").alias("v")
+    )
+    scored = (
+        bg.join(cab, "g")
+        .join(ca, a_of_g == F.col("a"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(
+                "(c_ab + 1) * CAST(1000000000000 AS BIGINT) div (c_a + v)"
+            ).alias("sp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("sp").cast("bigint").alias("sum_scaled_p"),
+        F.round(
+            F.sum("sp").cast("double") / F.count("*") / 1_000_000_000_000.0, 9
+        ).alias("avg_p"),
+    )
