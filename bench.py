@@ -51,6 +51,8 @@ HEADLINE = [
     "q_hll",               # HyperLogLog distinct sketch (bit-replayed)
     "q_bloom",             # Bloom-filter membership with FP audit
     "q_priority_late",     # TPC-H Q4 shape: correlated-EXISTS semi join
+    "q_lm_score",          # LLM pipeline: bigram-LM perplexity-filter shape
+    "q_ann_batch",         # LLM pipeline: batched IVF ANN (probe set)
 ]
 
 
