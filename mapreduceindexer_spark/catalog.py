@@ -1703,6 +1703,16 @@ def q_events_session_stream(spark, sf_dir):
     return streaming_user_sessions(spark, sf_dir)
 
 
+@register("q_events_sliding_stream", None)
+def q_events_sliding_stream(spark, sf_dir):
+    """Streaming twin of q_events_sliding: overlapping 1-hour windows every
+    30 minutes through a watermarked incremental aggregation (availableNow
+    backlog replay; batch≡stream pinned by tests/test_streaming.py)."""
+    from mapreduceindexer_spark.streaming import run_streaming_sliding
+
+    return run_streaming_sliding(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Coverage completers: cube, posting-array algebra, postings ⋈ documents
 # ---------------------------------------------------------------------------
