@@ -95,15 +95,22 @@ def _sq_l2_to_centroid() -> "F.Column":
 
 def assign_to_centroids(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, cell): nearest centroid per vector (squared-L2, ties →
-    lowest centroid id). ``centroids`` = (centroid_id, cvec), broadcast."""
+    lowest centroid id). ``centroids`` = (centroid_id, cvec), broadcast.
+
+    The argmin is ``min(struct(d2, centroid_id))`` — a hash aggregate
+    with map-side partial combine, not a per-vector sort window: structs
+    order lexicographically, so the minimum is exactly the (d2 ASC,
+    centroid_id ASC) head, and the shuffle carries one candidate per
+    (vector, map partition) instead of sorting n_centroids rows per
+    vector. Same output, window-free.
+    """
     scored = embeddings.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "centroid_id", _sq_l2_to_centroid().alias("d2")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("centroid_id").alias("cell"))
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "centroid_id")).alias("m"))
+        .select("vec_id", F.col("m.centroid_id").alias("cell"))
     )
 
 
