@@ -1457,13 +1457,12 @@ def q_cluster_sizes(spark, sf_dir):
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "centroid_id", sim._sq_l2_to_centroid().alias("d2")
     )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    # Window-free argmin (see similarity.assign_to_centroids): the min
+    # struct carries both the winning cell and its distance.
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("centroid_id").alias("cell"), "d2")
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "centroid_id")).alias("m"))
+        .select(F.col("m.centroid_id").alias("cell"), F.col("m.d2").alias("d2"))
     )
     return assigned.groupBy("cell").agg(
         F.count("*").cast("bigint").alias("n_vectors"),

@@ -186,11 +186,15 @@ def kmeans_centroids(
         scored = embeddings.crossJoin(F.broadcast(cents)).select(
             "vec_id", "embedding", "centroid_id", _sq_l2_to_centroid().alias("d2")
         )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+        # Same window-free argmin as assign_to_centroids; the embedding is
+        # constant per vec_id, so first() is value-deterministic.
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "centroid_id")).alias("m"),
+                F.first("embedding").alias("embedding"),
+            )
+            .select("vec_id", "embedding", F.col("m.centroid_id").alias("cell"))
         )
         dims = assigned.select(
             "cell", F.posexplode(F.col("embedding").cast("array<double>"))
