@@ -4279,6 +4279,50 @@ def q_linestatus_priority(spark, sf_dir):
     )
 
 
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@register(
+    "q_containment",
+    f"""WITH sh AS ({SQL_SHINGLES}),
+         perms AS (SELECT * FROM (VALUES {_MINHASH_VALUES}) t(seed, a, b, c)),
+         base AS (SELECT doc_id, s, {_sql_hash60('s')} AS h FROM sh),
+         mh AS (SELECT doc_id, seed,
+                       min((a * (h & 1073741823)
+                            + b * ((h >> 30) & 1073741823)
+                            + c) % {MINHASH_MOD}) AS mh
+                FROM base, perms GROUP BY doc_id, seed),
+         sigs AS (SELECT doc_id, seed // 2 AS band,
+                         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+                  FROM mh GROUP BY doc_id, seed // 2),
+         cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM sigs a JOIN sigs b
+                     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         scored AS (SELECT i.doc_a, i.doc_b,
+                           ROUND(i.n_inter / sa.n, 6) AS cont_a,
+                           ROUND(i.n_inter / sb.n, 6) AS cont_b
+                    FROM inter i
+                    JOIN cands c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+                    JOIN sizes sa ON sa.doc_id = i.doc_a
+                    JOIN sizes sb ON sb.doc_id = i.doc_b)
+       SELECT doc_a, doc_b, cont_a, cont_b
+       FROM scored
+       WHERE greatest(cont_a, cont_b) >= {CONTAINMENT_THRESHOLD}""",
+)
+def q_containment(spark, sf_dir):
+    """Asymmetric containment over LSH candidates (|A∩B|/|A| and mirror),
+    kept when either direction >= 0.5 — the boilerplate/quote-inclusion
+    detector symmetric Jaccard misses. operators/dedup.py::containment_pairs
+    (same candidate generation as q_near_dup, different verify metric)."""
+    return dd.containment_pairs(
+        _docs(spark, sf_dir), threshold=CONTAINMENT_THRESHOLD
+    )
+
+
 ANN_BATCH_PROBES = (20, 21, 22, 23)
 
 

@@ -388,3 +388,67 @@ def cross_near_duplicates(
     )
     sh_all.unpersist()
     return out
+
+
+def containment_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Asymmetric containment for the given (doc_a, doc_b) pairs:
+    cont_a = |A∩B| / |A| (how much of A lies inside B) and the mirror
+    cont_b. High max-containment with low Jaccard is the boilerplate /
+    quote-inclusion case symmetric Jaccard misses — a short document
+    wholly embedded in a long one. Same candidate-only join shape as
+    ``jaccard_for_pairs``: cost is Σ|A∪B| over candidates, never
+    corpus-quadratic.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("s_b"))
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_doc_b")) & (F.col("s_a") == F.col("s_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("cont_a"),
+            F.round(F.col("n_inter") / F.col("n_b"), 6).alias("cont_b"),
+        )
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    n_hashes: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates scored by asymmetric containment, kept when either
+    direction reaches ``threshold`` — the boilerplate/inclusion detector
+    (same candidate generation as ``near_duplicates``, different verify
+    metric). Returns (doc_a, doc_b, cont_a, cont_b).
+
+    Recall caveat (documented, inherent): band-signature candidates are
+    tuned for symmetric Jaccard; a tiny-inside-huge pair can evade the
+    bands. Production raises recall with more/narrower bands or seeded
+    suffix anchors — the verify stage here is metric-exact either way.
+    """
+    from pyspark import StorageLevel
+
+    sh = doc_shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidates(
+        lsh_band_signatures(minhash_signatures(sh, n_hashes), rows_per_band)
+    )
+    out = (
+        containment_for_pairs(sh, cands)
+        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
+        .localCheckpoint()
+    )
+    sh.unpersist()
+    return out
