@@ -171,3 +171,27 @@ def test_lsh_bucket_guard_inactive_below_cap(spark):
     )
     want = sorted((a, b) for a in range(n) for b in range(a + 1, n))
     assert got == want
+
+
+def test_containment_scores_full_inclusion_as_one(spark):
+    """A document fully embedded in a longer one must score containment
+    1.0 on its side (and < 1.0 on the long side) — the asymmetric signal
+    the metric exists for. Verify stage driven directly with an explicit
+    pair (candidate recall for tiny-inside-huge is the documented LSH
+    caveat, not what this pins)."""
+    from mapreduceindexer_spark.operators.dedup import (
+        containment_for_pairs,
+        doc_shingles,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " eta theta iota kappa lambda mu nu xi"
+    docs = spark.createDataFrame(
+        [(0, short), (1, long)], "doc_id int, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1)], "doc_a int, doc_b int")
+    rows = containment_for_pairs(doc_shingles(docs, 3), pairs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert abs(r.cont_a - 1.0) < 1e-9          # all of A inside B
+    assert r.cont_b < 1.0                      # B only partially covered
