@@ -46,3 +46,16 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
 def write_jsonl(df: DataFrame, path: str) -> None:
     """JSON-lines sink (one object per line, splittable on read)."""
     df.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the other splittable columnar interchange format a
+    pipeline receives from Hive-era producers. Schema travels in the file
+    footer (self-describing, like parquet), and Spark's vectorized ORC
+    reader gives the same pushdown/pruning as the parquet path."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (snappy by default; splittable, predicate-indexed)."""
+    df.write.mode("overwrite").orc(path)

@@ -162,3 +162,17 @@ def test_dot_null_propagates_on_length_mismatch(spark):
     got = [r.d for r in df.select(dot("a", "b").alias("d")).collect()]
     assert got[0] == 6.0
     assert got[1] is None
+
+
+def test_orc_roundtrip_preserves_values(spark, orders_slice, tmp_path):
+    """ORC round-trip: full value fidelity through the columnar path,
+    including timestamps and doubles (footer-carried schema, no DDL)."""
+    from mapreduceindexer_spark.sources.formats import read_orc, write_orc
+
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders_slice, path)
+    back = read_orc(spark, path)
+    want = sorted(map(tuple, orders_slice.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == want
+    assert dict(back.dtypes) == dict(orders_slice.dtypes)
