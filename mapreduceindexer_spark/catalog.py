@@ -2962,45 +2962,58 @@ def q_context_chunks(spark, sf_dir):
     )
 
 
+_PACK_SHARD = 1000  # docs per packing shard (doc_id-contiguous)
+
+
 @register(
     "q_sequence_pack",
     f"""WITH n AS (
-          SELECT doc_id,
+          SELECT doc_id, doc_id // {_PACK_SHARD} AS shard,
                  CAST(len(list_filter(string_split_regex(text, '\\s+'),
                                       t -> t <> '')) AS BIGINT) AS n_tokens
           FROM documents),
-        o AS (SELECT doc_id, n_tokens,
-                     SUM(n_tokens) OVER (ORDER BY doc_id
+        o AS (SELECT doc_id, shard, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                                          ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND CURRENT ROW) - n_tokens AS start_off
               FROM n)
-       SELECT CAST(start_off // {_PACK_BIN} AS BIGINT) AS bin,
+       SELECT CAST(shard AS BIGINT) AS shard,
+              CAST(start_off // {_PACK_BIN} AS BIGINT) AS bin,
               CAST(count(*) AS BIGINT) AS n_docs,
               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
-       FROM o GROUP BY start_off // {_PACK_BIN}""",
+       FROM o GROUP BY shard, start_off // {_PACK_BIN}""",
 )
 def q_sequence_pack(spark, sf_dir):
-    """Greedy contiguous sequence packing: documents in stable doc_id order
-    are laid end-to-end and each starts in the {_PACK_BIN}-token bin its
-    offset falls in — the deterministic packing audit (docs per bin,
-    tokens per bin) used to size training batches. The global running sum
-    is a single-partition window here; at 100 TB packing runs per shard
-    (partition-local offsets + a per-shard base), which is the documented
-    production layout — packing across shard boundaries has no training
-    benefit."""
+    """Greedy contiguous sequence packing, PER SHARD: documents in stable
+    doc_id order are laid end-to-end within their {_PACK_SHARD}-doc shard,
+    and each starts in the {_PACK_BIN}-token bin its shard-local offset
+    falls in — the deterministic packing audit (docs per bin, tokens per
+    bin) used to size training batches. The running sum is a window
+    partitioned by shard, so the plan is shard-parallel with no global
+    funnel — the actual 100 TB layout (packing across shard boundaries
+    has no training benefit; a shard is doc_id-contiguous so the
+    assignment itself is pure arithmetic)."""
     from pyspark.sql import Window as W
 
     d = _docs(spark, sf_dir)
     n = d.select(
         "doc_id",
+        F.expr(f"doc_id div {_PACK_SHARD}").cast("bigint").alias("shard"),
         F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
         .cast("bigint")
         .alias("n_tokens"),
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     o = n.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
     return (
-        o.groupBy(F.floor(F.col("start_off") / _PACK_BIN).cast("bigint").alias("bin"))
+        o.groupBy(
+            "shard",
+            F.floor(F.col("start_off") / _PACK_BIN).cast("bigint").alias("bin"),
+        )
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
