@@ -263,6 +263,10 @@ def test_sequence_pack_single_window_then_agg(spark):
     plan = explain_str(df)
     assert "Window" in plan
     assert "EvalPython" not in plan, plan
+    # The running sum must be shard-partitioned (shard-parallel packing),
+    # never a global single-partition window over the whole corpus.
+    formatted = explain_str(df, "formatted")
+    assert "windowspecdefinition(shard" in formatted, formatted
 
 
 def test_min_cost_supplier_single_fact_shuffle(spark):
