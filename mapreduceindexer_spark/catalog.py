@@ -4292,6 +4292,99 @@ def q_linestatus_priority(spark, sf_dir):
     )
 
 
+_BJ_NATION = 3  # dim-side filter for the bloom-pruned join audit
+
+
+def _sql_bloom_join() -> str:
+    h = _sql_hash60("CAST(k AS VARCHAR)", "i")
+    return f"""WITH dim AS (SELECT c_custkey AS k FROM customer
+                            WHERE c_nationkey = {_BJ_NATION}),
+       ix AS (SELECT unnest(range({_BLOOM_K})) AS i),
+       bits AS (SELECT DISTINCT {h} % {_BLOOM_BITS} AS pos
+                FROM dim CROSS JOIN ix),
+       fact AS (SELECT o_orderkey, o_custkey AS k FROM orders),
+       fp AS (SELECT o_orderkey, k, {h} % {_BLOOM_BITS} AS pos
+              FROM fact CROSS JOIN ix),
+       hits AS (SELECT o_orderkey, k, COUNT(*) AS nhit
+                FROM (SELECT DISTINCT fp.o_orderkey, fp.k, fp.pos
+                      FROM fp JOIN bits ON fp.pos = bits.pos) q
+                GROUP BY o_orderkey, k),
+       pass AS (SELECT o_orderkey, k FROM hits WHERE nhit = {_BLOOM_K}),
+       truth AS (SELECT f.o_orderkey FROM fact f JOIN dim d ON f.k = d.k)
+       SELECT CAST((SELECT COUNT(*) FROM dim) AS BIGINT) AS n_dim,
+              CAST((SELECT COUNT(*) FROM fact) AS BIGINT) AS n_fact,
+              CAST((SELECT COUNT(*) FROM pass) AS BIGINT) AS n_pass_bloom,
+              CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_match,
+              ROUND(((SELECT COUNT(*) FROM pass) - (SELECT COUNT(*) FROM truth))
+                    / CAST((SELECT COUNT(*) FROM fact) AS DOUBLE), 6)
+                AS false_pass_rate"""
+
+
+@register("q_bloom_join", _sql_bloom_join())
+def q_bloom_join(spark, sf_dir):
+    """Bloom-pruned join audit — the runtime-filter pattern: a bloom built
+    over the FILTERED dim side's join keys prunes fact rows before the
+    join ever shuffles. The audit reports how many fact rows pass the
+    bloom vs truly match (false_pass_rate is what the filter's bit budget
+    buys). Spark's own runtime row-group filters do this natively at
+    scan time; this open-box version uses the portable hash so DuckDB
+    replays every bit — same contract as q_bloom, applied to join
+    pruning. At 100 TB the bits relation is a broadcast bitmap, not a
+    join; the audit numbers are identical either way.
+
+    Two caveats kept honest: a distinct collapses duplicate (row, pos)
+    probe hits so a double-set bit can't double-count, and the pass test
+    requires ALL k bits set."""
+    from mapreduceindexer_spark.functions.hashing import hash60
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_nationkey") == _BJ_NATION).select(
+        F.col("c_custkey").alias("k")
+    )
+    ix = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("i"))
+    bits = (
+        dim.crossJoin(F.broadcast(ix))
+        .select((hash60(F.col("k").cast("string"), F.col("i")) % _BLOOM_BITS).alias("pos"))
+        .distinct()
+    )
+    fact = orders.select("o_orderkey", F.col("o_custkey").alias("k"))
+    fp = fact.crossJoin(F.broadcast(ix)).select(
+        "o_orderkey",
+        "k",
+        (hash60(F.col("k").cast("string"), F.col("i")) % _BLOOM_BITS).alias("pos"),
+    )
+    hits = (
+        fp.join(F.broadcast(bits), "pos")
+        .select("o_orderkey", "k", "pos")
+        .distinct()
+        .groupBy("o_orderkey", "k")
+        .agg(F.count("*").alias("nhit"))
+    )
+    n_pass = hits.filter(F.col("nhit") == _BLOOM_K).agg(
+        F.count("*").cast("bigint").alias("n_pass_bloom")
+    )
+    n_true = fact.join(F.broadcast(dim), "k").agg(
+        F.count("*").cast("bigint").alias("n_true_match")
+    )
+    n_dim = dim.agg(F.count("*").cast("bigint").alias("n_dim"))
+    n_fact = fact.agg(F.count("*").cast("bigint").alias("n_fact"))
+    out = (
+        n_dim.crossJoin(n_fact).crossJoin(n_pass).crossJoin(n_true)
+    )
+    return out.select(
+        "n_dim",
+        "n_fact",
+        "n_pass_bloom",
+        "n_true_match",
+        F.round(
+            (F.col("n_pass_bloom") - F.col("n_true_match"))
+            / F.col("n_fact").cast("double"),
+            6,
+        ).alias("false_pass_rate"),
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.5
 
 
