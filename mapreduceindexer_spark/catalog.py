@@ -4292,6 +4292,50 @@ def q_linestatus_priority(spark, sf_dir):
     )
 
 
+_SELECT_Q = 0.7  # keep documents at or above the per-lang 70th percentile
+
+
+@register(
+    "q_select_quantile",
+    f"""WITH t AS ({SQL_TERMS}),
+         per AS (SELECT doc_id,
+                        CAST(count(*) AS BIGINT) AS n_tokens,
+                        CAST(SUM(CASE WHEN term IN {_sql_in_list(STOPWORDS_EN)}
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+                 FROM t GROUP BY doc_id),
+         q AS (SELECT d.doc_id, d.lang,
+                      ROUND(LEAST(per.n_tokens / 100.0, 1.0)
+                            * (1 - per.n_stop / per.n_tokens), 6) AS quality
+               FROM per JOIN documents d ON per.doc_id = d.doc_id),
+         thr AS (SELECT lang,
+                        ROUND(quantile_cont(quality, {_SELECT_Q}), 6) AS q_thr
+                 FROM q GROUP BY lang)
+       SELECT q.doc_id, q.lang, q.quality, thr.q_thr
+       FROM q JOIN thr USING (lang)
+       WHERE q.quality >= thr.q_thr""",
+)
+def q_select_quantile(spark, sf_dir):
+    """Quantile-threshold data selection: keep documents scoring at or
+    above their language's exact 70th-percentile quality — "keep the best
+    30% per language", the group-relative selection a curation pipeline
+    runs after scoring (group-absolute thresholds over-prune low-resource
+    languages). Two aggregates + a broadcast threshold join — no
+    per-group sort of the corpus, no window; at 100 TB the exact
+    percentile becomes percentile_approx with the same plan shape."""
+    d = _docs(spark, sf_dir)
+    q = (
+        ts.quality_scores(d)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "quality")
+    )
+    thr = q.groupBy("lang").agg(
+        F.round(F.percentile("quality", F.lit(_SELECT_Q)), 6).alias("q_thr")
+    )
+    return q.join(F.broadcast(thr), "lang").filter(
+        F.col("quality") >= F.col("q_thr")
+    ).select("doc_id", "lang", "quality", "q_thr")
+
+
 _BJ_NATION = 3  # dim-side filter for the bloom-pruned join audit
 
 
