@@ -1702,6 +1702,21 @@ def q_events_session_stream(spark, sf_dir):
     return streaming_user_sessions(spark, sf_dir)
 
 
+@register("q_index_stream", None)
+def q_index_stream(spark, sf_dir):
+    """The FLAGSHIP pipeline, incrementalized as a stream: documents
+    arrive in microbatches; each batch's postings delta merges into
+    versioned index state via foreachBatch. The result equals the batch
+    full rebuild exactly (pinned by tests/test_streaming.py); arrays are
+    serialized for the harness canonicalizer as usual."""
+    from mapreduceindexer_spark.streaming.index_stream import streaming_index_build
+
+    out = streaming_index_build(spark, sf_dir, n_slices=3)
+    return out.select(
+        "term", "letter", F.concat_ws(" ", "doc_ids").alias("doc_ids"), "df"
+    )
+
+
 @register("q_events_sliding_stream", None)
 def q_events_sliding_stream(spark, sf_dir):
     """Streaming twin of q_events_sliding: overlapping 1-hour windows every

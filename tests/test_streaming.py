@@ -86,3 +86,25 @@ def test_stream_stream_attribution_equals_batch(spark):
     stream = {tuple(r) for r in run_streaming_attribution(spark, SF_SMOKE, 30).collect()}
     assert stream == batch
     assert batch, "fixture must produce at least one attributed pair"
+
+
+def test_streaming_index_build_equals_batch_rebuild(spark):
+    """The incremental streaming index (delta build + merge per
+    microbatch) must equal the batch full rebuild exactly — the merge
+    identity merge(build(A), build(B)) == build(A ∪ B) operationalized
+    through foreachBatch versioned state."""
+    from mapreduceindexer_spark.operators.index import build_postings
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming.index_stream import streaming_index_build
+
+    sf = SF_SMOKE
+    got = {
+        r.term: (r.letter, list(r.doc_ids), r.df)
+        for r in streaming_index_build(spark, sf, n_slices=3).collect()
+    }
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    want = {
+        r.term: (r.letter, list(r.doc_ids), r.df)
+        for r in build_postings(docs, salt_buckets=4).collect()
+    }
+    assert got == want
