@@ -108,12 +108,16 @@ def local_supplier_volume(
 ) -> DataFrame:
     """TPC-H Q5 shape: 6-way join, revenue of *local* suppliers per nation.
 
-    Join strategy at scale: the dimension chain region→nation collapses to
-    a handful of rows after the region filter and is force-broadcast, as is
-    ``supplier`` (10k/SF rows); lineitem⋈orders shuffles on orderkey
-    (the two facts) and everything else hangs off that one exchange.
-    The local-supplier condition (s_nationkey = c_nationkey) rides the
-    broadcast join, not an extra shuffle.
+    Join ORDER is the optimization: the selective dimension chain reduces
+    first — region filter → nations_in_region (handful of rows) →
+    customers in the region (~1/|regions| of customers) → year+region
+    orders — and only then does lineitem join, against an already-reduced
+    orders side (AQE picks broadcast when it fits, else one orderkey
+    shuffle of a 5x-smaller relation). Joining the two facts first and
+    filtering afterwards — the naive transcription — shuffles the whole
+    year of orders against lineitem and throws 80% away at the customer
+    join. The local-supplier condition (s_nationkey = c_nationkey) rides
+    the broadcast supplier join, never an extra shuffle.
     """
     nations_in_region = (
         nation.join(
@@ -123,22 +127,19 @@ def local_supplier_volume(
     )
     lo = f"{year}-01-01"
     hi = f"{int(year) + 1}-01-01"
+    cust_region = customer.join(
+        F.broadcast(nations_in_region),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey", "n_name")
+    ord_region = orders.filter(
+        (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
+    ).join(cust_region, orders.o_custkey == F.col("c_custkey"))
     return (
-        lineitem.join(
-            orders.filter(
-                (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
-            ),
-            lineitem.l_orderkey == orders.o_orderkey,
-        )
-        .join(customer, orders.o_custkey == customer.c_custkey)
+        lineitem.join(ord_region, lineitem.l_orderkey == orders.o_orderkey)
         .join(
             F.broadcast(supplier),
             (lineitem.l_suppkey == supplier.s_suppkey)
-            & (supplier.s_nationkey == customer.c_nationkey),
-        )
-        .join(
-            F.broadcast(nations_in_region),
-            customer.c_nationkey == F.col("n_nationkey"),
+            & (supplier.s_nationkey == F.col("c_nationkey")),
         )
         .groupBy("n_name")
         .agg(
