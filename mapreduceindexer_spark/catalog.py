@@ -2451,9 +2451,12 @@ def q_top_orders(spark, sf_dir):
     """TPC-H Q3 shape: filtered 3-way join -> per-order revenue -> global
     top-10. The final top-k plans as TakeOrderedAndProject (k rows leave
     each partition — no global sort materialization); the ORDER BY key
-    includes l_orderkey so the limit set is tie-deterministic. Customer is
-    a filter dimension: Catalyst pushes the mktsegment predicate below the
-    join and AQE picks broadcast once the filtered side is small."""
+    includes l_orderkey so the limit set is tie-deterministic. Join ORDER:
+    the segment-filtered customer dimension reduces orders FIRST (one
+    broadcast join cuts orders ~5x), and only then does lineitem join the
+    reduced side — the big fact never meets rows the customer filter was
+    about to discard (same reduce-before-the-fact pattern as the Q5
+    shape)."""
     from mapreduceindexer_spark.operators.relational import _dsum
 
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -2464,9 +2467,11 @@ def q_top_orders(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    o_seg = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
     return (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
+        l.join(o_seg, l["l_orderkey"] == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dsum(rev, "revenue", 2))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
