@@ -1702,6 +1702,30 @@ def q_events_session_stream(spark, sf_dir):
     return streaming_user_sessions(spark, sf_dir)
 
 
+@register(
+    "q_multimodal_ppm",
+    """SELECT doc_id,
+              CAST(CAST('0x' || substr(md5(text), 1, 2) AS INT) % 13 + 4 AS INT)
+                AS width,
+              CAST(CAST('0x' || substr(md5(text), 3, 2) AS INT) % 13 + 4 AS INT)
+                AS height,
+              CAST(1 AS INT) AS n_frames,
+              TRUE AS ok
+       FROM documents""",
+)
+def q_multimodal_ppm(spark, sf_dir):
+    """REAL image decode end-to-end: deterministic P6 PPM blobs are
+    generated per document and parsed back by an actual PPM parser
+    (operators/multimodal.py::decode_ppm — no codec library, no stub)
+    through the Arrow-batched plumbing. The oracle predicts the decoded
+    dimensions from the same digest the generator used, so a parser
+    regression (or plumbing fault) breaks the value hash."""
+    media = mm.with_ppm_content(_docs(spark, sf_dir))
+    return mm.decode_ppm(media).select(
+        "doc_id", "width", "height", "n_frames", "ok"
+    )
+
+
 @register("q_index_stream", None)
 def q_index_stream(spark, sf_dir):
     """The FLAGSHIP pipeline, incrementalized as a stream: documents

@@ -12,12 +12,15 @@ Design (the part that matters at 100 TB):
 - heavy decode stages repartition first so batches are even and an
   executor never holds more than ``maxRecordsPerBatch`` blobs in memory.
 
-The container ships no image/audio codecs, so the decode kernel is a
-deterministic FAKE (dimensions derived from the content digest) behind the
-same plumbing a real Pillow/ffmpeg kernel would use; ``decode_kernel='real'``
-raises NotImplementedError at the exact seam where the real library call
-belongs. Schema, batching, partitioning, and UDF signature are real and
-tested — swap the kernel, keep the plan.
+The container ships no image/audio codecs, so the generic decode kernel is
+a deterministic FAKE (dimensions derived from the content digest) behind
+the same plumbing a real Pillow/ffmpeg kernel would use;
+``decode_kernel='real'`` raises NotImplementedError at the exact seam
+where the real library call belongs. For a codec-free format the kernel IS
+real: ``decode_ppm`` parses actual P6 PPM images (header + raw RGB) with
+per-row error containment, oracle-checked end-to-end by
+``q_multimodal_ppm``. Schema, batching, partitioning, and UDF signature
+are identical across kernels — swap the kernel, keep the plan.
 """
 
 from __future__ import annotations
@@ -214,4 +217,106 @@ def sample_frames(media: DataFrame, every_k: int = 2, kernel: str = "fake") -> D
 
     return media.select("doc_id", "content").mapInPandas(
         frame_batches, schema=FRAMES_SCHEMA
+    )
+
+
+# --- real decoder path: PPM (P6) needs no codec library -------------------
+
+PPM_MEDIA_TYPE = "image/x-portable-pixmap"
+
+
+def _ppm_blob(seed: bytes, width: int, height: int) -> bytes:
+    """Deterministic P6 image: md5-stream pixels under a real PPM header."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    n = width * height * 3
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out.extend(hashlib.md5(seed + counter.to_bytes(4, "big")).digest())
+        counter += 1
+    return header + bytes(out[:n])
+
+
+def with_ppm_content(docs: DataFrame) -> DataFrame:
+    """Attach REAL image blobs: a deterministic P6 PPM per document
+    (dimensions and pixels derived from the text digest). This is the
+    synthetic-media generator for the real-decoder path — same binary
+    column contract as ``with_binary_content``."""
+    schema = "doc_id bigint, content binary, media_type string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = hashlib.md5(str(text).encode()).digest()
+                w, h = 4 + d[0] % 13, 4 + d[1] % 13
+                blobs.append(_ppm_blob(d, w, h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": blobs,
+                    "media_type": PPM_MEDIA_TYPE,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=schema)
+
+
+def _ppm_decode(content: bytes) -> tuple[int, int, int] | None:
+    """REAL P6 PPM parser (no codec library needed): returns
+    (width, height, n_frames=1), or None if the blob is not a well-formed
+    P6 image (wrong magic, bad header, truncated pixel data)."""
+    try:
+        if not content.startswith(b"P6"):
+            return None
+        # Header = magic + 3 ASCII tokens (W, H, MAXVAL); '#' comments
+        # run to end-of-line; a single whitespace byte ends the header.
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            while pos < len(content) and content[pos : pos + 1].isspace():
+                pos += 1
+            if pos < len(content) and content[pos : pos + 1] == b"#":
+                while pos < len(content) and content[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(content) and not content[pos : pos + 1].isspace():
+                pos += 1
+            if pos == start:
+                return None
+            tokens.append(content[start:pos])
+        pos += 1  # the single whitespace after MAXVAL
+        width, height, maxval = (int(t) for t in tokens)
+        if width <= 0 or height <= 0 or not 0 < maxval < 65536:
+            return None
+        bpc = 1 if maxval < 256 else 2
+        if len(content) - pos < width * height * 3 * bpc:
+            return None
+        return width, height, 1
+    except (ValueError, IndexError):
+        return None
+
+
+def decode_ppm(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of P6 PPM blobs — the working instance of
+    the ``decode_media`` plumbing (same output schema): malformed blobs
+    yield ok=false with zeroed dimensions instead of failing the batch,
+    the per-row error containment a 100 TB decode stage needs."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_ppm_decode(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [r[0] if r else 0 for r in rows],
+                    "height": [r[1] if r else 0 for r in rows],
+                    "n_frames": [r[2] if r else 0 for r in rows],
+                    "ok": [r is not None for r in rows],
+                }
+            )
+
+    return media.select("doc_id", "content", "media_type").mapInPandas(
+        decode_batches, schema=DECODED_SCHEMA
     )

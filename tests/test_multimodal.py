@@ -108,3 +108,47 @@ def test_unknown_kernel_rejected(docs):
 
     with pytest.raises(ValueError):
         decode_media(with_binary_content(docs), decode_kernel="gpu")
+
+
+def test_ppm_real_decode_roundtrip(spark):
+    """The PPM path is a REAL decoder, not a stub: encoded dimensions must
+    round-trip through the Arrow-batched parse, and a corrupted blob must
+    degrade to ok=false per row without failing the batch."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.operators.multimodal import (
+        _ppm_blob,
+        decode_ppm,
+        with_ppm_content,
+    )
+    from mapreduceindexer_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(50)
+    media = with_ppm_content(docs)
+    got = {r.doc_id: (r.width, r.height, r.ok) for r in decode_ppm(media).collect()}
+    want = {}
+    for r in docs.collect():
+        d = hashlib.md5(str(r.text).encode()).digest()
+        want[r.doc_id] = (4 + d[0] % 13, 4 + d[1] % 13, True)
+    assert got == want
+
+    # Corruption containment: truncate pixel data -> ok=false, zeros.
+    corrupt = media.withColumn(
+        "content", F.expr("substring(content, 1, 20)")
+    )
+    bad = decode_ppm(corrupt).collect()
+    assert all((not r.ok) and r.width == 0 for r in bad)
+
+
+def test_ppm_parser_handles_comments_and_rejects_garbage(spark):
+    from mapreduceindexer_spark.operators.multimodal import _ppm_blob, _ppm_decode
+
+    blob = _ppm_blob(b"seed", 5, 7)
+    assert _ppm_decode(blob) == (5, 7, 1)
+    commented = blob.replace(b"P6\n", b"P6\n# a comment line\n", 1)
+    assert _ppm_decode(commented) == (5, 7, 1)
+    assert _ppm_decode(b"JFIF garbage") is None
+    assert _ppm_decode(b"P6\n-3 4\n255\n" + b"\x00" * 100) is None
