@@ -53,6 +53,7 @@ HEADLINE = [
     "q_priority_late",     # TPC-H Q4 shape: correlated-EXISTS semi join
     "q_lm_score",          # LLM pipeline: bigram-LM perplexity-filter shape
     "q_ann_batch",         # LLM pipeline: batched IVF ANN (probe set)
+    "q_multimodal_ppm",    # Arrow-batched REAL image decode (PPM)
 ]
 
 

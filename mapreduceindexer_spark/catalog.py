@@ -4661,7 +4661,7 @@ _CHECK_PRIORITY = [
     "q_user_trend",
     "q_sentences",
     "q_countmin",
-    "q_multimodal_frames",
+    "q_multimodal_ppm",
 ]
 
 _missing = [n for n in _CHECK_PRIORITY if n not in QUERIES]
