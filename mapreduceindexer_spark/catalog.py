@@ -3627,11 +3627,11 @@ def q_waiting_suppliers(spark, sf_dir):
     order shipping late (late = shipped > 60 days after order date — this
     schema has no commit/receipt dates, so ship-lag is the lateness
     signal). The classic EXISTS + NOT EXISTS double self-join is
-    re-expressed Spark-first as ONE aggregation per order (distinct
-    suppliers, distinct late suppliers) re-joined to the late lines —
-    two shuffles on l_orderkey total (which AQE colocates), versus the
-    four self-join shuffles of the literal SQL transcription; the oracle
-    states the identical aggregate formulation."""
+    re-expressed Spark-first as ONE set-aggregation per order (supplier
+    set + late-supplier set via collect_set) — a single fact exchange on
+    l_orderkey, versus the four self-join shuffles of the literal SQL
+    transcription; the sole-blame test is then array arithmetic and the
+    oracle states the identical aggregate formulation."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = (
         _t(spark, sf_dir, "lineitem")
@@ -3646,22 +3646,23 @@ def q_waiting_suppliers(spark, sf_dir):
             ).alias("late"),
         )
     )
-    # One pass: collapse lines to (order, supplier, any-late), then a
-    # window over the order gives both counts — no second lineitem scan,
-    # no agg-rejoin. max(late) per (order, supp) ≡ COUNT(DISTINCT CASE
-    # WHEN late THEN suppkey) counting a supplier once if ANY line is
-    # late; the window shuffles only the tiny per-(order, supp) relation.
-    os_rel = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("late").alias("late")
+    # ONE exchange: per-order supplier set + late-supplier set as two
+    # collect_set aggregates (map-side partials carry small partial sets,
+    # orders have <= 7 lines so no skew), then the sole-blame condition is
+    # pure array arithmetic and the blamed supplier is the single element
+    # of the late set. collect_set(when(late, suppkey)) ≡ COUNT(DISTINCT
+    # CASE WHEN late THEN suppkey): a supplier appears once if ANY of its
+    # lines is late. Replaces the former (order, supp) agg + order window
+    # (two exchanges of the near-unreduced fact).
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("supps"),
+        F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "late_supps"
+        ),
     )
-    w_ord = Window.partitionBy("l_orderkey")
-    blamed = os_rel.select(
-        "l_orderkey",
-        "l_suppkey",
-        "late",
-        F.count("*").over(w_ord).alias("n_supp"),
-        F.sum(F.col("late").cast("int")).over(w_ord).alias("n_late"),
-    ).filter(F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    blamed = per_order.filter(
+        (F.size("supps") >= 2) & (F.size("late_supps") == 1)
+    ).select(F.element_at("late_supps", 1).alias("l_suppkey"))
     s = _t(spark, sf_dir, "supplier")
     return (
         blamed.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
