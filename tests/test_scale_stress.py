@@ -195,3 +195,24 @@ def test_containment_scores_full_inclusion_as_one(spark):
     r = rows[0]
     assert abs(r.cont_a - 1.0) < 1e-9          # all of A inside B
     assert r.cont_b < 1.0                      # B only partially covered
+
+
+def test_lm_score_identical_across_parallelism(spark):
+    """The scaled-integer probability contract must make the LM score
+    bit-identical for any shuffle-partition count — no float accumulates
+    across rows, so parallelism cannot perturb a single output value."""
+    from mapreduceindexer_spark.operators.textstats import lm_score
+    from mapreduceindexer_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    results = []
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.append(
+                sorted(tuple(r) for r in lm_score(docs).collect())
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    assert results[0] == results[1] == results[2]
