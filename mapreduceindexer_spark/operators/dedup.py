@@ -5,8 +5,11 @@ Four tiers, all pure DataFrame (no Python in the hot path):
 1. **Exact** — content hash + group. One shuffle on the hash; at 100 TB
    hash first (64-128 bit) so the shuffle carries digests, not documents.
 2. **N-gram Jaccard** — exact set similarity over token shingles. The
-   candidate generator (self-join on shared shingles) is quadratic in the
-   worst case: correct at test scale, but the 100 TB path is tier 3.
+   candidate generator is a lossless PREFIX FILTER (AllPairs/PPJoin,
+   df-ascending global order), so the naive shared-shingle join's
+   quadratic blowup on common shingles never happens; results are
+   bit-identical to brute force. Tier 3 stays the cheaper approximate
+   path at corpus scale.
 3. **MinHash + LSH banding** — candidate pairs = documents agreeing on
    ALL rows of at least one band. Cost is linear in corpus size plus the
    (tiny) bucket collision joins; never all-pairs. Candidates are then
@@ -67,30 +70,74 @@ def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact n-gram Jaccard over documents sharing >= 1 shingle.
+def prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """Lossless candidate pairs for Jaccard >= threshold via PREFIX
+    filtering (the AllPairs / PPJoin family, Bayardo et al. WWW'07).
 
-    (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
+    Order all shingles by a global total order (df ascending, shingle
+    ascending — rarest first). A document with n shingles exposes only
+    its first ``n − ceil(θ·n) + 1`` shingles under that order (its
+    "prefix") to the candidate join.
+
+    Prefix-filter lemma (no false negatives): if J(A,B) >= θ then
+    |A∩B| >= θ·|A∪B| >= ceil(θ·|A|) and >= ceil(θ·|B|). Let c be the
+    FIRST common shingle in the global order. If c were outside A's
+    prefix, fewer than ceil(θ·|A|) shingles of A would follow it in the
+    order — but all |A∩B| >= ceil(θ·|A|) common shingles do. So c lies
+    in A's prefix, and symmetrically in B's: every qualifying pair
+    collides on at least one prefix shingle.
+
+    Why this bounds the blowup: the naive shared-shingle join explodes
+    quadratically on COMMON shingles (a shingle in k docs → k² join
+    rows). Under df-ascending order, a near-universal shingle is the
+    LAST in every document's order and lands in almost no prefixes, so
+    it generates almost no join rows — stress-pinned in
+    tests/test_scale_stress.py with a 100%-shared-shingle corpus.
+
+    The df ranking shuffles on shingle (the same key the naive join
+    shuffled on) and the per-document rank is a keyed window bounded by
+    document size — no new scale hazards.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_sdf"))
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(df_counts, "shingle")
+        .withColumn("_n_sh", F.count("*").over(w_doc))
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ),
+            "_rank",
+            F.row_number().over(w_doc.orderBy(F.asc("_sdf"), F.asc("shingle"))),
         )
+    )
+    prefix = ranked.filter(
+        F.col("_rank")
+        <= F.col("_n_sh") - F.ceil(F.lit(threshold) * F.col("_n_sh")) + 1
+    ).select("doc_id", "shingle")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard: (doc_a, doc_b, jaccard) with doc_a < doc_b
+    and jaccard >= threshold.
+
+    Semantics are identical to the brute-force shared-shingle all-pairs
+    formulation (the registered oracle states exactly that SQL), but the
+    candidate generator is the lossless prefix filter above, so the
+    quadratic common-shingle blowup of the naive join never happens —
+    this tier is exact AND scale-safe; tier 3 (MinHash-LSH) remains the
+    cheaper approximate path for corpus-scale runs.
+    """
+    return (
+        jaccard_for_pairs(sh, prefix_filter_candidates(sh, threshold))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -155,7 +202,10 @@ def lsh_band_signatures(minhash: DataFrame, rows_per_band: int = 2) -> DataFrame
     )
 
 
-def lsh_candidates(band_sigs: DataFrame, max_bucket: int = 64) -> DataFrame:
+LSH_MAX_BUCKET = 64  # mirrored bit-for-bit in every registered oracle SQL
+
+
+def lsh_candidates(band_sigs: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
     """Candidate pairs: documents sharing at least one full band signature.
 
     The join key is (band, sig) — bucket-local, never all-pairs. Two
@@ -166,14 +216,26 @@ def lsh_candidates(band_sigs: DataFrame, max_bucket: int = 64) -> DataFrame:
     - oversized buckets (degenerate corpora — thousands of identical
       documents collapse into ONE signature) switch to a star pattern:
       each member pairs with the bucket's minimum doc_id only. That is
-      linear in bucket size instead of quadratic, still routes every
-      member through the exact-Jaccard verify, and still links the whole
-      cluster for the connected-components consumer (q_dup_clusters) —
-      a star is a connected graph.
+      linear in bucket size instead of quadratic, and still routes every
+      member through the exact verify stage.
+
+    Star-pattern trade-offs, stated honestly: two non-hub members of an
+    oversized bucket are never verified against each other, so (a) their
+    direct pair is lost to recall unless another (small) bucket emits it,
+    and (b) the connected-components consumer (q_dup_clusters) sees the
+    cluster linked ONLY through hub edges that survive the verify
+    threshold — if a spoke→hub edge fails verify, that spoke detaches
+    even though a direct spoke↔spoke edge might have passed. Acceptable
+    for the degenerate near-identical corpora that trigger the guard
+    (all edges are near-1.0 similarity there); raise ``max_bucket`` if
+    exactness matters more than the quadratic blowup.
 
     The bucket census (count + min per (band, sig)) is a window over the
     same key the join shuffles on, so the guard adds no extra exchange of
-    the big relation.
+    the big relation. The registered oracles (q_near_dup, q_containment,
+    and the q_dup_clusters / q_curation_pipeline composites) replay the
+    same census + two-regime split in SQL, so bucket decisions match
+    bit-for-bit in both engines.
     """
     w = Window.partitionBy("band", "sig")
     sized = band_sigs.select(

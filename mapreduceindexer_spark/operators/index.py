@@ -47,6 +47,17 @@ def term_doc_pairs(docs: DataFrame) -> DataFrame:
     return tokens_normalized(docs).dropDuplicates(["term", "doc_id"])
 
 
+def salted_partials(pairs: DataFrame, salt_buckets: int) -> DataFrame:
+    """First level of the skew-safe two-level posting aggregation:
+    partial posting sets per (term, salt). For a term in n documents the
+    SECOND level receives min(salt_buckets, n) pre-aggregated arrays
+    instead of n raw rows — the fan-in bound that makes a 100%-df
+    stopword safe (pinned by tests/test_scale_stress.py)."""
+    return pairs.groupBy(
+        "term", F.pmod(F.hash("doc_id"), F.lit(salt_buckets)).alias("_salt")
+    ).agg(F.collect_set("doc_id").alias("_partial"))
+
+
 def build_postings(
     docs: DataFrame,
     *,
@@ -61,10 +72,7 @@ def build_postings(
     """
     pairs = term_doc_pairs(docs)
     if salt_buckets:
-        partial = pairs.groupBy(
-            "term", F.pmod(F.hash("doc_id"), F.lit(salt_buckets)).alias("_salt")
-        ).agg(F.collect_set("doc_id").alias("_partial"))
-        merged = partial.groupBy("term").agg(
+        merged = salted_partials(pairs, salt_buckets).groupBy("term").agg(
             F.sort_array(
                 F.array_distinct(F.flatten(F.collect_list("_partial")))
             ).alias("doc_ids")
@@ -113,6 +121,41 @@ def merge_postings(base: DataFrame, delta: DataFrame) -> DataFrame:
         F.sort_array(F.array_distinct(F.flatten(F.collect_list("doc_ids")))).alias(
             "doc_ids"
         )
+    )
+    return merged.select(
+        "term",
+        F.substring("term", 1, 1).alias("letter"),
+        "doc_ids",
+        F.size("doc_ids").cast("bigint").alias("df"),
+    )
+
+
+def merge_postings_colocated(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """``merge_postings`` re-expressed as a full-outer join on term, for
+    the case where the inputs are bucketed-by-term tables.
+
+    The union+groupBy formulation above always shuffles the unioned
+    relation; a join lets Spark use each side's bucketing, so when both
+    sides are bucketed by ``term`` the merge plan has ZERO exchanges
+    (pinned by tests/test_streaming.py for the streaming state path and
+    tests/test_bucketing.py for batch). This is the 100 TB shape: the
+    big maintained index is never re-shuffled to absorb a delta.
+
+    The ``merge`` hint pins sort-merge: at test scale AQE would broadcast
+    the tiny side (a broadcast EXCHANGE, and broadcast also ignores
+    bucketing); production-size state plans SMJ on its own and the hint
+    is a no-op. Output is identical to ``merge_postings``.
+    """
+    b = base.select("term", F.col("doc_ids").alias("_ids_a"))
+    d = delta.select("term", F.col("doc_ids").alias("_ids_b"))
+    merged = b.hint("merge").join(d, "term", "full_outer").select(
+        "term",
+        F.when(F.col("_ids_a").isNull(), F.col("_ids_b"))
+        .when(F.col("_ids_b").isNull(), F.col("_ids_a"))
+        .otherwise(
+            F.sort_array(F.array_distinct(F.concat("_ids_a", "_ids_b")))
+        )
+        .alias("doc_ids"),
     )
     return merged.select(
         "term",

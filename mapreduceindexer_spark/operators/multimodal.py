@@ -12,15 +12,17 @@ Design (the part that matters at 100 TB):
 - heavy decode stages repartition first so batches are even and an
   executor never holds more than ``maxRecordsPerBatch`` blobs in memory.
 
-The container ships no image/audio codecs, so the generic decode kernel is
-a deterministic FAKE (dimensions derived from the content digest) behind
-the same plumbing a real Pillow/ffmpeg kernel would use;
+Two REAL decoders ship for codec-free formats — ``decode_ppm`` parses
+actual P6 PPM images (header + raw RGB) and ``decode_wav`` parses actual
+RIFF/WAVE PCM audio (chunk walk + 16-bit sample scan), both with per-row
+error containment and oracle-checked end-to-end (``q_multimodal_ppm``,
+``q_multimodal_wav``). The deterministic FAKE kernel (dimensions derived
+from the content digest) is the explicitly-labeled FALLBACK for formats
+whose decoders need libraries this container doesn't ship (JPEG/MP4/…);
 ``decode_kernel='real'`` raises NotImplementedError at the exact seam
-where the real library call belongs. For a codec-free format the kernel IS
-real: ``decode_ppm`` parses actual P6 PPM images (header + raw RGB) with
-per-row error containment, oracle-checked end-to-end by
-``q_multimodal_ppm``. Schema, batching, partitioning, and UDF signature
-are identical across kernels — swap the kernel, keep the plan.
+where the Pillow/ffmpeg call belongs. Schema, batching, partitioning, and
+UDF signature are identical across kernels — swap the kernel, keep the
+plan.
 """
 
 from __future__ import annotations
@@ -217,6 +219,139 @@ def sample_frames(media: DataFrame, every_k: int = 2, kernel: str = "fake") -> D
 
     return media.select("doc_id", "content").mapInPandas(
         frame_batches, schema=FRAMES_SCHEMA
+    )
+
+
+# --- real decoder path #2: RIFF/WAVE PCM needs no codec library -----------
+
+WAV_MEDIA_TYPE = "audio/wav"
+WAV_DECODED_SCHEMA = (
+    "doc_id bigint, media_type string, sample_rate int, n_channels int, "
+    "bits int, n_samples bigint, peak int, ok boolean"
+)
+
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def _wav_blob(seed: bytes, sample_rate: int, n_channels: int, n_frames: int) -> bytes:
+    """Deterministic PCM16 WAV: md5-stream samples under a real RIFF header."""
+    import struct
+
+    data_size = n_frames * n_channels * 2
+    pcm = bytearray()
+    counter = 0
+    while len(pcm) < data_size:
+        pcm.extend(hashlib.md5(seed + counter.to_bytes(4, "big")).digest())
+        counter += 1
+    pcm = pcm[:data_size]
+    byte_rate = sample_rate * n_channels * 2
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate,
+                      n_channels * 2, 16)
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+    return header + bytes(pcm)
+
+
+def with_wav_content(docs: DataFrame) -> DataFrame:
+    """Attach REAL audio blobs: a deterministic PCM16 WAV per document
+    (rate, channel count, and length derived from the text digest) —
+    same binary column contract as ``with_binary_content``."""
+    schema = "doc_id bigint, content binary, media_type string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = hashlib.md5(str(text).encode()).digest()
+                rate = _WAV_RATES[d[2] % 4]
+                channels = 1 + d[3] % 2
+                n_frames = 64 + ((d[4] << 8) | d[5]) % 1024
+                blobs.append(_wav_blob(d, rate, channels, n_frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": blobs,
+                    "media_type": WAV_MEDIA_TYPE,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=schema)
+
+
+def _wav_decode(content: bytes) -> tuple[int, int, int, int, int] | None:
+    """REAL RIFF/WAVE parser (no codec library needed): walks the chunk
+    list, requires uncompressed PCM16, and scans the sample data for the
+    peak amplitude. Returns (sample_rate, n_channels, bits, n_frames,
+    peak), or None for anything malformed (wrong magic, missing fmt/data
+    chunk, non-PCM encoding, truncated sample data)."""
+    import struct
+
+    try:
+        if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+            return None
+        fmt = None
+        pos = 12
+        while pos + 8 <= len(content):
+            cid = content[pos : pos + 4]
+            (csize,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+            body = content[pos + 8 : pos + 8 + csize]
+            if cid == b"fmt ":
+                if csize < 16:
+                    return None
+                audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
+                    "<HHIIHH", body[:16]
+                )
+                if audio_fmt != 1 or channels < 1 or rate <= 0 or bits != 16:
+                    return None
+                fmt = (rate, channels, bits)
+            elif cid == b"data":
+                if fmt is None or len(body) < csize:
+                    return None  # data before fmt, or truncated samples
+                rate, channels, bits = fmt
+                n_frames = csize // (channels * (bits // 8))
+                n_vals = n_frames * channels
+                samples = struct.unpack(f"<{n_vals}h", body[: n_vals * 2])
+                peak = max((abs(s) for s in samples), default=0)
+                return rate, channels, bits, n_frames, peak
+            # RIFF chunks are word-aligned: odd sizes carry a pad byte.
+            pos += 8 + csize + (csize & 1)
+        return None
+    except (ValueError, struct.error):
+        return None
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of RIFF/WAVE PCM blobs — the second
+    working instance of the ``decode_media`` plumbing (audio-shaped
+    output schema): malformed blobs yield ok=false with zeroed fields
+    instead of failing the batch. ``peak`` is computed from the actual
+    sample words, so this stage demonstrably reads the payload, not just
+    the header."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_wav_decode(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "sample_rate": [r[0] if r else 0 for r in rows],
+                    "n_channels": [r[1] if r else 0 for r in rows],
+                    "bits": [r[2] if r else 0 for r in rows],
+                    "n_samples": [r[3] if r else 0 for r in rows],
+                    "peak": [r[4] if r else 0 for r in rows],
+                    "ok": [r is not None for r in rows],
+                }
+            )
+
+    return media.select("doc_id", "content", "media_type").mapInPandas(
+        decode_batches, schema=WAV_DECODED_SCHEMA
     )
 
 

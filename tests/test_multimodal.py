@@ -152,3 +152,76 @@ def test_ppm_parser_handles_comments_and_rejects_garbage(spark):
     assert _ppm_decode(commented) == (5, 7, 1)
     assert _ppm_decode(b"JFIF garbage") is None
     assert _ppm_decode(b"P6\n-3 4\n255\n" + b"\x00" * 100) is None
+
+
+def test_wav_real_decode_roundtrip(spark):
+    """The WAV path is a REAL decoder (second codec-free kernel): encoded
+    rate/channels/length must round-trip through the Arrow-batched chunk
+    walk, and a truncated blob must degrade to ok=false per row."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.operators.multimodal import (
+        _WAV_RATES,
+        decode_wav,
+        with_wav_content,
+    )
+    from mapreduceindexer_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(50)
+    media = with_wav_content(docs)
+    got = {
+        r.doc_id: (r.sample_rate, r.n_channels, r.bits, r.n_samples, r.ok)
+        for r in decode_wav(media).collect()
+    }
+    want = {}
+    for r in docs.collect():
+        d = hashlib.md5(str(r.text).encode()).digest()
+        want[r.doc_id] = (
+            _WAV_RATES[d[2] % 4],
+            1 + d[3] % 2,
+            16,
+            64 + ((d[4] << 8) | d[5]) % 1024,
+            True,
+        )
+    assert got == want
+
+    # Corruption containment: truncate sample data -> ok=false, zeros.
+    corrupt = media.withColumn("content", F.expr("substring(content, 1, 60)"))
+    bad = decode_wav(corrupt).collect()
+    assert all((not r.ok) and r.sample_rate == 0 for r in bad)
+
+
+def test_wav_parser_reads_samples_and_rejects_garbage():
+    """The parser must actually read the PCM payload (peak amplitude
+    matches an independent sample scan) and reject structurally broken
+    RIFF containers."""
+    import struct
+
+    from mapreduceindexer_spark.operators.multimodal import _wav_blob, _wav_decode
+
+    blob = _wav_blob(b"seed", 16000, 2, 100)
+    got = _wav_decode(blob)
+    assert got is not None
+    rate, channels, bits, n_frames, peak = got
+    assert (rate, channels, bits, n_frames) == (16000, 2, 16, 100)
+    # Independent peak: unpack the data chunk directly.
+    data = blob[44:]
+    samples = struct.unpack(f"<{len(data) // 2}h", data)
+    assert peak == max(abs(s) for s in samples)
+
+    assert _wav_decode(b"OggS not a wav") is None
+    assert _wav_decode(blob[:30]) is None                      # truncated header
+    assert _wav_decode(blob[:44] + data[: len(data) // 2]) is None  # short data
+    # Non-PCM encoding (format tag 3 = IEEE float) is rejected.
+    nonpcm = bytearray(blob)
+    nonpcm[20:22] = struct.pack("<H", 3)
+    assert _wav_decode(bytes(nonpcm)) is None
+    # A LIST chunk before fmt/data is skipped via word-aligned walking.
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size + pad
+    padded = blob[:12] + lst + blob[12:]
+    head = bytearray(padded)
+    head[4:8] = struct.pack("<I", len(padded) - 8)
+    assert _wav_decode(bytes(head)) == got

@@ -344,10 +344,12 @@ def test_waiting_suppliers_topk_and_bounded_shuffles(spark):
     df = QUERIES["q_waiting_suppliers"][0](spark, SF_SMOKE)
     plan = explain_str(df, "simple")
     # Final top-10 must be TakeOrderedAndProject (distributed partial
-    # top-k). The single-pass formulation (per-(order, supp) agg + window
-    # over order) reads lineitem ONCE and needs only three hash exchanges
-    # ((order, supp) agg, order window, s_name agg) vs the classic
-    # 4-self-join EXISTS/NOT EXISTS transcription.
+    # top-k). The single-pass formulation collapses each order with ONE
+    # collect_set aggregate (supplier set + late-supplier set), so the
+    # fact crosses the wire once on l_orderkey; the only other hash
+    # exchanges are the orders side of the orderkey join and the tiny
+    # s_name count — vs the four self-join shuffles of the classic
+    # EXISTS/NOT EXISTS transcription. Lineitem is read ONCE.
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert plan.count("lineitem.parquet") == 1, plan

@@ -116,6 +116,57 @@ def test_salted_aggregation_under_extreme_skew(spark):
     assert postings.count() == n + 1
 
 
+def test_salting_bounds_hot_term_fanin_at_500k(spark):
+    """The "and" pathology at load: one term in 100% of 500 k documents
+    (the reference's own corpus has "and" in 343/355 docs —
+    checker/test_out/a.txt line 1; at 100 TB that is a posting list the
+    size of the corpus routed to ONE reduce task when unsalted).
+
+    Two pins on the REAL salted path (not a reconstruction):
+
+    1. Fan-in bound — the second-level aggregate receives exactly
+       min(salt_buckets, n) pre-aggregated arrays for the hot term
+       (operators/index.salted_partials, the first level build_postings
+       uses), so no single task ever sees the hot term's n raw rows.
+    2. Exactness at load — the full 500 k salted+segmented build returns
+       the hot term complete and ordered, and segment reassembly is
+       exact. (Wall-clock salted-vs-unsalted numbers live in PLANS.md;
+       timing assertions don't belong in CI.)
+    """
+    from mapreduceindexer_spark.operators.index import (
+        build_postings,
+        salted_partials,
+        term_doc_pairs,
+    )
+
+    n = 500_000
+    docs = spark.range(1, n + 1).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat(
+            F.lit("and unique"),
+            F.translate(F.col("id").cast("string"), "0123456789", "abcdefghij"),
+        ).alias("text"),
+    )
+    # Pin 1: structural fan-in bound for the hot term.
+    partials = salted_partials(term_doc_pairs(docs), 16)
+    hot_partials = partials.filter(F.col("term") == "and")
+    assert hot_partials.count() == 16
+    # Every partial array is a bounded slice, not the whole posting list.
+    max_slice = hot_partials.select(
+        F.max(F.size("_partial")).alias("m")
+    ).collect()[0].m
+    assert max_slice < n, max_slice
+    assert max_slice >= n // 16 // 2  # roughly balanced, not degenerate
+    # Pin 2: end-to-end exactness through salt + segment at 500 k.
+    seg = build_postings(docs, salt_buckets=16, segment_size=100_000).filter(
+        F.col("term") == "and"
+    )
+    rows = sorted((r.segment, list(r.doc_ids)) for r in seg.collect())
+    assert [s for s, _ in rows] == [0, 1, 2, 3, 4]
+    flattened = [i for _, ids in rows for i in ids]
+    assert flattened == list(range(1, n + 1))
+
+
 def test_lsh_bucket_guard_bounds_degenerate_corpus(spark):
     """1k IDENTICAL documents collapse into one (band, sig) bucket per
     band; without the guard that is ~500k candidate pairs per band. The
@@ -171,6 +222,97 @@ def test_lsh_bucket_guard_inactive_below_cap(spark):
     )
     want = sorted((a, b) for a in range(n) for b in range(a + 1, n))
     assert got == want
+
+
+def test_prefix_filter_bounds_common_shingle_corpus(spark):
+    """A shingle shared by 100% of documents must NOT explode the exact
+    tier-2 Jaccard join: under the df-ascending prefix order the
+    universal shingle is the last in every document's ranking, so it
+    lands in almost no prefixes. 500 otherwise-disjoint docs sharing one
+    universal shingle → the naive shared-shingle join builds
+    C(500,2) = 124 750 candidate rows; the prefix filter must build ZERO
+    (no pair can reach the threshold, and the only shared shingle is
+    df-maximal). Prefix pruning power is ceil(θ·n_sh)−1 shingles per
+    doc, so docs carry 10 shingles here (θ=0.2 → exactly the one
+    universal shingle is pruned); real documents have hundreds of
+    shingles and shed their ~θ-fraction most common — precisely the
+    explosive ones."""
+    from mapreduceindexer_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+        prefix_filter_candidates,
+    )
+
+    n = 500
+    # Each doc: the shared phrase "the quick fox" + 9 unique tokens →
+    # 10 shingles, exactly one of which (the shared phrase) has df = n.
+    uniq = F.translate(F.col("id").cast("string"), "0123456789", "abcdefghij")
+    parts = [F.lit("the quick fox")]
+    for suffix in "abcdefghi":
+        parts += [F.lit(" "), uniq, F.lit(suffix)]
+    docs = spark.range(n).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat(*parts).alias("text"),
+    )
+    sh = doc_shingles(docs, 3)
+    assert sh.filter(F.col("doc_id") == 7).count() == 10
+    assert prefix_filter_candidates(sh, 0.2).count() == 0
+    assert jaccard_pairs(sh, 0.2).count() == 0
+
+
+def test_prefix_filter_is_lossless_vs_brute_force(spark):
+    """Prefix filtering must be a pure optimization: jaccard_pairs over a
+    corpus WITH real near-duplicates returns exactly the brute-force
+    all-pairs result (the registered oracle states the brute-force SQL,
+    so this is also what keeps q_ngram_jaccard's oracle contract valid
+    without mirroring the filter)."""
+    from mapreduceindexer_spark.operators.dedup import doc_shingles, jaccard_pairs
+    from mapreduceindexer_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    k = 1_000_000
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + k).alias("doc_id"), "text")
+    )
+    sh = doc_shingles(both, 3)
+    got = sorted(tuple(r) for r in jaccard_pairs(sh, 0.3).collect())
+
+    # Brute force: the pre-prefix-filter formulation, inline.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    want = sorted(
+        tuple(r)
+        for r in inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "jaccard")
+        .collect()
+    )
+    assert got == want
+    assert want, "fixture corpus must contain at least one qualifying pair"
 
 
 def test_containment_scores_full_inclusion_as_one(spark):

@@ -92,15 +92,22 @@ def test_streaming_index_build_equals_batch_rebuild(spark):
     """The incremental streaming index (delta build + merge per
     microbatch) must equal the batch full rebuild exactly — the merge
     identity merge(build(A), build(B)) == build(A ∪ B) operationalized
-    through foreachBatch versioned state."""
+    through foreachBatch versioned state.
+
+    Also pins the 100 TB state contract on the ACTUAL stream path: every
+    per-batch merge joins two bucketed-by-term tables (versioned state ⋈
+    delta), so each captured merge plan must be a sort-merge join with
+    ZERO exchanges — the maintained index is never re-shuffled to absorb
+    a delta."""
     from mapreduceindexer_spark.operators.index import build_postings
     from mapreduceindexer_spark.sources.tables import load_table
     from mapreduceindexer_spark.streaming.index_stream import streaming_index_build
 
     sf = SF_SMOKE
+    merge_plans: list[str] = []
+    result = streaming_index_build(spark, sf, n_slices=3, merge_plans=merge_plans)
     got = {
-        r.term: (r.letter, list(r.doc_ids), r.df)
-        for r in streaming_index_build(spark, sf, n_slices=3).collect()
+        r.term: (r.letter, list(r.doc_ids), r.df) for r in result.collect()
     }
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     want = {
@@ -108,3 +115,13 @@ def test_streaming_index_build_equals_batch_rebuild(spark):
         for r in build_postings(docs, salt_buckets=4).collect()
     }
     assert got == want
+    # 3 slices → batches 1 and 2 each perform one co-located merge.
+    assert len(merge_plans) == 2, merge_plans
+    for plan in merge_plans:
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    # The returned relation is table-backed (no driver materialization):
+    # its plan must be a scan of the bucketed state table, not a
+    # LocalTableScan of collected rows.
+    final_plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in final_plan, final_plan
