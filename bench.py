@@ -8,7 +8,16 @@ Each query is fully materialized through the noop sink (forces every
 exchange/aggregation, writes nothing). Per BASELINE.md the contract is
 steady-state throughput, not cold-start latency: each query is warmed
 once (codegen compilation, parquet footers) and the reported number is
-the best of two subsequent measured runs.
+the best of three subsequent measured runs (round 4 raised this from
+two: round-3 cross-round deltas up to ±70% on sub-second queries with
+unchanged code showed min-of-2 in a shared 33-query JVM is noisier than
+the ±15% BASELINE note assumes).
+
+The apples-to-apples index build vs BASELINE.md is measured FIRST,
+before the 33 headline queries touch the JVM — round 3 measured it last
+and recorded +34% on unchanged code; JVM state accumulated across ~1500
+stages (code cache, old-gen pressure, broadcast cleanup backlog) is the
+suspected cause, and measuring first removes that term entirely.
 """
 
 from __future__ import annotations
@@ -54,6 +63,7 @@ HEADLINE = [
     "q_lm_score",          # LLM pipeline: bigram-LM perplexity-filter shape
     "q_ann_batch",         # LLM pipeline: batched IVF ANN (probe set)
     "q_multimodal_ppm",    # Arrow-batched REAL image decode (PPM)
+    "q_multimodal_wav",    # Arrow-batched REAL audio decode (RIFF/WAVE PCM)
 ]
 
 
@@ -75,13 +85,14 @@ def main() -> None:
 
     def steady(name: str) -> float:
         run(name)  # warm-up: codegen compilation, parquet footers
-        return min(run(name), run(name))
+        return min(run(name), run(name), run(name))
 
-    times = {name: round(steady(name), 3) for name in HEADLINE}
+    times = {}
 
-    # Apples-to-apples vs BASELINE.md: full index build (manifest corpus ->
-    # postings -> 26 sorted letter files) on the reference's own 6.4 MB /
-    # 355-file corpus. Reference: 1.53 s sequential, 0.71 s at (M,R)=(4,4).
+    # Apples-to-apples vs BASELINE.md, measured FIRST (see module
+    # docstring): full index build (manifest corpus -> postings -> 26
+    # sorted letter files) on the reference's own 6.4 MB / 355-file
+    # corpus. Reference: 1.53 s sequential, 0.71 s at (M,R)=(4,4).
     ref_checker = "/root/reference/checker"
     if os.path.isdir(os.path.join(ref_checker, "test_in")):
         import tempfile
@@ -92,7 +103,7 @@ def main() -> None:
 
         # Rebalance before caching: the file-packing scan bins 355 small
         # files into ~30 uneven splits; an even row spread keeps every
-        # downstream stage's tasks uniform (measured ~8% off the build).
+        # downstream stage's tasks uniform.
         corpus = (
             read_manifest_corpus(
                 spark, os.path.join(ref_checker, "test.txt"), base_dir=ref_checker
@@ -109,8 +120,11 @@ def main() -> None:
             return time.perf_counter() - t0
 
         build()  # warm-up
-        times["index_build_refcorpus"] = round(min(build(), build()), 3)
+        times["index_build_refcorpus"] = round(min(build(), build(), build()), 3)
         corpus.unpersist()
+
+    for name in HEADLINE:
+        times[name] = round(steady(name), 3)
 
     total = round(sum(times.values()), 3)
     print(
