@@ -84,7 +84,12 @@ def main() -> None:
         return time.perf_counter() - t0
 
     def steady(name: str) -> float:
-        run(name)  # warm-up: codegen compilation, parquet footers
+        # TWO warm-ups: a controlled A/B/A experiment (PLANS.md, round 4)
+        # showed the JIT needs several executions of a query's generated
+        # code to reach steady state — one warm-up under-warms by ~25%
+        # on the heaviest pipelines.
+        run(name)
+        run(name)
         return min(run(name), run(name), run(name))
 
     times = {}
@@ -119,7 +124,8 @@ def main() -> None:
             write_index(build_postings(corpus, salt_buckets=16), out)
             return time.perf_counter() - t0
 
-        build()  # warm-up
+        build()  # warm-up ×2 (see steady())
+        build()
         times["index_build_refcorpus"] = round(min(build(), build(), build()), 3)
         corpus.unpersist()
 
