@@ -1657,25 +1657,77 @@ def q_multimodal_meta(spark, sf_dir):
     return mm.media_metadata(_docs(spark, sf_dir))
 
 
-@register("q_multimodal_decode", None)  # Python decode kernel: rows-only
+@register(
+    "q_multimodal_decode",
+    """SELECT doc_id,
+              'text/plain' AS media_type,
+              CAST(16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 240
+                   AS INT) AS width,
+              CAST(16 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 240
+                   AS INT) AS height,
+              CAST(1 + CAST('0x' || substr(md5(text), 5, 2) AS INT) % 8
+                   AS INT) AS n_frames,
+              TRUE AS ok
+       FROM documents""",
+)
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas decode plumbing with the deterministic
-    fake kernel (no media codecs in this environment)."""
+    fake kernel (the labeled fallback for formats whose codecs this
+    container doesn't ship; the REAL kernels are q_multimodal_ppm /
+    q_multimodal_wav). The fake dimensions are a pure function of the
+    content digest, so the oracle replays them from md5(text) — the
+    whole Python plumbing (Arrow batching, schema, per-row kernel
+    dispatch) is value-checked even though the kernel is a stand-in."""
     return mm.decode_media(mm.with_binary_content(_docs(spark, sf_dir)))
 
 
-@register("q_multimodal_features", None)  # Python encoder kernel: rows-only
+def _sql_features(dim: int = 16) -> str:
+    comps = ",\n              ".join(
+        f"CAST('0x' || substr(h, {i * 2 + 1}, 2) AS INT) / 255.0 - 0.5 AS v{i}"
+        for i in range(dim)
+    )
+    norm = " + ".join(f"v{i} * v{i}" for i in range(dim))
+    outs = ", ".join(
+        f"CAST(round(CAST(CAST(v{i} / nrm AS REAL) AS DOUBLE) * 1000000)"
+        f" AS BIGINT)"
+        for i in range(dim)
+    )
+    return f"""WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+         v AS (SELECT doc_id,
+              {comps}
+               FROM d),
+         n AS (SELECT *, sqrt({norm}) AS nrm FROM v)
+       SELECT doc_id, concat_ws(' ', {outs}) AS feature FROM n"""
+
+
+@register("q_multimodal_features", _sql_features(16))
 def q_multimodal_features(spark, sf_dir):
     """Feature-extraction plumbing (blob → unit-normed float vector),
     Arrow-batched; output shape feeds the similarity/dedup operators.
-    The vector is serialized (rounded, space-joined) in the registered
-    output only — harness canonicalizers cannot hash list cells."""
+    The fake encoder derives the vector from the content sha256 in pure
+    double arithmetic, Arrow narrows it to float32, and the registered
+    output re-widens and serializes each component as a 1e6-scaled
+    integer — every step is replayed in the oracle (same digest bytes,
+    same double math, same float32 round-trip via CAST(… AS REAL)), so
+    the Python encoder path is value-checked bit-for-bit. Scaled
+    integers, not printf: printf('%.6f') rounds exact halves to-even in
+    C but away-from-zero on the JVM (a real float32 component,
+    ±0.2578125, hit that seam at sf0.1), while round() rounds halves
+    away from zero in both engines. The vector is serialized in the
+    registered output only — harness canonicalizers cannot hash list
+    cells."""
     feats = mm.extract_features(mm.with_binary_content(_docs(spark, sf_dir)))
-    return feats.withColumn(
-        "feature",
+    return feats.select(
+        "doc_id",
         F.concat_ws(
-            " ", F.transform("feature", lambda v: F.format_number(v, 6))
-        ),
+            " ",
+            F.transform(
+                "feature",
+                lambda v: F.round(v.cast("double") * 1_000_000)
+                .cast("bigint")
+                .cast("string"),
+            ),
+        ).alias("feature"),
     )
 
 
