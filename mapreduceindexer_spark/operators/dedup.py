@@ -514,3 +514,92 @@ def containment_pairs(
     )
     sh.unpersist()
     return out
+
+
+def substring_duplicates(docs: DataFrame, w: int = 50) -> DataFrame:
+    """Tier-6: exact-substring duplication coverage (the ExactSubstr
+    criterion of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", re-expressed as a shuffle-friendly
+    window-hash sweep instead of a monolithic suffix array).
+
+    Every ``w``-token window (stride 1) is digested; a window whose digest
+    occurs >= 2 times ANYWHERE in the corpus — across documents or
+    repeated inside one — is *duplicated*. A document's duplicated-token
+    coverage is the size of the union of its duplicated windows'
+    ``[pos, pos+w)`` intervals, computed with gaps-and-islands (intervals
+    arrive sorted by ``pos``, an island breaks when a window starts past
+    the running max end).
+
+    Returns one row per document:
+    (doc_id, n_tokens, n_windows, n_dup_windows, dup_tokens,
+    dup_frac_ppm) where ``dup_frac_ppm`` is the coverage fraction as an
+    exact scaled integer (parts per million, integer division) so an
+    external oracle replays it bit-for-bit with no float seam.
+
+    Scale: the only corpus-wide shuffle carries (digest, count) — 16-byte
+    md5 keys, never window text; the island walk is a keyed window
+    bounded by single-document length. At 100 TB this is the standard
+    two-pass MapReduce formulation of ExactSubstr (count window hashes,
+    re-scan marking covered spans); the suffix-array original is a
+    single-machine design and does not distribute.
+
+    Reference seed: the per-document distinct of ``src/functions.cpp:75``
+    — this is its span-level generalization (north-star extension).
+    """
+    toks = docs.select("doc_id", normalized_token_array("text").alias("tk"))
+    wins = (
+        toks.filter(F.size("tk") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - (w - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.concat_ws(" ", F.slice("tk", i, w))).alias("h"),
+                    ),
+                )
+            ).alias("pw"),
+        )
+        .select("doc_id", "pw.pos", "pw.h")
+    )
+    dup_h = wins.groupBy("h").agg(F.count("*").alias("c")).filter("c >= 2").select("h")
+    dw = wins.join(dup_h, "h").select(
+        "doc_id", "pos", (F.col("pos") + (w - 1)).alias("e")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    isl = dw.withColumn(
+        "brk",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(0)) + 1, 1)
+        .when(prev_end.isNull(), 1)
+        .otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+    cov = isl.groupBy("doc_id", "island").agg(
+        (F.max("e") - F.min("pos") + 1).alias("c")
+    )
+    per_doc = cov.groupBy("doc_id").agg(F.sum("c").alias("dup_tokens"))
+    ndup = dw.groupBy("doc_id").agg(F.count("*").alias("n_dup_windows"))
+    base = toks.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        F.greatest(F.size("tk") - (w - 1), F.lit(0)).cast("bigint").alias("n_windows"),
+    )
+    return (
+        base.join(ndup, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("coalesce(dup_tokens, 0) * 1000000 DIV n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("dup_frac_ppm"),
+        )
+    )

@@ -19,9 +19,11 @@ outputs):
 
 Scale design (100 TB):
 
-- The whole pipeline is shuffle-minimal: one exchange for the distinct +
-  group-agg (Catalyst fuses ``dropDuplicates`` into the same aggregation
-  when keys match), one optional exchange for letter-partitioned output.
+- The whole pipeline is shuffle-minimal: ONE exchange builds the postings
+  (map-side partial ``collect_set`` dedups per-partition — the analogue of
+  the reference's per-file hash map — so no separate distinct pass is
+  needed), plus one optional exchange for letter-partitioned output and
+  one more when ``salt_buckets`` splits the aggregation in two levels.
 - **Stopword skew**: a term appearing in ~every document produces a posting
   list the size of the corpus, all routed to one reduce task. Two built-in
   mitigations, both semantics-preserving:
@@ -70,7 +72,12 @@ def build_postings(
     docstring. Output values are identical for every setting — verified by
     tests — so callers pick purely on scale grounds.
     """
-    pairs = term_doc_pairs(docs)
+    # No pre-distinct: collect_set dedups (term, doc_id) inside the
+    # aggregation, and duplicates of a pair hash to the same salt bucket,
+    # so a dropDuplicates first would only add a second exchange carrying
+    # the same bytes. Map-side partial collect_set performs the dedup the
+    # reference does per-file (src/functions.cpp:75,86) before any shuffle.
+    pairs = tokens_normalized(docs)
     if salt_buckets:
         merged = salted_partials(pairs, salt_buckets).groupBy("term").agg(
             F.sort_array(

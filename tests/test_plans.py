@@ -54,8 +54,9 @@ def test_postings_pipeline_is_fused(spark):
     # Three exchanges max: the single-row-group-file parallelism repartition
     # (absent on well-split inputs), the (term, salt) partial aggregation,
     # and the per-term merge. The narrow prefix (scan→explode→normalize→
-    # filter) fuses into one stage; dropDuplicates folds into the salted
-    # collect_set.
+    # filter) fuses into one stage; there is no separate distinct pass at
+    # all — map-side partial collect_set dedups (term, doc_id) before the
+    # first shuffle (operators/index.py::build_postings).
     assert plan.count("Exchange") <= 3, plan
     # No Python evaluation anywhere in the flagship pipeline.
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
