@@ -2903,6 +2903,47 @@ def q_rp_lsh(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+from mapreduceindexer_spark.operators import maintenance as mnt  # noqa: E402
+
+_ZTOP = (1 << mnt.ZORDER_BITS) - 1
+
+
+@register(
+    "q_zorder_layout",
+    f"""WITH b AS (SELECT CAST(min(l_orderkey) AS BIGINT) AS xmin,
+                          CAST(max(l_orderkey) AS BIGINT) AS xmax,
+                          CAST(min(l_partkey) AS BIGINT) AS ymin,
+                          CAST(max(l_partkey) AS BIGINT) AS ymax
+                   FROM lineitem),
+         s AS (SELECT CAST(l_orderkey AS BIGINT) AS x,
+                      CAST(l_partkey AS BIGINT) AS y,
+                      CASE WHEN xmax > xmin
+                           THEN (CAST(l_orderkey AS BIGINT) - xmin) * {_ZTOP} // (xmax - xmin)
+                           ELSE CAST(0 AS BIGINT) END AS sx,
+                      CASE WHEN ymax > ymin
+                           THEN (CAST(l_partkey AS BIGINT) - ymin) * {_ZTOP} // (ymax - ymin)
+                           ELSE CAST(0 AS BIGINT) END AS sy
+               FROM lineitem, b),
+         z AS (SELECT x, y, ({mnt.zorder_interleave_sql("sx", "sy")}) AS zv FROM s)
+       SELECT zv >> {2 * mnt.ZORDER_BITS - 6} AS bucket,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              min(x) AS x_min, max(x) AS x_max,
+              min(y) AS y_min, max(y) AS y_max
+       FROM z GROUP BY 1""",
+)
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) multi-dimensional clustering: per-bucket extents
+    of lineitem laid out on the interleaved (l_orderkey, l_partkey) key —
+    every bucket is a bounded rectangle in BOTH dimensions, which is why
+    footer min/max statistics prune predicates on either column (the
+    OPTIMIZE ZORDER BY of table formats). Deterministic equal-width grid
+    (top 6 z-bits), no sampled boundaries, so the oracle replays the
+    layout exactly. operators/maintenance.py::zorder_bucket_stats."""
+    return mnt.zorder_bucket_stats(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
+
+
 @register(
     "q_upsert",
     """WITH updates AS (

@@ -63,3 +63,146 @@ def compact_files(
         out = df.repartitionByRange(n, cluster_by).sortWithinPartitions(cluster_by)
     out.write.mode("overwrite").parquet(out_dir)
     return n
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout: multi-dimensional clustering for data skipping.
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16  # per-dimension resolution; z fits 2*ZORDER_BITS bits
+
+
+def zorder_interleave(sx, sy, bits: int = ZORDER_BITS):
+    """Morton interleave of two pre-scaled non-negative ints (< 2**bits):
+    bit i of ``sx`` lands at z-bit 2i, bit i of ``sy`` at 2i+1. Pure
+    narrow integer arithmetic — whole-stage codegen, no shuffle, and the
+    identical shift/mask expression is replayable by any engine
+    (``zorder_interleave_sql`` emits the DuckDB twin)."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftrightunsigned(sx, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftrightunsigned(sy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_interleave_sql(sx: str, sy: str, bits: int = ZORDER_BITS) -> str:
+    """The DuckDB-replayable text twin of :func:`zorder_interleave`."""
+    return " + ".join(
+        f"((({sx} >> {i}) & 1) << {2 * i}) + ((({sy} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+
+
+def zorder_bucket_stats(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    n_bucket_bits: int = 6,
+    bits: int = ZORDER_BITS,
+) -> DataFrame:
+    """Per-bucket extent statistics of a Z-order layout over two integer
+    dimensions: scale each to ``bits`` bits min-max, Morton-interleave,
+    bucket on the top ``n_bucket_bits`` z-bits (an equal-width 2^(b/2) ×
+    2^(b/2) grid — NO global sort, no sampled range boundaries, so the
+    bucketing is deterministic and oracle-replayable).
+
+    Returns (bucket, n_rows, x_min, x_max, y_min, y_max) — the point of
+    z-order: EVERY bucket's extent is bounded in BOTH dimensions
+    (~span/2^(b/2) each), so parquet footer min/max prune predicates on
+    either column; a one-dimensional sort bounds only its own column.
+    Pinned by tests/test_zorder.py.
+
+    Scale shape: the min/max scalars are one agg broadcast back (4
+    values); scaling + interleave is narrow per-row integer arithmetic;
+    the only shuffle is the final 2^n_bucket_bits-group aggregate. The
+    clustering WRITE for a real table is ``compact_files(...,
+    zorder_by=(x, y))`` below.
+    """
+    from pyspark.sql import functions as F
+
+    top = (1 << bits) - 1
+    bounds = df.agg(
+        F.min(col_x).cast("bigint").alias("_xmin"),
+        F.max(col_x).cast("bigint").alias("_xmax"),
+        F.min(col_y).cast("bigint").alias("_ymin"),
+        F.max(col_y).cast("bigint").alias("_ymax"),
+    )
+    scaled = (
+        df.select(F.col(col_x).cast("bigint").alias("_x"), F.col(col_y).cast("bigint").alias("_y"))
+        .crossJoin(F.broadcast(bounds))
+        .selectExpr(
+            "_x",
+            "_y",
+            f"CASE WHEN _xmax > _xmin THEN (_x - _xmin) * {top} DIV (_xmax - _xmin) ELSE CAST(0 AS BIGINT) END AS _sx",
+            f"CASE WHEN _ymax > _ymin THEN (_y - _ymin) * {top} DIV (_ymax - _ymin) ELSE CAST(0 AS BIGINT) END AS _sy",
+        )
+    )
+    z = zorder_interleave(F.col("_sx"), F.col("_sy"), bits)
+    return (
+        scaled.select(
+            "_x",
+            "_y",
+            F.shiftrightunsigned(z, 2 * bits - n_bucket_bits).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("_x").alias("x_min"),
+            F.max("_x").alias("x_max"),
+            F.min("_y").alias("y_min"),
+            F.max("_y").alias("y_max"),
+        )
+    )
+
+
+def zorder_column(df: DataFrame, col_x: str, col_y: str, bits: int = ZORDER_BITS):
+    """``df`` plus a ``_z`` Morton key over min-max-scaled ``col_x``/
+    ``col_y`` (helper for the clustered write)."""
+    from pyspark.sql import functions as F
+
+    top = (1 << bits) - 1
+    bounds = df.agg(
+        F.min(col_x).cast("bigint").alias("_xmin"),
+        F.max(col_x).cast("bigint").alias("_xmax"),
+        F.min(col_y).cast("bigint").alias("_ymin"),
+        F.max(col_y).cast("bigint").alias("_ymax"),
+    )
+    with_scaled = df.crossJoin(F.broadcast(bounds)).selectExpr(
+        "*",
+        f"CASE WHEN _xmax > _xmin THEN (CAST({col_x} AS BIGINT) - _xmin) * {top} DIV (_xmax - _xmin) ELSE CAST(0 AS BIGINT) END AS _sx",
+        f"CASE WHEN _ymax > _ymin THEN (CAST({col_y} AS BIGINT) - _ymin) * {top} DIV (_ymax - _ymin) ELSE CAST(0 AS BIGINT) END AS _sy",
+    )
+    return with_scaled.withColumn(
+        "_z", zorder_interleave(F.col("_sx"), F.col("_sy"), bits)
+    ).drop("_xmin", "_xmax", "_ymin", "_ymax", "_sx", "_sy")
+
+
+def compact_files_zordered(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    col_x: str,
+    col_y: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Compaction clustered on a Z-order key over TWO columns (the
+    OPTIMIZE ... ZORDER BY of table formats, expressed on plain parquet):
+    every output file covers a contiguous Morton range, whose preimage is
+    a bounded rectangle — so footer min/max statistics prune predicates
+    on EITHER column. Range boundaries come from Spark's reservoir sample
+    of the z key (layout only — never affects values)."""
+    n = plan_target_files(_dir_bytes(in_dir), target_file_bytes)
+    df = zorder_column(spark.read.parquet(in_dir), col_x, col_y)
+    (
+        df.repartitionByRange(n, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return n
