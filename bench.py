@@ -64,6 +64,8 @@ HEADLINE = [
     "q_ann_batch",         # LLM pipeline: batched IVF ANN (probe set)
     "q_multimodal_ppm",    # Arrow-batched REAL image decode (PPM)
     "q_multimodal_wav",    # Arrow-batched REAL audio decode (RIFF/WAVE PCM)
+    "q_substring_dup",     # LLM pipeline: ExactSubstr window-hash dedup
+    "q_zorder_layout",     # Z-order clustering bucket extents
 ]
 
 

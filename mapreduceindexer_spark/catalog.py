@@ -4896,6 +4896,11 @@ def q_lm_score(spark, sf_dir):
 # containment dedup, batched ANN, and the new GK-quantile bound
 # contract. Everything rotated out remains verified every session by
 # tests/test_oracle_parity.py (which drives ALL oracle-backed queries).
+# Round-4 (late): q_term_cooccurrence and q_value_histogram (both
+# driver-green in r3, both family-redundant beside q_bool_and/q_bm25 and
+# q_agg_pricing_summary) swapped for the two new never-checked families:
+# q_substring_dup (ExactSubstr dedup) and q_zorder_layout (Morton
+# clustering).
 _CHECK_PRIORITY = [
     # §2.1 core (reference pipeline, dataflow order)
     "q_manifest_scan",
@@ -4915,7 +4920,6 @@ _CHECK_PRIORITY = [
     "q_bool_not",
     "q_bm25",
     "q_top_terms",
-    "q_term_cooccurrence",
     # §2.3 relational families
     "q_scan_lineitem",
     "q_filter_shipdate",
@@ -4930,7 +4934,7 @@ _CHECK_PRIORITY = [
     "q_setops",
     "q_scalar_fns",
     "q_json_events",
-    "q_value_histogram",
+    "q_zorder_layout",
     # time windows / temporal joins
     "q_events_tumbling",
     "q_asof_join",
@@ -4939,6 +4943,7 @@ _CHECK_PRIORITY = [
     "q_dedup_exact",
     "q_near_dup",
     "q_containment",
+    "q_substring_dup",
     "q_simhash",
     "q_cosine_topk",
     "q_ann_ivf",
