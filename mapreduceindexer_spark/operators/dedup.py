@@ -541,11 +541,17 @@ def substring_duplicates(docs: DataFrame, w: int = 50) -> DataFrame:
     bounded by single-document length. At 100 TB this is the standard
     two-pass MapReduce formulation of ExactSubstr (count window hashes,
     re-scan marking covered spans); the suffix-array original is a
-    single-machine design and does not distribute.
+    single-machine design and does not distribute. The windows relation
+    feeds both passes, so it is persisted (spill-to-disk) — write-once
+    read-twice, exactly what a production run would stage as a temp
+    table — and released before returning (result is one narrow row per
+    document, safe to materialize eagerly).
 
     Reference seed: the per-document distinct of ``src/functions.cpp:75``
     — this is its span-level generalization (north-star extension).
     """
+    from pyspark import StorageLevel
+
     toks = docs.select("doc_id", normalized_token_array("text").alias("tk"))
     wins = (
         toks.filter(F.size("tk") >= w)
@@ -562,6 +568,7 @@ def substring_duplicates(docs: DataFrame, w: int = 50) -> DataFrame:
             ).alias("pw"),
         )
         .select("doc_id", "pw.pos", "pw.h")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup_h = wins.groupBy("h").agg(F.count("*").alias("c")).filter("c >= 2").select("h")
     dw = wins.join(dup_h, "h").select(
@@ -575,19 +582,23 @@ def substring_duplicates(docs: DataFrame, w: int = 50) -> DataFrame:
         .when(prev_end.isNull(), 1)
         .otherwise(0),
     ).withColumn("island", F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+    # One pipeline computes BOTH per-doc numbers: island extents carry the
+    # window count along, so the duplicated-window relation is consumed
+    # exactly once (no second branch, no extra join back).
     cov = isl.groupBy("doc_id", "island").agg(
-        (F.max("e") - F.min("pos") + 1).alias("c")
+        (F.max("e") - F.min("pos") + 1).alias("c"),
+        F.count("*").alias("nw"),
     )
-    per_doc = cov.groupBy("doc_id").agg(F.sum("c").alias("dup_tokens"))
-    ndup = dw.groupBy("doc_id").agg(F.count("*").alias("n_dup_windows"))
+    per_doc = cov.groupBy("doc_id").agg(
+        F.sum("c").alias("dup_tokens"), F.sum("nw").alias("n_dup_windows")
+    )
     base = toks.select(
         "doc_id",
         F.size("tk").cast("bigint").alias("n_tokens"),
         F.greatest(F.size("tk") - (w - 1), F.lit(0)).cast("bigint").alias("n_windows"),
     )
-    return (
-        base.join(ndup, "doc_id", "left")
-        .join(per_doc, "doc_id", "left")
+    out = (
+        base.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -602,4 +613,7 @@ def substring_duplicates(docs: DataFrame, w: int = 50) -> DataFrame:
             .cast("bigint")
             .alias("dup_frac_ppm"),
         )
+        .localCheckpoint()
     )
+    wins.unpersist()
+    return out

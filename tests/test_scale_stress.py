@@ -358,3 +358,34 @@ def test_lm_score_identical_across_parallelism(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)
     assert results[0] == results[1] == results[2]
+
+
+def test_substring_dedup_bounded_on_fully_duplicated_corpus(spark):
+    """Pathological ExactSubstr load: thousands of IDENTICAL documents, so
+    EVERY window is duplicated and every window hash is a maximal hot key.
+
+    What must stay bounded: the corpus-wide shuffle carries (digest,
+    count) pairs — the hot digest aggregates map-side, so the reduce task
+    for a digest receives one partial count per upstream partition, never
+    one row per occurrence. The join back is digest-equi (each window row
+    matches exactly one digest row), linear in windows. Coverage must be
+    exactly 100% for every document.
+    """
+    from mapreduceindexer_spark.operators.dedup import substring_duplicates
+
+    n = 5000
+    text = " ".join(f"w{i % 17}" for i in range(200))
+    docs = (
+        spark.range(n)
+        .toDF("doc_id")
+        .withColumn("text", F.lit(text))
+        .repartition(32)
+    )
+    out = substring_duplicates(docs, w=20).collect()
+    assert len(out) == n
+    for r in out:
+        assert r.n_tokens == 200
+        assert r.n_windows == 181
+        assert r.n_dup_windows == 181
+        assert r.dup_tokens == 200
+        assert r.dup_frac_ppm == 1_000_000
