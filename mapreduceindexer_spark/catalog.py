@@ -483,8 +483,10 @@ from mapreduceindexer_spark.operators import relational as rel  # noqa: E402
 
 # Shared SQL fragments for the decimal-sum determinism contract.
 def _sql_dsum(expr: str, alias: str, round_to: int = 4) -> str:
+    # Round the exact DECIMAL, then cast: double-side ROUND is engine-
+    # dependent at half-way sums (see operators/relational.py::_dsum).
     return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE), {round_to})"
+        f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(38,10))), {round_to}) AS DOUBLE)"
         f" AS {alias}"
     )
 
@@ -4873,6 +4875,202 @@ def q_lm_score(spark, sf_dir):
     integers so the oracle replays the model bit-for-bit; see the
     operator docstring for the determinism contract."""
     return ts.lm_score(_docs(spark, sf_dir))
+
+
+@register(
+    "q_postings_compress",
+    f"""WITH p AS ({SQL_POSTINGS}),
+         g AS (
+           SELECT term, df,
+                  [CASE WHEN i = 1 THEN doc_ids[i]
+                        ELSE doc_ids[i] - doc_ids[i-1] END
+                   FOR i IN range(1, len(doc_ids) + 1)] AS gaps
+           FROM p),
+         b AS (
+           SELECT term, df,
+                  CAST(list_sum(list_transform(gaps, x -> CASE
+                       WHEN x < 128 THEN 1
+                       WHEN x < 16384 THEN 2
+                       WHEN x < 2097152 THEN 3
+                       WHEN x < 268435456 THEN 4
+                       WHEN x < 34359738368 THEN 5
+                       WHEN x < 4398046511104 THEN 6
+                       WHEN x < 562949953421312 THEN 7
+                       WHEN x < 72057594037927936 THEN 8
+                       ELSE 9 END)) AS BIGINT) AS varint_bytes
+           FROM g)
+       SELECT term, df,
+              CAST(df * 8 AS BIGINT) AS raw_bytes,
+              varint_bytes,
+              CAST(FLOOR(varint_bytes * 1000 / (df * 8)) AS BIGINT) AS permille
+       FROM b""",
+)
+def q_postings_compress(spark, sf_dir):
+    """Delta+varint posting-list compression ledger — the Spark side
+    measures the REAL encoded bytes (operators/compression.py, Arrow
+    mapInPandas over the aggregated postings), the oracle predicts the
+    byte count arithmetically from the gap distribution. Matching proves
+    the encoder's length behavior; tests/test_compression.py pins the
+    decode(encode(x)) == x roundtrip."""
+    from mapreduceindexer_spark.operators.compression import compression_stats
+
+    return compression_stats(_postings(spark, sf_dir))
+
+
+@register(
+    "q_volume_shipping",
+    f"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue', 2)}
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+            OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3""",
+)
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral nation-pair trade volume per ship year —
+    operators/relational.py::volume_shipping."""
+    return rel.volume_shipping(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "q_market_share",
+    """WITH per_year AS (
+         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END AS DECIMAL(38,10))) AS num,
+                SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,10))) AS den
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN region ON cn.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+         GROUP BY 1)
+       SELECT o_year,
+              ROUND(CAST(num AS DOUBLE), 2) AS nation_revenue,
+              ROUND(CAST(den AS DOUBLE), 2) AS total_revenue,
+              ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS mkt_share
+       FROM per_year""",
+)
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part revenue
+    per order year — operators/relational.py::market_share (numerator as
+    a CASE inside the same aggregate: one fact pass for both sums)."""
+    part_promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    return rel.market_share(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        part_type_rows=part_promo,
+    )
+
+
+@register(
+    "q_returned_items",
+    """WITH per_cust AS (
+         SELECT o_custkey,
+                CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1996-04-01'
+         GROUP BY 1)
+       SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+       FROM per_cust
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+)
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in one
+    quarter — operators/relational.py::returned_item_customers."""
+    return rel.returned_item_customers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "q_top_supplier",
+    """WITH rev AS (
+         SELECT l_suppkey,
+                CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(38,10))), 2) AS DOUBLE)
+                  AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1996-04-01'
+         GROUP BY 1)
+       SELECT s_suppkey, s_name, total_revenue
+       FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+)
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the max-revenue supplier(s) for a quarter, ties
+    kept — operators/relational.py::top_revenue_suppliers (scalar max as
+    a window over the per-supplier aggregate, compared on the rounded
+    decimal so FP order can't split a tie)."""
+    return rel.top_revenue_suppliers(
+        _t(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+@register(
+    "q_excess_suppliers",
+    """WITH qualifying AS (
+         SELECT DISTINCT l_suppkey
+         FROM (SELECT l_partkey, l_suppkey,
+                      CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))),
+                                 2) AS DOUBLE) AS qty
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate <  TIMESTAMP '1997-01-01'
+                 AND l_partkey IN (SELECT p_partkey FROM part
+                                   WHERE p_name LIKE 'small%')
+               GROUP BY 1, 2)
+         WHERE qty > 45.0)
+       SELECT s_suppkey, s_name, s_nationkey FROM supplier
+       WHERE s_suppkey IN (SELECT l_suppkey FROM qualifying)""",
+)
+def q_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who moved excess quantity of any
+    name-matched part in a year (nested semi-join) —
+    operators/relational.py::excess_quantity_suppliers."""
+    return rel.excess_quantity_suppliers(
+        _t(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
 
 
 # ---------------------------------------------------------------------------

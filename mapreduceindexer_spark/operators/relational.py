@@ -29,8 +29,16 @@ DEC = "decimal(38,10)"
 
 
 def _dsum(col, alias: str, round_to: int = 4):
-    """Order-independent sum of a double expression, rounded, as double."""
-    return F.round(F.sum(col.cast(DEC)).cast("double"), round_to).alias(alias)
+    """Order-independent sum of a double expression, rounded, as double.
+
+    The ROUND happens on the exact DECIMAL, not on the double: rounding a
+    double is engine-dependent exactly at half-way points (Spark rounds the
+    shortest decimal repr via BigDecimal, DuckDB rounds the true binary
+    value — a sum landing on .xx5 flips a cent between them), while decimal
+    HALF_UP is identical everywhere and the rounded decimal converts to the
+    same double in both engines.
+    """
+    return F.round(F.sum(col.cast(DEC)), round_to).cast("double").alias(alias)
 
 
 def _davg(col, count_col, alias: str):
@@ -423,6 +431,247 @@ def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFram
         .agg(F.count("*").cast("bigint").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_7",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — revenue shipped between two
+    nations (either direction), per (supplier nation, customer nation,
+    ship year).
+
+    Scale: the two-nation predicate is applied to each *dimension chain*
+    before it touches the fact. Suppliers in {a,b} and customers in {a,b}
+    are small filtered dims (broadcast); lineitem joins the supplier side
+    first (cheap branch prune: rows whose supplier is in neither nation
+    drop before the orders shuffle), then orders→customer. The either-
+    direction pair condition is a residual filter on two already-joined
+    nation names — never a join explosion. One fact shuffle (on orderkey)
+    when the reduced orders side outgrows broadcast; the final aggregate
+    has ≤ 2×2×years groups.
+    """
+    pair = [nation_a, nation_b]
+    n_s = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = supplier.join(
+        F.broadcast(n_s), supplier["s_nationkey"] == F.col("sn_key")
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        F.broadcast(n_c), customer["c_nationkey"] == F.col("cn_key")
+    ).select("c_custkey", "cust_nation")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 2),
+        )
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    part_type_rows: DataFrame | None = None,
+    target_nation: str = "NATION_3",
+) -> DataFrame:
+    """TPC-H Q8 shape: the target nation's share of a region's revenue for
+    one part type, per order year. ``part_type_rows`` is the pre-filtered
+    part dim (p_partkey only).
+
+    Scale: numerator selection (supplier's nation == target) is a CASE in
+    the aggregate, not a second pass — one fact scan computes both sums.
+    Every dimension is reduced before the fact join (region→nations→
+    customers-in-region; the filtered part type; supplier⋈nation name),
+    and all of them broadcast. The share division happens on the
+    few-rows-per-year aggregate, with both sums carried exactly in
+    decimal so numerator/denominator are order-independent.
+    """
+    nations_in_region = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select("n_nationkey")
+    cust_region = customer.join(
+        F.broadcast(nations_in_region),
+        customer["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_named = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    li = lineitem.join(
+        F.broadcast(part_type_rows), lineitem["l_partkey"] == F.col("p_partkey")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == target_nation, disc).otherwise(F.lit(0.0))
+    per_year = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust_region, orders["o_custkey"] == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_named), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(target.cast(DEC)).alias("_num"),
+            F.sum(disc.cast(DEC)).alias("_den"),
+        )
+    )
+    return per_year.select(
+        "o_year",
+        F.round(F.col("_num").cast("double"), 2).alias("nation_revenue"),
+        F.round(F.col("_den").cast("double"), 2).alias("total_revenue"),
+        # double/double of two exact-decimal-derived doubles: identical IEEE
+        # division in both engines (decimal division scale rules differ).
+        F.round(
+            F.col("_num").cast("double") / F.col("_den").cast("double"), 6
+        ).alias("mkt_share"),
+    )
+
+
+def returned_item_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returned items
+    in one quarter.
+
+    Scale: both facts are filtered at the scan (quarter predicate on
+    orders, returnflag on lineitem — pushed to parquet), joined on
+    orderkey, aggregated per customer, and only then joined to the
+    customer dim (the aggregate is one row per returning customer, far
+    smaller than lineitem). Top-k is TakeOrderedAndProject — no global
+    sort. Tie-break on custkey keeps the limit deterministic.
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 2)
+        )
+    )
+    return (
+        per_cust.join(customer, per_cust["o_custkey"] == customer["c_custkey"])
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def top_revenue_suppliers(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum quarterly
+    revenue (the CREATE VIEW + scalar-max formulation, ties kept).
+
+    Scale: one fact shuffle to the per-supplier aggregate; the max is a
+    window over that aggregate (|suppliers| rows — small), NOT over the
+    fact, and the equality compares the *rounded decimal* both sides so
+    FP accumulation order can't split a tie across engines. The supplier
+    dim joins after the max filter (usually a handful of rows,
+    broadcast).
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_revenue",
+                2,
+            )
+        )
+    )
+    w = Window.partitionBy()
+    best = rev.withColumn("_mx", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("_mx")
+    )
+    return best.join(
+        supplier, best["l_suppkey"] == supplier["s_suppkey"]
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+def excess_quantity_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    name_prefix: str = "small",
+    qty_threshold: float = 45.0,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved an excess quantity of any
+    matching part in one year (the nested-semi-join formulation:
+    part-name filter → per-(part,supp) shipped quantity → threshold →
+    supplier semi-join).
+
+    Scale: the part-name filter broadcasts (it's a dimension subset); the
+    fact aggregates on its natural (partkey, suppkey) key — no skew, both
+    high-cardinality; the threshold filter collapses the aggregate to the
+    few qualifying keys, and the supplier join is a semi against that
+    small distinct set. Nothing re-scans lineitem.
+    """
+    matching_parts = part.filter(F.col("p_name").like(f"{name_prefix}%")).select(
+        "p_partkey"
+    )
+    qualifying = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(matching_parts),
+            lineitem["l_partkey"] == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(_dsum(F.col("l_quantity"), "qty", 2))
+        .filter(F.col("qty") > qty_threshold)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return supplier.join(
+        qualifying, supplier["s_suppkey"] == qualifying["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name", "s_nationkey")
 
 
 def profile_columns(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:

@@ -59,9 +59,11 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 4).alias(
-                "sum_value"
-            ),
+            # Decimal-first rounding, matching relational._dsum (the batch
+            # twin): double-side ROUND is engine/path-dependent at halves.
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
@@ -78,9 +80,9 @@ def streaming_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 4
-            ).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n", "sum_value")
     )
