@@ -4878,6 +4878,68 @@ def q_lm_score(spark, sf_dir):
 
 
 @register(
+    "q_weighted_sample",
+    f"""WITH wts AS (SELECT doc_id, lang,
+                     CAST(1 + FLOOR(n_chars / 128) AS BIGINT) AS weight
+              FROM documents),
+         tickets AS (SELECT doc_id, lang, weight, unnest(range(weight)) AS t
+                     FROM wts),
+         keyed AS (SELECT doc_id, lang, weight,
+                          {_sql_hash60('CAST(doc_id AS VARCHAR)', 't')} AS tkey
+                   FROM tickets),
+         mk AS (SELECT doc_id, lang, weight, min(tkey) AS skey
+                FROM keyed GROUP BY 1, 2, 3)
+       SELECT lang, doc_id, weight, skey,
+              CAST(row_number() OVER (PARTITION BY lang
+                                      ORDER BY skey ASC, doc_id ASC) AS BIGINT)
+                AS rank
+       FROM mk QUALIFY rank <= 20""",
+)
+def q_weighted_sample(spark, sf_dir):
+    """Weight-proportional per-language sample via ticket replication —
+    operators/curation.py::weighted_sample (the mixture-sampling shape:
+    integer repetition weights, portable-hash keys, no transcendental
+    order statistic an engine could flip by 1 ulp)."""
+    from mapreduceindexer_spark.operators.curation import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), k=20)
+
+
+@register(
+    "q_semantic_dedup",
+    f"""WITH e AS ({SQL_EMB}),
+ c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+{_sql_kmeans_iteration(1, 'c0')},
+{_sql_kmeans_iteration(2, 'c1')},
+ df AS (SELECT e.vec_id, e.v, c.centroid_id,
+              ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+                                            z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+        FROM e, c2 c),
+ af AS (SELECT vec_id, v, centroid_id AS cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2 ASC, centroid_id ASC) AS rn
+              FROM df)
+        WHERE rn = 1),
+ dropped AS (
+   SELECT DISTINCT b.vec_id
+   FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+   WHERE ROUND({SQL_COS.format(a='a.v', b='b.v')}, 6) >= 0.4)
+ SELECT af.vec_id, af.cell,
+        af.vec_id NOT IN (SELECT vec_id FROM dropped) AS is_kept
+ FROM af""",
+)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: k-means-clustered embedding space, within-cluster cosine
+    pruning with deterministic min-id keep —
+    operators/dedup.py::semantic_dedup. The oracle replays the 2-round
+    Lloyd's training bit-for-bit (decimal-exact means), then the
+    within-cell pair census."""
+    return dd.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=0.4
+    )
+
+
+@register(
     "q_postings_compress",
     f"""WITH p AS ({SQL_POSTINGS}),
          g AS (

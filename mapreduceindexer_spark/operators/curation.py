@@ -84,3 +84,56 @@ def curation_summary(
         good, "doc_id", "left_semi"
     )
     return kept.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_kept"))
+
+
+def weighted_sample(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Deterministic weighted bottom-k sample per language stratum,
+    weight-proportional WITHOUT transcendental keys.
+
+    The classic A-ES/exponential-rank key (``-ln(u)/w``) makes the sample
+    an order statistic of a libm function — a 1-ulp ``ln`` difference
+    between engines can flip the k-th boundary. Instead integer weights
+    are realized by TICKET REPLICATION (the standard reduction of
+    weighted to uniform sampling): row i gets ``w_i`` tickets, each
+    hashed with the portable ``hash60(t, doc_id)``, and the row's sort
+    key is its minimum ticket hash — first-draw inclusion probability
+    ∝ w_i, every arithmetic step exact and replayable in SQL.
+
+    Weights here are the repetition-factor shape real LLM mixtures use
+    (small integers): ``1 + floor(n_chars/128)``.
+
+    Scale: the explode factor is the mean weight (bounded, ~3 here); the
+    min-ticket aggregate has map-side combine; per-stratum bottom-k is
+    one window per lang over an already-collapsed (one row per doc)
+    relation. For unbounded weights, switch to per-row
+    ``min(hash60(t)) for t < w`` via an inline ``F.transform`` over
+    ``sequence`` — same semantics, no row explosion.
+    """
+    from mapreduceindexer_spark.functions.hashing import hash60
+    from pyspark.sql import Window
+
+    weights = docs.select(
+        "doc_id",
+        "lang",
+        (1 + F.floor(F.col("n_chars") / 128)).cast("bigint").alias("weight"),
+    )
+    tickets = weights.withColumn(
+        "t", F.explode(F.sequence(F.lit(0), (F.col("weight") - 1).cast("int")))
+    )
+    keyed = tickets.withColumn(
+        "tkey", hash60(F.col("doc_id").cast("string"), seed=F.col("t"))
+    )
+    min_key = keyed.groupBy("doc_id", "lang", "weight").agg(
+        F.min("tkey").alias("skey")
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("skey"), F.asc("doc_id"))
+    return (
+        min_key.select(
+            "lang",
+            "doc_id",
+            "weight",
+            "skey",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )

@@ -617,3 +617,72 @@ def substring_duplicates(docs: DataFrame, w: int = 50) -> DataFrame:
     )
     wins.unpersist()
     return out
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
+    then prune pairs whose cosine similarity exceeds ``threshold`` WITHIN
+    each cluster — cross-cluster near-dups are out of scope by design
+    (that miss rate is the algorithm's recall/cost dial, controlled by k).
+
+    Output: (vec_id, cell, is_kept) for every vector. Keep rule is
+    deterministic min-id: a vector is dropped iff some lower-id member of
+    its own cell is >= threshold similar (the paper keeps one arbitrary
+    representative per similar group; min-id is the replayable choice,
+    same convention as the LSH tiers).
+
+    Scale: training and assignment are the shared k-means machinery
+    (operators/similarity.py — decimal-exact, oracle-replayable). The
+    within-cell pairing is quadratic PER CELL — exactly the cost model of
+    the published algorithm, which sizes k so |cell| ~ n/k stays
+    pair-able. The pair join is a self-equi-join on cell (one shuffle,
+    AQE-balanced); the drop set is a distinct on the higher id, and the
+    verdict join-back is a broadcast of that small set.
+    """
+    from mapreduceindexer_spark.functions.vector import cosine_similarity
+    from mapreduceindexer_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(embeddings, k=k, iters=iters)
+    cells = assign_to_centroids(embeddings, cents)
+    e = embeddings.join(cells, "vec_id")
+    a = e.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = e.select(
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_similarity(
+                    F.col("va").cast("array<double>"),
+                    F.col("vb").cast("array<double>"),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return cells.join(F.broadcast(dropped), "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.col("_dropped").isNull().alias("is_kept"),
+    )
