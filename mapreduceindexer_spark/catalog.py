@@ -5160,7 +5160,12 @@ def q_excess_suppliers(spark, sf_dir):
 # driver-green in r3, both family-redundant beside q_bool_and/q_bm25 and
 # q_agg_pricing_summary) swapped for the two new never-checked families:
 # q_substring_dup (ExactSubstr dedup) and q_zorder_layout (Morton
-# clustering).
+# clustering). Second late rotation: q_ann_batch (family kept via
+# q_ann_ivf), q_sentences (Arrow path kept via q_user_trend), and
+# q_pivot (temporal family kept via tumbling + as-of) swapped for three
+# families that did not exist before this round: q_semantic_dedup
+# (SemDeDup tier), q_weighted_sample (first curation-family driver row),
+# and q_postings_compress (index-layout family).
 _CHECK_PRIORITY = [
     # §2.1 core (reference pipeline, dataflow order)
     "q_manifest_scan",
@@ -5198,24 +5203,24 @@ _CHECK_PRIORITY = [
     # time windows / temporal joins
     "q_events_tumbling",
     "q_asof_join",
-    "q_pivot",
     # LLM pipeline tier
     "q_dedup_exact",
     "q_near_dup",
     "q_containment",
     "q_substring_dup",
     "q_simhash",
+    "q_semantic_dedup",
     "q_cosine_topk",
     "q_ann_ivf",
-    "q_ann_batch",
     "q_tfidf",
     "q_quality_score",
     "q_user_trend",
-    "q_sentences",
+    "q_weighted_sample",
     "q_countmin",
     "q_hll",
     "q_bloom",
     "q_lm_score",
+    "q_postings_compress",
     "q_multimodal_ppm",
 ]
 
