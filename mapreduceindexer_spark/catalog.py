@@ -4877,6 +4877,57 @@ def q_lm_score(spark, sf_dir):
     return ts.lm_score(_docs(spark, sf_dir))
 
 
+def _sql_bpe_round(i: int) -> str:
+    """One BPE merge round over the two-space-delimited word strings.
+
+    Invariant: symbols are separated by exactly two spaces (and the word
+    is framed by two). The merge pattern ``' l  r '`` consumes ONE space
+    from each flanking delimiter, and the replacement ``' lr '`` restores
+    them — so consecutive merge sites (which share a delimiter) still
+    match, and DuckDB's left-to-right non-overlapping ``replace`` is
+    exactly the greedy fold the Spark side runs on symbol arrays.
+    """
+    return f"""
+ sy{i} AS (SELECT freq, string_split(trim(s), '  ') AS sy FROM w{i - 1}),
+ p{i} AS (SELECT split_part(g, ' ', 1) AS l, split_part(g, ' ', 2) AS r,
+                 CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM (SELECT freq,
+                       unnest([sy[j] || ' ' || sy[j+1]
+                               FOR j IN range(1, len(sy))]) AS g
+                FROM sy{i})
+          GROUP BY 1, 2),
+ b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+ w{i} AS (SELECT freq,
+                 replace(s, ' ' || b{i}.l || '  ' || b{i}.r || ' ',
+                         ' ' || b{i}.l || b{i}.r || ' ') AS s
+          FROM w{i - 1}, b{i})"""
+
+
+@register(
+    "q_bpe_train",
+    f"""WITH t AS ({SQL_TERMS}),
+ wf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY term),
+ w0 AS (SELECT freq,
+               '  ' || array_to_string([term[j] FOR j IN range(1, len(term)+1)],
+                                       '  ') || '  ' AS s
+        FROM wf),
+{_sql_bpe_round(1)},
+{_sql_bpe_round(2)},
+{_sql_bpe_round(3)}
+ SELECT CAST(1 AS BIGINT) AS merge_round, l AS lhs, r AS rhs,
+        l || r AS merged, cnt AS pair_count FROM b1
+ UNION ALL SELECT CAST(2 AS BIGINT), l, r, l || r, cnt FROM b2
+ UNION ALL SELECT CAST(3 AS BIGINT), l, r, l || r, cnt FROM b3""",
+)
+def q_bpe_train(spark, sf_dir):
+    """Greedy BPE training, 3 merge rounds over the word-frequency table
+    — operators/textstats.py::bpe_train. The oracle replays each round
+    with a different mechanism (two-space strings + non-overlapping
+    replace vs the Spark array fold), so parity checks the merge
+    semantics, not one implementation against itself."""
+    return ts.bpe_train(_docs(spark, sf_dir), rounds=3)
+
+
 @register(
     "q_weighted_sample",
     f"""WITH wts AS (SELECT doc_id, lang,

@@ -335,3 +335,86 @@ def lm_score(docs: DataFrame) -> DataFrame:
             F.sum("sp").cast("double") / F.count("*") / 1_000_000_000_000.0, 9
         ).alias("avg_p"),
     )
+
+
+def bpe_train(docs: DataFrame, rounds: int = 3) -> DataFrame:
+    """Greedy BPE vocabulary training, ``rounds`` merge rounds: the full
+    trainer promised by q_bpe_pairs' docstring (Sennrich et al. 2016).
+
+    Per round: (1) weighted adjacent-symbol-pair counts over the word-
+    frequency table, (2) argmax pair with deterministic (count DESC,
+    left ASC, right ASC) tie-break, (3) greedy left-to-right non-
+    overlapping re-segmentation of every word. Output: one row per round
+    — (merge_round, lhs, rhs, merged, pair_count).
+
+    Spark-first mechanics:
+
+    - the word-frequency table (one aggregate over the corpus terms) is
+      what iterates — never the corpus itself: BPE training cost is
+      O(|vocab|) per round after the single corpus pass, the property
+      that makes it feasible at 100 TB (the standard trainer design);
+    - the argmax is the window-free ``min(struct(-cnt, l, r))`` hash
+      aggregate, one row, crossJoin-broadcast back — no driver collect,
+      so the whole K-round train is ONE lazy plan the optimizer sees;
+    - re-segmentation is a higher-order ``aggregate`` fold over the
+      symbol array (JVM codegen, no Python): append, or merge with the
+      accumulator's tail when (tail, next) equals the round's pair.
+      Within a round the merged token can never equal the pair's left
+      side (rhs is nonempty), so the fold is exactly the left-to-right
+      greedy scan.
+
+    The DuckDB oracle replays each round with a different formulation
+    (two-space-delimited strings + non-overlapping replace), which is
+    what makes the parity check meaningful rather than self-fulfilling.
+    """
+    from mapreduceindexer_spark.functions.text import tokens_normalized
+
+    words = (
+        tokens_normalized(docs)
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .select("freq", F.split("term", "").alias("symbols"))
+    )
+    merge_fold = """aggregate(
+        symbols, cast(array() as array<string>),
+        (acc, x) -> CASE
+            WHEN size(acc) > 0 AND element_at(acc, -1) = l AND x = r
+            THEN concat(slice(acc, 1, size(acc) - 1), array(concat(l, r)))
+            ELSE concat(acc, array(x)) END)"""
+    adjacent = """CASE WHEN size(symbols) >= 2 THEN
+        transform(slice(symbols, 1, size(symbols) - 1),
+                  (x, i) -> struct(x AS l, element_at(symbols, i + 2) AS r))
+        ELSE cast(array() as array<struct<l: string, r: string>>) END"""
+    merges = []
+    for i in range(1, rounds + 1):
+        pair_counts = (
+            words.select("freq", F.explode(F.expr(adjacent)).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pair_counts.agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("l"), F.col("r")
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.lit(i).cast("bigint").alias("merge_round"),
+                F.col("m.l").alias("lhs"),
+                F.col("m.r").alias("rhs"),
+                F.concat("m.l", "m.r").alias("merged"),
+                (-F.col("m.nc")).cast("bigint").alias("pair_count"),
+            )
+        )
+        merges.append(best)
+        words = words.crossJoin(
+            F.broadcast(
+                best.select(F.col("lhs").alias("l"), F.col("rhs").alias("r"))
+            )
+        ).select("freq", F.expr(merge_fold).alias("symbols"))
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
