@@ -102,38 +102,34 @@ def weighted_sample(docs: DataFrame, k: int = 20) -> DataFrame:
     Weights here are the repetition-factor shape real LLM mixtures use
     (small integers): ``1 + floor(n_chars/128)``.
 
-    Scale: the explode factor is the mean weight (bounded, ~3 here); the
-    min-ticket aggregate has map-side combine; per-stratum bottom-k is
-    one window per lang over an already-collapsed (one row per doc)
-    relation. For unbounded weights, switch to per-row
-    ``min(hash60(t)) for t < w`` via an inline ``F.transform`` over
-    ``sequence`` — same semantics, no row explosion.
+    Scale: the min ticket is computed PER ROW as ``array_min(transform(
+    sequence(0, w-1), t -> hash60(t, doc_id)))`` — a narrow codegen
+    expression, no explode and no per-doc aggregate shuffle. The only
+    exchange in the whole plan is the per-lang window, and Spark's
+    WindowGroupLimit computes the bottom-k partially map-side before it
+    (rank-limit pushdown), so the shuffle carries at most k rows per
+    (lang, task). The oracle deliberately uses the exploded-tickets
+    formulation instead, making parity a check of the semantics.
     """
     from mapreduceindexer_spark.functions.hashing import hash60
     from pyspark.sql import Window
 
-    weights = docs.select(
-        "doc_id",
-        "lang",
-        (1 + F.floor(F.col("n_chars") / 128)).cast("bigint").alias("weight"),
-    )
-    tickets = weights.withColumn(
-        "t", F.explode(F.sequence(F.lit(0), (F.col("weight") - 1).cast("int")))
-    )
-    keyed = tickets.withColumn(
-        "tkey", hash60(F.col("doc_id").cast("string"), seed=F.col("t"))
-    )
-    min_key = keyed.groupBy("doc_id", "lang", "weight").agg(
-        F.min("tkey").alias("skey")
-    )
-    w = Window.partitionBy("lang").orderBy(F.asc("skey"), F.asc("doc_id"))
-    return (
-        min_key.select(
-            "lang",
-            "doc_id",
-            "weight",
-            "skey",
-            F.row_number().over(w).cast("bigint").alias("rank"),
+    min_ticket = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), (F.col("weight") - 1).cast("int")),
+            lambda t: hash60(F.col("doc_id").cast("string"), seed=t),
         )
-        .filter(F.col("rank") <= k)
     )
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        (1 + F.floor(F.col("n_chars") / 128)).cast("bigint").alias("weight"),
+    ).withColumn("skey", min_ticket)
+    w = Window.partitionBy("lang").orderBy(F.asc("skey"), F.asc("doc_id"))
+    return keyed.select(
+        "lang",
+        "doc_id",
+        "weight",
+        "skey",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    ).filter(F.col("rank") <= k)

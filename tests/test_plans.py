@@ -478,3 +478,87 @@ def test_priority_late_derived_shipdate_pushdown(spark):
     pf = [" ".join(p) for p in (pushed_filters(df),)]
     all_pf = pf[0]
     assert "l_shipdate" in all_pf and "GreaterThan" in all_pf, all_pf
+
+
+def test_volume_shipping_single_fact_pass_all_dims_broadcast(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str, pushed_filters
+
+    df = QUERIES["q_volume_shipping"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # lineitem is scanned exactly once; supplier/customer/nation broadcast.
+    assert plan.count("FileScan parquet") <= 6, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims all fit broadcast at test SF
+    # The two-nation IN() filter reaches the nation scans.
+    pf = " ".join(pushed_filters(df))
+    assert "n_name" in pf, pf
+    # shipdate range reaches the fact scan.
+    assert "l_shipdate" in pf, pf
+
+
+def test_excess_suppliers_semi_chain_pushes_name_prefix(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str, pushed_filters
+
+    df = QUERIES["q_excess_suppliers"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    pf = " ".join(pushed_filters(df))
+    # The part-name LIKE 'small%' prefix is pushed to the part scan as a
+    # StartsWith, and both membership tests plan as semi joins.
+    assert "small" in pf, pf
+    assert plan.count("LeftSemi") >= 2, plan
+
+
+def test_top_supplier_max_window_is_over_aggregate_not_fact(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_top_supplier"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # One fact aggregate (partial + final pair over one shuffle), then the
+    # scalar-max window over the per-supplier relation; the supplier dim
+    # joins after the filter (broadcast).
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "Window" in plan and "BroadcastHashJoin" in plan, plan
+
+
+def test_weighted_sample_is_single_exchange_with_group_limit(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_weighted_sample"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # The min-ticket key is a narrow per-row expression: no explode, no
+    # per-doc aggregate. The only hash exchange is the per-lang window,
+    # and WindowGroupLimit prunes to k rows per task before the shuffle.
+    assert "Generate" not in plan, plan  # no explode
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_postings_compress_adds_no_exchange_beyond_index_build(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_postings_compress"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # Same exchange budget as q_postings itself (parallelism repartition +
+    # two-level salted agg): the Arrow encode stage is narrow.
+    assert plan.count("Exchange") <= 3, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_semantic_dedup_pairs_only_within_cells(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_semantic_dedup"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # The pair generation must be an equi-join on the cell key — never a
+    # cartesian over the corpus. (The k-means crossJoins broadcast a
+    # bounded centroid set; that is the only nested-loop shape allowed.)
+    for line in plan.splitlines():
+        if "CartesianProduct" in line:
+            raise AssertionError(plan)
