@@ -66,6 +66,11 @@ HEADLINE = [
     "q_multimodal_wav",    # Arrow-batched REAL audio decode (RIFF/WAVE PCM)
     "q_substring_dup",     # LLM pipeline: ExactSubstr window-hash dedup
     "q_zorder_layout",     # Z-order clustering bucket extents
+    "q_volume_shipping",   # TPC-H Q7 shape: bilateral nation-pair volume
+    "q_bpe_train",         # full greedy BPE train (3 merge rounds, one lazy plan)
+    "q_semantic_dedup",    # SemDeDup: trained clusters + within-cell prune
+    "q_postings_compress",  # delta+varint posting encode (Arrow, narrow)
+    "q_weighted_sample",   # ticket-replication weighted sample (1 exchange)
 ]
 
 

@@ -89,12 +89,28 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     At production scale inputs have >= cluster-parallelism splits, the
     condition is false, and this is a no-op — no extra shuffle ever appears
     on a big scan.
+
+    The split probe (``df.rdd.getNumPartitions()``) physically plans the
+    scan, so its result is memoized per (context, file set) — row-group
+    splits depend on the files, not the projection — and repeated loader
+    calls skip the re-plan entirely.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, int(target * min_fraction)):
+    try:
+        key = (id(spark.sparkContext), tuple(sorted(df.inputFiles())))
+        n = _SPLIT_CACHE.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _SPLIT_CACHE[key] = n
+    except Exception:  # non-scan input: fall back to the direct probe
+        n = df.rdd.getNumPartitions()
+    if n < max(2, int(target * min_fraction)):
         return df.repartition(target)
     return df
+
+
+_SPLIT_CACHE: dict[tuple[int, tuple[str, ...]], int] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
