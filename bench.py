@@ -71,6 +71,9 @@ HEADLINE = [
     "q_semantic_dedup",    # SemDeDup: trained clusters + within-cell prune
     "q_postings_compress",  # delta+varint posting encode (Arrow, narrow)
     "q_weighted_sample",   # ticket-replication weighted sample (1 exchange)
+    "q_product_profit",    # TPC-H Q9 shape: profit rollup, 5-table join
+    "q_dsir_weights",      # DSIR importance weights (hashed-bigram models)
+    "q_power_iteration",   # PCA direction: gram reduction + K mat-vec rounds
 ]
 
 

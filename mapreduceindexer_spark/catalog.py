@@ -4181,6 +4181,48 @@ def q_gram_matrix(spark, sf_dir):
     )
 
 
+_POWER_ROUNDS = 4
+_POWER_SEP = ",\n       "
+
+
+def _sql_power_round(k: int) -> str:
+    return f"""w{k} AS (SELECT gi, SUM(CAST(g * vj AS DECIMAL(38,10))) AS wd
+               FROM gfull JOIN v{k - 1} ON gj = v{k - 1}.j GROUP BY gi),
+       m{k} AS (SELECT MAX(ABS(wd)) AS m FROM w{k}),
+       v{k} AS (SELECT gi AS j,
+                       ROUND(CAST(wd AS DOUBLE) / CAST(m AS DOUBLE), 9) AS vj
+                FROM w{k}, m{k})"""
+
+
+@register(
+    "q_power_iteration",
+    f"""WITH x AS (
+         SELECT vec_id,
+                CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+                CAST(unnest(embedding) AS DOUBLE) AS v
+         FROM embeddings),
+       gfull AS (SELECT a.i AS gi, b.i AS gj,
+                        CAST(ROUND(SUM(CAST(a.v * b.v AS DECIMAL(38,10))), 6)
+                             AS DOUBLE) AS g
+                 FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+       v0 AS (SELECT DISTINCT gi AS j, 1.0 AS vj FROM gfull),
+       {_POWER_SEP.join(_sql_power_round(k) for k in range(1, _POWER_ROUNDS + 1))}
+       SELECT v{_POWER_ROUNDS}.j AS i, v{_POWER_ROUNDS}.vj AS component,
+              (SELECT CAST(ROUND(m, 6) AS DOUBLE) FROM m{_POWER_ROUNDS})
+                AS lambda_max
+       FROM v{_POWER_ROUNDS}""",
+)
+def q_power_iteration(spark, sf_dir):
+    """Dominant eigenvector of the embedding gram matrix (PCA direction)
+    via K fixed power-iteration rounds —
+    operators/similarity.py::principal_component. The oracle unrolls the
+    same K rounds in SQL (the q_pagerank pattern), so parity checks the
+    iteration semantics, not one implementation against itself."""
+    return sim.principal_component(
+        _t(spark, sf_dir, "embeddings"), rounds=_POWER_ROUNDS
+    )
+
+
 @register(
     "q_sentences",
     r"""WITH s AS (
@@ -4957,6 +4999,62 @@ def q_weighted_sample(spark, sf_dir):
 
 
 @register(
+    "q_domain_cap",
+    f"""WITH keyed AS (SELECT source, doc_id,
+                       {_sql_hash60("'cap:' || CAST(doc_id AS VARCHAR)")} AS skey
+                FROM documents)
+       SELECT source, doc_id,
+              CAST(row_number() OVER (PARTITION BY source
+                                      ORDER BY skey ASC, doc_id ASC) AS BIGINT)
+                AS rank
+       FROM keyed QUALIFY rank <= 10""",
+)
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document cap (no source contributes more than k docs;
+    deterministic hash-ordered survivors) —
+    operators/curation.py::domain_cap."""
+    from mapreduceindexer_spark.operators.curation import domain_cap
+
+    return domain_cap(_docs(spark, sf_dir), k=10)
+
+
+_DSIR_B = 1024
+_DSIR_S = 1_000_000
+
+
+@register(
+    "q_dsir_weights",
+    f"""WITH g AS ({{SQL_2GRAMS}}),
+       feats AS (SELECT g.doc_id,
+                        CAST(d.lang = 'en' AS BIGINT) AS is_t,
+                        ({_sql_hash60("'dsir:' || g")}) % {_DSIR_B} AS b
+                 FROM g JOIN documents d ON g.doc_id = d.doc_id),
+       model AS (SELECT b, COUNT(*) AS c_r, SUM(is_t) AS c_t
+                 FROM feats GROUP BY b),
+       tot AS (SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t FROM model),
+       ratio AS (SELECT b,
+                        ((c_t + 1) * (n_r + {_DSIR_B}) * {_DSIR_S})
+                          // ((c_r + 1) * (n_t + {_DSIR_B})) AS r_s
+                 FROM model CROSS JOIN tot)
+       SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_feats,
+              CAST(SUM(r_s) AS BIGINT) AS sum_ratio,
+              CAST(SUM(r_s) // COUNT(*) AS BIGINT) AS mean_ratio_scaled,
+              SUM(r_s) > COUNT(*) * {_DSIR_S} AS selected
+       FROM feats JOIN ratio USING (b)
+       GROUP BY doc_id""".replace("{SQL_2GRAMS}", SQL_2GRAMS),
+)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-shape importance weighting toward the corpus's own 'en' slice
+    (hashed-bigram bag-of-features models, exact scaled-integer
+    likelihood ratios) — operators/curation.py::dsir_weights."""
+    from mapreduceindexer_spark.operators.curation import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), target_lang="en",
+                        n_buckets=_DSIR_B, scale=_DSIR_S)
+
+
+@register(
     "q_semantic_dedup",
     f"""WITH e AS ({SQL_EMB}),
  c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
@@ -5183,6 +5281,76 @@ def q_excess_suppliers(spark, sf_dir):
         _t(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "part"),
         load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "q_forecast_revenue",
+    f"""SELECT {_sql_dsum('l_extendedprice * l_discount', 'revenue', 2)},
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24""",
+)
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: scalar revenue-change aggregate over a
+    triply-banded scan — operators/relational.py::forecast_revenue. The
+    canary query for pushdown: its plan must stay scan+1-row-agg."""
+    return rel.forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "q_product_profit",
+    f"""SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               {_sql_dsum('l_extendedprice * (1 - l_discount)'
+                          ' - p_retailprice * l_quantity / 10.0',
+                          'sum_profit', 2)},
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY 1, 2""",
+)
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit per (supplier nation, order year) for
+    name-matched parts — operators/relational.py::product_type_profit
+    (supply cost adapted to p_retailprice; the schema ships no
+    partsupp)."""
+    return rel.product_type_profit(
+        _t(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "q_important_stock",
+    """WITH per_part AS (
+         SELECT p_partkey,
+                SUM(CAST(p_retailprice * l_quantity AS DECIMAL(38,10))) AS val
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1),
+       tot AS (SELECT SUM(val) AS total, COUNT(*) AS n FROM per_part)
+       SELECT p_partkey,
+              CAST(ROUND(val, 2) AS DOUBLE) AS part_value,
+              CAST(ROUND(total, 2) AS DOUBLE) AS total_value
+       FROM per_part, tot
+       WHERE val * n * 10 > total * 15""",
+)
+def q_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose moved value exceeds a fraction of the
+    global total (group-by + global scalar threshold) —
+    operators/relational.py::important_stock."""
+    return rel.important_stock(
+        _t(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     )
 
 

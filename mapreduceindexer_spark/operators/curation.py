@@ -133,3 +133,113 @@ def weighted_sample(docs: DataFrame, k: int = 20) -> DataFrame:
         "skey",
         F.row_number().over(w).cast("bigint").alias("rank"),
     ).filter(F.col("rank") <= k)
+
+
+def domain_cap(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Per-domain document cap — the crawl-curation rule that no single
+    source may contribute more than ``k`` documents (per-domain caps are
+    how production pipelines stop a few giant hosts from dominating the
+    mixture after dedup).
+
+    Survivors are the k documents with the smallest content-independent
+    ``hash60("cap:" + doc_id)`` per source — a deterministic uniform
+    draw, reproducible across engines, partitionings, and retries (the
+    same auditability contract as the stratified sampler; taking "first
+    k by doc_id" would bias toward old documents).
+
+    Scale: one hash exchange (the per-source window); WindowGroupLimit
+    computes the bottom-k per task map-side, so the shuffle carries at
+    most k rows per (source, task) — never a source's full population.
+    Skew-immune: a 100M-doc domain still ships only k·tasks rows.
+    """
+    from mapreduceindexer_spark.functions.hashing import hash60
+    from pyspark.sql import Window
+
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        hash60(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))).alias("skey"),
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("skey"), F.asc("doc_id"))
+    return keyed.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    ).filter(F.col("rank") <= k)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-shape importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram features are, for
+    importance resampling toward a target distribution (here: the
+    corpus's own ``target_lang`` slice; in production a curated
+    high-quality corpus — same plan, different input).
+
+    Model: word-bigram features hashed into ``n_buckets`` buckets; both
+    the target and raw bag-of-features models are add-one-smoothed bucket
+    frequencies. Where the paper scores log p_t(b) − log p_r(b), this
+    implementation keeps the per-bucket likelihood RATIO as an exact
+    scaled integer — floor(S·(c_t+1)(N_r+B) / ((c_r+1)(N_t+B))) — pure
+    int64 both engines replay bit-for-bit (same discipline as lm_score;
+    log would drag a libm seam into the oracle). A document's weight is
+    the exact integer SUM of its feature ratios; ranking by mean ratio
+    selects the same kind of target-like documents, and ``selected``
+    (mean ratio > S ⇔ more target-like than raw on average) is the
+    resampling gate. int64 headroom: each term ≤ S·(N_r+B) ≈ 10^6·N_r —
+    scale the factor down (or go DECIMAL(38)) past ~10^12 features.
+
+    Plan: features are a narrow per-row construction; the model is ONE
+    conditional aggregate over the feature stream (c_r = count, c_t =
+    count of target rows — one pass, 1024 groups, no skew); totals ride
+    a broadcast single-row aggregate; the scoring join broadcasts the
+    1024-row model back onto the feature stream; one doc_id shuffle
+    aggregates per-document sums. The corpus is scanned once.
+    """
+    from mapreduceindexer_spark.functions.hashing import hash60
+
+    bg = ts.doc_2grams(docs)
+    feats = bg.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "doc_id",
+        (F.col("lang") == target_lang).cast("bigint").alias("is_t"),
+        (
+            hash60(F.concat(F.lit("dsir:"), F.col("g"))) % n_buckets
+        ).alias("b"),
+    )
+    model = feats.groupBy("b").agg(
+        F.count("*").alias("c_r"), F.sum("is_t").alias("c_t")
+    )
+    totals = model.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+    ratio = model.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.expr(
+            f"(c_t + 1) * (n_r + {n_buckets}) * CAST({scale} AS BIGINT)"
+            f" div ((c_r + 1) * (n_t + {n_buckets}))"
+        ).alias("r_s"),
+    )
+    # The mean ratio stays a 10^6-scaled exact integer (sum div n): a
+    # rounded double mean would hit the half-way seam whenever n_feats is
+    # a power of two (observed live: sum 33673818, n 32 → quotient
+    # terminates at ...8125 and the two engines round the boundary
+    # differently).
+    return (
+        feats.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum("r_s").cast("bigint").alias("sum_ratio"),
+            F.expr("sum(r_s) div count(*)").cast("bigint").alias(
+                "mean_ratio_scaled"
+            ),
+            (F.sum("r_s") > F.count("*") * scale).alias("selected"),
+        )
+    )

@@ -674,6 +674,128 @@ def excess_quantity_suppliers(
     ).select("s_suppkey", "s_name", "s_nationkey")
 
 
+def forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: the forecasting-revenue-change query — one scalar
+    aggregate over a triply-banded scan (date range, discount band,
+    quantity ceiling).
+
+    Scale: the simplest possible distributed plan and worth pinning for
+    exactly that reason — ALL three predicates push to the parquet scan
+    (PushedFilters; row-group min/max statistics prune whole groups), the
+    projection reads two columns, and the aggregate is a map-side partial
+    collapsing to one row. No shuffle carries data; only the 1-row
+    partials move. This is the query whose plan must stay scan+agg at any
+    scale — a regression here (lost pushdown, extra exchange) flags a
+    loader or expression problem immediately.
+    """
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue", 2),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    name_fragment: str = "gear",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) for parts
+    whose name contains a fragment. The schema ships no partsupp table,
+    so supply cost is adapted to ``p_retailprice * l_quantity / 10`` —
+    the plan shape (fact ⋈ filtered part ⋈ supplier ⋈ nation ⋈ orders,
+    profit expression inside one aggregate) is Q9's; only the cost
+    column's provenance differs.
+
+    Scale: the part-name filter contains a leading wildcard so it cannot
+    prune the part SCAN, but it still reduces the dim to a broadcast
+    BEFORE the fact join — lineitem rows for non-matching parts drop at
+    the (broadcast) probe, before the orders shuffle. Supplier⋈nation
+    broadcasts likewise. One fact shuffle (orderkey), and the final
+    aggregate has |nations|×|years| groups. The profit measure is a
+    per-row expression summed exactly in decimal.
+    """
+    matching = part.filter(F.col("p_name").contains(name_fragment)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") / 10.0
+    )
+    return (
+        lineitem.join(F.broadcast(matching), lineitem["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), lineitem["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .agg(
+            _dsum(profit, "sum_profit", 2),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def important_stock(
+    lineitem: DataFrame, part: DataFrame, multiple: float = 1.5
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose total moved value exceeds a threshold
+    derived from the GLOBAL total — the group-by + global-scalar-subquery
+    formulation. Without a partsupp table the per-part value is
+    ``sum(p_retailprice * l_quantity)`` over lineitem; Q11's fixed
+    ``fraction`` (tuned to its SF) is replaced by ``multiple`` × the
+    average per-part value, which keeps the selectivity meaningful at any
+    scale factor while preserving the shape (inner aggregate, scalar over
+    the SAME aggregate, HAVING comparison).
+
+    Scale: one fact shuffle to the per-part aggregate; the global
+    total/count is a window over that aggregate's rows (|parts|, small —
+    NEVER a second fact scan), so threshold and groups come out of one
+    pass. The comparison stays in exact decimal (multiple is applied to
+    the value side as an exact integer-scaled product); rounded values
+    are emitted only for display. At 100 TB the per-part aggregate is
+    the only thing that scales, and it partitions on its natural
+    high-cardinality key.
+    """
+    per_part = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            lineitem["l_partkey"] == part["p_partkey"],
+        )
+        .groupBy("p_partkey")
+        .agg(F.sum((F.col("p_retailprice") * F.col("l_quantity")).cast(DEC)).alias("_val"))
+    )
+    w = Window.partitionBy()
+    # val > multiple * total / n  ⇔  val * n * 10 > total * (multiple*10):
+    # exact decimal × integer on both sides, engine-independent.
+    scaled = F.lit(int(multiple * 10)).cast(DEC)
+    return (
+        per_part.withColumn("_total", F.sum("_val").over(w))
+        .withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_val") * F.col("_n") * F.lit(10) > F.col("_total") * scaled)
+        .select(
+            "p_partkey",
+            F.round(F.col("_val"), 2).cast("double").alias("part_value"),
+            F.round(F.col("_total"), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
 def profile_columns(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
     """One-pass data-profiling sheet: per column, null count, exact
     distinct count, and min/max rendered as strings (doubles through

@@ -439,3 +439,84 @@ def ann_batch_topk(
     return scored.withColumn(
         "rn", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rn") <= k)
+
+
+def principal_component(
+    embeddings: DataFrame, rounds: int = 4, scale_round: int = 9
+) -> DataFrame:
+    """Top principal direction of the embedding corpus via POWER ITERATION
+    on the gram matrix — the PCA/whitening building block (dominant
+    eigenvector of X^T X; with mean-centering upstream it is the first
+    principal component; spiky top directions are also how embedding
+    outlier/duplicate structure gets diagnosed at corpus scale).
+
+    Two-phase plan, and only phase 1 touches the corpus:
+
+    1. **Gram reduction** — one pass over X builds the full d×d relation
+       (i, j, g) exactly as q_gram_matrix (posexplode self-join on
+       vec_id, exact decimal accumulation, round-6 doubles). At 100 TB
+       this is the only data-sized stage, and it reduces to d² = const
+       rows.
+    2. **K matrix-vector rounds on the d²-row relation** — v₀ = 1⃗;
+       each round computes w = G·v (join on j, groupBy i — d groups),
+       normalizes by the max-|coordinate| (a window over d rows, never
+       the corpus), and rounds to ``scale_round`` digits. All K rounds
+       compile into ONE lazy plan over broadcast-scale relations.
+
+    Determinism contract: g and v are rounded doubles, so each g·v
+    product is IEEE-identical per-row in both engines; row sums
+    accumulate exactly in DECIMAL(38,10); the max-|w| comparison happens
+    on exact decimals; the normalizing division is one double/double op
+    (identical IEEE result). The per-round round() on a quotient is the
+    measure-zero-boundary case the repo's _davg convention already
+    accepts. The dominant-eigenvalue estimate ``lambda_max`` is the last
+    round's normalizer (for unit-normalized v it converges to the true
+    eigenvalue up to the v-scaling convention).
+
+    Sign/convergence convention: v₀ = 1⃗ fixes the sign deterministically
+    (no random init); ``rounds`` is fixed, not convergence-tested, so
+    the result is a pinned K-step iterate — the same contract as
+    q_pagerank and q_ann_kmeans.
+    """
+    DEC = "decimal(38,10)"
+    x = embeddings.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"),
+    ).select("vec_id", F.col("i").cast("bigint").alias("i"), "v")
+    a = x.select("vec_id", F.col("i").alias("gi"), F.col("v").alias("av"))
+    b = x.select("vec_id", F.col("i").alias("gj"), F.col("v").alias("bv"))
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy("gi", "gj")
+        .agg(
+            F.round(
+                F.sum((F.col("av") * F.col("bv")).cast(DEC)), 6
+            ).cast("double").alias("g")
+        )
+    )
+    v = gram.select(F.col("gi").alias("j")).distinct().select(
+        "j", F.lit(1.0).alias("vj")
+    )
+    w_all = Window.partitionBy()
+    lam = None
+    for _ in range(rounds):
+        w = (
+            gram.join(v, gram["gj"] == v["j"])
+            .groupBy("gi")
+            .agg(F.sum((F.col("g") * F.col("vj")).cast(DEC)).alias("wd"))
+        )
+        normed = w.withColumn("m", F.max(F.abs(F.col("wd"))).over(w_all))
+        v = normed.select(
+            F.col("gi").alias("j"),
+            F.round(
+                F.col("wd").cast("double") / F.col("m").cast("double"),
+                scale_round,
+            ).alias("vj"),
+        )
+        lam = normed.select(
+            F.round(F.col("m"), 6).cast("double").alias("lambda_max")
+        ).limit(1)
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .select(F.col("j").alias("i"), F.col("vj").alias("component"), "lambda_max")
+    )

@@ -562,3 +562,74 @@ def test_semantic_dedup_pairs_only_within_cells(spark):
     for line in plan.splitlines():
         if "CartesianProduct" in line:
             raise AssertionError(plan)
+
+
+def test_forecast_revenue_is_pure_scan_and_agg(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import (
+        explain_str,
+        pushed_filters,
+        read_schema_columns,
+    )
+
+    df = QUERIES["q_forecast_revenue"][0](spark, SF_SMOKE)
+    pf = " ".join(pushed_filters(df))
+    # All three band predicates reach the scan (row-group pruning fodder).
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf, pf
+    (cols,) = read_schema_columns(df)
+    assert set(cols) <= {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+    }, cols
+    plan = explain_str(df, "simple")
+    # Scalar aggregate: the only movement is 1-row partials to one task.
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_product_profit_broadcasts_all_dims_single_fact_shuffle(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_product_profit"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # part and supplier⋈nation broadcast; lineitem is read once and the
+    # only hash exchanges are the orderkey join sides + final group agg.
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_important_stock_aggregates_fact_once(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_important_stock"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # Global threshold = window over the per-part aggregate, NOT a second
+    # fact scan or a join-back.
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_domain_cap_single_exchange_with_group_limit(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_domain_cap"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # One per-source window exchange; WindowGroupLimit prunes to k rows
+    # per task map-side, so a giant domain never ships its population.
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_dsir_model_is_broadcast_and_corpus_scanned_once(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_dsir_weights"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # The 1024-row bucket model joins back onto the feature stream as a
+    # broadcast — the feature stream itself is never re-shuffled to meet
+    # the model.
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
