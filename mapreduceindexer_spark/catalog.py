@@ -5285,6 +5285,43 @@ def q_excess_suppliers(spark, sf_dir):
 
 
 @register(
+    "q_range_bounds",
+    """WITH b AS (SELECT quantile_cont(o_totalprice, 0.125) AS b1,
+                         quantile_cont(o_totalprice, 0.25)  AS b2,
+                         quantile_cont(o_totalprice, 0.375) AS b3,
+                         quantile_cont(o_totalprice, 0.5)   AS b4,
+                         quantile_cont(o_totalprice, 0.625) AS b5,
+                         quantile_cont(o_totalprice, 0.75)  AS b6,
+                         quantile_cont(o_totalprice, 0.875) AS b7
+                  FROM orders),
+       r AS (SELECT CAST(CAST(o_totalprice > b1 AS INT)
+                       + CAST(o_totalprice > b2 AS INT)
+                       + CAST(o_totalprice > b3 AS INT)
+                       + CAST(o_totalprice > b4 AS INT)
+                       + CAST(o_totalprice > b5 AS INT)
+                       + CAST(o_totalprice > b6 AS INT)
+                       + CAST(o_totalprice > b7 AS INT) AS BIGINT) AS bucket,
+                    [b1, b2, b3, b4, b5, b6, b7] AS ba
+             FROM orders, b)
+       SELECT bucket,
+              ROUND(CASE WHEN bucket > 0 THEN ba[CAST(bucket AS INT)] END, 6)
+                AS range_lo,
+              ROUND(CASE WHEN bucket < 7 THEN ba[CAST(bucket + 1 AS INT)] END, 6)
+                AS range_hi,
+              CAST(COUNT(*) AS BIGINT) AS n_rows
+       FROM r GROUP BY bucket, ba""",
+)
+def q_range_bounds(spark, sf_dir):
+    """Equi-depth range-partition boundaries over o_totalprice (the X3
+    range-partitioning analogue: the split points a range-sharded sink /
+    repartitionByRange would use, computed exactly) —
+    operators/relational.py::range_partition_bounds."""
+    return rel.range_partition_bounds(
+        _t(spark, sf_dir, "orders"), "o_totalprice", n_parts=8
+    )
+
+
+@register(
     "q_forecast_revenue",
     f"""SELECT {_sql_dsum('l_extendedprice * l_discount', 'revenue', 2)},
                CAST(COUNT(*) AS BIGINT) AS n_items

@@ -199,7 +199,10 @@ def dsir_weights(
     count of target rows — one pass, 1024 groups, no skew); totals ride
     a broadcast single-row aggregate; the scoring join broadcasts the
     1024-row model back onto the feature stream; one doc_id shuffle
-    aggregates per-document sums. The corpus is scanned once.
+    aggregates per-document sums. The feature stream feeds the model
+    pass and the scoring pass — two corpus scans; a production run
+    persists the hashed features (spill-to-disk, the near_duplicates
+    convention) to make it one.
     """
     from mapreduceindexer_spark.functions.hashing import hash60
 

@@ -834,3 +834,62 @@ def profile_columns(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
             "(col_name, n_null, n_distinct, min_val, max_val)"
         )
     )
+
+
+def range_partition_bounds(
+    df: DataFrame, value_col: str, n_parts: int = 8
+) -> DataFrame:
+    """Equi-depth range-partition boundaries + per-range populations — the
+    X3 analogue from the reference's scheduler (its static letter ranges,
+    ``src/main.cpp``) generalized to data-driven ranges: the split points
+    ``repartitionByRange`` / a range-sharded sink would use, computed
+    EXACTLY (production uses reservoir-sampled bounds — same output
+    contract, approximate ranks).
+
+    Two passes, neither a global sort: (1) one scalar aggregate computes
+    the n−1 interior boundaries as exact percentile_cont values; (2) the
+    1-row boundary vector broadcasts back and each row's bucket is a sum
+    of comparisons — a narrow codegen expression — feeding an n-group
+    aggregate. The equi-depth property itself is the test: populations
+    must differ only by interpolation ties.
+
+    Determinism: the probe points k/8 are exact binary doubles; a
+    boundary either equals a data value exactly (integer rank, g=0 —
+    identical in both engines) or lies strictly inside a gap between two
+    values ≥ 1 cent apart, so 1-ulp interpolation differences can never
+    flip a bucket comparison. Boundary display values round to 6.
+    """
+    ps = [k / n_parts for k in range(1, n_parts)]
+    bounds = df.agg(
+        *[
+            F.percentile(value_col, F.lit(p)).alias(f"b{k}")
+            for k, p in enumerate(ps, start=1)
+        ]
+    )
+    bucket = None
+    for k in range(1, n_parts):
+        term = (F.col(value_col) > F.col(f"b{k}")).cast("int")
+        bucket = term if bucket is None else bucket + term
+    barr = F.array(*[F.col(f"b{k}") for k in range(1, n_parts)])
+    return (
+        df.select(value_col)
+        .crossJoin(F.broadcast(bounds))
+        .select(bucket.cast("bigint").alias("bucket"), barr.alias("_b"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_rows"), F.first("_b").alias("_b"))
+        .select(
+            "bucket",
+            F.round(
+                F.when(F.col("bucket") > 0, F.element_at("_b", F.col("bucket").cast("int"))),
+                6,
+            ).alias("range_lo"),
+            F.round(
+                F.when(
+                    F.col("bucket") < n_parts - 1,
+                    F.element_at("_b", (F.col("bucket") + 1).cast("int")),
+                ),
+                6,
+            ).alias("range_hi"),
+            "n_rows",
+        )
+    )

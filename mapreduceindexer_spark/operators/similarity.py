@@ -485,6 +485,10 @@ def principal_component(
     ).select("vec_id", F.col("i").cast("bigint").alias("i"), "v")
     a = x.select("vec_id", F.col("i").alias("gi"), F.col("v").alias("av"))
     b = x.select("vec_id", F.col("i").alias("gj"), F.col("v").alias("bv"))
+    # Every iteration round references the gram relation; without staging
+    # Spark would recompute the corpus-sized reduction K+1 times (once
+    # per round plus v0's distinct). The gram is d² rows — checkpoint it
+    # once so the rounds run on the materialized constant-size relation.
     gram = (
         a.join(b, "vec_id")
         .groupBy("gi", "gj")
@@ -493,7 +497,7 @@ def principal_component(
                 F.sum((F.col("av") * F.col("bv")).cast(DEC)), 6
             ).cast("double").alias("g")
         )
-    )
+    ).localCheckpoint()
     v = gram.select(F.col("gi").alias("j")).distinct().select(
         "j", F.lit(1.0).alias("vj")
     )

@@ -309,10 +309,13 @@ def lm_score(docs: DataFrame) -> DataFrame:
     bg = doc_2grams(docs)
     cab = bg.groupBy("g").agg(F.count("*").alias("c_ab"))
     a_of_g = F.substring_index("g", " ", 1)
+    # c_a = Σ c_ab over bigrams starting with a — derived from the
+    # already-reduced bigram counts (|vocab²| rows), NOT from a third
+    # scan of the corpus-sized bigram stream.
     ca = (
-        bg.select(a_of_g.alias("a"))
+        cab.select(a_of_g.alias("a"), "c_ab")
         .groupBy("a")
-        .agg(F.count("*").alias("c_a"))
+        .agg(F.sum("c_ab").alias("c_a"))
     )
     vocab = tokens_normalized(docs).agg(
         F.countDistinct("term").alias("v")
