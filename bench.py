@@ -74,6 +74,8 @@ HEADLINE = [
     "q_product_profit",    # TPC-H Q9 shape: profit rollup, 5-table join
     "q_dsir_weights",      # DSIR importance weights (hashed-bigram models)
     "q_power_iteration",   # PCA direction: gram reduction + K mat-vec rounds
+    "q_sparse_cosine",     # TF-IDF all-pairs cosine via inverted-index join
+    "q_triangles",         # triangle counts over co-occurrence graph
 ]
 
 

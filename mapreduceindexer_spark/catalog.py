@@ -346,6 +346,63 @@ def q_term_cooccurrence(spark, sf_dir):
     )
 
 
+_TRI_TOP = 30
+_TRI_PCT = 64
+
+
+@register(
+    "q_triangles",
+    f"""WITH p AS ({{SQL_PAIRS}}),
+       nd AS (SELECT count(*) AS n_docs FROM documents),
+       top AS (SELECT term FROM (
+                 SELECT term, count(*) AS df FROM p GROUP BY term
+                 ORDER BY df DESC, term ASC LIMIT {_TRI_TOP})),
+       tp AS (SELECT p.doc_id, p.term FROM p JOIN top USING (term)),
+       co AS (SELECT a.term AS u, b.term AS v, count(*) AS n
+              FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+       e AS (SELECT u, v FROM co, nd WHERE co.n * 100 >= nd.n_docs * {_TRI_PCT}),
+       tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+               FROM e e1
+               JOIN e e2 ON e1.v = e2.u
+               JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+       corners AS (SELECT a AS node FROM tri
+                   UNION ALL SELECT b FROM tri
+                   UNION ALL SELECT c FROM tri)
+       SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       FROM corners GROUP BY node""".replace("{SQL_PAIRS}", SQL_PAIRS),
+)
+def q_triangles(spark, sf_dir):
+    """Per-term triangle counts over the pruned co-occurrence graph
+    (top-{df} terms; edges where the pair co-occurs in >= 64% of docs) —
+    operators/graph.py::triangle_counts, the oriented-wedge-join
+    formulation (each triangle generated exactly once)."""
+    from mapreduceindexer_spark.operators.graph import triangle_counts
+
+    pairs = _pairs(spark, sf_dir)
+    top = (
+        pairs.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(_TRI_TOP)
+        .select("term")
+    )
+    tp = pairs.join(F.broadcast(top), "term")
+    n = _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    a = tp.select("doc_id", F.col("term").alias("u"))
+    b = tp.select("doc_id", F.col("term").alias("v"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+    )
+    edges = co.crossJoin(F.broadcast(n)).filter(
+        F.col("n") * 100 >= F.col("n_docs") * _TRI_PCT
+    ).select("u", "v")
+    return triangle_counts(edges)
+
+
 @register(
     "q_value_outliers",
     """WITH stats AS (
@@ -1560,6 +1617,41 @@ def q_embed_dup(spark, sf_dir):
 )
 def q_tfidf(spark, sf_dir):
     return ts.tfidf(_docs(spark, sf_dir))
+
+
+@register(
+    "q_sparse_cosine",
+    f"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM ({SQL_TERMS}) GROUP BY 1, 2),
+       dfr AS (SELECT doc_id, term, tf,
+                      CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+               FROM tf),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       w AS (SELECT doc_id, term, ROUND(tf * ln(n_docs / df), 6) AS w
+             FROM dfr, n WHERE df <= n_docs * 0.1),
+       nrm AS (SELECT doc_id,
+                      sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,10))) AS DOUBLE))
+                        AS nrm
+               FROM w GROUP BY 1),
+       dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,10))) AS DOUBLE)
+                         AS dot
+                FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+       FROM dots
+       JOIN nrm na ON doc_a = na.doc_id
+       JOIN nrm nb ON doc_b = nb.doc_id
+       WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.3""",
+)
+def q_sparse_cosine(spark, sf_dir):
+    """Sparse TF-IDF all-pairs cosine similarity join through the
+    inverted index (AllPairs family; df-pruned vocabulary bounds the
+    pair fan-out) — operators/textstats.py::sparse_cosine_pairs."""
+    return ts.sparse_cosine_pairs(
+        _docs(spark, sf_dir), threshold=0.3, max_df_frac=0.1
+    )
 
 
 @register(
@@ -5285,6 +5377,31 @@ def q_excess_suppliers(spark, sf_dir):
 
 
 @register(
+    "q_salted_join",
+    f"""SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {_sql_dsum('o_totalprice', 'total', 2)}
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey""",
+)
+def q_salted_join(spark, sf_dir):
+    """Skew-proof salted shuffle join (dim replicated ×B, fact salted by
+    content hash, join on (key, salt)) aggregated per nation — the
+    oracle is the PLAIN unsalted join: salting must change the physical
+    distribution and never the answer —
+    operators/relational.py::salted_join_agg."""
+    return rel.salted_join_agg(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        group_col="c_nationkey",
+        sum_col="o_totalprice",
+        buckets=8,
+    )
+
+
+@register(
     "q_range_bounds",
     """WITH b AS (SELECT quantile_cont(o_totalprice, 0.125) AS b1,
                          quantile_cont(o_totalprice, 0.25)  AS b2,
@@ -5422,6 +5539,12 @@ def q_important_stock(spark, sf_dir):
 # families that did not exist before this round: q_semantic_dedup
 # (SemDeDup tier), q_weighted_sample (first curation-family driver row),
 # and q_postings_compress (index-layout family).
+# Third late rotation (same round): q_cosine_topk, q_tfidf, and
+# q_quality_score — all three driver-green in round 3 and each with a
+# same-family sibling still in the window (q_ann_ivf; the lm/repetition
+# quality tier) — swapped for the three families born this session:
+# q_power_iteration (spectral/PCA), q_range_bounds (range-sharding
+# boundaries), q_dsir_weights (importance-resampling data selection).
 _CHECK_PRIORITY = [
     # §2.1 core (reference pipeline, dataflow order)
     "q_manifest_scan",
@@ -5466,10 +5589,10 @@ _CHECK_PRIORITY = [
     "q_substring_dup",
     "q_simhash",
     "q_semantic_dedup",
-    "q_cosine_topk",
+    "q_power_iteration",
     "q_ann_ivf",
-    "q_tfidf",
-    "q_quality_score",
+    "q_range_bounds",
+    "q_dsir_weights",
     "q_user_trend",
     "q_weighted_sample",
     "q_countmin",

@@ -893,3 +893,56 @@ def range_partition_bounds(
             "n_rows",
         )
     )
+
+
+def salted_join_agg(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    group_col: str,
+    sum_col: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Skew-proof shuffle join: the SALTED join ⟶ aggregate pattern, the
+    join-side twin of the index build's salted aggregation. When one join
+    key carries a disproportionate share of fact rows (the "hot customer"
+    / stopword pathology), a plain hash join lands that key's entire
+    population on ONE reduce task; salting splits it across ``buckets``
+    tasks at the cost of replicating the (small) dim side ×buckets.
+
+    Mechanics: dim rows replicate with salt 0..B−1 (an explode of a
+    constant B-element array — narrow); fact rows compute a DETERMINISTIC
+    content-based salt ``pmod(hash60(key, row-disambiguator), B)`` so the
+    result is reproducible across retries; the join matches on
+    (key, salt), so every fact row still meets exactly one dim replica —
+    the relational answer is IDENTICAL to the unsalted join, which is
+    exactly what the DuckDB oracle (a plain join) checks. AQE's skew-join
+    splitting does this adaptively for sort-merge joins; the explicit
+    form works for any join strategy and any engine, and composes with
+    the aggregate pushdown below it.
+
+    The group aggregate after the join is keyed independently of the
+    salt, so partial aggregation absorbs the ×B replication before the
+    final shuffle.
+    """
+    from mapreduceindexer_spark.functions.hashing import hash60
+
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    salted_fact = fact.withColumn(
+        "_salt",
+        F.pmod(
+            hash60(F.col(fact_key).cast("string"), seed=F.lit(1)), buckets
+        ).cast("int"),
+    )
+    joined = salted_fact.join(
+        salted_dim,
+        (salted_fact[fact_key] == salted_dim[dim_key])
+        & (salted_fact["_salt"] == salted_dim["_salt"]),
+    )
+    return joined.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        _dsum(F.col(sum_col), "total", 2),
+    )

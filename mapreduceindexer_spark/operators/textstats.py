@@ -421,3 +421,93 @@ def bpe_train(docs: DataFrame, rounds: int = 3) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    max_df_frac: float = 0.1,
+) -> DataFrame:
+    """All-pairs document cosine similarity over TF-IDF vectors, joined
+    THROUGH the inverted index — the sparse-vector similarity join
+    (Bayardo et al.'s AllPairs family): two documents meet only on the
+    terms they share, so the pair stream is generated by a self-join of
+    the (doc, term, weight) relation on term, never by comparing every
+    document to every document.
+
+    Semantics: cosine over the df-PRUNED vocabulary — terms in more than
+    ``max_df_frac`` of documents (stopwords: tiny idf, huge fan-out) are
+    dropped from the vectors themselves, so norms, dots, and the
+    threshold all agree on the same pruned space and every pair with
+    similarity > 0 shares at least one surviving term (no recall loss
+    within the pruned semantics).
+
+    Scale: df pruning is what bounds the join — each surviving term
+    contributes at most (max_df_frac·N)² pair-products, and the skew
+    that would concentrate on stopword terms is exactly what got pruned.
+    One corpus scan builds tf; df is a window over tf; the pair products
+    accumulate in exact decimal so the per-pair dot is
+    shuffle-order-independent. At larger thresholds, prefix filtering
+    (sort terms by df, index only the first |v|−⌈t·|v|⌉+1 terms) cuts
+    candidates further — same plan shape, stricter index condition.
+
+    Determinism: weights are the ROUND-6 tfidf values (the engines'
+    ln() may differ in the last ulp; rounding first makes the vector
+    entries bit-identical — the q_tfidf convention), products of those
+    doubles are IEEE-identical per-row, sums are exact decimal, and the
+    final division is one double op.
+    """
+    from pyspark.sql import Window
+
+    terms = tokens_normalized(docs)
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    tfdf = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")).cast("bigint")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    w = (
+        tfdf.crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= F.col("n_docs") * max_df_frac)
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(38,10)")).cast("double")
+        ).alias("nrm")
+    )
+    wa = w.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("w_a")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("w_b")
+    )
+    dots = (
+        wa.join(wb, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("w_a") * F.col("w_b")).cast("decimal(38,10)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -633,3 +633,39 @@ def test_dsir_model_is_broadcast_and_corpus_scanned_once(spark):
     # the model.
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_salted_join_matches_on_salt_and_absorbs_replication(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_salted_join"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # The join must key on (custkey, _salt) — that is the whole point —
+    # and the post-join aggregate partials absorb the ×B dim replication
+    # before the final nation shuffle.
+    assert "_salt" in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_triangles_has_no_cartesian_and_prunes_before_pairing(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_triangles"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # Pair expansion and wedge join are equi-joins; the only allowed
+    # nested-loop is the 1-row doc-count scalar broadcast.
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sparse_cosine_joins_through_terms_not_all_pairs(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_sparse_cosine"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # Documents meet only via shared surviving terms (equi-join on term);
+    # no document-level cross pairing anywhere.
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
