@@ -913,8 +913,8 @@ def salted_join_agg(
 
     Mechanics: dim rows replicate with salt 0..B−1 (an explode of a
     constant B-element array — narrow); fact rows compute a DETERMINISTIC
-    content-based salt ``pmod(hash60(key, row-disambiguator), B)`` so the
-    result is reproducible across retries; the join matches on
+    content-based salt ``pmod(xxhash64(whole row), B)`` so the result is
+    reproducible across retries; the join matches on
     (key, salt), so every fact row still meets exactly one dim replica —
     the relational answer is IDENTICAL to the unsalted join, which is
     exactly what the DuckDB oracle (a plain join) checks. AQE's skew-join
@@ -926,16 +926,21 @@ def salted_join_agg(
     salt, so partial aggregation absorbs the ×B replication before the
     final shuffle.
     """
-    from mapreduceindexer_spark.functions.hashing import hash60
-
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )
+    # The salt MUST vary per row within the same join key (a salt that is
+    # a function of the key alone sends the hot key's rows to one
+    # constant salt — the original skew, verbatim; caught live by the
+    # reduce-partition census in PLANS.md). Hash the WHOLE row: content-
+    # deterministic (identical across retries and input reorderings),
+    # and engine-native xxhash64 is fine because the salt never reaches
+    # the result — only its distribution matters.
     salted_fact = fact.withColumn(
         "_salt",
-        F.pmod(
-            hash60(F.col(fact_key).cast("string"), seed=F.lit(1)), buckets
-        ).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(buckets)).cast(
+            "int"
+        ),
     )
     joined = salted_fact.join(
         salted_dim,

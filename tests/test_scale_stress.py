@@ -389,3 +389,52 @@ def test_substring_dedup_bounded_on_fully_duplicated_corpus(spark):
         assert r.n_dup_windows == 181
         assert r.dup_tokens == 200
         assert r.dup_frac_ppm == 1_000_000
+
+
+def test_salted_join_spreads_hot_key_and_preserves_answer(spark):
+    """A key owning 75% of 200k fact rows must land on MANY reduce
+    partitions after salting (a salt derived from the join key alone
+    would reproduce the skew verbatim — the bug class this pins), and
+    the salted aggregate must equal the plain join's."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.operators.relational import salted_join_agg
+
+    n_fact, n_dim, buckets = 200_000, 1_000, 16
+    fact = spark.range(n_fact).select(
+        F.when(F.col("id") % 4 != 0, F.lit(7))
+        .otherwise(F.pmod(F.col("id") * 2654435761, n_dim))
+        .cast("bigint")
+        .alias("fk"),
+        (F.col("id") % 100).cast("double").alias("val"),
+    )
+    dim = spark.range(n_dim).select(
+        F.col("id").cast("bigint").alias("dk"),
+        F.pmod(F.col("id"), F.lit(5)).cast("int").alias("grp"),
+    )
+    salted_fact = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(buckets)).cast(
+            "int"
+        ),
+    )
+    hot_salts = (
+        salted_fact.filter(F.col("fk") == 7).select("_salt").distinct().count()
+    )
+    # The hot rows here carry only 100 distinct contents (val = id%100),
+    # so a bucket can stay empty by chance — require a wide spread, not
+    # a perfect one. (A key-derived salt — the pinned bug — gives 1.)
+    assert hot_salts >= buckets * 3 // 4, hot_salts
+
+    plain = (
+        fact.join(dim, fact["fk"] == dim["dk"])
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"))
+    )
+    salted = salted_join_agg(
+        fact, dim, fact_key="fk", dim_key="dk", group_col="grp",
+        sum_col="val", buckets=buckets,
+    )
+    p = {r["grp"]: r["n"] for r in plain.collect()}
+    s = {r["grp"]: r["n_rows"] for r in salted.collect()}
+    assert p == s
