@@ -2302,6 +2302,40 @@ def q_user_trend(spark, sf_dir):
     return ev.user_value_trend(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "q_cogroup_funnel",
+    """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+       p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+       users AS (SELECT DISTINCT user_id FROM v
+                 UNION SELECT DISTINCT user_id FROM p),
+       nv AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_views
+              FROM v GROUP BY 1),
+       np AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+                     min(ts) AS first_purchase
+              FROM p GROUP BY 1),
+       vb AS (SELECT v.user_id, CAST(count(*) AS BIGINT) AS nb
+              FROM v JOIN np USING (user_id)
+              WHERE v.ts < np.first_purchase GROUP BY v.user_id)
+       SELECT u.user_id,
+              COALESCE(nv.n_views, 0) AS n_views,
+              COALESCE(np.n_purchases, 0) AS n_purchases,
+              np.first_purchase,
+              CASE WHEN np.user_id IS NOT NULL
+                   THEN COALESCE(vb.nb, 0) END AS views_before_first
+       FROM users u
+       LEFT JOIN nv USING (user_id)
+       LEFT JOIN np USING (user_id)
+       LEFT JOIN vb USING (user_id)""",
+)
+def q_cogroup_funnel(spark, sf_dir):
+    """Two-relation Arrow grouped-map (cogroup().applyInPandas): per-user
+    view/purchase reconciliation — each user's views and purchases land
+    in the same task as two pandas frames, no materialized join between
+    them — operators/events.py::cogrouped_funnel_stats. The oracle is
+    the outer-join + conditional-count SQL twin."""
+    return ev.cogrouped_funnel_stats(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Aggregate/report completers: arg-max, gap fill, percent-of-total, unpivot
 # ---------------------------------------------------------------------------
@@ -5054,12 +5088,59 @@ def _sql_bpe_round(i: int) -> str:
  UNION ALL SELECT CAST(3 AS BIGINT), l, r, l || r, cnt FROM b3""",
 )
 def q_bpe_train(spark, sf_dir):
-    """Greedy BPE training, 3 merge rounds over the word-frequency table
-    — operators/textstats.py::bpe_train. The oracle replays each round
+    """Full greedy BPE training, 3 merge rounds (weighted pair counts →
+    deterministic argmax → greedy fold re-segmentation) —
+    operators/textstats.py::bpe_train. The oracle replays every round
     with a different mechanism (two-space strings + non-overlapping
     replace vs the Spark array fold), so parity checks the merge
     semantics, not one implementation against itself."""
     return ts.bpe_train(_docs(spark, sf_dir), rounds=3)
+
+
+def _sql_bpe_apply(i: int) -> str:
+    return f"""e{i} AS (SELECT term,
+                 replace(s, ' ' || b{i}.l || '  ' || b{i}.r || ' ',
+                         ' ' || b{i}.l || b{i}.r || ' ') AS s
+          FROM e{i - 1}, b{i})"""
+
+
+@register(
+    "q_bpe_encode",
+    f"""WITH t AS ({SQL_TERMS}),
+ wf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY term),
+ w0 AS (SELECT freq,
+               '  ' || array_to_string([term[j] FOR j IN range(1, len(term)+1)],
+                                       '  ') || '  ' AS s
+        FROM wf),
+{_sql_bpe_round(1)},
+{_sql_bpe_round(2)},
+{_sql_bpe_round(3)},
+ e0 AS (SELECT term,
+               '  ' || array_to_string([term[j] FOR j IN range(1, len(term)+1)],
+                                       '  ') || '  ' AS s
+        FROM (SELECT DISTINCT term FROM t)),
+{_sql_bpe_apply(1)},
+{_sql_bpe_apply(2)},
+{_sql_bpe_apply(3)},
+ pieces AS (SELECT term,
+                   CAST(len(string_split(trim(s), '  ')) AS BIGINT)
+                     AS pieces_per_term
+            FROM e3),
+ tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM t GROUP BY 1, 2)
+ SELECT doc_id,
+        CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        CAST(SUM(tf * pieces_per_term) AS BIGINT) AS n_pieces,
+        CAST(SUM(tf * pieces_per_term) * 1000 // SUM(tf) AS BIGINT)
+          AS pieces_per_token_permille
+ FROM tf JOIN pieces USING (term)
+ GROUP BY doc_id""",
+)
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer application: encode the corpus with the trained 3-round
+    merge table, vocabulary-level apply + tf-weighted per-doc piece
+    accounting — operators/textstats.py::bpe_encode."""
+    return ts.bpe_encode(_docs(spark, sf_dir), rounds=3)
 
 
 @register(

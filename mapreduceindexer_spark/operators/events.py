@@ -233,3 +233,60 @@ def view_purchase_attribution(events: DataFrame, horizon_min: int = 30) -> DataF
             .alias("gap_us"),
         )
     )
+
+
+def cogrouped_funnel_stats(events: DataFrame) -> DataFrame:
+    """Per-user view/purchase reconciliation via COGROUPED grouped-map —
+    the two-relation Arrow path (``groupBy().cogroup().applyInPandas``):
+    each user's views arrive as one pandas frame and their purchases as
+    another, in the same task, with no join materialized in between.
+
+    This is the API for per-entity logic over two event streams whose
+    relationship is not a plain equi-join row-for-row (reconciliation,
+    sessionized attribution, order-vs-shipment matching): Spark
+    co-shuffles both relations on the key, so the kernel sees exactly
+    one user's slice of each — state bounded by the per-user event
+    count, never the corpus.
+
+    Outputs are exact integers and a min-timestamp, so the DuckDB twin
+    (outer-join + conditional counts) checks values exactly; the kernel
+    is vectorized pandas/numpy, no per-row Python.
+    """
+    import pandas as pd  # noqa: F401 (kernel dependency, Arrow-batched)
+
+    views = events.filter(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+
+    def reconcile(v, p):
+        import pandas as pd
+
+        uid = int(v["user_id"].iloc[0] if len(v) else p["user_id"].iloc[0])
+        n_views = len(v)
+        n_purchases = len(p)
+        if n_purchases:
+            first_purchase = p["ts"].min()
+            views_before = int((v["ts"] < first_purchase).sum()) if n_views else 0
+        else:
+            first_purchase = pd.NaT
+            views_before = None
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_views": [n_views],
+                "n_purchases": [n_purchases],
+                "first_purchase": [first_purchase],
+                "views_before_first": [views_before],
+            }
+        )
+
+    return (
+        views.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            "user_id BIGINT, n_views BIGINT, n_purchases BIGINT,"
+            " first_purchase TIMESTAMP, views_before_first BIGINT",
+        )
+    )

@@ -511,3 +511,62 @@ def sparse_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def bpe_encode(docs: DataFrame, rounds: int = 3) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: encode every document with
+    the BPE merge table trained by ``bpe_train`` and account tokens →
+    pieces per document (the token-budget number a training pipeline
+    actually bills by).
+
+    The encode runs on the VOCABULARY, not the corpus: merges apply to
+    the |vocab| distinct terms (each a small symbol array), and per-doc
+    piece counts come from tf × pieces-per-term — the corpus is touched
+    exactly once (the tf aggregate). That is the production tokenizer
+    design: the merge table and the piece table are broadcast-scale; the
+    only data-sized stage is the tf aggregate the pipeline needs anyway.
+
+    The K-row merge table is localCheckpointed: the apply loop
+    references it per round, and without staging each round would
+    re-run the whole training plan (the multi-branch-reference lesson
+    from PLANS.md).
+    """
+    from mapreduceindexer_spark.functions.text import tokens_normalized
+
+    merges = bpe_train(docs, rounds=rounds).localCheckpoint()
+    terms = tokens_normalized(docs)
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    vocab = tf.select("term").distinct().select(
+        "term", F.split("term", "").alias("symbols")
+    )
+    merge_fold = """aggregate(
+        symbols, cast(array() as array<string>),
+        (acc, x) -> CASE
+            WHEN size(acc) > 0 AND element_at(acc, -1) = l AND x = r
+            THEN concat(slice(acc, 1, size(acc) - 1), array(concat(l, r)))
+            ELSE concat(acc, array(x)) END)"""
+    for i in range(1, rounds + 1):
+        mi = merges.filter(F.col("merge_round") == i).select(
+            F.col("lhs").alias("l"), F.col("rhs").alias("r")
+        )
+        vocab = vocab.crossJoin(F.broadcast(mi)).select(
+            "term", F.expr(merge_fold).alias("symbols")
+        )
+    pieces = vocab.select(
+        "term", F.size("symbols").cast("bigint").alias("pieces_per_term")
+    )
+    return (
+        tf.join(pieces, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("pieces_per_term"))
+            .cast("bigint")
+            .alias("n_pieces"),
+            F.expr("sum(tf * pieces_per_term) * 1000 div sum(tf)")
+            .cast("bigint")
+            .alias("pieces_per_token_permille"),
+        )
+    )

@@ -1,0 +1,105 @@
+"""Degenerate-input behavior for the round-4 session-3 operators: empty
+relations and collapsed domains must produce typed empty/sane results,
+not exceptions — the same hygiene the sink family pins for empty letter
+files."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+
+
+def test_sparse_cosine_empty_corpus(spark):
+    from mapreduceindexer_spark.operators.textstats import sparse_cosine_pairs
+
+    out = sparse_cosine_pairs(_empty_docs(spark))
+    assert out.columns == ["doc_a", "doc_b", "cosine"]
+    assert out.count() == 0
+
+
+def test_sparse_cosine_single_doc_has_no_pairs(spark):
+    from mapreduceindexer_spark.operators.textstats import sparse_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "s", 16)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    assert sparse_cosine_pairs(docs).count() == 0
+
+
+def test_triangle_counts_empty_and_triangle_free(spark):
+    from mapreduceindexer_spark.operators.graph import triangle_counts
+
+    empty = spark.createDataFrame([], "u string, v string")
+    assert triangle_counts(empty).count() == 0
+    # a path graph has wedges but no closed triangle
+    path = spark.createDataFrame([("a", "b"), ("b", "c")], "u string, v string")
+    assert triangle_counts(path).count() == 0
+
+
+def test_triangle_counts_single_triangle(spark):
+    from mapreduceindexer_spark.operators.graph import triangle_counts
+
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "u string, v string"
+    )
+    rows = {r["node"]: r["n_triangles"] for r in tri.transform(triangle_counts).collect()}
+    assert rows == {"a": 1, "b": 1, "c": 1}
+
+
+def test_salted_join_empty_fact(spark):
+    from mapreduceindexer_spark.operators.relational import salted_join_agg
+
+    fact = spark.createDataFrame([], "fk bigint, val double")
+    dim = spark.createDataFrame([(1, 0)], "dk bigint, grp int")
+    assert salted_join_agg(
+        fact, dim, fact_key="fk", dim_key="dk", group_col="grp", sum_col="val"
+    ).count() == 0
+
+
+def test_dsir_all_target_corpus_selects_nothing_strictly(spark):
+    """When every document IS the target, target and raw models coincide:
+    every ratio is ~1 (floor'd to <= scale), so no document can score
+    strictly above the raw model — `selected` must be all False."""
+    from mapreduceindexer_spark.operators.curation import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "en", "s", 22) for i in range(4)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = dsir_weights(docs, target_lang="en").collect()
+    assert len(out) == 4
+    assert all(not r["selected"] for r in out)
+
+
+def test_important_stock_single_part_keeps_nothing(spark):
+    """One part owns 100% of value: avg == total, threshold 1.5x avg is
+    unreachable, result is empty (never a divide-by-zero)."""
+    from mapreduceindexer_spark.operators.relational import important_stock
+
+    li = spark.createDataFrame(
+        [(1, 2.0)], "l_partkey bigint, l_quantity double"
+    )
+    part = spark.createDataFrame(
+        [(1, 10.0)], "p_partkey bigint, p_retailprice double"
+    )
+    assert important_stock(li, part).count() == 0
+
+
+def test_power_iteration_on_identity_like_corpus(spark):
+    """Two orthogonal axis vectors: gram is diagonal; the dominant
+    direction must be the axis with the larger diagonal entry."""
+    from mapreduceindexer_spark.operators.similarity import principal_component
+
+    emb = spark.createDataFrame(
+        [(0, [2.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = {r["i"]: r["component"] for r in principal_component(emb, rounds=4).collect()}
+    assert abs(rows[0]) == 1.0  # dominant axis saturates the max-norm
+    assert abs(rows[1]) < 0.1  # weaker axis decays toward 0
