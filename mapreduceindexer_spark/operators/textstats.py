@@ -307,11 +307,15 @@ def lm_score(docs: DataFrame) -> DataFrame:
     windows, no Python.
     """
     bg = doc_2grams(docs)
-    cab = bg.groupBy("g").agg(F.count("*").alias("c_ab"))
+    # The bigram-count MODEL is referenced twice (the scoring join and
+    # the predecessor-count derivation below) — stage it once or the
+    # corpus-sized bigram stream gets re-derived per branch (the
+    # multi-branch-reference lesson, PLANS.md). The model is bounded by
+    # the observed-bigram vocabulary, not the corpus.
+    cab = bg.groupBy("g").agg(F.count("*").alias("c_ab")).localCheckpoint()
     a_of_g = F.substring_index("g", " ", 1)
     # c_a = Σ c_ab over bigrams starting with a — derived from the
-    # already-reduced bigram counts (|vocab²| rows), NOT from a third
-    # scan of the corpus-sized bigram stream.
+    # already-reduced bigram counts, NOT from another corpus scan.
     ca = (
         cab.select(a_of_g.alias("a"), "c_ab")
         .groupBy("a")
