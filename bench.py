@@ -76,6 +76,7 @@ HEADLINE = [
     "q_power_iteration",   # PCA direction: gram reduction + K mat-vec rounds
     "q_sparse_cosine",     # TF-IDF all-pairs cosine via inverted-index join
     "q_triangles",         # triangle counts over co-occurrence graph
+    "q_variant_events",    # Spark 4 VARIANT parse + typed path extraction
 ]
 
 

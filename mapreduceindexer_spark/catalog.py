@@ -5590,6 +5590,132 @@ def q_important_stock(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Spark 4 native surfaces: VARIANT, grouped-agg pandas UDF, Python UDTF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_variant_events",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+              CAST(COUNT(DISTINCT CASE
+                     WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                          % 7 = 0 THEN user_id END) AS BIGINT) AS n_users_k7
+       FROM events GROUP BY event_type""",
+)
+def q_variant_events(spark, sf_dir):
+    """Semi-structured VARIANT path (Spark 4 native type): ``parse_json``
+    turns the props JSON string into an open-schema VARIANT value once;
+    ``variant_get`` then does typed extraction inside codegen — unlike
+    q_json_events' per-path string extraction, the parse cost is paid one
+    time per row no matter how many paths are read, and unlike
+    q_json_typed's ``from_json`` no closed struct schema is declared up
+    front. This is the shape for evolving event payloads at 100 TB:
+    sources keep appending fields, readers bind types at query time, and
+    the binary VARIANT encoding (shredding-ready) scans far cheaper than
+    re-parsing JSON text per path. The oracle reads the same paths with
+    DuckDB's JSON extraction — the encoding differs, the values may not."""
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    v = e.select("event_type", "user_id", k.alias("k"))
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.count_distinct(F.when(F.col("k") % 7 == 0, F.col("user_id")))
+        .cast("bigint")
+        .alias("n_users_k7"),
+    )
+
+
+@register(
+    "q_grouped_agg_udf",
+    """SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              ROUND(median(n_chars), 6) AS median_chars,
+              ROUND(quantile_cont(n_chars, 0.90), 6) AS p90_chars
+       FROM documents GROUP BY lang""",
+)
+def q_grouped_agg_udf(spark, sf_dir):
+    """Grouped-aggregate pandas UDF — the third Arrow Python surface
+    beside grouped-map (q_user_trend) and map (q_sentences): a
+    ``pandas.Series -> scalar`` kernel used directly inside ``agg()``,
+    planned as a real aggregate (partial shuffle on the group key, one
+    Arrow batch per group on the reduce side). Kernels are numpy order
+    statistics — median and linear-interpolated p90 — i.e. the custom
+    UDAF escape hatch for aggregates Catalyst lacks. Scale note: unlike
+    built-in aggregates a grouped-agg pandas UDF holds one full group in
+    memory, so it fits bounded groups (per-language here); unbounded
+    groups belong to approx_percentile or a two-pass exact rank. The
+    oracle recomputes both statistics with DuckDB's median /
+    quantile_cont (same linear interpolation, rounded to 6 digits to
+    absorb the last-ulp difference between numpy and DuckDB)."""
+    from mapreduceindexer_spark.functions.npagg import np_count, np_median, np_p90
+
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        np_count("n_chars").alias("n_docs"),
+        F.round(np_median("n_chars"), 6).alias("median_chars"),
+        F.round(np_p90("n_chars"), 6).alias("p90_chars"),
+    )
+
+
+def _sql_udtf_topterms() -> str:
+    return f"""WITH t AS ({SQL_TERMS}),
+       c AS (SELECT doc_id, term, count(*) AS cnt FROM t GROUP BY doc_id, term),
+       r AS (SELECT doc_id, term, cnt,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY cnt DESC, term ASC) AS rnk
+             FROM c)
+       SELECT doc_id, term, CAST(cnt AS BIGINT) AS cnt,
+              CAST(rnk AS BIGINT) AS rnk
+       FROM r WHERE rnk <= 3"""
+
+
+@register("q_udtf_topterms", _sql_udtf_topterms())
+def q_udtf_topterms(spark, sf_dir):
+    """Python UDTF (Spark 4): an Arrow-optimized user-defined TABLE
+    function applied with SQL LATERAL — each document row fans out to its
+    top-3 terms by (count DESC, term ASC), the 1-row-in/N-rows-out shape
+    as a first-class relation (usable in joins/CTEs like any table).
+    The kernel tokenizes/normalizes with the exact reference rules
+    (``src/functions.cpp:69-87``: whitespace split, strip non-alpha,
+    lowercase) and ranks with a Counter — per-doc state only, so the
+    operator is embarrassingly parallel and shuffle-free at any corpus
+    size. The oracle replays it relationally (group + row_number window).
+    API-surface note: the UDTF is the lateral-expansion escape hatch;
+    when the kernel IS expressible relationally (as here), the relational
+    form wins at scale — this query exists to hold the UDTF path to the
+    same exact-value standard as the JVM plan, the q_sentences pattern
+    one API over."""
+    import re as _re
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, term string, cnt bigint, rnk bigint",
+          useArrow=True)
+    class TopTerms:
+        def eval(self, doc_id, text):
+            c = Counter()
+            for tok in _re.split(r"\s+", text or ""):
+                t = _re.sub(r"[^A-Za-z]", "", tok).lower()
+                if t:
+                    c[t] += 1
+            top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+            for i, (term, n) in enumerate(top):
+                yield doc_id, term, n, i + 1
+
+    spark.udtf.register("mri_top_terms", TopTerms)
+    _docs(spark, sf_dir).createOrReplaceTempView("mri_udtf_docs")
+    return spark.sql(
+        """SELECT u.doc_id, u.term, u.cnt, u.rnk
+           FROM mri_udtf_docs d, LATERAL mri_top_terms(d.doc_id, d.text) u"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registration order: the harness verifies a finite prefix of this dict, so
 # the first 50 entries are arranged to contain the §2.1 core pipeline first
 # (positions 1-11, the reference's own surface) followed by exactly one
@@ -5682,6 +5808,9 @@ _CHECK_PRIORITY = [
     "q_lm_score",
     "q_postings_compress",
     "q_multimodal_ppm",
+    # Spark-4-native surface (fourth late rotation: fills the open 50th
+    # slot with a family born this session — the Python UDTF lateral path)
+    "q_udtf_topterms",
 ]
 
 _missing = [n for n in _CHECK_PRIORITY if n not in QUERIES]

@@ -125,3 +125,38 @@ def test_streaming_index_build_equals_batch_rebuild(spark):
     # LocalTableScan of collected rows.
     final_plan = result._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" not in final_plan, final_plan
+
+
+def test_twstate_totals_match_batch(spark):
+    """transformWithStateInPandas running totals (Spark 4 stateful API)
+    must equal the batch groupBy aggregate after the full backlog replay.
+    Auto-skips where google.protobuf (the TWS state client's wire
+    protocol) is not installed — see streaming/twstate.py docstring."""
+    import pytest
+
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming import twstate
+
+    if not twstate.AVAILABLE:
+        with pytest.raises(RuntimeError, match="google.protobuf"):
+            twstate.streaming_user_totals(spark, SF_SMOKE)
+        pytest.skip("google.protobuf absent: transformWithState gated off")
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = sorted(
+        tuple(r)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias(
+                "sum_scaled"
+            ),
+        )
+        .collect()
+    )
+    stream = sorted(
+        tuple(r) for r in twstate.streaming_user_totals(spark, SF_SMOKE).collect()
+    )
+    assert batch == stream
