@@ -5716,6 +5716,188 @@ def q_udtf_topterms(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Sketch mergeability + association scores
+# ---------------------------------------------------------------------------
+
+
+def _sql_hll_est(s_scaled: str, nne: str) -> str:
+    """The HLL estimate formula (shared with q_hll) over a partial's exact
+    integer accumulators: harmonic denominator + linear-counting range."""
+    raw = f"(CAST('{_HLL_CONST!r}' AS DOUBLE) / {s_scaled})"
+    n_empty = f"({_HLL_M} - {nne})"
+    return (
+        f"CAST(CASE WHEN {raw} <= 2.5 * {_HLL_M} AND {n_empty} > 0 "
+        f"THEN ROUND({_HLL_M} * ln({_HLL_M} / CAST({n_empty} AS DOUBLE))) "
+        f"ELSE ROUND({raw}) END AS BIGINT)"
+    )
+
+
+def _sql_hll_merge() -> str:
+    h = _sql_hash60("s")
+    reg_sum = (
+        f"CAST(SUM(CAST(1 AS BIGINT) << (53 - rho)) "
+        f"+ ({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT)"
+    )
+    return f"""WITH sh AS ({SQL_SHINGLES}),
+       ls AS (SELECT DISTINCT d.lang, sh.s
+              FROM sh JOIN documents d USING (doc_id)),
+       hh AS (SELECT lang, {h} AS h FROM ls),
+       r AS (SELECT lang, h % {_HLL_M} AS bucket,
+                    MAX(CASE WHEN h // {_HLL_M} = 0 THEN 53
+                        ELSE strpos(lpad(bin(h // {_HLL_M}), 52, '0'), '1')
+                        END) AS rho
+             FROM hh GROUP BY 1, 2),
+       pl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nne,
+                     {reg_sum} AS s_scaled
+              FROM r GROUP BY lang),
+       mreg AS (SELECT bucket, MAX(rho) AS rho FROM r GROUP BY bucket),
+       mg AS (SELECT CAST(COUNT(*) AS BIGINT) AS nne,
+                     {reg_sum} AS s_scaled
+              FROM mreg)
+       SELECT pl.lang, pl.nne AS lang_nonempty,
+              {_sql_hll_est('pl.s_scaled', 'pl.nne')} AS lang_est,
+              {_sql_hll_est('mg.s_scaled', 'mg.nne')} AS merged_est
+       FROM pl CROSS JOIN mg"""
+
+
+@register("q_hll_merge", _sql_hll_merge())
+def q_hll_merge(spark, sf_dir):
+    """HLL MERGEABILITY — the property that makes sketches the standard
+    for distributed distinct counts: per-language partial sketches (the
+    stand-in for per-partition / per-day partials) merge by max() per
+    register into exactly the sketch a direct global build would produce,
+    with zero rescans of the data. One row per language carries its own
+    partial's estimate; merged_est (same value on every row) is the
+    union-distinct estimate from the merged registers. All register state
+    is exact integers (sum of 2^(53-rho) with empty buckets at 2^53), so
+    the DuckDB oracle replays every partial AND the merge bit-for-bit.
+    At 100 TB: partials are one 256-row agg per grain; merging N days is
+    an N*256-row max() — this query is the contract that the merge path
+    is lossless, which is what lets rollup dashboards never rescan."""
+    from mapreduceindexer_spark.functions.hashing import hash60
+    from mapreduceindexer_spark.functions.text import normalized_token_array, shingles
+
+    m = _HLL_M
+    ls = (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(shingles(normalized_token_array("text"))).alias("s"))
+        .distinct()
+    )
+    hh = ls.select("lang", hash60("s").alias("h"))
+    w = F.expr(f"h div {m}")
+    rho = F.when(w == 0, F.lit(53)).otherwise(F.instr(F.lpad(F.bin(w), 52, "0"), "1"))
+    r = (
+        hh.select("lang", (F.col("h") % m).alias("bucket"), rho.alias("rho"))
+        .groupBy("lang", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+    def accum(df, keys):
+        reg_sum = (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - rho)"))
+            + (F.lit(m) - F.count("*")) * F.lit(1 << 53)
+        ).cast("bigint")
+        return df.groupBy(*keys).agg(
+            F.count("*").cast("bigint").alias("nne"), reg_sum.alias("s_scaled")
+        )
+
+    def est(s_scaled, nne):
+        raw = F.lit(_HLL_CONST) / s_scaled
+        n_empty = F.lit(m) - nne
+        return (
+            F.when(
+                (raw <= 2.5 * m) & (n_empty > 0),
+                F.round(F.lit(m) * F.log(F.lit(m) / n_empty.cast("double"))),
+            )
+            .otherwise(F.round(raw))
+            .cast("bigint")
+        )
+
+    pl = accum(r, ["lang"])
+    mg = accum(r.groupBy("bucket").agg(F.max("rho").alias("rho")), [])
+    merged = mg.select(est(F.col("s_scaled"), F.col("nne")).alias("merged_est"))
+    return pl.crossJoin(F.broadcast(merged)).select(
+        "lang",
+        F.col("nne").alias("lang_nonempty"),
+        est(F.col("s_scaled"), F.col("nne")).alias("lang_est"),
+        "merged_est",
+    )
+
+
+@register(
+    "q_pmi",
+    f"""WITH p AS ({SQL_PAIRS}),
+       nd AS (SELECT count(*) AS n_docs FROM documents),
+       top AS (SELECT term FROM (
+                 SELECT term, count(*) AS df FROM p GROUP BY term
+                 ORDER BY df DESC, term ASC LIMIT 10)),
+       tp AS (SELECT p.doc_id, p.term FROM p JOIN top USING (term)),
+       dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tp GROUP BY term),
+       co AS (SELECT a.term AS term_a, b.term AS term_b,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2)
+       SELECT co.term_a, co.term_b, co.n_ab,
+              ROUND(ln(CAST(co.n_ab * nd.n_docs AS DOUBLE)
+                       / (da.df * db.df)), 6) AS pmi
+       FROM co
+       JOIN dfs da ON da.term = co.term_a
+       JOIN dfs db ON db.term = co.term_b
+       CROSS JOIN nd""",
+)
+def q_pmi(spark, sf_dir):
+    """Pointwise mutual information over term pairs — the collocation /
+    boilerplate-association score on top of q_term_cooccurrence's counts:
+    PMI(a,b) = ln(P(a,b) / P(a)P(b)) with document-level probabilities,
+    i.e. ln(n_ab * N / (df_a * df_b)) — every factor an exact integer, a
+    single ln on the same double ratio in both engines, rounded to 6
+    digits. Same prune-then-pair discipline (top-10 df terms broadcast
+    before the quadratic expansion); df and pair counts come from one
+    shared pruned relation, N from a broadcast one-row scalar. Negative
+    PMI = the pair co-occurs less than independence predicts (stop-word
+    saturation); strongly positive = a collocation worth one token."""
+    d = _docs(spark, sf_dir)
+    pairs = _pairs(spark, sf_dir)
+    top = (
+        pairs.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(10)
+        .select("term")
+    )
+    tp = pairs.join(F.broadcast(top), "term")
+    dfs = tp.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    a = tp.select("doc_id", F.col("term").alias("term_a"))
+    b = tp.select("doc_id", F.col("term").alias("term_b"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    nd = d.agg(F.count("*").alias("n_docs"))
+    da = dfs.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    db = dfs.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        co.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("n_docs")).cast("double")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registration order: the harness verifies a finite prefix of this dict, so
 # the first 50 entries are arranged to contain the §2.1 core pipeline first
 # (positions 1-11, the reference's own surface) followed by exactly one

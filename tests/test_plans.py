@@ -669,3 +669,56 @@ def test_sparse_cosine_joins_through_terms_not_all_pairs(spark):
     # no document-level cross pairing anywhere.
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_variant_events_is_pure_jvm_single_agg(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_variant_events"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # VARIANT parse + typed path extraction stays inside codegen: no
+    # Python evaluation anywhere in the plan.
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "variant_get" in plan or "parse_json" in plan, plan
+
+
+def test_udtf_topterms_is_shuffle_free(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_udtf_topterms"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # Per-doc state only: the lateral UDTF expansion must add no exchange
+    # beyond the loader's parallelism repartition.
+    body = plan.split("RoundRobinPartitioning")[-1]
+    assert "Exchange" not in body, plan
+
+
+def test_pmi_prunes_then_broadcasts(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_pmi"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # The df dictionaries and the N scalar must broadcast; the only pair
+    # expansion is the doc_id equi-join on the top-10-pruned relation.
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hll_merge_equals_direct_build(spark):
+    """Mergeability is lossless end-to-end: the per-lang partial sketches
+    merged by max() must yield exactly the estimate of q_hll's direct
+    global build (same portable hash, same registers, same correction)."""
+    from mapreduceindexer_spark.catalog import QUERIES
+
+    merged = (
+        QUERIES["q_hll_merge"][0](spark, SF_SMOKE)
+        .select("merged_est")
+        .distinct()
+        .collect()
+    )
+    assert len(merged) == 1
+    direct = QUERIES["q_hll"][0](spark, SF_SMOKE).collect()[0].hll_est
+    assert merged[0].merged_est == direct
