@@ -5897,6 +5897,41 @@ def q_pmi(spark, sf_dir):
     )
 
 
+@register(
+    "q_pipe_syntax",
+    f"""SELECT o.o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_lines,
+              {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l.l_shipdate < TIMESTAMP '1998-01-01'
+       GROUP BY o.o_orderpriority""",
+)
+def q_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4): the same filter→join→aggregate program
+    written as a linear ``|>`` pipeline — each operator consumes the
+    previous relation in reading order, the form Spark 4 adopted from
+    the SQL:2023-era pipe proposals for composable ELT. Semantically
+    identical to the nested-SELECT formulation (the oracle IS that
+    formulation, in DuckDB); Catalyst parses both to the same logical
+    plan, so pushdown/broadcast behavior is unchanged. Included so the
+    engine's SQL front door covers the syntax a 2026 pipeline author
+    actually writes. Decimal-sum revenue keeps the value hash
+    order-independent, as everywhere in the catalog."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("mri_pipe_li")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("mri_pipe_ord")
+    return spark.sql(
+        """FROM mri_pipe_li
+           |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+           |> JOIN mri_pipe_ord ON l_orderkey = o_orderkey
+           |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_lines,
+                CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+              GROUP BY o_orderpriority"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the harness verifies a finite prefix of this dict, so
 # the first 50 entries are arranged to contain the §2.1 core pipeline first

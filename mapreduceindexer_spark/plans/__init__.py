@@ -6,6 +6,7 @@ from mapreduceindexer_spark.plans.audit import (
     has_broadcast_hash_join,
     pushed_filters,
     read_schema_columns,
+    with_metrics,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "read_schema_columns",
     "has_broadcast_hash_join",
     "codegen_stage_count",
+    "with_metrics",
 ]

@@ -50,3 +50,20 @@ def has_broadcast_hash_join(df: DataFrame) -> bool:
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (fewer = wider fusion)."""
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df, "simple"))))
+
+
+def with_metrics(df: DataFrame, name: str, *exprs):
+    """Attach zero-cost pipeline metrics via ``df.observe`` (Spark's
+    Observation API): the named aggregate expressions are computed inside
+    the SAME job that materializes ``df`` — no second scan, no extra
+    stage — and surface on the returned Observation after any action.
+
+    This is how a production index build reports rows-in / terms-out /
+    malformed-counts at 100 TB without paying a monitoring pass: the
+    metrics ride the existing exchange. Returns ``(observed_df,
+    observation)``; read ``observation.get`` only after an action runs.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *exprs), obs

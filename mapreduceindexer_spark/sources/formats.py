@@ -59,3 +59,23 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 def write_orc(df: DataFrame, path: str) -> None:
     """ORC sink (snappy by default; splittable, predicate-indexed)."""
     df.write.mode("overwrite").orc(path)
+
+
+def read_jsonl_audited(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines source with EXPLICIT corrupt-record quarantine.
+
+    PERMISSIVE parse with the corrupt column surfaced by name: well-formed
+    rows parse into the declared schema with ``_corrupt_record`` NULL;
+    malformed lines yield NULL data columns and the raw line preserved in
+    ``_corrupt_record``. The caller splits good/quarantine with one
+    filter each — the standard 100 TB ingest shape (never FAILFAST on a
+    petabyte of third-party data, never silently drop). Pair with
+    ``plans.audit.with_metrics`` to count malformed rows in the same job
+    (no second scan); see tests/test_sources_roundtrip.py.
+    """
+    return (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

@@ -176,3 +176,38 @@ def test_orc_roundtrip_preserves_values(spark, orders_slice, tmp_path):
     got = sorted(map(tuple, back.collect()))
     assert got == want
     assert dict(back.dtypes) == dict(orders_slice.dtypes)
+
+
+def test_jsonl_audited_quarantines_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE ingest with explicit quarantine: malformed lines keep
+    their raw text in _corrupt_record, parse NULLs for data columns, and
+    are countable in the SAME job via the Observation API (no second
+    scan)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.plans import with_metrics
+    from mapreduceindexer_spark.sources.formats import read_jsonl_audited
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "{broken json\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": "NaNope", "v": 3}\n'  # type mismatch: id unparsable
+        '{"id": 4, "v": "d"}\n'
+    )
+    df = read_jsonl_audited(spark, str(p), "id bigint, v string")
+    observed, obs = with_metrics(
+        df,
+        "ingest",
+        F.count(F.lit(1)).alias("rows_in"),
+        F.count("_corrupt_record").alias("rows_quarantined"),
+    )
+    good = observed.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    assert sorted(map(tuple, good.collect())) == [(1, "a"), (2, "b"), (4, "d")]
+    # Metrics were computed by the job above — no extra action needed.
+    assert obs.get == {"rows_in": 5, "rows_quarantined": 2}
+    quarantined = df.filter(F.col("_corrupt_record").isNotNull())
+    raws = {r._corrupt_record for r in quarantined.collect()}
+    assert any(r.startswith("{broken") for r in raws), raws
+    assert any('"NaNope"' in r for r in raws), raws
