@@ -91,8 +91,16 @@ def main() -> None:
     spark = get_spark(app_name="mapreduceindexer_spark-bench")
 
     def run(name: str) -> float:
-        df = QUERIES[name][0](spark, sf_dir)
+        # The timer covers BUILDER + action: builders are normally pure
+        # plan construction (ms), but operators that stage a
+        # multi-referenced subtree (localCheckpoint in q_semantic_dedup,
+        # q_power_iteration, q_bpe_*, q_triangles) run real jobs inside
+        # the builder — timing only the sink would let that work escape
+        # the measurement (caught in round 4: q_power_iteration "ran"
+        # 0.3 s on 100x the embeddings because the gram build was
+        # builder-side).
         t0 = time.perf_counter()
+        df = QUERIES[name][0](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 

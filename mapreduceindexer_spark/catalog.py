@@ -387,7 +387,12 @@ def q_triangles(spark, sf_dir):
         .limit(_TRI_TOP)
         .select("term")
     )
-    tp = pairs.join(F.broadcast(top), "term")
+    # Stage the pruned relation: it feeds BOTH sides of the pair
+    # self-join, and triangle_counts references the edge set three times
+    # — without staging, each lazy reference re-tokenizes the corpus
+    # (the multi-branch-subtree lesson, PLANS.md). tp is bounded by the
+    # top-30 terms' df sum; edges by C(30,2) rows.
+    tp = pairs.join(F.broadcast(top), "term").localCheckpoint()
     n = _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
     a = tp.select("doc_id", F.col("term").alias("u"))
     b = tp.select("doc_id", F.col("term").alias("v"))
@@ -399,7 +404,7 @@ def q_triangles(spark, sf_dir):
     )
     edges = co.crossJoin(F.broadcast(n)).filter(
         F.col("n") * 100 >= F.col("n_docs") * _TRI_PCT
-    ).select("u", "v")
+    ).select("u", "v").localCheckpoint()
     return triangle_counts(edges)
 
 
@@ -4284,7 +4289,18 @@ def q_gram_matrix(spark, sf_dir):
     posexploded coordinates on vec_id (co-partitioned, so one shuffle);
     the reduce keys on (i, j) — at most d^2/2 groups regardless of corpus
     size, so the final aggregate is tiny no matter how many rows feed it.
-    Exact decimal accumulation keeps the double sums order-independent."""
+    Exact decimal accumulation keeps the double sums order-independent.
+
+    Formulation chosen by a measured A/B at 100x the embeddings (200k x
+    64, PLANS.md round 4): this join form ran 22.7 s vs 58-64 s for two
+    "narrower" higher-order-function rewrites (nested transform building
+    (i,j,p) structs; flat d^2 product array + position arithmetic) —
+    codegen streams the joined coordinate rows, while the HOF variants
+    materialize a d^2-element array per row before exploding. The
+    shuffle the join adds carries 2 x n x d narrow rows; if that ever
+    dominates on a real cluster, the documented escape is per-partition
+    numpy partials (mapInPandas) merged by one d^2-row reduce — a
+    different exactness contract (float partials), so not the default."""
     emb = _t(spark, sf_dir, "embeddings")
     x = emb.select(
         "vec_id",

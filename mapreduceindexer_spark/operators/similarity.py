@@ -335,7 +335,9 @@ def quantization_error(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def srp_candidate_pairs(embeddings: DataFrame, n_bits: int = 8) -> DataFrame:
+def srp_candidate_pairs(
+    embeddings: DataFrame, n_bits: int = 8, max_bucket: int | None = None
+) -> DataFrame:
     """Sign-random-projection (SRP) cosine LSH: each vector gets an
     ``n_bits``-bit signature (bit k = sign of the dot product with fixed
     hyperplane k); vectors sharing a signature become candidate pairs and
@@ -345,10 +347,23 @@ def srp_candidate_pairs(embeddings: DataFrame, n_bits: int = 8) -> DataFrame:
     Scale shape: signature computation is narrow per-row arithmetic
     (hyperplanes are inlined constants — config, not data); the candidate
     join is a hash self-equi-join on the signature, never all-pairs.
-    E[collisions] for random vectors is n^2 / 2^(n_bits+1) — size n_bits
-    to the corpus (e.g. 2 * log2(n)). Per-plane dots go through
-    DECIMAL(38,10) casts so every sign decision is bit-deterministic and
-    replayable by the SQL oracle.
+    E[collisions] for random vectors is n^2 / 2^(n_bits+1), so there are
+    TWO scale dials and both are load-tested (PLANS.md round 4, where a
+    fixed 8-bit signature over 100x the vectors went quadratic — 404x
+    wall for 100x rows):
+
+    - ``n_bits`` must grow with the corpus (~2 * log2(n)): more planes
+      split buckets geometrically while signature cost grows linearly;
+    - ``max_bucket`` guards the degenerate tail the hash cannot split
+      (near-identical vectors share EVERY sign): oversized buckets
+      switch to the star pattern — each member pairs with the bucket's
+      minimum vec_id only — linear in bucket size, same trade-offs as
+      ``dedup.lsh_candidates`` (spoke-spoke pairs route through the hub).
+
+    The registered q_rp_lsh keeps ``max_bucket=None`` so the oracle
+    replays plain bucket all-pairs bit-for-bit; production sets both
+    dials. Per-plane dots go through DECIMAL(38,10) casts so every sign
+    decision is bit-deterministic and replayable by the SQL oracle.
     """
     from mapreduceindexer_spark.functions.hashing import srp_plane_constants
 
@@ -367,21 +382,64 @@ def srp_candidate_pairs(embeddings: DataFrame, n_bits: int = 8) -> DataFrame:
     sigs = embeddings.select(
         "vec_id", v.alias("v"), sig.cast("bigint").alias("sig")
     )
-    a = sigs.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "sig"
-    )
-    b = sigs.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "sig"
-    )
-    return (
-        a.join(b, "sig")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.col("sig"),
-            F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
+    if max_bucket is not None:
+        # Bucket census over the same key the join shuffles on (no extra
+        # exchange of the big relation) — the lsh_candidates guard.
+        w = Window.partitionBy("sig")
+        sigs = sigs.select(
+            "vec_id",
+            "v",
+            "sig",
+            F.count("*").over(w).alias("bsz"),
+            F.min("vec_id").over(w).alias("bmin"),
         )
+        small = sigs.filter(F.col("bsz") <= max_bucket)
+        hubs = sigs.filter(F.col("bsz") > max_bucket).filter(
+            F.col("vec_id") == F.col("bmin")
+        )
+        spokes = sigs.filter(F.col("bsz") > max_bucket).filter(
+            F.col("vec_id") != F.col("bmin")
+        )
+        star = (
+            spokes.alias("s")
+            .join(hubs.alias("h"), "sig")
+            .select(
+                F.col("h.vec_id").alias("vec_a"),
+                F.col("h.v").alias("va"),
+                F.col("s.vec_id").alias("vec_b"),
+                F.col("s.v").alias("vb"),
+                F.col("sig"),
+            )
+        )
+        a = small.select(
+            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "sig"
+        )
+        b = small.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "sig"
+        )
+        cands = (
+            a.join(b, "sig")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "va", "vec_b", "vb", "sig")
+            .unionByName(star)
+        )
+    else:
+        a = sigs.select(
+            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "sig"
+        )
+        b = sigs.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "sig"
+        )
+        cands = (
+            a.join(b, "sig")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "va", "vec_b", "vb", "sig")
+        )
+    return cands.select(
+        "vec_a",
+        "vec_b",
+        F.col("sig"),
+        F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
     )
 
 
@@ -479,6 +537,9 @@ def principal_component(
     q_pagerank and q_ann_kmeans.
     """
     DEC = "decimal(38,10)"
+    # Join formulation kept after a measured A/B at 100x the embeddings
+    # (PLANS.md round 4): higher-order-function rewrites that avoid this
+    # shuffle materialize a d^2 array per row and ran 2.5-3x slower.
     x = embeddings.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"),

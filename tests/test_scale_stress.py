@@ -438,3 +438,46 @@ def test_salted_join_spreads_hot_key_and_preserves_answer(spark):
     p = {r["grp"]: r["n"] for r in plain.collect()}
     s = {r["grp"]: r["n_rows"] for r in salted.collect()}
     assert p == s
+
+
+def test_srp_bucket_guard_bounds_identical_vectors(spark):
+    """Degenerate SRP corpus: N copies of (rolls of) near-identical
+    vectors share sign patterns, so a fixed-width signature cannot split
+    them. With max_bucket set, oversized buckets emit the star pattern
+    (linear in bucket size); every member still reaches the verify stage
+    through its hub edge."""
+    from mapreduceindexer_spark.operators.similarity import srp_candidate_pairs
+
+    n = 500
+    base = [float((i * 7) % 13 - 6) for i in range(64)]
+    rows = [(i, [x + 0.001 * (i % 3) for x in base], 0) for i in range(n)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    guarded = srp_candidate_pairs(emb, n_bits=8, max_bucket=64)
+    n_pairs = guarded.count()
+    # One bucket of 500 -> star gives 499 edges; unguarded would emit
+    # C(500,2) = 124,750. Allow a handful of sign flips from the jitter.
+    assert n_pairs < 3 * n, n_pairs
+    # Connectivity: every vector appears in at least one emitted pair.
+    touched = (
+        guarded.select(F.col("vec_a").alias("v"))
+        .union(guarded.select(F.col("vec_b").alias("v")))
+        .distinct()
+        .count()
+    )
+    assert touched == n, touched
+
+
+def test_srp_guard_inactive_below_cap_matches_unguarded(spark):
+    """On a healthy corpus (no bucket above the cap) the guard must be a
+    no-op: identical pair set and cosines with and without it."""
+    from mapreduceindexer_spark.operators.similarity import srp_candidate_pairs
+    from mapreduceindexer_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plain = sorted(map(tuple, srp_candidate_pairs(emb, n_bits=8).collect()))
+    guarded = sorted(
+        map(tuple, srp_candidate_pairs(emb, n_bits=8, max_bucket=10**6).collect())
+    )
+    assert plain == guarded
