@@ -5949,6 +5949,182 @@ def q_pipe_syntax(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Engine-native DataSketches (Spark 4 built-ins): Theta set ops, KLL
+# quantiles, HLL partial-merge — each under a deterministic bound contract
+# (the open-box portable twins q_hll / q_countmin / q_bloom replay every
+# bit; these pin the PRODUCTION path, whose internals DuckDB cannot
+# replay, to checkable accuracy guarantees instead).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_theta_setops_bound",
+    """WITH a AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_orderkey % 2 = 0),
+       b AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_orderkey % 2 = 1)
+       SELECT CAST((SELECT count(*) FROM (SELECT l_partkey FROM a
+                                          UNION SELECT l_partkey FROM b))
+               AS BIGINT) AS exact_union,
+              CAST((SELECT count(*) FROM a JOIN b USING (l_partkey))
+               AS BIGINT) AS exact_inter,
+              TRUE AS union_within,
+              TRUE AS inter_within""",
+)
+def q_theta_setops_bound(spark, sf_dir):
+    """Theta sketches (Spark 4 native DataSketches) — the distinct-count
+    sketch that supports SET OPERATIONS, which HLL cannot: two partial
+    sketches over disjoint halves of the fact table combine by
+    theta_union AND theta_intersection, each estimated without rescanning
+    either side. The estimates are engine-internal (DuckDB cannot replay
+    DataSketches), so the contract is the accuracy bound, asserted as a
+    literal boolean the oracle also emits: |est - exact| <= 5% of the
+    exact union size (the theta error guarantee is relative to the union
+    for both ops; below the 4096-entry nominal the sketch is exact and
+    the bound is trivially tight). At 100 TB: per-day/per-source theta
+    partials make "distinct users in A and B but not C" a sketch-algebra
+    query over kilobyte summaries instead of a multi-table distinct
+    join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    half_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    half_b = li.filter(F.col("l_orderkey") % 2 == 1)
+    ska = half_a.agg(F.theta_sketch_agg("l_partkey").alias("sk_a"))
+    skb = half_b.agg(F.theta_sketch_agg("l_partkey").alias("sk_b"))
+    exact_u = (
+        half_a.select("l_partkey")
+        .union(half_b.select("l_partkey"))
+        .agg(F.count_distinct("l_partkey").cast("bigint").alias("exact_union"))
+    )
+    exact_i = (
+        half_a.select("l_partkey")
+        .distinct()
+        .join(half_b.select("l_partkey").distinct(), "l_partkey")
+        .agg(F.count("*").cast("bigint").alias("exact_inter"))
+    )
+    est = (
+        ska.crossJoin(skb)
+        .select(
+            F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b"))
+            .cast("bigint")
+            .alias("est_union"),
+            F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))
+            .cast("bigint")
+            .alias("est_inter"),
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(exact_u))
+        .crossJoin(F.broadcast(exact_i))
+        .select(
+            "exact_union",
+            "exact_inter",
+            (
+                F.abs(F.col("est_union") - F.col("exact_union"))
+                <= 0.05 * F.col("exact_union")
+            ).alias("union_within"),
+            (
+                F.abs(F.col("est_inter") - F.col("exact_inter"))
+                <= 0.05 * F.col("exact_union")
+            ).alias("inter_within"),
+        )
+    )
+
+
+_KLL_PS = [0.5, 0.9]
+
+
+@register(
+    "q_kll_quantiles_bound",
+    f"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
+       SELECT CAST(ps.p AS DOUBLE) AS p, n.n_rows, TRUE AS within_bound
+       FROM n CROSS JOIN (SELECT unnest({_KLL_PS!r}) AS p) ps""",
+)
+def q_kll_quantiles_bound(spark, sf_dir):
+    """KLL quantile sketch (Spark 4 native DataSketches) under the same
+    rank contract as q_approx_quantiles_bound's GK twin: for each p, the
+    value the sketch returns must sit at an exact rank within 3% of p*n
+    (KLL k=200 gives ~1.65% two-sided normalized rank error at 99%
+    confidence; 3% is the comfortable deterministic bound). The exact
+    rank of each returned value is recomputed from the data — count of
+    rows at-or-below it, one broadcast join-back — and the oracle
+    asserts the boolean literally TRUE per p. KLL is the mergeable
+    production path for distribution monitoring (per-partition sketches
+    union bytewise); the GK approx_percentile twin stays as the
+    Catalyst-native comparison point."""
+    e = _t(spark, sf_dir, "events").select(F.col("value").cast("double"))
+    sk = e.agg(F.kll_sketch_agg_double("value").alias("sk"))
+    qs = sk.select(
+        F.posexplode(
+            F.kll_sketch_get_quantile_double(
+                "sk", F.array(*[F.lit(p) for p in _KLL_PS])
+            )
+        ).alias("idx", "qv")
+    ).select(
+        F.element_at(F.array(*[F.lit(p) for p in _KLL_PS]), F.col("idx") + 1).alias("p"),
+        "qv",
+    )
+    n = e.agg(F.count("*").cast("bigint").alias("n_rows"))
+    ranks = (
+        e.crossJoin(F.broadcast(qs))
+        .groupBy("p", "qv")
+        .agg(F.sum(F.when(F.col("value") <= F.col("qv"), 1).otherwise(0)).alias("rk"))
+    )
+    return (
+        ranks.crossJoin(F.broadcast(n))
+        .select(
+            "p",
+            "n_rows",
+            (
+                F.abs(F.col("rk") - F.col("p") * F.col("n_rows"))
+                <= 0.03 * F.col("n_rows") + 2
+            ).alias("within_bound"),
+        )
+    )
+
+
+@register(
+    "q_hll_native_merge_bound",
+    f"""WITH t AS ({SQL_TERMS})
+       SELECT CAST((SELECT count(DISTINCT lang) FROM documents) AS BIGINT)
+                AS n_partials,
+              CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct,
+              TRUE AS within_bound
+       FROM t""",
+)
+def q_hll_native_merge_bound(spark, sf_dir):
+    """Engine-native HLL partial-merge (hll_sketch_agg + hll_union_agg,
+    Spark 4 DataSketches): one sketch per language, merged by union
+    aggregation into the global distinct-term estimate — the same
+    mergeability contract q_hll_merge proves bit-for-bit on the open-box
+    sketch, here pinned on the production built-in via the accuracy
+    bound (|merged est - exact| <= 5% exact; lgConfigK=12 gives ~1.6%
+    rsd). The per-lang partial count rides along so the oracle also
+    checks the merge really had multiple inputs."""
+    from mapreduceindexer_spark.functions.text import tokens_normalized
+
+    d = _docs(spark, sf_dir)
+    terms = tokens_normalized(d).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    partials = terms.groupBy("lang").agg(
+        F.hll_sketch_agg("term").alias("sk")
+    )
+    merged = partials.agg(
+        F.count("*").cast("bigint").alias("n_partials"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est"),
+    )
+    exact = terms.agg(
+        F.count_distinct("term").cast("bigint").alias("exact_distinct")
+    )
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_partials",
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registration order: the harness verifies a finite prefix of this dict, so
 # the first 50 entries are arranged to contain the §2.1 core pipeline first
 # (positions 1-11, the reference's own surface) followed by exactly one
