@@ -18,6 +18,13 @@ before the 33 headline queries touch the JVM — round 3 measured it last
 and recorded +34% on unchanged code; JVM state accumulated across ~1500
 stages (code cache, old-gen pressure, broadcast cleanup backlog) is the
 suspected cause, and measuring first removes that term entirely.
+
+ACCOUNTING CHANGE (round 4): the timer now starts BEFORE the builder
+call, so plan construction and any builder-side staging jobs
+(localCheckpoint) are counted. Numbers from BENCH_r01-r03 under-report
+queries that stage subtrees (q_near_dup's recorded 0.02 s was really
+~3.8 s); r4+ totals are the comparable baseline going forward — see
+PLANS.md "Honest-timer bench".
 """
 
 from __future__ import annotations
