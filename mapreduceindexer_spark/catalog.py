@@ -5715,7 +5715,11 @@ def q_udtf_topterms(spark, sf_dir):
     class TopTerms:
         def eval(self, doc_id, text):
             c = Counter()
-            for tok in _re.split(r"\s+", text or ""):
+            # re.ASCII keeps \s to the ASCII class, matching the Java
+            # regex in functions/text.py and DuckDB's RE2 oracle — the
+            # lockstep-tokenization contract (Unicode whitespace like
+            # \xa0 must NOT split in any engine).
+            for tok in _re.split(r"\s+", text or "", flags=_re.ASCII):
                 t = _re.sub(r"[^A-Za-z]", "", tok).lower()
                 if t:
                     c[t] += 1
@@ -5802,11 +5806,15 @@ def q_hll_merge(spark, sf_dir):
     hh = ls.select("lang", hash60("s").alias("h"))
     w = F.expr(f"h div {m}")
     rho = F.when(w == 0, F.lit(53)).otherwise(F.instr(F.lpad(F.bin(w), 52, "0"), "1"))
+    # Staged: the per-(lang, bucket) register relation feeds BOTH the
+    # per-lang partials and the merged-register aggregate; without this
+    # the corpus-sized shingle/hash pipeline runs twice. It is at most
+    # n_langs x 256 rows.
     r = (
         hh.select("lang", (F.col("h") % m).alias("bucket"), rho.alias("rho"))
         .groupBy("lang", "bucket")
         .agg(F.max("rho").alias("rho"))
-    )
+    ).localCheckpoint()
 
     def accum(df, keys):
         reg_sum = (
@@ -5881,7 +5889,10 @@ def q_pmi(spark, sf_dir):
         .limit(10)
         .select("term")
     )
-    tp = pairs.join(F.broadcast(top), "term")
+    # Staged: tp feeds three branches (dfs, both pair sides) — without
+    # this the corpus is re-tokenized per lazy reference (the
+    # multi-branch-subtree lesson, PLANS.md; same shape as q_triangles).
+    tp = pairs.join(F.broadcast(top), "term").localCheckpoint()
     dfs = tp.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     a = tp.select("doc_id", F.col("term").alias("term_a"))
     b = tp.select("doc_id", F.col("term").alias("term_b"))

@@ -76,13 +76,21 @@ def _make_processor():
         def handleInputRows(
             self, key, rows: Iterator[pd.DataFrame], timer_values
         ) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
             n, s = self._totals.get() if self._totals.exists() else (0, 0)
             for pdf in rows:
                 n += int(len(pdf))
-                # Exact: per-row 1e6-scaled rounding then integer sum, the
-                # same expression the batch twin uses JVM-side.
+                # Exact: per-row 1e6-scaled HALF_UP rounding (floor(|x|+.5)
+                # away from zero — Spark F.round's mode; pandas .round()
+                # is banker's half-to-even and would disagree on exact .5
+                # scaled values) then integer sum. NULLs are dropped like
+                # the batch twin's sum skips them.
+                scaled = (pdf["value"] * 1_000_000).dropna().to_numpy()
                 s += int(
-                    (pdf["value"] * 1_000_000).round().astype("int64").sum()
+                    (np.floor(np.abs(scaled) + 0.5) * np.sign(scaled))
+                    .astype("int64")
+                    .sum()
                 )
             self._totals.update((n, s))
             yield pd.DataFrame(
