@@ -58,3 +58,61 @@ def test_postings_invariant_under_repartitioning(spark, texts):
     )
     single = sorted(map(tuple, build_postings(docs.coalesce(1)).collect()))
     assert base == shuffled == single
+
+
+def test_tokenizer_lockstep_on_unicode_whitespace(spark):
+    """Differential contract on NON-ASCII input: the Java tokenizer
+    (functions/text.py), and the DuckDB oracle fragment (SQL_TERMS) must
+    agree byte-for-byte on Unicode whitespace (NBSP, ideographic space,
+    line separator — \\s is the ASCII class in BOTH RE2 and Java, so
+    none of them split), accented letters, CJK, emoji, and digit-mixed
+    tokens ([^A-Za-z] strips every non-ASCII-letter codepoint). The
+    fixture corpora are pure ASCII, so without this test an engine
+    disagreement on real-world text would reach production unseen."""
+    import duckdb
+    import pandas as pd
+
+    from mapreduceindexer_spark.catalog import SQL_TERMS
+    from mapreduceindexer_spark.functions.text import tokens_normalized
+
+    texts = [
+        "plain ascii words",
+        "nbsp joined and tab\tsplit",
+        "ideographic　space and line sep",
+        "héllo wörld stripped-accents",
+        "中文 only cjk \U0001f600 emoji",
+        "mixed42digits and-hyphens_under",
+        "  leading trailing  ",
+        " 　",  # whitespace-only after stripping -> no terms
+    ]
+    docs = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got_spark = sorted(
+        (r.doc_id, r.term) for r in tokens_normalized(sdf).collect()
+    )
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got_duck = sorted(map(tuple, con.execute(SQL_TERMS).fetchall()))
+    con.close()
+
+    assert got_spark == got_duck, (got_spark, got_duck)
+
+    # Third engine leg: the Python UDTF kernel (q_udtf_topterms) uses
+    # re.ASCII so its \s is the same ASCII class — its per-doc token
+    # multiset must equal the JVM tokenizer's.
+    import re
+
+    got_py = sorted(
+        (i, re.sub(r"[^A-Za-z]", "", tok).lower())
+        for i, t in docs
+        for tok in re.split(r"\s+", t, flags=re.ASCII)
+        if re.sub(r"[^A-Za-z]", "", tok).lower() != ""
+    )
+    assert got_py == got_spark, (got_py, got_spark)
+
+    # Sanity of the contract itself: NBSP did NOT split (joined token),
+    # tab DID, accents/CJK/emoji/digits stripped.
+    terms0 = {t for d, t in got_spark if d == 1}
+    assert "nbspjoined" in terms0 and "tab" in terms0 and "split" in terms0
+    assert all(t.isascii() and t.isalpha() for _, t in got_spark)
