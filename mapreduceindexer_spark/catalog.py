@@ -6135,6 +6135,96 @@ def q_hll_native_merge_bound(spark, sf_dir):
     )
 
 
+_DIR_MU = 2000  # Dirichlet smoothing prior (classic default)
+_LMR_K = 20
+
+
+@register(
+    "q_lm_retrieval",
+    f"""WITH t AS ({SQL_TERMS}),
+       dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+       c AS (SELECT CAST(count(*) AS BIGINT) AS coll FROM t),
+       q AS (SELECT unnest(['{PROBE_TERM_A}', '{PROBE_TERM_B}']) AS term),
+       cf AS (SELECT q.term, CAST(count(t.term) AS BIGINT) AS cf
+              FROM q LEFT JOIN t ON t.term = q.term GROUP BY q.term),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM t WHERE term IN ('{PROBE_TERM_A}', '{PROBE_TERM_B}')
+              GROUP BY doc_id, term),
+       comp AS (SELECT dl.doc_id,
+                       ROUND(ln((COALESCE(tf.tf, 0)
+                                 + {_DIR_MU} * (cf.cf / CAST(c.coll AS DOUBLE)))
+                                / (dl.dl + {_DIR_MU})), 9) AS part
+                FROM dl CROSS JOIN cf CROSS JOIN c
+                LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = cf.term),
+       scored AS (SELECT doc_id,
+                         CAST(ROUND(SUM(CAST(part AS DECIMAL(38,10))), 6)
+                           AS DOUBLE) AS ql_score
+                  FROM comp GROUP BY doc_id)
+       SELECT doc_id, ql_score FROM scored
+       ORDER BY ql_score DESC, doc_id ASC LIMIT {_LMR_K}""",
+)
+def q_lm_retrieval(spark, sf_dir):
+    """Query-likelihood retrieval with Dirichlet smoothing — the
+    language-modeling ranking family beside BM25 (q_bm25): score(d) =
+    sum over query terms of ln((tf + mu*cf/C) / (dl + mu)), the
+    Zhai-Lafferty smoothed document LM. Every document scores (the prior
+    covers absent terms — that is the point of smoothing), so the plan
+    is: doc-length aggregate x broadcast 2-term query stats, left join
+    the sparse tf relation, one decimal sum of per-term components
+    (each ln pre-rounded to 9 digits so the 2-component accumulation is
+    order-independent), TakeOrderedAndProject top-{_LMR_K}. One corpus
+    tokenization feeds dl, cf, and tf; at 100 TB dl and the postings
+    come from the prebuilt index, and scoring touches only the query
+    terms' postings plus the doc-length table — the same access path
+    BM25 uses. The collection stats are one broadcast scalar."""
+    from mapreduceindexer_spark.functions.text import tokens_normalized
+
+    t = tokens_normalized(_docs(spark, sf_dir)).localCheckpoint()
+    dl = t.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    coll = t.agg(F.count("*").cast("bigint").alias("coll"))
+    qterms = spark.createDataFrame(
+        [(PROBE_TERM_A,), (PROBE_TERM_B,)], "term string"
+    )
+    cf = (
+        qterms.join(t, "term", "left")
+        .groupBy("term")
+        .agg(F.count("doc_id").cast("bigint").alias("cf"))
+    )
+    tf = (
+        t.filter(F.col("term").isin(PROBE_TERM_A, PROBE_TERM_B))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    comp = (
+        dl.crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(coll))
+        .join(tf, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (
+                        F.coalesce("tf", F.lit(0))
+                        + _DIR_MU * (F.col("cf") / F.col("coll").cast("double"))
+                    )
+                    / (F.col("dl") + _DIR_MU)
+                ),
+                9,
+            ).alias("part"),
+        )
+    )
+    return (
+        comp.groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("part").cast("decimal(38,10)")), 6)
+            .cast("double")
+            .alias("ql_score")
+        )
+        .orderBy(F.desc("ql_score"), F.asc("doc_id"))
+        .limit(_LMR_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the harness verifies a finite prefix of this dict, so
 # the first 50 entries are arranged to contain the §2.1 core pipeline first
