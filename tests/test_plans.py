@@ -724,3 +724,21 @@ def test_hll_merge_equals_direct_build(spark):
     assert len(merged) == 1
     direct = QUERIES["q_hll"][0](spark, SF_SMOKE).collect()[0].hll_est
     assert merged[0].merged_est == direct
+
+
+def test_native_sketch_aggs_are_partial_object_hash(spark):
+    """The DataSketches built-ins must plan as real aggregates
+    (ObjectHashAggregate with a partial phase — per-partition sketches
+    merged on the reduce side), i.e. the mergeable-sketch execution
+    shape, not a global sort or single-partition funnel."""
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    for q in (
+        "q_theta_setops_bound",
+        "q_kll_quantiles_bound",
+        "q_hll_native_merge_bound",
+    ):
+        plan = explain_str(QUERIES[q][0](spark, SF_SMOKE), "simple")
+        assert "ObjectHashAggregate" in plan, (q, plan)
+        assert "CartesianProduct" not in plan, (q, plan)
