@@ -5081,10 +5081,12 @@ def _sql_bpe_round(i: int) -> str:
                 FROM sy{i})
           GROUP BY 1, 2),
  b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+ g{i} AS (SELECT max(l) AS l, max(r) AS r FROM b{i}),
  w{i} AS (SELECT freq,
-                 replace(s, ' ' || b{i}.l || '  ' || b{i}.r || ' ',
-                         ' ' || b{i}.l || b{i}.r || ' ') AS s
-          FROM w{i - 1}, b{i})"""
+                 CASE WHEN g{i}.l IS NULL THEN s
+                      ELSE replace(s, ' ' || g{i}.l || '  ' || g{i}.r || ' ',
+                                   ' ' || g{i}.l || g{i}.r || ' ') END AS s
+          FROM w{i - 1}, g{i})"""
 
 
 @register(
@@ -5114,10 +5116,13 @@ def q_bpe_train(spark, sf_dir):
 
 
 def _sql_bpe_apply(i: int) -> str:
+    # g{i} (not b{i}): the guard CTE is always one row, so an exhausted
+    # merge round is a no-op here instead of emptying every later CTE.
     return f"""e{i} AS (SELECT term,
-                 replace(s, ' ' || b{i}.l || '  ' || b{i}.r || ' ',
-                         ' ' || b{i}.l || b{i}.r || ' ') AS s
-          FROM e{i - 1}, b{i})"""
+                 CASE WHEN g{i}.l IS NULL THEN s
+                      ELSE replace(s, ' ' || g{i}.l || '  ' || g{i}.r || ' ',
+                                   ' ' || g{i}.l || g{i}.r || ' ') END AS s
+          FROM e{i - 1}, g{i})"""
 
 
 @register(
@@ -5367,8 +5372,8 @@ def q_volume_shipping(spark, sf_dir):
          WHERE r_name = 'ASIA' AND p_type = 'PROMO'
          GROUP BY 1)
        SELECT o_year,
-              ROUND(CAST(num AS DOUBLE), 2) AS nation_revenue,
-              ROUND(CAST(den AS DOUBLE), 2) AS total_revenue,
+              CAST(ROUND(num, 2) AS DOUBLE) AS nation_revenue,
+              CAST(ROUND(den, 2) AS DOUBLE) AS total_revenue,
               ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS mkt_share
        FROM per_year""",
 )

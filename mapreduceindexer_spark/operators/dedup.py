@@ -108,9 +108,18 @@ def prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
             F.row_number().over(w_doc.orderBy(F.asc("_sdf"), F.asc("shingle"))),
         )
     )
+    # ceil in guarded arithmetic: IEEE can represent threshold*n a hair
+    # ABOVE the true rational value (0.07*100 == 7.000000000000001), and a
+    # raw ceil would then overshoot by 1, shortening the prefix and
+    # silently dropping a qualifying pair. The 1e-9 epsilon exceeds the
+    # max double error for any realistic n while never crossing a true
+    # integer boundary — it can only err toward a LONGER prefix (more
+    # candidates, still lossless).
     prefix = ranked.filter(
         F.col("_rank")
-        <= F.col("_n_sh") - F.ceil(F.lit(threshold) * F.col("_n_sh")) + 1
+        <= F.col("_n_sh")
+        - F.ceil(F.lit(threshold) * F.col("_n_sh") - F.lit(1e-9))
+        + 1
     ).select("doc_id", "shingle")
     a = prefix.alias("a")
     b = prefix.alias("b")

@@ -545,8 +545,10 @@ def market_share(
     )
     return per_year.select(
         "o_year",
-        F.round(F.col("_num").cast("double"), 2).alias("nation_revenue"),
-        F.round(F.col("_den").cast("double"), 2).alias("total_revenue"),
+        # Round the exact DECIMAL, then cast (the _dsum convention):
+        # rounding the double repr diverges from DuckDB on half-cent sums.
+        F.round(F.col("_num"), 2).cast("double").alias("nation_revenue"),
+        F.round(F.col("_den"), 2).cast("double").alias("total_revenue"),
         # double/double of two exact-decimal-derived doubles: identical IEEE
         # division in both engines (decimal division scale rules differ).
         F.round(

@@ -399,26 +399,28 @@ def bpe_train(docs: DataFrame, rounds: int = 3) -> DataFrame:
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = (
-            pair_counts.agg(
-                F.min(
-                    F.struct(
-                        (-F.col("cnt")).alias("nc"), F.col("l"), F.col("r")
-                    )
-                ).alias("m")
-            )
-            .select(
-                F.lit(i).cast("bigint").alias("merge_round"),
-                F.col("m.l").alias("lhs"),
-                F.col("m.r").alias("rhs"),
-                F.concat("m.l", "m.r").alias("merged"),
-                (-F.col("m.nc")).cast("bigint").alias("pair_count"),
-            )
+        raw = pair_counts.agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("l"), F.col("r"))
+            ).alias("m")
         )
+        # Degenerate-round guard: with no adjacent pairs left the agg's
+        # single row is all-NULL. The OUTPUT drops it (matching the
+        # oracle's empty LIMIT-1 CTE: an exhausted round trains no
+        # merge); the FOLD keeps the always-one-row relation — a NULL
+        # (l, r) never matches `element_at(acc,-1) = l`, so the round is
+        # a no-op instead of crossJoin-emptying the vocabulary.
+        best = raw.select(
+            F.lit(i).cast("bigint").alias("merge_round"),
+            F.col("m.l").alias("lhs"),
+            F.col("m.r").alias("rhs"),
+            F.concat("m.l", "m.r").alias("merged"),
+            (-F.col("m.nc")).cast("bigint").alias("pair_count"),
+        ).filter(F.col("lhs").isNotNull())
         merges.append(best)
         words = words.crossJoin(
             F.broadcast(
-                best.select(F.col("lhs").alias("l"), F.col("rhs").alias("r"))
+                raw.select(F.col("m.l").alias("l"), F.col("m.r").alias("r"))
             )
         ).select("freq", F.expr(merge_fold).alias("symbols"))
     out = merges[0]
@@ -552,8 +554,13 @@ def bpe_encode(docs: DataFrame, rounds: int = 3) -> DataFrame:
             THEN concat(slice(acc, 1, size(acc) - 1), array(concat(l, r)))
             ELSE concat(acc, array(x)) END)"""
     for i in range(1, rounds + 1):
-        mi = merges.filter(F.col("merge_round") == i).select(
-            F.col("lhs").alias("l"), F.col("rhs").alias("r")
+        # agg(max) keeps this a one-row relation even when round i
+        # trained no merge (exhausted corpus) — NULL (l, r) makes the
+        # fold a no-op instead of crossJoin-emptying the vocabulary.
+        mi = (
+            merges.filter(F.col("merge_round") == i)
+            .select(F.col("lhs").alias("l"), F.col("rhs").alias("r"))
+            .agg(F.max("l").alias("l"), F.max("r").alias("r"))
         )
         vocab = vocab.crossJoin(F.broadcast(mi)).select(
             "term", F.expr(merge_fold).alias("symbols")

@@ -36,8 +36,9 @@ Design:
 - The returned DataFrame is BACKED BY the final state table — never
   collected to the driver (at 100 TB the index is cluster-sized). The
   final table outlives this call; intermediate versions and deltas are
-  dropped before returning. Callers that want to reclaim the state drop
-  the table named by the result's ``mri_state_table`` metadata entry.
+  dropped before returning (on timeout too). Callers that want to
+  reclaim the state pass ``state_table=[]`` and drop the table name
+  appended there (same out-param convention as ``merge_plans``).
 """
 
 from __future__ import annotations
@@ -98,6 +99,7 @@ def streaming_index_build(
     salt_buckets: int = 4,
     n_buckets: int = 8,
     merge_plans: list | None = None,
+    state_table: list | None = None,
 ) -> DataFrame:
     """Run the incremental index build over a sliced documents backlog and
     return the final postings relation (term, letter, doc_ids, df) — which
@@ -107,7 +109,9 @@ def streaming_index_build(
     docstring) — no driver materialization. ``merge_plans``, if given, is
     appended with the physical plan string of every co-located merge the
     stream performs (used by tests to pin the zero-exchange contract on
-    the ACTUAL stream path, not a reconstruction).
+    the ACTUAL stream path, not a reconstruction). ``state_table``, if
+    given, receives the final state table's name so the caller can DROP
+    it when done with the result.
     """
     from mapreduceindexer_spark.plans import explain_str
     from mapreduceindexer_spark.sources.tables import load_table
@@ -158,18 +162,25 @@ def streaming_index_build(
             finished = q.awaitTermination(300)
         finally:
             q.stop()
+        n = seen["max_version"]
         if not finished:
+            # Partial backlog: drop EVERY version/delta (including the
+            # last — a partial index must not outlive the error).
+            for v in range(1, n + 1):
+                spark.sql(f"DROP TABLE IF EXISTS {prefix}_v{v}")
+                spark.sql(f"DROP TABLE IF EXISTS {prefix}_d{v}")
             raise TimeoutError(
                 "streaming index build did not finish its backlog within "
                 "300 s — refusing to return a partial index"
             )
-        n = seen["max_version"]
         if n == 0:  # empty backlog: typed empty postings relation
             return build_postings(docs.limit(0), salt_buckets=salt_buckets)
         # Keep only the final version; drop intermediates and deltas.
         for v in range(1, n):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_v{v}")
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_d{v}")
+        if state_table is not None:
+            state_table.append(f"{prefix}_v{n}")
         return spark.table(f"{prefix}_v{n}")
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)

@@ -85,3 +85,31 @@ def test_tie_break_is_lexicographic(spark):
     texts = ["ab cd ab cd"]
     got = _spark_bpe(spark, texts, 1)
     assert got[0][1:4] == ("a", "b", "ab")
+
+
+def test_bpe_exhausted_corpus_emits_no_null_merges(spark):
+    """Degenerate corpus: every term is a single character, so NO round
+    has adjacent pairs. bpe_train must emit ZERO merge rows (not one
+    all-NULL row per round — matching the oracle's empty LIMIT-1 CTE),
+    and bpe_encode must still encode every document (identity: pieces ==
+    tokens), never crossJoin-empty its vocabulary. The registered DuckDB
+    oracles replay the same corpus to the same answers (guard CTE g{i})."""
+    import duckdb
+    import pandas as pd
+
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.operators.textstats import bpe_encode
+
+    rows = [(0, "a b c"), (1, "b c d d")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert bpe_train(docs, rounds=3).count() == 0
+
+    enc = {r.doc_id: (r.n_tokens, r.n_pieces) for r in bpe_encode(docs, 3).collect()}
+    assert enc == {0: (3, 3), 1: (4, 4)}, enc
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    assert con.execute(QUERIES["q_bpe_train"][1]).fetchall() == []
+    o = {r[0]: (r[1], r[2]) for r in con.execute(QUERIES["q_bpe_encode"][1]).fetchall()}
+    con.close()
+    assert o == {0: (3, 3), 1: (4, 4)}, o

@@ -14,7 +14,7 @@ from mapreduceindexer_spark.operators.maintenance import (
     zorder_interleave,
 )
 
-SF = "/root/testdata/sf0.001"
+from tests.conftest import SF_SMOKE as SF
 
 
 def test_interleave_matches_reference_bit_math(spark):
