@@ -6230,6 +6230,85 @@ def q_lm_retrieval(spark, sf_dir):
     )
 
 
+@register(
+    "q_collation_group",
+    r"""WITH tok AS (
+         SELECT regexp_replace(t.tok, '[^A-Za-z]', '', 'g') AS w
+         FROM documents d, unnest(string_split_regex(d.text, '\s+')) AS t(tok)
+         WHERE regexp_replace(t.tok, '[^A-Za-z]', '', 'g') <> '')
+       SELECT min(w) AS representative, CAST(count(*) AS BIGINT) AS n
+       FROM tok GROUP BY lower(w)
+       ORDER BY n DESC, representative ASC LIMIT 15""",
+)
+def q_collation_group(spark, sf_dir):
+    """String collations (Spark 4 native): group RAW mixed-case tokens
+    under the UTF8_LCASE collation — case-insensitivity expressed as a
+    COLLATION on the comparison, not as a lower() rewrite of the data.
+    The group key is the collated column; the emitted representative is
+    min() under binary collation (deterministic: the reference's own
+    normalize pipeline lowercases eagerly, but a search engine that must
+    PRESERVE case while matching case-insensitively needs exactly this).
+    The oracle replays with lower()-keyed grouping — equivalent for the
+    ASCII-stripped tokens by construction. At 100 TB a collated column
+    lets every comparison/join/sort site be case-insensitive without
+    materializing a second lowercased column."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", r"\s+")).alias("tok"))
+        .select(F.regexp_replace("tok", "[^A-Za-z]", "").alias("w"))
+        .filter(F.col("w") != "")
+    )
+    return (
+        toks.groupBy(F.collate("w", "UTF8_LCASE").alias("_k"))
+        .agg(
+            F.min(F.collate("w", "UTF8_BINARY")).alias("representative"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .select("representative", "n")
+        .orderBy(F.desc("n"), F.asc("representative"))
+        .limit(15)
+    )
+
+
+@register(
+    "q_param_sql",
+    """SELECT o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2)
+                AS DOUBLE) AS total
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+       GROUP BY o_orderpriority""",
+)
+def q_param_sql(spark, sf_dir):
+    """Parameterized SQL (named-marker API): the query text carries
+    ``:lo``/``:hi``/``:p1``/``:p2`` markers and values bind at execution
+    — the injection-safe front door for user-supplied predicates (string
+    concatenation into SQL is how engines get owned; markers bind as
+    typed literals, and Catalyst still constant-folds + pushes them
+    down). The bound plan is byte-identical to the literal formulation,
+    which is exactly what the literal-SQL oracle checks."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("mri_param_orders")
+    return spark.sql(
+        """SELECT o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2)
+                    AS DOUBLE) AS total
+           FROM mri_param_orders
+           WHERE o_orderdate >= :lo AND o_orderdate < :hi
+             AND o_orderpriority IN (:p1, :p2)
+           GROUP BY o_orderpriority""",
+        args={
+            "lo": "1997-01-01",
+            "hi": "1998-01-01",
+            "p1": "1-URGENT",
+            "p2": "2-HIGH",
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the harness verifies a finite prefix of this dict, so
 # the first 50 entries are arranged to contain the §2.1 core pipeline first
