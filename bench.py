@@ -84,6 +84,10 @@ HEADLINE = [
     "q_sparse_cosine",     # TF-IDF all-pairs cosine via inverted-index join
     "q_triangles",         # triangle counts over co-occurrence graph
     "q_variant_events",    # Spark 4 VARIANT parse + typed path extraction
+    "q_hll_merge",         # open-box HLL partial-merge contract
+    "q_pmi",               # PMI collocations over pruned co-occurrence
+    "q_lm_retrieval",      # query-likelihood ranking (Dirichlet LM)
+    "q_udtf_topterms",     # Arrow Python UDTF lateral expansion
 ]
 
 
