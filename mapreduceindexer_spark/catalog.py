@@ -6160,7 +6160,8 @@ _LMR_K = 20
                                  + {_DIR_MU} * (cf.cf / CAST(c.coll AS DOUBLE)))
                                 / (dl.dl + {_DIR_MU})), 9) AS part
                 FROM dl CROSS JOIN cf CROSS JOIN c
-                LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = cf.term),
+                LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = cf.term
+                WHERE cf.cf > 0),
        scored AS (SELECT doc_id,
                          CAST(ROUND(SUM(CAST(part AS DECIMAL(38,10))), 6)
                            AS DOUBLE) AS ql_score
@@ -6190,10 +6191,24 @@ def q_lm_retrieval(spark, sf_dir):
     qterms = spark.createDataFrame(
         [(PROBE_TERM_A,), (PROBE_TERM_B,)], "term string"
     )
+    # Filter the corpus to the probe terms BEFORE the left join: the
+    # join only needs the probe terms' occurrence counts, not a shuffle
+    # of every token (the left join still yields cf=0 for OOV terms).
     cf = (
-        qterms.join(t, "term", "left")
+        qterms.join(
+            t.filter(F.col("term").isin(PROBE_TERM_A, PROBE_TERM_B)),
+            "term",
+            "left",
+        )
         .groupBy("term")
         .agg(F.count("doc_id").cast("bigint").alias("cf"))
+        # OOV query terms (cf=0) are DROPPED, not scored: the smoothed
+        # probability would be exactly 0 and ln(0) diverges between
+        # engines (DuckDB raises, Spark yields NULL) — dropping OOV
+        # terms is standard IR practice and is mirrored by the oracle's
+        # cf.cf > 0 predicate, keeping both engines lockstep on corpora
+        # that lack a probe term.
+        .filter(F.col("cf") > 0)
     )
     tf = (
         t.filter(F.col("term").isin(PROBE_TERM_A, PROBE_TERM_B))

@@ -164,9 +164,11 @@ def streaming_index_build(
             q.stop()
         n = seen["max_version"]
         if not finished:
-            # Partial backlog: drop EVERY version/delta (including the
-            # last — a partial index must not outlive the error).
-            for v in range(1, n + 1):
+            # Partial backlog: drop EVERY version/delta, including the
+            # one an interrupted in-flight batch may have written AFTER
+            # its _write_bucketed but BEFORE updating the counter
+            # (hence n + 1) — a partial index must not outlive the error.
+            for v in range(1, n + 2):
                 spark.sql(f"DROP TABLE IF EXISTS {prefix}_v{v}")
                 spark.sql(f"DROP TABLE IF EXISTS {prefix}_d{v}")
             raise TimeoutError(

@@ -76,22 +76,28 @@ def _make_processor():
         def handleInputRows(
             self, key, rows: Iterator[pd.DataFrame], timer_values
         ) -> Iterator[pd.DataFrame]:
-            import numpy as np
+            import math
+            from decimal import ROUND_HALF_UP, Decimal
 
             n, s = self._totals.get() if self._totals.exists() else (0, 0)
             for pdf in rows:
                 n += int(len(pdf))
-                # Exact: per-row 1e6-scaled HALF_UP rounding (floor(|x|+.5)
-                # away from zero — Spark F.round's mode; pandas .round()
-                # is banker's half-to-even and would disagree on exact .5
-                # scaled values) then integer sum. NULLs are dropped like
-                # the batch twin's sum skips them.
-                scaled = (pdf["value"] * 1_000_000).dropna().to_numpy()
-                s += int(
-                    (np.floor(np.abs(scaled) + 0.5) * np.sign(scaled))
-                    .astype("int64")
-                    .sum()
-                )
+                # Exact emulation of the batch twin's F.round(x*1e6):
+                # Spark's Round on DoubleType goes through
+                # BigDecimal.valueOf (shortest decimal repr) + HALF_UP —
+                # Python's Decimal(repr(x)).quantize(1, HALF_UP) is the
+                # same function (floor(|x|+0.5) is NOT: IEEE makes
+                # 0.49999999999999994 + 0.5 == 1.0). NULL/non-finite
+                # values are dropped like the batch sum skips nulls.
+                for v in (pdf["value"] * 1_000_000).dropna():
+                    fv = float(v)
+                    if not math.isfinite(fv):
+                        continue
+                    s += int(
+                        Decimal(repr(fv)).quantize(
+                            Decimal(1), rounding=ROUND_HALF_UP
+                        )
+                    )
             self._totals.update((n, s))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "sum_scaled": [s]}
