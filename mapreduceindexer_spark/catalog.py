@@ -1606,6 +1606,45 @@ def q_embed_dup(spark, sf_dir):
     )
 
 
+@register(
+    "q_embed_dup_scaled",
+    f"""WITH e AS ({SQL_EMB}),
+         st AS (SELECT greatest(8, count(*) // 200) AS nc FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, v AS cv FROM e, st
+               WHERE vec_id < st.nc),
+         d AS (SELECT e.vec_id, c.centroid_id,
+                      ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+                                                    z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+               FROM e, c),
+         assign AS (SELECT vec_id, centroid_id AS cell
+                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY d2 ASC, centroid_id ASC) AS rn
+                          FROM d)
+                    WHERE rn = 1),
+         ec AS (SELECT e.vec_id, e.v, assign.cell
+                FROM e JOIN assign ON e.vec_id = assign.vec_id)
+       SELECT * FROM (
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                ROUND({SQL_COS.format(a='a.v', b='b.v')}, 6) AS cos_sim
+         FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       WHERE cos_sim >= {EMBED_DUP_THRESHOLD}""",
+)
+def q_embed_dup_scaled(spark, sf_dir):
+    """Tier-5 dedup, PRODUCTION CELL DIAL live: n_centroids scales with
+    the corpus (max(8, n // 200)) instead of the fixed {EMBED_DUP_CELLS}
+    cells of q_embed_dup — the scale-safe path the round-4 100x load test
+    prescribed (fixed cells DNF'd at 100x; n/200 cells finished in ~120 s,
+    PLANS.md). The count enters the plan as a broadcast one-row aggregate,
+    so the query is fully lazy; the oracle replays the same dial from
+    count(*). operators/dedup.py::embedding_near_duplicates_scaled."""
+    return dd.embedding_near_duplicates_scaled(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=EMBED_DUP_THRESHOLD,
+        target_cell_size=200,
+        min_cells=8,
+    )
+
+
 # --- text analysis ---
 
 
@@ -3028,6 +3067,86 @@ def q_rp_lsh(spark, sf_dir):
     """Sign-random-projection cosine LSH candidate pairs —
     operators/similarity.py::srp_candidate_pairs."""
     return sim.srp_candidate_pairs(_t(spark, sf_dir, "embeddings"), n_bits=_SRP_BITS)
+
+
+_SRP_N_BANDS = 2
+_SRP_BAND_BITS = 16
+_SRP_MAX_BUCKET = 64
+_SRP_PLANES_SCALED = srp_plane_constants(_SRP_N_BANDS * _SRP_BAND_BITS, 64)
+
+
+def _sql_srp_band_sig(band: int) -> str:
+    """Band ``band``'s signature with the bit-count dial live: plane
+    ``band*_SRP_BAND_BITS + k`` contributes only when ``k < r`` (r = the
+    corpus-scaled per-band bit count from the ``st`` CTE), mirroring the
+    short-circuit gating in similarity.srp_candidate_pairs_scaled."""
+    terms = []
+    for k in range(_SRP_BAND_BITS):
+        plane = _SRP_PLANES_SCALED[band * _SRP_BAND_BITS + k]
+        lit = "[" + ", ".join(repr(c) for c in plane) + "]"
+        terms.append(
+            f"(CASE WHEN {k} < r AND"
+            f" list_sum(list_transform(list_zip(v, {lit}),"
+            f" z -> CAST(z[1] * z[2] AS DECIMAL(38,10)))) >= 0"
+            f" THEN {1 << k} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_SQL_SRP_SIGS_SCALED = " UNION ALL ".join(
+    f"SELECT vec_id, v, {b} AS band, CAST({_sql_srp_band_sig(b)} AS BIGINT) AS sig"
+    f" FROM e, st"
+    for b in range(_SRP_N_BANDS)
+)
+
+
+@register(
+    "q_rp_lsh_scaled",
+    f"""WITH e AS ({SQL_EMB_L}),
+         st AS (SELECT least({_SRP_BAND_BITS},
+                             length(bin(CASE WHEN count(*) <= 1 THEN 1
+                                             ELSE count(*) - 1 END))) AS r
+                FROM embeddings),
+         sigs AS ({_SQL_SRP_SIGS_SCALED}),
+         sized AS (SELECT vec_id, band, sig,
+                          count(*) OVER (PARTITION BY band, sig) AS bsz,
+                          min(vec_id) OVER (PARTITION BY band, sig) AS bmin
+                   FROM sigs),
+         small AS (SELECT * FROM sized WHERE bsz <= {_SRP_MAX_BUCKET}),
+         cand AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.band AS band
+           FROM small a JOIN small b
+                ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+           UNION ALL
+           SELECT s.bmin AS vec_a, s.vec_id AS vec_b, s.band AS band
+           FROM sized s
+           WHERE s.bsz > {_SRP_MAX_BUCKET} AND s.vec_id <> s.bmin),
+         pairs AS (SELECT vec_a, vec_b,
+                          CAST(count(*) AS BIGINT) AS n_bands_hit
+                   FROM cand GROUP BY 1, 2)
+       SELECT p.vec_a, p.vec_b, p.n_bands_hit,
+              ROUND({SQL_COS.format(a='ea.v', b='eb.v')}, 6) AS cos_sim
+       FROM pairs p
+       JOIN e ea ON ea.vec_id = p.vec_a
+       JOIN e eb ON eb.vec_id = p.vec_b""",
+)
+def q_rp_lsh_scaled(spark, sf_dir):
+    """SRP cosine LSH, PRODUCTION DIALS live: total signature bits scale
+    with the corpus (2 bands x min(16, ceil(log2 n)) bits — the 2*log2(n)
+    dial, computed as exact integer length(bin(n-1)), no float log) and
+    oversized (band, sig) buckets (> 64) collapse to the hub-spoke star
+    pattern — the scale-safe path the round-4 100x load test prescribed
+    (fixed 8 bits went 404x wall at 100x; dialed run was 10.9x faster,
+    PLANS.md). Banding keeps recall non-zero while expected random
+    collisions stay ~n/2 PER BAND — linear at every corpus size. Fully
+    lazy: the count rides a broadcast one-row aggregate.
+    operators/similarity.py::srp_candidate_pairs_scaled."""
+    return sim.srp_candidate_pairs_scaled(
+        _t(spark, sf_dir, "embeddings"),
+        n_bands=_SRP_N_BANDS,
+        max_bits_per_band=_SRP_BAND_BITS,
+        max_bucket=_SRP_MAX_BUCKET,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6361,6 +6480,26 @@ def q_param_sql(spark, sf_dir):
 # quality tier) — swapped for the three families born this session:
 # q_power_iteration (spectral/PCA), q_range_bounds (range-sharding
 # boundaries), q_dsir_weights (importance-resampling data selection).
+# Round-5 rotation (and the off-by-one fix): round 4 shipped 51 names
+# here while the driver checks exactly the first 50 registered queries,
+# so position 51 (q_udtf_topterms) silently got no driver row while the
+# docs claimed "slot 50". This round: (a) the list is asserted to be
+# EXACTLY 50 long, (b) 13 driver-green family-redundant slots rotated
+# OUT (q_postings_merge / q_sorted_index — postings family keeps
+# q_postings + the byte-exact q_index_lines golden; q_term_lookup /
+# q_bool_or — search family keeps AND/NOT/BM25/top-k; q_scan_lineitem —
+# kept via q_filter_shipdate's pushdown scan; q_setops — superseded in
+# the window by the theta-sketch set-ops bound twin; q_containment /
+# q_simhash — dedup family still holds 6 slots; q_countmin / q_hll /
+# q_bloom — sketch family re-represented by the merge + bound-contract
+# twins; q_lm_score — LM family re-represented by q_lm_retrieval;
+# q_user_trend — Arrow family re-represented by q_grouped_agg_udf +
+# q_udtf_topterms), and (c) 12 never-driver-checked families rotated IN,
+# including the two NEW scale-dial variants (q_rp_lsh_scaled,
+# q_embed_dup_scaled) so the driver verifies the dialed paths you'd run
+# at 100 TB, not only the fixed-dial oracle-friendly ones. Everything
+# rotated out remains verified every session by
+# tests/test_oracle_parity.py (drives ALL oracle-backed queries).
 _CHECK_PRIORITY = [
     # §2.1 core (reference pipeline, dataflow order)
     "q_manifest_scan",
@@ -6370,18 +6509,13 @@ _CHECK_PRIORITY = [
     "q_term_doc_distinct",
     "q_postings",
     "q_letter_histogram",
-    "q_sorted_index",
     "q_index_lines",
-    "q_postings_merge",
-    # §2.2 derived search (now complete: all four Boolean/lookup forms)
-    "q_term_lookup",
+    # §2.2 derived search
     "q_bool_and",
-    "q_bool_or",
     "q_bool_not",
     "q_bm25",
     "q_top_terms",
     # §2.3 relational families
-    "q_scan_lineitem",
     "q_filter_shipdate",
     "q_agg_pricing_summary",
     "q_join_orders_customer",
@@ -6391,9 +6525,9 @@ _CHECK_PRIORITY = [
     "q_approx_distinct_bound",
     "q_approx_quantiles_bound",
     "q_window_topn",
-    "q_setops",
     "q_scalar_fns",
     "q_json_events",
+    "q_variant_events",
     "q_zorder_layout",
     # time windows / temporal joins
     "q_events_tumbling",
@@ -6401,26 +6535,33 @@ _CHECK_PRIORITY = [
     # LLM pipeline tier
     "q_dedup_exact",
     "q_near_dup",
-    "q_containment",
     "q_substring_dup",
-    "q_simhash",
     "q_semantic_dedup",
     "q_power_iteration",
     "q_ann_ivf",
     "q_range_bounds",
     "q_dsir_weights",
-    "q_user_trend",
     "q_weighted_sample",
-    "q_countmin",
-    "q_hll",
-    "q_bloom",
-    "q_lm_score",
+    "q_rp_lsh_scaled",
+    "q_embed_dup_scaled",
+    "q_sparse_cosine",
+    "q_triangles",
+    "q_bpe_train",
+    "q_pmi",
+    "q_lm_retrieval",
+    "q_hll_merge",
+    "q_theta_setops_bound",
+    "q_kll_quantiles_bound",
     "q_postings_compress",
     "q_multimodal_ppm",
-    # Spark-4-native surface (fourth late rotation: fills the open 50th
-    # slot with a family born this session — the Python UDTF lateral path)
+    # Spark-4-native surface
+    "q_grouped_agg_udf",
     "q_udtf_topterms",
 ]
+assert len(_CHECK_PRIORITY) == 50, (
+    f"driver check window is exactly 50 slots, got {len(_CHECK_PRIORITY)}"
+)
+assert len(set(_CHECK_PRIORITY)) == 50, "_CHECK_PRIORITY has duplicates"
 
 _missing = [n for n in _CHECK_PRIORITY if n not in QUERIES]
 assert not _missing, f"_CHECK_PRIORITY names not registered: {_missing}"

@@ -387,6 +387,70 @@ def embedding_near_duplicates(
     )
 
 
+def embedding_near_duplicates_scaled(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    target_cell_size: int = 200,
+    min_cells: int = 8,
+) -> DataFrame:
+    """Tier-5 embedding dedup with the production cell dial live:
+    ``n_centroids = max(min_cells, floor(n / target_cell_size))`` — the
+    scale-safe variant the round-4 100x load test prescribed (PLANS.md:
+    fixed 32 cells never finished at 100x; ``cells ~ n/200`` completed
+    in ~120 s). Per-cell population stays ~``target_cell_size`` at any
+    corpus size, so the within-cell self-join is quadratic only in a
+    bounded constant.
+
+    The corpus count enters the plan as data (one-row count aggregate,
+    broadcast-crossJoined onto the centroid filter), so the query is
+    fully lazy — no driver action. Centroids remain the deterministic
+    lowest-vec_id rows so the DuckDB oracle replays the assignment
+    bit-for-bit; production would swap in ``similarity.kmeans_centroids``
+    (same plan shape, trained centroid table).
+    """
+    from mapreduceindexer_spark.functions.vector import dot, l2_norm
+    from mapreduceindexer_spark.operators.similarity import assign_to_centroids
+
+    nc = F.greatest(
+        F.lit(min_cells), F.floor(F.col("n") / F.lit(target_cell_size))
+    ).cast("bigint")
+    stats = embeddings.agg(F.count("*").alias("n")).select(nc.alias("nc"))
+    centroids = (
+        embeddings.crossJoin(F.broadcast(stats))
+        .filter(F.col("vec_id") < F.col("nc"))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    cells = assign_to_centroids(embeddings, centroids)
+    e = embeddings.join(cells, "vec_id").withColumn("nrm", l2_norm("embedding"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "cell",
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "cell",
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def simhash_signatures(docs: DataFrame, n_bits: int = 16) -> DataFrame:
     """Per-document SimHash over term frequencies: (doc_id, simhash).
 

@@ -382,6 +382,15 @@ def srp_candidate_pairs(
     sigs = embeddings.select(
         "vec_id", v.alias("v"), sig.cast("bigint").alias("sig")
     )
+    return _srp_pairs_from_sigs(sigs, max_bucket)
+
+
+def _srp_pairs_from_sigs(
+    sigs: DataFrame, max_bucket: int | None
+) -> DataFrame:
+    """Candidate-pair join over (vec_id, v, sig) signature rows, with the
+    optional oversized-bucket star guard (shared by the fixed-dial and
+    scaled SRP entry points)."""
     if max_bucket is not None:
         # Bucket census over the same key the join shuffles on (no extra
         # exchange of the big relation) — the lsh_candidates guard.
@@ -440,6 +449,118 @@ def srp_candidate_pairs(
         "vec_b",
         F.col("sig"),
         F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
+    )
+
+
+def srp_candidate_pairs_scaled(
+    embeddings: DataFrame,
+    n_bands: int = 2,
+    max_bits_per_band: int = 16,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """SRP cosine LSH with the production dials live — the scale-safe
+    path the round-4 100x load test prescribed (PLANS.md: fixed 8-bit
+    signatures went 404x wall at 100x rows; ``total bits ~ 2*log2(n)`` +
+    the star guard measured 10.9x faster). Structured as BANDED LSH
+    (``n_bands`` independent hash tables), the standard recall/cost
+    shape: total signature bits = ``n_bands * ceil(log2 n)`` match the
+    2*log2(n) dial, but splitting them into bands keeps recall non-zero
+    while expected random collisions stay E = n^2 / 2^(r+1) ~ n/2 PER
+    BAND — linear in the corpus at every scale, never quadratic.
+
+    - ``r = min(max_bits_per_band, ceil(log2 n))`` bits per band. The
+      corpus count enters the PLAN as data, not config: a one-row count
+      aggregate broadcast-crossJoins onto the signature projection, so
+      the whole query stays lazy/distributed — no driver action.
+      ceil(log2 n) is computed as ``length(bin(n-1))`` — exact integer
+      arithmetic identical in Spark and DuckDB, immune to the
+      float-log-of-power-of-two ulp hazard.
+    - ``max_bucket`` star-guards the degenerate (band, sig) buckets the
+      hash cannot split (near-identical vectors share every sign bit):
+      oversized buckets emit hub-spoke pairs only, linear in bucket size.
+
+    Band b uses hyperplanes ``b*max_bits_per_band + k``; every plane dot
+    is gated behind ``k < r`` so unused planes short-circuit at runtime.
+    Candidate pairs dedupe across bands (``n_bands_hit`` = how many
+    tables collided) and ONLY those pairs join the vector table back for
+    the exact cosine — verification cost is candidate-bounded.
+    Returns (vec_a, vec_b, n_bands_hit, cos_sim).
+    """
+    from mapreduceindexer_spark.functions.hashing import srp_plane_constants
+
+    dim = 64
+    planes = srp_plane_constants(n_bands * max_bits_per_band, dim)
+    n1 = F.col("n") - F.lit(1)
+    r = F.least(
+        F.lit(max_bits_per_band),
+        F.length(F.bin(F.when(n1 < 1, F.lit(1)).otherwise(n1))),
+    ).cast("int")
+    stats = embeddings.agg(F.count("*").alias("n")).select(r.alias("r"))
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = embeddings.crossJoin(F.broadcast(stats))
+    per_band = []
+    for b in range(n_bands):
+        sig = F.lit(0)
+        for k in range(max_bits_per_band):
+            plane = planes[b * max_bits_per_band + k]
+            arr = F.array(*[F.lit(c) for c in plane])
+            dot_dec = F.aggregate(
+                F.zip_with(v, arr, lambda a, b_: (a * b_).cast("decimal(38,10)")),
+                F.lit(0).cast("decimal(38,10)"),
+                lambda acc, x: (acc + x).cast("decimal(38,10)"),
+            )
+            sig = sig + F.when(
+                F.lit(k) < F.col("r"),
+                F.when(dot_dec >= 0, F.lit(1 << k)).otherwise(F.lit(0)),
+            ).otherwise(F.lit(0))
+        per_band.append(
+            base.select(
+                "vec_id",
+                F.lit(b).alias("band"),
+                sig.cast("bigint").alias("sig"),
+            )
+        )
+    sigs = per_band[0]
+    for s in per_band[1:]:
+        sigs = sigs.unionByName(s)
+    w = Window.partitionBy("band", "sig")
+    sized = sigs.select(
+        "vec_id",
+        "band",
+        "sig",
+        F.count("*").over(w).alias("bsz"),
+        F.min("vec_id").over(w).alias("bmin"),
+    )
+    small = sized.filter(F.col("bsz") <= max_bucket)
+    a = small.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+    b2 = small.select(F.col("vec_id").alias("vec_b"), "band", "sig")
+    pairs_small = (
+        a.join(b2, ["band", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "band")
+    )
+    pairs_star = sized.filter(
+        (F.col("bsz") > max_bucket) & (F.col("vec_id") != F.col("bmin"))
+    ).select(
+        F.col("bmin").alias("vec_a"), F.col("vec_id").alias("vec_b"), "band"
+    )
+    pairs = (
+        pairs_small.unionByName(pairs_star)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.count("*").alias("n_bands_hit"))
+    )
+    e = embeddings.select("vec_id", v.alias("v"))
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        pairs.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            "n_bands_hit",
+            F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
+        )
     )
 
 

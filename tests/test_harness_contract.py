@@ -43,3 +43,15 @@ def test_check_priority_window_all_oracle_backed():
     names = list(QUERIES)[:50]
     missing = [n for n in names if QUERIES[n][1] is None]
     assert not missing, f"rows-only queries inside the checked window: {missing}"
+
+
+def test_check_priority_is_exactly_the_window():
+    """Round 4 shipped 51 names in _CHECK_PRIORITY while the driver checks
+    exactly the first 50 registered queries, so position 51 silently got
+    no driver row. Pin the length (and uniqueness) so the window and the
+    intent can never diverge again."""
+    from mapreduceindexer_spark.catalog import _CHECK_PRIORITY
+
+    assert len(_CHECK_PRIORITY) == 50
+    assert len(set(_CHECK_PRIORITY)) == 50
+    assert list(QUERIES)[:50] == _CHECK_PRIORITY

@@ -469,6 +469,53 @@ def test_srp_bucket_guard_bounds_identical_vectors(spark):
     assert touched == n, touched
 
 
+def test_srp_scaled_dial_tracks_corpus_size(spark):
+    """The scaled SRP's per-band bit count is data-driven: r = min(16,
+    ceil(log2 n)). Pin both the dial (via collision statistics — a 16-row
+    corpus gets 4-bit bands, so random vectors MUST collide somewhere;
+    candidate pairs dedupe across bands with n_bands_hit <= n_bands) and
+    the star guard (a degenerate corpus of near-identical vectors stays
+    linear, never C(n,2))."""
+    import hashlib
+
+    from mapreduceindexer_spark.operators.similarity import (
+        srp_candidate_pairs_scaled,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # Small corpus: 16 vectors -> r = 4 bits/band -> 2^4 buckets/band for
+    # 16 vectors; E[pairs/band] = 16*15/2 / 16 = 7.5 — collisions certain
+    # in practice, and the query must be non-vacuous.
+    rows = [
+        (i, [float(h60(f"sv:{i}:{j}") % 2001 - 1000) / 1000 for j in range(64)], 0)
+        for i in range(16)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = srp_candidate_pairs_scaled(emb, n_bands=2, max_bits_per_band=16)
+    got = out.collect()
+    assert len(got) > 0
+    assert all(1 <= r["n_bands_hit"] <= 2 for r in got)
+    assert all(r["vec_a"] < r["vec_b"] for r in got)
+
+    # Degenerate corpus: 300 near-identical vectors share every sign ->
+    # one oversized bucket per band -> star pattern, linear in n.
+    n = 300
+    base = [float((i * 7) % 13 - 6) for i in range(64)]
+    drows = [(i, [x + 0.001 * (i % 3) for x in base], 0) for i in range(n)]
+    demb = spark.createDataFrame(
+        drows, "vec_id bigint, embedding array<float>, label int"
+    )
+    guarded = srp_candidate_pairs_scaled(
+        demb, n_bands=2, max_bits_per_band=16, max_bucket=64
+    )
+    n_pairs = guarded.count()
+    assert n_pairs < 3 * n, n_pairs
+
+
 def test_srp_guard_inactive_below_cap_matches_unguarded(spark):
     """On a healthy corpus (no bucket above the cap) the guard must be a
     no-op: identical pair set and cosines with and without it."""
