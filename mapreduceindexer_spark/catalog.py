@@ -6423,7 +6423,11 @@ def q_param_sql(spark, sf_dir):
     concatenation into SQL is how engines get owned; markers bind as
     typed literals, and Catalyst still constant-folds + pushes them
     down). The bound plan is byte-identical to the literal formulation,
-    which is exactly what the literal-SQL oracle checks."""
+    which is exactly what the literal-SQL oracle checks. The timestamp
+    bounds bind as datetime values, so the plan carries TIMESTAMP
+    literals regardless of the engine's string-coercion rules."""
+    import datetime
+
     _t(spark, sf_dir, "orders").createOrReplaceTempView("mri_param_orders")
     return spark.sql(
         """SELECT o_orderpriority,
@@ -6435,8 +6439,8 @@ def q_param_sql(spark, sf_dir):
              AND o_orderpriority IN (:p1, :p2)
            GROUP BY o_orderpriority""",
         args={
-            "lo": "1997-01-01",
-            "hi": "1998-01-01",
+            "lo": datetime.datetime(1997, 1, 1),
+            "hi": datetime.datetime(1998, 1, 1),
             "p1": "1-URGENT",
             "p2": "2-HIGH",
         },

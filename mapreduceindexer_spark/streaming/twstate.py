@@ -87,8 +87,14 @@ def _make_processor():
                 # BigDecimal.valueOf (shortest decimal repr) + HALF_UP —
                 # Python's Decimal(repr(x)).quantize(1, HALF_UP) is the
                 # same function (floor(|x|+0.5) is NOT: IEEE makes
-                # 0.49999999999999994 + 0.5 == 1.0). NULL/non-finite
-                # values are dropped like the batch sum skips nulls.
+                # 0.49999999999999994 + 0.5 == 1.0). NULLs are dropped
+                # like the batch sum skips nulls. Non-finite values are
+                # ALSO dropped — a documented divergence from the raw
+                # batch formula, which would raise CAST_OVERFLOW (ANSI)
+                # or clamp to Long.MaxValue (non-ANSI) on +/-inf; the
+                # batch twin in test_twstate_totals_match_batch applies
+                # the same finite filter so the parity contract is
+                # well-defined on any input.
                 for v in (pdf["value"] * 1_000_000).dropna():
                     fv = float(v)
                     if not math.isfinite(fv):

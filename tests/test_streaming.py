@@ -145,14 +145,20 @@ def test_twstate_totals_match_batch(spark):
     from pyspark.sql import functions as F
 
     ev = load_table(spark, SF_SMOKE, "events")
+    # Same finite filter as the stream kernel: the kernel drops non-finite
+    # values (the raw round+cast would overflow on +/-inf), so the batch
+    # twin must too for the parity contract to hold on any input.
+    finite = ~F.isnan("value") & (F.abs("value") != float("inf"))
     batch = sorted(
         tuple(r)
         for r in ev.groupBy("user_id")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias(
-                "sum_scaled"
-            ),
+            F.sum(
+                F.when(
+                    finite, F.round(F.col("value") * 1_000_000).cast("bigint")
+                )
+            ).alias("sum_scaled"),
         )
         .collect()
     )
