@@ -88,6 +88,9 @@ HEADLINE = [
     "q_pmi",               # PMI collocations over pruned co-occurrence
     "q_lm_retrieval",      # query-likelihood ranking (Dirichlet LM)
     "q_udtf_topterms",     # Arrow Python UDTF lateral expansion
+    "q_rp_lsh_scaled",     # SRP LSH with live production dials (banded)
+    "q_embed_dup_scaled",  # IVF dedup with corpus-scaled cell count
+    "q_multimodal_png",    # Arrow-batched REAL PNG decode (zlib inflate + unfilter)
 ]
 
 
@@ -101,7 +104,9 @@ def main() -> None:
 
     spark = get_spark(app_name="mapreduceindexer_spark-bench")
 
-    def run(name: str) -> float:
+    from mapreduceindexer_spark import staging
+
+    def run(name: str, cold: bool = True) -> float:
         # The timer covers BUILDER + action: builders are normally pure
         # plan construction (ms), but operators that stage a
         # multi-referenced subtree (localCheckpoint in q_semantic_dedup,
@@ -109,22 +114,33 @@ def main() -> None:
         # the builder — timing only the sink would let that work escape
         # the measurement (caught in round 4: q_power_iteration "ran"
         # 0.3 s on 100x the embeddings because the gram build was
-        # builder-side).
+        # builder-side). cold=True clears the session staging registry
+        # so memoized relations (near-dup pairs) re-pay their build every
+        # run — otherwise warm re-runs of a staged query would measure a
+        # cache read, the same accounting mirage the builder-inclusive
+        # timer exists to prevent.
+        if cold:
+            staging.clear()
         t0 = time.perf_counter()
         df = QUERIES[name][0](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
-    def steady(name: str) -> float:
+    def steady(name: str, cold: bool = True) -> tuple[float, float]:
         # TWO warm-ups: a controlled A/B/A experiment (PLANS.md, round 4)
         # showed the JIT needs several executions of a query's generated
         # code to reach steady state — one warm-up under-warms by ~25%
-        # on the heaviest pipelines.
-        run(name)
-        run(name)
-        return min(run(name), run(name), run(name))
+        # on the heaviest pipelines. Returns (best, median) of three
+        # measured runs: best is the steady-state contract number; the
+        # median makes cross-round deltas attributable (a best far below
+        # the median flags in-run noise, not a code change).
+        run(name, cold)
+        run(name, cold)
+        samples = sorted(run(name, cold) for _ in range(3))
+        return samples[0], samples[1]
 
     times = {}
+    medians = {}
 
     # Apples-to-apples vs BASELINE.md, measured FIRST (see module
     # docstring): full index build (manifest corpus -> postings -> 26
@@ -169,9 +185,42 @@ def main() -> None:
         corpus.unpersist()
 
     for name in HEADLINE:
-        times[name] = round(steady(name), 3)
+        best, med = steady(name)
+        times[name] = round(best, 3)
+        medians[name] = round(med, 3)
 
+    # Staged-reuse variant of the curation composite: the near-dup pair
+    # relation is already materialized in the session staging registry
+    # (as it is whenever a sibling query built it first — the production
+    # staging-table pattern), so the composite pays only its unique
+    # stages. Reported as its own key, never mixed into the cold number.
+    from mapreduceindexer_spark.catalog import _near_pairs_staged
+
+    # Headline total is frozen BEFORE the staged variant: it sums the
+    # index build + the cold headline queries only, keeping "value"
+    # comparable with BENCH_r04 (the staged number is additional
+    # information, not a substitute for the cold composite).
     total = round(sum(times.values()), 3)
+
+    staging.clear()
+    _near_pairs_staged(spark, sf_dir)  # stage once, outside the timer
+    best, med = steady("q_curation_pipeline", cold=False)
+    times["q_curation_pipeline_staged"] = round(best, 3)
+    medians["q_curation_pipeline_staged"] = round(med, 3)
+
+    # Drift probe: re-measure the first headline query at the END of the
+    # run. BENCH artifacts are recorded in a shared JVM whose state
+    # accumulates across ~1500 stages; the end/start ratio quantifies
+    # that drift IN the artifact so cross-round deltas are attributable
+    # without a postmortem (round-4 finding: +30-60% on unchanged code).
+    drift_end, _ = steady(HEADLINE[0])
+    drift = {
+        "query": HEADLINE[0],
+        "start_sec": times[HEADLINE[0]],
+        "end_sec": round(drift_end, 3),
+        "ratio": round(drift_end / max(times[HEADLINE[0]], 1e-9), 3),
+    }
+
     print(
         json.dumps(
             {
@@ -179,6 +228,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_median": medians,
+                "jvm_drift": drift,
                 "sf": sf,
             }
         )

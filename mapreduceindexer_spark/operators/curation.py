@@ -44,22 +44,30 @@ def curation_summary(
     n_hashes: int = 16,
     rows_per_band: int = 2,
     near_dup_threshold: float = 0.2,
+    near_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Run the 4-stage curation pipeline; return (lang, n_kept) per language.
 
     The aggregate output keeps the harness result small and deterministic;
     a production caller would take ``kept_doc_ids`` (the pre-aggregation
     relation) and semi-join it against the corpus instead.
+
+    ``near_pairs`` lets the caller pass an already-staged verified-pair
+    relation (the output of ``dedup.near_duplicates`` with the SAME
+    dials) instead of rebuilding the LSH staging inside the composite —
+    the staging-table reuse a production pipeline gets for free. When
+    omitted, the composite stays self-contained and builds it here.
     """
     from mapreduceindexer_spark.functions.hashing import hash60
 
     keepers = dedup.exact_duplicates(docs).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
-    near_pairs = dedup.near_duplicates(
-        docs, k=k, n_hashes=n_hashes, rows_per_band=rows_per_band,
-        threshold=near_dup_threshold,
-    )
+    if near_pairs is None:
+        near_pairs = dedup.near_duplicates(
+            docs, k=k, n_hashes=n_hashes, rows_per_band=rows_per_band,
+            threshold=near_dup_threshold,
+        )
     drop_b = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     after_dedup = keepers.join(drop_b, "doc_id", "left_anti")
 

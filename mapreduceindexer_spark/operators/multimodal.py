@@ -12,11 +12,14 @@ Design (the part that matters at 100 TB):
 - heavy decode stages repartition first so batches are even and an
   executor never holds more than ``maxRecordsPerBatch`` blobs in memory.
 
-Two REAL decoders ship for codec-free formats — ``decode_ppm`` parses
-actual P6 PPM images (header + raw RGB) and ``decode_wav`` parses actual
-RIFF/WAVE PCM audio (chunk walk + 16-bit sample scan), both with per-row
+Three REAL decoders ship for codec-free formats — ``decode_ppm`` parses
+actual P6 PPM images (header + raw RGB), ``decode_wav`` parses actual
+RIFF/WAVE PCM audio (chunk walk + 16-bit sample scan), and ``decode_png``
+parses actual baseline PNG (chunk walk + CRC verification + zlib inflate
++ five-filter scanline reconstruction, stdlib only), all with per-row
 error containment and oracle-checked end-to-end (``q_multimodal_ppm``,
-``q_multimodal_wav``). The deterministic FAKE kernel (dimensions derived
+``q_multimodal_wav``, ``q_multimodal_png``). The deterministic FAKE
+kernel (dimensions derived
 from the content digest) is the explicitly-labeled FALLBACK for formats
 whose decoders need libraries this container doesn't ship (JPEG/MP4/…);
 ``decode_kernel='real'`` raises NotImplementedError at the exact seam
@@ -454,4 +457,237 @@ def decode_ppm(media: DataFrame) -> DataFrame:
 
     return media.select("doc_id", "content", "media_type").mapInPandas(
         decode_batches, schema=DECODED_SCHEMA
+    )
+
+
+# --- real decoder path: PNG (baseline, non-interlaced) via stdlib zlib ----
+
+PNG_MEDIA_TYPE = "image/png"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_filter_row(ftype: int, raw: bytes, prev: bytes, bpp: int) -> bytes:
+    """FORWARD filter (encoder side): raw scanline -> stored bytes for
+    filter type ``ftype`` given the previous RAW scanline."""
+    out = bytearray(len(raw))
+    for i, x in enumerate(raw):
+        a = raw[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x - a) & 0xFF
+        elif ftype == 2:
+            out[i] = (x - b) & 0xFF
+        elif ftype == 3:
+            out[i] = (x - (a + b) // 2) & 0xFF
+        else:
+            out[i] = (x - _paeth(a, b, c)) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter_row(ftype: int, flt: bytes, prev: bytes, bpp: int) -> bytes | None:
+    """INVERSE filter (decoder side): stored bytes -> raw scanline given
+    the previous RECONSTRUCTED scanline. None for an unknown filter type."""
+    if ftype not in (0, 1, 2, 3, 4):
+        return None
+    out = bytearray(len(flt))
+    for i, x in enumerate(flt):
+        a = out[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x + a) & 0xFF
+        elif ftype == 2:
+            out[i] = (x + b) & 0xFF
+        elif ftype == 3:
+            out[i] = (x + (a + b) // 2) & 0xFF
+        else:
+            out[i] = (x + _paeth(a, b, c)) & 0xFF
+    return bytes(out)
+
+
+def _png_blob(
+    seed: bytes, width: int, height: int, channels: int, fseed: int
+) -> bytes:
+    """Deterministic REAL baseline PNG: md5-stream pixels, 8-bit RGB
+    (color type 2) or RGBA (6), every scanline forward-filtered with type
+    ``(fseed + row) % 5`` — so a decoder that mishandles ANY of the five
+    filter types cannot reproduce the pixels — then zlib-compressed into
+    one IDAT under CRC-carrying chunks."""
+    import struct
+    import zlib
+
+    n = width * height * channels
+    px = bytearray()
+    counter = 0
+    while len(px) < n:
+        px.extend(hashlib.md5(seed + counter.to_bytes(4, "big")).digest())
+        counter += 1
+    px = bytes(px[:n])
+    stride = width * channels
+    prev = b"\x00" * stride
+    scan = bytearray()
+    for row in range(height):
+        raw = px[row * stride : (row + 1) * stride]
+        ftype = (fseed + row) % 5
+        scan.append(ftype)
+        scan.extend(_png_filter_row(ftype, raw, prev, channels))
+        prev = raw
+    color_type = 2 if channels == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def with_png_content(docs: DataFrame) -> DataFrame:
+    """Attach REAL image blobs: a deterministic baseline PNG per document
+    (dimensions, channel count, pixels, and per-row filter types all
+    derived from the text digest). Same binary column contract as
+    ``with_ppm_content``."""
+    schema = "doc_id bigint, content binary, media_type string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = hashlib.md5(str(text).encode()).digest()
+                w, h = 4 + d[6] % 13, 4 + d[7] % 13
+                channels = 3 + d[8] % 2
+                blobs.append(_png_blob(d, w, h, channels, d[9]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": blobs,
+                    "media_type": PNG_MEDIA_TYPE,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=schema)
+
+
+def _png_decode_pixels(
+    content: bytes,
+) -> tuple[int, int, int, bytes] | None:
+    """REAL baseline-PNG decoder (stdlib zlib only): signature check,
+    chunk walk with CRC32 verification, IHDR validation (8-bit, color
+    type 2/6, non-interlaced), multi-IDAT concatenation, zlib inflate,
+    and full five-filter scanline reconstruction. Returns (width, height,
+    channels, raw_pixels) or None for anything malformed — wrong magic,
+    bad CRC, unknown filter, truncated or oversized pixel stream."""
+    import struct
+    import zlib
+
+    try:
+        if not content.startswith(_PNG_SIG):
+            return None
+        pos = len(_PNG_SIG)
+        width = height = channels = -1
+        idat = bytearray()
+        saw_end = False
+        while pos + 8 <= len(content):
+            ln = int.from_bytes(content[pos : pos + 4], "big")
+            ctype = content[pos + 4 : pos + 8]
+            data = content[pos + 8 : pos + 8 + ln]
+            if len(data) < ln or pos + 12 + ln > len(content):
+                return None
+            crc = int.from_bytes(content[pos + 8 + ln : pos + 12 + ln], "big")
+            if (zlib.crc32(ctype + data) & 0xFFFFFFFF) != crc:
+                return None
+            if ctype == b"IHDR":
+                if ln != 13:
+                    return None
+                (width, height, depth, color, comp, filt, inter) = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or color not in (2, 6) or comp or filt or inter:
+                    return None
+                channels = 3 if color == 2 else 4
+            elif ctype == b"IDAT":
+                idat.extend(data)
+            elif ctype == b"IEND":
+                saw_end = True
+                break
+            pos += 12 + ln
+        if width <= 0 or height <= 0 or channels < 0 or not saw_end:
+            return None
+        scan = zlib.decompress(bytes(idat))
+        stride = width * channels
+        if len(scan) != height * (1 + stride):
+            return None
+        prev = b"\x00" * stride
+        px = bytearray()
+        for row in range(height):
+            off = row * (1 + stride)
+            raw = _png_unfilter_row(
+                scan[off], scan[off + 1 : off + 1 + stride], prev, channels
+            )
+            if raw is None:
+                return None
+            px.extend(raw)
+            prev = raw
+        return width, height, channels, bytes(px)
+    except (ValueError, zlib.error, struct.error):
+        return None
+
+
+def decode_png(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of baseline PNG blobs (third codec-free
+    kernel after PPM and WAV): per-row error containment, malformed blobs
+    yield ok=false with zeroed fields instead of failing the batch. The
+    decoder reconstructs the full pixel payload (all five PNG filter
+    types), not just the header — pinned bit-for-bit by unit tests; the
+    registered projection keeps the digest-predictable columns."""
+    schema = (
+        "doc_id bigint, media_type string, width int, height int,"
+        " n_channels int, n_frames int, ok boolean"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_png_decode_pixels(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [r[0] if r else 0 for r in rows],
+                    "height": [r[1] if r else 0 for r in rows],
+                    "n_channels": [r[2] if r else 0 for r in rows],
+                    "n_frames": [1 if r else 0 for r in rows],
+                    "ok": [r is not None for r in rows],
+                }
+            )
+
+    return media.select("doc_id", "content", "media_type").mapInPandas(
+        decode_batches, schema=schema
     )
