@@ -18,9 +18,17 @@ Design:
   the same version from the same unchanged predecessor instead of
   double-merging the delta.
 - State is a sequence of versioned BUCKETED-BY-TERM tables
-  (``…_v0, _v1, …`` in the session warehouse): merge reads version N,
-  merges the delta, writes version N+1. Versioned-table-then-advance is
-  the plain-parquet stand-in for a table format's atomic commit
+  (``…_v0, _v1, …`` in the session warehouse), COMMITTED through a
+  MANIFEST FILE: a batch first writes its new version table, then
+  atomically renames a manifest (``os.replace`` — atomic on POSIX) that
+  names the committed version and the exact table set that is live.
+  The rename IS the commit point: a crash in any window (mid table
+  write, between table write and manifest rename, mid manifest write)
+  leaves the previous manifest intact, so the current version is never
+  half-written and every unreferenced ``…_v*``/``…_d*`` table is
+  recognizably an ORPHAN. Recovery = read manifest, drop orphans —
+  performed automatically at stream start and after any failure. This is
+  the plain-parquet realization of a table format's atomic commit
   (Delta/Iceberg at production scale — identical query, transactional
   state).
 - Each delta is also written bucketed by term before merging, so the
@@ -43,6 +51,7 @@ Design:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -92,6 +101,67 @@ def _write_bucketed(df: DataFrame, name: str, n_buckets: int) -> None:
     )
 
 
+# --- manifest-atomic state commit ------------------------------------------
+
+
+def _manifest_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "manifest.json")
+
+
+def read_manifest(state_dir: str) -> dict | None:
+    """The committed state, or None if nothing has ever committed. Only
+    the atomic-rename target is ever read — a crash mid-write leaves at
+    most a ``*.tmp`` file, never a torn manifest."""
+    path = _manifest_path(state_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def commit_manifest(
+    state_dir: str, prefix: str, version: int, tables: list[str] | None = None
+) -> None:
+    """Atomically advance the committed state: write the full new
+    manifest to a temp file, fsync, then ``os.replace`` onto the live
+    name. The replace is the commit point; everything before it is
+    invisible, everything after it is the new truth. ``tables`` defaults
+    to every version up to ``version`` (the during-run keep set); the
+    final commit narrows it to just the final table."""
+    payload = {
+        "prefix": prefix,
+        "version": version,
+        "table": f"{prefix}_v{version}",
+        "tables": tables
+        if tables is not None
+        else [f"{prefix}_v{v}" for v in range(1, version + 1)],
+    }
+    tmp = _manifest_path(state_dir) + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _manifest_path(state_dir))
+
+
+def recover_index_state(
+    spark: SparkSession, state_dir: str, prefix: str
+) -> int:
+    """Crash recovery: drop every ``prefix``-named table the committed
+    manifest does not reference (version tables written but never
+    committed, leftover deltas) and return the committed version (0 if
+    none). After this, the warehouse contains exactly the committed
+    state — a batch killed between its table write and its manifest
+    rename leaves the PREVIOUS version current and its table an orphan,
+    which this removes."""
+    manifest = read_manifest(state_dir)
+    keep = set(manifest["tables"]) if manifest else set()
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix) and t.name not in keep:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    return manifest["version"] if manifest else 0
+
+
 def streaming_index_build(
     spark: SparkSession,
     sf_dir: str,
@@ -100,6 +170,9 @@ def streaming_index_build(
     n_buckets: int = 8,
     merge_plans: list | None = None,
     state_table: list | None = None,
+    state_dir: str | None = None,
+    prefix: str | None = None,
+    fail_after_write_batch: int | None = None,
 ) -> DataFrame:
     """Run the incremental index build over a sliced documents backlog and
     return the final postings relation (term, letter, doc_ids, df) — which
@@ -112,18 +185,39 @@ def streaming_index_build(
     the ACTUAL stream path, not a reconstruction). ``state_table``, if
     given, receives the final state table's name so the caller can DROP
     it when done with the result.
+
+    ``state_dir``/``prefix`` make the state durable across calls: pass
+    the same pair to RESUME after a failure — recovery drops orphaned
+    tables (manifest-unreferenced), the stream's checkpoint skips
+    completed batches, and the failed batch replays idempotently against
+    the committed predecessor version. With neither given (the default)
+    the state is ephemeral and fully cleaned up on failure.
+
+    ``fail_after_write_batch`` is a TEST SEAM: raise inside foreachBatch
+    for that batch id AFTER its version table is written but BEFORE the
+    manifest commit — the exact crash window the manifest protocol
+    closes. Never set outside crash-consistency tests.
     """
     from mapreduceindexer_spark.plans import explain_str
     from mapreduceindexer_spark.sources.tables import load_table
 
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    prefix = f"mri_stream_index_{uuid.uuid4().hex[:8]}"
+    durable = state_dir is not None
+    if prefix is None:
+        prefix = f"mri_stream_index_{uuid.uuid4().hex[:8]}"
     tmp_dir = tempfile.mkdtemp(prefix="mri_stream_index_")
-    stream_dir = os.path.join(tmp_dir, "in")
-    seen = {"max_version": 0}
+    if state_dir is None:
+        state_dir = os.path.join(tmp_dir, "state")
+    os.makedirs(state_dir, exist_ok=True)
+    # Recovery-on-start: the warehouse must hold exactly the committed
+    # state before any new batch runs (a previous crash may have left an
+    # uncommitted version table or a delta behind).
+    recover_index_state(spark, state_dir, prefix)
+    stream_dir = os.path.join(state_dir, "in")
     try:
-        _write_doc_slices(docs, stream_dir, n_slices)
+        if not os.path.isdir(stream_dir) or not os.listdir(stream_dir):
+            _write_doc_slices(docs, stream_dir, n_slices)
         schema = "doc_id " + dict(docs.dtypes)["doc_id"] + ", text string"
         src = (
             spark.readStream.schema(schema)
@@ -134,8 +228,11 @@ def streaming_index_build(
         def upsert(batch: DataFrame, batch_id: int) -> None:
             # Version derived from batch_id: batch N reads vN, overwrites
             # v(N+1). A foreachBatch RETRY of batch N re-reads the same
-            # (unchanged) vN and overwrites the same v(N+1) — idempotent,
-            # never a double merge or a skipped/duplicated version.
+            # (unchanged, committed) vN and overwrites the same v(N+1) —
+            # idempotent, never a double merge or a skipped/duplicated
+            # version. The manifest rename AFTER the table write is the
+            # commit; a crash between the two orphans the table, and
+            # recovery drops it.
             bid = int(batch_id)
             ss = batch.sparkSession
             delta = build_postings(batch, salt_buckets=salt_buckets)
@@ -150,42 +247,65 @@ def streaming_index_build(
                 if merge_plans is not None:
                     merge_plans.append(explain_str(merged, "simple"))
                 _write_bucketed(merged, f"{prefix}_v{bid + 1}", n_buckets)
-            seen["max_version"] = max(seen["max_version"], bid + 1)
+            if fail_after_write_batch is not None and bid == fail_after_write_batch:
+                raise RuntimeError(
+                    f"injected crash after table write, before manifest "
+                    f"commit (batch {bid})"
+                )
+            commit_manifest(state_dir, prefix, bid + 1)
 
         q = (
             src.writeStream.foreachBatch(upsert)
-            .option("checkpointLocation", os.path.join(tmp_dir, "ckpt"))
+            .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
             .trigger(availableNow=True)
             .start()
         )
+        failed = None
         try:
             finished = q.awaitTermination(300)
+        except Exception as exc:  # StreamingQueryException from foreachBatch
+            failed, finished = exc, False
         finally:
             q.stop()
-        n = seen["max_version"]
         if not finished:
-            # Partial backlog: drop EVERY version/delta, including the
-            # one an interrupted in-flight batch may have written AFTER
-            # its _write_bucketed but BEFORE updating the counter
-            # (hence n + 1) — a partial index must not outlive the error.
-            for v in range(1, n + 2):
-                spark.sql(f"DROP TABLE IF EXISTS {prefix}_v{v}")
-                spark.sql(f"DROP TABLE IF EXISTS {prefix}_d{v}")
+            if durable:
+                # Roll back to the committed manifest: drop orphans only;
+                # the committed versions stay for a resume with the same
+                # (state_dir, prefix).
+                recover_index_state(spark, state_dir, prefix)
+            else:
+                # Ephemeral state: nobody can resume — drop everything,
+                # committed or not (a partial index must not outlive the
+                # error).
+                for t in spark.catalog.listTables():
+                    if t.name.startswith(prefix):
+                        spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            if failed is not None:
+                raise failed
             raise TimeoutError(
                 "streaming index build did not finish its backlog within "
                 "300 s — refusing to return a partial index"
             )
+        manifest = read_manifest(state_dir)
+        n = manifest["version"] if manifest else 0
         if n == 0:  # empty backlog: typed empty postings relation
             return build_postings(docs.limit(0), salt_buckets=salt_buckets)
-        # Keep only the final version; drop intermediates and deltas.
-        for v in range(1, n):
-            spark.sql(f"DROP TABLE IF EXISTS {prefix}_v{v}")
-            spark.sql(f"DROP TABLE IF EXISTS {prefix}_d{v}")
+        # Keep only the final version: commit a manifest naming just it,
+        # then drop intermediates and deltas (a crash between the two
+        # leaves only orphans, which the next recovery drops).
+        final = f"{prefix}_v{n}"
+        commit_manifest(state_dir, prefix, n, tables=[final])
+        recover_index_state(spark, state_dir, prefix)
         if state_table is not None:
-            state_table.append(f"{prefix}_v{n}")
-        return spark.table(f"{prefix}_v{n}")
+            state_table.append(final)
+        return spark.table(final)
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
-__all__ = ["streaming_index_build"]
+__all__ = [
+    "streaming_index_build",
+    "read_manifest",
+    "commit_manifest",
+    "recover_index_state",
+]

@@ -126,3 +126,84 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     )
     assert n_rows == len(got), "duplicate (window, type) rows in sink"
     assert got == want
+
+
+def test_manifest_commit_survives_kill_mid_batch(spark, tmp_path):
+    """Crash-consistency of the manifest-atomic index state: a failure
+    injected in the EXACT window the old version-counter protocol could
+    not close (version table written, manifest not yet renamed) must
+    (a) leave the previous committed version current, (b) leave no orphan
+    tables after recovery, and (c) resume idempotently to a final index
+    equal to the batch rebuild."""
+    import pytest
+
+    from mapreduceindexer_spark.operators.index import build_postings
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming.index_stream import (
+        read_manifest,
+        recover_index_state,
+        streaming_index_build,
+    )
+    from tests.conftest import SF_SMOKE
+
+    state_dir = str(tmp_path / "idx_state")
+    prefix = "mri_crash_test_idx"
+
+    # Crash in batch 1 (the first MERGE batch) after its v2 table write,
+    # before the manifest rename.
+    with pytest.raises(Exception, match="injected crash"):
+        streaming_index_build(
+            spark,
+            SF_SMOKE,
+            n_slices=3,
+            state_dir=state_dir,
+            prefix=prefix,
+            fail_after_write_batch=1,
+        )
+
+    # (a) The manifest still points at v1 — the version committed by
+    # batch 0; the half-done v2 never became current.
+    manifest = read_manifest(state_dir)
+    assert manifest is not None
+    assert manifest["version"] == 1 and manifest["table"] == f"{prefix}_v1"
+    # (b) No orphans: the failure path already ran recovery; every
+    # prefix-named table in the warehouse is manifest-referenced.
+    live = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(prefix)
+    ]
+    assert sorted(live) == sorted(manifest["tables"]), live
+    # recover_index_state is idempotent on a clean state.
+    assert recover_index_state(spark, state_dir, prefix) == 1
+
+    # (c) Resume with the same (state_dir, prefix): the checkpoint skips
+    # batch 0, replays batch 1 against committed v1, and finishes.
+    state_tables: list[str] = []
+    result = streaming_index_build(
+        spark,
+        SF_SMOKE,
+        n_slices=3,
+        state_dir=state_dir,
+        prefix=prefix,
+        state_table=state_tables,
+    )
+    got = {r.term: (r.letter, list(r.doc_ids), r.df) for r in result.collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    want = {
+        r.term: (r.letter, list(r.doc_ids), r.df)
+        for r in build_postings(docs, salt_buckets=4).collect()
+    }
+    assert got == want
+    # Final state: exactly one live table (the final version), manifest
+    # narrowed to it.
+    manifest = read_manifest(state_dir)
+    assert manifest["tables"] == [manifest["table"]]
+    live = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(prefix)
+    ]
+    assert live == [manifest["table"]], live
+    for t in state_tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
