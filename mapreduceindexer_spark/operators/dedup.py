@@ -273,15 +273,43 @@ def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact Jaccard computed ONLY for the given (doc_a, doc_b) pairs.
 
     Intersections come from joining each pair's shingle sets — cost is
-    Σ|A ∪ B| over candidate pairs, not corpus-quadratic. This is the verify
-    stage of LSH dedup: candidates are few, so these joins broadcast.
+    Σ|A ∪ B| over candidate pairs, not corpus-quadratic. Two scale rules,
+    both learned from the round-5 100x document load test (where Catalyst
+    BROADCAST the full 50M-row shingle relation — its size estimate for
+    an exploded relation is garbage — and OOM'd an 8 GB driver):
+
+    - the shingle relation is SEMI-RESTRICTED to candidate-pair docs
+      before anything joins it (candidates ≪ corpus in healthy dedup,
+      so the verify stage's input collapses by orders of magnitude);
+    - the PAIR relation (the one genuinely small side) is broadcast
+      explicitly onto the A-side shingles, and the intersection join —
+      whose BOTH sides are shingle-shaped — carries a ``merge`` hint so
+      Catalyst can never pick a shingle relation as a broadcast build
+      side again. The per-doc size joins stay unhinted: after the
+      restriction they are candidate-bounded, exactly the relations
+      broadcast is for.
+
+    The pair relation is referenced three times below (two endpoint
+    projections + the broadcast), so it is materialized once up front —
+    it is bucket-collision-bounded (tiny), while its LINEAGE is the whole
+    minhash/LSH candidate DAG, which must not re-run per reference.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
-    sb = sh.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("s_b"))
+    pairs = pairs.localCheckpoint()
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(cand_docs, "doc_id", "left_semi")
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = shc.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
+    sb = shc.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("s_b"))
     inter = (
-        pairs.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("_doc_b")) & (F.col("s_a") == F.col("s_b")))
+        sa.join(F.broadcast(pairs), "doc_a")
+        .join(
+            sb.hint("merge"),
+            (F.col("doc_b") == F.col("_doc_b")) & (F.col("s_a") == F.col("s_b")),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
