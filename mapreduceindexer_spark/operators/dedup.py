@@ -559,15 +559,28 @@ def containment_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     cont_b. High max-containment with low Jaccard is the boilerplate /
     quote-inclusion case symmetric Jaccard misses — a short document
     wholly embedded in a long one. Same candidate-only join shape as
-    ``jaccard_for_pairs``: cost is Σ|A∪B| over candidates, never
-    corpus-quadratic.
+    ``jaccard_for_pairs``, with the SAME scale rules (the round-5 100x
+    load test OOM'd this path too — Catalyst broadcast the exploded
+    shingle relation): checkpoint the multi-referenced pair relation,
+    semi-restrict shingles to candidate docs, broadcast only the pair
+    relation, merge-hint the shingle-vs-shingle join.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
-    sb = sh.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("s_b"))
+    pairs = pairs.localCheckpoint()
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(cand_docs, "doc_id", "left_semi")
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = shc.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
+    sb = shc.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("s_b"))
     inter = (
-        pairs.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("_doc_b")) & (F.col("s_a") == F.col("s_b")))
+        sa.join(F.broadcast(pairs), "doc_a")
+        .join(
+            sb.hint("merge"),
+            (F.col("doc_b") == F.col("_doc_b")) & (F.col("s_a") == F.col("s_b")),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
