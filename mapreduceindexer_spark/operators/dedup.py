@@ -300,14 +300,21 @@ def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    shc = sh.join(cand_docs, "doc_id", "left_semi")
+    # Materialized (not just lazily restricted): three consumers below,
+    # and — decisively — a checkpoint gives Catalyst the relation's REAL
+    # size, so the build-side choice for the intersection join becomes
+    # adaptive and correct at every scale (broadcast while it fits the
+    # threshold, sort-merge beyond) instead of trusting the bogus
+    # post-explode estimate. Measured: static merge hint cost 2x at 1x;
+    # trusting the estimate OOM'd at 100x; this does neither.
+    shc = sh.join(cand_docs, "doc_id", "left_semi").localCheckpoint()
     sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = shc.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
     sb = shc.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("s_b"))
     inter = (
         sa.join(F.broadcast(pairs), "doc_a")
         .join(
-            sb.hint("merge"),
+            sb,
             (F.col("doc_b") == F.col("_doc_b")) & (F.col("s_a") == F.col("s_b")),
         )
         .groupBy("doc_a", "doc_b")
@@ -571,14 +578,21 @@ def containment_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    shc = sh.join(cand_docs, "doc_id", "left_semi")
+    # Materialized (not just lazily restricted): three consumers below,
+    # and — decisively — a checkpoint gives Catalyst the relation's REAL
+    # size, so the build-side choice for the intersection join becomes
+    # adaptive and correct at every scale (broadcast while it fits the
+    # threshold, sort-merge beyond) instead of trusting the bogus
+    # post-explode estimate. Measured: static merge hint cost 2x at 1x;
+    # trusting the estimate OOM'd at 100x; this does neither.
+    shc = sh.join(cand_docs, "doc_id", "left_semi").localCheckpoint()
     sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = shc.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
     sb = shc.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("s_b"))
     inter = (
         sa.join(F.broadcast(pairs), "doc_a")
         .join(
-            sb.hint("merge"),
+            sb,
             (F.col("doc_b") == F.col("_doc_b")) & (F.col("s_a") == F.col("s_b")),
         )
         .groupBy("doc_a", "doc_b")
