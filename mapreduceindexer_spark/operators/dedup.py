@@ -269,30 +269,32 @@ def lsh_candidates(band_sigs: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> Da
     return pairs_small.unionByName(pairs_large).distinct()
 
 
-def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact Jaccard computed ONLY for the given (doc_a, doc_b) pairs.
+def _pair_overlap_counts(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared verify-stage core for the set-overlap metrics:
+    (doc_a, doc_b, n_inter, n_a, n_b) for exactly the given pairs.
 
-    Intersections come from joining each pair's shingle sets — cost is
-    Σ|A ∪ B| over candidate pairs, not corpus-quadratic. Two scale rules,
-    both learned from the round-5 100x document load test (where Catalyst
-    BROADCAST the full 50M-row shingle relation — its size estimate for
-    an exploded relation is garbage — and OOM'd an 8 GB driver):
+    Scale rules, learned from the round-5 100x document load test (where
+    Catalyst BROADCAST the full 50M-row shingle relation — its size
+    estimate for an exploded relation is garbage — and OOM'd an 8 GB
+    driver):
 
     - the shingle relation is SEMI-RESTRICTED to candidate-pair docs
-      before anything joins it (candidates ≪ corpus in healthy dedup,
+      before anything joins it (candidates << corpus in healthy dedup,
       so the verify stage's input collapses by orders of magnitude);
-    - the PAIR relation (the one genuinely small side) is broadcast
-      explicitly onto the A-side shingles, and the intersection join —
-      whose BOTH sides are shingle-shaped — carries a ``merge`` hint so
-      Catalyst can never pick a shingle relation as a broadcast build
-      side again. The per-doc size joins stay unhinted: after the
-      restriction they are candidate-bounded, exactly the relations
-      broadcast is for.
+    - BOTH the pair relation and the restricted shingle relation are
+      localCheckpoint'd, so every join below sees REAL sizes and
+      Catalyst's build-side choice is adaptive and correct at every
+      scale: broadcast whichever side actually fits the threshold,
+      sort-merge beyond. No hint forces anything — deliberately: the
+      pair relation is bucket-collision-bounded only for the LSH
+      callers; ``jaccard_pairs`` feeds prefix-filter candidates with no
+      bucket cap, where a forced broadcast would itself be the OOM.
+      (Measured: a static merge hint cost 2x at 1x; trusting the
+      post-explode estimate OOM'd at 100x; this does neither.)
 
-    The pair relation is referenced three times below (two endpoint
-    projections + the broadcast), so it is materialized once up front —
-    it is bucket-collision-bounded (tiny), while its LINEAGE is the whole
-    minhash/LSH candidate DAG, which must not re-run per reference.
+    The pair checkpoint also stops its LINEAGE (the whole minhash/LSH
+    candidate DAG) re-running for each of its three references (two
+    endpoint projections + the join).
     """
     pairs = pairs.localCheckpoint()
     cand_docs = (
@@ -300,19 +302,12 @@ def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # Materialized (not just lazily restricted): three consumers below,
-    # and — decisively — a checkpoint gives Catalyst the relation's REAL
-    # size, so the build-side choice for the intersection join becomes
-    # adaptive and correct at every scale (broadcast while it fits the
-    # threshold, sort-merge beyond) instead of trusting the bogus
-    # post-explode estimate. Measured: static merge hint cost 2x at 1x;
-    # trusting the estimate OOM'd at 100x; this does neither.
     shc = sh.join(cand_docs, "doc_id", "left_semi").localCheckpoint()
     sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = shc.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
     sb = shc.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("s_b"))
     inter = (
-        sa.join(F.broadcast(pairs), "doc_a")
+        sa.join(pairs, "doc_a")
         .join(
             sb,
             (F.col("doc_b") == F.col("_doc_b")) & (F.col("s_a") == F.col("s_b")),
@@ -322,16 +317,23 @@ def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ).alias("jaccard"),
-        )
+    return inter.join(na, "doc_a").join(nb, "doc_b")
+
+
+def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given (doc_a, doc_b) pairs.
+
+    Intersections come from joining each pair's shingle sets — cost is
+    Σ|A ∪ B| over candidate pairs, not corpus-quadratic. Join shape and
+    scale rules live in ``_pair_overlap_counts`` (shared with the
+    asymmetric-containment metric).
+    """
+    return _pair_overlap_counts(sh, pairs).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+        ).alias("jaccard"),
     )
 
 
@@ -373,28 +375,21 @@ def near_duplicates(
     return out
 
 
-def embedding_near_duplicates(
-    embeddings: DataFrame, threshold: float = 0.4, n_centroids: int = 32
+def _pairs_within_cells(
+    embeddings: DataFrame, cells: DataFrame, threshold: float
 ) -> DataFrame:
-    """Tier-5 near-dup: embedding-cosine pairs within IVF-cell blocks.
+    """Shared within-cell pairing core of the embedding dedup tier:
+    (vec_a, vec_b, cos_sim >= threshold) for vectors sharing a cell.
 
-    Blocking = nearest-centroid assignment (``similarity.ivf_assignments``),
-    so pairs are generated per cell — never an all-pairs crossJoin over the
-    corpus. At 100 TB the centroid count scales with corpus size
-    (``cells ≈ N / target_cell_size``) so the per-cell self-join stays
-    quadratic only in a bounded constant; recall is raised with multi-probe
-    assignment (emit each vector's top-p cells — same query shape, p×
-    candidate rows). Returns (vec_a, vec_b, cos_sim >= threshold).
-
-    L2 norms are computed ONCE per vector before pairing, so each candidate
-    pair evaluates a single higher-order dot product instead of dot + two
-    norms — pair comparison is the quadratic term, so this is a 3× cut on
-    the dominant cost.
+    L2 norms are computed ONCE per vector before pairing, so each
+    candidate pair evaluates a single higher-order dot product instead
+    of dot + two norms — pair comparison is the quadratic term, so this
+    is a 3x cut on the dominant cost. Both the fixed-dial and the
+    scaled-dial entry points feed this, so the metric and join shape
+    cannot silently diverge between them.
     """
     from mapreduceindexer_spark.functions.vector import dot, l2_norm
-    from mapreduceindexer_spark.operators.similarity import ivf_assignments
 
-    cells = ivf_assignments(embeddings, n_centroids)
     e = embeddings.join(cells, "vec_id").withColumn("nrm", l2_norm("embedding"))
     a = e.select(
         F.col("vec_id").alias("vec_a"),
@@ -419,6 +414,31 @@ def embedding_near_duplicates(
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame, threshold: float = 0.4, n_centroids: int = 32
+) -> DataFrame:
+    """Tier-5 near-dup: embedding-cosine pairs within IVF-cell blocks.
+
+    Blocking = nearest-centroid assignment (``similarity.ivf_assignments``),
+    so pairs are generated per cell — never an all-pairs crossJoin over the
+    corpus. At 100 TB the centroid count scales with corpus size
+    (``cells ≈ N / target_cell_size``) so the per-cell self-join stays
+    quadratic only in a bounded constant; recall is raised with multi-probe
+    assignment (emit each vector's top-p cells — same query shape, p×
+    candidate rows). Returns (vec_a, vec_b, cos_sim >= threshold).
+
+    L2 norms are computed ONCE per vector before pairing, so each candidate
+    pair evaluates a single higher-order dot product instead of dot + two
+    norms — pair comparison is the quadratic term, so this is a 3× cut on
+    the dominant cost.
+    """
+    from mapreduceindexer_spark.operators.similarity import ivf_assignments
+
+    return _pairs_within_cells(
+        embeddings, ivf_assignments(embeddings, n_centroids), threshold
     )
 
 
@@ -443,7 +463,6 @@ def embedding_near_duplicates_scaled(
     bit-for-bit; production would swap in ``similarity.kmeans_centroids``
     (same plan shape, trained centroid table).
     """
-    from mapreduceindexer_spark.functions.vector import dot, l2_norm
     from mapreduceindexer_spark.operators.similarity import assign_to_centroids
 
     nc = F.greatest(
@@ -458,31 +477,8 @@ def embedding_near_duplicates_scaled(
             F.col("embedding").alias("cvec"),
         )
     )
-    cells = assign_to_centroids(embeddings, centroids)
-    e = embeddings.join(cells, "vec_id").withColumn("nrm", l2_norm("embedding"))
-    a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-        "cell",
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-        "cell",
-    )
-    return (
-        a.join(b, "cell")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 6
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    return _pairs_within_cells(
+        embeddings, assign_to_centroids(embeddings, centroids), threshold
     )
 
 
@@ -565,50 +561,14 @@ def containment_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     cont_a = |A∩B| / |A| (how much of A lies inside B) and the mirror
     cont_b. High max-containment with low Jaccard is the boilerplate /
     quote-inclusion case symmetric Jaccard misses — a short document
-    wholly embedded in a long one. Same candidate-only join shape as
-    ``jaccard_for_pairs``, with the SAME scale rules (the round-5 100x
-    load test OOM'd this path too — Catalyst broadcast the exploded
-    shingle relation): checkpoint the multi-referenced pair relation,
-    semi-restrict shingles to candidate docs, broadcast only the pair
-    relation, merge-hint the shingle-vs-shingle join.
+    wholly embedded in a long one. Join shape and scale rules live in
+    ``_pair_overlap_counts`` (shared with the Jaccard metric).
     """
-    pairs = pairs.localCheckpoint()
-    cand_docs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    # Materialized (not just lazily restricted): three consumers below,
-    # and — decisively — a checkpoint gives Catalyst the relation's REAL
-    # size, so the build-side choice for the intersection join becomes
-    # adaptive and correct at every scale (broadcast while it fits the
-    # threshold, sort-merge beyond) instead of trusting the bogus
-    # post-explode estimate. Measured: static merge hint cost 2x at 1x;
-    # trusting the estimate OOM'd at 100x; this does neither.
-    shc = sh.join(cand_docs, "doc_id", "left_semi").localCheckpoint()
-    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = shc.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
-    sb = shc.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("s_b"))
-    inter = (
-        sa.join(F.broadcast(pairs), "doc_a")
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("_doc_b")) & (F.col("s_a") == F.col("s_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("cont_a"),
-            F.round(F.col("n_inter") / F.col("n_b"), 6).alias("cont_b"),
-        )
+    return _pair_overlap_counts(sh, pairs).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("n_inter") / F.col("n_a"), 6).alias("cont_a"),
+        F.round(F.col("n_inter") / F.col("n_b"), 6).alias("cont_b"),
     )
 
 

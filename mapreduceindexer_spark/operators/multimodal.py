@@ -339,7 +339,10 @@ def decode_wav(media: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_wav_decode(bytes(c)) for c in pdf["content"]]
+            rows = [
+                None if c is None else _wav_decode(bytes(c))
+                for c in pdf["content"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -443,7 +446,10 @@ def decode_ppm(media: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_ppm_decode(bytes(c)) for c in pdf["content"]]
+            rows = [
+                None if c is None else _ppm_decode(bytes(c))
+                for c in pdf["content"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -675,7 +681,10 @@ def decode_png(media: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_png_decode_pixels(bytes(c)) for c in pdf["content"]]
+            rows = [
+                None if c is None else _png_decode_pixels(bytes(c))
+                for c in pdf["content"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -216,8 +216,21 @@ def streaming_index_build(
     recover_index_state(spark, state_dir, prefix)
     stream_dir = os.path.join(state_dir, "in")
     try:
-        if not os.path.isdir(stream_dir) or not os.listdir(stream_dir):
+        # The backlog itself needs a commit marker: a crash MID
+        # _write_doc_slices leaves some slices on disk, and a resume that
+        # treated "non-empty dir" as "complete backlog" would stream a
+        # partial corpus and SUCCEED with a partial index. The marker is
+        # written only after every slice is in place (underscore-prefixed
+        # files are invisible to Spark's file source); its absence means
+        # rebuild from scratch — slice generation is deterministic, so a
+        # rebuild over an already-checkpointed backlog reproduces the
+        # identical files and the checkpoint skips the ones it has seen.
+        slices_done = os.path.join(stream_dir, "_SLICES_DONE")
+        if not os.path.exists(slices_done):
+            shutil.rmtree(stream_dir, ignore_errors=True)
             _write_doc_slices(docs, stream_dir, n_slices)
+            with open(slices_done, "w", encoding="utf-8") as fh:
+                fh.write("ok")
         schema = "doc_id " + dict(docs.dtypes)["doc_id"] + ", text string"
         src = (
             spark.readStream.schema(schema)

@@ -329,3 +329,21 @@ def test_png_parser_verifies_structure():
         + _png_chunk(b"IEND", b"")
     )
     assert _png_decode_pixels(crafted) is None
+
+
+def test_decoders_contain_null_content(spark):
+    """A NULL content cell must yield ok=false, never kill the Arrow
+    batch — per-row error containment includes missing blobs."""
+    from mapreduceindexer_spark.operators.multimodal import (
+        decode_png,
+        decode_ppm,
+        decode_wav,
+    )
+
+    media = spark.createDataFrame(
+        [(1, None, "image/png"), (2, b"not a blob", "image/png")],
+        "doc_id bigint, content binary, media_type string",
+    )
+    for dec in (decode_png, decode_ppm, decode_wav):
+        rows = {r.doc_id: r.ok for r in dec(media).collect()}
+        assert rows == {1: False, 2: False}, (dec.__name__, rows)

@@ -145,10 +145,13 @@ def test_twstate_totals_match_batch(spark):
     from pyspark.sql import functions as F
 
     ev = load_table(spark, SF_SMOKE, "events")
-    # Same finite filter as the stream kernel: the kernel drops non-finite
-    # values (the raw round+cast would overflow on +/-inf), so the batch
-    # twin must too for the parity contract to hold on any input.
-    finite = ~F.isnan("value") & (F.abs("value") != float("inf"))
+    # Same finite filter as the stream kernel — applied to the SCALED
+    # value, exactly where the kernel applies it: a finite value whose
+    # *1e6 product overflows to inf (|value| > ~1.79e302) is dropped by
+    # the kernel's post-scale isfinite check, so the batch twin must
+    # filter on the scaled product too, not the raw column.
+    scaled = F.col("value") * 1_000_000
+    finite = ~F.isnan(scaled) & (F.abs(scaled) != float("inf"))
     batch = sorted(
         tuple(r)
         for r in ev.groupBy("user_id")
