@@ -89,15 +89,20 @@ def decode_media(media: DataFrame, decode_kernel: str = "fake") -> DataFrame:
                     "media codecs are not available in this environment; "
                     "use decode_kernel='fake' (deterministic stub)"
                 )
-            decoded = [_fake_decode(c) for c in pdf["content"]]
+            # NULL blobs yield ok=false rows, never a batch kill — the
+            # same per-row containment contract as the real decoders.
+            decoded = [
+                None if c is None else _fake_decode(bytes(c))
+                for c in pdf["content"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "n_frames": [d[2] for d in decoded],
-                    "ok": True,
+                    "width": [d[0] if d else 0 for d in decoded],
+                    "height": [d[1] if d else 0 for d in decoded],
+                    "n_frames": [d[2] if d else 0 for d in decoded],
+                    "ok": [d is not None for d in decoded],
                 }
             )
 
@@ -132,7 +137,9 @@ def extract_features(media: DataFrame, kernel: str = "fake") -> DataFrame:
                 )
             feats = []
             for c in pdf["content"]:
-                d = hashlib.sha256(bytes(c)).digest()
+                # Missing blob behaves as the empty blob: the kernel stays
+                # a total function and a NULL cell cannot kill the batch.
+                d = hashlib.sha256(b"" if c is None else bytes(c)).digest()
                 v = [d[i] / 255.0 - 0.5 for i in range(FEATURE_DIM)]
                 norm = sum(x * x for x in v) ** 0.5 or 1.0
                 feats.append([x / norm for x in v])
@@ -167,13 +174,14 @@ def resize_media(
                 )
             out_w, out_h, out_c = [], [], []
             for c in pdf["content"]:
-                w, h, _ = _fake_decode(bytes(c))
+                c = b"" if c is None else bytes(c)  # NULL -> empty blob
+                w, h, _ = _fake_decode(c)
                 scale = min(1.0, max_side / max(w, h))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
                 keep = max(1, int(len(c) * (nw * nh) / (w * h)))
                 out_w.append(nw)
                 out_h.append(nh)
-                out_c.append(bytes(c)[:keep])
+                out_c.append(c[:keep])
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "width": out_w, "height": out_h,
                  "content": out_c}
@@ -210,7 +218,7 @@ def sample_frames(media: DataFrame, every_k: int = 2, kernel: str = "fake") -> D
                 # Same n_frames as _fake_decode (hex chars 4:6 == digest
                 # byte 2); per-frame digest over hex strings so a SQL
                 # oracle can replay it (md5(blob) isn't portable).
-                h = hashlib.md5(bytes(c)).hexdigest()
+                h = hashlib.md5(b"" if c is None else bytes(c)).hexdigest()
                 n_frames = 1 + int(h[4:6], 16) % 8
                 for i in range(0, n_frames, every_k):
                     ids.append(doc_id)

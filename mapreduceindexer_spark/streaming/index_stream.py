@@ -89,6 +89,19 @@ def _write_doc_slices(docs: DataFrame, stream_dir: str, n_slices: int) -> None:
         shutil.move(src, dst)
         shutil.rmtree(tmp, ignore_errors=True)
         os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+        # Durability before the backlog marker blesses this file: a torn
+        # slice under a surviving marker would wedge every durable resume
+        # (the rebuild path triggers only on marker ABSENCE).
+        fd = os.open(dst, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    dfd = os.open(stream_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _write_bucketed(df: DataFrame, name: str, n_buckets: int) -> None:
@@ -229,8 +242,15 @@ def streaming_index_build(
         if not os.path.exists(slices_done):
             shutil.rmtree(stream_dir, ignore_errors=True)
             _write_doc_slices(docs, stream_dir, n_slices)
-            with open(slices_done, "w", encoding="utf-8") as fh:
+            # Same fsync + atomic-rename discipline as commit_manifest:
+            # the marker must never become visible before the slice data
+            # it blesses is durable (slices fsync inside the writer).
+            tmp_marker = slices_done + f".{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp_marker, "w", encoding="utf-8") as fh:
                 fh.write("ok")
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp_marker, slices_done)
         schema = "doc_id " + dict(docs.dtypes)["doc_id"] + ", text string"
         src = (
             spark.readStream.schema(schema)

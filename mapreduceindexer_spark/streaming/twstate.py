@@ -93,8 +93,13 @@ def _make_processor():
                 # batch formula, which would raise CAST_OVERFLOW (ANSI)
                 # or clamp to Long.MaxValue (non-ANSI) on +/-inf; the
                 # batch twin in test_twstate_totals_match_batch applies
-                # the same finite filter so the parity contract is
-                # well-defined on any input.
+                # the same finite filter (on the SCALED product) so the
+                # parity contract is well-defined on any finite input
+                # whose scaled values and running sums fit int64 —
+                # beyond that the batch cast clamps (non-ANSI) or raises
+                # (ANSI) while this kernel accumulates exact Python
+                # ints; neither behavior is meaningful, so the contract
+                # is scoped to the int64 domain.
                 for v in (pdf["value"] * 1_000_000).dropna():
                     fv = float(v)
                     if not math.isfinite(fv):

@@ -347,3 +347,29 @@ def test_decoders_contain_null_content(spark):
     for dec in (decode_png, decode_ppm, decode_wav):
         rows = {r.doc_id: r.ok for r in dec(media).collect()}
         assert rows == {1: False, 2: False}, (dec.__name__, rows)
+
+
+def test_fake_kernels_contain_null_content(spark):
+    """The fake-kernel stages share the real decoders' containment
+    contract: a NULL content cell must never kill the Arrow batch —
+    decode_media flags ok=false; the schema-total stages (features,
+    resize, frames) treat a missing blob as the empty blob."""
+    from mapreduceindexer_spark.operators.multimodal import (
+        decode_media,
+        extract_features,
+        resize_media,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(1, None, "video/fake"), (2, b"blob bytes", "video/fake")],
+        "doc_id bigint, content binary, media_type string",
+    )
+    dec = {r.doc_id: r.ok for r in decode_media(media).collect()}
+    assert dec == {1: False, 2: True}, dec
+    feats = {r.doc_id: r.feature for r in extract_features(media).collect()}
+    assert set(feats) == {1, 2} and len(feats[1]) == 16
+    sizes = {r.doc_id for r in resize_media(media).collect()}
+    assert sizes == {1, 2}
+    frames = {r.doc_id for r in sample_frames(media).collect()}
+    assert frames == {1, 2}

@@ -149,7 +149,10 @@ def test_twstate_totals_match_batch(spark):
     # value, exactly where the kernel applies it: a finite value whose
     # *1e6 product overflows to inf (|value| > ~1.79e302) is dropped by
     # the kernel's post-scale isfinite check, so the batch twin must
-    # filter on the scaled product too, not the raw column.
+    # filter on the scaled product too, not the raw column. Domain note:
+    # parity is defined for scaled values (and running sums) within
+    # int64 — beyond that the batch cast clamps/raises while the kernel
+    # accumulates exact Python ints; neither side is meaningful there.
     scaled = F.col("value") * 1_000_000
     finite = ~F.isnan(scaled) & (F.abs(scaled) != float("inf"))
     batch = sorted(
