@@ -6495,6 +6495,330 @@ def q_param_sql(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 session-2 additions: Spark-4 SQL-native surfaces (SQL UDFs,
+# session variables + EXECUTE IMMEDIATE, native recursive CTE) and the
+# similarity-quality tier (KNN graph, ANN recall audit, hybrid RRF fusion,
+# mapInArrow token stats).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sql_udf",
+    """SELECT lang,
+              CASE WHEN n_chars < 150 THEN 'short'
+                   WHEN n_chars < 300 THEN 'medium'
+                   ELSE 'long' END AS bucket,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents
+       GROUP BY lang, bucket""",
+)
+def q_sql_udf(spark, sf_dir):
+    """SQL scalar UDF (Spark 4 ``CREATE FUNCTION ... RETURN expr``): the
+    catalog-function surface that lets users package expression logic
+    WITHOUT leaving the JVM — the body is inlined into the plan at
+    resolution time (this groups by a UDF result and still plans one
+    hash aggregate, zero Python, full codegen). This is the right first
+    resort before any pandas_udf: shareable, optimizer-transparent,
+    engine-portable. The oracle inlines the same CASE by hand."""
+    _docs(spark, sf_dir).createOrReplaceTempView("mri_sqludf_docs")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION mri_len_bucket(n BIGINT)
+           RETURNS STRING
+           RETURN CASE WHEN n < 150 THEN 'short'
+                       WHEN n < 300 THEN 'medium'
+                       ELSE 'long' END"""
+    )
+    return spark.sql(
+        """SELECT lang, mri_len_bucket(n_chars) AS bucket,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM mri_sqludf_docs
+           GROUP BY lang, bucket"""
+    )
+
+
+@register(
+    "q_sql_table_udf",
+    """SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(min(n_chars) AS BIGINT) AS min_chars,
+              CAST(max(n_chars) AS BIGINT) AS max_chars
+       FROM documents WHERE n_chars >= 250
+       GROUP BY lang""",
+)
+def q_sql_table_udf(spark, sf_dir):
+    """SQL table function (Spark 4 ``RETURNS TABLE``): a parameterized
+    view — the body is a full SELECT resolved against the session
+    catalog and inlined into the caller's plan, so the filter pushes
+    into the scan exactly as if written in place (pinned by
+    tests/test_plans.py). The declarative cousin of the Python UDTF
+    (q_udtf_topterms): zero Python, full Catalyst visibility."""
+    _docs(spark, sf_dir).createOrReplaceTempView("mri_sqludf_docs")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION mri_docs_at_least(lo BIGINT)
+           RETURNS TABLE(doc_id BIGINT, lang STRING, n_chars BIGINT)
+           RETURN SELECT doc_id, lang, n_chars
+                  FROM mri_sqludf_docs WHERE n_chars >= lo"""
+    )
+    return spark.sql(
+        """SELECT lang,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(min(n_chars) AS BIGINT) AS min_chars,
+                  CAST(max(n_chars) AS BIGINT) AS max_chars
+           FROM mri_docs_at_least(250)
+           GROUP BY lang"""
+    )
+
+
+@register(
+    "q_session_vars",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_above
+       FROM documents
+       WHERE n_chars > (SELECT sum(n_chars) // count(*) FROM documents)
+       GROUP BY lang""",
+)
+def q_session_vars(spark, sf_dir):
+    """Session variables + EXECUTE IMMEDIATE (Spark 4): a corpus-derived
+    scalar lands in a typed session variable (``SET VAR`` runs the
+    sub-select — one deliberate 1-value driver round trip, the same
+    bounded-scalar class as the winsorize bounds), then dynamic SQL
+    binds it positionally via ``USING`` — the scripting surface for
+    multi-statement workflows (dbt-style parameterized steps) without
+    string concatenation. The threshold is integer division (``div``/
+    ``//``) so both engines truncate identically — a double ``avg``
+    cast to BIGINT would round in DuckDB and truncate in Spark."""
+    _docs(spark, sf_dir).createOrReplaceTempView("mri_sqludf_docs")
+    spark.sql("DECLARE OR REPLACE VARIABLE mri_thr BIGINT")
+    spark.sql(
+        "SET VAR mri_thr = (SELECT sum(n_chars) div count(*) FROM mri_sqludf_docs)"
+    )
+    return spark.sql(
+        """EXECUTE IMMEDIATE
+             'SELECT lang, CAST(count(*) AS BIGINT) AS n_above
+              FROM mri_sqludf_docs WHERE n_chars > ? GROUP BY lang'
+           USING mri_thr"""
+    )
+
+
+@register(
+    "q_prefix_trie",
+    f"""WITH RECURSIVE pref(term, p) AS (
+          SELECT term, term AS p FROM (SELECT DISTINCT term FROM ({SQL_TERMS}))
+          UNION ALL
+          SELECT term, substring(p, 1, length(p) - 1) AS p
+          FROM pref WHERE length(p) > 1)
+        SELECT p AS prefix, CAST(count(*) AS BIGINT) AS n_terms
+        FROM pref GROUP BY p HAVING count(*) >= 2""",
+)
+def q_prefix_trie(spark, sf_dir):
+    """Native recursive CTE (Spark 4 ``WITH RECURSIVE``): the dictionary
+    prefix trie behind q_prefix_search — every proper prefix of every
+    distinct term (strip one character per recursion level), then the
+    number of dictionary terms under each shared prefix (= the trie
+    node sizes a prefix-wildcard planner uses to cost expansion).
+
+    Recursion discipline at scale: Spark supports UNION ALL recursion
+    only, so the recursive member must be GUARANTEED acyclic — here the
+    prefix length strictly decreases, so depth = max term length and
+    total rows = Σ|term| over the dictionary, both corpus-bounded.
+    (Graph closures with cycles do NOT qualify: UNION ALL re-enumerates
+    paths combinatorially — that family stays on the iterative driver
+    loop of q_dup_clusters, which is the scale path.) The DuckDB oracle
+    runs the textually-same recursion."""
+    from mapreduceindexer_spark.operators.index import term_doc_pairs
+
+    term_doc_pairs(_docs(spark, sf_dir)).select("term").distinct().createOrReplaceTempView(
+        "mri_rec_terms"
+    )
+    return spark.sql(
+        """WITH RECURSIVE pref(term, p) AS (
+             SELECT term, term AS p FROM mri_rec_terms
+             UNION ALL
+             SELECT term, substring(p, 1, length(p) - 1) AS p
+             FROM pref WHERE length(p) > 1)
+           SELECT p AS prefix, CAST(count(*) AS BIGINT) AS n_terms
+           FROM pref GROUP BY p HAVING count(*) >= 2"""
+    )
+
+
+@register(
+    "q_knn_graph",
+    f"""WITH e AS ({SQL_EMB}),
+         c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+         d AS (SELECT e.vec_id, c.centroid_id,
+                      ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+                                                    z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+               FROM e, c),
+         assign AS (SELECT vec_id, centroid_id AS cell
+                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY d2 ASC, centroid_id ASC) AS rn
+                          FROM d)
+                    WHERE rn = 1),
+         pairs AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+                          ROUND({SQL_COS.format(a='ea.v', b='eb.v')}, 6) AS cos_sim
+                   FROM assign a
+                   JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+                   JOIN e ea ON ea.vec_id = a.vec_id
+                   JOIN e eb ON eb.vec_id = b.vec_id)
+       SELECT vec_id, nbr_id, cos_sim,
+              CAST(row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_sim DESC, nbr_id ASC) AS BIGINT) AS rn
+       FROM pairs QUALIFY rn <= 3""",
+)
+def q_knn_graph(spark, sf_dir):
+    """Approximate KNN GRAPH: every vector's top-3 in-cell cosine
+    neighbors — the all-vectors counterpart of single-probe ANN and the
+    substrate for graph-based dedup refinement / label propagation.
+    Cell-bounded self-join + per-vector WindowGroupLimit top-k; see
+    operators/similarity.py::knn_graph for the full scale story."""
+    return sim.knn_graph(_t(spark, sf_dir, "embeddings"), k=3, n_centroids=8)
+
+
+ANN_RECALL_PROBES = (0, 17, 42, 101, 250)
+
+
+@register(
+    "q_ann_recall",
+    f"""WITH e AS ({SQL_EMB}),
+         probes AS (SELECT vec_id AS probe_id, v AS pv FROM e
+                    WHERE vec_id IN {ANN_RECALL_PROBES}),
+         bs AS (SELECT p.probe_id, e.vec_id,
+                       row_number() OVER (PARTITION BY p.probe_id
+                                          ORDER BY ROUND({SQL_COS.format(a='e.v', b='p.pv')}, 6) DESC,
+                                                   e.vec_id ASC) AS rn
+                FROM e JOIN probes p ON e.vec_id <> p.probe_id),
+         brute AS (SELECT probe_id, vec_id FROM bs WHERE rn <= 10),
+         c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+         d AS (SELECT e.vec_id, c.centroid_id,
+                      ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+                                                    z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+               FROM e, c),
+         assign AS (SELECT vec_id, centroid_id AS cell
+                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY d2 ASC, centroid_id ASC) AS rn
+                          FROM d)
+                    WHERE rn = 1),
+         pcells AS (SELECT p.probe_id, p.pv, a.cell AS pcell
+                    FROM probes p JOIN assign a ON a.vec_id = p.probe_id),
+         ivs AS (SELECT pc.probe_id, e.vec_id,
+                        row_number() OVER (PARTITION BY pc.probe_id
+                                           ORDER BY ROUND({SQL_COS.format(a='e.v', b='pc.pv')}, 6) DESC,
+                                                    e.vec_id ASC) AS rn
+                 FROM e
+                 JOIN assign a ON e.vec_id = a.vec_id
+                 JOIN pcells pc ON a.cell = pc.pcell AND e.vec_id <> pc.probe_id),
+         ivf AS (SELECT probe_id, vec_id FROM ivs WHERE rn <= 10),
+         hits AS (SELECT b.probe_id, CAST(count(*) AS BIGINT) AS hits
+                  FROM brute b JOIN ivf i
+                    ON b.probe_id = i.probe_id AND b.vec_id = i.vec_id
+                  GROUP BY b.probe_id)
+       SELECT p.probe_id,
+              CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+              ROUND(COALESCE(h.hits, 0) / 10.0, 6) AS recall
+       FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id""",
+)
+def q_ann_recall(spark, sf_dir):
+    """ANN quality AUDIT: recall@10 of the IVF index vs exact brute
+    force for a fixed probe panel — the meter behind every recall/cost
+    dial in the similarity tier (cells probed, n_centroids, SRP bits).
+    Fully deterministic on both sides, so this is an exact-replay oracle
+    query, not an estimate. operators/similarity.py::ann_recall."""
+    return sim.ann_recall(
+        _t(spark, sf_dir, "embeddings"),
+        list(ANN_RECALL_PROBES),
+        k=10,
+        n_centroids=8,
+    )
+
+
+@register(
+    "q_hybrid_rrf",
+    f"""WITH t AS ({SQL_TERMS}),
+         tf_t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
+                  FROM t WHERE term = '{PROBE_TERM_A}' GROUP BY doc_id),
+         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+         stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                          (SELECT CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) FROM t) AS avgdl,
+                          (SELECT count(*) FROM tf_t) AS df_t),
+         bm AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS bm25_rn
+                FROM (SELECT tf_t.doc_id,
+                             ROUND(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                                   * tf * ({BM25_K1} + 1.0)
+                                   / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)), 6)
+                               AS score
+                      FROM tf_t JOIN dl ON tf_t.doc_id = dl.doc_id, stats)
+                QUALIFY bm25_rn <= 20),
+         e AS ({SQL_EMB}),
+         p AS (SELECT v AS pv FROM e WHERE vec_id = {PROBE_VEC_ID}),
+         co AS (SELECT vec_id AS doc_id,
+                       CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS cos_rn
+                FROM (SELECT e.vec_id,
+                             ROUND({SQL_COS.format(a='e.v', b='p.pv')}, 6) AS cos_sim
+                      FROM e, p WHERE e.vec_id <> {PROBE_VEC_ID})
+                QUALIFY cos_rn <= 20),
+         fused AS (SELECT COALESCE(bm.doc_id, co.doc_id) AS doc_id,
+                          bm.bm25_rn, co.cos_rn,
+                          ROUND(COALESCE(1.0 / (60 + bm.bm25_rn), 0)
+                                + COALESCE(1.0 / (60 + co.cos_rn), 0), 6) AS rrf
+                   FROM bm FULL OUTER JOIN co ON bm.doc_id = co.doc_id)
+       SELECT doc_id, bm25_rn, cos_rn, rrf,
+              CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rn
+       FROM fused QUALIFY rn <= 10""",
+)
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (RRF, k=60) of the BM25
+    lexical top-20 and the embedding-cosine semantic top-20 — the
+    standard two-tower fusion every modern search stack runs (vector DB
+    + inverted index). The heavy lifting is the two retrievals (each
+    already scale-shaped: one tokenize pass / one scan + top-k); the
+    fusion itself is a full outer join of two ≤20-row relations — free
+    at any corpus size. ``vec_id`` keys the same documents as
+    ``doc_id`` (FIXTURES.md: embeddings are document embeddings)."""
+    b = search.bm25_topk(_docs(spark, sf_dir), PROBE_TERM_A, k=20).select(
+        "doc_id", F.col("rn").alias("bm25_rn")
+    )
+    c = sim.cosine_topk(
+        _t(spark, sf_dir, "embeddings"), PROBE_VEC_ID, k=20
+    ).select(F.col("vec_id").alias("doc_id"), F.col("rn").alias("cos_rn"))
+    fused = b.join(c, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rn",
+        "cos_rn",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("bm25_rn")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("cos_rn")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+    )
+
+
+@register(
+    "q_arrow_token_stats",
+    r"""SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars_utf8,
+              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+              CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT) AS n_vowels
+       FROM documents""",
+)
+def q_arrow_token_stats(spark, sf_dir):
+    """mapInArrow surface (Spark 4): per-document token statistics via
+    raw-Arrow-batch compute kernels — zero pandas conversion, zero
+    exchanges, the cheapest Python boundary Spark offers. See
+    operators/textstats.py::token_stats_arrow."""
+    from mapreduceindexer_spark.operators.textstats import token_stats_arrow
+
+    return token_stats_arrow(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Registration order: the harness verifies a finite prefix of this dict, so
 # the first 50 entries are arranged to contain the §2.1 core pipeline first
 # (positions 1-11, the reference's own surface) followed by exactly one

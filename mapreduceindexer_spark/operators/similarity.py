@@ -726,3 +726,134 @@ def principal_component(
         v.crossJoin(F.broadcast(lam))
         .select(F.col("j").alias("i"), F.col("vj").alias("component"), "lambda_max")
     )
+
+
+def knn_graph(
+    embeddings: DataFrame, k: int = 3, n_centroids: int = 8
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: for EVERY vector, its ``k``
+    most-cosine-similar neighbors within its IVF cell — the all-vectors
+    counterpart of the single-probe ``ivf_topk``, and the building block
+    for graph-based dedup refinement, label propagation over embeddings,
+    and KNN-classifier data maps.
+
+    Scale shape: the only pairing is a self-equi-join on ``cell`` — the
+    same cell-bounded quadratic as ``embedding_near_duplicates`` (cost
+    Σ|cell|², controlled by ``n_centroids``; production sizes cells as
+    n/target via the ``q_embed_dup_scaled`` dial and trains them with
+    k-means). The per-vector top-k is a ``row_number`` window PARTITIONED
+    by the vector, so Spark's WindowGroupLimit prunes to k rows per task
+    map-side before the window shuffle — no vector's full candidate list
+    ever funnels anywhere. Neighbors are exact within the cell;
+    cross-cell edges are the recall trade (measured by ``ann_recall``).
+
+    Determinism: cosine rounded to 6 digits, ties broken by neighbor id
+    ascending — the DuckDB oracle replays the graph bit-for-bit.
+    """
+    cells = ivf_assignments(embeddings, n_centroids)
+    e = embeddings.join(cells, "vec_id")
+    left = e.select("vec_id", F.col("embedding").alias("va"), "cell")
+    right = e.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("vb"),
+        F.col("cell").alias("cell_b"),
+    )
+    scored = (
+        left.join(
+            right,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("vec_id") != F.col("nbr_id")),
+        )
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force, per probe —
+    the quality contract every ANN deployment needs MEASURED, not
+    assumed (the IVF recall dial is cells probed; this is the meter).
+
+    (probe_id, hits, recall): ``hits`` = |IVF top-k ∩ exact top-k|,
+    ``recall`` = hits/k. Both sides are fully deterministic (round-6
+    cosine, id-ascending ties), so the DuckDB oracle replays the exact
+    overlap — this is an *audit* query, not an estimate.
+
+    Scale shape: the probe set is a bounded relation (broadcast); the
+    brute-force side is ONE corpus scan scoring |probes| dots per row
+    with a per-probe WindowGroupLimit top-k (each partition surrenders
+    ≤ k rows per probe); the IVF side reuses the cell assignment and
+    scores only same-cell candidates. Cost: linear scan + cell-bounded
+    candidates — never corpus × corpus.
+    """
+    probes = embeddings.filter(F.col("vec_id").isin(list(probe_ids))).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    brute = (
+        embeddings.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_similarity("embedding", "pv"), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "vec_id")
+    )
+    cells = ivf_assignments(embeddings, n_centroids)
+    probe_cells = (
+        cells.join(
+            F.broadcast(probes.select("probe_id")),
+            cells["vec_id"] == F.col("probe_id"),
+        )
+        .select("probe_id", F.col("cell").alias("pcell"))
+    )
+    ivf = (
+        embeddings.join(cells, "vec_id")
+        .join(
+            F.broadcast(probe_cells),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .join(F.broadcast(probes), "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_similarity("embedding", "pv"), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "vec_id")
+    )
+    hits = (
+        brute.join(ivf, ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count("*").cast("bigint").alias("hits"))
+    )
+    return (
+        probes.select("probe_id")
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("hits"), F.lit(0).cast("bigint")).alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double") / F.lit(float(k)),
+                6,
+            ).alias("recall"),
+        )
+    )

@@ -581,3 +581,48 @@ def bpe_encode(docs: DataFrame, rounds: int = 3) -> DataFrame:
             .alias("pieces_per_token_permille"),
         )
     )
+
+
+def token_stats_arrow(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars_utf8, n_tokens, n_vowels) via ``mapInArrow`` —
+    the zero-copy Arrow batch API (Spark 4): the kernel receives raw
+    ``pyarrow.RecordBatch``es and runs compiled Arrow C++ compute kernels
+    (``utf8_length``, ``count_substring_regex``) with NO pandas
+    conversion on either edge. This is the lowest-overhead Python
+    boundary Spark has — the right surface when a kernel exists in Arrow
+    compute but not in ``pyspark.sql.functions``, one tier below
+    ``mapInPandas`` (which pays Arrow→pandas→Arrow per batch).
+
+    Scale shape: embarrassingly parallel (zero exchanges — per-row
+    arithmetic on scan output); the scan is pruned to (doc_id, text).
+    NULL text propagates as NULL counts in both engines (kernel-level
+    null semantics, no Python branching). The DuckDB oracle replays the
+    regex counts exactly (RE2 and DuckDB agree on ``\\S+`` and ASCII
+    vowel classes; pinned including Unicode inputs by
+    tests/test_new_ops_edges.py).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(
+                        pc.count_substring_regex(text, pattern=r"\S+"), pa.int64()
+                    ),
+                    pc.cast(
+                        pc.count_substring_regex(text, pattern=r"[aeiou]"),
+                        pa.int64(),
+                    ),
+                ],
+                names=["doc_id", "n_chars_utf8", "n_tokens", "n_vowels"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        kernel,
+        "doc_id bigint, n_chars_utf8 bigint, n_tokens bigint, n_vowels bigint",
+    )

@@ -103,3 +103,82 @@ def test_power_iteration_on_identity_like_corpus(spark):
     rows = {r["i"]: r["component"] for r in principal_component(emb, rounds=4).collect()}
     assert abs(rows[0]) == 1.0  # dominant axis saturates the max-norm
     assert abs(rows[1]) < 0.1  # weaker axis decays toward 0
+
+
+def test_token_stats_arrow_unicode_and_null_parity(spark):
+    """The mapInArrow kernel (Arrow C++ regex/length) must agree with the
+    DuckDB oracle on Unicode text and NULL blobs — chars are counted as
+    codepoints, NULL text yields NULL counts in both engines."""
+    import duckdb
+
+    from mapreduceindexer_spark.operators.textstats import token_stats_arrow
+
+    rows = [
+        (0, "héllo wörld"),
+        (1, "a  b\tc "),
+        (2, ""),
+        (3, None),
+        (4, "漢字 kanji mix aeiou"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_chars_utf8"], r["n_tokens"], r["n_vowels"])
+        for r in token_stats_arrow(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = {
+        k: (a, b, c)
+        for k, a, b, c in con.execute(
+            r"""SELECT doc_id, length(text),
+                       len(regexp_extract_all(text, '\S+')),
+                       len(regexp_extract_all(text, '[aeiou]'))
+                FROM d"""
+        ).fetchall()
+    }
+    assert got == want, (got, want)
+
+
+def test_knn_graph_small_corpus_and_empty(spark):
+    from mapreduceindexer_spark.operators.similarity import knn_graph
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>, label int"
+    )
+    assert knn_graph(empty, k=3).count() == 0
+    # Two vectors, one cell: each gets exactly one neighbor (the other).
+    two = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    rows = knn_graph(two, k=3, n_centroids=1).collect()
+    assert {(r["vec_id"], r["nbr_id"]) for r in rows} == {(0, 1), (1, 0)}
+
+
+def test_ann_recall_bounds_and_missing_probe_cells(spark):
+    """hits is always within [0, k]; a probe whose cell holds no other
+    vector yields hits=0/recall=0.0, never a dropped row."""
+    from mapreduceindexer_spark.operators.similarity import ann_recall
+
+    # 6 vectors in 2 well-separated clusters + 1 isolate; centroids are
+    # vec_ids < 3, so vector 6's nearest centroid cell may hold only
+    # itself after exclusion.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.99, 0.01]),
+        (4, [1.0, 0.01, 0.0]),
+        (5, [0.0, 1.0, 0.01]),
+        (6, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in rows],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = {r["probe_id"]: r for r in ann_recall(emb, [0, 6], k=4, n_centroids=3).collect()}
+    assert set(out) == {0, 6}
+    for r in out.values():
+        assert 0 <= r["hits"] <= 4
+        assert abs(r["recall"] - r["hits"] / 4.0) < 1e-9

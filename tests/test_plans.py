@@ -758,3 +758,55 @@ def test_native_sketch_aggs_are_partial_object_hash(spark):
         plan = explain_str(QUERIES[q][0](spark, SF_SMOKE), "simple")
         assert "ObjectHashAggregate" in plan, (q, plan)
         assert "CartesianProduct" not in plan, (q, plan)
+
+
+def test_sql_table_udf_inlines_and_pushes_filter(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import pushed_filters
+
+    df = QUERIES["q_sql_table_udf"][0](spark, SF_SMOKE)
+    # The SQL table function's body must be inlined so its WHERE reaches
+    # the parquet scan — a table UDF that materializes first would read
+    # the whole corpus to answer a >= filter.
+    pf = " ".join(pushed_filters(df))
+    assert "n_chars" in pf and "GreaterThanOrEqual" in pf, pf
+
+
+def test_knn_graph_pairs_within_cells_with_group_limit(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_knn_graph"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # Pairing must be an equi-join on the IVF cell (never all-pairs) —
+    # the only nested-loop allowed is the bounded 8-row centroid
+    # broadcast inside the assignment.
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(cell" in plan or "BroadcastHashJoin [cell" in plan, plan
+    # Per-vector top-k must prune map-side before the window shuffle.
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_arrow_token_stats_is_zero_shuffle_map_in_arrow(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_arrow_token_stats"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # The raw-Arrow boundary (no pandas conversion) and nothing but
+    # per-row work: the only exchange allowed is the test-input
+    # parallelism repartition.
+    assert "MapInArrow" in plan, plan
+    sx = shuffle_exchanges(plan)
+    assert len(sx) <= 1 and "hashpartitioning" not in sx, (sx, plan)
+
+
+def test_prefix_trie_runs_native_recursion(spark):
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_prefix_trie"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # The recursion must be Spark's native UnionLoop operator (WITH
+    # RECURSIVE), not a driver-side unrolling.
+    assert "UnionLoop" in plan, plan
