@@ -91,6 +91,11 @@ HEADLINE = [
     "q_rp_lsh_scaled",     # SRP LSH with live production dials (banded)
     "q_embed_dup_scaled",  # IVF dedup with corpus-scaled cell count
     "q_multimodal_png",    # Arrow-batched REAL PNG decode (zlib inflate + unfilter)
+    "q_knn_graph_scaled",  # KNN graph with corpus-scaled IVF cells
+    "q_ann_recall",        # recall@10 audit: IVF vs exact brute force
+    "q_hybrid_rrf",        # BM25 + cosine reciprocal-rank fusion
+    "q_prefix_trie",       # native WITH RECURSIVE dictionary trie
+    "q_arrow_token_stats",  # mapInArrow raw-batch token statistics
 ]
 
 

@@ -1649,8 +1649,9 @@ def q_embed_dup_scaled(spark, sf_dir):
     the corpus (max(8, n // 200)) instead of the fixed {EMBED_DUP_CELLS}
     cells of q_embed_dup — the scale-safe path the round-4 100x load test
     prescribed (fixed cells DNF'd at 100x; n/200 cells finished in ~120 s,
-    PLANS.md). The count enters the plan as a broadcast one-row aggregate,
-    so the query is fully lazy; the oracle replays the same dial from
+    PLANS.md). The count enters the plan as a broadcast one-row aggregate
+    (no driver collect; the assignment relation is staged once for the
+    pair join's two branches); the oracle replays the same dial from
     count(*). operators/dedup.py::embedding_near_duplicates_scaled."""
     return dd.embedding_near_duplicates_scaled(
         _t(spark, sf_dir, "embeddings"),
@@ -2373,6 +2374,34 @@ def q_dup_clusters(spark, sf_dir):
     from mapreduceindexer_spark.operators.graph import duplicate_clusters
 
     return duplicate_clusters(_near_pairs_staged(spark, sf_dir))
+
+
+@register(
+    "q_dup_clusters_logstar",
+    f"""WITH RECURSIVE pairs AS ({_NEAR_DUP_ORACLE}),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                   UNION ALL
+                   SELECT doc_b AS u, doc_a AS v FROM pairs),
+         reach(u, v) AS (
+           SELECT DISTINCT u, u AS v FROM edges
+           UNION
+           SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+       SELECT u AS doc_id, min(v) AS cluster_id
+       FROM reach GROUP BY u""",
+)
+def q_dup_clusters_logstar(spark, sf_dir):
+    """Duplicate-cluster closure on the O(log n) large-star/small-star
+    contraction (Kiveris et al. SoCC'14) — the adversarial-diameter
+    production path beside q_dup_clusters' min-label propagation
+    (diameter-bound rounds). SAME oracle, SAME output relation: the
+    algorithm swap is verified to be answer-invariant, not just argued.
+    operators/graph.py::connected_components_logstar; a 200-diameter
+    path converging within 16 rounds is pinned by tests/test_graph.py."""
+    from mapreduceindexer_spark.operators.graph import (
+        duplicate_clusters_logstar,
+    )
+
+    return duplicate_clusters_logstar(_near_pairs_staged(spark, sf_dir))
 
 
 @register(
@@ -6673,6 +6702,44 @@ def q_knn_graph(spark, sf_dir):
     Cell-bounded self-join + per-vector WindowGroupLimit top-k; see
     operators/similarity.py::knn_graph for the full scale story."""
     return sim.knn_graph(_t(spark, sf_dir, "embeddings"), k=3, n_centroids=8)
+
+
+@register(
+    "q_knn_graph_scaled",
+    f"""WITH e AS ({SQL_EMB}),
+         st AS (SELECT greatest(8, count(*) // 200) AS nc FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, v AS cv FROM e, st
+               WHERE vec_id < st.nc),
+         d AS (SELECT e.vec_id, c.centroid_id,
+                      ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+                                                    z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+               FROM e, c),
+         assign AS (SELECT vec_id, centroid_id AS cell
+                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY d2 ASC, centroid_id ASC) AS rn
+                          FROM d)
+                    WHERE rn = 1),
+         pairs AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+                          ROUND({SQL_COS.format(a='ea.v', b='eb.v')}, 6) AS cos_sim
+                   FROM assign a
+                   JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+                   JOIN e ea ON ea.vec_id = a.vec_id
+                   JOIN e eb ON eb.vec_id = b.vec_id)
+       SELECT vec_id, nbr_id, cos_sim,
+              CAST(row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_sim DESC, nbr_id ASC) AS BIGINT) AS rn
+       FROM pairs QUALIFY rn <= 3""",
+)
+def q_knn_graph_scaled(spark, sf_dir):
+    """KNN graph, PRODUCTION CELL DIAL live: cells = max(8, n // 200),
+    entering the plan as a broadcast one-row count — the dialed twin of
+    q_knn_graph, mirroring q_embed_dup_scaled (fixed cell counts are the
+    quadratic cliff the round-4/5 load tests measured). The driver
+    verifies the path you'd run at scale; the oracle replays the dial
+    from count(*). operators/similarity.py::knn_graph_scaled."""
+    return sim.knn_graph_scaled(
+        _t(spark, sf_dir, "embeddings"), k=3, target_cell_size=200, min_cells=8
+    )
 
 
 ANN_RECALL_PROBES = (0, 17, 42, 101, 250)

@@ -387,10 +387,22 @@ def _pairs_within_cells(
     is a 3x cut on the dominant cost. Both the fixed-dial and the
     scaled-dial entry points feed this, so the metric and join shape
     cannot silently diverge between them.
+
+    The (vector, cell, norm) relation is localCheckpointed before the
+    self-join: both branches reference it and no ReusedExchange fires
+    (verified on the executed plan), so without staging the n x cells
+    centroid assignment — the dominant LINEAR term at 100x (PLANS.md
+    round-5 table: assignment cost dominates q_embed_dup_scaled) — runs
+    twice. Staging is a bounded builder-side job (n rows + arrays), the
+    same class as the LSH staging in near_duplicates.
     """
     from mapreduceindexer_spark.functions.vector import dot, l2_norm
 
-    e = embeddings.join(cells, "vec_id").withColumn("nrm", l2_norm("embedding"))
+    e = (
+        embeddings.join(cells, "vec_id")
+        .withColumn("nrm", l2_norm("embedding"))
+        .localCheckpoint()
+    )
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -457,8 +469,9 @@ def embedding_near_duplicates_scaled(
     bounded constant.
 
     The corpus count enters the plan as data (one-row count aggregate,
-    broadcast-crossJoined onto the centroid filter), so the query is
-    fully lazy — no driver action. Centroids remain the deterministic
+    broadcast-crossJoined onto the centroid filter) — no driver collect
+    anywhere; the only builder-side job is the shared pair-stage staging
+    checkpoint (see ``_pairs_within_cells``). Centroids remain the deterministic
     lowest-vec_id rows so the DuckDB oracle replays the assignment
     bit-for-bit; production would swap in ``similarity.kmeans_centroids``
     (same plan shape, trained centroid table).

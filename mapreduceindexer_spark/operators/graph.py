@@ -169,3 +169,101 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count("*").cast("bigint").alias("n_triangles")
     )
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.select("u", "v").union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _star_round(sym: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star contraction over a SYMMETRIC edge
+    list. large-star: every neighbor v > u links to min(Γ(u) ∪ {u});
+    small-star: every neighbor v < u (and u itself) links to the same
+    min. Both are one groupBy(u) + one join — the same per-round shuffle
+    shape as min-label propagation, but the star moves labels across
+    whole neighborhoods per round instead of one hop."""
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("u", "mv").alias("m"))
+    j = sym.join(mins, "u")
+    if large:
+        out = j.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+    else:
+        out = (
+            j.filter(F.col("v") < F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            )
+        ).union(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+    return (
+        out.filter(F.col("a") != F.col("b"))
+        .distinct()
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+    )
+
+
+def connected_components_logstar(
+    edges: DataFrame, max_rounds: int = 16
+) -> DataFrame:
+    """Connected components in O(log n) rounds via alternating
+    large-star / small-star contractions (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the adversarial-
+    diameter drop-in for ``connected_components``: min-label propagation
+    needs DIAMETER rounds (a 10M-node path graph = 10M rounds), star
+    contraction needs O(log n) regardless of shape, with the identical
+    per-round join+aggregate shuffle shape.
+
+    Output contract is exactly ``connected_components``'s: (doc_id,
+    cluster_id = component minimum) for every node that appears in
+    ``edges`` — pinned equal on adversarial shapes by
+    tests/test_graph.py, and the registered query shares q_dup_clusters'
+    WITH RECURSIVE oracle verbatim.
+
+    Convergence: at fixpoint every component is a star centered at its
+    minimum; detected by an exact anti-join emptiness probe (a scalar,
+    not a collect; count-only checks can false-converge on oscillation,
+    checksum checks can collide). Each round localCheckpoints — lineage
+    doubles per round otherwise.
+    """
+    cur = (
+        edges.select("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        _symmetrize(cur).select(F.col("u").alias("node")).distinct().localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        after_large = _star_round(_symmetrize(cur), large=True)
+        after_small = _star_round(
+            _symmetrize(after_large), large=False
+        ).localCheckpoint()
+        changed = (
+            after_small.join(cur, ["u", "v"], "left_anti")
+            .union(cur.join(after_small, ["u", "v"], "left_anti"))
+            .limit(1)
+            .count()
+        )
+        cur = after_small
+        if changed == 0:
+            break
+    # Fixpoint edges are (member, root) stars; roots label themselves.
+    labels = cur.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    )
+    roots = nodes.join(
+        cur.select(F.col("u").alias("node")), "node", "left_anti"
+    ).select(F.col("node").alias("doc_id"), F.col("node").alias("cluster_id"))
+    return labels.union(roots)
+
+
+def duplicate_clusters_logstar(near_pairs: DataFrame) -> DataFrame:
+    """``duplicate_clusters`` on the O(log n) star-contraction path —
+    same (doc_id, cluster_id) relation, scale-safe for adversarial
+    cluster diameters."""
+    return connected_components_logstar(
+        near_pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )

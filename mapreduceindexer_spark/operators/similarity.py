@@ -750,12 +750,44 @@ def knn_graph(
     Determinism: cosine rounded to 6 digits, ties broken by neighbor id
     ascending — the DuckDB oracle replays the graph bit-for-bit.
     """
-    cells = ivf_assignments(embeddings, n_centroids)
-    e = embeddings.join(cells, "vec_id")
-    left = e.select("vec_id", F.col("embedding").alias("va"), "cell")
+    return _knn_topk_within_cells(
+        embeddings, ivf_assignments(embeddings, n_centroids), k
+    )
+
+
+def _knn_topk_within_cells(
+    embeddings: DataFrame, cells: DataFrame, k: int
+) -> DataFrame:
+    """Shared pairing + per-vector top-k for the KNN-graph family:
+    cell self-equi-join, round-6 cosine, WindowGroupLimit top-k.
+
+    L2 norms are computed ONCE per vector before pairing (the
+    ``dedup._pairs_within_cells`` lesson, measured 3x on the dominant
+    quadratic term): each candidate pair evaluates a single higher-order
+    dot product, and ``sqrt`` of a per-vector aggregate is the same IEEE
+    value whether computed per pair or per vector — the oracle replays
+    it bit-for-bit either way.
+
+    The (vector, cell, norm) relation is localCheckpointed: BOTH sides
+    of the self-join reference it, and Spark does not reuse
+    un-materialized subtrees across join branches (no ReusedExchange
+    fires here — verified on the executed plan), so without staging the
+    n x cells centroid assignment — the dominant LINEAR term at scale —
+    runs twice. The multi-branch-staging rule from PLANS.md round 4."""
+    from mapreduceindexer_spark.functions.vector import dot, l2_norm
+
+    e = (
+        embeddings.join(cells, "vec_id")
+        .withColumn("nrm", l2_norm("embedding"))
+        .localCheckpoint()
+    )
+    left = e.select(
+        "vec_id", F.col("embedding").alias("va"), F.col("nrm").alias("nrm_a"), "cell"
+    )
     right = e.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
         F.col("cell").alias("cell_b"),
     )
     scored = (
@@ -767,13 +799,47 @@ def knn_graph(
         .select(
             "vec_id",
             "nbr_id",
-            F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
+            F.round(
+                dot("va", "vb") / (F.col("nrm_a") * F.col("nrm_b")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k)
+    )
+
+
+def knn_graph_scaled(
+    embeddings: DataFrame,
+    k: int = 3,
+    target_cell_size: int = 200,
+    min_cells: int = 8,
+) -> DataFrame:
+    """KNN graph with the PRODUCTION cell dial live: ``n_centroids =
+    max(min_cells, floor(n / target_cell_size))`` — the same corpus-
+    scaling rule as ``dedup.embedding_near_duplicates_scaled`` (PLANS.md
+    round-4/5 load tests: fixed cell counts go quadratic at 100x; cells
+    ~ n/200 keep per-cell population — and therefore the self-join's
+    quadratic term — a bounded constant). The corpus count enters the
+    plan as a broadcast one-row aggregate, so the query stays fully
+    lazy, and centroids remain the deterministic lowest-vec_id rows so
+    the DuckDB oracle replays every edge."""
+    nc = F.greatest(
+        F.lit(min_cells), F.floor(F.col("n") / F.lit(target_cell_size))
+    ).cast("bigint")
+    stats = embeddings.agg(F.count("*").alias("n")).select(nc.alias("nc"))
+    centroids = (
+        embeddings.crossJoin(F.broadcast(stats))
+        .filter(F.col("vec_id") < F.col("nc"))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    return _knn_topk_within_cells(
+        embeddings, assign_to_centroids(embeddings, centroids), k
     )
 
 

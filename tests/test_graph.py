@@ -60,3 +60,55 @@ def test_pagerank_uniform_on_cycle(spark):
     )
     got = {r["node"]: r["rank"] for r in pagerank(edges, iters=7).collect()}
     assert all(abs(v - 0.25) < 1e-9 for v in got.values()), got
+
+
+def _cc_star(spark, edges, max_rounds=16):
+    from mapreduceindexer_spark.operators.graph import (
+        connected_components_logstar,
+    )
+
+    df = spark.createDataFrame(edges, "u BIGINT, v BIGINT")
+    return {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_logstar(df, max_rounds=max_rounds).collect()
+    }
+
+
+def test_logstar_matches_label_propagation_on_blobs(spark):
+    # The dedup-shaped graph: several short-diameter blobs + overlap merge.
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (20, 21), (21, 22), (22, 20),
+             (3, 4), (4, 10)]
+    assert _cc_star(spark, edges) == _cc(spark, edges)
+
+
+def test_logstar_converges_on_long_path_in_log_rounds(spark):
+    # Diameter 200: min-label propagation would need 200 rounds; star
+    # contraction must close it within the 16-round budget — the exact
+    # adversarial case the algorithm exists for.
+    edges = [(i, i + 1) for i in range(200)]
+    assert _cc_star(spark, edges, max_rounds=16) == {
+        (i, 0) for i in range(201)
+    }
+
+
+def test_logstar_clique_and_star_and_orientation(spark):
+    import itertools
+
+    clique = list(itertools.combinations(range(5, 10), 2))
+    star = [(50, x) for x in range(51, 60)]
+    flipped = [(v, u) for u, v in clique] + star
+    got = _cc_star(spark, flipped)
+    assert got == {(i, 5) for i in range(5, 10)} | {
+        (x, 50) for x in range(50, 60)
+    }
+
+
+def test_logstar_matches_propagation_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    assert _cc_star(spark, edges) == _cc(spark, edges)
