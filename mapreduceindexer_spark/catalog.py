@@ -6885,6 +6885,60 @@ def q_arrow_token_stats(spark, sf_dir):
     return token_stats_arrow(_docs(spark, sf_dir))
 
 
+@register(
+    "q_approx_topk_bound",
+    f"""WITH t AS ({SQL_TERMS}),
+         exact AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+                   FROM t GROUP BY term)
+       SELECT term, exact_count AS est_count, exact_count,
+              TRUE AS is_exact,
+              CAST(row_number() OVER (ORDER BY exact_count DESC, term ASC)
+                AS BIGINT) AS rn
+       FROM exact QUALIFY rn <= 10""",
+)
+def q_approx_topk_bound(spark, sf_dir):
+    """Native ``approx_top_k`` (Spark 4.1) under an accuracy contract:
+    the heavy-hitter sketch tracks counts EXACTLY while distinct items
+    fit its capacity (maxItemsTracked, default 10000 >> this corpus's
+    vocabulary) — so every estimated count must equal the exact
+    aggregate, and the oracle REPLAYS the estimates as exact counts
+    (a deviation = eviction kicked in = the contract broke; parity
+    fails loudly). The sketch is asked for more items than the
+    vocabulary and the top-10 is selected by THIS query's own total
+    order (count DESC, term ASC) — the sketch's unspecified tie order
+    never reaches the result. At true heavy-hitter scale (vocab >>
+    capacity) the same plan degrades to the ±n/capacity frequent-items
+    bound; this query pins the exact regime, the count-min family
+    (q_countmin) covers the estimating regime."""
+    from mapreduceindexer_spark.functions.text import tokens_normalized
+
+    t = tokens_normalized(_docs(spark, sf_dir))
+    est = (
+        t.agg(F.expr("approx_top_k(term, 100)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("term"),
+            F.col("e.count").cast("bigint").alias("est_count"),
+        )
+    )
+    exact = t.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("exact_count")
+    )
+    w = Window.orderBy(F.desc("est_count"), F.asc("term"))
+    return (
+        est.join(exact, "term")
+        .select(
+            "term",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") == F.col("exact_count")).alias("is_exact"),
+        )
+        .orderBy(F.desc("est_count"), F.asc("term"))
+        .limit(10)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the harness verifies a finite prefix of this dict, so
 # the first 50 entries are arranged to contain the §2.1 core pipeline first

@@ -79,3 +79,32 @@ def read_jsonl_audited(spark: SparkSession, path: str, schema: str) -> DataFrame
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema: str, row_tag: str = "row"
+) -> DataFrame:
+    """XML source (Spark 4 native ``xml`` format — no external package)
+    with an explicit DDL schema and row tag. XML arrives from legacy
+    feeds and document corpora (Wikipedia dumps are the canonical
+    training-data case); the native reader splits on ``rowTag``
+    boundaries, so large dumps parallelize like any text source."""
+    return (
+        spark.read.format("xml")
+        .schema(schema)
+        .option("rowTag", row_tag)
+        .load(path)
+    )
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", root_tag: str = "rows"
+) -> None:
+    """XML sink (one ``rowTag`` element per row under ``rootTag``)."""
+    (
+        df.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )

@@ -211,3 +211,18 @@ def test_jsonl_audited_quarantines_corrupt_lines(spark, tmp_path):
     raws = {r._corrupt_record for r in quarantined.collect()}
     assert any(r.startswith("{broken") for r in raws), raws
     assert any('"NaNope"' in r for r in raws), raws
+
+
+def test_xml_roundtrip_preserves_values(spark, orders_slice, tmp_path):
+    """Native XML (Spark 4) round-trip under the explicit-schema
+    contract — the legacy-feed / document-dump ingest surface (Wikipedia
+    dumps being the canonical training-corpus case)."""
+    from mapreduceindexer_spark.sources.formats import read_xml, write_xml
+
+    path = str(tmp_path / "orders_xml")
+    write_xml(orders_slice, path, row_tag="order", root_tag="orders")
+    back = read_xml(spark, path, ORDERS_SCHEMA, row_tag="order").select(
+        *[c for c, _ in orders_slice.dtypes]
+    )
+    assert _rows(back) == _rows(orders_slice)
+    assert dict(back.dtypes) == dict(orders_slice.dtypes)
