@@ -96,6 +96,7 @@ HEADLINE = [
     "q_hybrid_rrf",        # BM25 + cosine reciprocal-rank fusion
     "q_prefix_trie",       # native WITH RECURSIVE dictionary trie
     "q_arrow_token_stats",  # mapInArrow raw-batch token statistics
+    "q_wordpiece_encode",  # WordPiece longest-match inference (recursive walk)
 ]
 
 

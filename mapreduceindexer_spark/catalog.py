@@ -6885,6 +6885,145 @@ def q_arrow_token_stats(spark, sf_dir):
     return token_stats_arrow(_docs(spark, sf_dir))
 
 
+import string as _string  # noqa: E402
+
+# WordPiece inference vocabulary: config, not data (like the SRP
+# hyperplanes) — all 26 single letters guarantee a match at every
+# position (terms are [a-z]+ by construction), so no UNK path exists.
+WORDPIECE_VOCAB = tuple(_string.ascii_lowercase) + (
+    "sp", "ark", "spark", "str", "eam", "ing", "jo", "in", "join",
+    "wind", "ow", "ta", "ble", "er", "ba", "tch", "fil", "ter",
+    "me", "rge", "qu", "ery", "da", "row", "col", "umn", "scan",
+)
+
+_WP_VALUES = ", ".join(f"('{p}')" for p in WORDPIECE_VOCAB)
+
+
+@register(
+    "q_wordpiece_encode",
+    f"""WITH RECURSIVE
+         pieces(piece) AS (VALUES {_WP_VALUES}),
+         toks AS ({SQL_TERMS}),
+         tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY term),
+         terms AS (SELECT term, length(term) AS L
+                   FROM (SELECT DISTINCT term FROM toks)),
+         pos AS (SELECT term, unnest(generate_series(1, L)) AS pos FROM terms),
+         jumps AS (SELECT pos.term, pos.pos,
+                          CAST(max(length(p.piece)) AS INT) AS jump
+                   FROM pos JOIN pieces p
+                     ON substring(pos.term, pos.pos, length(p.piece)) = p.piece
+                   GROUP BY pos.term, pos.pos),
+         walk(term, pos) AS (
+           SELECT term, 1 AS pos FROM terms
+           UNION ALL
+           SELECT w.term, w.pos + j.jump AS pos
+           FROM walk w JOIN jumps j ON w.term = j.term AND w.pos = j.pos),
+         segs AS (SELECT w.term, substring(w.term, w.pos, j.jump) AS piece
+                  FROM walk w JOIN jumps j
+                    ON w.term = j.term AND w.pos = j.pos)
+       SELECT piece, n_tokens,
+              CAST(row_number() OVER (ORDER BY n_tokens DESC, piece ASC)
+                AS BIGINT) AS rn
+       FROM (SELECT s.piece, CAST(sum(tf.tf) AS BIGINT) AS n_tokens
+             FROM segs s JOIN tf ON s.term = tf.term
+             GROUP BY s.piece)
+       QUALIFY rn <= 15""",
+)
+def q_wordpiece_encode(spark, sf_dir):
+    """WordPiece INFERENCE (greedy longest-match-first segmentation, the
+    maximal-munch rule of Song et al., "Fast WordPiece Tokenization") —
+    the second tokenizer-application family beside BPE's merge-apply
+    (q_bpe_encode), run corpus-scale: top-15 pieces by tf-weighted
+    occurrence. Vocabulary is config (inlined literals, single-letter
+    fallback ⇒ no UNK path).
+
+    Scale shape — the recursion is per-WORD, not per-corpus: the longest
+    match at every (term, position) is precomputed as a plain join +
+    max() aggregate over the |vocab|-literal relation (NON-recursive),
+    so the native WITH RECURSIVE walk is just a jump-table traversal —
+    acyclic (position strictly increases), depth = max pieces per word
+    (≤ word length, ~10), rows = Σ pieces over the DISTINCT vocabulary
+    of the corpus, never corpus-sized. Per-document costs arrive only
+    through the tf join, exactly like q_bpe_encode's vocabulary-level
+    merge apply. Both engines run the textually-parallel recursion."""
+    from mapreduceindexer_spark.functions.text import tokens_normalized
+
+    tokens_normalized(_docs(spark, sf_dir)).createOrReplaceTempView(
+        "mri_wp_toks"
+    )
+    return spark.sql(
+        f"""WITH RECURSIVE
+             pieces AS (SELECT piece FROM VALUES {_WP_VALUES} AS v(piece)),
+             tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+                    FROM mri_wp_toks GROUP BY term),
+             terms AS (SELECT term, length(term) AS L
+                       FROM (SELECT DISTINCT term FROM mri_wp_toks)),
+             pos AS (SELECT term, explode(sequence(1, L)) AS pos FROM terms),
+             jumps AS (SELECT pos.term, pos.pos,
+                              CAST(max(length(p.piece)) AS INT) AS jump
+                       FROM pos JOIN pieces p
+                         ON substring(pos.term, pos.pos, length(p.piece)) = p.piece
+                       GROUP BY pos.term, pos.pos),
+             walk(term, pos) AS (
+               SELECT term, 1 AS pos FROM terms
+               UNION ALL
+               SELECT w.term, w.pos + j.jump AS pos
+               FROM walk w JOIN jumps j ON w.term = j.term AND w.pos = j.pos),
+             segs AS (SELECT w.term, substring(w.term, w.pos, j.jump) AS piece
+                      FROM walk w JOIN jumps j
+                        ON w.term = j.term AND w.pos = j.pos)
+           SELECT piece, n_tokens, rn FROM (
+             SELECT piece, n_tokens,
+                    CAST(row_number() OVER (ORDER BY n_tokens DESC, piece ASC)
+                      AS BIGINT) AS rn
+             FROM (SELECT s.piece, CAST(sum(tf.tf) AS BIGINT) AS n_tokens
+                   FROM segs s JOIN tf ON s.term = tf.term
+                   GROUP BY s.piece))
+           WHERE rn <= 15"""
+    )
+
+
+@register(
+    "q_lateral_topdocs",
+    """SELECT lang, doc_id AS top_doc, n_chars AS top_chars,
+              CAST(row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars DESC, doc_id ASC)
+                AS BIGINT) AS rn
+       FROM documents QUALIFY rn <= 2""",
+)
+def q_lateral_topdocs(spark, sf_dir):
+    """DataFrame ``lateralJoin`` (Spark 4 API): per-language top-2
+    documents via a CORRELATED subquery with ORDER BY + LIMIT — the
+    DataFrame-native form of SQL LATERAL, referencing the outer row
+    through ``col(...).outer()``. Held to the relational window twin as
+    oracle (the two formulations must be value-identical; the window
+    plan with WindowGroupLimit is the scale path — q_window_topn — and
+    this query is the checked API surface for kernels that are genuinely
+    per-outer-row, e.g. parameterized probes)."""
+    docs = _docs(spark, sf_dir)
+    langs = docs.select("lang").distinct().alias("l")
+    sub = (
+        docs.alias("d")
+        .where(F.col("d.lang") == F.col("l.lang").outer())
+        .orderBy(F.desc("d.n_chars"), F.asc("d.doc_id"))
+        .limit(2)
+        .select(
+            F.col("d.doc_id").alias("top_doc"),
+            F.col("d.n_chars").alias("top_chars"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("top_chars"), F.asc("top_doc")
+    )
+    return langs.lateralJoin(sub).select(
+        "lang",
+        "top_doc",
+        "top_chars",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+
+
 @register(
     "q_approx_topk_bound",
     f"""WITH t AS ({SQL_TERMS}),
