@@ -6654,12 +6654,17 @@ def q_prefix_trie(spark, sf_dir):
     (Graph closures with cycles do NOT qualify: UNION ALL re-enumerates
     paths combinatorially — that family stays on the iterative driver
     loop of q_dup_clusters, which is the scale path.) The DuckDB oracle
-    runs the textually-same recursion."""
+    runs the textually-same recursion.
+
+    The dictionary is localCheckpointed before recursing: UnionLoop
+    re-executes un-materialized inputs per level, so a lazy view here
+    would re-tokenize the corpus once per recursion depth (the
+    q_wordpiece_encode lesson, PLANS.md round 5 session 2)."""
     from mapreduceindexer_spark.operators.index import term_doc_pairs
 
-    term_doc_pairs(_docs(spark, sf_dir)).select("term").distinct().createOrReplaceTempView(
-        "mri_rec_terms"
-    )
+    term_doc_pairs(_docs(spark, sf_dir)).select(
+        "term"
+    ).distinct().localCheckpoint().createOrReplaceTempView("mri_rec_terms")
     return spark.sql(
         """WITH RECURSIVE pref(term, p) AS (
              SELECT term, term AS p FROM mri_rec_terms
@@ -6946,39 +6951,54 @@ def q_wordpiece_encode(spark, sf_dir):
     (≤ word length, ~10), rows = Σ pieces over the DISTINCT vocabulary
     of the corpus, never corpus-sized. Per-document costs arrive only
     through the tf join, exactly like q_bpe_encode's vocabulary-level
-    merge apply. Both engines run the textually-parallel recursion."""
+    merge apply. Both engines run the textually-parallel recursion.
+
+    Staging rule for recursion (measured, not guessed): the recursive
+    member references ``jumps`` on EVERY level, and UnionLoop re-executes
+    un-materialized subtrees per level — with the jump table derived
+    lazily from the corpus, each recursion level re-tokenized the corpus
+    (10.8 s at sf0.1). The vocabulary-level relations (tf, terms, jumps —
+    all |vocab|-sized) are localCheckpointed BEFORE the recursive SQL, so
+    the walk joins a materialized ~hundreds-row table per level
+    (10.8 s → ~1 s). The recursion-input staging twin of the
+    multi-branch-staging rule."""
     from mapreduceindexer_spark.functions.text import tokens_normalized
 
-    tokens_normalized(_docs(spark, sf_dir)).createOrReplaceTempView(
-        "mri_wp_toks"
+    toks = tokens_normalized(_docs(spark, sf_dir))
+    tf = (
+        toks.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint()
     )
+    tf.createOrReplaceTempView("mri_wp_tf")
+    terms = tf.select("term", F.length("term").alias("L")).localCheckpoint()
+    terms.createOrReplaceTempView("mri_wp_terms")
+    jumps = spark.sql(
+        f"""SELECT pos.term, pos.pos, CAST(max(length(p.piece)) AS INT) AS jump
+            FROM (SELECT term, explode(sequence(1, L)) AS pos
+                  FROM mri_wp_terms) pos
+            JOIN (SELECT piece FROM VALUES {_WP_VALUES} AS v(piece)) p
+              ON substring(pos.term, pos.pos, length(p.piece)) = p.piece
+            GROUP BY pos.term, pos.pos"""
+    ).localCheckpoint()
+    jumps.createOrReplaceTempView("mri_wp_jumps")
     return spark.sql(
-        f"""WITH RECURSIVE
-             pieces AS (SELECT piece FROM VALUES {_WP_VALUES} AS v(piece)),
-             tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
-                    FROM mri_wp_toks GROUP BY term),
-             terms AS (SELECT term, length(term) AS L
-                       FROM (SELECT DISTINCT term FROM mri_wp_toks)),
-             pos AS (SELECT term, explode(sequence(1, L)) AS pos FROM terms),
-             jumps AS (SELECT pos.term, pos.pos,
-                              CAST(max(length(p.piece)) AS INT) AS jump
-                       FROM pos JOIN pieces p
-                         ON substring(pos.term, pos.pos, length(p.piece)) = p.piece
-                       GROUP BY pos.term, pos.pos),
+        """WITH RECURSIVE
              walk(term, pos) AS (
-               SELECT term, 1 AS pos FROM terms
+               SELECT term, 1 AS pos FROM mri_wp_terms
                UNION ALL
                SELECT w.term, w.pos + j.jump AS pos
-               FROM walk w JOIN jumps j ON w.term = j.term AND w.pos = j.pos),
+               FROM walk w JOIN mri_wp_jumps j
+                 ON w.term = j.term AND w.pos = j.pos),
              segs AS (SELECT w.term, substring(w.term, w.pos, j.jump) AS piece
-                      FROM walk w JOIN jumps j
+                      FROM walk w JOIN mri_wp_jumps j
                         ON w.term = j.term AND w.pos = j.pos)
            SELECT piece, n_tokens, rn FROM (
              SELECT piece, n_tokens,
                     CAST(row_number() OVER (ORDER BY n_tokens DESC, piece ASC)
                       AS BIGINT) AS rn
              FROM (SELECT s.piece, CAST(sum(tf.tf) AS BIGINT) AS n_tokens
-                   FROM segs s JOIN tf ON s.term = tf.term
+                   FROM segs s JOIN mri_wp_tf tf ON s.term = tf.term
                    GROUP BY s.piece))
            WHERE rn <= 15"""
     )
