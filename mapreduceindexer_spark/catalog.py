@@ -7045,6 +7045,97 @@ def q_lateral_topdocs(spark, sf_dir):
 
 
 @register(
+    "q_sql_scripting",
+    """WITH widths(w) AS (VALUES (16), (32), (64), (128), (256), (512),
+                                 (1024), (2048), (4096)),
+         fit AS (SELECT min(w) AS w FROM widths
+                 WHERE (SELECT count(DISTINCT n_chars // w)
+                        FROM documents) <= 10)
+       SELECT CAST((n_chars // fit.w) * fit.w AS BIGINT) AS bucket_lo,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(fit.w AS BIGINT) AS width
+       FROM documents, fit
+       GROUP BY bucket_lo, fit.w""",
+)
+def q_sql_scripting(spark, sf_dir):
+    """SQL scripting (Spark 4 ``BEGIN ... END`` procedural blocks):
+    adaptive histogram binning — a WHILE loop doubles the bucket width
+    until the corpus fits in ≤ 10 buckets, then emits the histogram at
+    the fitted width. The loop predicates are scalar control-plane
+    statements (≤ 9 bounded driver round trips — the same class as
+    iterative k-means' convergence checks); the DATA statement is the
+    single final histogram aggregate, one corpus-scale job. The oracle
+    replays the fitted width declaratively (min width satisfying the
+    bucket bound) — procedural and declarative formulations must land on
+    the same answer."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    _docs(spark, sf_dir).createOrReplaceTempView("mri_script_docs")
+    return spark.sql(
+        """BEGIN
+             DECLARE w BIGINT DEFAULT 16;
+             WHILE (SELECT count(DISTINCT n_chars div w)
+                    FROM mri_script_docs) > 10
+               AND w < 4096 DO
+               SET w = w * 2;
+             END WHILE;
+             SELECT CAST((n_chars div w) * w AS BIGINT) AS bucket_lo,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(w AS BIGINT) AS width
+             FROM mri_script_docs
+             GROUP BY bucket_lo, width;
+           END"""
+    )
+
+
+@register(
+    "q_udtf_table_arg",
+    """SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(max(n_chars) AS BIGINT) AS max_chars
+       FROM documents GROUP BY lang""",
+)
+def q_udtf_table_arg(spark, sf_dir):
+    """Python UDTF with a TABLE argument (Spark 4):
+    ``udtf(TABLE(t) PARTITION BY lang)`` streams each language's rows
+    through ONE stateful kernel instance — the partitioned-relation UDTF
+    surface (beside the per-row lateral UDTF of q_udtf_topterms), i.e.
+    the escape hatch for per-group algorithms that are genuinely
+    sequential over a partition's rows. State is O(1) per partition;
+    the shuffle is the PARTITION BY. Held to the relational aggregate
+    twin — when the kernel IS expressible relationally, that plan wins
+    (map-side partials, no Python); the UDTF form exists checked."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, n_docs bigint, total_chars bigint, max_chars bigint")
+    class LangSummary:
+        def __init__(self):
+            self.lang = None
+            self.n = 0
+            self.total = 0
+            self.mx = None
+
+        def eval(self, row):
+            self.lang = row["lang"]
+            self.n += 1
+            self.total += row["n_chars"]
+            self.mx = (
+                row["n_chars"] if self.mx is None else max(self.mx, row["n_chars"])
+            )
+
+        def terminate(self):
+            if self.lang is not None:
+                yield (self.lang, self.n, self.total, self.mx)
+
+    spark.udtf.register("mri_lang_summary", LangSummary)
+    _docs(spark, sf_dir).createOrReplaceTempView("mri_udtf_docs")
+    return spark.sql(
+        """SELECT lang, n_docs, total_chars, max_chars
+           FROM mri_lang_summary(TABLE(mri_udtf_docs) PARTITION BY lang)"""
+    )
+
+
+@register(
     "q_approx_topk_bound",
     f"""WITH t AS ({SQL_TERMS}),
          exact AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_count

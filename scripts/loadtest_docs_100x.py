@@ -21,8 +21,9 @@ reference numbers are measured in the SAME JVM (1 warm-up, best of 2);
 the REPx numbers are single cold-ish runs — at this scale a quadratic
 cliff is orders of magnitude, not noise.
 
-Usage: python scripts/loadtest_docs_100x.py [REP] (default 100); writes
-progress as JSON lines to stdout.
+Usage: python scripts/loadtest_docs_100x.py [REP] [query ...]
+(default REP=100 and the round-5 dedup/curation set); writes progress as
+JSON lines to stdout.
 """
 
 from __future__ import annotations
@@ -66,6 +67,7 @@ def run_once(spark, name: str, sf_dir: str) -> tuple[float, int]:
 
 def main() -> None:
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    names = sys.argv[2:] or QUERY_NAMES
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="docs-loadtest")
 
@@ -101,7 +103,7 @@ def main() -> None:
          sec=round(time.perf_counter() - t0, 1))
 
     results = {}
-    for name in QUERY_NAMES:
+    for name in names:
         run_once(spark, name, src)  # warm-up
         t1, n1 = run_once(spark, name, src)
         t1b, _ = run_once(spark, name, src)
