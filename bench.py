@@ -227,8 +227,18 @@ def main() -> None:
         "ratio": round(drift_end / max(times[HEADLINE[0]], 1e-9), 3),
     }
 
-    print(
-        json.dumps(
+    # Full per-query detail (medians + drift probe) goes to a side file:
+    # the driver that records BENCH_r{N}.json keeps only the LAST 2000
+    # characters of combined output and parses the JSON line out of that
+    # window. Round 5 learned this the hard way — inlining
+    # queries_median + jvm_drift pushed the line to ~4 kB and the driver
+    # recorded "parsed": null, i.e. NO bench numbers for the round. The
+    # stdout line is therefore emitted compact (no spaces), with a hard
+    # length guard, AFTER spark.stop() so no shutdown log lines can push
+    # it out of the tail window.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total",
                 "value": total,
@@ -237,10 +247,41 @@ def main() -> None:
                 "queries_median": medians,
                 "jvm_drift": drift,
                 "sf": sf,
-            }
+            },
+            fh,
+            indent=1,
         )
-    )
+        fh.write("\n")
+
+    line = emit_line(total, times, sf)
     spark.stop()
+    print(line)
+
+
+def emit_line(total: float, times: dict, sf: float, limit: int = 1900) -> str:
+    """One-line JSON for the driver, guaranteed under `limit` chars.
+
+    If the queries dict would overflow the driver's 2000-char tail
+    window, the fastest queries are dropped from the LINE (never from
+    BENCH_DETAIL.json, which always carries the full set) — the total
+    and the expensive queries are what BASELINE comparisons read.
+    """
+    queries = dict(times)
+    while True:
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+        if len(line) <= limit or not queries:
+            return line
+        fastest = min(queries, key=queries.get)
+        del queries[fastest]
 
 
 if __name__ == "__main__":

@@ -7048,7 +7048,7 @@ def q_lateral_topdocs(spark, sf_dir):
     "q_sql_scripting",
     """WITH widths(w) AS (VALUES (16), (32), (64), (128), (256), (512),
                                  (1024), (2048), (4096)),
-         fit AS (SELECT min(w) AS w FROM widths
+         fit AS (SELECT coalesce(min(w), 4096) AS w FROM widths
                  WHERE (SELECT count(DISTINCT n_chars // w)
                         FROM documents) <= 10)
        SELECT CAST((n_chars // fit.w) * fit.w AS BIGINT) AS bucket_lo,

@@ -205,7 +205,7 @@ def _star_round(sym: DataFrame, large: bool) -> DataFrame:
 
 
 def connected_components_logstar(
-    edges: DataFrame, max_rounds: int = 16
+    edges: DataFrame, max_rounds: int | None = None
 ) -> DataFrame:
     """Connected components in O(log n) rounds via alternating
     large-star / small-star contractions (Kiveris et al., "Connected
@@ -236,6 +236,16 @@ def connected_components_logstar(
     nodes = (
         _symmetrize(cur).select(F.col("u").alias("node")).distinct().localCheckpoint()
     )
+    if max_rounds is None:
+        # Scale the round budget from the graph instead of a fixed dial:
+        # alternating large/small-star needs O(log n) rounds in practice
+        # and O(log^2 n) in the adversarial worst case (Kiveris et al.
+        # §4), so 3*ceil(log2 n) + 8 leaves generous slack (a 10^12-node
+        # graph gets 128 rounds). nodes is already checkpointed, so the
+        # count is a cheap scalar, not a recompute.
+        n = nodes.count()
+        max_rounds = 3 * max(1, (max(n, 2) - 1).bit_length()) + 8
+    converged = False
     for _ in range(max_rounds):
         after_large = _star_round(_symmetrize(cur), large=True)
         after_small = _star_round(
@@ -249,7 +259,19 @@ def connected_components_logstar(
         )
         cur = after_small
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Round budget exhausted before the fixpoint: the labels are NOT
+        # component minima (a doc_id could carry multiple cluster_id
+        # rows). Returning them silently would hand a correctness bug to
+        # every dedup-closure consumer — fail loudly instead.
+        raise RuntimeError(
+            "connected_components_logstar did not converge within "
+            f"{max_rounds} rounds; the edge set is not a star forest. "
+            "Pass a larger max_rounds (or None to scale it from the "
+            "node count)."
+        )
     # Fixpoint edges are (member, root) stars; roots label themselves.
     labels = cur.select(
         F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")

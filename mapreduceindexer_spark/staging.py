@@ -25,11 +25,13 @@ which the builders already paid.
 
 from __future__ import annotations
 
+import threading
 from typing import Callable, Hashable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple, DataFrame] = {}
+_LOCK = threading.Lock()
 
 
 def staged(
@@ -38,17 +40,33 @@ def staged(
     """Return the memoized relation for ``key``, building it (once per
     Spark application) via ``build`` — which must return an eagerly
     materialized DataFrame (e.g. ``localCheckpoint()``), since the handle
-    is reused across queries and must not re-trigger lineage."""
+    is reused across queries and must not re-trigger lineage.
+
+    Entries keyed by OTHER applications are evicted on every access: a
+    long-lived process that stops one SparkSession and starts another
+    would otherwise accumulate dead DataFrame handles (and pin their
+    checkpointed RDD references) forever. The lock makes check-evict-
+    insert atomic; ``build`` runs outside it (it launches Spark jobs and
+    may take seconds — a concurrent caller for the same key would then
+    build twice, which is wasteful but correct, and the handle stored
+    last wins).
+    """
     app_id = spark.sparkContext.applicationId
     full_key = (app_id, key)
-    df = _CACHE.get(full_key)
+    with _LOCK:
+        stale = [k for k in _CACHE if k[0] != app_id]
+        for k in stale:
+            del _CACHE[k]
+        df = _CACHE.get(full_key)
     if df is None:
         df = build()
-        _CACHE[full_key] = df
+        with _LOCK:
+            _CACHE[full_key] = df
     return df
 
 
 def clear() -> None:
     """Drop all memoized handles (tests / benchmarks that must re-pay
     staging call this between measurements)."""
-    _CACHE.clear()
+    with _LOCK:
+        _CACHE.clear()

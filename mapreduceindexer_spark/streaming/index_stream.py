@@ -97,7 +97,15 @@ def _write_doc_slices(docs: DataFrame, stream_dir: str, n_slices: int) -> None:
             os.fsync(fd)
         finally:
             os.close(fd)
-    dfd = os.open(stream_dir, os.O_RDONLY)
+    _fsync_dir(stream_dir)
+
+
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY: an ``os.replace`` inside it is atomic but not
+    durable until the directory entry itself is flushed — without this a
+    power loss after the rename can roll the 'committed' pointer back
+    (advisor finding, round 5)."""
+    dfd = os.open(path, os.O_RDONLY)
     try:
         os.fsync(dfd)
     finally:
@@ -155,6 +163,7 @@ def commit_manifest(
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, _manifest_path(state_dir))
+    _fsync_dir(state_dir)
 
 
 def recover_index_state(
@@ -251,6 +260,7 @@ def streaming_index_build(
                 fh.flush()
                 os.fsync(fh.fileno())
             os.replace(tmp_marker, slices_done)
+            _fsync_dir(stream_dir)
         schema = "doc_id " + dict(docs.dtypes)["doc_id"] + ", text string"
         src = (
             spark.readStream.schema(schema)

@@ -1,0 +1,39 @@
+"""bench.py's stdout contract: the driver that records BENCH_r{N}.json
+keeps only the last 2000 characters of output and parses the JSON line
+from that window. Round 5 emitted a ~4 kB line and the round's bench
+was recorded as "parsed": null — these tests pin the fix."""
+
+from __future__ import annotations
+
+import json
+
+from bench import emit_line
+
+
+def test_emit_line_fits_driver_tail_window():
+    times = {f"q_{i:02d}_some_longish_query_name": 1.234 for i in range(80)}
+    line = emit_line(123.456, times, 0.1)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["value"] == 123.456
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    # Overflow drops the FASTEST queries from the line only.
+    assert parsed["queries"]
+
+
+def test_emit_line_keeps_all_queries_when_small():
+    times = {"q_a": 1.0, "q_b": 2.0}
+    parsed = json.loads(emit_line(3.0, times, 0.01))
+    assert parsed["queries"] == times
+
+
+def test_emit_line_drops_fastest_first():
+    times = {f"q_{i:03d}": float(i) for i in range(200)}
+    parsed = json.loads(emit_line(1.0, times, 0.1))
+    kept = parsed["queries"]
+    assert len(kept) < len(times)
+    # Every dropped query must be no slower than every kept one.
+    dropped_max = max(v for k, v in times.items() if k not in kept)
+    assert dropped_max <= min(kept.values())

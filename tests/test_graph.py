@@ -112,3 +112,26 @@ def test_logstar_matches_propagation_on_random_graph(spark):
     ]
     edges = [(u, v) for u, v in edges if u != v]
     assert _cc_star(spark, edges) == _cc(spark, edges)
+
+
+def test_logstar_raises_on_exhausted_round_budget(spark):
+    """A round budget too small for the fixpoint must raise, never
+    silently return non-minimal labels (advisor finding, round 5)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from mapreduceindexer_spark.operators.graph import (
+        connected_components_logstar,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "u int, v int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_logstar(edges, max_rounds=1)
+
+
+def test_logstar_default_budget_scales_from_node_count(spark):
+    # max_rounds=None: budget derived from n (3*ceil(log2 n)+8), enough
+    # for the 200-diameter path that defeats fixed-round propagation.
+    got = _cc_star(spark, [(i, i + 1) for i in range(200)], max_rounds=None)
+    assert got == {(i, 0) for i in range(201)}

@@ -48,3 +48,17 @@ def test_near_dup_consumers_share_one_staged_relation(spark):
     p2 = _near_pairs_staged(spark, SF_SMOKE)
     assert p1 is p2
     staging.clear()
+
+def test_stale_app_entries_evicted_on_access(spark):
+    """Entries keyed by a stopped application must not accumulate: any
+    access under the live app evicts them (advisor finding, round 5)."""
+    from mapreduceindexer_spark import staging
+
+    staging.clear()
+    dead = ("app-deadbeef-0000", ("t", 1))
+    staging._CACHE[dead] = spark.range(1).localCheckpoint()
+    staging.staged(spark, ("t", 2), lambda: spark.range(2).localCheckpoint())
+    assert dead not in staging._CACHE
+    live_apps = {k[0] for k in staging._CACHE}
+    assert live_apps == {spark.sparkContext.applicationId}
+    staging.clear()
