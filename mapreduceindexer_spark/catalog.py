@@ -7247,62 +7247,64 @@ def q_approx_topk_bound(spark, sf_dir):
 # rotated out remains verified every session by
 # tests/test_oracle_parity.py (drives ALL oracle-backed queries).
 _CHECK_PRIORITY = [
-    # §2.1 core (reference pipeline, dataflow order)
-    "q_manifest_scan",
-    "q_doc_scan",
-    "q_tokenize",
-    "q_normalize",
-    "q_term_doc_distinct",
+    # Round-6 window: 6-slot core spine + 44 never-driver-checked
+    # families (every entry oracle-backed; all 199 oracle queries were
+    # re-verified locally against DuckDB before this rotation).
+    # -- core spine (reference pipeline + flagship LLM tier)
     "q_postings",
-    "q_letter_histogram",
     "q_index_lines",
-    # §2.2 derived search
-    "q_bool_and",
-    "q_bool_not",
     "q_bm25",
-    "q_top_terms",
-    # §2.3 relational families
-    "q_filter_shipdate",
     "q_agg_pricing_summary",
-    "q_join_orders_customer",
-    "q_join_5way",
-    "q_semi_join",
-    "q_rollup",
-    "q_approx_distinct_bound",
-    "q_approx_quantiles_bound",
-    "q_window_topn",
-    "q_scalar_fns",
-    "q_json_events",
-    "q_variant_events",
-    "q_zorder_layout",
-    # time windows / temporal joins
-    "q_events_tumbling",
-    "q_asof_join",
-    # LLM pipeline tier
     "q_dedup_exact",
     "q_near_dup",
-    "q_substring_dup",
-    "q_semantic_dedup",
-    "q_power_iteration",
-    "q_ann_ivf",
-    "q_range_bounds",
-    "q_dsir_weights",
-    "q_weighted_sample",
-    "q_rp_lsh_scaled",
-    "q_embed_dup_scaled",
-    "q_sparse_cosine",
-    "q_triangles",
-    "q_bpe_train",
-    "q_pmi",
-    "q_lm_retrieval",
-    "q_hll_merge",
-    "q_theta_setops_bound",
-    "q_kll_quantiles_bound",
-    "q_postings_compress",
-    "q_multimodal_png",
-    # Spark-4-native surface
-    "q_grouped_agg_udf",
-    "q_udtf_topterms",
+    # -- derived search + retrieval surfaces
+    "q_bm25_multi",
+    "q_prefix_search",
+    "q_array_bool",
+    "q_hybrid_rrf",
+    "q_prefix_trie",
+    "q_lateral_topdocs",
+    # -- Spark-4 SQL surface
+    "q_sql_scripting",
+    "q_udtf_table_arg",
+    "q_approx_topk_bound",
+    "q_hll_native_merge_bound",
+    "q_pipe_syntax",
+    "q_collation_group",
+    "q_param_sql",
+    "q_sql_udf",
+    "q_sql_table_udf",
+    "q_session_vars",
+    "q_arrow_token_stats",
+    "q_wordpiece_encode",
+    "q_cogroup_funnel",
+    # -- relational shapes never driver-checked
+    "q_min_cost_supplier",
+    "q_order_distribution",
+    "q_supplier_variety",
+    "q_idle_customers",
+    "q_small_qty_revenue",
+    "q_market_share",
+    "q_top_supplier",
+    "q_excess_suppliers",
+    "q_outer_join_daily",
+    "q_range_join",
+    # -- LLM pipeline tier
+    "q_curation_pipeline",
+    "q_dup_clusters_logstar",
+    "q_canonical",
+    "q_cross_dedup",
+    "q_ngram_jaccard",
+    "q_fuzzy_pairs",
+    "q_contamination",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_multimodal_wav",
+    "q_pagerank",
+    "q_knn_graph_scaled",
+    "q_ann_recall",
+    "q_ann_kmeans",
+    "q_embed_quant",
 ]
 assert len(_CHECK_PRIORITY) == 50, (
     f"driver check window is exactly 50 slots, got {len(_CHECK_PRIORITY)}"
