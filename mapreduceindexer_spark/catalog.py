@@ -7246,6 +7246,55 @@ def q_approx_topk_bound(spark, sf_dir):
 # at 100 TB, not only the fixed-dial oracle-friendly ones. Everything
 # rotated out remains verified every session by
 # tests/test_oracle_parity.py (drives ALL oracle-backed queries).
+@register(
+    "q_table_versions",
+    """SELECT CAST(1 AS BIGINT) AS version,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents WHERE lang = 'en'
+       UNION ALL
+       SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+       FROM documents
+       UNION ALL
+       SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+       FROM documents WHERE doc_id % 7 = 0""",
+)
+def q_table_versions(spark, sf_dir):
+    """Transactional table format (sources/transact.py): snapshot
+    commits + append + TIME TRAVEL, driven end-to-end. Version 1
+    overwrites with the English slice, version 2 appends the rest
+    (append = manifest extension, zero data rewrite), version 3
+    overwrites with a 1-in-7 sample; the query reads each version AS OF
+    and aggregates it. The oracle replays the three version states
+    declaratively from the source table — commit/append/time-travel must
+    be exactly content-preserving. Scale: appends touch only new data;
+    manifests are O(#snapshots); readers resolve one manifest file and
+    scan only its listed dirs (reference has no table format at all —
+    its output is 26 overwrite-only text files, src/functions.cpp:146-162).
+    """
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    docs = _docs(spark, sf_dir)
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_"))
+    table.commit(docs.filter(F.col("lang") == "en"), "overwrite")
+    table.commit(docs.filter(F.col("lang") != "en"), "append")
+    table.commit(docs.filter(F.col("doc_id") % 7 == 0), "overwrite")
+    parts = [
+        table.read(spark, v).agg(
+            F.lit(v).cast("bigint").alias("version"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        for v in (1, 2, 3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 _CHECK_PRIORITY = [
     # Round-6 window: 6-slot core spine + 44 never-driver-checked
     # families (every entry oracle-backed; all 199 oracle queries were

@@ -1,0 +1,197 @@
+"""Minimal transactional table format: snapshot isolation, time travel,
+optimistic concurrency — pure parquet + atomic manifests, no external
+jars (the container ships no Delta/Iceberg; this is the documented seam
+made real, generalizing streaming/index_stream.py's manifest protocol).
+
+Layout::
+
+    table_dir/
+      snap-<uuid>/            one immutable parquet directory per commit
+      _manifests/v<N>.json    manifest N: the ordered list of snapshot
+                              dirs that make up version N
+
+Protocol (all on POSIX atomicity, same discipline as the streaming
+index state):
+
+- A commit writes its parquet snapshot dir first, fsyncs it, then
+  publishes manifest ``v<N>.json`` via ``os.link`` of a fsynced temp
+  file — hard-link creation is an atomic compare-and-swap (it FAILS if
+  the name exists), so two racing committers for the same version
+  cannot both win; the loser gets ``CommitConflict`` and must re-read
+  and retry. The manifest directory is fsynced after the link so the
+  commit survives power loss.
+- Readers resolve a version to its manifest and read exactly the
+  snapshot dirs it lists. A crash between snapshot write and manifest
+  link leaves an unreferenced ``snap-*`` dir — invisible to every
+  reader, reclaimed by ``vacuum``. No reader can ever observe a torn
+  version.
+- ``append`` manifests list the previous version's dirs plus the new
+  one: appends never rewrite data, so commit cost is O(new data) and
+  manifest cost O(#snapshots) — at 100 TB the data plane is untouched
+  and only the (tiny) manifest chain grows; ``overwrite`` starts a
+  fresh dir list.
+
+This is intentionally the smallest useful subset of a log-structured
+table format: enough for exactly-once batch publication, reproducible
+time-travel reads (training-data provenance), and safe concurrent
+writers. Schema evolution / row-level deletes are out of scope.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another committer published this version first (optimistic
+    concurrency): re-read the table and retry the transaction."""
+
+
+def _fsync_path(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_tree(root: str) -> None:
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for f in filenames:
+            _fsync_path(os.path.join(dirpath, f))
+        _fsync_path(dirpath)
+
+
+class TransactionalTable:
+    """A versioned parquet table rooted at ``path`` (local or any
+    fuse-mounted filesystem with atomic link/rename semantics)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.manifest_dir = os.path.join(path, "_manifests")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- version resolution -------------------------------------------------
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue  # temp/garbage names are never versions
+        return sorted(out)
+
+    def current_version(self) -> int:
+        """Latest committed version, 0 if the table is empty."""
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def _manifest(self, version: int) -> dict:
+        with open(
+            os.path.join(self.manifest_dir, f"v{version}.json"),
+            encoding="utf-8",
+        ) as fh:
+            return json.load(fh)
+
+    # -- writes -------------------------------------------------------------
+
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        expected_version: int | None = None,
+    ) -> int:
+        """Publish ``df`` as the next version; returns it.
+
+        ``expected_version`` is the optimistic-concurrency guard: the
+        commit succeeds only if it creates ``expected_version + 1``
+        (i.e. nobody committed since the caller read the table). With
+        the default None, the guard is the caller's best-effort read of
+        the current version — the atomic link still serializes racing
+        writers, so at most one wins any given version number.
+        """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        base = (
+            expected_version
+            if expected_version is not None
+            else self.current_version()
+        )
+        new_version = base + 1
+
+        snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
+        df.write.mode("error").parquet(snap)
+        _fsync_tree(snap)
+
+        if mode == "append" and base > 0:
+            dirs = self._manifest(base)["dirs"] + [os.path.basename(snap)]
+        else:
+            dirs = [os.path.basename(snap)]
+
+        payload = {"version": new_version, "mode": mode, "dirs": dirs}
+        tmp = os.path.join(
+            self.manifest_dir, f".tmp-{uuid.uuid4().hex[:12]}.json"
+        )
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        final = os.path.join(self.manifest_dir, f"v{new_version}.json")
+        try:
+            os.link(tmp, final)  # atomic CAS: fails iff the name exists
+        except FileExistsError:
+            os.unlink(tmp)
+            shutil.rmtree(snap, ignore_errors=True)
+            raise CommitConflict(
+                f"version {new_version} was committed concurrently; "
+                "re-read and retry"
+            ) from None
+        os.unlink(tmp)
+        _fsync_path(self.manifest_dir)
+        return new_version
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The table AS OF ``version`` (default: latest). Raises if the
+        table has no commits or the version does not exist."""
+        if version is None:
+            version = self.current_version()
+        if version < 1 or version not in self.versions():
+            raise ValueError(
+                f"version {version} does not exist "
+                f"(available: {self.versions() or 'none'})"
+            )
+        dirs = [
+            os.path.join(self.path, d) for d in self._manifest(version)["dirs"]
+        ]
+        return spark.read.parquet(*dirs)
+
+    # -- maintenance --------------------------------------------------------
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete snapshot dirs referenced ONLY by manifests older than
+        the newest ``keep_versions`` (and orphans from crashed commits,
+        which no manifest references at all). Returns the deleted dirs.
+        Time travel remains valid for every kept version."""
+        vs = self.versions()
+        keep = set(vs[-keep_versions:]) if vs else set()
+        live: set[str] = set()
+        for v in keep:
+            live.update(self._manifest(v)["dirs"])
+        deleted = []
+        for name in os.listdir(self.path):
+            if name.startswith("snap-") and name not in live:
+                shutil.rmtree(os.path.join(self.path, name))
+                deleted.append(name)
+        for v in vs:
+            if v not in keep:
+                os.unlink(os.path.join(self.manifest_dir, f"v{v}.json"))
+        return sorted(deleted)

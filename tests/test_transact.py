@@ -1,0 +1,104 @@
+"""Transactional table format (sources/transact.py): snapshot isolation,
+time travel, optimistic concurrency, crash invisibility, vacuum. Value
+parity of the registered query (q_table_versions) is covered by
+test_oracle_parity; these tests pin the PROTOCOL."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+
+from mapreduceindexer_spark.sources.transact import (
+    CommitConflict,
+    TransactionalTable,
+)
+
+
+def _ids(df):
+    return sorted(r[0] for r in df.select("id").collect())
+
+
+def test_commit_append_time_travel(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    assert t.current_version() == 0
+    t.commit(spark.range(0, 5))
+    t.commit(spark.range(5, 8), mode="append")
+    v3 = t.commit(spark.range(100, 102), mode="overwrite")
+    assert v3 == 3 and t.versions() == [1, 2, 3]
+    assert _ids(t.read(spark, 1)) == list(range(5))
+    assert _ids(t.read(spark, 2)) == list(range(8))
+    assert _ids(t.read(spark)) == [100, 101]
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read(spark, 9)
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read(spark, 0)  # empty-table read is an error, not a silent []
+
+
+def test_optimistic_concurrency_loser_conflicts(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(3))
+    base = t.current_version()
+    t.commit(spark.range(10), expected_version=base)  # writer A wins v2
+    with pytest.raises(CommitConflict):
+        t.commit(spark.range(20), expected_version=base)  # writer B loses
+    # The loser's snapshot dir must not leak into the table state.
+    assert t.versions() == [1, 2]
+    assert _ids(t.read(spark)) == list(range(10))
+
+
+def test_crashed_commit_is_invisible_and_vacuumable(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(4))
+    # Simulate a crash AFTER the snapshot write but BEFORE the manifest
+    # link: an orphan snap dir plus a torn temp manifest.
+    orphan = os.path.join(t.path, f"snap-{uuid.uuid4().hex[:12]}")
+    spark.range(999).write.parquet(orphan)
+    with open(
+        os.path.join(t.manifest_dir, ".tmp-deadbeef.json"), "w"
+    ) as fh:
+        fh.write('{"version":')  # torn JSON — must never be read
+    assert t.current_version() == 1
+    assert _ids(t.read(spark)) == list(range(4))
+    deleted = t.vacuum(keep_versions=1)
+    assert os.path.basename(orphan) in deleted
+    assert _ids(t.read(spark)) == list(range(4))
+
+
+def test_vacuum_keeps_time_travel_window(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(2))
+    t.commit(spark.range(5), mode="overwrite")
+    t.commit(spark.range(3), mode="append")
+    t.vacuum(keep_versions=2)
+    assert t.versions() == [2, 3]
+    assert _ids(t.read(spark, 2)) == list(range(5))
+    assert _ids(t.read(spark, 3)) == sorted(list(range(5)) + list(range(3)))
+    with pytest.raises(ValueError):
+        t.read(spark, 1)
+
+
+def test_append_extends_manifest_without_rewriting_data(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(6))
+    m1 = json.load(
+        open(os.path.join(t.manifest_dir, "v1.json"), encoding="utf-8")
+    )
+    files_before = {
+        (d, f)
+        for d in m1["dirs"]
+        for f in os.listdir(os.path.join(t.path, d))
+    }
+    t.commit(spark.range(6, 9), mode="append")
+    m2 = json.load(
+        open(os.path.join(t.manifest_dir, "v2.json"), encoding="utf-8")
+    )
+    assert m2["dirs"][: len(m1["dirs"])] == m1["dirs"]
+    files_after = {
+        (d, f)
+        for d in m1["dirs"]
+        for f in os.listdir(os.path.join(t.path, d))
+    }
+    assert files_after == files_before  # old snapshots untouched
