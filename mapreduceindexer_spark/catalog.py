@@ -7247,6 +7247,71 @@ def q_approx_topk_bound(spark, sf_dir):
 # rotated out remains verified every session by
 # tests/test_oracle_parity.py (drives ALL oracle-backed queries).
 @register(
+    "q_multimodal_gif",
+    """SELECT doc_id,
+              CAST(CAST('0x' || substr(md5(text), 1, 2) AS INT) % 13 + 4 AS INT)
+                AS width,
+              CAST(CAST('0x' || substr(md5(text), 3, 2) AS INT) % 13 + 4 AS INT)
+                AS height,
+              CAST(1 << (1 + CAST('0x' || substr(md5(text), 5, 2) AS INT) % 8)
+                AS INT) AS palette_size,
+              CAST(1 AS INT) AS n_frames,
+              TRUE AS ok
+       FROM documents""",
+)
+def q_multimodal_gif(spark, sf_dir):
+    """REAL GIF decode end-to-end (fourth codec-free kernel): per
+    document a deterministic GIF89a — digest-derived palette and pixels,
+    REAL LZW compression (dictionary growth, code-width bumps, clear-code
+    resets), a Graphic Control Extension the walker must skip — is
+    generated and parsed back by an actual GIF decoder
+    (operators/multimodal.py::decode_gif: chunk walk + own LZW, stdlib
+    only). The oracle predicts width/height/palette from the same digest
+    the generator used, so a header-walk or LZW regression breaks the
+    value hash; pixel indices round-trip bit-for-bit in unit tests."""
+    media = mm.with_gif_content(_docs(spark, sf_dir))
+    return mm.decode_gif(media).select(
+        "doc_id", "width", "height", "palette_size", "n_frames", "ok"
+    )
+
+
+@register(
+    "q_pq_ann",
+    f"""WITH e AS ({SQL_EMB}),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         sub AS (SELECT CAST(t.s AS BIGINT) AS s FROM range(4) t(s)),
+         pairs AS (SELECT e.vec_id, c.cid, sub.s,
+                          ROUND(list_sum(list_transform(
+                                list_zip(list_slice(e.v, sub.s*16+1, sub.s*16+16),
+                                         list_slice(c.cv, sub.s*16+1, sub.s*16+16)),
+                                z -> (z[1]-z[2])*(z[1]-z[2]))), 6) AS d2s
+                   FROM e, c, sub),
+         codes AS (SELECT vec_id, s, cid AS code
+                   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                                      ORDER BY d2s ASC, cid ASC) AS rn
+                         FROM pairs) WHERE rn = 1),
+         ptab AS (SELECT s, cid, d2s AS t FROM pairs WHERE vec_id = {PROBE_VEC_ID}),
+         scored AS (SELECT codes.vec_id, ROUND(sum(ptab.t), 6) AS approx_d2
+                    FROM codes JOIN ptab ON codes.s = ptab.s AND codes.code = ptab.cid
+                    WHERE codes.vec_id <> {PROBE_VEC_ID}
+                    GROUP BY codes.vec_id)
+       SELECT vec_id, approx_d2,
+              CAST(row_number() OVER (ORDER BY approx_d2 ASC, vec_id ASC) AS BIGINT) AS rn
+       FROM scored QUALIFY rn <= 10""",
+)
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ANN top-10 (Jegou et al. TPAMI'11): 4
+    subspaces x 8 deterministic sub-centroids, asymmetric distance
+    computation — the memory-compressed ANN tier beside IVF (codes are
+    16-32x smaller than raw vectors; at 100 TB the code relation is what
+    you store and scan). Codebook replayed declaratively by the oracle;
+    see operators/similarity.py::pq_topk for the plan story."""
+    return sim.pq_topk(
+        _t(spark, sf_dir, "embeddings"), PROBE_VEC_ID, k=10, m=4, ksub=8
+    )
+
+
+@register(
     "q_table_versions",
     """SELECT CAST(1 AS BIGINT) AS version,
               CAST(count(*) AS BIGINT) AS n_docs,

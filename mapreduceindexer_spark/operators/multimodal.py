@@ -708,3 +708,264 @@ def decode_png(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "content", "media_type").mapInPandas(
         decode_batches, schema=schema
     )
+
+
+# --- real decoder path: GIF (87a/89a, single frame) via own LZW -----------
+
+GIF_MEDIA_TYPE = "image/gif"
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (LSB-first variable-width codes, clear
+    code on dictionary overflow at 4096). A REAL compressor — the
+    generated blobs exercise dictionary growth, code-width bumps, and
+    (for large images) mid-stream resets in the decoder."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    code_size = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    nxt = eoi + 1
+    emit(clear, code_size)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        if nxt < 4096:
+            table[wk] = nxt
+            if nxt == (1 << code_size) and code_size < 12:
+                code_size += 1
+            nxt += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            code_size = min_code_size + 1
+            nxt = eoi + 1
+        w = bytes([k])
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(
+    data: bytes, min_code_size: int, max_pixels: int
+) -> bytes | None:
+    """Full GIF LZW decoder: variable code width, KwKwK case, clear-code
+    resets; None on any malformed stream (bad code, truncation, or more
+    pixels than the image descriptor promises)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+
+    def read(size: int) -> int | None:
+        nonlocal pos
+        end = pos + size
+        if end > len(data) * 8:
+            return None
+        val = 0
+        for i in range(size):
+            bit = (data[(pos + i) // 8] >> ((pos + i) % 8)) & 1
+            val |= bit << i
+        pos = end
+        return val
+
+    code_size = min_code_size + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = read(code_size)
+        if code is None:
+            return None
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK self-reference case
+        else:
+            return None
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+        if len(out) > max_pixels:
+            return None
+    return bytes(out)
+
+
+def _gif_blob(seed: bytes, width: int, height: int, palette_bits: int) -> bytes:
+    """Deterministic GIF89a: digest-derived global color table and pixel
+    indices, a Graphic Control Extension (so decoders must walk 0x21
+    extension blocks), one image descriptor, REAL LZW-compressed data in
+    255-byte sub-blocks."""
+    n_colors = 1 << palette_bits
+    stream = bytearray()
+    counter = 0
+    need = n_colors * 3 + width * height
+    while len(stream) < need:
+        stream.extend(hashlib.md5(seed + counter.to_bytes(4, "big")).digest())
+        counter += 1
+    palette = bytes(stream[: n_colors * 3])
+    indices = bytes(b % n_colors for b in stream[n_colors * 3 : need])
+
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0x80 | (palette_bits - 1))  # GCT present, size 2^bits
+    out += b"\x00\x00"  # bg index, aspect
+    out += palette
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: no transparency
+    out += b"\x2c" + b"\x00\x00\x00\x00"  # image descriptor at (0,0)
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0x00)  # no local color table
+    min_code = max(2, palette_bits)
+    out.append(min_code)
+    lzw = _gif_lzw_encode(indices, min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def with_gif_content(docs: DataFrame) -> DataFrame:
+    """Attach REAL GIF blobs (dimensions, palette, and pixels derived
+    from the text digest) — same binary column contract as the other
+    generators."""
+    schema = "doc_id bigint, content binary, media_type string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = hashlib.md5(str(text).encode()).digest()
+                w, h = 4 + d[0] % 13, 4 + d[1] % 13
+                bits = 1 + d[2] % 8
+                blobs.append(_gif_blob(d, w, h, bits))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": blobs,
+                    "media_type": GIF_MEDIA_TYPE,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=schema)
+
+
+def _gif_decode(content: bytes) -> tuple[int, int, int, bytes] | None:
+    """REAL GIF parser + LZW decompressor (no codec library): walks the
+    logical screen descriptor, global color table, 0x21 extension
+    blocks, and the image descriptor; LZW-decodes the pixel indices and
+    checks the count against the descriptor. Returns (width, height,
+    palette_size, pixel_indices), or None on any malformation."""
+    try:
+        if content[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        width = int.from_bytes(content[6:8], "little")
+        height = int.from_bytes(content[8:10], "little")
+        packed = content[10]
+        pos = 13
+        palette_size = 0
+        if packed & 0x80:
+            palette_size = 2 << (packed & 0x07)
+            pos += palette_size * 3
+        while pos < len(content):
+            block = content[pos]
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while content[pos] != 0:
+                    pos += 1 + content[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                iw = int.from_bytes(content[pos + 5 : pos + 7], "little")
+                ih = int.from_bytes(content[pos + 7 : pos + 9], "little")
+                ipacked = content[pos + 9]
+                pos += 10
+                if ipacked & 0x80:
+                    pos += (2 << (ipacked & 0x07)) * 3
+                min_code = content[pos]
+                pos += 1
+                lzw = bytearray()
+                while content[pos] != 0:
+                    ln = content[pos]
+                    lzw += content[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                pos += 1
+                if not 2 <= min_code <= 11 or iw <= 0 or ih <= 0:
+                    return None
+                pixels = _gif_lzw_decode(bytes(lzw), min_code, iw * ih)
+                if pixels is None or len(pixels) != iw * ih:
+                    return None
+                return width, height, palette_size, pixels
+            elif block == 0x3B:  # trailer before any image
+                return None
+            else:
+                return None
+        return None
+    except (IndexError, ValueError):
+        return None
+
+
+GIF_DECODED_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, "
+    "palette_size int, n_frames int, ok boolean"
+)
+
+
+def decode_gif(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL GIF decode (fourth codec-free kernel, beside
+    PPM/WAV/PNG): per-row error containment — a malformed or NULL blob
+    yields ok=false with zeroed fields, never a failed batch."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                None if c is None else _gif_decode(bytes(c))
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [r[0] if r else 0 for r in rows],
+                    "height": [r[1] if r else 0 for r in rows],
+                    "palette_size": [r[2] if r else 0 for r in rows],
+                    "n_frames": [1 if r else 0 for r in rows],
+                    "ok": [r is not None for r in rows],
+                }
+            )
+
+    return media.select("doc_id", "content", "media_type").mapInPandas(
+        decode_batches, schema=GIF_DECODED_SCHEMA
+    )

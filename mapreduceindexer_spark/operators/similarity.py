@@ -923,3 +923,105 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def _sub_d2(a: str, b: str, start: int, length: int) -> "F.Column":
+    """Squared L2 between ``length``-dim slices of two float vectors,
+    computed in double (exact float32→double widening) and rounded to 6
+    decimals — the same last-ulp-absorbing parity idiom as
+    ``_sq_l2_to_centroid``, replayed by the oracle with list_slice."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                F.slice(a, start, length),
+                F.slice(b, start, length),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def pq_subspace_distances(
+    embeddings: DataFrame, m: int = 4, ksub: int = 8, dim: int = 64
+) -> DataFrame:
+    """(vec_id, s, cid, d2s): squared-L2 from every vector's subspace-s
+    slice to sub-centroid ``cid`` of that subspace. Codebook 'training'
+    is deterministic — sub-centroid ``cid`` of subspace ``s`` is the
+    slice of the vector with ``vec_id == cid`` (same replayable pattern
+    as ``ivf_assignments``; ``kmeans_centroids`` per subspace is the
+    trained drop-in). One broadcast cross join with ``ksub`` rows, then
+    ``m`` narrow slice-distances inlined per pair — n·ksub·m rows total,
+    linear in the corpus."""
+    sub = dim // m
+    cents = embeddings.filter(F.col("vec_id") < ksub).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    pairs = embeddings.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("bigint").alias("s"),
+                    _sub_d2("embedding", "cvec", s * sub + 1, sub).alias("d2s"),
+                )
+                for s in range(m)
+            ]
+        ).alias("subs"),
+    )
+    return pairs.select(
+        "vec_id", "cid", F.explode("subs").alias("e")
+    ).select("vec_id", "cid", F.col("e.s").alias("s"), F.col("e.d2s").alias("d2s"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN top-k via asymmetric distance computation
+    (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011).
+
+    Encode: each vector's ``m`` subspace slices quantize to their nearest
+    of ``ksub`` sub-centroids (argmin as ``min(struct)`` — hash
+    aggregate, no window) — ``m`` small codes per vector, a 64-float
+    vector compressed to ``m·log2(ksub)`` bits plus the shared codebook.
+    Search: the probe computes one ``m × ksub`` distance TABLE (a
+    broadcast-sized relation); approx d²(x) = Σ_s table[s][code_s(x)] —
+    a lookup-join + sum, never touching the original vectors. At 100 TB
+    the corpus is scanned once to encode (codes are 16-32× smaller than
+    the vectors and would be the stored representation); each query is
+    one broadcast of an m·ksub table against the code relation.
+    """
+    pairs = pq_subspace_distances(embeddings, m=m, ksub=ksub, dim=dim)
+    codes = (
+        pairs.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2s", "cid")).alias("mn"))
+        .select("vec_id", "s", F.col("mn.cid").alias("code"))
+    )
+    ptab = pairs.filter(F.col("vec_id") == probe_id).select(
+        F.col("s").alias("ps"), F.col("cid").alias("pcid"), F.col("d2s").alias("t")
+    )
+    scored = (
+        codes.filter(F.col("vec_id") != probe_id)
+        .join(
+            F.broadcast(ptab),
+            (F.col("s") == F.col("ps")) & (F.col("code") == F.col("pcid")),
+        )
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("t"), 6).alias("approx_d2"))
+    )
+    w = Window.orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    return (
+        scored.orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+    )

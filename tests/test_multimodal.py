@@ -373,3 +373,64 @@ def test_fake_kernels_contain_null_content(spark):
     assert sizes == {1, 2}
     frames = {r.doc_id for r in sample_frames(media).collect()}
     assert frames == {1, 2}
+
+
+def test_gif_lzw_round_trip_fuzz():
+    """Own-LZW encoder/decoder round trip across alphabet sizes and
+    lengths, including dictionary growth, code-width bumps, and the
+    4096-entry clear-code reset."""
+    import random
+
+    from mapreduceindexer_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    for trial in range(40):
+        rng = random.Random(trial)
+        mcs = rng.randint(2, 8)
+        n = rng.randint(1, 4000)
+        data = bytes(rng.randrange(1 << mcs) for _ in range(n))
+        assert _gif_lzw_decode(_gif_lzw_encode(data, mcs), mcs, n) == data
+    # Forced dictionary reset (small alphabet, long stream).
+    rng = random.Random(99)
+    data = bytes(rng.randrange(4) for _ in range(20000))
+    assert _gif_lzw_decode(_gif_lzw_encode(data, 2), 2, 20000) == data
+
+
+def test_gif_generator_decoder_pixel_round_trip():
+    import hashlib
+
+    from mapreduceindexer_spark.operators import multimodal as mm
+
+    for text in ["alpha", "beta", "gamma-very-long-" * 50]:
+        d = hashlib.md5(text.encode()).digest()
+        w, h, bits = 4 + d[0] % 13, 4 + d[1] % 13, 1 + d[2] % 8
+        got = mm._gif_decode(mm._gif_blob(d, w, h, bits))
+        assert got is not None
+        gw, gh, ps, px = got
+        assert (gw, gh, ps) == (w, h, 1 << bits)
+        n = (1 << bits) * 3 + w * h
+        stream = bytearray()
+        c = 0
+        while len(stream) < n:
+            stream.extend(hashlib.md5(d + c.to_bytes(4, "big")).digest())
+            c += 1
+        assert px == bytes(b % (1 << bits) for b in stream[(1 << bits) * 3 : n])
+
+
+def test_gif_decode_malformed_containment(spark):
+    """Malformed/NULL blobs yield ok=false rows, never a failed batch."""
+    from mapreduceindexer_spark.operators import multimodal as mm
+
+    bad = spark.createDataFrame(
+        [
+            (1, bytearray(b"NOTAGIF"), "image/gif"),
+            (2, None, "image/gif"),
+            (3, bytearray(b"GIF89a\x05\x00"), "image/gif"),
+        ],
+        "doc_id bigint, content binary, media_type string",
+    )
+    rows = {r["doc_id"]: r for r in mm.decode_gif(bad).collect()}
+    assert not any(rows[i]["ok"] for i in (1, 2, 3))
+    assert all(rows[i]["width"] == 0 for i in (1, 2, 3))
