@@ -7247,6 +7247,93 @@ def q_approx_topk_bound(spark, sf_dir):
 # rotated out remains verified every session by
 # tests/test_oracle_parity.py (drives ALL oracle-backed queries).
 @register(
+    "q_shortest_path",
+    f"""WITH RECURSIVE p AS ({{SQL_PAIRS}}),
+       nd AS (SELECT count(*) AS n_docs FROM documents),
+       top AS (SELECT term FROM (
+                 SELECT term, count(*) AS df FROM p GROUP BY term
+                 ORDER BY df DESC, term ASC LIMIT {_TRI_TOP})),
+       tp AS (SELECT p.doc_id, p.term FROM p JOIN top USING (term)),
+       co AS (SELECT a.term AS u, b.term AS v, count(*) AS n
+              FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+       e AS (SELECT u, v FROM co, nd WHERE co.n * 100 >= nd.n_docs * {_TRI_PCT}),
+       sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+       src AS (SELECT min(u) AS s FROM sym),
+       walk(node, dist) AS (
+         SELECT s, 0 FROM src
+         UNION
+         SELECT sym.v, walk.dist + 1
+         FROM walk JOIN sym ON sym.u = walk.node
+         WHERE walk.dist < 40
+       )
+       SELECT node, CAST(min(dist) AS BIGINT) AS dist
+       FROM walk GROUP BY node""".replace("{SQL_PAIRS}", SQL_PAIRS),
+)
+def q_shortest_path(spark, sf_dir):
+    """Single-source BFS shortest paths over the pruned term
+    co-occurrence graph (same edge construction as q_triangles; source =
+    minimum term): operators/graph.py::bfs_distances, the frontier-
+    iteration (Pregel) shape — per round one equi-join shuffle on the
+    frontier plus an anti-join against settled nodes, emptiness-probe
+    termination. Third iterative-graph family beside connected
+    components and PageRank; the oracle is the WITH RECURSIVE walk with
+    min(dist) per node."""
+    from mapreduceindexer_spark.operators.graph import bfs_distances
+
+    pairs = _pairs(spark, sf_dir)
+    top = (
+        pairs.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(_TRI_TOP)
+        .select("term")
+    )
+    tp = pairs.join(F.broadcast(top), "term").localCheckpoint()
+    n = _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    a = tp.select("doc_id", F.col("term").alias("u"))
+    b = tp.select("doc_id", F.col("term").alias("v"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+    )
+    edges = (
+        co.crossJoin(F.broadcast(n))
+        .filter(F.col("n") * 100 >= F.col("n_docs") * _TRI_PCT)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    return bfs_distances(edges)
+
+
+@register(
+    "q_interval_join",
+    """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+                          epoch_us(ts)
+                          + CAST(round(value * 60000000) AS BIGINT) AS e
+                   FROM events)
+       SELECT a.user_id,
+              CAST(count(*) AS BIGINT) AS n_overlaps,
+              CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+                AS overlap_us
+       FROM iv a JOIN iv b
+         ON a.user_id = b.user_id AND a.event_id < b.event_id
+        AND a.s <= b.e AND b.s <= a.e
+       GROUP BY a.user_id""",
+)
+def q_interval_join(spark, sf_dir):
+    """Interval overlap join (bin-bucketed): per-user count and summed
+    duration of overlapping event intervals [ts, ts + value min]. The
+    Spark plan explodes intervals over covering time bins and equi-joins
+    on (user, bin) with first-bin dedup — candidate generation bounded
+    per bin, not quadratic per key; the oracle is the declarative
+    unbinned self-join, so bin coverage and dedup must be lossless."""
+    return ev.interval_overlap_stats(_t(spark, sf_dir, "events"))
+
+
+@register(
     "q_multimodal_gif",
     """SELECT doc_id,
               CAST(CAST('0x' || substr(md5(text), 1, 2) AS INT) % 13 + 4 AS INT)

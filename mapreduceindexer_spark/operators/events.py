@@ -290,3 +290,70 @@ def cogrouped_funnel_stats(events: DataFrame) -> DataFrame:
             " first_purchase TIMESTAMP, views_before_first BIGINT",
         )
     )
+
+
+def interval_overlap_stats(events: DataFrame, bin_minutes: int = 60) -> DataFrame:
+    """Per-user overlapping-interval statistics via a BIN-BUCKETED
+    interval self-join — the scalable formulation of "find all pairs of
+    overlapping intervals per key".
+
+    Each event spans [ts, ts + value minutes] (exact integer
+    microseconds: the float minutes are rounded once, identically in the
+    oracle). Every interval explodes to the time bins it covers; pairs
+    join on (user_id, bin) plus the overlap predicate — so candidate
+    generation is bounded per bin instead of quadratic per user, the
+    difference between a hash join and a per-key nested loop when one
+    key holds millions of intervals at 100 TB. A pair overlapping many
+    shared bins is counted EXACTLY once, without a distinct, by keeping
+    it only in the first bin both intervals cover
+    (bin == floor(max(start_a, start_b) / bin_width) — the standard
+    spatial-join dedup trick, no second shuffle).
+
+    Output: (user_id, n_overlaps, overlap_us) — pair count and summed
+    pairwise overlap in exact integer microseconds; the oracle is the
+    declarative unbinned self-join, so any bin-coverage or dedup bug
+    breaks parity.
+    """
+    binw = bin_minutes * 60_000_000
+    iv = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value") * F.lit(60_000_000.0)).cast("bigint")
+        ).alias("e"),
+    )
+    binned = iv.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col("s") / binw).cast("bigint"),
+                (F.col("e") / binw).cast("bigint"),
+            )
+        ).alias("bin"),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e"))
+        & (
+            F.col("a.bin")
+            == (F.greatest("a.s", "b.s") / binw).cast("bigint")
+        ),
+    )
+    return (
+        pairs.groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_overlaps"),
+            F.sum(
+                F.least("a.e", "b.e") - F.greatest("a.s", "b.s")
+            )
+            .cast("bigint")
+            .alias("overlap_us"),
+        )
+    )

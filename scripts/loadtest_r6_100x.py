@@ -1,0 +1,140 @@
+"""REPx load test for the round-6 operators (same rolled/offset-replica
+method as the round-4/5 tables in PLANS.md).
+
+- q_pq_ann        100x embeddings (rolled replicas, disjoint vec_ids).
+                  Expected linear: encode = n * ksub * m narrow rows;
+                  ADC = broadcast m x ksub table against the code
+                  relation.
+- q_interval_join 100x events (replicas get disjoint user_id/event_id
+                  ranges, timestamps unchanged → same per-user interval
+                  density, 100x keys). Expected linear: candidates
+                  bounded per (user, bin).
+- q_multimodal_gif 10x documents (text perturbed per replica so blob
+                  dims/pixels differ). Expected linear: per-row decode,
+                  Arrow-batched; pure-Python LZW is the kernel cost.
+- q_shortest_path 100x documents: the pruned graph is top-30 terms by
+                  construction, so BFS itself is bounded; what scales is
+                  the co-occurrence edge build (audited for the
+                  triangles family in round 5) — measured here on the
+                  same replicas as the GIF tier.
+
+Usage: python scripts/loadtest_r6_100x.py [REP_EMB] [REP_DOCS]
+(defaults 100 and 10); JSON lines to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mapreduceindexer_spark.catalog import QUERIES  # noqa: E402
+from mapreduceindexer_spark.session import get_spark  # noqa: E402
+
+ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events documents"
+    " embeddings"
+).split()
+
+
+def emit(**kw) -> None:
+    print(json.dumps(kw), flush=True)
+
+
+def run_once(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = QUERIES[name][0](spark, sf_dir).count()
+    return time.perf_counter() - t0, n
+
+
+def measure(spark, name, src, big, rep):
+    run_once(spark, name, src)  # warm-up
+    t1 = min(run_once(spark, name, src)[0], run_once(spark, name, src)[0])
+    n1 = run_once(spark, name, src)[1]
+    emit(query=name, scale="1x", sec=round(t1, 2), rows=n1)
+    tN, nN = run_once(spark, name, big)
+    emit(query=name, scale=f"{rep}x", sec=round(tN, 2), rows=nN,
+         ratio=round(tN / max(t1, 1e-9), 1))
+
+
+def stage_dir(src: str, replaced: str) -> str:
+    out = tempfile.mkdtemp(prefix=f"r6load_{replaced}_")
+    for t in ALL_TABLES:
+        if t != replaced:
+            os.symlink(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def main() -> None:
+    rep_emb = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    rep_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="r6-loadtest")
+
+    # --- embeddings tier: PQ ANN ------------------------------------------
+    emb_dir = stage_dir(src, "embeddings")
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    reps = spark.range(rep_emb).select(F.col("id").alias("r"))
+    rolled = F.expr(
+        f"concat(slice(embedding, CAST(r % {dim} AS INT) + 1,"
+        f" {dim} - CAST(r % {dim} AS INT)),"
+        f" slice(embedding, 1, CAST(r % {dim} AS INT)))"
+    )
+    emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("r") * 10_000_000).alias("vec_id"),
+        rolled.alias("embedding"),
+        "label",
+    ).repartition(64).write.mode("overwrite").parquet(
+        f"{emb_dir}/embeddings.parquet"
+    )
+    emit(stage="replicate_embeddings", rep=rep_emb)
+    measure(spark, "q_pq_ann", src, emb_dir, rep_emb)
+
+    # --- events tier: interval join ---------------------------------------
+    ev_dir = stage_dir(src, "events")
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    reps_e = spark.range(rep_emb).select(F.col("id").alias("r"))
+    ev.crossJoin(reps_e).select(
+        (F.col("event_id") + F.col("r") * 100_000_000).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("r") * 10_000_000).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).repartition(64).write.mode("overwrite").parquet(
+        f"{ev_dir}/events.parquet"
+    )
+    emit(stage="replicate_events", rep=rep_emb)
+    measure(spark, "q_interval_join", src, ev_dir, rep_emb)
+
+    # --- documents tier: GIF decode + BFS edge build ----------------------
+    doc_dir = stage_dir(src, "documents")
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    reps_d = spark.range(rep_docs).select(F.col("id").alias("r"))
+    docs.crossJoin(reps_d).select(
+        (F.col("doc_id") + F.col("r") * 10_000_000).alias("doc_id"),
+        F.when(F.col("r") == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" rep"), F.col("r")))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    ).repartition(64).write.mode("overwrite").parquet(
+        f"{doc_dir}/documents.parquet"
+    )
+    emit(stage="replicate_documents", rep=rep_docs)
+    measure(spark, "q_multimodal_gif", src, doc_dir, rep_docs)
+    measure(spark, "q_shortest_path", src, doc_dir, rep_docs)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -135,3 +135,21 @@ def test_logstar_default_budget_scales_from_node_count(spark):
     # for the 200-diameter path that defeats fixed-round propagation.
     got = _cc_star(spark, [(i, i + 1) for i in range(200)], max_rounds=None)
     assert got == {(i, 0) for i in range(201)}
+
+
+def test_bfs_distances_on_path_and_disconnected(spark):
+    from mapreduceindexer_spark.operators.graph import bfs_distances
+
+    # Path 0-1-2-3 plus a disconnected edge 10-11: BFS from min node (0)
+    # must settle exact hop counts and never reach the other component.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "u int, v int"
+    )
+    got = {(r["node"], r["dist"]) for r in bfs_distances(edges).collect()}
+    assert got == {(0, 0), (1, 1), (2, 2), (3, 3)}
+    # Explicit source + cycle: distances are shortest, not first-found.
+    edges2 = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "u int, v int"
+    )
+    got2 = {(r["node"], r["dist"]) for r in bfs_distances(edges2, source=1).collect()}
+    assert got2 == {(1, 0), (0, 1), (2, 1), (3, 2)}

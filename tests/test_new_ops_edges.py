@@ -182,3 +182,35 @@ def test_ann_recall_bounds_and_missing_probe_cells(spark):
     for r in out.values():
         assert 0 <= r["hits"] <= 4
         assert abs(r["recall"] - r["hits"] / 4.0) < 1e-9
+
+
+def test_interval_overlap_bin_dedup_and_touching(spark):
+    """Bin-bucketed interval join: a pair sharing MANY bins counts once;
+    intervals touching at a single instant count as overlapping (closed
+    intervals, overlap_us = 0); non-overlapping pairs don't pair."""
+    import datetime as dt
+
+    from mapreduceindexer_spark.operators.events import interval_overlap_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, start_min, dur_min):
+        return (eid, t0 + dt.timedelta(minutes=start_min), uid, "x",
+                float(dur_min), "{}")
+
+    rows = [
+        # user 1: a spans 5 hours, b inside it (shares 6 bins -> 1 pair);
+        # c touches a's end exactly; d is disjoint.
+        ev(1, 1, 0, 300), ev(2, 1, 30, 10), ev(3, 1, 300, 5), ev(4, 1, 400, 5),
+        # user 2: single interval, no pairs.
+        ev(5, 2, 0, 10),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    got = {r["user_id"]: (r["n_overlaps"], r["overlap_us"]) for r in
+           interval_overlap_stats(events).collect()}
+    # pairs for user 1: (1,2) overlap = 10 min, (1,3) overlap = 0 (touch).
+    assert got == {1: (2, 10 * 60_000_000)}
