@@ -97,6 +97,11 @@ HEADLINE = [
     "q_prefix_trie",       # native WITH RECURSIVE dictionary trie
     "q_arrow_token_stats",  # mapInArrow raw-batch token statistics
     "q_wordpiece_encode",  # WordPiece longest-match inference (recursive walk)
+    "q_pq_ann",            # product-quantization ANN (ADC over code relation)
+    "q_interval_join",     # bin-bucketed interval overlap join
+    "q_multimodal_gif",    # Arrow-batched REAL GIF decode (own LZW)
+    "q_shortest_path",     # frontier BFS over co-occurrence graph
+    "q_table_versions",    # transactional table commit/append/time travel
 ]
 
 

@@ -7459,9 +7459,9 @@ _CHECK_PRIORITY = [
     "q_dedup_exact",
     "q_near_dup",
     # -- derived search + retrieval surfaces
-    "q_bm25_multi",
+    "q_pq_ann",
     "q_prefix_search",
-    "q_array_bool",
+    "q_interval_join",
     "q_hybrid_rrf",
     "q_prefix_trie",
     "q_lateral_topdocs",
@@ -7496,10 +7496,10 @@ _CHECK_PRIORITY = [
     "q_canonical",
     "q_cross_dedup",
     "q_ngram_jaccard",
-    "q_fuzzy_pairs",
+    "q_multimodal_gif",
     "q_contamination",
-    "q_lang_id",
-    "q_fingerprint",
+    "q_shortest_path",
+    "q_table_versions",
     "q_multimodal_wav",
     "q_pagerank",
     "q_knn_graph_scaled",
