@@ -7333,6 +7333,92 @@ def q_interval_join(spark, sf_dir):
     return ev.interval_overlap_stats(_t(spark, sf_dir, "events"))
 
 
+@register("q_hll_stream", None)
+def q_hll_stream(spark, sf_dir):
+    """Streaming sketch maintenance: per-event-type HLL registers held
+    as applyInPandasWithState state and advanced across microbatches —
+    the time-axis counterpart of q_hll_merge's space-axis mergeability.
+    Rows-only here BY DESIGN (real streaming query); the end state is
+    pinned bit-for-bit equal to the batch-built registers by
+    tests/test_streaming.py."""
+    from mapreduceindexer_spark.streaming.sketch_stream import (
+        streaming_hll_registers,
+    )
+
+    return streaming_hll_registers(spark, sf_dir)
+
+
+@register(
+    "q_file_provenance",
+    """SELECT 'documents.parquet' AS file_name,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents""",
+)
+def q_file_provenance(spark, sf_dir):
+    """Scan provenance via the hidden ``_metadata`` file column (Spark's
+    per-file metadata struct on file-source scans): rows grouped by the
+    PHYSICAL file they came from — the lineage surface a 100 TB ingest
+    audit uses (which file produced which rows, without a join against a
+    manifest). The testdata layout pins one file per table, so the
+    oracle states the expected (file, rows, bytes) row declaratively."""
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy(
+            F.regexp_extract(F.col("_metadata.file_path"), "[^/]+$", 0).alias(
+                "file_name"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q_group_by_all",
+    """SELECT lang, source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY ALL""",
+)
+def q_group_by_all(spark, sf_dir):
+    """``GROUP BY ALL`` (Spark 4 SQL convenience: infer the grouping set
+    from the non-aggregate select items) — same syntax runs verbatim on
+    the DuckDB side, so the inference itself is what's checked."""
+    _docs(spark, sf_dir).createOrReplaceTempView("mri_gball_docs")
+    return spark.sql(
+        """SELECT lang, source,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM mri_gball_docs GROUP BY ALL"""
+    )
+
+
+@register(
+    "q_identifier_clause",
+    """SELECT l_returnflag,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)
+                AS total_qty
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_identifier_clause(spark, sf_dir):
+    """``IDENTIFIER(:param)`` clause (Spark 4): table names bound through
+    parameter markers — injection-safe dynamic SQL over object names,
+    the companion surface to q_param_sql's value binding."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("mri_ident_li")
+    return spark.sql(
+        """SELECT l_returnflag,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)
+                    AS total_qty
+           FROM IDENTIFIER(:t) GROUP BY l_returnflag""",
+        args={"t": "mri_ident_li"},
+    )
+
+
 @register(
     "q_multimodal_gif",
     """SELECT doc_id,

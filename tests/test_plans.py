@@ -810,3 +810,35 @@ def test_prefix_trie_runs_native_recursion(spark):
     # The recursion must be Spark's native UnionLoop operator (WITH
     # RECURSIVE), not a driver-side unrolling.
     assert "UnionLoop" in plan, plan
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    """The bin-bucketed interval join must plan the self-join as a hash
+    equi-join on (user_id, bin) with the overlap/dedup predicates as
+    residual filters — never a nested loop over per-user event sets."""
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_interval_join"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_ann_broadcasts_probe_table_and_codebook(spark):
+    """PQ ADC: the m x ksub probe distance table joins the code relation
+    as a BROADCAST (it is bounded by construction), and the only
+    crossJoin in the encode stage is the broadcast of the ksub-row
+    codebook — no shuffle keyed on anything quadratic."""
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.plans import explain_str
+
+    df = QUERIES["q_pq_ann"][0](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # (The encode stage's codebook crossJoin may appear as a broadcast
+    # nested loop — that input is ksub rows by construction; the pins
+    # above guarantee the ADC lookup is a broadcast HASH join and nothing
+    # plans a real cartesian product.)

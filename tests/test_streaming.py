@@ -172,3 +172,31 @@ def test_twstate_totals_match_batch(spark):
         tuple(r) for r in twstate.streaming_user_totals(spark, SF_SMOKE).collect()
     )
     assert batch == stream
+
+
+def test_streaming_hll_registers_equal_batch(spark):
+    """Streaming HLL maintenance: the flushed register state after the
+    multi-microbatch replay equals the batch-built register relation
+    BIT-FOR-BIT (same hash/bucket/rho expressions shared by
+    construction; what's verified is the cross-batch state max)."""
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming.sketch_stream import (
+        hll_registers_batch,
+        streaming_hll_registers,
+    )
+    from tests.conftest import SF_SMOKE
+
+    stream = sorted(
+        map(tuple, streaming_hll_registers(spark, SF_SMOKE).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            hll_registers_batch(
+                load_table(spark, SF_SMOKE, "events").select(
+                    "event_type", "user_id"
+                )
+            ).collect(),
+        )
+    )
+    assert stream == batch and len(stream) > 0
