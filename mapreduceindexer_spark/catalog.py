@@ -7333,6 +7333,101 @@ def q_interval_join(spark, sf_dir):
     return ev.interval_overlap_stats(_t(spark, sf_dir, "events"))
 
 
+_UNI_L, _UNI_PLEN, _UNI_TOPP, _UNI_BIG, _UNI_TOPOUT = 8, 4, 60, 10**9, 20
+
+
+def _unigram_oracle() -> str:
+    """Unrolled-DP DuckDB twin of operators/textstats.py::unigram_lm_round
+    (same dials, same exact-integer Viterbi objective): dp stage per
+    position with the identical (key, prev_j, piece) argmin, dpall union,
+    backtrack joins, M-step recount. MATERIALIZED on the multi-referenced
+    CTEs — DuckDB inlines CTEs by default and would otherwise re-open the
+    corpus scan once per DP stage."""
+    L, PLEN, TOPP, BIG, TOPOUT = (
+        _UNI_L, _UNI_PLEN, _UNI_TOPP, _UNI_BIG, _UNI_TOPOUT
+    )
+    dp = ["dp0 AS (SELECT w, tf, CAST(0 AS BIGINT) AS key FROM words)"]
+    for p in range(1, L + 1):
+        cands = " UNION ALL ".join(
+            "SELECT d.w, d.tf, d.key + {BIG} - pc.freq AS key, "
+            "{j} AS prev_j, pc.piece "
+            "FROM dp{j} d JOIN pieces pc "
+            "ON pc.piece = substr(d.w, {j}+1, {plen}) "
+            "WHERE length(d.w) >= {p}".format(BIG=BIG, j=j, p=p, plen=p - j)
+            for j in range(max(0, p - PLEN), p)
+        )
+        dp.append(
+            "cand{p} AS ({c}),\n"
+            " dp{p} AS (SELECT w, tf, key, prev_j, piece FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY w "
+            "ORDER BY key ASC, prev_j ASC, piece ASC) AS rn FROM cand{p}) "
+            "WHERE rn = 1)".format(p=p, c=cands)
+        )
+    dpall = " UNION ALL ".join(
+        "SELECT w, {p} AS pos, prev_j, piece FROM dp{p}".format(p=p)
+        for p in range(1, L + 1)
+    )
+    bt = ["bt0 AS (SELECT w, tf, length(w) AS pos FROM words)"]
+    emits = []
+    for s in range(1, L + 1):
+        bt.append(
+            "bt{s} AS (SELECT b.w, b.tf, d.prev_j AS pos, d.piece "
+            "FROM bt{sm} b JOIN dpall d ON d.w = b.w AND d.pos = b.pos "
+            "WHERE b.pos > 0)".format(s=s, sm=s - 1)
+        )
+        emits.append("SELECT w, tf, piece FROM bt{s}".format(s=s))
+    head = (
+        "WITH t AS ({SQL_TERMS}),\n"
+        " words AS MATERIALIZED (SELECT substr(term,1,{L}) AS w, "
+        "CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1),\n"
+        " subs AS (SELECT substr(w, s.pos, l.len) AS piece, "
+        "CAST(sum(tf) AS BIGINT) AS freq "
+        "FROM words, range(1, {L}+1) s(pos), range(1, {PLEN}+1) l(len) "
+        "WHERE s.pos + l.len - 1 <= length(w) GROUP BY 1),\n"
+        " toppieces AS (SELECT piece, freq FROM ("
+        "SELECT *, row_number() OVER (ORDER BY freq DESC, piece ASC) AS rn "
+        "FROM subs WHERE length(piece) > 1) WHERE rn <= {TOPP}),\n"
+        " chars AS (SELECT piece, freq FROM subs WHERE length(piece) = 1),\n"
+        " pieces AS MATERIALIZED (SELECT piece, freq FROM toppieces "
+        "UNION SELECT piece, freq FROM chars),\n"
+    ).format(SQL_TERMS=SQL_TERMS, L=L, PLEN=PLEN, TOPP=TOPP)
+    tail = (
+        "\n onpath AS ({emits}),\n"
+        " recount AS (SELECT piece, CAST(sum(tf) AS BIGINT) AS new_count "
+        "FROM onpath GROUP BY piece)\n"
+        "SELECT piece, new_count, "
+        "CAST(row_number() OVER (ORDER BY new_count DESC, piece ASC) "
+        "AS BIGINT) AS rn FROM recount QUALIFY rn <= {TOPOUT}"
+    ).format(emits=" UNION ALL ".join(emits), TOPOUT=TOPOUT)
+    return (
+        head
+        + " " + ",\n ".join(dp)
+        + ",\n dpall AS MATERIALIZED (" + dpall + "),\n "
+        + ",\n ".join(bt)
+        + "," + tail
+    )
+
+
+@register("q_unigram_lm", _unigram_oracle())
+def q_unigram_lm(spark, sf_dir):
+    """One EM round of unigram-LM (SentencePiece-family) tokenizer
+    training: Viterbi E-step over the pruned piece inventory + recount
+    M-step, under an exact-integer objective both engines replay
+    bit-for-bit — see operators/textstats.py::unigram_lm_round for the
+    determinism contract and scale story (DP relations are
+    vocabulary-sized, never corpus-sized)."""
+    from mapreduceindexer_spark.operators.textstats import unigram_lm_round
+
+    return unigram_lm_round(
+        _docs(spark, sf_dir),
+        max_word_len=_UNI_L,
+        max_piece_len=_UNI_PLEN,
+        top_pieces=_UNI_TOPP,
+        top_out=_UNI_TOPOUT,
+        big=_UNI_BIG,
+    )
+
+
 @register("q_hll_stream", None)
 def q_hll_stream(spark, sf_dir):
     """Streaming sketch maintenance: per-event-type HLL registers held

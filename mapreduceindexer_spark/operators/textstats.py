@@ -626,3 +626,145 @@ def token_stats_arrow(docs: DataFrame) -> DataFrame:
         kernel,
         "doc_id bigint, n_chars_utf8 bigint, n_tokens bigint, n_vowels bigint",
     )
+
+
+def unigram_lm_round(
+    docs: DataFrame,
+    max_word_len: int = 8,
+    max_piece_len: int = 4,
+    top_pieces: int = 60,
+    top_out: int = 20,
+    big: int = 10**9,
+) -> DataFrame:
+    """One EM round of unigram-LM tokenizer training (the SentencePiece
+    algorithm family, Kudo ACL'18), completing the tokenizer-training
+    trio beside greedy BPE (``bpe_train``) and WordPiece inference.
+
+    E-step: Viterbi-segment every distinct (truncated) word over the
+    current piece inventory (all substrings up to ``max_piece_len``,
+    pruned to the ``top_pieces`` most frequent multi-char pieces plus all
+    single chars). M-step: re-count piece frequencies over the chosen
+    segmentations; output the ``top_out`` pieces by new count.
+
+    Determinism contract: real unigram-LM maximizes the product of piece
+    probabilities — a float objective two engines can disagree on at the
+    last ulp. Here the Viterbi objective is EXACT integers: minimize
+    piece count, tie-break by maximal summed piece frequency, then
+    (prev_j, piece) lexicographically — encoded as one BIGINT key
+    ``cost*BIG - freq_sum`` and one ``min(struct(...))`` argmin per
+    position, so Spark and the unrolled-DP DuckDB oracle are
+    bit-identical. Same plan shape as the float version.
+
+    Scale: every DP relation is O(|vocabulary|) rows (never corpus-
+    sized); the piece inventory is broadcast to all ``max_word_len``
+    unrolled DP stages, and each stage is localCheckpoint'd — the
+    stage-p plan otherwise references stages p-1..p-4 and the lineage
+    grows 4^L. Positions/pieces per word are bounded by the truncation
+    dials, so the whole train step is a fixed number of bounded joins
+    regardless of corpus size.
+    """
+    words = (
+        docs.select(
+            F.explode(normalized_token_array("text")).alias("term")
+        )
+        .select(F.substring("term", 1, max_word_len).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint()
+    )
+    subs = (
+        words.select(
+            "w",
+            "tf",
+            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("pos"),
+        )
+        .select(
+            "w",
+            "tf",
+            "pos",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(max_piece_len), F.length("w") - F.col("pos") + 1
+                    ),
+                )
+            ).alias("len"),
+        )
+        .select(
+            F.expr("substr(w, pos, len)").alias("piece"), "tf"
+        )
+        .groupBy("piece")
+        .agg(F.sum("tf").cast("bigint").alias("freq"))
+    )
+    top = (
+        subs.filter(F.length("piece") > 1)
+        .orderBy(F.desc("freq"), F.asc("piece"))
+        .limit(top_pieces)
+    )
+    chars = subs.filter(F.length("piece") == 1)
+    pieces = top.union(chars).distinct().localCheckpoint()
+
+    dp = {0: words.select("w", "tf", F.lit(0).cast("bigint").alias("key"))}
+    for p in range(1, max_word_len + 1):
+        cands = None
+        for j in range(max(0, p - max_piece_len), p):
+            c = (
+                dp[j]
+                .select("w", "tf", "key")
+                .filter(F.length("w") >= p)
+                .join(
+                    F.broadcast(pieces),
+                    F.col("piece") == F.expr(f"substr(w, {j + 1}, {p - j})"),
+                )
+                .select(
+                    "w",
+                    "tf",
+                    (F.col("key") + F.lit(big) - F.col("freq")).alias("key"),
+                    F.lit(j).cast("bigint").alias("prev_j"),
+                    "piece",
+                )
+            )
+            cands = c if cands is None else cands.unionAll(c)
+        dp[p] = (
+            cands.groupBy("w")
+            .agg(
+                F.min(F.struct("key", "prev_j", "piece", "tf")).alias("m")
+            )
+            .select(
+                "w",
+                F.col("m.tf").alias("tf"),
+                F.col("m.key").alias("key"),
+                F.col("m.prev_j").alias("prev_j"),
+                F.col("m.piece").alias("piece"),
+            )
+            .localCheckpoint()
+        )
+    dpall = None
+    for p in range(1, max_word_len + 1):
+        d = dp[p].select(
+            "w", F.lit(p).cast("int").alias("pos"), "prev_j", "piece"
+        )
+        dpall = d if dpall is None else dpall.unionAll(d)
+    dpall = dpall.localCheckpoint()
+
+    bt = words.select("w", "tf", F.length("w").cast("int").alias("pos"))
+    onpath = None
+    for _ in range(max_word_len):
+        step = bt.filter(F.col("pos") > 0).join(dpall, ["w", "pos"])
+        emitted = step.select("w", "tf", "piece")
+        onpath = emitted if onpath is None else onpath.unionAll(emitted)
+        bt = step.select(
+            "w", "tf", F.col("prev_j").cast("int").alias("pos")
+        ).localCheckpoint()
+    recount = onpath.groupBy("piece").agg(
+        F.sum("tf").cast("bigint").alias("new_count")
+    )
+    from pyspark.sql import Window
+
+    w_rn = Window.orderBy(F.desc("new_count"), F.asc("piece"))
+    return (
+        recount.orderBy(F.desc("new_count"), F.asc("piece"))
+        .limit(top_out)
+        .withColumn("rn", F.row_number().over(w_rn).cast("bigint"))
+    )

@@ -113,3 +113,27 @@ def test_bpe_exhausted_corpus_emits_no_null_merges(spark):
     o = {r[0]: (r[1], r[2]) for r in con.execute(QUERIES["q_bpe_encode"][1]).fetchall()}
     con.close()
     assert o == {0: (3, 3), 1: (4, 4)}, o
+
+
+def test_unigram_lm_round_fewest_pieces_and_determinism(spark):
+    """unigram_lm_round: the Viterbi objective picks fewest pieces (a
+    word whose whole form is in the inventory segments as itself), the
+    M-step recount conserves total word mass onto pieces, and repeated
+    runs are bit-identical (exact-integer objective)."""
+    from mapreduceindexer_spark.operators.textstats import unigram_lm_round
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark row row zq"), (2, "spark row spark")],
+        "doc_id bigint, text string",
+    )
+    out1 = sorted(map(tuple, unigram_lm_round(docs, top_out=50).collect()))
+    out2 = sorted(map(tuple, unigram_lm_round(docs, top_out=50).collect()))
+    assert out1 == out2 and out1
+    counts = {p: c for p, c, _ in out1}
+    # 'spark' (5 chars) exceeds max_piece_len=4: fewest-pieces path is
+    # 's' + 'park' (2 pieces), never 5 single chars.
+    assert counts.get("park") == 5 and counts.get("s") == 5
+    # 'row' and 'zq' fit in one piece each -> segment as themselves.
+    assert counts.get("row") == 3
+    assert counts.get("zq") == 1
+    assert set(counts) == {"park", "s", "row", "zq"}
