@@ -102,6 +102,7 @@ HEADLINE = [
     "q_multimodal_gif",    # Arrow-batched REAL GIF decode (own LZW)
     "q_shortest_path",     # frontier BFS over co-occurrence graph
     "q_table_versions",    # transactional table commit/append/time travel
+    "q_unigram_lm",        # unigram-LM tokenizer EM round (unrolled Viterbi DP)
 ]
 
 

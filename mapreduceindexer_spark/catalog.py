@@ -7685,7 +7685,7 @@ _CHECK_PRIORITY = [
     "q_pagerank",
     "q_knn_graph_scaled",
     "q_ann_recall",
-    "q_ann_kmeans",
+    "q_unigram_lm",
     "q_embed_quant",
 ]
 assert len(_CHECK_PRIORITY) == 50, (
