@@ -7261,7 +7261,7 @@ def q_approx_topk_bound(spark, sf_dir):
        sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
        src AS (SELECT min(u) AS s FROM sym),
        walk(node, dist) AS (
-         SELECT s, 0 FROM src
+         SELECT s, 0 FROM src WHERE s IS NOT NULL
          UNION
          SELECT sym.v, walk.dist + 1
          FROM walk JOIN sym ON sym.u = walk.node
@@ -7625,6 +7625,13 @@ def q_table_versions(spark, sf_dir):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
+    # Materialize the 3-row result BEFORE deleting the table files (the
+    # read is lazy); without cleanup every invocation leaks two corpus
+    # copies into /tmp (self-review finding; bench runs this 5x).
+    out = out.localCheckpoint()
+    import shutil
+
+    shutil.rmtree(table.path, ignore_errors=True)
     return out
 
 

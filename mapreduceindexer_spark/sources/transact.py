@@ -42,29 +42,17 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from mapreduceindexer_spark.ioutil import fsync_path, fsync_tree
 
 
 class CommitConflict(Exception):
     """Another committer published this version first (optimistic
     concurrency): re-read the table and retry the transaction."""
-
-
-def _fsync_path(path: str) -> None:
-    fd = os.open(path, os.O_RDONLY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
-
-
-def _fsync_tree(root: str) -> None:
-    for dirpath, _dirnames, filenames in os.walk(root):
-        for f in filenames:
-            _fsync_path(os.path.join(dirpath, f))
-        _fsync_path(dirpath)
 
 
 class TransactionalTable:
@@ -128,7 +116,11 @@ class TransactionalTable:
 
         snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
         df.write.mode("error").parquet(snap)
-        _fsync_tree(snap)
+        fsync_tree(snap)
+        # The snap-* directory ENTRY lives in the table root: without
+        # this fsync a power loss could keep the manifest (synced below)
+        # while dropping the directory it references.
+        fsync_path(self.path)
 
         if mode == "append" and base > 0:
             dirs = self._manifest(base)["dirs"] + [os.path.basename(snap)]
@@ -154,7 +146,7 @@ class TransactionalTable:
                 "re-read and retry"
             ) from None
         os.unlink(tmp)
-        _fsync_path(self.manifest_dir)
+        fsync_path(self.manifest_dir)
         return new_version
 
     # -- reads --------------------------------------------------------------
@@ -176,22 +168,49 @@ class TransactionalTable:
 
     # -- maintenance --------------------------------------------------------
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, grace_seconds: float = 300.0
+    ) -> list[str]:
         """Delete snapshot dirs referenced ONLY by manifests older than
         the newest ``keep_versions`` (and orphans from crashed commits,
         which no manifest references at all). Returns the deleted dirs.
-        Time travel remains valid for every kept version."""
+        Time travel remains valid for every kept version.
+
+        Concurrency: a snapshot written by an IN-FLIGHT commit is
+        unreferenced until its manifest link lands, so vacuum skips any
+        snap dir younger than ``grace_seconds`` and re-reads the
+        manifest set immediately before each delete — a dir whose
+        manifest landed between the initial scan and the delete is
+        spared. A writer stalled longer than the grace window between
+        snapshot write and manifest link can still lose its snapshot
+        (and will fail loudly at read time); size the grace above the
+        slowest plausible commit, as every log-structured table format
+        does for its retention window."""
         vs = self.versions()
         keep = set(vs[-keep_versions:]) if vs else set()
-        live: set[str] = set()
-        for v in keep:
-            live.update(self._manifest(v)["dirs"])
         deleted = []
-        for name in os.listdir(self.path):
-            if name.startswith("snap-") and name not in live:
-                shutil.rmtree(os.path.join(self.path, name))
-                deleted.append(name)
-        for v in vs:
+        now = time.time()
+        for name in sorted(os.listdir(self.path)):
+            if not name.startswith("snap-"):
+                continue
+            try:
+                age = now - os.path.getmtime(os.path.join(self.path, name))
+            except OSError:
+                continue
+            if age < grace_seconds:
+                continue
+            # Re-read liveness at delete time: manifests may have landed
+            # (or been vacuumed) since the initial scan.
+            current = self.versions()
+            kept_now = set(current[-keep_versions:]) if current else set()
+            live_now: set[str] = set()
+            for v in kept_now | (keep & set(current)):
+                live_now.update(self._manifest(v)["dirs"])
+            if name in live_now:
+                continue
+            shutil.rmtree(os.path.join(self.path, name))
+            deleted.append(name)
+        for v in self.versions():
             if v not in keep:
                 os.unlink(os.path.join(self.manifest_dir, f"v{v}.json"))
         return sorted(deleted)

@@ -60,6 +60,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# _fsync_dir: one shared implementation of the rename-durability
+# discipline (advisor finding, round 5; deduplicated with
+# sources/transact.py in round 6's self-review).
+from mapreduceindexer_spark.ioutil import fsync_path as _fsync_dir
 from mapreduceindexer_spark.operators.index import (
     build_postings,
     merge_postings_colocated,
@@ -98,18 +102,6 @@ def _write_doc_slices(docs: DataFrame, stream_dir: str, n_slices: int) -> None:
         finally:
             os.close(fd)
     _fsync_dir(stream_dir)
-
-
-def _fsync_dir(path: str) -> None:
-    """fsync a DIRECTORY: an ``os.replace`` inside it is atomic but not
-    durable until the directory entry itself is flushed — without this a
-    power loss after the rename can roll the 'committed' pointer back
-    (advisor finding, round 5)."""
-    dfd = os.open(path, os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
 
 
 def _write_bucketed(df: DataFrame, name: str, n_buckets: int) -> None:

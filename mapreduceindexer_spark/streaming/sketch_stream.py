@@ -132,6 +132,13 @@ def streaming_hll_registers(
         "ord", F.monotonically_increasing_id()
     )
     tmp_dir = tempfile.mkdtemp(prefix="mri_stream_hll_")
+    try:
+        return _run_hll_stream(spark, events, hashed, tmp_dir, n_slices)
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def _run_hll_stream(spark, events, hashed, tmp_dir, n_slices):
     stream_dir = os.path.join(tmp_dir, "stream")
     os.makedirs(stream_dir)
 
@@ -191,9 +198,13 @@ def streaming_hll_registers(
         .start()
     )
     try:
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        if not finished:
+            # A timed-out replay would otherwise return PARTIAL registers
+            # as if they were the final state (self-review finding).
+            raise RuntimeError(
+                "streaming HLL replay did not finish within 300 s"
+            )
     finally:
         q.stop()
-    out = spark.createDataFrame(spark.table(name).collect(), OUT_SCHEMA)
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    return out
+    return spark.createDataFrame(spark.table(name).collect(), OUT_SCHEMA)

@@ -62,7 +62,7 @@ def test_crashed_commit_is_invisible_and_vacuumable(spark, tmp_path):
         fh.write('{"version":')  # torn JSON — must never be read
     assert t.current_version() == 1
     assert _ids(t.read(spark)) == list(range(4))
-    deleted = t.vacuum(keep_versions=1)
+    deleted = t.vacuum(keep_versions=1, grace_seconds=0)
     assert os.path.basename(orphan) in deleted
     assert _ids(t.read(spark)) == list(range(4))
 
@@ -72,7 +72,7 @@ def test_vacuum_keeps_time_travel_window(spark, tmp_path):
     t.commit(spark.range(2))
     t.commit(spark.range(5), mode="overwrite")
     t.commit(spark.range(3), mode="append")
-    t.vacuum(keep_versions=2)
+    t.vacuum(keep_versions=2, grace_seconds=0)
     assert t.versions() == [2, 3]
     assert _ids(t.read(spark, 2)) == list(range(5))
     assert _ids(t.read(spark, 3)) == sorted(list(range(5)) + list(range(3)))
