@@ -726,7 +726,7 @@ def unigram_lm_round(
                 )
             )
             cands = c if cands is None else cands.unionAll(c)
-        dp[p] = (
+        stage = (
             cands.groupBy("w")
             .agg(
                 F.min(F.struct("key", "prev_j", "piece", "tf")).alias("m")
@@ -738,8 +738,14 @@ def unigram_lm_round(
                 F.col("m.prev_j").alias("prev_j"),
                 F.col("m.piece").alias("piece"),
             )
-            .localCheckpoint()
         )
+        # Checkpoint EVERY stage: stage p references stages
+        # p-1..p-max_piece_len, so any un-checkpointed stage multiplies
+        # the downstream plan by ~max_piece_len. A stride-2 variant was
+        # measured SLOWER (5.5 s vs 4.5 s at sf0.1): at vocabulary scale
+        # the analyzer cost of the expanded plans exceeds the driver-side
+        # job overhead the skipped checkpoints save.
+        dp[p] = stage.localCheckpoint()
     dpall = None
     for p in range(1, max_word_len + 1):
         d = dp[p].select(
@@ -748,6 +754,12 @@ def unigram_lm_round(
         dpall = d if dpall is None else dpall.unionAll(d)
     dpall = dpall.localCheckpoint()
 
+    # Backtrack: a LINEAR join chain against the checkpointed dpall —
+    # unlike the dp stages (which reference up to max_piece_len prior
+    # stages and would re-expand 4^L without checkpoints), each bt step
+    # references only its predecessor, so the whole walk stays one lazy
+    # plan and runs as a single job at the end (dropping the per-step
+    # eager checkpoints here cut ~8 driver-side jobs from the query).
     bt = words.select("w", "tf", F.length("w").cast("int").alias("pos"))
     onpath = None
     for _ in range(max_word_len):
@@ -756,7 +768,7 @@ def unigram_lm_round(
         onpath = emitted if onpath is None else onpath.unionAll(emitted)
         bt = step.select(
             "w", "tf", F.col("prev_j").cast("int").alias("pos")
-        ).localCheckpoint()
+        )
     recount = onpath.groupBy("piece").agg(
         F.sum("tf").cast("bigint").alias("new_count")
     )
