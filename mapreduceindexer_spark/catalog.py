@@ -7428,6 +7428,19 @@ def q_unigram_lm(spark, sf_dir):
     )
 
 
+@register("q_cdc_stream", None)
+def q_cdc_stream(spark, sf_dir):
+    """Streaming CDC apply: per-user profile updates merged into the
+    transactional table format (sources/transact.py) with exactly-once
+    via batch_id-in-manifest idempotence and atomic snapshot commits.
+    Rows-only BY DESIGN (real streaming query with a stateful sink); the
+    final table is pinned equal to the batch latest-event-per-user
+    relation by tests/test_streaming.py."""
+    from mapreduceindexer_spark.streaming.cdc_stream import streaming_cdc_apply
+
+    return streaming_cdc_apply(spark, sf_dir)
+
+
 @register("q_hll_stream", None)
 def q_hll_stream(spark, sf_dir):
     """Streaming sketch maintenance: per-event-type HLL registers held

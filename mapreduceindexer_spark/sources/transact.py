@@ -81,6 +81,11 @@ class TransactionalTable:
         vs = self.versions()
         return vs[-1] if vs else 0
 
+    def meta_of(self, version: int) -> dict:
+        """The ``meta`` dict the committer attached to ``version`` ({} if
+        none)."""
+        return self._manifest(version).get("meta", {})
+
     def _manifest(self, version: int) -> dict:
         with open(
             os.path.join(self.manifest_dir, f"v{version}.json"),
@@ -95,8 +100,12 @@ class TransactionalTable:
         df: DataFrame,
         mode: str = "overwrite",
         expected_version: int | None = None,
+        meta: dict | None = None,
     ) -> int:
-        """Publish ``df`` as the next version; returns it.
+        """Publish ``df`` as the next version; returns it. ``meta`` (a
+        small JSON-able dict) rides the manifest — e.g. a streaming
+        sink's batch_id, so a retried microbatch can recognize its own
+        already-committed version (exactly-once).
 
         ``expected_version`` is the optimistic-concurrency guard: the
         commit succeeds only if it creates ``expected_version + 1``
@@ -128,6 +137,8 @@ class TransactionalTable:
             dirs = [os.path.basename(snap)]
 
         payload = {"version": new_version, "mode": mode, "dirs": dirs}
+        if meta:
+            payload["meta"] = meta
         tmp = os.path.join(
             self.manifest_dir, f".tmp-{uuid.uuid4().hex[:12]}.json"
         )

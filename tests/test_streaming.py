@@ -200,3 +200,22 @@ def test_streaming_hll_registers_equal_batch(spark):
         )
     )
     assert stream == batch and len(stream) > 0
+
+
+def test_streaming_cdc_apply_equals_batch_latest(spark):
+    """CDC replay through the transactional table == batch latest-wins."""
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming.cdc_stream import (
+        latest_per_user,
+        streaming_cdc_apply,
+    )
+    from tests.conftest import SF_SMOKE
+
+    s = sorted(map(tuple, streaming_cdc_apply(spark, SF_SMOKE).collect()))
+    b = sorted(
+        map(
+            tuple,
+            latest_per_user(load_table(spark, SF_SMOKE, "events")).collect(),
+        )
+    )
+    assert s == b and len(s) > 0

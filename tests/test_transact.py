@@ -102,3 +102,30 @@ def test_append_extends_manifest_without_rewriting_data(spark, tmp_path):
         for f in os.listdir(os.path.join(t.path, d))
     }
     assert files_after == files_before  # old snapshots untouched
+
+
+def test_commit_meta_rides_manifest_and_gates_replay(spark, tmp_path):
+    """meta={'batch_id': N} is readable back, and the CDC idempotence
+    guard skips a batch whose id is already committed."""
+    from mapreduceindexer_spark.streaming.cdc_stream import _apply_batch
+
+    t = TransactionalTable(str(tmp_path / "t"))
+
+    def ev(uid, ts, eid, val):
+        return spark.createDataFrame(
+            [(uid, ts, eid, val)],
+            "user_id bigint, ts string, event_id bigint, value double",
+        ).selectExpr(
+            "user_id", "CAST(ts AS TIMESTAMP) ts", "event_id", "value"
+        )
+
+    _apply_batch(t, ev(1, "2024-01-01 00:00:00", 1, 2.0), batch_id=7)
+    assert t.current_version() == 1
+    assert t.meta_of(1) == {"batch_id": 7}
+    _apply_batch(t, ev(1, "2024-01-01 01:00:00", 2, 9.0), batch_id=7)
+    assert t.current_version() == 1  # replayed batch: no new version
+    _apply_batch(t, ev(1, "2024-01-01 01:00:00", 2, 9.0), batch_id=8)
+    assert t.current_version() == 2
+    assert t.meta_of(2) == {"batch_id": 8}
+    rows = t.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["last_value"] == 9.0
