@@ -129,3 +129,45 @@ def test_commit_meta_rides_manifest_and_gates_replay(spark, tmp_path):
     assert t.meta_of(2) == {"batch_id": 8}
     rows = t.read(spark).collect()
     assert len(rows) == 1 and rows[0]["last_value"] == 9.0
+
+
+def test_concurrent_committers_serialize_via_link_cas(spark, tmp_path):
+    """Real thread race: N writers append concurrently with
+    read-version/commit/retry loops. The hard-link CAS must serialize
+    them — every writer lands exactly once, versions are a gap-free
+    chain, and the final table holds all writers' rows."""
+    import threading
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 1))  # v1 seed
+    n_writers, errors = 6, []
+
+    def writer(i):
+        base = 1000 * (i + 1)
+        for _ in range(30):  # retry budget
+            try:
+                cur = t.current_version()
+                t.commit(
+                    spark.range(base, base + 1),
+                    mode="append",
+                    expected_version=cur,
+                )
+                return
+            except CommitConflict:
+                continue
+            except Exception as ex:  # pragma: no cover
+                errors.append(ex)
+                return
+        errors.append(RuntimeError(f"writer {i} exhausted retries"))
+
+    threads = [
+        threading.Thread(target=writer, args=(i,)) for i in range(n_writers)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert t.versions() == list(range(1, n_writers + 2))  # gap-free chain
+    ids = _ids(t.read(spark))
+    assert ids == sorted([0] + [1000 * (i + 1) for i in range(n_writers)])
