@@ -7428,6 +7428,53 @@ def q_unigram_lm(spark, sf_dir):
     )
 
 
+@register(
+    "q_postings_ef",
+    f"""WITH p AS ({SQL_POSTINGS}),
+         g AS (
+           SELECT term, df,
+                  [CASE WHEN i = 1 THEN doc_ids[i]
+                        ELSE doc_ids[i] - doc_ids[i-1] END
+                   FOR i IN range(1, len(doc_ids) + 1)] AS gaps,
+                  doc_ids[len(doc_ids)] AS mx
+           FROM p),
+         ef AS (
+           SELECT term, df, gaps, mx,
+                  CASE WHEN mx + 1 >= df
+                       THEN length(bin((mx + 1) // df)) - 1
+                       ELSE 0 END AS l
+           FROM g)
+       SELECT term, df,
+              CAST(df * 8 AS BIGINT) AS raw_bytes,
+              CAST(((df * l + 7) // 8)
+                   + ((df + (mx >> l) + 1 + 7) // 8) AS BIGINT) AS ef_bytes,
+              CAST(list_sum(list_transform(gaps, x -> CASE
+                   WHEN x < 128 THEN 1
+                   WHEN x < 16384 THEN 2
+                   WHEN x < 2097152 THEN 3
+                   WHEN x < 268435456 THEN 4
+                   WHEN x < 34359738368 THEN 5
+                   WHEN x < 4398046511104 THEN 6
+                   WHEN x < 562949953421312 THEN 7
+                   WHEN x < 72057594037927936 THEN 8
+                   ELSE 9 END)) AS BIGINT) AS varint_bytes
+       FROM ef""",
+)
+def q_postings_ef(spark, sf_dir):
+    """Elias-Fano posting-list layout (Vigna WSDM'13) beside the
+    delta+varint ledger: the Spark side measures the REAL encoded bytes
+    of BOTH codecs (operators/compression.py::elias_fano_stats, Arrow
+    one-pass over the vocabulary); the oracle predicts ef_bytes exactly
+    from (n, max) arithmetic — l = max(0, floor(log2(u/n))) low bits
+    plus the n + (max >> l) + 1 unary high bits — and varint_bytes from
+    the gap distribution. EF's win over varint: O(1) select into the
+    list (no skip lists), the access pattern term-lookup queries need.
+    decode(encode(x)) == x pinned in tests/test_compression.py."""
+    from mapreduceindexer_spark.operators.compression import elias_fano_stats
+
+    return elias_fano_stats(_postings(spark, sf_dir))
+
+
 @register("q_cdc_stream", None)
 def q_cdc_stream(spark, sf_dir):
     """Streaming CDC apply: per-user profile updates merged into the

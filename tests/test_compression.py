@@ -71,3 +71,41 @@ def test_compression_never_expands_and_helps_dense_lists(spark):
     # the densest list (most doc_ids => smallest gaps) must compress hard:
     densest = max(rows, key=lambda r: r["df"])
     assert densest["permille"] <= 250  # <= 2 bytes/posting vs 8
+
+
+def test_elias_fano_roundtrip_fuzz():
+    """decode(encode(x)) == x across densities, plus the exact size
+    formula the oracle replays (low + high byte counts)."""
+    import random
+
+    from mapreduceindexer_spark.operators.compression import (
+        elias_fano_decode,
+        elias_fano_encode,
+    )
+
+    for trial in range(60):
+        rng = random.Random(trial)
+        n = rng.randint(1, 300)
+        universe = rng.randint(n, n * rng.choice([1, 2, 50, 1000]))
+        vals = sorted(rng.sample(range(universe), n))
+        low, high, l = elias_fano_encode(vals)
+        assert elias_fano_decode(low, high, l, n) == vals
+        mx = vals[-1]
+        el = ((mx + 1) // n).bit_length() - 1 if mx + 1 >= n else 0
+        assert l == el
+        assert len(low) + len(high) == (n * el + 7) // 8 + (
+            n + (mx >> el) + 1 + 7
+        ) // 8
+    assert elias_fano_encode([]) == (b"", b"", 0)
+    assert elias_fano_decode(b"", b"", 0, 0) == []
+
+
+def test_elias_fano_rejects_non_increasing():
+    import pytest
+
+    from mapreduceindexer_spark.operators.compression import elias_fano_encode
+
+    with pytest.raises(ValueError):
+        elias_fano_encode([1, 1])
+    with pytest.raises(ValueError):
+        elias_fano_encode([3, 2])
