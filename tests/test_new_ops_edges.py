@@ -214,3 +214,29 @@ def test_interval_overlap_bin_dedup_and_touching(spark):
            interval_overlap_stats(events).collect()}
     # pairs for user 1: (1,2) overlap = 10 min, (1,3) overlap = 0 (touch).
     assert got == {1: (2, 10 * 60_000_000)}
+
+
+def test_bm25_pruned_equals_full_and_actually_prunes(spark):
+    """Pruned BM25 returns the IDENTICAL top-k as the full scorer for
+    several query shapes, and never exact-scores more docs than match."""
+    from mapreduceindexer_spark.operators.search import (
+        bm25_multi_topk,
+        bm25_pruned_topk,
+    )
+    from tests.conftest import SF_SMOKE
+
+    from mapreduceindexer_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for terms in (("table", "window", "stream"), ("join", "zq"), ("scan",)):
+        full = [
+            (r["doc_id"], r["score"], r["rn"])
+            for r in bm25_multi_topk(docs, terms, k=5).collect()
+        ]
+        pruned_rows = bm25_pruned_topk(docs, terms, k=5).collect()
+        pruned = [(r["doc_id"], r["score"], r["rn"]) for r in pruned_rows]
+        assert sorted(pruned) == sorted(full), terms
+        if pruned_rows:
+            n_scored = pruned_rows[0]["n_scored"]
+            n_matching = bm25_multi_topk(docs, terms, k=10**6).count()
+            assert 5 <= n_scored <= n_matching
