@@ -7490,6 +7490,57 @@ def q_unigram_lm(spark, sf_dir):
 
 
 @register(
+    "q_ivfpq_ann",
+    f"""WITH e AS ({SQL_EMB}),
+         cc AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+         cd AS (SELECT e.vec_id, cc.centroid_id,
+                       ROUND(list_sum(list_transform(list_zip(e.v, cc.cv),
+                                                     z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+                FROM e, cc),
+         assign AS (SELECT vec_id, centroid_id AS cell
+                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY d2 ASC, centroid_id ASC) AS rn
+                          FROM cd)
+                    WHERE rn = 1),
+         pcell AS (SELECT cell AS pc FROM assign WHERE vec_id = {PROBE_VEC_ID}),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         sub AS (SELECT CAST(t.s AS BIGINT) AS s FROM range(4) t(s)),
+         pairs AS (SELECT e.vec_id, c.cid, sub.s,
+                          ROUND(list_sum(list_transform(
+                                list_zip(list_slice(e.v, sub.s*16+1, sub.s*16+16),
+                                         list_slice(c.cv, sub.s*16+1, sub.s*16+16)),
+                                z -> (z[1]-z[2])*(z[1]-z[2]))), 6) AS d2s
+                   FROM e, c, sub),
+         codes AS (SELECT vec_id, s, cid AS code
+                   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                                      ORDER BY d2s ASC, cid ASC) AS rn
+                         FROM pairs) WHERE rn = 1),
+         ptab AS (SELECT s, cid, d2s AS t FROM pairs WHERE vec_id = {PROBE_VEC_ID}),
+         scored AS (SELECT codes.vec_id, ROUND(sum(ptab.t), 6) AS approx_d2
+                    FROM codes
+                    JOIN assign ON codes.vec_id = assign.vec_id
+                    JOIN pcell ON assign.cell = pcell.pc
+                    JOIN ptab ON codes.s = ptab.s AND codes.code = ptab.cid
+                    WHERE codes.vec_id <> {PROBE_VEC_ID}
+                    GROUP BY codes.vec_id)
+       SELECT vec_id, approx_d2,
+              CAST(row_number() OVER (ORDER BY approx_d2 ASC, vec_id ASC) AS BIGINT) AS rn
+       FROM scored QUALIFY rn <= 10""",
+)
+def q_ivfpq_ann(spark, sf_dir):
+    """IVF-PQ composite ANN (FAISS IVFPQ layout): coarse cells bound the
+    candidate scan, PQ codes + ADC shrink what's scanned 16-32x — the
+    billion-scale production combination, completing the similarity arc
+    brute -> IVF -> multiprobe -> trained -> PQ -> IVFPQ. See
+    operators/similarity.py::ivfpq_topk (raw-vector codebook kept so the
+    oracle replays it; residual PQ = same plan, per-cell codebooks)."""
+    return sim.ivfpq_topk(
+        _t(spark, sf_dir, "embeddings"), PROBE_VEC_ID, k=10,
+        n_centroids=8, m=4, ksub=8,
+    )
+
+
+@register(
     "q_postings_ef",
     f"""WITH p AS ({SQL_POSTINGS}),
          g AS (

@@ -1025,3 +1025,58 @@ def pq_topk(
         .limit(k)
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ composite ANN (the FAISS IVFPQ layout, Jégou et al.
+    TPAMI'11): coarse IVF cells prune the candidate set, PQ codes give
+    compressed in-cell distances via ADC — the memory/compute tradeoff
+    production vector stores run at billion scale (cells bound the scan,
+    codes shrink what's scanned ~16-32×).
+
+    Simplification kept deliberate: codes quantize the RAW vectors (not
+    cell residuals) so the codebook is the same deterministic,
+    oracle-replayable one as ``pq_topk``; residual PQ is the same plan
+    with per-cell codebooks. Search: assign all vectors + the probe to
+    cells (broadcast centroid table), keep the probe's cell, join the
+    cell's members' codes against the broadcast probe distance table,
+    sum, top-k.
+    """
+    cells = ivf_assignments(embeddings, n_centroids=n_centroids)
+    probe_cell = cells.filter(F.col("vec_id") == probe_id).select(
+        F.col("cell").alias("pcell")
+    )
+    members = cells.join(F.broadcast(probe_cell), F.col("cell") == F.col("pcell"))
+    pairs = pq_subspace_distances(embeddings, m=m, ksub=ksub, dim=dim)
+    codes = (
+        pairs.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2s", "cid")).alias("mn"))
+        .select("vec_id", "s", F.col("mn.cid").alias("code"))
+    )
+    ptab = pairs.filter(F.col("vec_id") == probe_id).select(
+        F.col("s").alias("ps"), F.col("cid").alias("pcid"), F.col("d2s").alias("t")
+    )
+    scored = (
+        codes.join(members.select("vec_id"), "vec_id", "left_semi")
+        .filter(F.col("vec_id") != probe_id)
+        .join(
+            F.broadcast(ptab),
+            (F.col("s") == F.col("ps")) & (F.col("code") == F.col("pcid")),
+        )
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("t"), 6).alias("approx_d2"))
+    )
+    w = Window.orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    return (
+        scored.orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+    )
