@@ -103,6 +103,9 @@ HEADLINE = [
     "q_shortest_path",     # frontier BFS over co-occurrence graph
     "q_table_versions",    # transactional table commit/append/time travel
     "q_unigram_lm",        # unigram-LM tokenizer EM round (unrolled Viterbi DP)
+    "q_postings_ef",       # Elias-Fano posting layout vs varint ledger
+    "q_bm25_pruned",       # MaxScore-style bound-pruned exact BM25
+    "q_ivfpq_ann",         # IVF cells x PQ codes composite ANN
 ]
 
 
