@@ -4803,7 +4803,7 @@ def q_hll(spark, sf_dir):
     theoretical 1.04/sqrt(256) ~= 6.5% std error). Production swaps hash60 for
     xxhash64 or uses approx_count_distinct directly; this query pins the
     algorithm's correctness."""
-    from mapreduceindexer_spark.functions.hashing import hash60
+    from mapreduceindexer_spark.functions.hashing import hash60, hll_bucket_rho
     from mapreduceindexer_spark.functions.text import normalized_token_array, shingles
 
     t = (
@@ -4812,15 +4812,12 @@ def q_hll(spark, sf_dir):
         .distinct()
     )
     hh = t.select(hash60("s").alias("h"))
-    w = F.expr(f"h div {_HLL_M}")
-    rho = F.when(w == 0, F.lit(53)).otherwise(
-        F.instr(F.lpad(F.bin(w), 52, "0"), "1")
-    )
+    _bucket, rho = hll_bucket_rho("h", _HLL_M)
     # ONE pass over the distinct relation: per-bucket max(rho) builds the
     # registers AND per-bucket count(*) sums to the exact distinct count
     # (buckets partition the value space), so the truth side needs no
     # second scan/distinct/crossJoin — it rides the same 256-row agg.
-    r = hh.select((F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho")).groupBy(
+    r = hh.select(_bucket.alias("bucket"), rho.alias("rho")).groupBy(
         "bucket"
     ).agg(F.max("rho").alias("rho"), F.count("*").alias("n_vals"))
     spine = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
@@ -6055,7 +6052,7 @@ def q_hll_merge(spark, sf_dir):
     At 100 TB: partials are one 256-row agg per grain; merging N days is
     an N*256-row max() — this query is the contract that the merge path
     is lossless, which is what lets rollup dashboards never rescan."""
-    from mapreduceindexer_spark.functions.hashing import hash60
+    from mapreduceindexer_spark.functions.hashing import hash60, hll_bucket_rho
     from mapreduceindexer_spark.functions.text import normalized_token_array, shingles
 
     m = _HLL_M
@@ -6065,14 +6062,13 @@ def q_hll_merge(spark, sf_dir):
         .distinct()
     )
     hh = ls.select("lang", hash60("s").alias("h"))
-    w = F.expr(f"h div {m}")
-    rho = F.when(w == 0, F.lit(53)).otherwise(F.instr(F.lpad(F.bin(w), 52, "0"), "1"))
+    _bucket, rho = hll_bucket_rho("h", m)
     # Staged: the per-(lang, bucket) register relation feeds BOTH the
     # per-lang partials and the merged-register aggregate; without this
     # the corpus-sized shingle/hash pipeline runs twice. It is at most
     # n_langs x 256 rows.
     r = (
-        hh.select("lang", (F.col("h") % m).alias("bucket"), rho.alias("rho"))
+        hh.select("lang", _bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("lang", "bucket")
         .agg(F.max("rho").alias("rho"))
     ).localCheckpoint()

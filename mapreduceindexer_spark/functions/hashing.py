@@ -102,3 +102,21 @@ def srp_plane_constants(n_bits: int, dim: int) -> list[list[float]]:
         [(h60(f"rp:{k}:{j}") % 2001 - 1000) / 1000.0 for j in range(dim)]
         for k in range(n_bits)
     ]
+
+
+def hll_bucket_rho(h_col: str, m: int) -> tuple["Column", "Column"]:
+    """The ONE definition of the open-box HLL register coordinates used
+    by every family (batch q_hll, partial-merge q_hll_merge, streaming
+    sketch maintenance): given a ``hash60`` column name, bucket = low
+    bits (``h % m``), rho = 1-based first-set-bit rank of the remaining
+    52 bits (53 if none). Hand-copies of this expression pair drifted
+    into three modules before round 6's review hoisted it here —
+    register compatibility across families depends on it being single-
+    sourced."""
+    from pyspark.sql import functions as F
+
+    w = F.expr(f"{h_col} div {m}")
+    rho = F.when(w == 0, F.lit(53)).otherwise(
+        F.instr(F.lpad(F.bin(w), 52, "0"), "1")
+    )
+    return (F.col(h_col) % m), rho

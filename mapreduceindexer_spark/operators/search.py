@@ -142,6 +142,46 @@ def top_terms(postings: DataFrame, k: int = 20) -> DataFrame:
     return postings.select("term", "df").orderBy(F.desc("df"), F.asc("term")).limit(k)
 
 
+def _bm25_per_doc_stats(docs: DataFrame, terms: Sequence[str]):
+    """Shared BM25 preamble for the full and bound-pruned scorers: ONE
+    tokenize pass building (per_doc: doc_id, dl, tf{i}...) and the
+    single-row (stats: n_docs, avgdl, df{i}...) relation. Extracted so
+    the two scorers — whose contract is exact output EQUALITY — cannot
+    drift (round-6 review finding)."""
+    from mapreduceindexer_spark.functions.text import tokens_normalized
+
+    aggs = [F.count("*").cast("bigint").alias("dl")]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.count(F.when(F.col("term") == t, True))
+            .cast("bigint")
+            .alias(f"tf{i}")
+        )
+    per_doc = tokens_normalized(docs).groupBy("doc_id").agg(*aggs)
+    stat_aggs = [
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    ]
+    for i in range(len(terms)):
+        stat_aggs.append(
+            F.count(F.when(F.col(f"tf{i}") > 0, True)).alias(f"df{i}")
+        )
+    stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        per_doc.agg(*stat_aggs)
+    )
+    return per_doc, stats
+
+
+def _bm25_contrib(i: int, k1: float, b: float) -> "F.Column":
+    """Term i's BM25 contribution expression (identical AST in both
+    scorers; the oracle replays the same grouping)."""
+    idf = F.log(
+        (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        + 1.0
+    )
+    denom = F.col(f"tf{i}") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    return idf * F.col(f"tf{i}") * (k1 + 1.0) / denom
+
+
 def bm25_multi_topk(
     docs: DataFrame,
     terms: Sequence[str],
@@ -160,33 +200,11 @@ def bm25_multi_topk(
     fixed expression order, so the sum is bit-deterministic. Top-k via
     TakeOrderedAndProject, then the k survivors are ranked.
     """
-    from mapreduceindexer_spark.functions.text import tokens_normalized
-
-    aggs = [F.count("*").cast("bigint").alias("dl")]
-    for i, t in enumerate(terms):
-        aggs.append(
-            F.count(F.when(F.col("term") == t, True)).cast("bigint").alias(f"tf{i}")
-        )
-    per_doc = tokens_normalized(docs).groupBy("doc_id").agg(*aggs)
-    stat_aggs = [
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    ]
-    for i in range(len(terms)):
-        stat_aggs.append(
-            F.count(F.when(F.col(f"tf{i}") > 0, True)).alias(f"df{i}")
-        )
-    stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
-        per_doc.agg(*stat_aggs)
-    )
+    per_doc, stats = _bm25_per_doc_stats(docs, terms)
     scored = per_doc.crossJoin(F.broadcast(stats))
     score = F.lit(0.0)
     for i in range(len(terms)):
-        idf = F.log(
-            (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
-            + 1.0
-        )
-        denom = F.col(f"tf{i}") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-        score = score + idf * F.col(f"tf{i}") * (k1 + 1.0) / denom
+        score = score + _bm25_contrib(i, k1, b)
     scored = scored.filter(
         sum((F.col(f"tf{i}") > 0).cast("int") for i in range(len(terms))) > 0
     ).select("doc_id", "dl", F.round(score, 6).alias("score"))
@@ -245,44 +263,15 @@ def bm25_pruned_topk(
     as the audit column (stopword-heavy queries score a fraction of
     their posting union).
     """
-    from mapreduceindexer_spark.functions.text import tokens_normalized
+    per_doc, stats = _bm25_per_doc_stats(docs, terms)
 
-    aggs = [F.count("*").cast("bigint").alias("dl")]
-    for i, _t in enumerate(terms):
-        aggs.append(
-            F.count(F.when(F.col("term") == _t, True))
-            .cast("bigint")
-            .alias(f"tf{i}")
-        )
-    per_doc = tokens_normalized(docs).groupBy("doc_id").agg(*aggs)
-    stat_aggs = [
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    ]
-    for i in range(len(terms)):
-        stat_aggs.append(
-            F.count(F.when(F.col(f"tf{i}") > 0, True)).alias(f"df{i}")
-        )
-    stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
-        per_doc.agg(*stat_aggs)
-    )
     enriched = per_doc.crossJoin(F.broadcast(stats))
-
-    def contrib(i):
-        idf = F.log(
-            (F.col("n_docs") - F.col(f"df{i}") + 0.5)
-            / (F.col(f"df{i}") + 0.5)
-            + 1.0
-        )
-        denom = F.col(f"tf{i}") + k1 * (
-            1.0 - b + b * F.col("dl") / F.col("avgdl")
-        )
-        return idf * F.col(f"tf{i}") * (k1 + 1.0) / denom
 
     enriched = enriched.select(
         "doc_id",
         "dl",
         *[F.col(f"tf{i}") for i in range(len(terms))],
-        *[contrib(i).alias(f"c{i}") for i in range(len(terms))],
+        *[_bm25_contrib(i, k1, b).alias(f"c{i}") for i in range(len(terms))],
     ).filter(
         sum((F.col(f"tf{i}") > 0).cast("int") for i in range(len(terms))) > 0
     ).localCheckpoint()  # bounds, theta, and final scoring all read it

@@ -704,6 +704,20 @@ def unigram_lm_round(
     )
     chars = subs.filter(F.length("piece") == 1)
     pieces = top.union(chars).distinct().localCheckpoint()
+    # The exact-integer objective encodes (cost, -freq_sum) in ONE BIGINT
+    # as cost*big - freq_sum: a piece frequency reaching `big` would
+    # silently INVERT the fewest-pieces preference (more pieces -> lower
+    # key) with no parity break, since the oracle replays the same
+    # arithmetic. Fail loudly instead; callers size `big` above the
+    # corpus's max piece frequency (one scalar off the checkpointed
+    # inventory, not a corpus scan).
+    max_freq = pieces.agg(F.max("freq")).collect()[0][0]
+    if max_freq is not None and max_freq >= big:
+        raise ValueError(
+            f"unigram_lm_round: max piece frequency {max_freq} >= "
+            f"big={big}; raise `big` above it or the Viterbi objective "
+            "inverts"
+        )
 
     dp = {0: words.select("w", "tf", F.lit(0).cast("bigint").alias("key"))}
     for p in range(1, max_word_len + 1):

@@ -221,7 +221,15 @@ class TransactionalTable:
                 continue
             shutil.rmtree(os.path.join(self.path, name))
             deleted.append(name)
-        for v in self.versions():
-            if v not in keep:
+        # Manifest retirement must NOT reuse the entry-time keep set: a
+        # version committed while the snap sweep ran would then be
+        # unlinked and the table silently rolled back (review finding).
+        # Re-read and delete only manifests strictly BELOW the live
+        # keep window.
+        vs_now = self.versions()
+        keep_now = set(vs_now[-keep_versions:]) if vs_now else set()
+        floor = min(keep_now) if keep_now else 0
+        for v in vs_now:
+            if v < floor:
                 os.unlink(os.path.join(self.manifest_dir, f"v{v}.json"))
         return sorted(deleted)

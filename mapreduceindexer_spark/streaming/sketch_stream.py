@@ -60,18 +60,14 @@ def hll_columns(df: DataFrame, value_col: str) -> DataFrame:
     hash60 / low-bits bucket / first-set-bit rho definition as the batch
     q_hll family (functions/hashing.py), computed as Spark expressions
     so stream and batch cannot drift."""
-    from mapreduceindexer_spark.functions.hashing import hash60
+    from mapreduceindexer_spark.functions.hashing import hash60, hll_bucket_rho
 
-    h = hash60(F.col(value_col).cast("string"))
-    w = F.expr(f"_mri_h div {HLL_M}")
-    rho = F.when(w == 0, F.lit(53)).otherwise(
-        F.instr(F.lpad(F.bin(w), 52, "0"), "1")
-    )
+    bucket, rho = hll_bucket_rho("_mri_h", HLL_M)
     return (
-        df.withColumn("_mri_h", h)
+        df.withColumn("_mri_h", hash60(F.col(value_col).cast("string")))
         .select(
             "event_type",
-            (F.col("_mri_h") % HLL_M).cast("long").alias("bucket"),
+            bucket.cast("long").alias("bucket"),
             rho.cast("long").alias("rho"),
         )
     )
@@ -128,17 +124,14 @@ def streaming_hll_registers(
     events = load_table(spark, sf_dir, "events").select(
         "event_type", "user_id", "ts", "event_id"
     )
-    hashed = hll_columns(events, "user_id").withColumn(
-        "ord", F.monotonically_increasing_id()
-    )
     tmp_dir = tempfile.mkdtemp(prefix="mri_stream_hll_")
     try:
-        return _run_hll_stream(spark, events, hashed, tmp_dir, n_slices)
+        return _run_hll_stream(spark, events, tmp_dir, n_slices)
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
-def _run_hll_stream(spark, events, hashed, tmp_dir, n_slices):
+def _run_hll_stream(spark, events, tmp_dir, n_slices):
     stream_dir = os.path.join(tmp_dir, "stream")
     os.makedirs(stream_dir)
 
@@ -154,11 +147,18 @@ def _run_hll_stream(spark, events, hashed, tmp_dir, n_slices):
         shutil.move(src, dst)
         os.utime(dst, (1_000_000_000 + idx * 10, 1_000_000_000 + idx * 10))
 
-    w = Window.orderBy("ord")
-    sliced = hashed.withColumn("slice", F.ntile(n_slices).over(w))
+    # Slice on the DETERMINISTIC (ts, event_id) key — ntile over
+    # monotonically_increasing_id is recomputed independently per write
+    # action and can move a row between slices mid-run, silently
+    # dropping a register update (review finding; cdc_stream.py slices
+    # the same way).
+    w = Window.orderBy("ts", "event_id")
+    sliced = events.withColumn("slice", F.ntile(n_slices).over(w))
     for i in range(1, n_slices + 1):
         emit(
-            sliced.filter(F.col("slice") == i).select(
+            hll_columns(
+                sliced.filter(F.col("slice") == i), "user_id"
+            ).select(
                 "event_type", "bucket", "rho", F.lit(False).alias("is_marker")
             ),
             i,
@@ -207,4 +207,6 @@ def _run_hll_stream(spark, events, hashed, tmp_dir, n_slices):
             )
     finally:
         q.stop()
-    return spark.createDataFrame(spark.table(name).collect(), OUT_SCHEMA)
+    rows = spark.table(name).collect()
+    spark.catalog.dropTempView(name)  # memory sink otherwise leaks per run
+    return spark.createDataFrame(rows, OUT_SCHEMA)

@@ -207,7 +207,9 @@ def streaming_user_sessions(
         finally:
             q.stop()
         # Materialize before the backing files are deleted.
-        out = spark.createDataFrame(spark.table(name).collect(), out_schema)
+        rows = spark.table(name).collect()
+        spark.catalog.dropTempView(name)  # memory sink otherwise leaks
+        out = spark.createDataFrame(rows, out_schema)
         return out
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
