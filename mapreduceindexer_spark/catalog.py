@@ -5536,6 +5536,49 @@ def q_semantic_dedup(spark, sf_dir):
 
 
 @register(
+    "q_semantic_dedup_scaled",
+    f"""WITH e AS ({SQL_EMB}),
+ st AS (SELECT greatest(8, count(*) // 200) AS nc FROM embeddings),
+ c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e, st WHERE vec_id < st.nc),
+{_sql_kmeans_iteration(1, 'c0')},
+{_sql_kmeans_iteration(2, 'c1')},
+ df AS (SELECT e.vec_id, e.v, c.centroid_id,
+              ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+                                            z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+        FROM e, c2 c),
+ af AS (SELECT vec_id, v, centroid_id AS cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2 ASC, centroid_id ASC) AS rn
+              FROM df)
+        WHERE rn = 1),
+ dropped AS (
+   SELECT DISTINCT b.vec_id
+   FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+   WHERE ROUND({SQL_COS.format(a='a.v', b='b.v')}, 6) >= 0.4)
+ SELECT af.vec_id, af.cell,
+        af.vec_id NOT IN (SELECT vec_id FROM dropped) AS is_kept
+ FROM af""",
+)
+def q_semantic_dedup_scaled(spark, sf_dir):
+    """SemDeDup, PRODUCTION CLUSTER-COUNT DIAL live: k = max(8,
+    n // 200) as a broadcast one-row count feeding the k-means SEED
+    filter (Lloyd's rounds are seed-agnostic, so the trained path is
+    otherwise identical) — the dialed twin of q_semantic_dedup, closing
+    the round-6 verdict's flagged scale-killer: with fixed k the
+    within-cell pair census grows as n²/k; with k ∝ n per-cell
+    population — and therefore the quadratic term — is a bounded
+    constant. operators/dedup.py::semantic_dedup_scaled; the oracle
+    replays the dial from count(*)."""
+    return dd.semantic_dedup_scaled(
+        _t(spark, sf_dir, "embeddings"),
+        target_cell_size=200,
+        min_k=8,
+        iters=2,
+        threshold=0.4,
+    )
+
+
+@register(
     "q_postings_compress",
     f"""WITH p AS ({SQL_POSTINGS}),
          g AS (
@@ -7322,7 +7365,7 @@ def q_approx_topk_bound(spark, sf_dir):
          UNION
          SELECT sym.v, walk.dist + 1
          FROM walk JOIN sym ON sym.u = walk.node
-         WHERE walk.dist < 40
+         WHERE walk.dist < {_TRI_TOP + 1}
        )
        SELECT node, CAST(min(dist) AS BIGINT) AS dist
        FROM walk GROUP BY node""".replace("{SQL_PAIRS}", SQL_PAIRS),
@@ -7335,7 +7378,11 @@ def q_shortest_path(spark, sf_dir):
     frontier plus an anti-join against settled nodes, emptiness-probe
     termination. Third iterative-graph family beside connected
     components and PageRank; the oracle is the WITH RECURSIVE walk with
-    min(dist) per node."""
+    min(dist) per node. The walk's recursion cap is derived from
+    _TRI_TOP (the graph has at most _TRI_TOP nodes, so every shortest
+    path is < _TRI_TOP hops) — raising the dial can never silently
+    desync the oracle from the run-to-completion Spark BFS (round-6
+    advisor finding)."""
     from mapreduceindexer_spark.operators.graph import bfs_distances
 
     pairs = _pairs(spark, sf_dir)

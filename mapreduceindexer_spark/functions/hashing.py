@@ -109,14 +109,22 @@ def hll_bucket_rho(h_col: str, m: int) -> tuple["Column", "Column"]:
     by every family (batch q_hll, partial-merge q_hll_merge, streaming
     sketch maintenance): given a ``hash60`` column name, bucket = low
     bits (``h % m``), rho = 1-based first-set-bit rank of the remaining
-    52 bits (53 if none). Hand-copies of this expression pair drifted
-    into three modules before round 6's review hoisted it here —
-    register compatibility across families depends on it being single-
-    sourced."""
+    ``60 - log2(m)`` bits (one past that width if none set). Hand-copies
+    of this expression pair drifted into three modules before round 6's
+    review hoisted it here — register compatibility across families
+    depends on it being single-sourced.
+
+    ``m`` must be a power of two ≤ 2^60: the pad width is derived from
+    it (60 − log2 m), so a non-256 register count keeps rho aligned to
+    the true remaining-bit width instead of silently shifting against a
+    hardcoded 52 (round-6 advisor finding)."""
     from pyspark.sql import functions as F
 
+    if m <= 0 or (m & (m - 1)) != 0 or m > 1 << 60:
+        raise ValueError(f"HLL register count must be a power of two ≤ 2^60, got {m}")
+    width = 60 - (m.bit_length() - 1)
     w = F.expr(f"{h_col} div {m}")
-    rho = F.when(w == 0, F.lit(53)).otherwise(
-        F.instr(F.lpad(F.bin(w), 52, "0"), "1")
+    rho = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.instr(F.lpad(F.bin(w), width, "0"), "1")
     )
     return (F.col(h_col) % m), rho

@@ -745,11 +745,7 @@ def semantic_dedup(
     AQE-balanced); the drop set is a distinct on the higher id, and the
     verdict join-back is a broadcast of that small set.
     """
-    from mapreduceindexer_spark.functions.vector import cosine_similarity
-    from mapreduceindexer_spark.operators.similarity import (
-        assign_to_centroids,
-        kmeans_centroids,
-    )
+    from mapreduceindexer_spark.operators.similarity import kmeans_centroids
 
     # The trained-centroid plan re-scans embeddings per Lloyd round, and
     # the pair self-join below references the assignment TWICE — without
@@ -758,14 +754,58 @@ def semantic_dedup(
     # (k rows; one (vec_id, cell) row per vector), so checkpoint them
     # once and let every downstream branch read the materialized result.
     cents = kmeans_centroids(embeddings, k=k, iters=iters).localCheckpoint()
+    return _semantic_prune(embeddings, cents, threshold)
+
+
+def semantic_dedup_scaled(
+    embeddings: DataFrame,
+    target_cell_size: int = 200,
+    min_k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup with the PRODUCTION cluster-count dial live:
+    ``k = max(min_k, floor(n / target_cell_size))`` as a broadcast
+    one-row count — the dialed twin of ``semantic_dedup``, closing the
+    round-6 verdict's one flagged scale-killer (fixed k=8 makes the
+    within-cell pairing grow as n²/k; per-cell population must stay a
+    bounded constant, exactly the ``embedding_near_duplicates_scaled``
+    / ``knn_graph_scaled`` precedent from the round-4/5 load tests).
+
+    Training is real scaled k-means (``kmeans_centroids_scaled``: only
+    the seed filter sees the dial; Lloyd's rounds are seed-agnostic), so
+    the driver verifies the path you'd run at 100 TB — trained cells,
+    corpus-proportional k — not the fixed-dial oracle-friendly one.
+    """
+    from mapreduceindexer_spark.operators.similarity import (
+        kmeans_centroids_scaled,
+    )
+
+    cents = kmeans_centroids_scaled(
+        embeddings,
+        target_cell_size=target_cell_size,
+        min_k=min_k,
+        iters=iters,
+    ).localCheckpoint()
+    return _semantic_prune(embeddings, cents, threshold)
+
+
+def _semantic_prune(
+    embeddings: DataFrame, cents: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared SemDeDup prune stage: assign to ``cents``, census the
+    within-cell pairs ≥ threshold, keep the min-id representative.
+    ``cents`` must already be materialized (localCheckpoint) — the
+    assignment is referenced by BOTH sides of the pair self-join."""
+    from mapreduceindexer_spark.functions.vector import dot, l2_norm
+    from mapreduceindexer_spark.operators.similarity import assign_to_centroids
+
     cells = assign_to_centroids(embeddings, cents).localCheckpoint()
     # Norms are computed ONCE per vector before the pair join (the pair
     # expression is dot/(na·nb) — identical arithmetic to the inline
     # cosine, since the per-vector sqrt is the same either way, but the
     # O(d) norm reductions stop being per-PAIR work: 2 of the 3 array
     # reductions leave the quadratic stage).
-    from mapreduceindexer_spark.functions.vector import dot, l2_norm
-
     e = embeddings.join(cells, "vec_id").select(
         "cell",
         "vec_id",

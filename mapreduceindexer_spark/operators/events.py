@@ -292,7 +292,9 @@ def cogrouped_funnel_stats(events: DataFrame) -> DataFrame:
     )
 
 
-def interval_overlap_stats(events: DataFrame, bin_minutes: int = 60) -> DataFrame:
+def interval_overlap_stats(
+    events: DataFrame, bin_minutes: int = 60, max_bins_per_interval: int = 4096
+) -> DataFrame:
     """Per-user overlapping-interval statistics via a BIN-BUCKETED
     interval self-join — the scalable formulation of "find all pairs of
     overlapping intervals per key".
@@ -313,6 +315,16 @@ def interval_overlap_stats(events: DataFrame, bin_minutes: int = 60) -> DataFram
     pairwise overlap in exact integer microseconds; the oracle is the
     declarative unbinned self-join, so any bin-coverage or dedup bug
     breaks parity.
+
+    The per-interval fan-out is guarded: one pathological duration
+    (``value``) would otherwise explode to duration/bin_width rows —
+    unbounded data-dependent blowup, and past Spark's array-length
+    limit ``sequence()`` hard-errors anyway (round-6 advisor finding).
+    An interval covering more than ``max_bins_per_interval`` bins fails
+    LOUDLY at the offending row (with its event_id and bin count) so the
+    caller raises ``bin_minutes`` instead of silently melting an
+    executor; the guard is expression-level, so the check costs one
+    integer compare per row and nothing shuffles.
     """
     binw = bin_minutes * 60_000_000
     iv = events.select(
@@ -324,14 +336,25 @@ def interval_overlap_stats(events: DataFrame, bin_minutes: int = 60) -> DataFram
             + F.round(F.col("value") * F.lit(60_000_000.0)).cast("bigint")
         ).alias("e"),
     )
+    first_bin = (F.col("s") / binw).cast("bigint")
+    last_bin = (F.col("e") / binw).cast("bigint")
+    n_bins = last_bin - first_bin + F.lit(1)
+    last_bin_guarded = F.when(
+        n_bins <= F.lit(max_bins_per_interval), last_bin
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "interval_overlap_stats: event_id=%s covers %s bins of "
+                f"{bin_minutes} min (> max_bins_per_interval="
+                f"{max_bins_per_interval}); raise bin_minutes",
+                F.col("event_id"),
+                n_bins,
+            )
+        ).cast("bigint")
+    )
     binned = iv.select(
         "*",
-        F.explode(
-            F.sequence(
-                (F.col("s") / binw).cast("bigint"),
-                (F.col("e") / binw).cast("bigint"),
-            )
-        ).alias("bin"),
+        F.explode(F.sequence(first_bin, last_bin_guarded)).alias("bin"),
     )
     a, b = binned.alias("a"), binned.alias("b")
     pairs = a.join(

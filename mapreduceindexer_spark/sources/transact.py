@@ -201,6 +201,20 @@ class TransactionalTable:
         keep = set(vs[-keep_versions:]) if vs else set()
         deleted = []
         now = time.time()
+        # Manifest files are immutable once linked (commit writes
+        # v{v}.json exactly once), so parsed manifests are cached across
+        # the sweep — the per-delete liveness RE-CHECK below still
+        # re-lists the manifest DIR (new commits must be seen), but no
+        # longer re-reads every kept JSON per snap dir, which made a
+        # sweep O(#snap_dirs × #manifests) filesystem reads as the
+        # table aged (round-6 advisor finding).
+        mcache: dict[int, dict] = {}
+
+        def _manifest_cached(v: int) -> dict:
+            if v not in mcache:
+                mcache[v] = self._manifest(v)
+            return mcache[v]
+
         for name in sorted(os.listdir(self.path)):
             if not name.startswith("snap-"):
                 continue
@@ -216,7 +230,7 @@ class TransactionalTable:
             kept_now = set(current[-keep_versions:]) if current else set()
             live_now: set[str] = set()
             for v in kept_now | (keep & set(current)):
-                live_now.update(self._manifest(v)["dirs"])
+                live_now.update(_manifest_cached(v)["dirs"])
             if name in live_now:
                 continue
             shutil.rmtree(os.path.join(self.path, name))

@@ -216,6 +216,45 @@ def test_interval_overlap_bin_dedup_and_touching(spark):
     assert got == {1: (2, 10 * 60_000_000)}
 
 
+def test_interval_overlap_fanout_guard_fails_loudly(spark):
+    """A single interval covering more bins than max_bins_per_interval
+    must RAISE (with the offending event_id in the message), never
+    silently fan out unboundedly (round-6 advisor finding)."""
+    import datetime as dt
+
+    import pytest
+
+    from mapreduceindexer_spark.operators.events import interval_overlap_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(7, t0, 1, "x", 600.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    # 600 min / 60-min bins = 11 bins > 4 allowed.
+    with pytest.raises(Exception, match="event_id=7 covers 11 bins"):
+        interval_overlap_stats(events, max_bins_per_interval=4).collect()
+    # At the default guard the same input is fine.
+    assert interval_overlap_stats(events).count() == 0
+
+
+def test_hll_bucket_rho_pad_width_follows_m():
+    """rho's zero-pad width must derive from m (60 - log2 m); non-power-
+    of-two register counts are rejected (round-6 advisor finding)."""
+    import pytest
+
+    from mapreduceindexer_spark.functions.hashing import hll_bucket_rho
+
+    for bad in (0, -8, 3, 100, 257):
+        with pytest.raises(ValueError):
+            hll_bucket_rho("h", bad)
+    # m=1024 -> 50 remaining bits -> empty-register rho = 51.
+    _, rho = hll_bucket_rho("h", 1024)
+    s = rho._jc.toString() if hasattr(rho, "_jc") else str(rho)
+    assert "51" in s and "lpad" in s.lower()
+
+
 def test_bm25_pruned_equals_full_and_actually_prunes(spark):
     """Pruned BM25 returns the IDENTICAL top-k as the full scorer for
     several query shapes, and never exact-scores more docs than match."""
