@@ -6904,6 +6904,164 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+# --- graph-ANN (NSW/HNSW family): shared oracle fragments -----------------
+# The two-layer navigable edge set (in-cell KNN + per-cell min-id hubs +
+# complete hub mesh + member<->hub links) and the hop-unrolled best-first
+# walk. ``e`` and ``edges`` are MATERIALIZED: the walk references them once
+# per hop and DuckDB's default CTE inlining would re-open the parquet scan
+# each time (the q_unigram_lm file-handle lesson).
+
+_SQL_NSW_EDGES = f"""
+ c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+ dn AS (SELECT e.vec_id, c.centroid_id,
+              ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+                                            z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+        FROM e, c),
+ assign AS (SELECT vec_id, centroid_id AS cell
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d2 ASC, centroid_id ASC) AS rn
+                  FROM dn)
+            WHERE rn = 1),
+ kp AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+               ROUND({SQL_COS.format(a='ea.v', b='eb.v')}, 6) AS cos_sim
+        FROM assign a
+        JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id),
+ knn AS (SELECT vec_id, nbr_id
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cos_sim DESC, nbr_id ASC) AS rn
+               FROM kp)
+         WHERE rn <= 3),
+ hubs AS (SELECT cell, min(vec_id) AS hub_id FROM assign GROUP BY cell),
+ edges AS MATERIALIZED (
+   SELECT DISTINCT vec_id, nbr_id FROM (
+     SELECT vec_id, nbr_id FROM knn
+     UNION ALL
+     SELECT a.hub_id AS vec_id, b.hub_id AS nbr_id
+     FROM hubs a, hubs b WHERE a.hub_id <> b.hub_id
+     UNION ALL
+     SELECT a.vec_id, h.hub_id AS nbr_id
+     FROM assign a JOIN hubs h USING (cell) WHERE a.vec_id <> h.hub_id
+     UNION ALL
+     SELECT h.hub_id AS vec_id, a.vec_id AS nbr_id
+     FROM assign a JOIN hubs h USING (cell) WHERE a.vec_id <> h.hub_id))"""
+
+_SQL_NSW_SEED = f"""
+ entry AS (SELECT min(vec_id) AS vid FROM e),
+ v0 AS (SELECT probe_id, vec_id, MIN(cos_sim) AS cos_sim, FALSE AS expanded
+        FROM (SELECT p.probe_id, en.vid AS vec_id,
+                     ROUND({SQL_COS.format(a='ev.v', b='p.pv')}, 6) AS cos_sim
+              FROM probes p, entry en JOIN e ev ON ev.vec_id = en.vid
+              UNION ALL
+              SELECT probe_id, probe_id AS vec_id, 1.0 AS cos_sim FROM probes)
+        GROUP BY probe_id, vec_id)"""
+
+
+def _sql_nsw_hop(i: int, ef: int) -> str:
+    """One hop of the best-first walk as CTE blocks: beam = top-``ef``
+    NOT-yet-expanded visited per probe; expand out-edges; score; merge
+    with expansion marking (min cos is pure dedup — duplicates carry the
+    identical rounded score)."""
+    return f"""
+ f{i} AS (SELECT probe_id, vec_id
+          FROM (SELECT probe_id, vec_id,
+                       row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY cos_sim DESC, vec_id ASC) AS rn
+                FROM v{i - 1} WHERE NOT expanded)
+          WHERE rn <= {ef}),
+ x{i} AS (SELECT DISTINCT f.probe_id, ed.nbr_id AS vec_id
+          FROM f{i} f JOIN edges ed ON ed.vec_id = f.vec_id),
+ s{i} AS (SELECT x.probe_id, x.vec_id,
+                 ROUND({SQL_COS.format(a='ev.v', b='p.pv')}, 6) AS cos_sim
+          FROM x{i} x JOIN e ev ON ev.vec_id = x.vec_id
+          JOIN probes p ON p.probe_id = x.probe_id),
+ v{i} AS (SELECT probe_id, vec_id, MIN(cos_sim) AS cos_sim,
+                 BOOL_OR(expanded) AS expanded
+          FROM (SELECT pv.probe_id, pv.vec_id, pv.cos_sim,
+                       pv.expanded OR f.vec_id IS NOT NULL AS expanded
+                FROM v{i - 1} pv
+                LEFT JOIN f{i} f ON f.probe_id = pv.probe_id
+                                AND f.vec_id = pv.vec_id
+                UNION ALL
+                SELECT probe_id, vec_id, cos_sim, FALSE AS expanded
+                FROM s{i})
+          GROUP BY probe_id, vec_id)"""
+
+
+_NSW_EF, _NSW_HOPS, _NSW_K = 8, 4, 5
+_SQL_NSW_WALK = (
+    f"""WITH e AS MATERIALIZED ({SQL_EMB}),
+ probes AS (SELECT vec_id AS probe_id, v AS pv FROM e
+            WHERE vec_id IN {ANN_RECALL_PROBES}),{_SQL_NSW_EDGES},{_SQL_NSW_SEED},"""
+    + ",".join(_sql_nsw_hop(i, _NSW_EF) for i in range(1, _NSW_HOPS + 1))
+)
+
+
+@register(
+    "q_ann_graph",
+    f"""{_SQL_NSW_WALK}
+ SELECT probe_id, vec_id, cos_sim,
+        CAST(row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rn
+ FROM v{_NSW_HOPS} WHERE vec_id <> probe_id QUALIFY rn <= {_NSW_K}""",
+)
+def q_ann_graph(spark, sf_dir):
+    """Graph-based ANN (NSW/HNSW family): best-first beam search over
+    the two-layer navigable graph — in-cell KNN edges + per-cell hubs +
+    complete hub mesh — from the global min-id entry and the probe's own
+    node, ef=8, 4 hops, top-5. Deterministic at every step (rounded
+    cosine, id-ascending ties, expansion tracking), so the oracle
+    replays the entire walk; quality is metered by q_ann_graph_recall.
+    operators/similarity.py::ann_graph_search."""
+    return sim.ann_graph_search(
+        _t(spark, sf_dir, "embeddings"),
+        list(ANN_RECALL_PROBES),
+        k=_NSW_K, ef=_NSW_EF, hops=_NSW_HOPS, k_edges=3, n_centroids=8,
+    )
+
+
+@register(
+    "q_ann_graph_recall",
+    f"""{_SQL_NSW_WALK},
+ graph AS (SELECT probe_id, vec_id
+           FROM (SELECT probe_id, vec_id,
+                        row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY cos_sim DESC, vec_id ASC) AS rn
+                 FROM v{_NSW_HOPS} WHERE vec_id <> probe_id)
+           WHERE rn <= {_NSW_K}),
+ bs AS (SELECT p.probe_id, ev.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY ROUND({SQL_COS.format(a='ev.v', b='p.pv')}, 6) DESC,
+                                           ev.vec_id ASC) AS rn
+        FROM e ev JOIN probes p ON ev.vec_id <> p.probe_id),
+ brute AS (SELECT probe_id, vec_id FROM bs WHERE rn <= {_NSW_K}),
+ hits AS (SELECT b.probe_id, CAST(count(*) AS BIGINT) AS hits
+          FROM brute b JOIN graph g
+            ON b.probe_id = g.probe_id AND b.vec_id = g.vec_id
+          GROUP BY b.probe_id)
+ SELECT p.probe_id,
+        CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        ROUND(COALESCE(h.hits, 0) / {_NSW_K}.0, 6) AS recall,
+        COALESCE(h.hits, 0) * 1000 >= 200 * {_NSW_K} AS meets_floor
+ FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id""",
+)
+def q_ann_graph_recall(spark, sf_dir):
+    """Graph-ANN QUALITY CONTRACT: recall@5 of the NSW beam search vs
+    exact brute force per panel probe, with an explicit meets_floor
+    column (recall ≥ 0.2 — the measured panel floor on this corpus's
+    near-random vectors; clustered data reaches 1.0, pinned by
+    tests/test_new_ops_edges.py). The same honesty instrument as
+    q_ann_recall is for IVF — a graph index without a measured recall
+    bound is a guess. operators/similarity.py::ann_graph_recall."""
+    return sim.ann_graph_recall(
+        _t(spark, sf_dir, "embeddings"),
+        list(ANN_RECALL_PROBES),
+        k=_NSW_K, ef=_NSW_EF, hops=_NSW_HOPS, k_edges=3, n_centroids=8,
+        floor_permille=200,
+    )
+
+
 @register(
     "q_hybrid_rrf",
     f"""WITH t AS ({SQL_TERMS}),

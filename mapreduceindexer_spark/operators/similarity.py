@@ -956,13 +956,19 @@ def ann_graph_search(
     navigable graph (``nsw_graph_edges``) from a fixed global entry
     point — the NSW/HNSW query algorithm as a batch of relational hops.
 
-    Per hop: the beam (top-``ef`` visited per probe, (cos DESC, vec_id
-    ASC) — deterministic) expands its out-edges, new candidates are
-    scored against the probe from the edge payload, and the visited set
-    is deduped by (probe, vec). Entry → its hub → the hub mesh → the
-    best ``ef`` cells' members → their in-cell KNN refinement: 4 hops
-    reach every cell that matters, mirroring IVF multi-probe with the
-    probe-count chosen ADAPTIVELY by similarity instead of fixed.
+    This is the BEST-FIRST search of the NSW papers, hop-synchronized:
+    the visited set tracks which nodes have been EXPANDED, and each hop
+    expands the top-``ef`` not-yet-expanded visited nodes per probe
+    ((cos DESC, vec_id ASC) — deterministic), scores their out-edges
+    from the edge payload, and dedups by (probe, vec). Without the
+    expanded flag the same best-scoring nodes re-expand every hop and
+    the walk stalls in its first good cell (measured: recall 0 on 3/5
+    panel probes); with it, each hop is guaranteed ``ef`` NEW
+    expansions, so the walk keeps descending the similarity surface —
+    entry → hubs → best cells' members → their in-cell KNN refinement.
+    The walk is seeded with BOTH the global entry and the probe's own
+    node (for in-corpus self-queries the probe's neighborhood is the
+    goal; an external query vector would seed entry-only — same plan).
 
     Scale shape: the probe relation is bounded (broadcast on every
     join); each hop is one pass over the checkpointed edge relation
@@ -997,14 +1003,26 @@ def ann_graph_search(
         .orderBy("vec_id")
         .limit(1)
     )
+    seed_entry = probes.crossJoin(F.broadcast(entry)).select(
+        "probe_id",
+        "vec_id",
+        F.round(
+            dot("embedding", "pv") / (F.col("nrm") * F.col("pnrm")), 6
+        ).alias("cos_sim"),
+        F.lit(False).alias("expanded"),
+    )
+    seed_self = probes.select(
+        "probe_id",
+        F.col("probe_id").alias("vec_id"),
+        F.lit(1.0).alias("cos_sim"),
+        F.lit(False).alias("expanded"),
+    )
     visited = (
-        probes.crossJoin(F.broadcast(entry))
-        .select(
-            "probe_id",
-            "vec_id",
-            F.round(
-                dot("embedding", "pv") / (F.col("nrm") * F.col("pnrm")), 6
-            ).alias("cos_sim"),
+        seed_entry.unionAll(seed_self)
+        .groupBy("probe_id", "vec_id")
+        .agg(
+            F.min("cos_sim").alias("cos_sim"),
+            F.bool_or("expanded").alias("expanded"),
         )
         .localCheckpoint()
     )
@@ -1013,7 +1031,8 @@ def ann_graph_search(
     )
     for _ in range(hops):
         frontier = (
-            visited.withColumn("rn", F.row_number().over(w_beam))
+            visited.filter(~F.col("expanded"))
+            .withColumn("rn", F.row_number().over(w_beam))
             .filter(F.col("rn") <= ef)
             .select("probe_id", "vec_id")
         )
@@ -1028,23 +1047,40 @@ def ann_graph_search(
                     dot("nbr_vec", "pv") / (F.col("nbr_nrm") * F.col("pnrm")),
                     6,
                 ).alias("cos_sim"),
+                F.lit(False).alias("expanded"),
             )
         )
+        marked = visited.join(
+            F.broadcast(frontier.withColumn("_f", F.lit(True))),
+            ["probe_id", "vec_id"],
+            "left",
+        ).select(
+            "probe_id",
+            "vec_id",
+            "cos_sim",
+            (F.col("expanded") | F.col("_f").isNotNull()).alias("expanded"),
+        )
         # Dedup by (probe, vec): duplicates carry the identical rounded
-        # score, so min() is pure dedup — one shuffle over a relation
-        # bounded by |probes| × ef × max-out-degree. Checkpoint per hop:
-        # the set feeds both the next beam and the final ranking, and
-        # unrolled lazy unions would re-run every earlier hop per branch.
+        # score, so min() is pure dedup and bool_or keeps a node
+        # expanded once expanded — one shuffle over a relation bounded
+        # by |probes| × ef × max-out-degree per hop. Checkpoint per
+        # hop: the set feeds both the next beam and the final ranking,
+        # and unrolled lazy unions would re-run every earlier hop per
+        # branch.
         visited = (
-            visited.unionAll(scored)
+            marked.unionAll(scored)
             .groupBy("probe_id", "vec_id")
-            .agg(F.min("cos_sim").alias("cos_sim"))
+            .agg(
+                F.min("cos_sim").alias("cos_sim"),
+                F.bool_or("expanded").alias("expanded"),
+            )
             .localCheckpoint()
         )
     return (
         visited.filter(F.col("vec_id") != F.col("probe_id"))
         .withColumn("rn", F.row_number().over(w_beam).cast("bigint"))
         .filter(F.col("rn") <= k)
+        .select("probe_id", "vec_id", "cos_sim", "rn")
     )
 
 
