@@ -64,3 +64,58 @@ def read_index_letter(out_dir: str, letter: str) -> list[str]:
             with open(os.path.join(d, name), encoding="utf-8") as fh:
                 lines.extend(fh.read().splitlines())
     return lines
+
+
+def write_index_sharded(
+    postings: DataFrame, out_dir: str, shards_per_letter: int = 4
+) -> None:
+    """The 100 TB relaxation of the sink contract (module docstring):
+    N SORTED files per letter instead of one, written by
+    ``26 × shards_per_letter`` parallel tasks — the parallelism ceiling
+    stops being 26, which is the whole point of relaxing. Rows shard by
+    a term hash (any deterministic spread works: a k-way merge of
+    sorted runs is order-correct regardless of which run a row landed
+    in); each task sorts its (letter, shard) slice by (df DESC, term
+    ASC), so every ``letter=<c>/part-*`` file is an internally sorted
+    run and ``read_index_letter_merged`` restores the exact one-file
+    byte contract on read."""
+    lines = index_lines(postings)
+    shard = F.pmod(F.hash("term"), F.lit(shards_per_letter))
+    (
+        lines.repartition(26 * shards_per_letter, F.col("letter"), shard)
+        .sortWithinPartitions(F.asc("letter"), F.desc("df"), F.asc("term"))
+        .select("letter", "line")
+        .write.partitionBy("letter")
+        .mode("overwrite")
+        .text(out_dir)
+    )
+    for c in string.ascii_lowercase:
+        os.makedirs(os.path.join(out_dir, f"letter={c}"), exist_ok=True)
+
+
+def _index_line_sort_key(line: str) -> tuple[int, str]:
+    """(−df, term) for a ``term:[id1 id2 …]`` line — df is recoverable
+    from the line itself (the id count), so the merge needs no sidecar
+    metadata."""
+    term, _, rest = line.partition(":")
+    ids = rest.strip()[1:-1].split()
+    return (-len(ids), term)
+
+
+def read_index_letter_merged(out_dir: str, letter: str) -> list[str]:
+    """Merge-on-read for the sharded sink: STREAMING k-way merge of one
+    letter's sorted part-files on (df DESC, term ASC) — ``heapq.merge``
+    holds one line per run, never a letter's full contents, which is
+    the read-side cost model that makes N-files-per-letter viable at
+    100 TB (a concat-then-sort would re-pay the sink's sort on every
+    read). Output is byte-identical to the one-file contract
+    (pinned against the golden corpus in tests/test_golden_full.py)."""
+    import heapq
+
+    d = os.path.join(out_dir, f"letter={letter}")
+    runs = []
+    for name in sorted(os.listdir(d)):
+        if name.startswith(("part-", "part_")) and not name.endswith(".crc"):
+            with open(os.path.join(d, name), encoding="utf-8") as fh:
+                runs.append(fh.read().splitlines())
+    return list(heapq.merge(*runs, key=_index_line_sort_key))

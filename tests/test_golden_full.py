@@ -59,3 +59,36 @@ def test_full_index_matches_golden(full_corpus, tmp_path):
         )
         total += len(got)
     assert total == 33262  # BASELINE.md index size
+
+
+def test_full_index_sharded_merges_back_to_golden(full_corpus, tmp_path):
+    """The 100 TB sink relaxation, end-to-end on the full golden corpus:
+    N sorted files per letter (write_index_sharded) + streaming k-way
+    merge on read must be BYTE-IDENTICAL to the golden one-file
+    contract — and the relaxation must actually be exercised (most
+    letters really get >1 part-file)."""
+    from mapreduceindexer_spark.operators.index import build_postings
+    from mapreduceindexer_spark.operators.sink import (
+        read_index_letter_merged,
+        write_index_sharded,
+    )
+
+    out = str(tmp_path / "index_sharded")
+    write_index_sharded(
+        build_postings(full_corpus, salt_buckets=16), out, shards_per_letter=4
+    )
+    total = 0
+    multi_file_letters = 0
+    for letter in string.ascii_lowercase:
+        got = read_index_letter_merged(out, letter)
+        expected = golden_lines(letter)
+        assert got == expected, (
+            f"letter {letter}: {len(got)} vs {len(expected)} lines; "
+            f"first diff: {next((g, e) for g, e in zip(got, expected) if g != e)}"
+        )
+        total += len(got)
+        d = os.path.join(out, f"letter={letter}")
+        n_parts = len([f for f in os.listdir(d) if f.startswith("part-")])
+        multi_file_letters += n_parts > 1
+    assert total == 33262
+    assert multi_file_letters >= 20, multi_file_letters
