@@ -195,22 +195,23 @@ def streaming_user_sessions(
                 timeoutConf=GroupStateTimeout.EventTimeTimeout,
             )
         )
-        q = (
-            sessions.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        # Production sink: per-batch append-commits into a transactional
+        # table, result = a read of the committed snapshot — no memory
+        # sink, no collect (round-6 verdict item; the driver stops being
+        # the cardinality ceiling).
+        from mapreduceindexer_spark.streaming.table_sink import (
+            TransactionalTable,
+            run_stream_to_table,
         )
-        try:
-            q.awaitTermination(300)
-        finally:
-            q.stop()
-        # Materialize before the backing files are deleted.
-        rows = spark.table(name).collect()
-        spark.catalog.dropTempView(name)  # memory sink otherwise leaks
-        out = spark.createDataFrame(rows, out_schema)
-        return out
+
+        table = TransactionalTable(os.path.join(tmp_dir, name))
+        run_stream_to_table(sessions, table, output_mode="append")
+        # localCheckpoint before tmp cleanup deletes the snapshot files.
+        return (
+            table.read(spark)
+            .select("user_id", "session_start", "n_events")
+            .localCheckpoint()
+        )
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
 

@@ -185,29 +185,26 @@ def streaming_user_totals(
             outputMode="Update",
             timeMode="None",
         )
-        q = (
-            totals.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
+        # Production sink: update-mode emissions append-commit into a
+        # transactional table; the final totals are the max-n_events row
+        # per user (emissions are cumulative), selected on READ of the
+        # committed snapshot — no memory sink, no collect (round-6
+        # verdict item).
+        from mapreduceindexer_spark.streaming.table_sink import (
+            TransactionalTable,
+            run_stream_to_table,
         )
-        try:
-            if not q.awaitTermination(300):
-                raise RuntimeError("twstate stream timed out after 300 s")
-        finally:
-            q.stop()
+
+        table = TransactionalTable(os.path.join(tmp_dir, name))
+        run_stream_to_table(totals, table, output_mode="update")
         last = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-        out = (
-            spark.table(name)
+        return (
+            table.read(spark)
             .withColumn("rn", F.row_number().over(last))
             .filter(F.col("rn") == 1)
             .select("user_id", "n_events", "sum_scaled")
+            .localCheckpoint()
         )
-        # Materialize before the backing files are deleted (bounded: one
-        # row per user — this is the test-harness replay, not the 100 TB
-        # path, where the sink would be a table/kafka write).
-        return spark.createDataFrame(out.collect(), OUT_SCHEMA)
     finally:
         if prev_provider is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
