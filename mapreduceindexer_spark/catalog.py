@@ -8009,9 +8009,10 @@ def q_table_versions(spark, sf_dir):
 
 
 _CHECK_PRIORITY = [
-    # Round-6 window: 6-slot core spine + 44 never-driver-checked
-    # families (every entry oracle-backed; all 199 oracle queries were
-    # re-verified locally against DuckDB before this rotation).
+    # Round-7 window: 6-slot core spine + 44 queries with NO prior
+    # driver row (COVERAGE.md driver ledger; after this round + round 8
+    # every registered query will have external driver evidence). All
+    # 44 were re-verified against DuckDB in-session before rotation.
     # -- core spine (reference pipeline + flagship LLM tier)
     "q_postings",
     "q_index_lines",
@@ -8019,54 +8020,56 @@ _CHECK_PRIORITY = [
     "q_agg_pricing_summary",
     "q_dedup_exact",
     "q_near_dup",
-    # -- derived search + retrieval surfaces
-    "q_pq_ann",
-    "q_prefix_search",
-    "q_interval_join",
-    "q_hybrid_rrf",
-    "q_prefix_trie",
-    "q_lateral_topdocs",
-    # -- Spark-4 SQL surface
-    "q_sql_scripting",
-    "q_udtf_table_arg",
-    "q_approx_topk_bound",
-    "q_hll_native_merge_bound",
-    "q_pipe_syntax",
-    "q_collation_group",
-    "q_param_sql",
-    "q_sql_udf",
-    "q_sql_table_udf",
-    "q_session_vars",
-    "q_arrow_token_stats",
-    "q_wordpiece_encode",
-    "q_cogroup_funnel",
-    # -- relational shapes never driver-checked
-    "q_min_cost_supplier",
-    "q_order_distribution",
-    "q_supplier_variety",
-    "q_idle_customers",
-    "q_small_qty_revenue",
-    "q_market_share",
-    "q_top_supplier",
-    "q_excess_suppliers",
-    "q_outer_join_daily",
-    "q_range_join",
-    # -- LLM pipeline tier
-    "q_curation_pipeline",
-    "q_dup_clusters_logstar",
-    "q_canonical",
-    "q_cross_dedup",
-    "q_ngram_jaccard",
-    "q_multimodal_gif",
-    "q_contamination",
-    "q_shortest_path",
-    "q_table_versions",
-    "q_multimodal_wav",
-    "q_pagerank",
-    "q_knn_graph_scaled",
-    "q_ann_recall",
-    "q_unigram_lm",
-    "q_embed_quant",
+    # -- round-6-born ops that missed the r6 window + round-7-born ops
+    "q_bm25_pruned",
+    "q_postings_ef",
+    "q_ivfpq_ann",
+    "q_semantic_dedup_scaled",
+    "q_ann_graph",
+    "q_ann_graph_recall",
+    # -- the six round-6 mid-round swap-outs
+    "q_bm25_multi",
+    "q_array_bool",
+    "q_fuzzy_pairs",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_ann_kmeans",
+    # -- streaming rows-only (first external evidence for these paths)
+    "q_cdc_stream",
+    "q_hll_stream",
+    "q_index_stream",
+    "q_events_tumbling_stream",
+    # -- similarity tier, never driver-checked
+    "q_knn_graph",
+    "q_ann_multiprobe",
+    "q_ann_batch",
+    "q_embed_dup",
+    "q_embed_centroids",
+    "q_gram_matrix",
+    "q_vector_norms",
+    # -- text-analysis / curation tier, never driver-checked
+    "q_lang_stats",
+    "q_token_counts",
+    "q_repetition",
+    "q_entropy",
+    "q_ngram_freq",
+    "q_bpe_pairs",
+    "q_bpe_encode",
+    "q_context_chunks",
+    "q_sequence_pack",
+    "q_train_split",
+    "q_mix_weights",
+    "q_domain_stats",
+    "q_domain_cap",
+    "q_profile",
+    "q_blocklist",
+    "q_scrub",
+    # -- relational / table-format / multimodal breadth
+    "q_salted_join",
+    "q_upsert",
+    "q_scd2",
+    "q_multimodal_meta",
+    "q_dup_clusters",
 ]
 assert len(_CHECK_PRIORITY) == 50, (
     f"driver check window is exactly 50 slots, got {len(_CHECK_PRIORITY)}"

@@ -36,13 +36,17 @@ def test_no_complex_output_columns(spark, name):
     )
 
 
-def test_check_priority_window_all_oracle_backed():
+def test_check_priority_window_mostly_oracle_backed():
     """The first 50 registered queries are the harness's verification
-    window: each must carry an oracle (the one rows-only family keeps its
-    bounded-contract twin inside the window instead)."""
+    window. Through round 6 the window was oracle-only; rounds 7-8
+    rotate the declared rows-only queries (real streaming runs — the
+    driver's weaker rows-only check is their ONLY possible external
+    evidence) through a handful of slots. Pin the policy: a windowed
+    query either carries an oracle or was explicitly registered
+    rows-only, and rows-only entries never crowd the window (≤ 6)."""
     names = list(QUERIES)[:50]
-    missing = [n for n in names if QUERIES[n][1] is None]
-    assert not missing, f"rows-only queries inside the checked window: {missing}"
+    rows_only = [n for n in names if QUERIES[n][1] is None]
+    assert len(rows_only) <= 6, f"too many rows-only window slots: {rows_only}"
 
 
 def test_check_priority_is_exactly_the_window():
