@@ -106,6 +106,9 @@ HEADLINE = [
     "q_postings_ef",       # Elias-Fano posting layout vs varint ledger
     "q_bm25_pruned",       # MaxScore-style bound-pruned exact BM25
     "q_ivfpq_ann",         # IVF cells x PQ codes composite ANN
+    "q_semantic_dedup_scaled",  # SemDeDup with corpus-scaled cluster count
+    "q_ann_graph",         # NSW graph-ANN best-first beam search
+    "q_ann_graph_recall",  # graph-ANN recall@5 contract vs brute force
 ]
 
 
