@@ -5578,6 +5578,107 @@ def q_semantic_dedup_scaled(spark, sf_dir):
     )
 
 
+# --- two-level (IVF-on-IVF) assignment oracle fragments -------------------
+# ~2n√k distance evals instead of n·k: coarse-quantize the centroid table
+# (kc = max(4, 2^(⌈log2 k⌉ div 2)) lowest ids — exact-integer
+# length(bin(k-1)) keeps the dial bit-portable), assign fine centroids and
+# vectors coarse-first, then argmin only within the vector's coarse cell.
+# operators/similarity.py::assign_to_centroids_twolevel.
+
+_SQL_D2 = (
+    "ROUND(list_sum(list_transform(list_zip({a}, {b}),"
+    " z -> (z[1] - z[2]) * (z[1] - z[2]))), 6)"
+)
+
+
+def _sql_assign2_blocks(tag: str, cents: str) -> str:
+    """CTE blocks ending in ``asg{tag}``(vec_id, cell): the two-level
+    argmin of every ``e`` vector against ``cents``(centroid_id, cv)."""
+    return f"""
+ ks{tag} AS (SELECT greatest(4, 1 << (length(bin(count(*) - 1)) // 2)) AS kc
+             FROM {cents}),
+ co{tag} AS (SELECT centroid_id AS coarse_id, cv AS ccv
+             FROM {cents}, ks{tag} WHERE centroid_id < ks{tag}.kc),
+ fc{tag} AS (SELECT centroid_id, coarse_id AS coarse_cell
+             FROM (SELECT c.centroid_id, co.coarse_id,
+                          row_number() OVER (PARTITION BY c.centroid_id
+                                             ORDER BY {_SQL_D2.format(a='c.cv', b='co.ccv')} ASC,
+                                                      co.coarse_id ASC) AS rn
+                   FROM {cents} c, co{tag} co)
+             WHERE rn = 1),
+ vc{tag} AS (SELECT vec_id, coarse_id AS coarse_cell
+             FROM (SELECT e.vec_id, co.coarse_id,
+                          row_number() OVER (PARTITION BY e.vec_id
+                                             ORDER BY {_SQL_D2.format(a='e.v', b='co.ccv')} ASC,
+                                                      co.coarse_id ASC) AS rn
+                   FROM e, co{tag} co)
+             WHERE rn = 1),
+ asg{tag} AS (SELECT vec_id, centroid_id AS cell
+              FROM (SELECT e.vec_id, c.centroid_id,
+                           row_number() OVER (PARTITION BY e.vec_id
+                                              ORDER BY {_SQL_D2.format(a='e.v', b='c.cv')} ASC,
+                                                       c.centroid_id ASC) AS rn
+                    FROM e
+                    JOIN vc{tag} v ON v.vec_id = e.vec_id
+                    JOIN fc{tag} f ON f.coarse_cell = v.coarse_cell
+                    JOIN {cents} c ON c.centroid_id = f.centroid_id)
+              WHERE rn = 1)"""
+
+
+def _sql_kmeans2_iteration(i: int, prev: str) -> str:
+    """One TWO-LEVEL Lloyd's round as CTE blocks: 2-level assign to
+    ``prev`` centroids, then exact-decimal means — same c{i} output
+    shape as ``_sql_kmeans_iteration``, so rounds compose identically."""
+    return f"""{_sql_assign2_blocks(f'_{i}', prev)},
+ a{i} AS (SELECT e.vec_id, e.v, g.cell
+          FROM e JOIN asg_{i} g ON g.vec_id = e.vec_id),
+ m{i} AS (SELECT cell, pos,
+               CAST(SUM(CAST(val AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS m
+          FROM (SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+                FROM a{i})
+          GROUP BY cell, pos),
+ c{i} AS (SELECT cell AS centroid_id, list(m ORDER BY pos) AS cv
+          FROM m{i} GROUP BY cell)"""
+
+
+@register(
+    "q_semantic_dedup_2level",
+    f"""WITH e AS MATERIALIZED ({SQL_EMB}),
+ st AS (SELECT greatest(8, count(*) // 200) AS nc FROM embeddings),
+ c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e, st WHERE vec_id < st.nc),
+{_sql_kmeans2_iteration(1, 'c0')},
+{_sql_kmeans2_iteration(2, 'c1')},
+{_sql_assign2_blocks('_f', 'c2')},
+ af AS (SELECT e.vec_id, e.v, g.cell
+        FROM e JOIN asg_f g ON g.vec_id = e.vec_id),
+ dropped AS (
+   SELECT DISTINCT b.vec_id
+   FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+   WHERE ROUND({SQL_COS.format(a='a.v', b='b.v')}, 6) >= 0.4)
+ SELECT af.vec_id, af.cell,
+        af.vec_id NOT IN (SELECT vec_id FROM dropped) AS is_kept
+ FROM af""",
+)
+def q_semantic_dedup_2level(spark, sf_dir):
+    """SemDeDup with the scaled cluster dial AND two-level (IVF-on-IVF)
+    assignment throughout — training rounds and the final assignment
+    each run ≈2n√k distance evaluations instead of n·k, removing the
+    assignment term the round-7 100× loadtest measured as the residual
+    super-linearity of q_semantic_dedup_scaled (PLANS.md). Deterministic
+    at every argmin (rounded d2, id-ascending ties), so the oracle
+    replays coarse quantization, both Lloyd rounds, and the final
+    blocked argmin bit-for-bit.
+    operators/dedup.py::semantic_dedup_scaled(two_level=True)."""
+    return dd.semantic_dedup_scaled(
+        _t(spark, sf_dir, "embeddings"),
+        target_cell_size=200,
+        min_k=8,
+        iters=2,
+        threshold=0.4,
+        two_level=True,
+    )
+
+
 @register(
     "q_postings_compress",
     f"""WITH p AS ({SQL_POSTINGS}),
@@ -6989,6 +7090,24 @@ def _sql_nsw_hop(i: int, ef: int) -> str:
           GROUP BY probe_id, vec_id)"""
 
 
+def _nsw_edges_staged(spark, sf_dir):
+    """The two-layer navigable edge relation (the graph-ANN INDEX) —
+    built once per Spark application and shared by q_ann_graph and
+    q_ann_graph_recall via the staging registry, exactly the
+    ``_near_pairs_staged`` production pattern: a graph index is built
+    once and probed by every search and audit, never rebuilt per
+    query."""
+    from mapreduceindexer_spark.staging import staged
+
+    return staged(
+        spark,
+        ("nsw_edges", sf_dir, 3, 8),
+        lambda: sim.nsw_graph_edges(
+            _t(spark, sf_dir, "embeddings"), k_edges=3, n_centroids=8
+        ).localCheckpoint(),
+    )
+
+
 _NSW_EF, _NSW_HOPS, _NSW_K = 8, 4, 5
 _SQL_NSW_WALK = (
     f"""WITH e AS MATERIALIZED ({SQL_EMB}),
@@ -7018,6 +7137,7 @@ def q_ann_graph(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"),
         list(ANN_RECALL_PROBES),
         k=_NSW_K, ef=_NSW_EF, hops=_NSW_HOPS, k_edges=3, n_centroids=8,
+        edges=_nsw_edges_staged(spark, sf_dir),
     )
 
 
@@ -7059,6 +7179,7 @@ def q_ann_graph_recall(spark, sf_dir):
         list(ANN_RECALL_PROBES),
         k=_NSW_K, ef=_NSW_EF, hops=_NSW_HOPS, k_edges=3, n_centroids=8,
         floor_permille=200,
+        edges=_nsw_edges_staged(spark, sf_dir),
     )
 
 
@@ -8025,6 +8146,7 @@ _CHECK_PRIORITY = [
     "q_postings_ef",
     "q_ivfpq_ann",
     "q_semantic_dedup_scaled",
+    "q_semantic_dedup_2level",
     "q_ann_graph",
     "q_ann_graph_recall",
     # -- the six round-6 mid-round swap-outs
@@ -8069,7 +8191,6 @@ _CHECK_PRIORITY = [
     "q_upsert",
     "q_scd2",
     "q_multimodal_meta",
-    "q_dup_clusters",
 ]
 assert len(_CHECK_PRIORITY) == 50, (
     f"driver check window is exactly 50 slots, got {len(_CHECK_PRIORITY)}"

@@ -763,6 +763,7 @@ def semantic_dedup_scaled(
     min_k: int = 8,
     iters: int = 2,
     threshold: float = 0.4,
+    two_level: bool = False,
 ) -> DataFrame:
     """SemDeDup with the PRODUCTION cluster-count dial live:
     ``k = max(min_k, floor(n / target_cell_size))`` as a broadcast
@@ -786,21 +787,33 @@ def semantic_dedup_scaled(
         target_cell_size=target_cell_size,
         min_k=min_k,
         iters=iters,
+        two_level=two_level,
     ).localCheckpoint()
-    return _semantic_prune(embeddings, cents, threshold)
+    return _semantic_prune(embeddings, cents, threshold, two_level=two_level)
 
 
 def _semantic_prune(
-    embeddings: DataFrame, cents: DataFrame, threshold: float
+    embeddings: DataFrame,
+    cents: DataFrame,
+    threshold: float,
+    two_level: bool = False,
 ) -> DataFrame:
     """Shared SemDeDup prune stage: assign to ``cents``, census the
     within-cell pairs ≥ threshold, keep the min-id representative.
     ``cents`` must already be materialized (localCheckpoint) — the
-    assignment is referenced by BOTH sides of the pair self-join."""
+    assignment is referenced by BOTH sides of the pair self-join.
+    ``two_level`` routes the final assignment through the 2n√k search
+    (``assign_to_centroids_twolevel``) instead of the flat n·k one."""
     from mapreduceindexer_spark.functions.vector import dot, l2_norm
-    from mapreduceindexer_spark.operators.similarity import assign_to_centroids
+    from mapreduceindexer_spark.operators.similarity import (
+        assign_to_centroids,
+        assign_to_centroids_twolevel,
+    )
 
-    cells = assign_to_centroids(embeddings, cents).localCheckpoint()
+    assign = (
+        assign_to_centroids_twolevel if two_level else assign_to_centroids
+    )
+    cells = assign(embeddings, cents).localCheckpoint()
     # Norms are computed ONCE per vector before the pair join (the pair
     # expression is dot/(na·nb) — identical arithmetic to the inline
     # cosine, since the per-vector sqrt is the same either way, but the

@@ -114,6 +114,113 @@ def assign_to_centroids(embeddings: DataFrame, centroids: DataFrame) -> DataFram
     )
 
 
+def _sq_l2_cols(a, b) -> "F.Column":
+    """Rounded squared-L2 between two array columns (the
+    ``_sq_l2_to_centroid`` idiom, parameterized)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def assign_to_centroids_twolevel(
+    embeddings: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment via TWO-LEVEL search
+    (IVF-on-IVF) — the production fix for the ``n × k`` distance-
+    evaluation term that makes every corpus-scaled dial (k ∝ n/200)
+    quadratic again once n is large (PLANS.md round-7 loadtest: the
+    flat assignment is the dominant cost at 200k vectors).
+
+    - coarse layer: the ``kc = max(4, 2^(⌈log2 k⌉ div 2))`` lowest-id
+      centroids (≈ √k — the cost-minimizing split; exact-integer
+      ``length(bin(k-1))`` keeps the dial bit-portable to DuckDB);
+    - each FINE centroid is assigned to its nearest coarse centroid
+      (k × kc evals); each VECTOR likewise (n × kc evals);
+    - the fine argmin then runs only within the vector's coarse cell
+      (an equi-join on coarse_cell: ~n × k/kc candidate pairs).
+
+    Total ≈ n·kc + n·k/kc ≈ 2n√k instead of n·k — with k = n/200
+    that's O(n^1.5) vs O(n²); recursing the construction (a third
+    level) gives n log n, exactly HNSW/IMI's hierarchy, and this
+    function is the single recursion step. The assignment is
+    APPROXIMATE in the standard IVF sense (a vector whose true nearest
+    fine centroid sits in a different coarse cell gets its in-cell
+    best) but fully deterministic — every argmin is (rounded d2 ASC,
+    id ASC) — so the oracle replays it bit-for-bit, and consumers use
+    it as a BLOCKING step where determinism, not exactness, is the
+    contract.
+
+    A coarse cell normally contains at least its own coarse centroid
+    (its f2c argmin is itself at d2=0); only EXACT-duplicate centroid
+    vectors with a lower id can steal that self-assignment and leave a
+    coarse cell fine-centroid-empty, in which case that cell's vectors
+    drop from the output — deterministically, and the oracle replays
+    the same behavior, so parity is unaffected; callers for whom every
+    vector must appear should dedup exact-duplicate centroids first.
+    """
+    kstats = centroids.agg(F.count("*").alias("k")).select(
+        F.greatest(
+            F.lit(4),
+            F.expr("shiftleft(1, cast(length(bin(k - 1)) as int) div 2)"),
+        )
+        .cast("bigint")
+        .alias("kc")
+    )
+    coarse = (
+        centroids.crossJoin(F.broadcast(kstats))
+        .filter(F.col("centroid_id") < F.col("kc"))
+        .select(
+            F.col("centroid_id").alias("coarse_id"),
+            F.col("cvec").alias("ccvec"),
+        )
+    )
+    f2c = (
+        centroids.crossJoin(F.broadcast(coarse))
+        .select(
+            "centroid_id",
+            "coarse_id",
+            _sq_l2_cols(F.col("cvec"), F.col("ccvec")).alias("d2"),
+        )
+        .groupBy("centroid_id")
+        .agg(F.min(F.struct("d2", "coarse_id")).alias("m"))
+        .select("centroid_id", F.col("m.coarse_id").alias("coarse_cell"))
+    )
+    cents2 = centroids.join(f2c, "centroid_id")
+    v2c = (
+        embeddings.crossJoin(F.broadcast(coarse))
+        .select(
+            "vec_id",
+            "coarse_id",
+            _sq_l2_cols(F.col("embedding"), F.col("ccvec")).alias("d2"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "coarse_id")).alias("m"))
+        .select("vec_id", F.col("m.coarse_id").alias("coarse_cell"))
+    )
+    return (
+        embeddings.join(v2c, "vec_id")
+        .join(cents2, "coarse_cell")
+        .select(
+            "vec_id",
+            "centroid_id",
+            _sq_l2_cols(F.col("embedding"), F.col("cvec")).alias("d2"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "centroid_id")).alias("m"))
+        .select("vec_id", F.col("m.centroid_id").alias("cell"))
+    )
+
+
 def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
     """Assign every vector to its nearest centroid. Centroids = the
     ``n_centroids`` lowest vec_ids — deterministic 'training' the oracle
@@ -190,6 +297,7 @@ def kmeans_centroids_scaled(
     target_cell_size: int = 200,
     min_k: int = 8,
     iters: int = 2,
+    two_level: bool = False,
 ) -> DataFrame:
     """``kmeans_centroids`` with the PRODUCTION k dial live:
     ``k = max(min_k, floor(n / target_cell_size))`` entering the plan as
@@ -217,30 +325,48 @@ def kmeans_centroids_scaled(
             F.col("embedding").alias("cvec"),
         )
     )
-    return lloyd_rounds(embeddings, cents, iters)
+    return lloyd_rounds(embeddings, cents, iters, two_level=two_level)
 
 
 def lloyd_rounds(
-    embeddings: DataFrame, cents: DataFrame, iters: int
+    embeddings: DataFrame, cents: DataFrame, iters: int, two_level: bool = False
 ) -> DataFrame:
     """``iters`` deterministic Lloyd's rounds from an arbitrary seed
     centroid table (centroid_id, cvec) — the shared trainer behind
     ``kmeans_centroids`` (literal k seed) and ``kmeans_centroids_scaled``
-    (broadcast data-driven seed count)."""
+    (broadcast data-driven seed count). With ``two_level=True`` each
+    round's assignment goes through ``assign_to_centroids_twolevel``
+    (≈2n√k distance evals instead of n·k — the training loop is where
+    the flat-assignment cost multiplies by the round count, so a scaled
+    k dial without two-level training stays quadratic; round-7
+    loadtest). Two-level Lloyd is the standard approximate-assignment
+    k-means every large-scale trainer (e.g. IVF index builders) runs —
+    still fully deterministic, so the oracle replays training exactly."""
     for _ in range(iters):
-        scored = embeddings.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "embedding", "centroid_id", _sq_l2_to_centroid().alias("d2")
-        )
-        # Same window-free argmin as assign_to_centroids; the embedding is
-        # constant per vec_id, so first() is value-deterministic.
-        assigned = (
-            scored.groupBy("vec_id")
-            .agg(
-                F.min(F.struct("d2", "centroid_id")).alias("m"),
-                F.first("embedding").alias("embedding"),
+        if two_level:
+            assigned = (
+                assign_to_centroids_twolevel(embeddings, cents)
+                .join(embeddings, "vec_id")
+                .select("vec_id", "embedding", "cell")
             )
-            .select("vec_id", "embedding", F.col("m.centroid_id").alias("cell"))
-        )
+        else:
+            scored = embeddings.crossJoin(F.broadcast(cents)).select(
+                "vec_id", "embedding", "centroid_id",
+                _sq_l2_to_centroid().alias("d2"),
+            )
+            # Same window-free argmin as assign_to_centroids; the
+            # embedding is constant per vec_id, so first() is
+            # value-deterministic.
+            assigned = (
+                scored.groupBy("vec_id")
+                .agg(
+                    F.min(F.struct("d2", "centroid_id")).alias("m"),
+                    F.first("embedding").alias("embedding"),
+                )
+                .select(
+                    "vec_id", "embedding", F.col("m.centroid_id").alias("cell")
+                )
+            )
         dims = assigned.select(
             "cell", F.posexplode(F.col("embedding").cast("array<double>"))
         )
@@ -262,6 +388,14 @@ def lloyd_rounds(
             )
             .select(F.col("cell").alias("centroid_id"), "cvec")
         )
+        if two_level:
+            # The two-level assignment references the centroid table 4×
+            # per round (count, coarse filter, f2c, fine argmin) — an
+            # un-materialized cents would re-run the ENTIRE previous
+            # round per reference, i.e. 4^rounds full-corpus scans. The
+            # table is k rows; checkpoint it once per round (the
+            # multi-referenced-DAG-node rule, PLANS.md round 6).
+            cents = cents.localCheckpoint()
     return cents
 
 
@@ -951,10 +1085,15 @@ def ann_graph_search(
     hops: int = 4,
     k_edges: int = 3,
     n_centroids: int = 8,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Graph-based ANN: hop-synchronized BEAM SEARCH over the two-layer
     navigable graph (``nsw_graph_edges``) from a fixed global entry
     point — the NSW/HNSW query algorithm as a batch of relational hops.
+    ``edges`` lets a caller pass a prebuilt (materialized) edge relation
+    — the graph is the INDEX, built once and probed by every search and
+    audit, which is how the catalog shares it between q_ann_graph and
+    q_ann_graph_recall via the session staging registry.
 
     This is the BEST-FIRST search of the NSW papers, hop-synchronized:
     the visited set tracks which nodes have been EXPANDED, and each hop
@@ -988,7 +1127,8 @@ def ann_graph_search(
     """
     from mapreduceindexer_spark.functions.vector import dot, l2_norm
 
-    edges = nsw_graph_edges(embeddings, k_edges, n_centroids).localCheckpoint()
+    if edges is None:
+        edges = nsw_graph_edges(embeddings, k_edges, n_centroids).localCheckpoint()
     probes = (
         embeddings.filter(F.col("vec_id").isin(list(probe_ids)))
         .select(
@@ -1093,6 +1233,7 @@ def ann_graph_recall(
     k_edges: int = 3,
     n_centroids: int = 8,
     floor_permille: int = 500,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of graph-ANN beam search vs exact brute force, per probe,
     with an explicit CONTRACT column: ``meets_floor`` = recall ≥
@@ -1119,7 +1260,7 @@ def ann_graph_recall(
     )
     graph = ann_graph_search(
         embeddings, probe_ids, k=k, ef=ef, hops=hops,
-        k_edges=k_edges, n_centroids=n_centroids,
+        k_edges=k_edges, n_centroids=n_centroids, edges=edges,
     ).select("probe_id", "vec_id")
     hits = (
         brute.join(graph, ["probe_id", "vec_id"])

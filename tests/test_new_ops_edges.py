@@ -314,6 +314,34 @@ def test_nsw_edges_connect_the_whole_corpus(spark):
     assert len(seen) == n
 
 
+def test_twolevel_assignment_matches_flat_on_clustered_data(spark):
+    """Two-level (IVF-on-IVF) assignment must (a) cover every vector and
+    (b) agree with the exact flat argmin when the data has real cluster
+    structure — the coarse layer's approximation only bites when a
+    vector and its true centroid straddle a coarse boundary, which
+    planted orthogonal clusters never do. With k=8 the coarse count is
+    4 (< k), so the blocked path is genuinely exercised, not the
+    degenerate coarse==fine case."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.operators.similarity import (
+        assign_to_centroids,
+        assign_to_centroids_twolevel,
+    )
+
+    emb = _clustered_embeddings(spark)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    flat = {r["vec_id"]: r["cell"] for r in assign_to_centroids(emb, cents).collect()}
+    two = {
+        r["vec_id"]: r["cell"]
+        for r in assign_to_centroids_twolevel(emb, cents).collect()
+    }
+    assert len(two) == emb.count()
+    assert two == flat
+
+
 def test_bm25_pruned_equals_full_and_actually_prunes(spark):
     """Pruned BM25 returns the IDENTICAL top-k as the full scorer for
     several query shapes, and never exact-scores more docs than match."""
