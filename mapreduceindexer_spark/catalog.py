@@ -8129,6 +8129,57 @@ def q_table_versions(spark, sf_dir):
     return out
 
 
+@register(
+    "q_table_compact",
+    """WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(n_chars) AS BIGINT) AS c
+                     FROM documents),
+            extra AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                             CAST(sum(n_chars) AS BIGINT) AS c
+                      FROM documents WHERE doc_id % 7 = 0)
+       SELECT CAST(3 AS BIGINT) AS version, CAST(3 AS BIGINT) AS n_dirs,
+              base.n + extra.n AS n_docs, base.c + extra.c AS total_chars
+       FROM base, extra
+       UNION ALL
+       SELECT CAST(4 AS BIGINT), CAST(1 AS BIGINT),
+              base.n + extra.n, base.c + extra.c
+       FROM base, extra""",
+)
+def q_table_compact(spark, sf_dir):
+    """Table-format COMPACTION (OPTIMIZE / rewrite-data-files) driven
+    end-to-end: overwrite + two appends leave version 3 spanning three
+    snapshot dirs (exactly what the streaming table sinks produce — one
+    append per microbatch); ``compact`` rewrites it as version 4 with
+    ONE dir and byte-identical content. The query reads both versions'
+    (manifest dir count, row count, char sum) and the oracle replays
+    the content arithmetic declaratively — compaction must be exactly
+    content-preserving and must actually collapse the dir fan-out.
+    sources/transact.py::TransactionalTable.compact."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    docs = _docs(spark, sf_dir)
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_compact_"))
+    table.commit(docs.filter(F.col("lang") == "en"), "overwrite")
+    table.commit(docs.filter(F.col("lang") != "en"), "append")
+    table.commit(docs.filter(F.col("doc_id") % 7 == 0), "append")
+    v4 = table.compact(spark, target_files=2)
+    parts = [
+        table.read(spark, v).agg(
+            F.lit(v).cast("bigint").alias("version"),
+            F.lit(len(table._manifest(v)["dirs"])).cast("bigint").alias("n_dirs"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        for v in (3, v4)
+    ]
+    out = parts[0].unionAll(parts[1]).localCheckpoint()
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
 _CHECK_PRIORITY = [
     # Round-7 window: 6-slot core spine + 44 queries with NO prior
     # driver row (COVERAGE.md driver ledger; after this round + round 8
@@ -8190,7 +8241,7 @@ _CHECK_PRIORITY = [
     "q_salted_join",
     "q_upsert",
     "q_scd2",
-    "q_multimodal_meta",
+    "q_table_compact",
 ]
 assert len(_CHECK_PRIORITY) == 50, (
     f"driver check window is exactly 50 slots, got {len(_CHECK_PRIORITY)}"

@@ -179,6 +179,37 @@ class TransactionalTable:
 
     # -- maintenance --------------------------------------------------------
 
+    def compact(self, spark: SparkSession, target_files: int = 8) -> int:
+        """Rewrite the CURRENT version's snapshot set as ONE fresh
+        snapshot dir of at most ``target_files`` files — the
+        OPTIMIZE / rewrite-data-files maintenance op of every table
+        format. Every append extends the manifest by one dir (the
+        streaming sinks commit one per microbatch), so an append-heavy
+        table fans its reads across many small dirs/files; compaction
+        restores O(target_files) read cost while old versions remain
+        time-travelable until ``vacuum`` reclaims them.
+
+        Content-preserving by construction: the new snapshot IS the
+        read of the old one (``coalesce`` — no shuffle, just fewer
+        write tasks), streamed scan→write with no driver
+        materialization, safe because source dirs and the target dir
+        never overlap. Concurrency-safe: the commit carries
+        ``expected_version``, so a writer landing mid-compaction wins
+        and the compaction raises ``CommitConflict`` instead of
+        silently discarding that writer's rows (rewrite jobs are the
+        retryable party, exactly as in every optimistic table format).
+        """
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("nothing to compact: table has no committed version")
+        df = self.read(spark, cur).coalesce(target_files)
+        return self.commit(
+            df,
+            mode="overwrite",
+            expected_version=cur,
+            meta={"compacted_from": cur},
+        )
+
     def vacuum(
         self, keep_versions: int = 1, grace_seconds: float = 300.0
     ) -> list[str]:

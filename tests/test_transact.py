@@ -171,3 +171,34 @@ def test_concurrent_committers_serialize_via_link_cas(spark, tmp_path):
     assert t.versions() == list(range(1, n_writers + 2))  # gap-free chain
     ids = _ids(t.read(spark))
     assert ids == sorted([0] + [1000 * (i + 1) for i in range(n_writers)])
+
+
+def test_compact_collapses_dirs_preserves_content_and_history(spark, tmp_path):
+    """Compaction must rewrite N snapshot dirs as one, byte-preserve the
+    content, keep old versions time-travelable, record its provenance in
+    the manifest meta, and leave the old dirs reclaimable by vacuum."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5))
+    t.commit(spark.range(5, 8), mode="append")
+    t.commit(spark.range(8, 12), mode="append")
+    assert len(t._manifest(3)["dirs"]) == 3
+    v4 = t.compact(spark, target_files=2)
+    assert v4 == 4
+    assert len(t._manifest(4)["dirs"]) == 1
+    assert t.meta_of(4) == {"compacted_from": 3}
+    assert _ids(t.read(spark)) == list(range(12))
+    assert _ids(t.read(spark, 2)) == list(range(8))  # history intact
+    # Target file count honored (coalesce): at most 2 data files.
+    snap = os.path.join(t.path, t._manifest(4)["dirs"][0])
+    parts = [f for f in os.listdir(snap) if f.startswith("part-")]
+    assert 1 <= len(parts) <= 2
+    # Vacuum (grace 0, keep 1) reclaims the three pre-compaction dirs.
+    deleted = t.vacuum(keep_versions=1, grace_seconds=0)
+    assert len(deleted) == 3
+    assert _ids(t.read(spark)) == list(range(12))
+
+
+def test_compact_empty_table_refuses(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="nothing to compact"):
+        t.compact(spark)
