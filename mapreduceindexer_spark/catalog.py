@@ -5580,7 +5580,8 @@ def q_semantic_dedup_scaled(spark, sf_dir):
 
 # --- two-level (IVF-on-IVF) assignment oracle fragments -------------------
 # ~2n√k distance evals instead of n·k: coarse-quantize the centroid table
-# (kc = max(4, 2^(⌈log2 k⌉ div 2)) lowest ids — exact-integer
+# (kc = max(4, 2^(⌈log2 k⌉ div 2)) lowest-RANKED ids — rank, not absolute
+# id, because Lloyd drops empty cells and leaves sparse ids; exact-integer
 # length(bin(k-1)) keeps the dial bit-portable), assign fine centroids and
 # vectors coarse-first, then argmin only within the vector's coarse cell.
 # operators/similarity.py::assign_to_centroids_twolevel.
@@ -5598,7 +5599,10 @@ def _sql_assign2_blocks(tag: str, cents: str) -> str:
  ks{tag} AS (SELECT greatest(4, 1 << (length(bin(count(*) - 1)) // 2)) AS kc
              FROM {cents}),
  co{tag} AS (SELECT centroid_id AS coarse_id, cv AS ccv
-             FROM {cents}, ks{tag} WHERE centroid_id < ks{tag}.kc),
+             FROM (SELECT centroid_id, cv,
+                          row_number() OVER (ORDER BY centroid_id) AS rk
+                   FROM {cents}), ks{tag}
+             WHERE rk <= ks{tag}.kc),
  fc{tag} AS (SELECT centroid_id, coarse_id AS coarse_cell
              FROM (SELECT c.centroid_id, co.coarse_id,
                           row_number() OVER (PARTITION BY c.centroid_id

@@ -323,8 +323,10 @@ def interval_overlap_stats(
     An interval covering more than ``max_bins_per_interval`` bins fails
     LOUDLY at the offending row (with its event_id and bin count) so the
     caller raises ``bin_minutes`` instead of silently melting an
-    executor; the guard is expression-level, so the check costs one
-    integer compare per row and nothing shuffles.
+    executor; so does a NEGATIVE-duration interval (e < s → n_bins ≤ 0),
+    which ``sequence()`` would otherwise turn into a silent descending
+    bin walk for an invalid row. The guard is expression-level, so the
+    check costs two integer compares per row and nothing shuffles.
     """
     binw = bin_minutes * 60_000_000
     iv = events.select(
@@ -340,13 +342,15 @@ def interval_overlap_stats(
     last_bin = (F.col("e") / binw).cast("bigint")
     n_bins = last_bin - first_bin + F.lit(1)
     last_bin_guarded = F.when(
-        n_bins <= F.lit(max_bins_per_interval), last_bin
+        (n_bins >= F.lit(1)) & (n_bins <= F.lit(max_bins_per_interval)),
+        last_bin,
     ).otherwise(
         F.raise_error(
             F.format_string(
                 "interval_overlap_stats: event_id=%s covers %s bins of "
-                f"{bin_minutes} min (> max_bins_per_interval="
-                f"{max_bins_per_interval}); raise bin_minutes",
+                f"{bin_minutes} min (valid range is 1..max_bins_per_interval="
+                f"{max_bins_per_interval}; negative duration or raise "
+                "bin_minutes)",
                 F.col("event_id"),
                 n_bins,
             )

@@ -141,9 +141,16 @@ def assign_to_centroids_twolevel(
     quadratic again once n is large (PLANS.md round-7 loadtest: the
     flat assignment is the dominant cost at 200k vectors).
 
-    - coarse layer: the ``kc = max(4, 2^(⌈log2 k⌉ div 2))`` lowest-id
-      centroids (≈ √k — the cost-minimizing split; exact-integer
-      ``length(bin(k-1))`` keeps the dial bit-portable to DuckDB);
+    - coarse layer: the ``kc = max(4, 2^(⌈log2 k⌉ div 2))``
+      LOWEST-RANKED centroids by id (≈ √k — the cost-minimizing split;
+      exact-integer ``length(bin(k-1))`` keeps the dial bit-portable to
+      DuckDB). Selection is by RANK, not by absolute id: Lloyd rounds
+      drop empty cells, so after training the surviving ids can be
+      sparse and an ``id < kc`` filter could select few or zero coarse
+      centroids and silently drop whole coarse cells of vectors
+      (round-7 review finding). The rank window runs over the CENTROID
+      relation only (k = n/200 rows — the relation a deployment keeps
+      in its coordinator store; a recursive level shrinks it again);
     - each FINE centroid is assigned to its nearest coarse centroid
       (k × kc evals); each VECTOR likewise (n × kc evals);
     - the fine argmin then runs only within the vector's coarse cell
@@ -177,8 +184,11 @@ def assign_to_centroids_twolevel(
         .alias("kc")
     )
     coarse = (
-        centroids.crossJoin(F.broadcast(kstats))
-        .filter(F.col("centroid_id") < F.col("kc"))
+        centroids.withColumn(
+            "_rn", F.row_number().over(Window.orderBy("centroid_id"))
+        )
+        .crossJoin(F.broadcast(kstats))
+        .filter(F.col("_rn") <= F.col("kc"))
         .select(
             F.col("centroid_id").alias("coarse_id"),
             F.col("cvec").alias("ccvec"),
@@ -342,6 +352,13 @@ def lloyd_rounds(
     loadtest). Two-level Lloyd is the standard approximate-assignment
     k-means every large-scale trainer (e.g. IVF index builders) runs —
     still fully deterministic, so the oracle replays training exactly."""
+    if two_level:
+        # Round 1's two-level assignment references the SEED table 4×
+        # (count, coarse filter, f2c, fine argmin) — an un-materialized
+        # seed (e.g. kmeans_centroids_scaled's count+filter over the
+        # corpus) would re-run its full scan per reference (round-7
+        # review finding; same rule as the per-round checkpoint below).
+        cents = cents.localCheckpoint()
     for _ in range(iters):
         if two_level:
             assigned = (

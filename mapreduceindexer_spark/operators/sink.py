@@ -78,8 +78,31 @@ def write_index_sharded(
     in); each task sorts its (letter, shard) slice by (df DESC, term
     ASC), so every ``letter=<c>/part-*`` file is an internally sorted
     run and ``read_index_letter_merged`` restores the exact one-file
-    byte contract on read."""
-    lines = index_lines(postings)
+    byte contract on read.
+
+    Contract: ``postings`` must be UNSEGMENTED (one line per term, so
+    ``df`` equals the id count) — the merge recovers its sort key from
+    each line's id count, and a segmented relation (df = full-term df
+    on every partial-ids row) would silently merge out of order. The
+    guard below fails loudly at the first offending row instead
+    (round-7 review finding); it is one integer compare per row,
+    nothing shuffles."""
+    checked_df = F.when(
+        F.size("doc_ids").cast("bigint") == F.col("df"), F.col("df")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "write_index_sharded: term %s has df=%s but %s ids — "
+                "segmented postings cannot round-trip through "
+                "merge-on-read (the merge key is recovered from each "
+                "line's id count)",
+                F.col("term"),
+                F.col("df"),
+                F.size("doc_ids").cast("bigint"),
+            )
+        ).cast("bigint")
+    )
+    lines = index_lines(postings.withColumn("df", checked_df))
     shard = F.pmod(F.hash("term"), F.lit(shards_per_letter))
     (
         lines.repartition(26 * shards_per_letter, F.col("letter"), shard)
@@ -105,17 +128,28 @@ def _index_line_sort_key(line: str) -> tuple[int, str]:
 def read_index_letter_merged(out_dir: str, letter: str) -> list[str]:
     """Merge-on-read for the sharded sink: STREAMING k-way merge of one
     letter's sorted part-files on (df DESC, term ASC) — ``heapq.merge``
-    holds one line per run, never a letter's full contents, which is
-    the read-side cost model that makes N-files-per-letter viable at
-    100 TB (a concat-then-sort would re-pay the sink's sort on every
-    read). Output is byte-identical to the one-file contract
-    (pinned against the golden corpus in tests/test_golden_full.py)."""
+    over line ITERATORS holds one buffered line per open file, never a
+    letter's full contents, which is the read-side cost model that
+    makes N-files-per-letter viable at 100 TB (a concat-then-sort, or
+    reading whole files into lists first, would re-pay the memory the
+    sharding exists to avoid — round-7 review finding). The returned
+    LIST materializes for the test harness; a production reader
+    consumes the generator form. Output is byte-identical to the
+    one-file contract (pinned against the golden corpus in
+    tests/test_golden_full.py)."""
     import heapq
+    from contextlib import ExitStack
 
     d = os.path.join(out_dir, f"letter={letter}")
-    runs = []
-    for name in sorted(os.listdir(d)):
-        if name.startswith(("part-", "part_")) and not name.endswith(".crc"):
-            with open(os.path.join(d, name), encoding="utf-8") as fh:
-                runs.append(fh.read().splitlines())
-    return list(heapq.merge(*runs, key=_index_line_sort_key))
+    names = [
+        n
+        for n in sorted(os.listdir(d))
+        if n.startswith(("part-", "part_")) and not n.endswith(".crc")
+    ]
+    with ExitStack() as stack:
+        runs = [
+            (line.rstrip("\n") for line in
+             stack.enter_context(open(os.path.join(d, n), encoding="utf-8")))
+            for n in names
+        ]
+        return list(heapq.merge(*runs, key=_index_line_sort_key))

@@ -197,13 +197,14 @@ def _run_hll_stream(spark, events, tmp_dir, n_slices):
     # run_stream_to_table.
     from mapreduceindexer_spark.streaming.table_sink import (
         TransactionalTable,
+        read_result,
         run_stream_to_table,
     )
 
     table = TransactionalTable(os.path.join(tmp_dir, name))
     run_stream_to_table(regs, table, output_mode="append")
     return (
-        table.read(spark)
+        read_result(table, spark, OUT_SCHEMA)
         .select("event_type", "bucket", "rho")
         .localCheckpoint()
     )

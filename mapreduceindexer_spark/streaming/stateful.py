@@ -201,6 +201,7 @@ def streaming_user_sessions(
         # the cardinality ceiling).
         from mapreduceindexer_spark.streaming.table_sink import (
             TransactionalTable,
+            read_result,
             run_stream_to_table,
         )
 
@@ -208,7 +209,7 @@ def streaming_user_sessions(
         run_stream_to_table(sessions, table, output_mode="append")
         # localCheckpoint before tmp cleanup deletes the snapshot files.
         return (
-            table.read(spark)
+            read_result(table, spark, out_schema)
             .select("user_id", "session_start", "n_events")
             .localCheckpoint()
         )

@@ -29,14 +29,19 @@ def _append_batch(
     cur = table.current_version()
     if cur > 0 and table.meta_of(cur).get("batch_id", -1) >= batch_id:
         return  # retried microbatch: its effect is already committed
-    # Stateful operators emit nothing on most early microbatches; an
-    # empty commit would snapshot a part-file-less parquet dir (which
-    # some readers refuse) for no information, so skip — idempotence is
-    # unaffected (replaying a skipped batch skips it again).
-    if batch_df.isEmpty():
+    # Checkpoint FIRST, then probe emptiness on the materialized result:
+    # probing the raw batch plan would execute the stateful operator's
+    # state-store replay twice per non-empty batch (round-7 review
+    # finding). Empty batches (most early microbatches of a stateful
+    # stream) are then skipped — an empty commit would snapshot a
+    # part-file-less parquet dir (which some readers refuse) for no
+    # information; idempotence is unaffected (a replayed skipped batch
+    # skips again).
+    cp = batch_df.localCheckpoint()
+    if cp.isEmpty():
         return
     table.commit(
-        batch_df.localCheckpoint(),
+        cp,
         mode="append",
         expected_version=cur,
         meta={"batch_id": batch_id},
@@ -72,4 +77,16 @@ def run_stream_to_table(
         q.stop()
 
 
-__all__ = ["run_stream_to_table", "TransactionalTable"]
+def read_result(table: TransactionalTable, spark, schema) -> DataFrame:
+    """The drained stream's result: the committed table, or — when the
+    backlog emitted nothing at all (no version was ever committed) — an
+    EMPTY DataFrame of the declared output schema. The memory-sink path
+    this sink replaced returned empty results for empty streams;
+    ``table.read`` alone would raise on version 0 instead (round-7
+    review finding)."""
+    if table.current_version() == 0:
+        return spark.createDataFrame([], schema)
+    return table.read(spark)
+
+
+__all__ = ["run_stream_to_table", "read_result", "TransactionalTable"]

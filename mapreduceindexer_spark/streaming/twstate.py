@@ -192,6 +192,7 @@ def streaming_user_totals(
         # verdict item).
         from mapreduceindexer_spark.streaming.table_sink import (
             TransactionalTable,
+            read_result,
             run_stream_to_table,
         )
 
@@ -199,7 +200,7 @@ def streaming_user_totals(
         run_stream_to_table(totals, table, output_mode="update")
         last = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
         return (
-            table.read(spark)
+            read_result(table, spark, OUT_SCHEMA)
             .withColumn("rn", F.row_number().over(last))
             .filter(F.col("rn") == 1)
             .select("user_id", "n_events", "sum_scaled")

@@ -27,14 +27,20 @@ BEGIN = "<!-- driver-ledger:begin -->"
 END = "<!-- driver-ledger:end -->"
 
 
-def green(row: dict) -> bool:
+def green(row: dict, declared_rows_only: bool) -> bool:
     if row.get("err") not in (None, "no_oracle"):
         return False
     if row.get("hash_match") is True:
         return row.get("rows_match") is True and row.get("schema_match") is True
-    # rows-only check (no oracle): green = the query executed and the
-    # driver observed a row count.
-    return row.get("hash_match") is None and row.get("spark_rows") is not None
+    # The rows-only branch counts ONLY queries REGISTERED without an
+    # oracle: an oracle-backed query whose hash comparison never ran
+    # (aborted mid-check) must not be reported as external evidence
+    # (round-7 review finding — the ledger's whole point is honesty).
+    return (
+        declared_rows_only
+        and row.get("hash_match") is None
+        and row.get("spark_rows") is not None
+    )
 
 
 def build_section() -> str:
@@ -48,7 +54,8 @@ def build_section() -> str:
     per_query: dict[str, list[str]] = {}
     for rnd, data in rounds.items():
         for q, row in data.items():
-            if green(row):
+            rows_only = q in QUERIES and QUERIES[q][1] is None
+            if green(row, rows_only):
                 per_query.setdefault(q, []).append(rnd)
 
     names = list(QUERIES)

@@ -237,6 +237,15 @@ def test_interval_overlap_fanout_guard_fails_loudly(spark):
         interval_overlap_stats(events, max_bins_per_interval=4).collect()
     # At the default guard the same input is fine.
     assert interval_overlap_stats(events).count() == 0
+    # A NEGATIVE duration (e < s) must also fail loudly, not walk a
+    # silent descending bin sequence (round-7 review finding).
+    neg = spark.createDataFrame(
+        [(8, t0, 1, "x", -120.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    with pytest.raises(Exception, match="event_id=8 covers -1 bins"):
+        interval_overlap_stats(neg).collect()
 
 
 def test_hll_bucket_rho_pad_width_follows_m():
