@@ -7941,6 +7941,21 @@ def q_hll_stream(spark, sf_dir):
     return streaming_hll_registers(spark, sf_dir)
 
 
+@register("q_knn_stream", None)
+def q_knn_stream(spark, sf_dir):
+    """Incremental ANN-index maintenance: the in-cell KNN edge relation
+    kept up to date while embeddings arrive in microbatches — new
+    vectors are cell-assigned and ONLY the touched cells' neighborhoods
+    recompute, with both state tables committed exactly-once per batch
+    (transactional manifests gating on batch_id). Rows-only BY DESIGN
+    (real streaming query); the final edge state is pinned bit-identical
+    to the cold batch ``knn_graph`` over the full corpus by
+    tests/test_streaming.py. streaming/ann_stream.py."""
+    from mapreduceindexer_spark.streaming.ann_stream import streaming_knn_graph
+
+    return streaming_knn_graph(spark, sf_dir, n_slices=4, k=3, n_centroids=8)
+
+
 @register(
     "q_file_provenance",
     """SELECT 'documents.parquet' AS file_name,
@@ -8216,6 +8231,7 @@ _CHECK_PRIORITY = [
     "q_hll_stream",
     "q_index_stream",
     "q_events_tumbling_stream",
+    "q_knn_stream",
     # -- similarity tier, never driver-checked
     "q_knn_graph",
     "q_ann_multiprobe",
@@ -8223,7 +8239,6 @@ _CHECK_PRIORITY = [
     "q_embed_dup",
     "q_embed_centroids",
     "q_gram_matrix",
-    "q_vector_norms",
     # -- text-analysis / curation tier, never driver-checked
     "q_lang_stats",
     "q_token_counts",

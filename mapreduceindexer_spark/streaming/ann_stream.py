@@ -1,0 +1,216 @@
+"""Incremental ANN-index maintenance as a stream: the KNN-graph edge
+relation (the substrate of the graph-ANN tier, ``similarity.knn_graph``)
+kept up to date while embedding vectors arrive in microbatches.
+
+A production embedding pipeline never rebuilds its vector index per
+ingest; it assigns new vectors to cells and refreshes ONLY the touched
+cells' neighborhoods. This module is that shape on Structured Streaming:
+
+- state = two ``TransactionalTable``s (sources/transact.py): MEMBERS
+  (vec_id, cell, embedding) and EDGES (cell, vec_id, nbr_id, cos_sim,
+  rn — the in-cell KNN edges);
+- per microbatch (``foreachBatch``): assign the new vectors to their
+  IVF cells (broadcast centroid config), APPEND them to members (one
+  snapshot dir — the append-heavy pattern ``compact`` exists for),
+  recompute the KNN edges of the AFFECTED CELLS ONLY from the members
+  state, and overwrite-commit the merged edge relation. Per-batch cost
+  is Σ|touched cell|² + |batch| — delta-driven, never corpus-driven;
+- exactly-once: both commits gate on ``batch_id`` manifest meta (the
+  ``table_sink`` / CDC discipline). A retry after a crash between the
+  two commits skips the members append (its batch_id already landed)
+  and deterministically recomputes the same edge overwrite;
+- determinism: assignment and scoring reuse the EXACT batch operators
+  (``assign_to_centroids``, ``_knn_topk_within_cells``), so the final
+  edge state is bit-identical to a cold ``knn_graph`` over the full
+  corpus — the batch ≡ stream contract, pinned by
+  tests/test_streaming.py and surfaced as the rows-only driver query
+  ``q_knn_stream``.
+
+Centroids are index CONFIGURATION (the ``n_centroids`` lowest vec_ids,
+as everywhere in the similarity tier); they ride the members state, so
+every batch after the first reads them from the committed table rather
+than any side channel.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+
+def _write_vec_slices(emb: DataFrame, stream_dir: str, n_slices: int) -> None:
+    """Materialize embeddings as ``n_slices`` vec_id-range parquet files
+    (mtime-ordered) so ``maxFilesPerTrigger=1`` replays them as an
+    ordered multi-microbatch stream; slice 1 therefore carries the
+    centroid seed ids."""
+    os.makedirs(stream_dir, exist_ok=True)
+    bounds = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    span = (hi - lo + 1 + n_slices - 1) // n_slices
+    for i in range(n_slices):
+        part = emb.filter(
+            (F.col("vec_id") >= lo + i * span)
+            & (F.col("vec_id") < lo + (i + 1) * span)
+        )
+        part_dir = os.path.join(stream_dir, f"_w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = next(
+            os.path.join(part_dir, f)
+            for f in os.listdir(part_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(stream_dir, f"slice_{i:03d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+        shutil.rmtree(part_dir, ignore_errors=True)
+
+
+def _apply_batch(
+    members: TransactionalTable,
+    edges: TransactionalTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    k: int,
+    n_centroids: int,
+) -> None:
+    from mapreduceindexer_spark.operators.similarity import (
+        _knn_topk_within_cells,
+        assign_to_centroids,
+    )
+
+    spark = batch_df.sparkSession
+    ecur = edges.current_version()
+    if ecur > 0 and edges.meta_of(ecur).get("batch_id", -1) >= batch_id:
+        return  # retried microbatch, fully committed
+    batch = batch_df.select("vec_id", "embedding").localCheckpoint()
+    if batch.isEmpty():
+        return
+
+    mcur = members.current_version()
+    state = (
+        members.read(spark, mcur).select("vec_id", "cell", "embedding")
+        if mcur > 0
+        else None
+    )
+    # Centroid config: the n_centroids lowest vec_ids — in the committed
+    # state from batch 2 on, in the batch itself on batch 1.
+    seed_pool = (
+        state.select("vec_id", "embedding").unionByName(batch)
+        if state is not None
+        else batch
+    )
+    cents = (
+        seed_pool.filter(F.col("vec_id") < n_centroids)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        .localCheckpoint()
+    )
+    new_members = (
+        batch.join(assign_to_centroids(batch, cents), "vec_id")
+        .select("vec_id", "cell", "embedding")
+        .localCheckpoint()
+    )
+    if mcur == 0 or members.meta_of(mcur).get("batch_id", -1) < batch_id:
+        members.commit(
+            new_members,
+            mode="append" if mcur > 0 else "overwrite",
+            expected_version=mcur,
+            meta={"batch_id": batch_id},
+        )
+    affected = new_members.select("cell").distinct()
+    all_members = (
+        state.unionByName(new_members) if state is not None else new_members
+    )
+    touched = all_members.join(F.broadcast(affected), "cell", "left_semi")
+    new_edges = (
+        _knn_topk_within_cells(
+            touched.select("vec_id", "embedding"),
+            touched.select("vec_id", "cell"),
+            k,
+        )
+        .join(all_members.select("vec_id", "cell"), "vec_id")
+        .select("cell", "vec_id", "nbr_id", "cos_sim", "rn")
+    )
+    if ecur > 0:
+        kept = edges.read(spark, ecur).join(
+            F.broadcast(affected), "cell", "left_anti"
+        )
+        merged = kept.unionByName(new_edges)
+    else:
+        merged = new_edges
+    edges.commit(
+        merged.localCheckpoint(),
+        mode="overwrite",
+        expected_version=ecur,
+        meta={"batch_id": batch_id},
+    )
+
+
+def streaming_knn_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    k: int = 3,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """Replay the embeddings table as ``n_slices`` microbatches,
+    incrementally maintain the in-cell KNN edge relation, and return
+    the final committed edges (vec_id, nbr_id, cos_sim, rn) — exactly
+    ``similarity.knn_graph``'s output for the full corpus."""
+    from mapreduceindexer_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp_dir = tempfile.mkdtemp(prefix="mri_ann_stream_")
+    try:
+        stream_dir = os.path.join(tmp_dir, "stream")
+        _write_vec_slices(emb, stream_dir, n_slices)
+        members = TransactionalTable(os.path.join(tmp_dir, "members"))
+        edges = TransactionalTable(os.path.join(tmp_dir, "edges"))
+        src = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        q = (
+            src.writeStream.foreachBatch(
+                lambda df, bid: _apply_batch(
+                    members, edges, df, bid, k, n_centroids
+                )
+            )
+            .queryName(f"ann_stream_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise RuntimeError(
+                    "ANN index maintenance replay did not finish within 300 s"
+                )
+        finally:
+            q.stop()
+        from mapreduceindexer_spark.streaming.table_sink import read_result
+
+        out_schema = (
+            "cell bigint, vec_id bigint, nbr_id bigint,"
+            " cos_sim double, rn bigint"
+        )
+        # Materialize before tmp cleanup deletes the snapshots.
+        return (
+            read_result(edges, spark, out_schema)
+            .select("vec_id", "nbr_id", "cos_sim", "rn")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+__all__ = ["streaming_knn_graph"]

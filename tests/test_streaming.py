@@ -219,3 +219,26 @@ def test_streaming_cdc_apply_equals_batch_latest(spark):
         )
     )
     assert s == b and len(s) > 0
+
+
+def test_streaming_knn_graph_equals_batch(spark):
+    """Incremental ANN-index maintenance == cold batch build: after the
+    sliced replay, the maintained edge relation must be bit-identical
+    to knn_graph over the full corpus (same assignment, same rounded
+    cosines, same tie-breaks) — the touched-cells-only delta recompute
+    may never diverge from the rebuild."""
+    from mapreduceindexer_spark.operators.similarity import knn_graph
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming.ann_stream import streaming_knn_graph
+    from tests.conftest import SF_SMOKE
+
+    s = sorted(map(tuple, streaming_knn_graph(spark, SF_SMOKE).collect()))
+    b = sorted(
+        map(
+            tuple,
+            knn_graph(
+                load_table(spark, SF_SMOKE, "embeddings"), k=3, n_centroids=8
+            ).collect(),
+        )
+    )
+    assert s == b and len(s) > 0
