@@ -323,10 +323,11 @@ def interval_overlap_stats(
     An interval covering more than ``max_bins_per_interval`` bins fails
     LOUDLY at the offending row (with its event_id and bin count) so the
     caller raises ``bin_minutes`` instead of silently melting an
-    executor; so does a NEGATIVE-duration interval (e < s → n_bins ≤ 0),
-    which ``sequence()`` would otherwise turn into a silent descending
-    bin walk for an invalid row. The guard is expression-level, so the
-    check costs two integer compares per row and nothing shuffles.
+    executor; so does ANY negative-duration interval (e < s) — whether
+    it crosses a bin boundary backwards (a silent descending
+    ``sequence()`` walk) or sits inside one bin (a silent NEGATIVE
+    overlap contribution). The guard is expression-level, so the check
+    costs two integer compares per row and nothing shuffles.
     """
     binw = bin_minutes * 60_000_000
     iv = events.select(
@@ -341,8 +342,13 @@ def interval_overlap_stats(
     first_bin = (F.col("s") / binw).cast("bigint")
     last_bin = (F.col("e") / binw).cast("bigint")
     n_bins = last_bin - first_bin + F.lit(1)
+    # e >= s directly (not via n_bins >= 1): a negative duration fully
+    # contained in one bin still yields n_bins == 1 and would otherwise
+    # slip through and contribute NEGATIVE overlap to the per-user sums
+    # (round-7 review finding, second pass).
     last_bin_guarded = F.when(
-        (n_bins >= F.lit(1)) & (n_bins <= F.lit(max_bins_per_interval)),
+        (F.col("e") >= F.col("s"))
+        & (n_bins <= F.lit(max_bins_per_interval)),
         last_bin,
     ).otherwise(
         F.raise_error(

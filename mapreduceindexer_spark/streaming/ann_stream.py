@@ -13,12 +13,18 @@ cells' neighborhoods. This module is that shape on Structured Streaming:
   IVF cells (broadcast centroid config), APPEND them to members (one
   snapshot dir — the append-heavy pattern ``compact`` exists for),
   recompute the KNN edges of the AFFECTED CELLS ONLY from the members
-  state, and overwrite-commit the merged edge relation. Per-batch cost
-  is Σ|touched cell|² + |batch| — delta-driven, never corpus-driven;
+  state, and overwrite-commit the merged edge relation. Per-batch
+  COMPUTE is Σ|touched cell|² + |batch| — delta-driven; the edge-state
+  REWRITE is whole-table (the cost of a manifest format without
+  partition-level replace; streamed scan→write, never driver-held —
+  a per-cell dir manifest is the documented next step);
 - exactly-once: both commits gate on ``batch_id`` manifest meta (the
   ``table_sink`` / CDC discipline). A retry after a crash between the
-  two commits skips the members append (its batch_id already landed)
-  and deterministically recomputes the same edge overwrite;
+  two commits skips the members append (its batch_id already landed),
+  DEDUPES the already-appended batch rows out of the state it reads
+  (anti-join on vec_id — otherwise the recompute would rank duplicate
+  neighbors into the top-k), and deterministically recomputes the same
+  edge overwrite;
 - determinism: assignment and scoring reuse the EXACT batch operators
   (``assign_to_centroids``, ``_knn_topk_within_cells``), so the final
   edge state is bit-identical to a cold ``knn_graph`` over the full
@@ -43,33 +49,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduceindexer_spark.sources.transact import TransactionalTable
-
-
-def _write_vec_slices(emb: DataFrame, stream_dir: str, n_slices: int) -> None:
-    """Materialize embeddings as ``n_slices`` vec_id-range parquet files
-    (mtime-ordered) so ``maxFilesPerTrigger=1`` replays them as an
-    ordered multi-microbatch stream; slice 1 therefore carries the
-    centroid seed ids."""
-    os.makedirs(stream_dir, exist_ok=True)
-    bounds = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
-    lo, hi = bounds[0], bounds[1]
-    span = (hi - lo + 1 + n_slices - 1) // n_slices
-    for i in range(n_slices):
-        part = emb.filter(
-            (F.col("vec_id") >= lo + i * span)
-            & (F.col("vec_id") < lo + (i + 1) * span)
-        )
-        part_dir = os.path.join(stream_dir, f"_w{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(part_dir)
-        src = next(
-            os.path.join(part_dir, f)
-            for f in os.listdir(part_dir)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        dst = os.path.join(stream_dir, f"slice_{i:03d}.parquet")
-        shutil.move(src, dst)
-        os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
-        shutil.rmtree(part_dir, ignore_errors=True)
 
 
 def _apply_batch(
@@ -127,8 +106,16 @@ def _apply_batch(
             meta={"batch_id": batch_id},
         )
     affected = new_members.select("cell").distinct()
+    # A retried batch whose MEMBERS append already landed (crash between
+    # the two commits) has its rows in ``state`` too — union would
+    # double-count them and the edge recompute would rank duplicate
+    # neighbors into the top-k (round-7 review finding). The anti-join
+    # dedup is the identity on the no-crash path (state and batch ids
+    # are disjoint) and exactly removes the overlap on replay.
     all_members = (
-        state.unionByName(new_members) if state is not None else new_members
+        state.join(new_members, "vec_id", "left_anti").unionByName(new_members)
+        if state is not None
+        else new_members
     )
     touched = all_members.join(F.broadcast(affected), "cell", "left_semi")
     new_edges = (
@@ -140,6 +127,13 @@ def _apply_batch(
         .join(all_members.select("vec_id", "cell"), "vec_id")
         .select("cell", "vec_id", "nbr_id", "cos_sim", "rn")
     )
+    # The RECOMPUTE is delta-driven (touched cells only); the STATE
+    # REWRITE below is whole-table per batch — the cost of a manifest
+    # format without partition-level replace. Streamed scan→write (no
+    # driver materialization; the new snapshot dir never overlaps the
+    # dirs being read). A per-cell dir manifest (replace only affected
+    # cells' dirs) would restore O(delta) writes — documented as the
+    # known next step, not implemented speculatively.
     if ecur > 0:
         kept = edges.read(spark, ecur).join(
             F.broadcast(affected), "cell", "left_anti"
@@ -148,7 +142,7 @@ def _apply_batch(
     else:
         merged = new_edges
     edges.commit(
-        merged.localCheckpoint(),
+        merged,
         mode="overwrite",
         expected_version=ecur,
         meta={"batch_id": batch_id},
@@ -168,11 +162,15 @@ def streaming_knn_graph(
     ``similarity.knn_graph``'s output for the full corpus."""
     from mapreduceindexer_spark.sources.tables import load_table
 
+    from mapreduceindexer_spark.streaming.index_stream import _write_doc_slices
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     tmp_dir = tempfile.mkdtemp(prefix="mri_ann_stream_")
     try:
         stream_dir = os.path.join(tmp_dir, "stream")
-        _write_vec_slices(emb, stream_dir, n_slices)
+        # Shared replay mechanics (vec_id-range slices, mtime-ordered,
+        # fsync'd) — slice 1 therefore carries the centroid seed ids.
+        _write_doc_slices(emb, stream_dir, n_slices, id_col="vec_id")
         members = TransactionalTable(os.path.join(tmp_dir, "members"))
         edges = TransactionalTable(os.path.join(tmp_dir, "edges"))
         src = (

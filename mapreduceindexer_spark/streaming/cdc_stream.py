@@ -151,6 +151,17 @@ def streaming_cdc_apply(
         finally:
             q.stop()
         # Materialize before tmp cleanup deletes the backing snapshot.
-        return table.read(spark).localCheckpoint()
+        # read_result: an EMPTY backlog commits no version at all, and a
+        # bare table.read would raise on version 0 instead of returning
+        # the empty typed result (round-7 review finding — the same
+        # empty-stream class fixed in the table_sink consumers).
+        from mapreduceindexer_spark.streaming.table_sink import read_result
+
+        return read_result(
+            table,
+            spark,
+            "user_id bigint, last_ts timestamp,"
+            " last_event_id bigint, last_value double",
+        ).localCheckpoint()
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)

@@ -70,17 +70,22 @@ from mapreduceindexer_spark.operators.index import (
 )
 
 
-def _write_doc_slices(docs: DataFrame, stream_dir: str, n_slices: int) -> None:
-    """Materialize documents as n_slices parquet files (doc_id-range
+def _write_doc_slices(
+    docs: DataFrame, stream_dir: str, n_slices: int, id_col: str = "doc_id"
+) -> None:
+    """Materialize a relation as n_slices parquet files (``id_col``-range
     sliced, mtime-ordered) so ``maxFilesPerTrigger=1`` replays them as an
-    ordered multi-microbatch stream."""
+    ordered multi-microbatch stream. Parameterized on the id column so
+    the embedding backlog (streaming/ann_stream.py) reuses the same
+    replay mechanics — including the slice fsync below, which a copied
+    variant had silently dropped (round-7 review finding)."""
     os.makedirs(stream_dir, exist_ok=True)
-    bounds = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    bounds = docs.agg(F.min(id_col), F.max(id_col)).collect()[0]
     lo, hi = bounds[0], bounds[1]
     span = (hi - lo + 1 + n_slices - 1) // n_slices
     for i in range(n_slices):
         part = docs.filter(
-            (F.col("doc_id") >= lo + i * span) & (F.col("doc_id") < lo + (i + 1) * span)
+            (F.col(id_col) >= lo + i * span) & (F.col(id_col) < lo + (i + 1) * span)
         )
         tmp = os.path.join(stream_dir, f"_tmp{i}")
         part.coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -246,6 +246,16 @@ def test_interval_overlap_fanout_guard_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="event_id=8 covers -1 bins"):
         interval_overlap_stats(neg).collect()
+    # A negative duration CONTAINED in one bin (n_bins == 1) must also
+    # raise — it would otherwise contribute negative overlap silently
+    # (round-7 review finding, second pass).
+    neg_inbin = spark.createDataFrame(
+        [(9, t0 + dt.timedelta(minutes=59), 1, "x", -30.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    with pytest.raises(Exception, match="event_id=9 covers 1 bins"):
+        interval_overlap_stats(neg_inbin).collect()
 
 
 def test_hll_bucket_rho_pad_width_follows_m():

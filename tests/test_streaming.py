@@ -242,3 +242,64 @@ def test_streaming_knn_graph_equals_batch(spark):
         )
     )
     assert s == b and len(s) > 0
+
+
+def test_ann_stream_retry_after_partial_commit_is_exact(spark, tmp_path):
+    """Crash-window replay: if a batch's MEMBERS append landed but its
+    EDGES overwrite did not, the retried batch must dedup its own rows
+    out of the state it reads — otherwise duplicate vectors rank into
+    the top-k and the maintained edges diverge from the batch rebuild
+    (round-7 review finding, second pass)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.operators.similarity import (
+        assign_to_centroids,
+        knn_graph,
+    )
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+    from mapreduceindexer_spark.streaming.ann_stream import _apply_batch
+    from tests.test_new_ops_edges import _clustered_embeddings
+
+    emb = _clustered_embeddings(spark)
+    b1 = emb.filter(F.col("vec_id") < 80)
+    b2 = emb.filter(F.col("vec_id") >= 80)
+    members = TransactionalTable(str(tmp_path / "members"))
+    edges = TransactionalTable(str(tmp_path / "edges"))
+    _apply_batch(members, edges, b1, 0, k=3, n_centroids=8)
+    # Simulate the crash window for batch 1: members append lands
+    # (exactly as _apply_batch would commit it), edges commit does not.
+    cents = (
+        members.read(spark)
+        .filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    nm = b2.join(assign_to_centroids(b2, cents), "vec_id").select(
+        "vec_id", "cell", "embedding"
+    )
+    members.commit(nm, mode="append", meta={"batch_id": 1})
+    # The retried batch must produce edges identical to the cold build.
+    _apply_batch(members, edges, b2, 1, k=3, n_centroids=8)
+    got = sorted(
+        map(
+            tuple,
+            edges.read(spark)
+            .select("vec_id", "nbr_id", "cos_sim", "rn")
+            .collect(),
+        )
+    )
+    want = sorted(map(tuple, knn_graph(emb, k=3, n_centroids=8).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_read_result_empty_table_returns_typed_empty(spark, tmp_path):
+    """An empty drained backlog commits no version; read_result must
+    return an empty DataFrame of the declared schema, not raise."""
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+    from mapreduceindexer_spark.streaming.table_sink import read_result
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = read_result(t, spark, "a bigint, b string")
+    assert df.columns == ["a", "b"] and df.count() == 0
