@@ -8199,6 +8199,76 @@ def q_table_compact(spark, sf_dir):
     return out
 
 
+@register(
+    "q_table_skipping",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 3 AS BIGINT) AS b1,
+                         CAST((2 * count(*)) // 3 AS BIGINT) AS b2
+                  FROM documents),
+            sl AS (SELECT CAST(0 AS BIGINT) AS lo, b1 - 1 AS hi FROM b
+                   UNION ALL SELECT b1, b2 - 1 FROM b
+                   UNION ALL SELECT b2, n - 1 FROM b),
+            p AS (SELECT b1 // 2 AS plo, b1 - 1 AS phi FROM b)
+       SELECT CAST(3 AS BIGINT) AS n_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM sl, p
+               WHERE sl.lo > p.phi OR sl.hi < p.plo) AS n_dirs_skipped,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents, p
+               WHERE doc_id BETWEEN p.plo AND p.phi) AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents, p
+               WHERE doc_id BETWEEN p.plo AND p.phi) AS total_chars""",
+)
+def q_table_skipping(spark, sf_dir):
+    """Manifest-stats DATA SKIPPING (sources/transact.py::read_pruned),
+    driven end-to-end: three range-disjoint snapshot appends each record
+    (rows, min, max) of doc_id in the manifest; a range predicate inside
+    the first slice then scans ONE dir and skips two — decided purely
+    from manifest stats, zero data reads (Delta/Iceberg file skipping at
+    dir granularity). The query returns (dir count, dirs skipped,
+    matching rows, char sum); the oracle replays the skip decision as
+    interval arithmetic over the slice bounds and the row values by a
+    plain filter — pruning must be invisible in the values and visible
+    in the scan. Scale: this is THE 100 TB read lever — a time/key-ranged
+    query touches O(matching snapshots), not the whole table; stats cost
+    one narrow agg per NEW snapshot at commit time (appends never rescan
+    history). Reference has no table/stats layer at all (fixed 26-file
+    overwrite sink, src/functions.cpp:146-162).
+    """
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    b1, b2 = n // 3, (2 * n) // 3
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_skip_"))
+    table.commit(docs.filter(F.col("doc_id") < b1), stats_cols=["doc_id"])
+    table.commit(
+        docs.filter((F.col("doc_id") >= b1) & (F.col("doc_id") < b2)),
+        mode="append",
+        stats_cols=["doc_id"],
+    )
+    table.commit(
+        docs.filter(F.col("doc_id") >= b2),
+        mode="append",
+        stats_cols=["doc_id"],
+    )
+    plo, phi = b1 // 2, b1 - 1
+    kept, skipped = table.pruned_dirs("doc_id", lo=plo, hi=phi)
+    out = (
+        table.read_pruned(spark, "doc_id", lo=plo, hi=phi)
+        .agg(
+            F.lit(len(kept) + len(skipped)).cast("bigint").alias("n_dirs"),
+            F.lit(len(skipped)).cast("bigint").alias("n_dirs_skipped"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
 _CHECK_PRIORITY = [
     # Round-7 window: 6-slot core spine + 44 queries with NO prior
     # driver row (COVERAGE.md driver ledger; after this round + round 8

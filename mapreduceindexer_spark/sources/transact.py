@@ -55,6 +55,40 @@ class CommitConflict(Exception):
     concurrency): re-read the table and retry the transaction."""
 
 
+def _json_stat(v):
+    """A min/max value as it rides the JSON manifest: numbers and
+    strings as-is; dates/timestamps as ISO strings (lexicographic ==
+    chronological, so pruning comparisons stay order-correct); None for
+    an empty/all-null snapshot."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    iso = getattr(v, "isoformat", None)
+    if iso is not None:
+        return iso()
+    raise TypeError(
+        f"stats_cols column has non-orderable JSON type {type(v).__name__}; "
+        "use numeric/string/date columns for data-skipping stats"
+    )
+
+
+def _snapshot_stats(spark: SparkSession, snap_dir: str, cols: list[str]) -> dict:
+    """(rows, per-column [min, max]) of one freshly written snapshot dir
+    — one narrow aggregate over the new dir only."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count("*").alias("_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    row = spark.read.parquet(snap_dir).agg(*aggs).collect()[0]
+    return {
+        "rows": row["_rows"],
+        "cols": {
+            c: [_json_stat(row[f"_min_{c}"]), _json_stat(row[f"_max_{c}"])]
+            for c in cols
+        },
+    }
+
+
 class TransactionalTable:
     """A versioned parquet table rooted at ``path`` (local or any
     fuse-mounted filesystem with atomic link/rename semantics)."""
@@ -101,11 +135,24 @@ class TransactionalTable:
         mode: str = "overwrite",
         expected_version: int | None = None,
         meta: dict | None = None,
+        stats_cols: tuple[str, ...] | list[str] | None = None,
     ) -> int:
         """Publish ``df`` as the next version; returns it. ``meta`` (a
         small JSON-able dict) rides the manifest — e.g. a streaming
         sink's batch_id, so a retried microbatch can recognize its own
         already-committed version (exactly-once).
+
+        ``stats_cols`` opts the commit into DATA-SKIPPING statistics:
+        per snapshot dir, (row count, min, max) of each listed column is
+        recorded in the manifest, and ``read_pruned`` skips whole dirs
+        whose [min, max] cannot intersect a range predicate — the
+        file-level skipping of Delta/Iceberg, at dir granularity. Stats
+        are computed from the snapshot AS WRITTEN (one footer-friendly
+        agg over the new dir only — appends never rescan old data; a
+        production writer would lift the same numbers straight out of
+        the parquet footers it just wrote). Dirs committed without
+        stats are never skipped, so mixing stats-less history in is
+        always safe.
 
         ``expected_version`` is the optimistic-concurrency guard: the
         commit succeeds only if it creates ``expected_version + 1``
@@ -131,12 +178,24 @@ class TransactionalTable:
         # while dropping the directory it references.
         fsync_path(self.path)
 
+        stats: dict[str, dict] = {}
+        if stats_cols:
+            stats[os.path.basename(snap)] = _snapshot_stats(
+                df.sparkSession, snap, list(stats_cols)
+            )
+
         if mode == "append" and base > 0:
-            dirs = self._manifest(base)["dirs"] + [os.path.basename(snap)]
+            prev = self._manifest(base)
+            dirs = prev["dirs"] + [os.path.basename(snap)]
+            # Inherited dirs keep whatever stats their own commit
+            # recorded — appends extend the stats map, never recompute.
+            stats = {**prev.get("stats", {}), **stats}
         else:
             dirs = [os.path.basename(snap)]
 
         payload = {"version": new_version, "mode": mode, "dirs": dirs}
+        if stats:
+            payload["stats"] = stats
         if meta:
             payload["meta"] = meta
         tmp = os.path.join(
@@ -177,9 +236,86 @@ class TransactionalTable:
         ]
         return spark.read.parquet(*dirs)
 
+    def pruned_dirs(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """(kept, skipped) snapshot dir names for a range predicate
+        ``lo <= col <= hi`` (either bound may be None = unbounded),
+        decided purely from manifest stats — zero data reads. A dir is
+        skipped only when its recorded [min, max] PROVES no row can
+        match: max < lo, min > hi, or the snapshot is empty/all-null on
+        ``col`` (range predicates never match NULL). Dirs without stats
+        for ``col`` are always kept — skipping is sound, never lossy."""
+        if version is None:
+            version = self.current_version()
+        manifest = self._manifest(version)
+        stats = manifest.get("stats", {})
+        lo_j = _json_stat(lo) if lo is not None else None
+        hi_j = _json_stat(hi) if hi is not None else None
+        kept, skipped = [], []
+        for d in manifest["dirs"]:
+            cs = stats.get(d, {}).get("cols", {}).get(col)
+            if cs is None:
+                kept.append(d)
+                continue
+            cmin, cmax = cs
+            if (
+                cmin is None  # empty or all-NULL snapshot: nothing matches
+                or (hi_j is not None and cmin > hi_j)
+                or (lo_j is not None and cmax < lo_j)
+            ):
+                skipped.append(d)
+            else:
+                kept.append(d)
+        return kept, skipped
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """The rows of ``version`` satisfying ``lo <= col <= hi``,
+        scanning only the snapshot dirs whose manifest stats can
+        intersect the range (``pruned_dirs``). The residual filter is
+        still applied, so pruning is purely a scan-cost optimization —
+        results are identical to filtering a full read, while the scan
+        touches O(matching dirs) instead of O(all dirs). At 100 TB this
+        is the difference between reading one day's snapshot and the
+        whole table for a time-ranged query."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.current_version()
+        kept, _ = self.pruned_dirs(col, lo, hi, version)
+        if kept:
+            df = spark.read.parquet(
+                *[os.path.join(self.path, d) for d in kept]
+            )
+        else:
+            # Every dir proved non-matching: keep the schema, read no
+            # rows (limit(0) prunes at the planner, not the scan).
+            df = self.read(spark, version).limit(0)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
     # -- maintenance --------------------------------------------------------
 
-    def compact(self, spark: SparkSession, target_files: int = 8) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 8,
+        stats_cols: tuple[str, ...] | list[str] | None = None,
+    ) -> int:
         """Rewrite the CURRENT version's snapshot set as ONE fresh
         snapshot dir of at most ``target_files`` files — the
         OPTIMIZE / rewrite-data-files maintenance op of every table
@@ -208,6 +344,7 @@ class TransactionalTable:
             mode="overwrite",
             expected_version=cur,
             meta={"compacted_from": cur},
+            stats_cols=stats_cols,
         )
 
     def vacuum(

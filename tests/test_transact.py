@@ -202,3 +202,84 @@ def test_compact_empty_table_refuses(spark, tmp_path):
     t = TransactionalTable(str(tmp_path / "t"))
     with pytest.raises(ValueError, match="nothing to compact"):
         t.compact(spark)
+
+
+def test_stats_ride_manifest_and_appends_inherit(spark, tmp_path):
+    """stats_cols records (rows, min, max) per snapshot dir; appends
+    inherit prior dirs' stats without recomputing; stats-less commits
+    mix in safely (their dirs simply carry no stats)."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), stats_cols=["id"])
+    t.commit(spark.range(5, 8), mode="append", stats_cols=["id"])
+    t.commit(spark.range(100, 104), mode="append")  # no stats
+    m = t._manifest(3)
+    assert len(m["dirs"]) == 3
+    d1, d2, d3 = m["dirs"]
+    assert m["stats"][d1] == {"rows": 5, "cols": {"id": [0, 4]}}
+    assert m["stats"][d2] == {"rows": 3, "cols": {"id": [5, 7]}}
+    assert d3 not in m["stats"]
+
+
+def test_pruned_dirs_skip_only_provably_nonmatching(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 10), stats_cols=["id"])
+    t.commit(spark.range(10, 20), mode="append", stats_cols=["id"])
+    t.commit(spark.range(20, 30), mode="append")  # stats-less: never skipped
+    m = t._manifest(3)
+    d1, d2, d3 = m["dirs"]
+    kept, skipped = t.pruned_dirs("id", lo=12, hi=15)
+    assert kept == [d2, d3] and skipped == [d1]
+    # Unbounded sides.
+    kept, skipped = t.pruned_dirs("id", hi=3)
+    assert kept == [d1, d3] and skipped == [d2]
+    kept, skipped = t.pruned_dirs("id", lo=18)
+    assert kept == [d2, d3] and skipped == [d1]
+    # Boundary touch keeps the dir (max == lo can match).
+    kept, _ = t.pruned_dirs("id", lo=9, hi=9)
+    assert d1 in kept
+    # A column with no stats anywhere prunes nothing.
+    kept, skipped = t.pruned_dirs("nosuch", lo=0, hi=1)
+    assert kept == [d1, d2, d3] and skipped == []
+
+
+def test_read_pruned_matches_full_filter_and_scans_fewer_files(
+    spark, tmp_path
+):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 10), stats_cols=["id"])
+    t.commit(spark.range(10, 20), mode="append", stats_cols=["id"])
+    t.commit(spark.range(20, 30), mode="append", stats_cols=["id"])
+    pruned = t.read_pruned(spark, "id", lo=12, hi=15)
+    assert _ids(pruned) == [12, 13, 14, 15]
+    # The pruned scan touches exactly one snapshot dir's files.
+    d2 = t._manifest(3)["dirs"][1]
+    touched = {f.split("/snap-")[1].split("/")[0] for f in pruned.inputFiles()}
+    assert touched == {d2.removeprefix("snap-")}
+    # Residual filter still applies inside the kept dir (stats are dir-
+    # granular; row-level selection is the filter's job).
+    assert _ids(t.read_pruned(spark, "id", lo=12, hi=12)) == [12]
+    # Fully out-of-range predicate: zero dirs scanned, empty result,
+    # schema intact.
+    empty = t.read_pruned(spark, "id", lo=500)
+    assert empty.columns == ["id"] and empty.count() == 0
+    assert empty.inputFiles() == []
+
+
+def test_stats_empty_snapshot_is_skippable_and_compact_restates(
+    spark, tmp_path
+):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), stats_cols=["id"])
+    t.commit(spark.range(0, 0), mode="append", stats_cols=["id"])
+    m = t._manifest(2)
+    d_empty = m["dirs"][1]
+    assert m["stats"][d_empty] == {"rows": 0, "cols": {"id": [None, None]}}
+    # Range predicates never match an empty/all-null snapshot.
+    kept, skipped = t.pruned_dirs("id", lo=0, hi=100)
+    assert skipped == [d_empty]
+    assert _ids(t.read_pruned(spark, "id", lo=0, hi=2)) == [0, 1, 2]
+    # Compaction can (re)state stats for the rewritten snapshot.
+    v = t.compact(spark, target_files=1, stats_cols=["id"])
+    mm = t._manifest(v)
+    (d_new,) = mm["dirs"]
+    assert mm["stats"][d_new] == {"rows": 5, "cols": {"id": [0, 4]}}
