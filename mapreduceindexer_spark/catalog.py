@@ -7016,7 +7016,7 @@ def q_ann_recall(spark, sf_dir):
 # per hop and DuckDB's default CTE inlining would re-open the parquet scan
 # each time (the q_unigram_lm file-handle lesson).
 
-_SQL_NSW_EDGES = f"""
+_SQL_NSW_BASE = f"""
  c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
  dn AS (SELECT e.vec_id, c.centroid_id,
               ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
@@ -7038,7 +7038,9 @@ _SQL_NSW_EDGES = f"""
                                             ORDER BY cos_sim DESC, nbr_id ASC) AS rn
                FROM kp)
          WHERE rn <= 3),
- hubs AS (SELECT cell, min(vec_id) AS hub_id FROM assign GROUP BY cell),
+ hubs AS (SELECT cell, min(vec_id) AS hub_id FROM assign GROUP BY cell)"""
+
+_SQL_NSW_EDGES = f"""{_SQL_NSW_BASE},
  edges AS MATERIALIZED (
    SELECT DISTINCT vec_id, nbr_id FROM (
      SELECT vec_id, nbr_id FROM knn
@@ -7184,6 +7186,155 @@ def q_ann_graph_recall(spark, sf_dir):
         k=_NSW_K, ef=_NSW_EF, hops=_NSW_HOPS, k_edges=3, n_centroids=8,
         floor_permille=200,
         edges=_nsw_edges_staged(spark, sf_dir),
+    )
+
+
+# --- HNSW: three-layer hierarchical edge set ------------------------------
+# Same base (assign/knn/hubs) as NSW, but the flat hub² mesh is replaced by
+# the hub hierarchy: coarse-quantized hubs with in-coarse-cell hub KNN +
+# hub<->coarse-hub stars + a tiny complete mesh over the coarse hubs only.
+
+_HNSW_COARSE = 3
+
+_SQL_HNSW_EDGES = f"""{_SQL_NSW_BASE},
+ hv AS (SELECT h.hub_id, ev.v FROM hubs h JOIN e ev ON ev.vec_id = h.hub_id),
+ cc AS (SELECT hub_id AS ccid, v AS cv
+        FROM (SELECT *, row_number() OVER (ORDER BY hub_id ASC) AS rn FROM hv)
+        WHERE rn <= {_HNSW_COARSE}),
+ dh AS (SELECT hv.hub_id, cc.ccid,
+               ROUND(list_sum(list_transform(list_zip(hv.v, cc.cv),
+                                             z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+        FROM hv, cc),
+ hassign AS (SELECT hub_id, ccid AS hcell
+             FROM (SELECT *, row_number() OVER (PARTITION BY hub_id
+                                                ORDER BY d2 ASC, ccid ASC) AS rn
+                   FROM dh)
+             WHERE rn = 1),
+ hkp AS (SELECT a.hub_id AS vec_id, b.hub_id AS nbr_id,
+                ROUND({SQL_COS.format(a='ea.v', b='eb.v')}, 6) AS cos_sim
+         FROM hassign a
+         JOIN hassign b ON a.hcell = b.hcell AND a.hub_id <> b.hub_id
+         JOIN e ea ON ea.vec_id = a.hub_id
+         JOIN e eb ON eb.vec_id = b.hub_id),
+ hknn AS (SELECT vec_id, nbr_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY cos_sim DESC, nbr_id ASC) AS rn
+                FROM hkp)
+          WHERE rn <= 3),
+ l2h AS (SELECT hcell, min(hub_id) AS hub2 FROM hassign GROUP BY hcell),
+ edges AS MATERIALIZED (
+   SELECT DISTINCT vec_id, nbr_id FROM (
+     SELECT vec_id, nbr_id FROM knn
+     UNION ALL
+     SELECT vec_id, nbr_id FROM hknn
+     UNION ALL
+     SELECT a.hub2 AS vec_id, b.hub2 AS nbr_id
+     FROM l2h a, l2h b WHERE a.hub2 <> b.hub2
+     UNION ALL
+     SELECT a.vec_id, h.hub_id AS nbr_id
+     FROM assign a JOIN hubs h USING (cell) WHERE a.vec_id <> h.hub_id
+     UNION ALL
+     SELECT h.hub_id AS vec_id, a.vec_id AS nbr_id
+     FROM assign a JOIN hubs h USING (cell) WHERE a.vec_id <> h.hub_id
+     UNION ALL
+     SELECT ha.hub_id AS vec_id, l.hub2 AS nbr_id
+     FROM hassign ha JOIN l2h l USING (hcell) WHERE ha.hub_id <> l.hub2
+     UNION ALL
+     SELECT l.hub2 AS vec_id, ha.hub_id AS nbr_id
+     FROM hassign ha JOIN l2h l USING (hcell) WHERE ha.hub_id <> l.hub2))"""
+
+
+def _hnsw_edges_staged(spark, sf_dir):
+    """The three-layer hierarchical edge relation (the HNSW INDEX) —
+    built once per Spark application, shared by q_ann_hnsw and
+    q_ann_hnsw_recall (same pattern as ``_nsw_edges_staged``)."""
+    from mapreduceindexer_spark.staging import staged
+
+    return staged(
+        spark,
+        ("hnsw_edges", sf_dir, 3, 8, _HNSW_COARSE),
+        lambda: sim.hnsw_graph_edges(
+            _t(spark, sf_dir, "embeddings"),
+            k_edges=3,
+            n_centroids=8,
+            n_coarse=_HNSW_COARSE,
+        ).localCheckpoint(),
+    )
+
+
+_HNSW_HOPS = 5
+_SQL_HNSW_WALK = (
+    f"""WITH e AS MATERIALIZED ({SQL_EMB}),
+ probes AS (SELECT vec_id AS probe_id, v AS pv FROM e
+            WHERE vec_id IN {ANN_RECALL_PROBES}),{_SQL_HNSW_EDGES},{_SQL_NSW_SEED},"""
+    + ",".join(_sql_nsw_hop(i, _NSW_EF) for i in range(1, _HNSW_HOPS + 1))
+)
+
+
+@register(
+    "q_ann_hnsw",
+    f"""{_SQL_HNSW_WALK}
+ SELECT probe_id, vec_id, cos_sim,
+        CAST(row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rn
+ FROM v{_HNSW_HOPS} WHERE vec_id <> probe_id QUALIFY rn <= {_NSW_K}""",
+)
+def q_ann_hnsw(spark, sf_dir):
+    """HNSW: the same best-first beam search as q_ann_graph, over the
+    THREE-layer hierarchical edge set (``hnsw_graph_edges``) — in-cell
+    KNN + per-cell hubs with their own coarse quantization, in-coarse-
+    cell hub KNN, and a complete mesh only over the coarse hubs. One
+    extra hop (5 vs 4) pays for the extra layer of descent. This is the
+    production shape of the graph tier: edge count stays LINEAR in hub
+    count when cells scale as n/target, where the flat NSW mesh goes
+    quadratic. Deterministic end-to-end — the oracle replays the full
+    three-layer build and the walk.
+    operators/similarity.py::hnsw_graph_edges."""
+    return sim.ann_graph_search(
+        _t(spark, sf_dir, "embeddings"),
+        list(ANN_RECALL_PROBES),
+        k=_NSW_K, ef=_NSW_EF, hops=_HNSW_HOPS, k_edges=3, n_centroids=8,
+        edges=_hnsw_edges_staged(spark, sf_dir),
+    )
+
+
+@register(
+    "q_ann_hnsw_recall",
+    f"""{_SQL_HNSW_WALK},
+ graph AS (SELECT probe_id, vec_id
+           FROM (SELECT probe_id, vec_id,
+                        row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY cos_sim DESC, vec_id ASC) AS rn
+                 FROM v{_HNSW_HOPS} WHERE vec_id <> probe_id)
+           WHERE rn <= {_NSW_K}),
+ bs AS (SELECT p.probe_id, ev.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY ROUND({SQL_COS.format(a='ev.v', b='p.pv')}, 6) DESC,
+                                           ev.vec_id ASC) AS rn
+        FROM e ev JOIN probes p ON ev.vec_id <> p.probe_id),
+ brute AS (SELECT probe_id, vec_id FROM bs WHERE rn <= {_NSW_K}),
+ hits AS (SELECT b.probe_id, CAST(count(*) AS BIGINT) AS hits
+          FROM brute b JOIN graph g
+            ON b.probe_id = g.probe_id AND b.vec_id = g.vec_id
+          GROUP BY b.probe_id)
+ SELECT p.probe_id,
+        CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        ROUND(COALESCE(h.hits, 0) / {_NSW_K}.0, 6) AS recall,
+        COALESCE(h.hits, 0) * 1000 >= 200 * {_NSW_K} AS meets_floor
+ FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id""",
+)
+def q_ann_hnsw_recall(spark, sf_dir):
+    """HNSW QUALITY CONTRACT: recall@5 of the hierarchical beam search
+    vs exact brute force per panel probe with an explicit meets_floor
+    column — the hierarchy must not silently trade away the recall the
+    flat NSW mesh delivers (same 0.2 panel floor as q_ann_graph_recall).
+    operators/similarity.py::ann_graph_recall over hnsw_graph_edges."""
+    return sim.ann_graph_recall(
+        _t(spark, sf_dir, "embeddings"),
+        list(ANN_RECALL_PROBES),
+        k=_NSW_K, ef=_NSW_EF, hops=_HNSW_HOPS, k_edges=3, n_centroids=8,
+        floor_permille=200,
+        edges=_hnsw_edges_staged(spark, sf_dir),
     )
 
 
@@ -8270,17 +8421,22 @@ def q_table_skipping(spark, sf_dir):
 
 
 _CHECK_PRIORITY = [
-    # Round-7 window: 6-slot core spine + 44 queries with NO prior
+    # Round-7 window: 3-slot core spine + 47 queries with NO prior
     # driver row (COVERAGE.md driver ledger; after this round + round 8
     # every registered query will have external driver evidence). All
-    # 44 were re-verified against DuckDB in-session before rotation.
+    # were re-verified against DuckDB in-session before rotation.
+    # Mid-round swap: q_index_lines / q_bm25 / q_agg_pricing_summary
+    # (each already green r2-r6) ceded their slots to the three ops born
+    # later this round (q_table_skipping, q_ann_hnsw, q_ann_hnsw_recall)
+    # so every round-7-born op gets a same-round driver row.
     # -- core spine (reference pipeline + flagship LLM tier)
     "q_postings",
-    "q_index_lines",
-    "q_bm25",
-    "q_agg_pricing_summary",
     "q_dedup_exact",
     "q_near_dup",
+    # -- born late in round 7
+    "q_table_skipping",
+    "q_ann_hnsw",
+    "q_ann_hnsw_recall",
     # -- round-6-born ops that missed the r6 window + round-7-born ops
     "q_bm25_pruned",
     "q_postings_ef",

