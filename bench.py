@@ -112,8 +112,10 @@ HEADLINE = [
     "q_ann_graph_recall",  # graph-ANN recall@5 contract vs brute force
     "q_table_compact",     # table-format compaction (3 dirs -> 1)
     "q_table_skipping",    # manifest-stats data skipping (ranged read)
+    "q_table_delete",      # copy-on-write ranged delete (stats-pruned rewrite)
     "q_ann_hnsw",          # HNSW: 3-layer hierarchical graph-ANN search
     "q_ann_hnsw_recall",   # HNSW recall@5 contract vs brute force
+    "q_ann_external",      # serving path: external query vectors over HNSW
 ]
 
 

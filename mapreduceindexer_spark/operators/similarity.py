@@ -1267,9 +1267,80 @@ def ann_graph_search(
         F.lit(1.0).alias("cos_sim"),
         F.lit(False).alias("expanded"),
     )
+    return _graph_beam_walk(
+        edges, probes, seed_entry.unionAll(seed_self), k, ef, hops
+    )
+
+
+def ann_graph_search_vectors(
+    embeddings: DataFrame,
+    query_vectors: DataFrame,
+    k: int = 5,
+    ef: int = 4,
+    hops: int = 4,
+    k_edges: int = 3,
+    n_centroids: int = 8,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """The SERVING path of the graph-ANN tier: search with EXTERNAL
+    query vectors — embeddings that are NOT corpus nodes (a user query,
+    a freshly embedded document), which is what an ANN index exists for
+    in production. ``query_vectors`` = (probe_id, qv) with probe_ids
+    disjoint from corpus vec_ids.
+
+    Identical hop-synchronized best-first walk as ``ann_graph_search``
+    (same ``_graph_beam_walk``, same edge relation — ONE index serves
+    in-corpus audits and external queries alike), differing only in the
+    seed: an external query has no self node, so the walk seeds
+    entry-only, exactly as the NSW papers' query algorithm does. The
+    probe relation is bounded and broadcast on every join; per-query
+    cost is hops × ef × max-out-degree edge expansions — independent of
+    corpus size given the index, which is the serving contract.
+    Deterministic end-to-end (rounded cosine, id-ascending ties), so the
+    DuckDB oracle replays the full walk for literal query vectors.
+    """
+    from mapreduceindexer_spark.functions.vector import dot, l2_norm
+
+    if edges is None:
+        edges = nsw_graph_edges(embeddings, k_edges, n_centroids).localCheckpoint()
+    probes = query_vectors.select(
+        "probe_id",
+        F.col("qv").alias("pv"),
+        l2_norm("qv").alias("pnrm"),
+    ).localCheckpoint()
+    entry = (
+        embeddings.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
+        .orderBy("vec_id")
+        .limit(1)
+    )
+    seed_entry = probes.crossJoin(F.broadcast(entry)).select(
+        "probe_id",
+        "vec_id",
+        F.round(
+            dot("embedding", "pv") / (F.col("nrm") * F.col("pnrm")), 6
+        ).alias("cos_sim"),
+        F.lit(False).alias("expanded"),
+    )
+    return _graph_beam_walk(edges, probes, seed_entry, k, ef, hops)
+
+
+def _graph_beam_walk(
+    edges: DataFrame,
+    probes: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    ef: int,
+    hops: int,
+) -> DataFrame:
+    """Shared hop loop of the graph-ANN family: best-first beam search
+    over a prebuilt edge-with-payload relation from the given seed set.
+    ``probes`` = (probe_id, pv, pnrm) checkpointed; ``seeds`` =
+    (probe_id, vec_id, cos_sim, expanded). See ``ann_graph_search`` for
+    the algorithm and scale analysis."""
+    from mapreduceindexer_spark.functions.vector import dot
+
     visited = (
-        seed_entry.unionAll(seed_self)
-        .groupBy("probe_id", "vec_id")
+        seeds.groupBy("probe_id", "vec_id")
         .agg(
             F.min("cos_sim").alias("cos_sim"),
             F.bool_or("expanded").alias("expanded"),

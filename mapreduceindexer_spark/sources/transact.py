@@ -198,6 +198,14 @@ class TransactionalTable:
             payload["stats"] = stats
         if meta:
             payload["meta"] = meta
+        return self._publish_manifest(payload, new_version, [snap])
+
+    def _publish_manifest(
+        self, payload: dict, new_version: int, cleanup_snaps: list[str]
+    ) -> int:
+        """Atomically publish ``payload`` as ``v<new_version>.json`` via
+        the hard-link CAS; on a lost race, remove the loser's freshly
+        written ``cleanup_snaps`` and raise ``CommitConflict``."""
         tmp = os.path.join(
             self.manifest_dir, f".tmp-{uuid.uuid4().hex[:12]}.json"
         )
@@ -210,7 +218,8 @@ class TransactionalTable:
             os.link(tmp, final)  # atomic CAS: fails iff the name exists
         except FileExistsError:
             os.unlink(tmp)
-            shutil.rmtree(snap, ignore_errors=True)
+            for snap in cleanup_snaps:
+                shutil.rmtree(snap, ignore_errors=True)
             raise CommitConflict(
                 f"version {new_version} was committed concurrently; "
                 "re-read and retry"
@@ -307,6 +316,76 @@ class TransactionalTable:
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
         return df
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        stats_cols: tuple[str, ...] | list[str] | None = None,
+    ) -> int:
+        """Copy-on-write DELETE of rows with ``lo <= col <= hi``,
+        published as a new version; returns it. The manifest stats make
+        the rewrite SURGICAL: dirs whose recorded [min, max] provably
+        cannot contain a matching row are carried into the new manifest
+        UNTOUCHED (same dir, same stats — zero data read or written);
+        only the dirs that may match are read, filtered, and rewritten
+        as one fresh snapshot. At 100 TB a keyed/time-ranged delete
+        (GDPR erasure, retention expiry) then costs O(matching
+        snapshots), not a full-table rewrite — the write-path payoff of
+        the same stats that prune reads. NULLs in ``col`` never match a
+        range predicate, so they are preserved (the rewrite filter is
+        explicitly null-safe). Old versions remain time-travelable;
+        optimistic concurrency as in ``compact`` (the rewrite is the
+        retryable party)."""
+        from pyspark.sql import functions as F
+
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("nothing to delete: table has no committed version")
+        if lo is None and hi is None:
+            raise ValueError("delete_where needs at least one bound")
+        may_match, preserved = self.pruned_dirs(col, lo, hi, cur)
+        manifest = self._manifest(cur)
+        old_stats = manifest.get("stats", {})
+        new_version = cur + 1
+
+        dirs = [d for d in manifest["dirs"] if d in set(preserved)]
+        stats = {d: old_stats[d] for d in dirs if d in old_stats}
+        cleanup: list[str] = []
+        if may_match:
+            matched = F.lit(True)
+            if lo is not None:
+                matched = matched & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                matched = matched & (F.col(col) <= F.lit(hi))
+            survivors = spark.read.parquet(
+                *[os.path.join(self.path, d) for d in may_match]
+            ).filter(F.col(col).isNull() | ~matched)
+            snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
+            survivors.write.mode("error").parquet(snap)
+            fsync_tree(snap)
+            fsync_path(self.path)
+            cleanup.append(snap)
+            dirs = dirs + [os.path.basename(snap)]
+            if stats_cols:
+                stats[os.path.basename(snap)] = _snapshot_stats(
+                    spark, snap, list(stats_cols)
+                )
+        payload = {
+            "version": new_version,
+            "mode": "delete",
+            "dirs": dirs,
+            "meta": {
+                "deleted_from": cur,
+                "rewrote_dirs": len(may_match),
+                "preserved_dirs": len(preserved),
+            },
+        }
+        if stats:
+            payload["stats"] = stats
+        return self._publish_manifest(payload, new_version, cleanup)
 
     # -- maintenance --------------------------------------------------------
 

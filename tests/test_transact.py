@@ -283,3 +283,64 @@ def test_stats_empty_snapshot_is_skippable_and_compact_restates(
     mm = t._manifest(v)
     (d_new,) = mm["dirs"]
     assert mm["stats"][d_new] == {"rows": 5, "cols": {"id": [0, 4]}}
+
+
+def test_delete_where_rewrites_only_matching_dirs(spark, tmp_path):
+    """Copy-on-write delete: dirs whose stats preclude a match are
+    carried into the new manifest untouched (same dir name, same
+    stats); only may-match dirs are rewritten; meta records both."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 10), stats_cols=["id"])
+    t.commit(spark.range(10, 20), mode="append", stats_cols=["id"])
+    t.commit(spark.range(20, 30), mode="append", stats_cols=["id"])
+    d1, d2, d3 = t._manifest(3)["dirs"]
+    v = t.delete_where(spark, "id", lo=12, hi=15, stats_cols=["id"])
+    assert v == 4
+    m = t._manifest(4)
+    # d1 and d3 preserved verbatim; d2 replaced by one rewritten snap.
+    assert m["dirs"][:2] == [d1, d3] and len(m["dirs"]) == 3
+    new_dir = m["dirs"][2]
+    assert new_dir not in (d1, d2, d3)
+    assert m["meta"] == {
+        "deleted_from": 3, "rewrote_dirs": 1, "preserved_dirs": 2,
+    }
+    assert m["stats"][d1] == {"rows": 10, "cols": {"id": [0, 9]}}
+    assert m["stats"][new_dir] == {"rows": 6, "cols": {"id": [10, 19]}}
+    assert _ids(t.read(spark)) == [i for i in range(30) if not 12 <= i <= 15]
+    assert _ids(t.read(spark, 3)) == list(range(30))  # time travel intact
+
+
+def test_delete_where_preserves_nulls_and_refuses_unbounded(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(0, 6).withColumn(
+        "id", F.when(F.col("id") < 2, None).otherwise(F.col("id"))
+    )
+    t.commit(df, stats_cols=["id"])
+    t.delete_where(spark, "id", lo=2, hi=3)
+    rows = sorted(
+        (r[0] is None, r[0]) for r in t.read(spark).collect()
+    )
+    # NULL rows never match a range predicate -> survive the delete.
+    assert [r[1] for r in rows] == [4, 5, None, None]
+    with pytest.raises(ValueError, match="at least one bound"):
+        t.delete_where(spark, "id")
+    empty = TransactionalTable(str(tmp_path / "e"))
+    with pytest.raises(ValueError, match="nothing to delete"):
+        empty.delete_where(spark, "id", lo=0)
+
+
+def test_delete_where_noop_when_stats_preclude_all(spark, tmp_path):
+    """A delete whose range no dir can contain publishes a new version
+    with the SAME dirs and zero rewrites — pure metadata."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), stats_cols=["id"])
+    t.commit(spark.range(5, 10), mode="append", stats_cols=["id"])
+    dirs_before = t._manifest(2)["dirs"]
+    v = t.delete_where(spark, "id", lo=100, hi=200)
+    m = t._manifest(v)
+    assert m["dirs"] == dirs_before
+    assert m["meta"]["rewrote_dirs"] == 0
+    assert m["meta"]["preserved_dirs"] == 2
+    assert _ids(t.read(spark)) == list(range(10))
