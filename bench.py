@@ -116,6 +116,7 @@ HEADLINE = [
     "q_ann_hnsw",          # HNSW: 3-layer hierarchical graph-ANN search
     "q_ann_hnsw_recall",   # HNSW recall@5 contract vs brute force
     "q_ann_external",      # serving path: external query vectors over HNSW
+    "q_table_merge",       # storage-integrated MERGE (stats-pruned upsert)
 ]
 
 

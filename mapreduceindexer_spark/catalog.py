@@ -8554,6 +8554,81 @@ def q_table_delete(spark, sf_dir):
     return out
 
 
+@register(
+    "q_table_merge",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 3 AS BIGINT) AS b1,
+                         CAST((2 * count(*)) // 3 AS BIGINT) AS b2
+                  FROM documents),
+            sl AS (SELECT CAST(0 AS BIGINT) AS lo, b1 - 1 AS hi FROM b
+                   UNION ALL SELECT b1, b2 - 1 FROM b
+                   UNION ALL SELECT b2, n - 1 FROM b),
+            p AS (SELECT b1 // 2 AS plo, b1 - 1 AS phi FROM b)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM sl, p
+               WHERE sl.lo <= p.phi AND sl.hi >= p.plo) AS rewrote_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM sl, p
+               WHERE sl.lo > p.phi OR sl.hi < p.plo) AS preserved_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT)
+                      + 1000 * CAST(count(*) FILTER (
+                          WHERE doc_id BETWEEN p.plo AND p.phi) AS BIGINT)
+               FROM documents, p) AS total_chars""",
+)
+def q_table_merge(spark, sf_dir):
+    """Storage-integrated MERGE (upsert) on the transactional table
+    (sources/transact.py::merge_rows), driven end-to-end: three
+    range-disjoint snapshot appends with doc_id stats, then an update
+    batch rewriting the chars of keys inside the first slice. The
+    update batch's key range prunes the rewrite — two dirs carried
+    untouched, one rewritten with latest-wins rows — and the query
+    returns (dirs rewritten, dirs preserved, row count, merged char
+    sum); the oracle replays the prune as interval arithmetic and the
+    merge as arithmetic over the base table. Completes the table DML
+    triad (append / delete_where / merge_rows), all three stats-pruned:
+    a CDC batch touching recent keys costs O(recent snapshots) at
+    100 TB, not a table rewrite. The relational merge SHAPE (union +
+    latest-wins window, bucketed at scale) is q_upsert; this is the
+    same semantics owning the storage layout."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    b1, b2 = n // 3, (2 * n) // 3
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_merge_"))
+    table.commit(docs.filter(F.col("doc_id") < b1), stats_cols=["doc_id"])
+    table.commit(
+        docs.filter((F.col("doc_id") >= b1) & (F.col("doc_id") < b2)),
+        mode="append",
+        stats_cols=["doc_id"],
+    )
+    table.commit(
+        docs.filter(F.col("doc_id") >= b2),
+        mode="append",
+        stats_cols=["doc_id"],
+    )
+    plo, phi = b1 // 2, b1 - 1
+    updates = docs.filter(
+        (F.col("doc_id") >= plo) & (F.col("doc_id") <= phi)
+    ).withColumn("n_chars", F.col("n_chars") + 1000)
+    v = table.merge_rows(spark, updates, "doc_id", stats_cols=["doc_id"])
+    meta = table.meta_of(v)
+    out = (
+        table.read(spark, v)
+        .agg(
+            F.lit(meta["rewrote_dirs"]).cast("bigint").alias("rewrote_dirs"),
+            F.lit(meta["preserved_dirs"]).cast("bigint").alias("preserved_dirs"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
 _CHECK_PRIORITY = [
     # Round-7 window: 3-slot core spine + 47 queries with NO prior
     # driver row (COVERAGE.md driver ledger; after this round + round 8
@@ -8575,6 +8650,7 @@ _CHECK_PRIORITY = [
     "q_ann_hnsw",
     "q_ann_hnsw_recall",
     "q_ann_external",
+    "q_table_merge",
     # -- round-6-born ops that missed the r6 window + round-7-born ops
     "q_bm25_pruned",
     "q_postings_ef",
@@ -8617,7 +8693,6 @@ _CHECK_PRIORITY = [
     "q_mix_weights",
     "q_domain_stats",
     "q_domain_cap",
-    "q_profile",
     "q_blocklist",
     "q_scrub",
     # -- relational / table-format / multimodal breadth

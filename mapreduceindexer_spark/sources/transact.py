@@ -387,6 +387,87 @@ class TransactionalTable:
             payload["stats"] = stats
         return self._publish_manifest(payload, new_version, cleanup)
 
+    def merge_rows(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str,
+        stats_cols: tuple[str, ...] | list[str] | None = None,
+    ) -> int:
+        """Copy-on-write MERGE (upsert, latest-wins by ``key``): rows of
+        ``updates`` replace same-key rows; new keys are inserted.
+        Published as a new version; returns it.
+
+        The manifest stats prune the rewrite the same way they prune
+        reads and deletes: the update batch's key range [min, max] is
+        one narrow agg (bounded scalars), and any dir whose recorded
+        key range cannot intersect it is carried into the new manifest
+        UNTOUCHED — only may-match dirs are read, anti-joined on the
+        update keys, and rewritten together with the update batch as
+        one fresh snapshot. A CDC batch touching recent keys (the
+        common case) then costs O(recent snapshots), not a full-table
+        rewrite. Range pruning is the honest simple criterion — an
+        update batch spanning the whole key domain rewrites everything,
+        exactly as it must; production formats add bloom/partition
+        metadata on top of the same skeleton. ``updates`` must carry
+        the table schema (columns are aligned by name). Optimistic
+        concurrency as in ``compact``/``delete_where``."""
+        from pyspark.sql import functions as F
+
+        cur = self.current_version()
+        if cur == 0:
+            return self.commit(updates, "overwrite", stats_cols=stats_cols)
+        bounds = updates.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        manifest = self._manifest(cur)
+        if lo is None:  # empty update batch: pure-metadata new version
+            may_match: list[str] = []
+            preserved = list(manifest["dirs"])
+        else:
+            may_match, preserved = self.pruned_dirs(key, lo, hi, cur)
+        old_stats = manifest.get("stats", {})
+        new_version = cur + 1
+        dirs = [d for d in manifest["dirs"] if d in set(preserved)]
+        stats = {d: old_stats[d] for d in dirs if d in old_stats}
+        cleanup: list[str] = []
+        if lo is not None:
+            new_rows = updates
+            if may_match:
+                base = spark.read.parquet(
+                    *[os.path.join(self.path, d) for d in may_match]
+                )
+                survivors = base.join(
+                    updates.select(F.col(key)).distinct(), key, "left_anti"
+                )
+                new_rows = survivors.unionByName(
+                    updates.select(*survivors.columns)
+                )
+            snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
+            new_rows.write.mode("error").parquet(snap)
+            fsync_tree(snap)
+            fsync_path(self.path)
+            cleanup.append(snap)
+            dirs = dirs + [os.path.basename(snap)]
+            if stats_cols:
+                stats[os.path.basename(snap)] = _snapshot_stats(
+                    spark, snap, list(stats_cols)
+                )
+        payload = {
+            "version": new_version,
+            "mode": "merge",
+            "dirs": dirs,
+            "meta": {
+                "merged_from": cur,
+                "rewrote_dirs": len(may_match),
+                "preserved_dirs": len(preserved),
+            },
+        }
+        if stats:
+            payload["stats"] = stats
+        return self._publish_manifest(payload, new_version, cleanup)
+
     # -- maintenance --------------------------------------------------------
 
     def compact(

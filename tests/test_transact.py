@@ -344,3 +344,53 @@ def test_delete_where_noop_when_stats_preclude_all(spark, tmp_path):
     assert m["meta"]["rewrote_dirs"] == 0
     assert m["meta"]["preserved_dirs"] == 2
     assert _ids(t.read(spark)) == list(range(10))
+
+
+def test_merge_rows_latest_wins_and_rewrites_only_matching_dirs(
+    spark, tmp_path
+):
+    """Copy-on-write merge: updates replace same-key rows, inserts land,
+    and dirs whose key range cannot intersect the update batch are
+    carried untouched."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    base = lambda a, b: spark.range(a, b).withColumn(  # noqa: E731
+        "val", F.col("id") * 10
+    )
+    t.commit(base(0, 10), stats_cols=["id"])
+    t.commit(base(10, 20), mode="append", stats_cols=["id"])
+    t.commit(base(20, 30), mode="append", stats_cols=["id"])
+    d1, d2, d3 = t._manifest(3)["dirs"]
+    # Updates touch keys 12-14 (dir 2) and insert new keys 15.5-shaped
+    # none — plus a brand-new key 17 stays in dir-2's range.
+    updates = spark.createDataFrame(
+        [(12, -1), (14, -2), (31, -3)], "id bigint, val bigint"
+    )
+    v = t.merge_rows(spark, updates, "id", stats_cols=["id"])
+    assert v == 4
+    m = t._manifest(4)
+    # Key range [12, 31] intersects d2 and d3, not d1.
+    assert m["dirs"][0] == d1 and len(m["dirs"]) == 2
+    assert m["meta"] == {
+        "merged_from": 3, "rewrote_dirs": 2, "preserved_dirs": 1,
+    }
+    got = {r["id"]: r["val"] for r in t.read(spark).collect()}
+    assert len(got) == 31  # 30 base keys + 1 insert
+    assert got[12] == -1 and got[14] == -2 and got[31] == -3
+    assert got[13] == 130 and got[0] == 0 and got[29] == 290
+    assert _ids(t.read(spark, 3)) == list(range(30))  # history intact
+
+
+def test_merge_rows_empty_batch_and_empty_table(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    # Merge into an empty table == initial commit.
+    v = t.merge_rows(spark, spark.range(0, 5), "id", stats_cols=["id"])
+    assert v == 1 and _ids(t.read(spark)) == list(range(5))
+    # Empty update batch: new pure-metadata version, same dirs.
+    dirs_before = t._manifest(1)["dirs"]
+    v = t.merge_rows(spark, spark.range(0, 0), "id")
+    assert v == 2
+    m = t._manifest(2)
+    assert m["dirs"] == dirs_before and m["meta"]["rewrote_dirs"] == 0
+    assert _ids(t.read(spark)) == list(range(5))
