@@ -8413,6 +8413,35 @@ def q_table_compact(spark, sf_dir):
     return out
 
 
+def _three_slice_table(spark, sf_dir, prefix):
+    """Shared fixture of q_table_skipping / q_table_delete /
+    q_table_merge: three range-disjoint snapshot commits of documents
+    with doc_id stats, sliced at b1 = n//3 and b2 = 2n//3 — the same
+    slice arithmetic all three oracles replay, kept in ONE place so the
+    builders and the SQL can never desynchronize. Returns
+    (docs, table, n, b1, b2)."""
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    b1, b2 = n // 3, (2 * n) // 3
+    table = TransactionalTable(tempfile.mkdtemp(prefix=prefix))
+    table.commit(docs.filter(F.col("doc_id") < b1), stats_cols=["doc_id"])
+    table.commit(
+        docs.filter((F.col("doc_id") >= b1) & (F.col("doc_id") < b2)),
+        mode="append",
+        stats_cols=["doc_id"],
+    )
+    table.commit(
+        docs.filter(F.col("doc_id") >= b2),
+        mode="append",
+        stats_cols=["doc_id"],
+    )
+    return docs, table, n, b1, b2
+
+
 @register(
     "q_table_skipping",
     """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -8448,29 +8477,16 @@ def q_table_skipping(spark, sf_dir):
     overwrite sink, src/functions.cpp:146-162).
     """
     import shutil
-    import tempfile
 
-    from mapreduceindexer_spark.sources.transact import TransactionalTable
-
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
-    b1, b2 = n // 3, (2 * n) // 3
-    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_skip_"))
-    table.commit(docs.filter(F.col("doc_id") < b1), stats_cols=["doc_id"])
-    table.commit(
-        docs.filter((F.col("doc_id") >= b1) & (F.col("doc_id") < b2)),
-        mode="append",
-        stats_cols=["doc_id"],
-    )
-    table.commit(
-        docs.filter(F.col("doc_id") >= b2),
-        mode="append",
-        stats_cols=["doc_id"],
-    )
+    _, table, n, b1, b2 = _three_slice_table(spark, sf_dir, "mri_txn_skip_")
     plo, phi = b1 // 2, b1 - 1
-    kept, skipped = table.pruned_dirs("doc_id", lo=plo, hi=phi)
+    # Pin the version so the reported dir counts and the rows read come
+    # from the same table state (review finding: two unpinned calls
+    # could straddle a concurrent commit).
+    v = table.current_version()
+    kept, skipped = table.pruned_dirs("doc_id", lo=plo, hi=phi, version=v)
     out = (
-        table.read_pruned(spark, "doc_id", lo=plo, hi=phi)
+        table.read_pruned(spark, "doc_id", lo=plo, hi=phi, version=v)
         .agg(
             F.lit(len(kept) + len(skipped)).cast("bigint").alias("n_dirs"),
             F.lit(len(skipped)).cast("bigint").alias("n_dirs_skipped"),
@@ -8517,25 +8533,8 @@ def q_table_delete(spark, sf_dir):
     write-path payoff of the same stats q_table_skipping exercises on
     the read path."""
     import shutil
-    import tempfile
 
-    from mapreduceindexer_spark.sources.transact import TransactionalTable
-
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
-    b1, b2 = n // 3, (2 * n) // 3
-    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_del_"))
-    table.commit(docs.filter(F.col("doc_id") < b1), stats_cols=["doc_id"])
-    table.commit(
-        docs.filter((F.col("doc_id") >= b1) & (F.col("doc_id") < b2)),
-        mode="append",
-        stats_cols=["doc_id"],
-    )
-    table.commit(
-        docs.filter(F.col("doc_id") >= b2),
-        mode="append",
-        stats_cols=["doc_id"],
-    )
+    _, table, n, b1, b2 = _three_slice_table(spark, sf_dir, "mri_txn_del_")
     v = table.delete_where(
         spark, "doc_id", lo=b1 // 2, hi=b1 - 1, stats_cols=["doc_id"]
     )
@@ -8590,24 +8589,9 @@ def q_table_merge(spark, sf_dir):
     latest-wins window, bucketed at scale) is q_upsert; this is the
     same semantics owning the storage layout."""
     import shutil
-    import tempfile
 
-    from mapreduceindexer_spark.sources.transact import TransactionalTable
-
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
-    b1, b2 = n // 3, (2 * n) // 3
-    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_merge_"))
-    table.commit(docs.filter(F.col("doc_id") < b1), stats_cols=["doc_id"])
-    table.commit(
-        docs.filter((F.col("doc_id") >= b1) & (F.col("doc_id") < b2)),
-        mode="append",
-        stats_cols=["doc_id"],
-    )
-    table.commit(
-        docs.filter(F.col("doc_id") >= b2),
-        mode="append",
-        stats_cols=["doc_id"],
+    docs, table, n, b1, b2 = _three_slice_table(
+        spark, sf_dir, "mri_txn_merge_"
     )
     plo, phi = b1 // 2, b1 - 1
     updates = docs.filter(

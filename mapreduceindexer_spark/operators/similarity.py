@@ -1235,7 +1235,7 @@ def ann_graph_search(
     excluded from the final ranking (it is reachable mid-walk, which is
     what pulls the beam into its own neighborhood).
     """
-    from mapreduceindexer_spark.functions.vector import dot, l2_norm
+    from mapreduceindexer_spark.functions.vector import l2_norm
 
     if edges is None:
         edges = nsw_graph_edges(embeddings, k_edges, n_centroids).localCheckpoint()
@@ -1248,19 +1248,7 @@ def ann_graph_search(
         )
         .localCheckpoint()
     )
-    entry = (
-        embeddings.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
-        .orderBy("vec_id")
-        .limit(1)
-    )
-    seed_entry = probes.crossJoin(F.broadcast(entry)).select(
-        "probe_id",
-        "vec_id",
-        F.round(
-            dot("embedding", "pv") / (F.col("nrm") * F.col("pnrm")), 6
-        ).alias("cos_sim"),
-        F.lit(False).alias("expanded"),
-    )
+    seed_entry = _entry_seed(embeddings, probes)
     seed_self = probes.select(
         "probe_id",
         F.col("probe_id").alias("vec_id"),
@@ -1299,7 +1287,7 @@ def ann_graph_search_vectors(
     Deterministic end-to-end (rounded cosine, id-ascending ties), so the
     DuckDB oracle replays the full walk for literal query vectors.
     """
-    from mapreduceindexer_spark.functions.vector import dot, l2_norm
+    from mapreduceindexer_spark.functions.vector import l2_norm
 
     if edges is None:
         edges = nsw_graph_edges(embeddings, k_edges, n_centroids).localCheckpoint()
@@ -1308,12 +1296,24 @@ def ann_graph_search_vectors(
         F.col("qv").alias("pv"),
         l2_norm("qv").alias("pnrm"),
     ).localCheckpoint()
+    return _graph_beam_walk(
+        edges, probes, _entry_seed(embeddings, probes), k, ef, hops
+    )
+
+
+def _entry_seed(embeddings: DataFrame, probes: DataFrame) -> DataFrame:
+    """Seed rows scoring every probe against the global min-id entry
+    point — shared by the in-corpus and external-query walks so the two
+    can never diverge from the oracle's common seed fragment. ``probes``
+    = (probe_id, pv, pnrm)."""
+    from mapreduceindexer_spark.functions.vector import dot, l2_norm
+
     entry = (
         embeddings.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
         .orderBy("vec_id")
         .limit(1)
     )
-    seed_entry = probes.crossJoin(F.broadcast(entry)).select(
+    return probes.crossJoin(F.broadcast(entry)).select(
         "probe_id",
         "vec_id",
         F.round(
@@ -1321,7 +1321,6 @@ def ann_graph_search_vectors(
         ).alias("cos_sim"),
         F.lit(False).alias("expanded"),
     )
-    return _graph_beam_walk(edges, probes, seed_entry, k, ef, hops)
 
 
 def _graph_beam_walk(

@@ -258,9 +258,22 @@ class TransactionalTable:
         skipped only when its recorded [min, max] PROVES no row can
         match: max < lo, min > hi, or the snapshot is empty/all-null on
         ``col`` (range predicates never match NULL). Dirs without stats
-        for ``col`` are always kept — skipping is sound, never lossy."""
+        for ``col`` are always kept — skipping is sound, never lossy.
+        At least one bound is required: with no predicate there is
+        nothing to prune (an unbounded read is just ``read``, and
+        skipping all-NULL snapshots would wrongly drop their rows)."""
+        if lo is None and hi is None:
+            raise ValueError(
+                "pruned_dirs needs at least one bound; an unbounded "
+                "read is read()"
+            )
         if version is None:
             version = self.current_version()
+        if version < 1 or version not in self.versions():
+            raise ValueError(
+                f"version {version} does not exist "
+                f"(available: {self.versions() or 'none'})"
+            )
         manifest = self._manifest(version)
         stats = manifest.get("stats", {})
         lo_j = _json_stat(lo) if lo is not None else None
@@ -297,7 +310,8 @@ class TransactionalTable:
         results are identical to filtering a full read, while the scan
         touches O(matching dirs) instead of O(all dirs). At 100 TB this
         is the difference between reading one day's snapshot and the
-        whole table for a time-ranged query."""
+        whole table for a time-ranged query. At least one bound is
+        required (``pruned_dirs``'s contract)."""
         from pyspark.sql import functions as F
 
         if version is None:
@@ -410,17 +424,37 @@ class TransactionalTable:
         update batch spanning the whole key domain rewrites everything,
         exactly as it must; production formats add bloom/partition
         metadata on top of the same skeleton. ``updates`` must carry
-        the table schema (columns are aligned by name). Optimistic
-        concurrency as in ``compact``/``delete_where``."""
+        the table schema (columns are aligned by name), with ``key``
+        non-NULL and unique per row — a NULL key can never match a base
+        row and a duplicated key has no defined winner, so both raise
+        (SQL MERGE's multiple-source-match discipline) instead of
+        silently inserting. Optimistic concurrency as in
+        ``compact``/``delete_where``."""
         from pyspark.sql import functions as F
 
+        bounds = updates.agg(
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+            F.count("*").alias("n"),
+            F.count(key).alias("n_keyed"),
+            F.count_distinct(key).alias("n_keys"),
+        ).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        if bounds["n_keyed"] < bounds["n"]:
+            raise ValueError(
+                f"merge_rows update batch has "
+                f"{bounds['n'] - bounds['n_keyed']} NULL {key!r} rows; "
+                "a NULL key matches nothing"
+            )
+        if bounds["n_keys"] < bounds["n_keyed"]:
+            raise ValueError(
+                f"merge_rows update batch has duplicate {key!r} values "
+                f"({bounds['n']} rows, {bounds['n_keys']} distinct keys); "
+                "latest-wins needs one row per key"
+            )
         cur = self.current_version()
         if cur == 0:
             return self.commit(updates, "overwrite", stats_cols=stats_cols)
-        bounds = updates.agg(
-            F.min(key).alias("lo"), F.max(key).alias("hi")
-        ).collect()[0]
-        lo, hi = bounds["lo"], bounds["hi"]
         manifest = self._manifest(cur)
         if lo is None:  # empty update batch: pure-metadata new version
             may_match: list[str] = []

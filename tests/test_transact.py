@@ -394,3 +394,40 @@ def test_merge_rows_empty_batch_and_empty_table(spark, tmp_path):
     m = t._manifest(2)
     assert m["dirs"] == dirs_before and m["meta"]["rewrote_dirs"] == 0
     assert _ids(t.read(spark)) == list(range(5))
+
+
+def test_merge_rows_rejects_null_and_duplicate_keys(spark, tmp_path):
+    """Review findings: an all-NULL-key batch must not silently vanish
+    and duplicate update keys must not break the one-row-per-key
+    contract — both raise (SQL MERGE's multiple-source-match
+    discipline)."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), stats_cols=["id"])
+    nulls = spark.range(0, 3).withColumn("id", F.lit(None).cast("bigint"))
+    with pytest.raises(ValueError, match="NULL 'id'"):
+        t.merge_rows(spark, nulls, "id")
+    dups = spark.createDataFrame([(1,), (1,)], "id bigint")
+    with pytest.raises(ValueError, match="duplicate 'id'"):
+        t.merge_rows(spark, dups, "id")
+    # Same discipline on the empty-table path (merge == initial commit).
+    empty = TransactionalTable(str(tmp_path / "e"))
+    with pytest.raises(ValueError, match="duplicate 'id'"):
+        empty.merge_rows(spark, dups, "id")
+    assert _ids(t.read(spark)) == list(range(5))  # nothing was published
+
+
+def test_pruned_dirs_requires_bound_and_real_version(spark, tmp_path):
+    """Review findings: unbounded pruning would wrongly drop all-NULL
+    snapshots (no residual filter exists to reclaim them), and an
+    empty table must fail like read() does, not with FileNotFoundError."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 3), stats_cols=["id"])
+    with pytest.raises(ValueError, match="at least one bound"):
+        t.pruned_dirs("id")
+    with pytest.raises(ValueError, match="at least one bound"):
+        t.read_pruned(spark, "id")
+    empty = TransactionalTable(str(tmp_path / "e"))
+    with pytest.raises(ValueError, match="does not exist"):
+        empty.pruned_dirs("id", lo=0)
