@@ -117,6 +117,7 @@ HEADLINE = [
     "q_ann_hnsw_recall",   # HNSW recall@5 contract vs brute force
     "q_ann_external",      # serving path: external query vectors over HNSW
     "q_table_merge",       # storage-integrated MERGE (stats-pruned upsert)
+    "q_table_bloom_skip",  # bloom point-lookup skipping (unclustered keys)
 ]
 
 

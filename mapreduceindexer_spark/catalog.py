@@ -8613,6 +8613,72 @@ def q_table_merge(spark, sf_dir):
     return out
 
 
+_BLOOM_PROBE_ID = 7
+
+
+@register(
+    "q_table_bloom_skip",
+    f"""WITH sl AS (SELECT doc_id, n_chars, doc_id % 3 AS s FROM documents),
+            ix AS (SELECT unnest(range(5)) AS i),
+            bits AS (SELECT DISTINCT s,
+                            {_sql_hash60('CAST(doc_id AS VARCHAR)', 'i')} % 8192 AS pos
+                     FROM sl CROSS JOIN ix),
+            probe AS (SELECT {_sql_hash60(f"'{_BLOOM_PROBE_ID}'", 'i')} % 8192 AS pos
+                      FROM ix),
+            hitcnt AS (SELECT b.s, CAST(count(*) AS BIGINT) AS nhit
+                       FROM probe p JOIN bits b ON b.pos = p.pos
+                       GROUP BY b.s)
+       SELECT CAST(3 AS BIGINT) AS n_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM hitcnt
+               WHERE nhit = 5) AS n_dirs_scanned,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents
+               WHERE doc_id = {_BLOOM_PROBE_ID}) AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+               WHERE doc_id = {_BLOOM_PROBE_ID}) AS total_chars""",
+)
+def q_table_bloom_skip(spark, sf_dir):
+    """BLOOM file skipping for POINT lookups
+    (sources/transact.py::read_eq): three snapshots split by doc_id % 3
+    — the UNCLUSTERED case where every snapshot's [min, max] spans the
+    whole id domain and range stats prune nothing — each committing a
+    1 KiB Bloom bitmap (k=5 portable hashes over distinct string-cast
+    values). A point lookup computes its 5 positions DRIVER-SIDE (the
+    hash60 python twin, zero Spark jobs) and skips snapshots whose
+    bitmap lacks any bit; the residual filter makes false positives a
+    scan cost, never a wrong row. The oracle replays the exact bit
+    decision relationally (the q_bloom pattern, per slice), so even an
+    FP would match bit-for-bit. Scale: an id probe on a 100 TB
+    append-heavy table touches the one snapshot that can hold it —
+    the lookup path range stats structurally cannot provide."""
+    import shutil
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_bloom_"))
+    for i in range(3):
+        table.commit(
+            docs.filter(F.col("doc_id") % 3 == i),
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["doc_id"],
+            bloom_cols=["doc_id"],
+        )
+    kept, skipped = table.pruned_dirs_eq("doc_id", _BLOOM_PROBE_ID)
+    out = (
+        table.read_eq(spark, "doc_id", _BLOOM_PROBE_ID)
+        .agg(
+            F.lit(len(kept) + len(skipped)).cast("bigint").alias("n_dirs"),
+            F.lit(len(kept)).cast("bigint").alias("n_dirs_scanned"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
 _CHECK_PRIORITY = [
     # Round-7 window: 3-slot core spine + 47 queries with NO prior
     # driver row (COVERAGE.md driver ledger; after this round + round 8
@@ -8635,6 +8701,7 @@ _CHECK_PRIORITY = [
     "q_ann_hnsw_recall",
     "q_ann_external",
     "q_table_merge",
+    "q_table_bloom_skip",
     # -- round-6-born ops that missed the r6 window + round-7-born ops
     "q_bm25_pruned",
     "q_postings_ef",
@@ -8677,7 +8744,6 @@ _CHECK_PRIORITY = [
     "q_mix_weights",
     "q_domain_stats",
     "q_domain_cap",
-    "q_blocklist",
     "q_scrub",
     # -- relational / table-format / multimodal breadth
     "q_salted_join",

@@ -89,6 +89,55 @@ def _snapshot_stats(spark: SparkSession, snap_dir: str, cols: list[str]) -> dict
     }
 
 
+BLOOM_BITS = 8192  # 1 KiB bitmap per (snapshot, column) in the manifest
+BLOOM_K = 5
+
+
+def hash60_py(s: str, seed: int = 0) -> int:
+    """Driver-side twin of ``functions.hashing.hash60`` — the identical
+    md5-derived 60-bit integer, so a point-lookup's bloom positions are
+    computed without a Spark job and still match the bits the snapshot
+    wrote (and the DuckDB oracle's replay)."""
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+
+def _snapshot_bloom(
+    spark: SparkSession, snap_dir: str, cols: list[str]
+) -> dict:
+    """Per-column Bloom bitmap of one freshly written snapshot dir:
+    k=BLOOM_K portable-hash positions per DISTINCT value (cast to
+    string; NULLs excluded — equality never matches NULL), OR-ed into a
+    BLOOM_BITS-bit bitmap stored as hex. The distinct-position relation
+    is bounded by BLOOM_BITS rows, so the collect is a bounded scalar
+    fetch. Point lookups (``pruned_dirs_eq``) then skip snapshots whose
+    bitmap lacks any of the probe's k bits — the skipping min/max stats
+    cannot do when the key is unclustered across snapshots."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.functions.hashing import hash60
+
+    df = spark.read.parquet(snap_dir)
+    seeds = F.array([F.lit(i) for i in range(BLOOM_K)])
+    out = {}
+    for c in cols:
+        rows = (
+            df.select(F.col(c).cast("string").alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .distinct()
+            .select("_v", F.explode(seeds).alias("_i"))
+            .select((hash60(F.col("_v"), F.col("_i")) % BLOOM_BITS).alias("p"))
+            .distinct()
+            .collect()
+        )
+        bm = 0
+        for r in rows:
+            bm |= 1 << r["p"]
+        out[c] = {"k": BLOOM_K, "bits": BLOOM_BITS, "hex": format(bm, "x")}
+    return out
+
+
 class TransactionalTable:
     """A versioned parquet table rooted at ``path`` (local or any
     fuse-mounted filesystem with atomic link/rename semantics)."""
@@ -136,6 +185,7 @@ class TransactionalTable:
         expected_version: int | None = None,
         meta: dict | None = None,
         stats_cols: tuple[str, ...] | list[str] | None = None,
+        bloom_cols: tuple[str, ...] | list[str] | None = None,
     ) -> int:
         """Publish ``df`` as the next version; returns it. ``meta`` (a
         small JSON-able dict) rides the manifest — e.g. a streaming
@@ -153,6 +203,15 @@ class TransactionalTable:
         the parquet footers it just wrote). Dirs committed without
         stats are never skipped, so mixing stats-less history in is
         always safe.
+
+        ``bloom_cols`` additionally records a BLOOM_BITS-bit Bloom
+        bitmap per listed column (k=BLOOM_K portable hashes over the
+        snapshot's distinct values, cast to string): point lookups
+        (``read_eq``) then skip snapshots the bitmap proves cannot
+        contain the value — which min/max ranges cannot do when the key
+        is UNCLUSTERED across snapshots. ~1 KiB of manifest per
+        (snapshot, column); false positives only cost a scan, never
+        correctness.
 
         ``expected_version`` is the optimistic-concurrency guard: the
         commit succeeds only if it creates ``expected_version + 1``
@@ -179,10 +238,17 @@ class TransactionalTable:
         fsync_path(self.path)
 
         stats: dict[str, dict] = {}
+        entry: dict = {}
         if stats_cols:
-            stats[os.path.basename(snap)] = _snapshot_stats(
-                df.sparkSession, snap, list(stats_cols)
+            entry.update(
+                _snapshot_stats(df.sparkSession, snap, list(stats_cols))
             )
+        if bloom_cols:
+            entry["bloom"] = _snapshot_bloom(
+                df.sparkSession, snap, list(bloom_cols)
+            )
+        if entry:
+            stats[os.path.basename(snap)] = entry
 
         if mode == "append" and base > 0:
             prev = self._manifest(base)
@@ -330,6 +396,75 @@ class TransactionalTable:
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
         return df
+
+    def pruned_dirs_eq(
+        self, col: str, value, version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """(kept, skipped) snapshot dir names for a POINT lookup
+        ``col = value``, decided from manifest metadata only. Two
+        independent sound prunings compose: the min/max range (value
+        outside [min, max] — effective when the key is clustered) and
+        the Bloom bitmap (any of the probe's k bits unset — effective
+        even when the key is scattered across every snapshot's range).
+        Dirs with neither kind of metadata are always kept. ``value``
+        is hashed via its string form, matching what the snapshot's
+        bloom recorded (integers and strings round-trip exactly; avoid
+        float keys)."""
+        if value is None:
+            raise ValueError("equality never matches NULL; nothing to look up")
+        if version is None:
+            version = self.current_version()
+        if version < 1 or version not in self.versions():
+            raise ValueError(
+                f"version {version} does not exist "
+                f"(available: {self.versions() or 'none'})"
+            )
+        manifest = self._manifest(version)
+        stats = manifest.get("stats", {})
+        v_j = _json_stat(value)
+        kept, skipped = [], []
+        for d in manifest["dirs"]:
+            entry = stats.get(d, {})
+            cs = entry.get("cols", {}).get(col)
+            if cs is not None and (
+                cs[0] is None or cs[0] > v_j or cs[1] < v_j
+            ):
+                skipped.append(d)
+                continue
+            bl = entry.get("bloom", {}).get(col)
+            if bl is not None:
+                bm = int(bl["hex"], 16)
+                if not all(
+                    (bm >> (hash60_py(str(value), i) % bl["bits"])) & 1
+                    for i in range(bl["k"])
+                ):
+                    skipped.append(d)
+                    continue
+            kept.append(d)
+        return kept, skipped
+
+    def read_eq(
+        self, spark: SparkSession, col: str, value, version: int | None = None
+    ) -> DataFrame:
+        """The rows of ``version`` with ``col = value``, scanning only
+        the snapshot dirs whose manifest metadata (range stats + Bloom
+        bitmap, ``pruned_dirs_eq``) cannot rule out. The residual
+        equality filter is still applied — a Bloom false positive costs
+        one extra dir scan, never a wrong row. The point-lookup
+        counterpart of ``read_pruned``: at 100 TB an id probe touches
+        the one snapshot that can hold it."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.current_version()
+        kept, _ = self.pruned_dirs_eq(col, value, version)
+        if kept:
+            df = spark.read.parquet(
+                *[os.path.join(self.path, d) for d in kept]
+            )
+        else:
+            df = self.read(spark, version).limit(0)
+        return df.filter(F.col(col) == F.lit(value))
 
     def delete_where(
         self,

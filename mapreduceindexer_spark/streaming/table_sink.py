@@ -24,7 +24,11 @@ from mapreduceindexer_spark.sources.transact import TransactionalTable
 
 
 def _append_batch(
-    table: TransactionalTable, batch_df: DataFrame, batch_id: int
+    table: TransactionalTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    stats_cols: tuple[str, ...] | None = None,
+    bloom_cols: tuple[str, ...] | None = None,
 ) -> None:
     cur = table.current_version()
     if cur > 0 and table.meta_of(cur).get("batch_id", -1) >= batch_id:
@@ -45,6 +49,8 @@ def _append_batch(
         mode="append",
         expected_version=cur,
         meta={"batch_id": batch_id},
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
     )
 
 
@@ -53,15 +59,21 @@ def run_stream_to_table(
     table: TransactionalTable,
     output_mode: str,
     timeout_seconds: int = 300,
+    stats_cols: tuple[str, ...] | None = None,
+    bloom_cols: tuple[str, ...] | None = None,
 ) -> None:
     """Drain ``stream_df`` (availableNow) into ``table`` with per-batch
     append-commits; raises if the backlog does not finish inside
     ``timeout_seconds`` — a timed-out replay must never be mistaken for
     a complete one (round-6 lesson: partial state flushes returned as
-    if final)."""
+    if final). ``stats_cols``/``bloom_cols`` flow into every microbatch
+    commit, so a streaming-built table gets the same dir-granular data
+    skipping (ranged + point-lookup) as a batch-built one — per-batch
+    stats are one narrow agg over the NEW snapshot only, in keeping with
+    the appends-never-rescan contract."""
     q = (
         stream_df.writeStream.foreachBatch(
-            lambda df, bid: _append_batch(table, df, bid)
+            lambda df, bid: _append_batch(table, df, bid, stats_cols, bloom_cols)
         )
         .queryName(f"tablesink_{uuid.uuid4().hex[:8]}")
         .outputMode(output_mode)

@@ -303,3 +303,26 @@ def test_read_result_empty_table_returns_typed_empty(spark, tmp_path):
     t = TransactionalTable(str(tmp_path / "t"))
     df = read_result(t, spark, "a bigint, b string")
     assert df.columns == ["a", "b"] and df.count() == 0
+
+
+def test_table_sink_batches_record_skipping_stats(spark, tmp_path):
+    """stats_cols/bloom_cols flow through the streaming sink's per-batch
+    commits, so a streaming-built table prunes ranged and point reads
+    like a batch-built one; batch_id idempotence is unchanged."""
+    from mapreduceindexer_spark.streaming.table_sink import (
+        TransactionalTable,
+        _append_batch,
+    )
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    _append_batch(t, spark.range(0, 5), 0, stats_cols=("id",), bloom_cols=("id",))
+    _append_batch(t, spark.range(5, 9), 1, stats_cols=("id",))
+    m = t._manifest(2)
+    d1, d2 = m["dirs"]
+    assert m["stats"][d1]["cols"]["id"] == [0, 4]
+    assert "bloom" in m["stats"][d1]
+    assert m["stats"][d2]["cols"]["id"] == [5, 8]
+    kept, skipped = t.pruned_dirs("id", lo=6, hi=7)
+    assert kept == [d2] and skipped == [d1]
+    _append_batch(t, spark.range(99, 100), 1, stats_cols=("id",))
+    assert t.current_version() == 2  # retried batch still no-ops

@@ -431,3 +431,58 @@ def test_pruned_dirs_requires_bound_and_real_version(spark, tmp_path):
     empty = TransactionalTable(str(tmp_path / "e"))
     with pytest.raises(ValueError, match="does not exist"):
         empty.pruned_dirs("id", lo=0)
+
+
+def test_bloom_stats_prune_point_lookups_on_unclustered_keys(
+    spark, tmp_path
+):
+    """Keys scattered by id % 3 make every snapshot's [min, max] span
+    the domain — range stats prune nothing — but the Bloom bitmap
+    pins a point lookup to the one snapshot holding the value."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    base = spark.range(0, 60)
+    for i in range(3):
+        t.commit(
+            base.filter(F.col("id") % 3 == i),
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["id"],
+            bloom_cols=["id"],
+        )
+    m = t._manifest(3)
+    d = m["dirs"]
+    for dd in d:
+        bl = m["stats"][dd]["bloom"]["id"]
+        assert bl["k"] == 5 and bl["bits"] == 8192
+        assert int(bl["hex"], 16) > 0
+    # id=7 lives in slice 7 % 3 == 1; ranges all overlap 7, bloom prunes.
+    kept, skipped = t.pruned_dirs_eq("id", 7)
+    assert kept == [d[1]] and sorted(skipped) == sorted([d[0], d[2]])
+    got = t.read_eq(spark, "id", 7)
+    assert [r["id"] for r in got.collect()] == [7]
+    touched = {f.split("/snap-")[1].split("/")[0] for f in got.inputFiles()}
+    assert touched == {d[1].removeprefix("snap-")}
+    # A value nowhere in the table: all three dirs bloom-skipped.
+    kept, skipped = t.pruned_dirs_eq("id", 999)
+    assert kept == [] and len(skipped) == 3
+    assert t.read_eq(spark, "id", 999).count() == 0
+    # Range stats still participate: value outside every range.
+    kept, _ = t.pruned_dirs_eq("id", -5)
+    assert kept == []
+    with pytest.raises(ValueError, match="never matches NULL"):
+        t.pruned_dirs_eq("id", None)
+
+
+def test_bloom_absent_never_skips_and_appends_inherit(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), bloom_cols=["id"])  # bloom only, no ranges
+    t.commit(spark.range(100, 105), mode="append")  # no metadata at all
+    m = t._manifest(2)
+    d1, d2 = m["dirs"]
+    assert "bloom" in m["stats"][d1] and "cols" not in m["stats"][d1]
+    assert d2 not in m["stats"]
+    # d1 bloom-skipped for 101, d2 unprunable -> kept.
+    kept, skipped = t.pruned_dirs_eq("id", 101)
+    assert kept == [d2] and skipped == [d1]
+    assert [r["id"] for r in t.read_eq(spark, "id", 101).collect()] == [101]
