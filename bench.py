@@ -118,6 +118,7 @@ HEADLINE = [
     "q_ann_external",      # serving path: external query vectors over HNSW
     "q_table_merge",       # storage-integrated MERGE (stats-pruned upsert)
     "q_table_bloom_skip",  # bloom point-lookup skipping (unclustered keys)
+    "q_table_changes",     # append-only change feed (incremental consumer)
 ]
 
 

@@ -8613,6 +8613,44 @@ def q_table_merge(spark, sf_dir):
     return out
 
 
+@register(
+    "q_table_changes",
+    """WITH b AS (SELECT CAST(count(*) // 3 AS BIGINT) AS b1 FROM documents)
+       SELECT CAST(count(*) AS BIGINT) AS n_new_docs,
+              CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+              CAST(min(d.doc_id) AS BIGINT) AS min_id,
+              CAST(max(d.doc_id) AS BIGINT) AS max_id
+       FROM documents d, b WHERE d.doc_id >= b.b1""",
+)
+def q_table_changes(spark, sf_dir):
+    """Append-only CHANGE FEED (sources/transact.py::read_changes): a
+    downstream consumer that last processed version 1 reads exactly the
+    rows the two later appends added — the incremental-pipeline read
+    (at 100 TB, the difference between processing a day's delta and a
+    daily full rescan). On the three-slice fixture, changes (1, 3] are
+    slices two and three, which the oracle states declaratively as
+    doc_id >= b1. The feed is defined only over append commits —
+    rewrites (overwrite/compact/delete/merge) raise, pinned by
+    tests/test_transact.py — because an append's delta IS its new
+    snapshot dir; row-level CDF across rewrites needs explicit change
+    files, documented out of scope."""
+    import shutil
+
+    _, table, n, b1, b2 = _three_slice_table(spark, sf_dir, "mri_txn_chg_")
+    out = (
+        table.read_changes(spark, 1, 3)
+        .agg(
+            F.count("*").cast("bigint").alias("n_new_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
 _BLOOM_PROBE_ID = 7
 
 
@@ -8702,6 +8740,7 @@ _CHECK_PRIORITY = [
     "q_ann_external",
     "q_table_merge",
     "q_table_bloom_skip",
+    "q_table_changes",
     # -- round-6-born ops that missed the r6 window + round-7-born ops
     "q_bm25_pruned",
     "q_postings_ef",
@@ -8744,7 +8783,6 @@ _CHECK_PRIORITY = [
     "q_mix_weights",
     "q_domain_stats",
     "q_domain_cap",
-    "q_scrub",
     # -- relational / table-format / multimodal breadth
     "q_salted_join",
     "q_upsert",

@@ -397,6 +397,62 @@ class TransactionalTable:
             df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Rows ADDED between ``from_version`` (exclusive) and
+        ``to_version`` (inclusive) — the incremental-consumer feed: a
+        downstream job remembers the last version it processed and
+        reads only the delta, never rescanning history (at 100 TB the
+        difference between an incremental pipeline and a daily full
+        recompute). Sound ONLY over append commits, where the delta IS
+        the new snapshot dirs; any overwrite/delete/merge/compaction in
+        the range rewrites membership and the call raises — a row-level
+        change feed across rewrites needs explicit change files
+        (Delta CDF), out of scope here. ``from_version == to_version``
+        returns an empty typed DataFrame."""
+        if to_version is None:
+            to_version = self.current_version()
+        versions = self.versions()
+        if from_version != 0 and from_version not in versions:
+            raise ValueError(f"version {from_version} does not exist")
+        if to_version not in versions:
+            raise ValueError(f"version {to_version} does not exist")
+        if from_version > to_version:
+            raise ValueError(
+                f"from_version {from_version} > to_version {to_version}"
+            )
+        if from_version == to_version:
+            return self.read(spark, to_version).limit(0)
+        base_dirs = (
+            set(self._manifest(from_version)["dirs"])
+            if from_version > 0
+            else set()
+        )
+        new_dirs: list[str] = []
+        seen = set(base_dirs)
+        for v in versions:
+            if not (from_version < v <= to_version):
+                continue
+            m = self._manifest(v)
+            if m.get("mode") != "append" and not (
+                v == from_version + 1 and from_version == 0
+            ):
+                raise ValueError(
+                    f"version {v} is mode={m.get('mode')!r}; the change "
+                    "feed is defined only over append commits"
+                )
+            for d in m["dirs"]:
+                if d not in seen:  # each append re-lists inherited dirs
+                    new_dirs.append(d)
+                    seen.add(d)
+        return spark.read.parquet(
+            *[os.path.join(self.path, d) for d in new_dirs]
+        )
+
     def pruned_dirs_eq(
         self, col: str, value, version: int | None = None
     ) -> tuple[list[str], list[str]]:

@@ -486,3 +486,27 @@ def test_bloom_absent_never_skips_and_appends_inherit(spark, tmp_path):
     kept, skipped = t.pruned_dirs_eq("id", 101)
     assert kept == [d2] and skipped == [d1]
     assert [r["id"] for r in t.read_eq(spark, "id", 101).collect()] == [101]
+
+
+def test_read_changes_returns_only_the_delta(spark, tmp_path):
+    """Incremental-consumer feed: (from, to] over an append chain reads
+    exactly the new snapshots; rewriting commits in the range raise."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5))
+    t.commit(spark.range(5, 8), mode="append")
+    t.commit(spark.range(8, 12), mode="append")
+    assert _ids(t.read_changes(spark, 1)) == list(range(5, 12))
+    assert _ids(t.read_changes(spark, 2, 3)) == list(range(8, 12))
+    assert _ids(t.read_changes(spark, 0, 2)) == list(range(8))  # from empty
+    empty = t.read_changes(spark, 3, 3)
+    assert empty.count() == 0 and empty.columns == ["id"]
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read_changes(spark, 9)
+    with pytest.raises(ValueError, match="from_version 3 > to_version 2"):
+        t.read_changes(spark, 3, 2)
+    # A rewrite (compaction/overwrite/delete/merge) breaks the feed.
+    t.compact(spark, target_files=1)
+    with pytest.raises(ValueError, match="mode='overwrite'"):
+        t.read_changes(spark, 2)
+    # ...but a delta strictly before the rewrite still works.
+    assert _ids(t.read_changes(spark, 1, 3)) == list(range(5, 12))
