@@ -8702,6 +8702,19 @@ def q_table_bloom_skip(spark, sf_dir):
             stats_cols=["doc_id"],
             bloom_cols=["doc_id"],
         )
+    # The oracle replays ONLY the bloom bit decision, so range pruning
+    # must be a no-op here — true as long as the probe id lies inside
+    # every slice's [min, max], which doc_id % 3 slicing guarantees for
+    # any corpus with > 3·probe_id rows. Assert it, so a future probe
+    # or fixture change fails loudly instead of desyncing the oracle
+    # (review finding).
+    kept_range, _ = table.pruned_dirs(
+        "doc_id", lo=_BLOOM_PROBE_ID, hi=_BLOOM_PROBE_ID
+    )
+    assert len(kept_range) == 3, (
+        f"bloom-skip fixture assumption broken: range stats pruned "
+        f"{3 - len(kept_range)} dirs for probe {_BLOOM_PROBE_ID}"
+    )
     kept, skipped = table.pruned_dirs_eq("doc_id", _BLOOM_PROBE_ID)
     out = (
         table.read_eq(spark, "doc_id", _BLOOM_PROBE_ID)

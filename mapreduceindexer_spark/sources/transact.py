@@ -71,15 +71,15 @@ def _json_stat(v):
     )
 
 
-def _snapshot_stats(spark: SparkSession, snap_dir: str, cols: list[str]) -> dict:
-    """(rows, per-column [min, max]) of one freshly written snapshot dir
-    — one narrow aggregate over the new dir only."""
+def _snapshot_stats(snap_df: DataFrame, cols: list[str]) -> dict:
+    """(rows, per-column [min, max]) of one freshly written snapshot —
+    one narrow aggregate over the new dir only."""
     from pyspark.sql import functions as F
 
     aggs = [F.count("*").alias("_rows")]
     for c in cols:
         aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
-    row = spark.read.parquet(snap_dir).agg(*aggs).collect()[0]
+    row = snap_df.agg(*aggs).collect()[0]
     return {
         "rows": row["_rows"],
         "cols": {
@@ -103,10 +103,8 @@ def hash60_py(s: str, seed: int = 0) -> int:
     return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
 
 
-def _snapshot_bloom(
-    spark: SparkSession, snap_dir: str, cols: list[str]
-) -> dict:
-    """Per-column Bloom bitmap of one freshly written snapshot dir:
+def _snapshot_bloom(snap_df: DataFrame, cols: list[str]) -> dict:
+    """Per-column Bloom bitmap of one freshly written snapshot:
     k=BLOOM_K portable-hash positions per DISTINCT value (cast to
     string; NULLs excluded — equality never matches NULL), OR-ed into a
     BLOOM_BITS-bit bitmap stored as hex. The distinct-position relation
@@ -118,12 +116,11 @@ def _snapshot_bloom(
 
     from mapreduceindexer_spark.functions.hashing import hash60
 
-    df = spark.read.parquet(snap_dir)
     seeds = F.array([F.lit(i) for i in range(BLOOM_K)])
     out = {}
     for c in cols:
         rows = (
-            df.select(F.col(c).cast("string").alias("_v"))
+            snap_df.select(F.col(c).cast("string").alias("_v"))
             .where(F.col("_v").isNotNull())
             .distinct()
             .select("_v", F.explode(seeds).alias("_i"))
@@ -136,6 +133,26 @@ def _snapshot_bloom(
             bm |= 1 << r["p"]
         out[c] = {"k": BLOOM_K, "bits": BLOOM_BITS, "hex": format(bm, "x")}
     return out
+
+
+def _snapshot_entry(
+    spark: SparkSession,
+    snap_dir: str,
+    stats_cols,
+    bloom_cols,
+) -> dict:
+    """The manifest stats entry of one freshly written snapshot dir —
+    ONE shared read of the new dir feeding both the min/max aggregate
+    and the bloom position jobs (review finding: reading the snapshot
+    separately per stats kind doubled commit-path scans)."""
+    entry: dict = {}
+    if stats_cols or bloom_cols:
+        snap_df = spark.read.parquet(snap_dir)
+        if stats_cols:
+            entry.update(_snapshot_stats(snap_df, list(stats_cols)))
+        if bloom_cols:
+            entry["bloom"] = _snapshot_bloom(snap_df, list(bloom_cols))
+    return entry
 
 
 class TransactionalTable:
@@ -238,15 +255,7 @@ class TransactionalTable:
         fsync_path(self.path)
 
         stats: dict[str, dict] = {}
-        entry: dict = {}
-        if stats_cols:
-            entry.update(
-                _snapshot_stats(df.sparkSession, snap, list(stats_cols))
-            )
-        if bloom_cols:
-            entry["bloom"] = _snapshot_bloom(
-                df.sparkSession, snap, list(bloom_cols)
-            )
+        entry = _snapshot_entry(df.sparkSession, snap, stats_cols, bloom_cols)
         if entry:
             stats[os.path.basename(snap)] = entry
 
@@ -413,9 +422,17 @@ class TransactionalTable:
         the range rewrites membership and the call raises — a row-level
         change feed across rewrites needs explicit change files
         (Delta CDF), out of scope here. ``from_version == to_version``
-        returns an empty typed DataFrame."""
+        returns an empty typed DataFrame — except on a never-committed
+        table, where no schema exists to type it with: poll
+        ``current_version() > 0`` before the first read (the error
+        says so)."""
         if to_version is None:
             to_version = self.current_version()
+        if to_version == 0:
+            raise ValueError(
+                "table has no commits yet, so there is no schema for an "
+                "empty change feed; poll current_version() > 0 first"
+            )
         versions = self.versions()
         if from_version != 0 and from_version not in versions:
             raise ValueError(f"version {from_version} does not exist")
@@ -463,11 +480,21 @@ class TransactionalTable:
         the Bloom bitmap (any of the probe's k bits unset — effective
         even when the key is scattered across every snapshot's range).
         Dirs with neither kind of metadata are always kept. ``value``
-        is hashed via its string form, matching what the snapshot's
-        bloom recorded (integers and strings round-trip exactly; avoid
-        float keys)."""
+        must be an int or str: those are the types whose Python string
+        form is IDENTICAL to the Spark string cast the snapshot's bloom
+        hashed, so the probe positions line up bit-for-bit. Other types
+        (bool → 'True' vs 'true', timestamps → '.500000' vs '.5',
+        floats) render differently and would silently skip dirs that
+        hold the value — so they raise instead (review finding)."""
         if value is None:
             raise ValueError("equality never matches NULL; nothing to look up")
+        if isinstance(value, bool) or not isinstance(value, (int, str)):
+            raise TypeError(
+                f"point-lookup key must be int or str (got "
+                f"{type(value).__name__}); other types' str() diverges "
+                "from Spark's string cast and would make bloom skipping "
+                "unsound"
+            )
         if version is None:
             version = self.current_version()
         if version < 1 or version not in self.versions():
@@ -478,6 +505,18 @@ class TransactionalTable:
         manifest = self._manifest(version)
         stats = manifest.get("stats", {})
         v_j = _json_stat(value)
+        # Probe positions depend only on (value, k, bits) — computed
+        # once, not per dir (an append-heavy manifest has one dir per
+        # microbatch; review finding).
+        pos_cache: dict[tuple[int, int], list[int]] = {}
+
+        def probe_positions(k: int, bits: int) -> list[int]:
+            if (k, bits) not in pos_cache:
+                pos_cache[(k, bits)] = [
+                    hash60_py(str(value), i) % bits for i in range(k)
+                ]
+            return pos_cache[(k, bits)]
+
         kept, skipped = [], []
         for d in manifest["dirs"]:
             entry = stats.get(d, {})
@@ -491,8 +530,8 @@ class TransactionalTable:
             if bl is not None:
                 bm = int(bl["hex"], 16)
                 if not all(
-                    (bm >> (hash60_py(str(value), i) % bl["bits"])) & 1
-                    for i in range(bl["k"])
+                    (bm >> p) & 1
+                    for p in probe_positions(bl["k"], bl["bits"])
                 ):
                     skipped.append(d)
                     continue
@@ -529,6 +568,7 @@ class TransactionalTable:
         lo=None,
         hi=None,
         stats_cols: tuple[str, ...] | list[str] | None = None,
+        bloom_cols: tuple[str, ...] | list[str] | None = None,
     ) -> int:
         """Copy-on-write DELETE of rows with ``lo <= col <= hi``,
         published as a new version; returns it. The manifest stats make
@@ -574,10 +614,9 @@ class TransactionalTable:
             fsync_path(self.path)
             cleanup.append(snap)
             dirs = dirs + [os.path.basename(snap)]
-            if stats_cols:
-                stats[os.path.basename(snap)] = _snapshot_stats(
-                    spark, snap, list(stats_cols)
-                )
+            entry = _snapshot_entry(spark, snap, stats_cols, bloom_cols)
+            if entry:
+                stats[os.path.basename(snap)] = entry
         payload = {
             "version": new_version,
             "mode": "delete",
@@ -598,6 +637,7 @@ class TransactionalTable:
         updates: DataFrame,
         key: str,
         stats_cols: tuple[str, ...] | list[str] | None = None,
+        bloom_cols: tuple[str, ...] | list[str] | None = None,
     ) -> int:
         """Copy-on-write MERGE (upsert, latest-wins by ``key``): rows of
         ``updates`` replace same-key rows; new keys are inserted.
@@ -645,7 +685,12 @@ class TransactionalTable:
             )
         cur = self.current_version()
         if cur == 0:
-            return self.commit(updates, "overwrite", stats_cols=stats_cols)
+            return self.commit(
+                updates,
+                "overwrite",
+                stats_cols=stats_cols,
+                bloom_cols=bloom_cols,
+            )
         manifest = self._manifest(cur)
         if lo is None:  # empty update batch: pure-metadata new version
             may_match: list[str] = []
@@ -675,10 +720,9 @@ class TransactionalTable:
             fsync_path(self.path)
             cleanup.append(snap)
             dirs = dirs + [os.path.basename(snap)]
-            if stats_cols:
-                stats[os.path.basename(snap)] = _snapshot_stats(
-                    spark, snap, list(stats_cols)
-                )
+            entry = _snapshot_entry(spark, snap, stats_cols, bloom_cols)
+            if entry:
+                stats[os.path.basename(snap)] = entry
         payload = {
             "version": new_version,
             "mode": "merge",
@@ -700,6 +744,7 @@ class TransactionalTable:
         spark: SparkSession,
         target_files: int = 8,
         stats_cols: tuple[str, ...] | list[str] | None = None,
+        bloom_cols: tuple[str, ...] | list[str] | None = None,
     ) -> int:
         """Rewrite the CURRENT version's snapshot set as ONE fresh
         snapshot dir of at most ``target_files`` files — the
@@ -730,6 +775,7 @@ class TransactionalTable:
             expected_version=cur,
             meta={"compacted_from": cur},
             stats_cols=stats_cols,
+            bloom_cols=bloom_cols,
         )
 
     def vacuum(

@@ -510,3 +510,61 @@ def test_read_changes_returns_only_the_delta(spark, tmp_path):
         t.read_changes(spark, 2)
     # ...but a delta strictly before the rewrite still works.
     assert _ids(t.read_changes(spark, 1, 3)) == list(range(5, 12))
+
+
+def test_point_lookup_rejects_unsound_key_types(spark, tmp_path):
+    """Review finding: str(value) diverges from Spark's string cast for
+    bool/timestamp/float keys, which would make bloom skipping silently
+    drop matching rows — so non-int/str probes raise."""
+    import datetime
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 3), bloom_cols=["id"])
+    for bad in (True, 1.5, datetime.datetime(2020, 1, 1)):
+        with pytest.raises(TypeError, match="int or str"):
+            t.pruned_dirs_eq("id", bad)
+    kept, _ = t.pruned_dirs_eq("id", 1)  # int stays fine
+    assert kept
+
+
+def test_read_changes_empty_table_has_clear_bootstrap_error(
+    spark, tmp_path
+):
+    t = TransactionalTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="no commits yet"):
+        t.read_changes(spark, 0)
+
+
+def test_rewrites_can_restate_bloom(spark, tmp_path):
+    """Review finding: compaction/delete/merge on a bloom-maintained
+    table must be able to re-record the bitmap, or point-lookup pruning
+    silently degrades after the very maintenance append-heavy tables
+    run."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.commit(
+            spark.range(0, 60).filter(F.col("id") % 3 == i),
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["id"],
+            bloom_cols=["id"],
+        )
+    v = t.compact(spark, target_files=1, stats_cols=["id"], bloom_cols=["id"])
+    (d,) = t._manifest(v)["dirs"]
+    assert "bloom" in t._manifest(v)["stats"][d]
+    kept, skipped = t.pruned_dirs_eq("id", 999)  # not in table
+    assert kept == [] and skipped == [d]
+    v = t.delete_where(
+        spark, "id", lo=0, hi=9, stats_cols=["id"], bloom_cols=["id"]
+    )
+    new_dir = t._manifest(v)["dirs"][-1]
+    assert "bloom" in t._manifest(v)["stats"][new_dir]
+    updates = spark.createDataFrame([(10, )], "id bigint")
+    v = t.merge_rows(
+        spark, updates, "id", stats_cols=["id"], bloom_cols=["id"]
+    )
+    new_dir = t._manifest(v)["dirs"][-1]
+    assert "bloom" in t._manifest(v)["stats"][new_dir]
+    kept, _ = t.pruned_dirs_eq("id", 10)
+    assert [r["id"] for r in t.read_eq(spark, "id", 10).collect()] == [10]
