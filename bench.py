@@ -119,6 +119,7 @@ HEADLINE = [
     "q_table_merge",       # storage-integrated MERGE (stats-pruned upsert)
     "q_table_bloom_skip",  # bloom point-lookup skipping (unclustered keys)
     "q_table_changes",     # append-only change feed (incremental consumer)
+    "q_ann_hnsw_scaled",   # HNSW with live production dials (broadcast)
 ]
 
 

@@ -7016,8 +7016,12 @@ def q_ann_recall(spark, sf_dir):
 # per hop and DuckDB's default CTE inlining would re-open the parquet scan
 # each time (the q_unigram_lm file-handle lesson).
 
-_SQL_NSW_BASE = f"""
- c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+def _sql_nsw_base(cells: str = "8") -> str:
+    """The shared graph-ANN base CTEs (IVF assign + in-cell KNN + hubs)
+    with the cell count as a SQL expression — '8' for the fixed-dial
+    queries, a count(*)-derived scalar subquery for the scaled ones."""
+    return f"""
+ c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {cells}),
  dn AS (SELECT e.vec_id, c.centroid_id,
               ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
                                             z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
@@ -7039,6 +7043,9 @@ _SQL_NSW_BASE = f"""
                FROM kp)
          WHERE rn <= 3),
  hubs AS (SELECT cell, min(vec_id) AS hub_id FROM assign GROUP BY cell)"""
+
+
+_SQL_NSW_BASE = _sql_nsw_base()
 
 _SQL_NSW_EDGES = f"""{_SQL_NSW_BASE},
  edges AS MATERIALIZED (
@@ -7196,11 +7203,15 @@ def q_ann_graph_recall(spark, sf_dir):
 
 _HNSW_COARSE = 3
 
-_SQL_HNSW_EDGES = f"""{_SQL_NSW_BASE},
+def _sql_hnsw_edges(cells: str = "8", coarse: str = str(_HNSW_COARSE)) -> str:
+    """The three-layer HNSW edge CTEs with both dials as SQL
+    expressions (fixed literals for q_ann_hnsw; count(*)-derived scalar
+    subqueries for the scaled variant)."""
+    return f"""{_sql_nsw_base(cells)},
  hv AS (SELECT h.hub_id, ev.v FROM hubs h JOIN e ev ON ev.vec_id = h.hub_id),
  cc AS (SELECT hub_id AS ccid, v AS cv
         FROM (SELECT *, row_number() OVER (ORDER BY hub_id ASC) AS rn FROM hv)
-        WHERE rn <= {_HNSW_COARSE}),
+        WHERE rn <= {coarse}),
  dh AS (SELECT hv.hub_id, cc.ccid,
                ROUND(list_sum(list_transform(list_zip(hv.v, cc.cv),
                                              z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
@@ -7242,6 +7253,9 @@ _SQL_HNSW_EDGES = f"""{_SQL_NSW_BASE},
      UNION ALL
      SELECT l.hub2 AS vec_id, ha.hub_id AS nbr_id
      FROM hassign ha JOIN l2h l USING (hcell) WHERE ha.hub_id <> l.hub2))"""
+
+
+_SQL_HNSW_EDGES = _sql_hnsw_edges()
 
 
 def _hnsw_edges_staged(spark, sf_dir):
@@ -7335,6 +7349,55 @@ def q_ann_hnsw_recall(spark, sf_dir):
         k=_NSW_K, ef=_NSW_EF, hops=_HNSW_HOPS, k_edges=3, n_centroids=8,
         floor_permille=200,
         edges=_hnsw_edges_staged(spark, sf_dir),
+    )
+
+
+# --- HNSW at the production dials ------------------------------------------
+
+_SQL_HNSW_CELLS = "(SELECT GREATEST(8, count(*) // 200) FROM e)"
+_SQL_HNSW_COARSE = (
+    "(SELECT GREATEST(3, CAST(floor(sqrt(CAST(GREATEST(8, count(*) // 200)"
+    " AS DOUBLE))) AS BIGINT)) FROM e)"
+)
+
+_SQL_HNSW_SCALED_WALK = (
+    f"""WITH e AS MATERIALIZED ({SQL_EMB}),
+ probes AS (SELECT vec_id AS probe_id, v AS pv FROM e
+            WHERE vec_id IN {ANN_RECALL_PROBES}),{_sql_hnsw_edges(_SQL_HNSW_CELLS, _SQL_HNSW_COARSE)},{_SQL_NSW_SEED},"""
+    + ",".join(_sql_nsw_hop(i, _NSW_EF) for i in range(1, _HNSW_HOPS + 1))
+)
+
+
+@register(
+    "q_ann_hnsw_scaled",
+    f"""{_SQL_HNSW_SCALED_WALK}
+ SELECT probe_id, vec_id, cos_sim,
+        CAST(row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rn
+ FROM v{_HNSW_HOPS} WHERE vec_id <> probe_id QUALIFY rn <= {_NSW_K}""",
+)
+def q_ann_hnsw_scaled(spark, sf_dir):
+    """HNSW with the PRODUCTION dials live (the q_knn_graph_scaled /
+    q_semantic_dedup_scaled discipline applied to the graph tier):
+    cells = max(8, n // 200) bounds the L0 in-cell KNN quadratic,
+    n_coarse = max(3, floor(sqrt(cells))) bounds the L1 hub KNN
+    quadratic, both as broadcast one-row aggregates — no Python-literal
+    dials, so the SAME code runs unchanged at any corpus size. The
+    oracle derives both dials from count(*) and replays the full
+    three-layer build + 5-hop walk.
+    operators/similarity.py::hnsw_graph_edges_scaled."""
+    edges = sim.hnsw_graph_edges_scaled(
+        _t(spark, sf_dir, "embeddings"),
+        k_edges=3,
+        target_cell_size=200,
+        min_cells=8,
+        min_coarse=_HNSW_COARSE,
+    )
+    return sim.ann_graph_search(
+        _t(spark, sf_dir, "embeddings"),
+        list(ANN_RECALL_PROBES),
+        k=_NSW_K, ef=_NSW_EF, hops=_HNSW_HOPS, k_edges=3, n_centroids=8,
+        edges=edges.localCheckpoint(),
     )
 
 
@@ -8754,6 +8817,7 @@ _CHECK_PRIORITY = [
     "q_table_merge",
     "q_table_bloom_skip",
     "q_table_changes",
+    "q_ann_hnsw_scaled",
     # -- round-6-born ops that missed the r6 window + round-7-born ops
     "q_bm25_pruned",
     "q_postings_ef",
@@ -8794,7 +8858,6 @@ _CHECK_PRIORITY = [
     "q_sequence_pack",
     "q_train_split",
     "q_mix_weights",
-    "q_domain_stats",
     "q_domain_cap",
     # -- relational / table-format / multimodal breadth
     "q_salted_join",

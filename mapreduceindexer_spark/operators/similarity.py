@@ -1187,6 +1187,107 @@ def hnsw_graph_edges(
     )
 
 
+def hnsw_graph_edges_scaled(
+    embeddings: DataFrame,
+    k_edges: int = 3,
+    target_cell_size: int = 200,
+    min_cells: int = 8,
+    min_coarse: int = 3,
+) -> DataFrame:
+    """``hnsw_graph_edges`` with the PRODUCTION dials live: cells =
+    max(min_cells, n // target_cell_size) and n_coarse = max(min_coarse,
+    floor(sqrt(cells))) — the corpus-scaling rule of ``knn_graph_scaled``
+    applied to the hierarchy, so BOTH quadratic terms stay bounded as
+    the corpus grows: per-cell population ≈ target_cell_size (the L0
+    KNN self-join) and per-coarse-cell hub population ≈ sqrt(cells)
+    (the L1 hub KNN self-join), with the L2 mesh ≈ cells edges. Every
+    dial enters the plan as a broadcast one-row aggregate (fully lazy,
+    no driver collect); the coarse-centroid pick is a rank filter over
+    the hub relation instead of ``limit`` (a limit takes only a Python
+    literal). Deterministic throughout — the DuckDB oracle replays the
+    dials from count(*) and every edge bit-for-bit."""
+    from mapreduceindexer_spark.functions.vector import l2_norm
+
+    nc = F.greatest(
+        F.lit(min_cells), F.floor(F.col("n") / F.lit(target_cell_size))
+    ).cast("bigint")
+    dial = embeddings.agg(F.count("*").alias("n")).select(
+        nc.alias("nc"),
+        F.greatest(
+            F.lit(min_coarse), F.floor(F.sqrt(nc.cast("double")))
+        )
+        .cast("bigint")
+        .alias("ncc"),
+    )
+    centroids = (
+        embeddings.crossJoin(F.broadcast(dial))
+        .filter(F.col("vec_id") < F.col("nc"))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    cells = assign_to_centroids(embeddings, centroids).localCheckpoint()
+    knn = _knn_topk_within_cells(embeddings, cells, k_edges).select(
+        "vec_id", "nbr_id"
+    )
+    hubs = cells.groupBy("cell").agg(F.min("vec_id").alias("hub_id"))
+    hub_vecs = embeddings.join(
+        hubs.select(F.col("hub_id").alias("vec_id")), "vec_id"
+    ).localCheckpoint()
+    w_hub = Window.orderBy(F.asc("vec_id"))
+    coarse = (
+        hub_vecs.withColumn("_rn", F.row_number().over(w_hub))
+        .crossJoin(F.broadcast(dial.select("ncc")))
+        .filter(F.col("_rn") <= F.col("ncc"))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    hub_cells = assign_to_centroids(hub_vecs, coarse).localCheckpoint()
+    hub_knn = _knn_topk_within_cells(hub_vecs, hub_cells, k_edges).select(
+        "vec_id", "nbr_id"
+    )
+    hubs2 = hub_cells.groupBy("cell").agg(F.min("vec_id").alias("hub2"))
+    mesh2 = (
+        hubs2.select(F.col("hub2").alias("vec_id"))
+        .crossJoin(F.broadcast(hubs2.select(F.col("hub2").alias("nbr_id"))))
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+    )
+    memb1 = cells.join(F.broadcast(hubs), "cell").filter(
+        F.col("vec_id") != F.col("hub_id")
+    )
+    up1 = memb1.select("vec_id", F.col("hub_id").alias("nbr_id"))
+    down1 = memb1.select(
+        F.col("hub_id").alias("vec_id"), F.col("vec_id").alias("nbr_id")
+    )
+    memb2 = hub_cells.join(F.broadcast(hubs2), "cell").filter(
+        F.col("vec_id") != F.col("hub2")
+    )
+    up2 = memb2.select("vec_id", F.col("hub2").alias("nbr_id"))
+    down2 = memb2.select(
+        F.col("hub2").alias("vec_id"), F.col("vec_id").alias("nbr_id")
+    )
+    edges = (
+        knn.union(hub_knn)
+        .union(mesh2)
+        .union(up1)
+        .union(down1)
+        .union(up2)
+        .union(down2)
+        .distinct()
+    )
+    payload = embeddings.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("nbr_vec"),
+        l2_norm("embedding").alias("nbr_nrm"),
+    )
+    return edges.join(payload, "nbr_id").select(
+        "vec_id", "nbr_id", "nbr_vec", "nbr_nrm"
+    )
+
+
 def ann_graph_search(
     embeddings: DataFrame,
     probe_ids: list[int],

@@ -449,3 +449,29 @@ def test_hnsw_hub_layer_is_sub_quadratic_in_hub_count(spark):
     # Hub ids are 0..63 (one per planted cluster); count hub<->hub edges.
     assert hier < flat
     assert flat - hier > 2000  # the 4032-edge mesh is gone, stars remain
+
+
+def test_hnsw_scaled_equals_fixed_at_the_same_dials(spark):
+    """The broadcast-dial path must produce the IDENTICAL edge set as
+    the fixed-dial build when the dials coincide (800 vectors ->
+    cells = max(8, 4) = 8, n_coarse = max(3, floor(sqrt(8))) = 3) —
+    the live dial changes the plan shape, never the result."""
+    from mapreduceindexer_spark.operators.similarity import (
+        hnsw_graph_edges,
+        hnsw_graph_edges_scaled,
+    )
+
+    emb = _clustered_embeddings(spark, n_clusters=8, per_cluster=100, dim=16)
+    fixed = sorted(
+        (r["vec_id"], r["nbr_id"])
+        for r in hnsw_graph_edges(
+            emb, k_edges=3, n_centroids=8, n_coarse=3
+        ).collect()
+    )
+    scaled = sorted(
+        (r["vec_id"], r["nbr_id"])
+        for r in hnsw_graph_edges_scaled(
+            emb, k_edges=3, target_cell_size=200, min_cells=8, min_coarse=3
+        ).collect()
+    )
+    assert fixed == scaled and len(fixed) > 0
