@@ -120,6 +120,7 @@ HEADLINE = [
     "q_table_bloom_skip",  # bloom point-lookup skipping (unclustered keys)
     "q_table_changes",     # append-only change feed (incremental consumer)
     "q_ann_hnsw_scaled",   # HNSW with live production dials (broadcast)
+    "q_ann_external_recall",  # serving-path recall@5 contract
 ]
 
 

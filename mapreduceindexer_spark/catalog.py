@@ -7465,6 +7465,62 @@ def q_ann_external(spark, sf_dir):
 
 
 @register(
+    "q_ann_external_recall",
+    f"""{_SQL_EXT_WALK},
+ graph AS (SELECT probe_id, vec_id
+           FROM (SELECT probe_id, vec_id,
+                        row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY cos_sim DESC, vec_id ASC) AS rn
+                 FROM v{_HNSW_HOPS} WHERE vec_id <> probe_id)
+           WHERE rn <= {_NSW_K}),
+ bs AS (SELECT p.probe_id, ev.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY ROUND({SQL_COS.format(a='ev.v', b='p.pv')}, 6) DESC,
+                                           ev.vec_id ASC) AS rn
+        FROM e ev, probes p),
+ brute AS (SELECT probe_id, vec_id FROM bs WHERE rn <= {_NSW_K}),
+ hits AS (SELECT b.probe_id, CAST(count(*) AS BIGINT) AS hits
+          FROM brute b JOIN graph g
+            ON b.probe_id = g.probe_id AND b.vec_id = g.vec_id
+          GROUP BY b.probe_id)
+ SELECT p.probe_id,
+        CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        ROUND(COALESCE(h.hits, 0) / {_NSW_K}.0, 6) AS recall,
+        COALESCE(h.hits, 0) * 1000 >= 200 * {_NSW_K} AS meets_floor
+ FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id""",
+)
+def q_ann_external_recall(spark, sf_dir):
+    """SERVING-path QUALITY CONTRACT: recall@5 of the external-query
+    beam walk vs exact brute-force cosine top-k of the same query
+    vectors over the corpus — the honesty instrument for the path users
+    actually hit (q_ann_hnsw_recall audits only in-corpus self-queries,
+    which seed from their own node and are structurally easier). Same
+    0.2 panel floor; ground truth includes every corpus vector (an
+    external probe has no self node to exclude).
+    operators/similarity.py::ann_graph_recall_vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id").isin([0, 17, 42])).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
+    )
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("aid"), F.col("embedding").alias("bv")
+    )
+    qv = a.join(b, "aid").select(
+        (F.col("aid") + 9000).cast("bigint").alias("probe_id"),
+        F.zip_with(
+            "av",
+            "bv",
+            lambda x, y: (x.cast("double") + y.cast("double")) / 2,
+        ).alias("qv"),
+    )
+    return sim.ann_graph_recall_vectors(
+        emb, qv, k=_NSW_K, ef=_NSW_EF, hops=_HNSW_HOPS, k_edges=3,
+        n_centroids=8, floor_permille=200,
+        edges=_hnsw_edges_staged(spark, sf_dir),
+    )
+
+
+@register(
     "q_hybrid_rrf",
     f"""WITH t AS ({SQL_TERMS}),
          tf_t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
@@ -8818,6 +8874,7 @@ _CHECK_PRIORITY = [
     "q_table_bloom_skip",
     "q_table_changes",
     "q_ann_hnsw_scaled",
+    "q_ann_external_recall",
     # -- round-6-born ops that missed the r6 window + round-7-born ops
     "q_bm25_pruned",
     "q_postings_ef",
@@ -8857,7 +8914,6 @@ _CHECK_PRIORITY = [
     "q_context_chunks",
     "q_sequence_pack",
     "q_train_split",
-    "q_mix_weights",
     "q_domain_cap",
     # -- relational / table-format / multimodal breadth
     "q_salted_join",

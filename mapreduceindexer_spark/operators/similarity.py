@@ -1505,6 +1505,67 @@ def _graph_beam_walk(
     )
 
 
+def ann_graph_recall_vectors(
+    embeddings: DataFrame,
+    query_vectors: DataFrame,
+    k: int = 5,
+    ef: int = 4,
+    hops: int = 4,
+    k_edges: int = 3,
+    n_centroids: int = 8,
+    floor_permille: int = 500,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Recall@k of the EXTERNAL-query serving path vs exact brute force
+    — the honesty instrument for the path users actually hit: ground
+    truth is the cosine top-k of each query vector over the whole
+    corpus (one broadcast of the bounded probe set, one corpus pass),
+    compared against the entry-seeded beam walk over the same index.
+    ``query_vectors`` = (probe_id, qv), probe_ids disjoint from corpus
+    vec_ids. Same contract column as ``ann_graph_recall``."""
+    probes = query_vectors.select(
+        "probe_id", F.col("qv").alias("pv")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    brute = (
+        embeddings.crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_similarity("embedding", "pv"), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "vec_id")
+    )
+    graph = ann_graph_search_vectors(
+        embeddings, query_vectors, k=k, ef=ef, hops=hops,
+        k_edges=k_edges, n_centroids=n_centroids, edges=edges,
+    ).select("probe_id", "vec_id")
+    hits = (
+        brute.join(graph, ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count("*").cast("bigint").alias("hits"))
+    )
+    return (
+        probes.select("probe_id")
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("hits"), F.lit(0).cast("bigint")).alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.lit(float(k)),
+                6,
+            ).alias("recall"),
+            (
+                F.coalesce(F.col("hits"), F.lit(0)) * 1000
+                >= F.lit(floor_permille * k)
+            ).alias("meets_floor"),
+        )
+    )
+
+
 def ann_graph_recall(
     embeddings: DataFrame,
     probe_ids: list[int],

@@ -475,3 +475,37 @@ def test_hnsw_scaled_equals_fixed_at_the_same_dials(spark):
         ).collect()
     )
     assert fixed == scaled and len(fixed) > 0
+
+
+def test_external_query_recall_is_perfect_on_clustered_data(spark):
+    """The serving path's honesty instrument: an external query vector
+    pointing into a planted cluster must recover that cluster's exact
+    top-5 (recall 1.0) via the entry-seeded walk over the HNSW index."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.operators.similarity import (
+        ann_graph_recall_vectors,
+        hnsw_graph_edges,
+    )
+
+    emb = _clustered_embeddings(spark)
+    # External queries: each cluster-c member direction, nudged — the
+    # mean of two same-cluster members (ids c and c+8 share cluster c).
+    a = emb.filter(F.col("vec_id").isin([2, 5])).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
+    )
+    b = emb.select((F.col("vec_id") - 8).alias("aid"), F.col("embedding").alias("bv"))
+    qv = a.join(b, "aid").select(
+        (F.col("aid") + 9000).cast("bigint").alias("probe_id"),
+        F.zip_with(
+            "av", "bv", lambda x, y: (x.cast("double") + y.cast("double")) / 2
+        ).alias("qv"),
+    )
+    edges = hnsw_graph_edges(emb, k_edges=3, n_centroids=8, n_coarse=3)
+    rec = ann_graph_recall_vectors(
+        emb, qv, k=5, ef=8, hops=5, floor_permille=200,
+        edges=edges.localCheckpoint(),
+    ).collect()
+    assert len(rec) == 2
+    for r in rec:
+        assert r["recall"] == 1.0 and r["meets_floor"], (r["probe_id"], r["recall"])
