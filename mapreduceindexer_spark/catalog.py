@@ -7386,22 +7386,51 @@ def q_ann_hnsw_scaled(spark, sf_dir):
     oracle derives both dials from count(*) and replays the full
     three-layer build + 5-hop walk.
     operators/similarity.py::hnsw_graph_edges_scaled."""
-    edges = sim.hnsw_graph_edges_scaled(
-        _t(spark, sf_dir, "embeddings"),
-        k_edges=3,
-        target_cell_size=200,
-        min_cells=8,
-        min_coarse=_HNSW_COARSE,
+    from mapreduceindexer_spark.staging import staged
+
+    edges = staged(
+        spark,
+        ("hnsw_edges_scaled", sf_dir, 3, 200, 8, _HNSW_COARSE),
+        lambda: sim.hnsw_graph_edges_scaled(
+            _t(spark, sf_dir, "embeddings"),
+            k_edges=3,
+            target_cell_size=200,
+            min_cells=8,
+            min_coarse=_HNSW_COARSE,
+        ).localCheckpoint(),
     )
     return sim.ann_graph_search(
         _t(spark, sf_dir, "embeddings"),
         list(ANN_RECALL_PROBES),
         k=_NSW_K, ef=_NSW_EF, hops=_HNSW_HOPS, k_edges=3, n_centroids=8,
-        edges=edges.localCheckpoint(),
+        edges=edges,
     )
 
 
 # --- external-query serving path over the same HNSW index ------------------
+
+def _ext_query_vectors(emb):
+    """The three deterministic EXTERNAL query vectors shared by
+    q_ann_external and q_ann_external_recall (element-wise means of
+    consecutive-id pairs, probe_id offset 9000) — the Spark twin of the
+    shared _SQL_EXT_PROBES fragment, single-sourced so the serving
+    query and its recall audit can never probe different vectors
+    (review finding)."""
+    a = emb.filter(F.col("vec_id").isin([0, 17, 42])).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
+    )
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("aid"), F.col("embedding").alias("bv")
+    )
+    return a.join(b, "aid").select(
+        (F.col("aid") + 9000).cast("bigint").alias("probe_id"),
+        F.zip_with(
+            "av",
+            "bv",
+            lambda x, y: (x.cast("double") + y.cast("double")) / 2,
+        ).alias("qv"),
+    )
+
 
 _SQL_EXT_PROBES = """
  probes AS (SELECT 9000 + a.vec_id AS probe_id,
@@ -7444,20 +7473,7 @@ def q_ann_external(spark, sf_dir):
     corpus size — the serving contract.
     operators/similarity.py::ann_graph_search_vectors."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.filter(F.col("vec_id").isin([0, 17, 42])).select(
-        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
-    )
-    b = emb.select(
-        (F.col("vec_id") - 1).alias("aid"), F.col("embedding").alias("bv")
-    )
-    qv = a.join(b, "aid").select(
-        (F.col("aid") + 9000).cast("bigint").alias("probe_id"),
-        F.zip_with(
-            "av",
-            "bv",
-            lambda x, y: (x.cast("double") + y.cast("double")) / 2,
-        ).alias("qv"),
-    )
+    qv = _ext_query_vectors(emb)
     return sim.ann_graph_search_vectors(
         emb, qv, k=_NSW_K, ef=_NSW_EF, hops=_HNSW_HOPS, k_edges=3,
         n_centroids=8, edges=_hnsw_edges_staged(spark, sf_dir),
@@ -7499,20 +7515,7 @@ def q_ann_external_recall(spark, sf_dir):
     external probe has no self node to exclude).
     operators/similarity.py::ann_graph_recall_vectors."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.filter(F.col("vec_id").isin([0, 17, 42])).select(
-        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
-    )
-    b = emb.select(
-        (F.col("vec_id") - 1).alias("aid"), F.col("embedding").alias("bv")
-    )
-    qv = a.join(b, "aid").select(
-        (F.col("aid") + 9000).cast("bigint").alias("probe_id"),
-        F.zip_with(
-            "av",
-            "bv",
-            lambda x, y: (x.cast("double") + y.cast("double")) / 2,
-        ).alias("qv"),
-    )
+    qv = _ext_query_vectors(emb)
     return sim.ann_graph_recall_vectors(
         emb, qv, k=_NSW_K, ef=_NSW_EF, hops=_HNSW_HOPS, k_edges=3,
         n_centroids=8, floor_permille=200,

@@ -1128,6 +1128,32 @@ def hnsw_graph_edges(
     on either graph unchanged.
     """
     cells = ivf_assignments(embeddings, n_centroids).localCheckpoint()
+
+    def coarse_of(hub_vecs: DataFrame) -> DataFrame:
+        return (
+            hub_vecs.orderBy("vec_id")
+            .limit(n_coarse)
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("cvec"),
+            )
+        )
+
+    return _hnsw_edges_from(embeddings, cells, coarse_of, k_edges)
+
+
+def _hnsw_edges_from(
+    embeddings: DataFrame,
+    cells: DataFrame,
+    coarse_of,
+    k_edges: int,
+) -> DataFrame:
+    """The shared three-layer HNSW construction given the L0 assignment
+    relation and a coarse-centroid picker over the hub relation — ONE
+    body for the fixed-dial and production-dial builds (review finding:
+    two verbatim copies could silently fork the index layouts)."""
+    from mapreduceindexer_spark.functions.vector import l2_norm
+
     knn = _knn_topk_within_cells(embeddings, cells, k_edges).select(
         "vec_id", "nbr_id"
     )
@@ -1136,14 +1162,7 @@ def hnsw_graph_edges(
     hub_vecs = embeddings.join(
         hubs.select(F.col("hub_id").alias("vec_id")), "vec_id"
     ).localCheckpoint()
-    coarse = (
-        hub_vecs.orderBy("vec_id")
-        .limit(n_coarse)
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("cvec"),
-        )
-    )
+    coarse = coarse_of(hub_vecs)
     hub_cells = assign_to_centroids(hub_vecs, coarse).localCheckpoint()
     hub_knn = _knn_topk_within_cells(hub_vecs, hub_cells, k_edges).select(
         "vec_id", "nbr_id"
@@ -1206,8 +1225,6 @@ def hnsw_graph_edges_scaled(
     the hub relation instead of ``limit`` (a limit takes only a Python
     literal). Deterministic throughout — the DuckDB oracle replays the
     dials from count(*) and every edge bit-for-bit."""
-    from mapreduceindexer_spark.functions.vector import l2_norm
-
     nc = F.greatest(
         F.lit(min_cells), F.floor(F.col("n") / F.lit(target_cell_size))
     ).cast("bigint")
@@ -1228,64 +1245,20 @@ def hnsw_graph_edges_scaled(
         )
     )
     cells = assign_to_centroids(embeddings, centroids).localCheckpoint()
-    knn = _knn_topk_within_cells(embeddings, cells, k_edges).select(
-        "vec_id", "nbr_id"
-    )
-    hubs = cells.groupBy("cell").agg(F.min("vec_id").alias("hub_id"))
-    hub_vecs = embeddings.join(
-        hubs.select(F.col("hub_id").alias("vec_id")), "vec_id"
-    ).localCheckpoint()
     w_hub = Window.orderBy(F.asc("vec_id"))
-    coarse = (
-        hub_vecs.withColumn("_rn", F.row_number().over(w_hub))
-        .crossJoin(F.broadcast(dial.select("ncc")))
-        .filter(F.col("_rn") <= F.col("ncc"))
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("cvec"),
+
+    def coarse_of(hub_vecs: DataFrame) -> DataFrame:
+        return (
+            hub_vecs.withColumn("_rn", F.row_number().over(w_hub))
+            .crossJoin(F.broadcast(dial.select("ncc")))
+            .filter(F.col("_rn") <= F.col("ncc"))
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("cvec"),
+            )
         )
-    )
-    hub_cells = assign_to_centroids(hub_vecs, coarse).localCheckpoint()
-    hub_knn = _knn_topk_within_cells(hub_vecs, hub_cells, k_edges).select(
-        "vec_id", "nbr_id"
-    )
-    hubs2 = hub_cells.groupBy("cell").agg(F.min("vec_id").alias("hub2"))
-    mesh2 = (
-        hubs2.select(F.col("hub2").alias("vec_id"))
-        .crossJoin(F.broadcast(hubs2.select(F.col("hub2").alias("nbr_id"))))
-        .filter(F.col("vec_id") != F.col("nbr_id"))
-    )
-    memb1 = cells.join(F.broadcast(hubs), "cell").filter(
-        F.col("vec_id") != F.col("hub_id")
-    )
-    up1 = memb1.select("vec_id", F.col("hub_id").alias("nbr_id"))
-    down1 = memb1.select(
-        F.col("hub_id").alias("vec_id"), F.col("vec_id").alias("nbr_id")
-    )
-    memb2 = hub_cells.join(F.broadcast(hubs2), "cell").filter(
-        F.col("vec_id") != F.col("hub2")
-    )
-    up2 = memb2.select("vec_id", F.col("hub2").alias("nbr_id"))
-    down2 = memb2.select(
-        F.col("hub2").alias("vec_id"), F.col("vec_id").alias("nbr_id")
-    )
-    edges = (
-        knn.union(hub_knn)
-        .union(mesh2)
-        .union(up1)
-        .union(down1)
-        .union(up2)
-        .union(down2)
-        .distinct()
-    )
-    payload = embeddings.select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("embedding").alias("nbr_vec"),
-        l2_norm("embedding").alias("nbr_nrm"),
-    )
-    return edges.join(payload, "nbr_id").select(
-        "vec_id", "nbr_id", "nbr_vec", "nbr_nrm"
-    )
+
+    return _hnsw_edges_from(embeddings, cells, coarse_of, k_edges)
 
 
 def ann_graph_search(
@@ -1522,10 +1495,13 @@ def ann_graph_recall_vectors(
     corpus (one broadcast of the bounded probe set, one corpus pass),
     compared against the entry-seeded beam walk over the same index.
     ``query_vectors`` = (probe_id, qv), probe_ids disjoint from corpus
-    vec_ids. Same contract column as ``ann_graph_recall``."""
-    probes = query_vectors.select(
-        "probe_id", F.col("qv").alias("pv")
-    )
+    vec_ids. Same contract projection as ``ann_graph_recall``
+    (``_recall_contract`` — one body, the two audits cannot drift)."""
+    # The query-vector relation feeds three plan branches (brute cross
+    # join, the walk's probes, the contract spine) and may itself be a
+    # join over the corpus — stage it once (multi-branch staging rule).
+    query_vectors = query_vectors.localCheckpoint()
+    probes = query_vectors.select("probe_id", F.col("qv").alias("pv"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     brute = (
         embeddings.crossJoin(F.broadcast(probes))
@@ -1542,27 +1518,38 @@ def ann_graph_recall_vectors(
         embeddings, query_vectors, k=k, ef=ef, hops=hops,
         k_edges=k_edges, n_centroids=n_centroids, edges=edges,
     ).select("probe_id", "vec_id")
+    return _recall_contract(
+        probes.select("probe_id"), brute, graph, k, floor_permille
+    )
+
+
+def _recall_contract(
+    probe_spine: DataFrame,
+    brute: DataFrame,
+    graph: DataFrame,
+    k: int,
+    floor_permille: int,
+) -> DataFrame:
+    """The shared (hits, recall, meets_floor) projection of the recall
+    audits — one body so the in-corpus and serving-path contracts can
+    never compute different arithmetic (review finding)."""
     hits = (
         brute.join(graph, ["probe_id", "vec_id"])
         .groupBy("probe_id")
         .agg(F.count("*").cast("bigint").alias("hits"))
     )
-    return (
-        probes.select("probe_id")
-        .join(hits, "probe_id", "left")
-        .select(
-            "probe_id",
-            F.coalesce(F.col("hits"), F.lit(0).cast("bigint")).alias("hits"),
-            F.round(
-                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
-                / F.lit(float(k)),
-                6,
-            ).alias("recall"),
-            (
-                F.coalesce(F.col("hits"), F.lit(0)) * 1000
-                >= F.lit(floor_permille * k)
-            ).alias("meets_floor"),
-        )
+    return probe_spine.join(hits, "probe_id", "left").select(
+        "probe_id",
+        F.coalesce(F.col("hits"), F.lit(0).cast("bigint")).alias("hits"),
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+            / F.lit(float(k)),
+            6,
+        ).alias("recall"),
+        (
+            F.coalesce(F.col("hits"), F.lit(0)) * 1000
+            >= F.lit(floor_permille * k)
+        ).alias("meets_floor"),
     )
 
 
@@ -1604,27 +1591,8 @@ def ann_graph_recall(
         embeddings, probe_ids, k=k, ef=ef, hops=hops,
         k_edges=k_edges, n_centroids=n_centroids, edges=edges,
     ).select("probe_id", "vec_id")
-    hits = (
-        brute.join(graph, ["probe_id", "vec_id"])
-        .groupBy("probe_id")
-        .agg(F.count("*").cast("bigint").alias("hits"))
-    )
-    return (
-        probes.select("probe_id")
-        .join(hits, "probe_id", "left")
-        .select(
-            "probe_id",
-            F.coalesce(F.col("hits"), F.lit(0).cast("bigint")).alias("hits"),
-            F.round(
-                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
-                / F.lit(float(k)),
-                6,
-            ).alias("recall"),
-            (
-                F.coalesce(F.col("hits"), F.lit(0)) * 1000
-                >= F.lit(floor_permille * k)
-            ).alias("meets_floor"),
-        )
+    return _recall_contract(
+        probes.select("probe_id"), brute, graph, k, floor_permille
     )
 
 
