@@ -568,3 +568,31 @@ def test_rewrites_can_restate_bloom(spark, tmp_path):
     assert "bloom" in t._manifest(v)["stats"][new_dir]
     kept, _ = t.pruned_dirs_eq("id", 10)
     assert [r["id"] for r in t.read_eq(spark, "id", 10).collect()] == [10]
+
+
+def test_incremental_consumer_equals_batch_over_change_feed(
+    spark, tmp_path
+):
+    """The change feed's purpose, pinned end-to-end: a consumer that
+    folds each delta into a running aggregate must land on exactly the
+    full-table aggregate — incremental processing is a cost choice,
+    never a semantics choice."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 100))
+    t.commit(spark.range(100, 250), mode="append")
+    t.commit(spark.range(250, 300), mode="append")
+    last, total_sum, total_n = 0, 0, 0
+    while last < t.current_version():
+        cur = t.current_version()
+        delta = t.read_changes(spark, last, cur).agg(
+            F.sum("id").alias("s"), F.count("*").alias("n")
+        ).collect()[0]
+        total_sum += delta["s"] or 0
+        total_n += delta["n"]
+        last = cur
+    full = t.read(spark).agg(
+        F.sum("id").alias("s"), F.count("*").alias("n")
+    ).collect()[0]
+    assert (total_sum, total_n) == (full["s"], full["n"]) == (44850, 300)
