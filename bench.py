@@ -121,6 +121,7 @@ HEADLINE = [
     "q_table_changes",     # append-only change feed (incremental consumer)
     "q_ann_hnsw_scaled",   # HNSW with live production dials (broadcast)
     "q_ann_external_recall",  # serving-path recall@5 contract
+    "q_table_cluster",     # range-clustered compaction repairs skipping
 ]
 
 

@@ -8773,6 +8773,69 @@ def q_table_changes(spark, sf_dir):
     return out
 
 
+@register(
+    "q_table_cluster",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            bk AS (SELECT d.doc_id, d.n_chars,
+                          LEAST(2, (d.doc_id * 3) // nn.n) AS b
+                   FROM documents d, n nn),
+            st AS (SELECT b, min(doc_id) AS mn, max(doc_id) AS mx
+                   FROM bk GROUP BY b),
+            p AS (SELECT nn.n // 12 AS plo, nn.n // 6 AS phi FROM n nn)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM st) AS n_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM st, p
+               WHERE st.mn > p.phi OR st.mx < p.plo) AS n_dirs_skipped,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents, p
+               WHERE doc_id BETWEEN p.plo AND p.phi) AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents, p
+               WHERE doc_id BETWEEN p.plo AND p.phi) AS total_chars""",
+)
+def q_table_cluster(spark, sf_dir):
+    """Range-clustered compaction (OPTIMIZE ... CLUSTER BY,
+    sources/transact.py::compact_clustered) driven end-to-end: three
+    UNCLUSTERED snapshots (doc_id % 3 — every dir's [min, max] spans the
+    domain, so dir stats prune nothing) are rewritten in ONE scan as
+    three equal-width range-disjoint bucket sub-dirs, each with fresh
+    stats; a mid-bucket-0 ranged read then scans one dir and skips two.
+    The oracle replays the exact integer bucket arithmetic
+    (LEAST(2, doc_id*3 // n)), each bucket's min/max, and the skip
+    decision. This is the maintenance op that REPAIRS data skipping:
+    plain compaction collapses to one dir (skipping gone); clustering
+    restores O(matching buckets) ranged reads/deletes/merges on an
+    append-fragmented 100 TB table."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_clu_"))
+    for i in range(3):
+        table.commit(
+            docs.filter(F.col("doc_id") % 3 == i),
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["doc_id"],
+        )
+    v = table.compact_clustered(
+        spark, "doc_id", n_buckets=3, stats_cols=["doc_id"]
+    )
+    plo, phi = n // 12, n // 6
+    kept, skipped = table.pruned_dirs("doc_id", lo=plo, hi=phi, version=v)
+    out = (
+        table.read_pruned(spark, "doc_id", lo=plo, hi=phi, version=v)
+        .agg(
+            F.lit(len(kept) + len(skipped)).cast("bigint").alias("n_dirs"),
+            F.lit(len(skipped)).cast("bigint").alias("n_dirs_skipped"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
 _BLOOM_PROBE_ID = 7
 
 
@@ -8878,6 +8941,7 @@ _CHECK_PRIORITY = [
     "q_table_changes",
     "q_ann_hnsw_scaled",
     "q_ann_external_recall",
+    "q_table_cluster",
     # -- round-6-born ops that missed the r6 window + round-7-born ops
     "q_bm25_pruned",
     "q_postings_ef",
@@ -8916,7 +8980,6 @@ _CHECK_PRIORITY = [
     "q_bpe_encode",
     "q_context_chunks",
     "q_sequence_pack",
-    "q_train_split",
     "q_domain_cap",
     # -- relational / table-format / multimodal breadth
     "q_salted_join",

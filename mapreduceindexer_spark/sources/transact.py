@@ -778,6 +778,95 @@ class TransactionalTable:
             bloom_cols=bloom_cols,
         )
 
+    def compact_clustered(
+        self,
+        spark: SparkSession,
+        col: str,
+        n_buckets: int = 8,
+        stats_cols: tuple[str, ...] | list[str] | None = None,
+        bloom_cols: tuple[str, ...] | list[str] | None = None,
+    ) -> int:
+        """OPTIMIZE ... CLUSTER BY: rewrite the CURRENT version as up to
+        ``n_buckets`` range-disjoint snapshot sub-dirs (equal-width
+        buckets over [min, max] of ``col``), each carrying its own
+        manifest stats. Plain ``compact`` restores small-file health but
+        collapses everything into ONE dir — after which dir-granular
+        skipping can prune nothing; this variant restores BOTH: an
+        append-fragmented or unclustered table becomes one snapshot
+        whose sub-dirs partition the key range, so ranged reads, deletes
+        and merges are back to O(matching buckets). One scan writes all
+        buckets (``partitionBy`` on the computed bucket — the bucket
+        key lives in directory names, not in the data files); the
+        bucketing expression is exact integer arithmetic on the
+        [min, max] scalars, so an external oracle replays every bucket
+        boundary. Empty buckets write no dir. Content-preserving and
+        concurrency-safe exactly like ``compact``."""
+        from pyspark.sql import functions as F
+
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError(
+                "nothing to compact: table has no committed version"
+            )
+        df = self.read(spark, cur)
+        b = df.agg(
+            F.min(col).cast("bigint").alias("lo"),
+            F.max(col).cast("bigint").alias("hi"),
+        ).collect()[0]
+        lo, hi = b["lo"], b["hi"]
+        if lo is None:
+            raise ValueError(
+                f"cannot cluster on {col!r}: no non-NULL values"
+            )
+        span = hi - lo + 1
+        # Integer DIV, never float division: the bucket id must be the
+        # exact same integer in any engine (the oracle replays it), and
+        # (x * n_buckets) can exceed double's 53-bit mantissa on wide
+        # key domains.
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.expr(
+                f"CAST((CAST({col} AS BIGINT) - {lo}) * {n_buckets} "
+                f"DIV {span} AS BIGINT)"
+            ),
+        )
+        # NULL keys can't be range-bucketed; park them in bucket 0 (they
+        # are never skipped FOR a range predicate anyway — the dir's
+        # min/max stats come from the non-NULL rows it holds).
+        bucket = F.coalesce(bucket, F.lit(0))
+        snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
+        df.withColumn("_bucket", bucket).write.mode("error").partitionBy(
+            "_bucket"
+        ).parquet(snap)
+        fsync_tree(snap)
+        fsync_path(self.path)
+        base = os.path.basename(snap)
+        subdirs = sorted(
+            f"{base}/{d}"
+            for d in os.listdir(snap)
+            if d.startswith("_bucket=")
+        )
+        stats: dict[str, dict] = {}
+        for d in subdirs:
+            entry = _snapshot_entry(
+                spark, os.path.join(self.path, d), stats_cols, bloom_cols
+            )
+            if entry:
+                stats[d] = entry
+        payload = {
+            "version": cur + 1,
+            "mode": "overwrite",
+            "dirs": subdirs,
+            "meta": {
+                "clustered_from": cur,
+                "cluster_col": col,
+                "n_buckets": len(subdirs),
+            },
+        }
+        if stats:
+            payload["stats"] = stats
+        return self._publish_manifest(payload, cur + 1, [snap])
+
     def vacuum(
         self, keep_versions: int = 1, grace_seconds: float = 300.0
     ) -> list[str]:
@@ -830,7 +919,14 @@ class TransactionalTable:
             live_now: set[str] = set()
             for v in kept_now | (keep & set(current)):
                 live_now.update(_manifest_cached(v)["dirs"])
-            if name in live_now:
+            # Clustered snapshots are referenced as "snap-x/_bucket=N"
+            # sub-dirs while this sweep walks TOP-LEVEL snap-x entries:
+            # a top-level dir is live if any manifest references it
+            # directly OR any of its sub-dirs (deleting snap-x would
+            # take every live bucket with it).
+            if any(
+                d == name or d.startswith(name + "/") for d in live_now
+            ):
                 continue
             shutil.rmtree(os.path.join(self.path, name))
             deleted.append(name)

@@ -596,3 +596,80 @@ def test_incremental_consumer_equals_batch_over_change_feed(
         F.sum("id").alias("s"), F.count("*").alias("n")
     ).collect()[0]
     assert (total_sum, total_n) == (full["s"], full["n"]) == (44850, 300)
+
+
+def test_compact_clustered_restores_skipping_and_preserves_content(
+    spark, tmp_path
+):
+    """Range-clustered compaction: an unclustered (mod-3) table where
+    dir stats prune nothing becomes one snapshot of range-disjoint
+    bucket sub-dirs whose stats prune ranged reads again; content,
+    history and vacuum safety are all preserved."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    base = spark.range(0, 90)
+    for i in range(3):
+        t.commit(
+            base.filter(F.col("id") % 3 == i),
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["id"],
+        )
+    # Unclustered: every dir spans ~[0, 89] -> a mid-range predicate
+    # scans all three dirs.
+    kept, _ = t.pruned_dirs("id", lo=40, hi=45)
+    assert len(kept) == 3
+    v = t.compact_clustered(
+        spark, "id", n_buckets=3, stats_cols=["id"], bloom_cols=["id"]
+    )
+    m = t._manifest(v)
+    assert len(m["dirs"]) == 3
+    assert all("/_bucket=" in d for d in m["dirs"])
+    assert m["meta"]["cluster_col"] == "id"
+    # Content preserved, history intact.
+    assert _ids(t.read(spark)) == list(range(90))
+    assert _ids(t.read(spark, 3)) == list(range(90))
+    # Equal-width buckets: [0,29], [30,59], [60,89] — ranged read now
+    # scans exactly one.
+    kept, skipped = t.pruned_dirs("id", lo=40, hi=45)
+    assert len(kept) == 1 and len(skipped) == 2
+    assert _ids(t.read_pruned(spark, "id", lo=40, hi=45)) == list(range(40, 46))
+    # Bloom restated per bucket: a point lookup scans one sub-dir.
+    kept, _ = t.pruned_dirs_eq("id", 7)
+    assert len(kept) == 1
+    assert [r["id"] for r in t.read_eq(spark, "id", 7).collect()] == [7]
+    # Vacuum must NOT delete the live clustered snapshot (it is
+    # referenced via sub-dir names) but reclaims the three old dirs.
+    deleted = t.vacuum(keep_versions=1, grace_seconds=0)
+    assert len(deleted) == 3
+    assert _ids(t.read(spark)) == list(range(90))
+    # Deletes/merges are now surgical on the clustered layout.
+    v = t.delete_where(spark, "id", lo=0, hi=29, stats_cols=["id"])
+    meta = t.meta_of(v)
+    assert meta["rewrote_dirs"] == 1 and meta["preserved_dirs"] == 2
+    assert _ids(t.read(spark)) == list(range(30, 90))
+
+
+def test_compact_clustered_nulls_and_degenerate_domains(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(0, 10).withColumn(
+        "id", F.when(F.col("id") < 2, None).otherwise(F.col("id"))
+    )
+    t.commit(df, stats_cols=["id"])
+    v = t.compact_clustered(spark, "id", n_buckets=2, stats_cols=["id"])
+    # NULL keys park in bucket 0 and survive.
+    rows = [r["id"] for r in t.read(spark).collect()]
+    assert sorted(x for x in rows if x is not None) == list(range(2, 10))
+    assert sum(1 for x in rows if x is None) == 2
+    # Single-value domain: everything lands in one bucket, no crash.
+    t2 = TransactionalTable(str(tmp_path / "t2"))
+    t2.commit(spark.range(5, 6), stats_cols=["id"])
+    v2 = t2.compact_clustered(spark, "id", n_buckets=4)
+    assert len(t2._manifest(v2)["dirs"]) == 1
+    # All-NULL column refuses loudly.
+    t3 = TransactionalTable(str(tmp_path / "t3"))
+    t3.commit(spark.range(0, 3).withColumn("id", F.lit(None).cast("bigint")))
+    with pytest.raises(ValueError, match="no non-NULL"):
+        t3.compact_clustered(spark, "id")
