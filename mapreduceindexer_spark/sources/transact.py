@@ -800,20 +800,39 @@ class TransactionalTable:
         bucketing expression is exact integer arithmetic on the
         [min, max] scalars, so an external oracle replays every bucket
         boundary. Empty buckets write no dir. Content-preserving and
-        concurrency-safe exactly like ``compact``."""
+        concurrency-safe exactly like ``compact``. ``col`` must be
+        losslessly BIGINT-castable (integer keys): a string/date key
+        would bucket by its cast, which silently parks non-castable
+        rows — so that raises instead."""
         from pyspark.sql import functions as F
 
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         cur = self.current_version()
         if cur == 0:
             raise ValueError(
                 "nothing to compact: table has no committed version"
             )
         df = self.read(spark, cur)
+        if "_bucket" in df.columns:
+            raise ValueError(
+                "table has a column named _bucket, which the clustered "
+                "write uses as its partition key; rename it first"
+            )
         b = df.agg(
             F.min(col).cast("bigint").alias("lo"),
             F.max(col).cast("bigint").alias("hi"),
+            F.count(col).alias("n_keyed"),
+            F.count(F.col(col).cast("bigint")).alias("n_cast"),
         ).collect()[0]
         lo, hi = b["lo"], b["hi"]
+        if b["n_cast"] < b["n_keyed"]:
+            raise ValueError(
+                f"cannot cluster on {col!r}: "
+                f"{b['n_keyed'] - b['n_cast']} values are not "
+                "BIGINT-castable — clustering by a lossy cast would "
+                "silently break the range-disjoint contract"
+            )
         if lo is None:
             raise ValueError(
                 f"cannot cluster on {col!r}: no non-NULL values"
@@ -846,13 +865,68 @@ class TransactionalTable:
             for d in os.listdir(snap)
             if d.startswith("_bucket=")
         )
+        # Per-bucket stats in ONE grouped pass over the freshly written
+        # snapshot (partition discovery restores the _bucket column),
+        # not one read+agg job set per sub-dir (review finding).
         stats: dict[str, dict] = {}
-        for d in subdirs:
-            entry = _snapshot_entry(
-                spark, os.path.join(self.path, d), stats_cols, bloom_cols
-            )
-            if entry:
-                stats[d] = entry
+        if stats_cols or bloom_cols:
+            snap_df = spark.read.parquet(snap)
+            if stats_cols:
+                aggs = [F.count("*").alias("_rows")]
+                for c in stats_cols:
+                    aggs += [
+                        F.min(c).alias(f"_min_{c}"),
+                        F.max(c).alias(f"_max_{c}"),
+                    ]
+                for r in snap_df.groupBy("_bucket").agg(*aggs).collect():
+                    stats[f"{base}/_bucket={r['_bucket']}"] = {
+                        "rows": r["_rows"],
+                        "cols": {
+                            c: [
+                                _json_stat(r[f"_min_{c}"]),
+                                _json_stat(r[f"_max_{c}"]),
+                            ]
+                            for c in stats_cols
+                        },
+                    }
+            if bloom_cols:
+                from mapreduceindexer_spark.functions.hashing import hash60
+
+                seeds = F.array([F.lit(i) for i in range(BLOOM_K)])
+                for c in bloom_cols:
+                    rows = (
+                        snap_df.select(
+                            "_bucket",
+                            F.col(c).cast("string").alias("_v"),
+                        )
+                        .where(F.col("_v").isNotNull())
+                        .distinct()
+                        .select(
+                            "_bucket", "_v", F.explode(seeds).alias("_i")
+                        )
+                        .select(
+                            "_bucket",
+                            (
+                                hash60(F.col("_v"), F.col("_i"))
+                                % BLOOM_BITS
+                            ).alias("p"),
+                        )
+                        .distinct()
+                        .collect()
+                    )
+                    bms: dict = {}
+                    for r in rows:
+                        bms[r["_bucket"]] = bms.get(r["_bucket"], 0) | (
+                            1 << r["p"]
+                        )
+                    for bkt, bm in bms.items():
+                        stats.setdefault(f"{base}/_bucket={bkt}", {}).setdefault(
+                            "bloom", {}
+                        )[c] = {
+                            "k": BLOOM_K,
+                            "bits": BLOOM_BITS,
+                            "hex": format(bm, "x"),
+                        }
         payload = {
             "version": cur + 1,
             "mode": "overwrite",
@@ -923,10 +997,37 @@ class TransactionalTable:
             # sub-dirs while this sweep walks TOP-LEVEL snap-x entries:
             # a top-level dir is live if any manifest references it
             # directly OR any of its sub-dirs (deleting snap-x would
-            # take every live bucket with it).
-            if any(
-                d == name or d.startswith(name + "/") for d in live_now
-            ):
+            # take every live bucket with it). Precomputed top-name set
+            # keeps the sweep O(#snap_dirs + #live_dirs), matching the
+            # manifest-cache discipline above (review finding).
+            live_tops = {d.split("/", 1)[0] for d in live_now}
+            if name in live_now:
+                continue
+            if name in live_tops:
+                # Prefix-live only: some buckets of this clustered
+                # snapshot are live, but sub-dirs no kept manifest
+                # references (e.g. a bucket rewritten by a surgical
+                # delete/merge) are dead and would otherwise leak
+                # space until the next full re-cluster (review
+                # finding). Reclaim them sub-dir-granularly, same
+                # age guard.
+                top = os.path.join(self.path, name)
+                for sub in sorted(os.listdir(top)):
+                    full = f"{name}/{sub}"
+                    sub_path = os.path.join(top, sub)
+                    if (
+                        not os.path.isdir(sub_path)
+                        or full in live_now
+                    ):
+                        continue
+                    try:
+                        sub_age = now - os.path.getmtime(sub_path)
+                    except OSError:
+                        continue
+                    if sub_age < grace_seconds:
+                        continue
+                    shutil.rmtree(sub_path)
+                    deleted.append(full)
                 continue
             shutil.rmtree(os.path.join(self.path, name))
             deleted.append(name)

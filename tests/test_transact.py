@@ -659,6 +659,7 @@ def test_compact_clustered_nulls_and_degenerate_domains(spark, tmp_path):
     )
     t.commit(df, stats_cols=["id"])
     v = t.compact_clustered(spark, "id", n_buckets=2, stats_cols=["id"])
+    assert v == 2
     # NULL keys park in bucket 0 and survive.
     rows = [r["id"] for r in t.read(spark).collect()]
     assert sorted(x for x in rows if x is not None) == list(range(2, 10))
@@ -673,3 +674,47 @@ def test_compact_clustered_nulls_and_degenerate_domains(spark, tmp_path):
     t3.commit(spark.range(0, 3).withColumn("id", F.lit(None).cast("bigint")))
     with pytest.raises(ValueError, match="no non-NULL"):
         t3.compact_clustered(spark, "id")
+
+
+def test_compact_clustered_guards(spark, tmp_path):
+    """Review findings: non-integer keys, reserved column name, and
+    degenerate n_buckets raise instead of silently degrading."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 4).withColumn(
+            "k", F.when(F.col("id") < 2, F.lit("abc")).otherwise(F.col("id").cast("string"))
+        )
+    )
+    with pytest.raises(ValueError, match="not\\s+BIGINT-castable"):
+        t.compact_clustered(spark, "k")
+    with pytest.raises(ValueError, match="n_buckets must be >= 1"):
+        t.compact_clustered(spark, "id", n_buckets=0)
+    t2 = TransactionalTable(str(tmp_path / "t2"))
+    t2.commit(spark.range(0, 3).withColumn("_bucket", F.lit(1)))
+    with pytest.raises(ValueError, match="_bucket"):
+        t2.compact_clustered(spark, "id")
+
+
+def test_vacuum_reclaims_dead_bucket_subdirs(spark, tmp_path):
+    """Review finding: after a surgical delete on a clustered layout,
+    the rewritten bucket's old sub-dir is referenced by no kept
+    manifest — vacuum must reclaim it sub-dir-granularly while the
+    sibling buckets stay live."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 90), stats_cols=["id"])
+    v = t.compact_clustered(spark, "id", n_buckets=3, stats_cols=["id"])
+    top = t._manifest(v)["dirs"][0].split("/", 1)[0]
+    t.delete_where(spark, "id", lo=0, hi=29, stats_cols=["id"])
+    deleted = t.vacuum(keep_versions=1, grace_seconds=0)
+    # The old full dir (v1) goes, and so does the dead bucket-0 subdir.
+    assert f"{top}/_bucket=0" in deleted
+    assert top not in deleted  # live siblings keep the top-level dir
+    assert sorted(
+        d for d in __import__("os").listdir(str(tmp_path / "t"))
+        if d.startswith("snap-")
+    )  # table still has snapshots
+    assert _ids(t.read(spark)) == list(range(30, 90))
