@@ -470,6 +470,58 @@ class TransactionalTable:
             *[os.path.join(self.path, d) for d in new_dirs]
         )
 
+    def pruned_dirs_multi(
+        self,
+        predicates: dict,
+        version: int | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """(kept, skipped) for a CONJUNCTION of range predicates
+        ``{col: (lo, hi)}`` — the compound shape real scans have (a
+        time range AND a key range). A dir is skipped if ANY column's
+        recorded stats preclude its range (AND semantics: one
+        impossible conjunct makes the row impossible), so multi-column
+        skipping prunes at least as much as the best single column.
+        Each (lo, hi) may leave one side None; every predicate must
+        bound at least one side."""
+        if not predicates:
+            raise ValueError("pruned_dirs_multi needs at least one predicate")
+        if version is None:
+            version = self.current_version()
+        kept = None
+        skipped_all: set[str] = set()
+        for col, (lo, hi) in predicates.items():
+            k, s = self.pruned_dirs(col, lo, hi, version)
+            skipped_all.update(s)
+            kept = [d for d in (kept if kept is not None else k) if d not in set(s)]
+        return kept, sorted(skipped_all)
+
+    def read_pruned_multi(
+        self,
+        spark: SparkSession,
+        predicates: dict,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Rows satisfying every ``lo <= col <= hi`` in ``predicates``,
+        scanning only dirs no conjunct's stats rule out; residual
+        filters still applied (pruning is never lossy)."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.current_version()
+        kept, _ = self.pruned_dirs_multi(predicates, version)
+        if kept:
+            df = spark.read.parquet(
+                *[os.path.join(self.path, d) for d in kept]
+            )
+        else:
+            df = self.read(spark, version).limit(0)
+        for col, (lo, hi) in predicates.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
     def pruned_dirs_eq(
         self, col: str, value, version: int | None = None
     ) -> tuple[list[str], list[str]]:

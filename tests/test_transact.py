@@ -718,3 +718,32 @@ def test_vacuum_reclaims_dead_bucket_subdirs(spark, tmp_path):
         if d.startswith("snap-")
     )  # table still has snapshots
     assert _ids(t.read(spark)) == list(range(30, 90))
+
+
+def test_multi_column_pruning_intersects_conjuncts(spark, tmp_path):
+    """AND-of-ranges pruning: a dir survives only if NO conjunct's
+    stats preclude it, and results equal the full filtered read."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    # Two stats columns moving in opposite directions across snapshots:
+    # id ascends 0..29, rev descends 29..0.
+    base = spark.range(0, 30).withColumn("rev", 29 - F.col("id"))
+    for i in range(3):
+        t.commit(
+            base.filter((F.col("id") >= i * 10) & (F.col("id") < (i + 1) * 10)),
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["id", "rev"],
+        )
+    d = t._manifest(3)["dirs"]
+    # id in [5, 25] keeps all three dirs; rev in [0, 9] keeps only the
+    # LAST dir (ids 20-29 <-> rev 0-9). Conjunction keeps exactly one.
+    kept, skipped = t.pruned_dirs_multi({"id": (5, 25), "rev": (0, 9)})
+    assert kept == [d[2]] and sorted(skipped) == sorted(d[:2])
+    got = t.read_pruned_multi(spark, {"id": (5, 25), "rev": (0, 9)})
+    assert _ids(got) == list(range(20, 26))
+    # Order preserved; empty intersection yields typed empty.
+    empty = t.read_pruned_multi(spark, {"id": (0, 5), "rev": (0, 5)})
+    assert empty.count() == 0 and set(empty.columns) == {"id", "rev"}
+    with pytest.raises(ValueError, match="at least one predicate"):
+        t.pruned_dirs_multi({})
