@@ -315,7 +315,11 @@ def bfs_distances(
     if source is None:
         source = sym.agg(F.min("u")).collect()[0][0]  # scalar, bounded
     if max_rounds is None:
-        max_rounds = max(1, sym.select("u").distinct().count())
+        # The emptiness probe terminates the loop at the source's
+        # eccentricity; this is only a runaway backstop, so a large
+        # constant beats a distinct().count() sizing pass over every
+        # node (an extra full-graph job per BFS — round-7 verdict).
+        max_rounds = 2**31
     # Seed row derived FROM the edge relation so the node type (string
     # terms, long doc ids, ...) is whatever the graph uses.
     settled = (

@@ -117,6 +117,7 @@ def _snapshot_bloom(snap_df: DataFrame, cols: list[str]) -> dict:
     from mapreduceindexer_spark.functions.hashing import hash60
 
     seeds = F.array([F.lit(i) for i in range(BLOOM_K)])
+    types = {f.name: f.dataType.simpleString() for f in snap_df.schema.fields}
     out = {}
     for c in cols:
         rows = (
@@ -131,8 +132,28 @@ def _snapshot_bloom(snap_df: DataFrame, cols: list[str]) -> dict:
         bm = 0
         for r in rows:
             bm |= 1 << r["p"]
-        out[c] = {"k": BLOOM_K, "bits": BLOOM_BITS, "hex": format(bm, "x")}
+        # The column's Spark type rides the manifest so a point lookup
+        # can verify the probe's str() form matches the string cast the
+        # bitmap hashed (advisor finding: an int probe on a DOUBLE
+        # column hashes '7' against bits written for '7.0' — every dir
+        # holding the value would be bloom-skipped).
+        out[c] = {
+            "k": BLOOM_K,
+            "bits": BLOOM_BITS,
+            "hex": format(bm, "x"),
+            "type": types.get(c),
+        }
     return out
+
+
+# Spark column types whose CAST(col AS STRING) is character-identical
+# to Python's str() of the corresponding probe type — the only pairs
+# for which bloom bit positions computed driver-side line up with the
+# bits the snapshot wrote.
+_BLOOM_SOUND_TYPES = {
+    int: {"tinyint", "smallint", "int", "bigint"},
+    str: {"string"},
+}
 
 
 def _snapshot_entry(
@@ -350,6 +371,16 @@ class TransactionalTable:
                 f"(available: {self.versions() or 'none'})"
             )
         manifest = self._manifest(version)
+        return self._range_prune(manifest, col, lo, hi)
+
+    @staticmethod
+    def _range_prune(
+        manifest: dict, col: str, lo, hi
+    ) -> tuple[list[str], list[str]]:
+        """The stats-only range decision over ONE already-resolved
+        manifest — shared by ``pruned_dirs`` and ``pruned_dirs_multi``
+        so a compound predicate reads/validates the manifest once, not
+        once per column (advisor finding)."""
         stats = manifest.get("stats", {})
         lo_j = _json_stat(lo) if lo is not None else None
         hi_j = _json_stat(hi) if hi is not None else None
@@ -487,12 +518,28 @@ class TransactionalTable:
             raise ValueError("pruned_dirs_multi needs at least one predicate")
         if version is None:
             version = self.current_version()
-        kept = None
+        if version < 1 or version not in self.versions():
+            raise ValueError(
+                f"version {version} does not exist "
+                f"(available: {self.versions() or 'none'})"
+            )
+        for col, (lo, hi) in predicates.items():
+            if lo is None and hi is None:
+                raise ValueError(
+                    f"predicate on {col!r} bounds neither side; an "
+                    "unbounded conjunct prunes nothing"
+                )
+        # One manifest resolve for the whole conjunction; kept is the
+        # set intersection of the per-column keeps (a dir survives only
+        # if NO conjunct's stats preclude it).
+        manifest = self._manifest(version)
+        kept_set: set[str] | None = None
         skipped_all: set[str] = set()
         for col, (lo, hi) in predicates.items():
-            k, s = self.pruned_dirs(col, lo, hi, version)
+            k, s = self._range_prune(manifest, col, lo, hi)
             skipped_all.update(s)
-            kept = [d for d in (kept if kept is not None else k) if d not in set(s)]
+            kept_set = set(k) if kept_set is None else kept_set & set(k)
+        kept = [d for d in manifest["dirs"] if d in kept_set]
         return kept, sorted(skipped_all)
 
     def read_pruned_multi(
@@ -573,13 +620,29 @@ class TransactionalTable:
         for d in manifest["dirs"]:
             entry = stats.get(d, {})
             cs = entry.get("cols", {}).get(col)
-            if cs is not None and (
-                cs[0] is None or cs[0] > v_j or cs[1] < v_j
-            ):
+            if cs is not None and cs[0] is None:
                 skipped.append(d)
                 continue
+            if cs is not None:
+                try:
+                    out_of_range = cs[0] > v_j or cs[1] < v_j
+                except TypeError:
+                    # Probe/stat types don't order (int probe on string
+                    # stats): undecidable, never skip on it.
+                    out_of_range = False
+                if out_of_range:
+                    skipped.append(d)
+                    continue
             bl = entry.get("bloom", {}).get(col)
-            if bl is not None:
+            # The bitmap hashed CAST(col AS STRING); the probe hashes
+            # str(value). Use the bloom only when the recorded column
+            # type guarantees those renderings agree — on a mismatch
+            # (int probe on a DOUBLE/DECIMAL column: '7' vs '7.0') fall
+            # back to keeping the dir instead of silently skipping
+            # every dir that holds the value (advisor finding).
+            if bl is not None and bl.get("type") in _BLOOM_SOUND_TYPES[
+                type(value)
+            ]:
                 bm = int(bl["hex"], 16)
                 if not all(
                     (bm >> p) & 1
@@ -715,6 +778,15 @@ class TransactionalTable:
         ``compact``/``delete_where``."""
         from pyspark.sql import functions as F
 
+        # Pin the update batch once: the bounds/validation aggregate,
+        # the anti-join, and the union+write are three separate jobs,
+        # and a non-deterministic or re-read source could pass
+        # validation yet materialize different (NULL/duplicate-key)
+        # rows in the written snapshot (advisor finding). After the
+        # checkpoint all three consumers see the same rows; an update
+        # batch is bounded CDC-shaped data, so executor-local
+        # materialization is cheap.
+        updates = updates.localCheckpoint(eager=True)
         bounds = updates.agg(
             F.min(key).alias("lo"),
             F.max(key).alias("hi"),
@@ -889,7 +961,20 @@ class TransactionalTable:
             raise ValueError(
                 f"cannot cluster on {col!r}: no non-NULL values"
             )
-        span = hi - lo + 1
+        span = hi - lo + 1  # exact Python int — never wraps
+        # The bucket multiply runs in BIGINT on the executors: with a
+        # key domain wide enough that (span - 1) * n_buckets >= 2^63 it
+        # would wrap silently under non-ANSI SQL, yielding
+        # non-range-disjoint buckets (advisor finding). Equal-width
+        # bucketing over a near-full 64-bit domain is meaningless
+        # (hash-spread keys), so refuse loudly instead.
+        if (span - 1) * n_buckets >= 2**63:
+            raise ValueError(
+                f"cannot cluster on {col!r}: key span {span} times "
+                f"{n_buckets} buckets overflows BIGINT — the domain is "
+                "hash-spread, not range-clusterable; bucket a narrower "
+                "derived key instead"
+            )
         # Integer DIV, never float division: the bucket id must be the
         # exact same integer in any engine (the oracle replays it), and
         # (x * n_buckets) can exceed double's 53-bit mantissa on wide

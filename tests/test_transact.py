@@ -527,6 +527,42 @@ def test_point_lookup_rejects_unsound_key_types(spark, tmp_path):
     assert kept
 
 
+def test_point_lookup_type_mismatch_never_bloom_skips(spark, tmp_path):
+    """Advisor finding: the probe-side int/str guard is not enough —
+    an int probe against a DOUBLE column hashes '7' while the snapshot
+    bloom hashed Spark's cast '7.0', so every dir holding the value
+    would be bloom-skipped and read_eq would silently return nothing.
+    The manifest now records the column's Spark type; on a mismatch
+    the bloom falls back to 'always keep' and the range stats (which
+    can't order against the probe) are treated as undecidable."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(0, 5).select(
+        F.col("id").cast("double").alias("x")
+    )
+    t.commit(df, stats_cols=["x"], bloom_cols=["x"])
+    m = t._manifest(1)
+    (d1,) = m["dirs"]
+    assert m["stats"][d1]["bloom"]["x"]["type"] == "double"
+    # int probe on double column: bloom unusable, dir must be KEPT.
+    kept, skipped = t.pruned_dirs_eq("x", 3)
+    assert kept == [d1] and skipped == []
+    got = {r["x"] for r in t.read_eq(spark, "x", 3).collect()}
+    assert got == {3.0}
+    # str probe on double column likewise falls back to keep ('3' vs
+    # Spark's '3.0' would never match the bitmap).
+    kept, skipped = t.pruned_dirs_eq("x", "3")
+    assert kept == [d1] and skipped == []
+    # Matched types still prune: a bigint column, absent value skipped.
+    t2 = TransactionalTable(str(tmp_path / "t2"))
+    t2.commit(spark.range(0, 5), bloom_cols=["id"])
+    m2 = t2._manifest(1)
+    assert m2["stats"][m2["dirs"][0]]["bloom"]["id"]["type"] == "bigint"
+    kept, skipped = t2.pruned_dirs_eq("id", 999)
+    assert kept == [] and len(skipped) == 1
+
+
 def test_read_changes_empty_table_has_clear_bootstrap_error(
     spark, tmp_path
 ):
@@ -695,6 +731,17 @@ def test_compact_clustered_guards(spark, tmp_path):
     t2.commit(spark.range(0, 3).withColumn("_bucket", F.lit(1)))
     with pytest.raises(ValueError, match="_bucket"):
         t2.compact_clustered(spark, "id")
+    # Advisor finding: a key span wide enough that (span-1) * n_buckets
+    # wraps BIGINT would silently break range-disjointness under
+    # non-ANSI SQL — refuse loudly.
+    t3 = TransactionalTable(str(tmp_path / "t3"))
+    t3.commit(
+        spark.createDataFrame(
+            [(-(2**62),), (2**62,)], "k: bigint"
+        )
+    )
+    with pytest.raises(ValueError, match="overflows BIGINT"):
+        t3.compact_clustered(spark, "k", n_buckets=8)
 
 
 def test_vacuum_reclaims_dead_bucket_subdirs(spark, tmp_path):
@@ -747,3 +794,9 @@ def test_multi_column_pruning_intersects_conjuncts(spark, tmp_path):
     assert empty.count() == 0 and set(empty.columns) == {"id", "rev"}
     with pytest.raises(ValueError, match="at least one predicate"):
         t.pruned_dirs_multi({})
+    # An unbounded conjunct prunes nothing and now raises explicitly
+    # (previously raised from the per-column pruned_dirs delegate).
+    with pytest.raises(ValueError, match="bounds neither side"):
+        t.pruned_dirs_multi({"id": (5, 25), "rev": (None, None)})
+    with pytest.raises(ValueError, match="does not exist"):
+        t.pruned_dirs_multi({"id": (5, 25)}, version=99)
