@@ -128,19 +128,25 @@ def test_streaming_index_build_equals_batch_rebuild(spark):
 
 
 def test_twstate_totals_match_batch(spark):
-    """transformWithStateInPandas running totals (Spark 4 stateful API)
-    must equal the batch groupBy aggregate after the full backlog replay.
-    Auto-skips where google.protobuf (the TWS state client's wire
-    protocol) is not installed — see streaming/twstate.py docstring."""
+    """The running-totals stateful kernel must equal the batch groupBy
+    aggregate after the full backlog replay. Where google.protobuf (the
+    TWS state client's wire protocol) is installed this drives
+    transformWithStateInPandas (Spark 4 stateful API); where it isn't,
+    the gate's error message is pinned and the IDENTICAL kernel
+    (shared ``_accumulate_batch``) is driven end-to-end on
+    ``applyInPandasWithState`` instead — the kernel is always tested,
+    never skipped (round-7 verdict item 5)."""
     import pytest
 
     from mapreduceindexer_spark.sources.tables import load_table
     from mapreduceindexer_spark.streaming import twstate
 
-    if not twstate.AVAILABLE:
+    if twstate.AVAILABLE:
+        stream_df = twstate.streaming_user_totals(spark, SF_SMOKE)
+    else:
         with pytest.raises(RuntimeError, match="google.protobuf"):
             twstate.streaming_user_totals(spark, SF_SMOKE)
-        pytest.skip("google.protobuf absent: transformWithState gated off")
+        stream_df = twstate.streaming_user_totals_apws(spark, SF_SMOKE)
 
     from pyspark.sql import functions as F
 
@@ -168,9 +174,7 @@ def test_twstate_totals_match_batch(spark):
         )
         .collect()
     )
-    stream = sorted(
-        tuple(r) for r in twstate.streaming_user_totals(spark, SF_SMOKE).collect()
-    )
+    stream = sorted(tuple(r) for r in stream_df.collect())
     assert batch == stream
 
 
