@@ -25,6 +25,18 @@ call, so plan construction and any builder-side staging jobs
 queries that stage subtrees (q_near_dup's recorded 0.02 s was really
 ~3.8 s); r4+ totals are the comparable baseline going forward — see
 PLANS.md "Honest-timer bench".
+
+ACCOUNTING CHANGE (round 8): the graph-ANN family reports BUILD and
+PROBE separately (round-7 verdict item 3). Cold per-run measurement of
+q_ann_hnsw / q_ann_graph / their recall+serving twins re-paid the full
+index build every run (~8-11 s each), so the recorded numbers read as
+query latency when ~90% was construction. Now `q_ann_graph_build` /
+`q_ann_hnsw_build` / `q_ann_serving_build` time the cold index
+construction, and the family's query entries are WARM probes over the
+staged index — the production build-once/probe-many shape. r8+ totals
+therefore drop by the removed duplicate builds; cross-round
+comparisons for these keys must use BENCH_DETAIL medians with this
+note in mind.
 """
 
 from __future__ import annotations
@@ -108,20 +120,34 @@ HEADLINE = [
     "q_ivfpq_ann",         # IVF cells x PQ codes composite ANN
     "q_semantic_dedup_scaled",  # SemDeDup with corpus-scaled cluster count
     "q_semantic_dedup_2level",  # + two-level (IVF-on-IVF) assignment
-    "q_ann_graph",         # NSW graph-ANN best-first beam search
-    "q_ann_graph_recall",  # graph-ANN recall@5 contract vs brute force
     "q_table_compact",     # table-format compaction (3 dirs -> 1)
     "q_table_skipping",    # manifest-stats data skipping (ranged read)
     "q_table_delete",      # copy-on-write ranged delete (stats-pruned rewrite)
-    "q_ann_hnsw",          # HNSW: 3-layer hierarchical graph-ANN search
-    "q_ann_hnsw_recall",   # HNSW recall@5 contract vs brute force
-    "q_ann_external",      # serving path: external query vectors over HNSW
     "q_table_merge",       # storage-integrated MERGE (stats-pruned upsert)
     "q_table_bloom_skip",  # bloom point-lookup skipping (unclustered keys)
     "q_table_changes",     # append-only change feed (incremental consumer)
-    "q_ann_hnsw_scaled",   # HNSW with live production dials (broadcast)
-    "q_ann_external_recall",  # serving-path recall@5 contract
     "q_table_cluster",     # range-clustered compaction repairs skipping
+    "q_table_skipping_multi",  # AND-of-ranges multi-column pruning
+]
+
+# The graph-ANN family is benched build/probe SPLIT (round-7 verdict
+# item 3): a cold measurement of these queries re-times the index
+# build per run — 10 s numbers that read as query latency when the
+# production shape is build-once/probe-many. Each family below gets
+# one explicit `*_build` entry (cold index construction) and warm
+# probe entries (steady() with cold=False: the warm-ups pay any
+# staging, the measured runs are pure walk/audit).
+ANN_GRAPH_PROBES = [
+    "q_ann_graph",         # NSW graph-ANN best-first beam search
+    "q_ann_graph_recall",  # graph-ANN recall@5 contract vs brute force
+]
+ANN_HNSW_PROBES = [
+    "q_ann_hnsw",          # HNSW: 3-layer hierarchical graph-ANN search
+    "q_ann_hnsw_recall",   # HNSW recall@5 contract vs brute force
+    "q_ann_external",      # serving path: external query vectors over HNSW
+    "q_ann_external_recall",  # serving-path recall@5 contract
+    "q_ann_hnsw_scaled",   # HNSW with live production dials (broadcast)
+    "q_ann_serving_table",  # serving walk over the PERSISTED table index
 ]
 
 
@@ -219,6 +245,74 @@ def main() -> None:
         best, med = steady(name)
         times[name] = round(best, 3)
         medians[name] = round(med, 3)
+
+    # Graph-ANN family, build/probe split (round-7 verdict item 3).
+    # Build = cold construction of the staged index relation (each
+    # measured run clears the staging registry and re-pays the full
+    # edge build); probe = the walk/audit over the warm index (the
+    # production serving shape — q_ann_graph_recall_staged proved the
+    # warm path at 2.35 s while the cold entry read 8 s).
+    from mapreduceindexer_spark.catalog import (
+        _hnsw_edges_staged,
+        _nsw_edges_staged,
+    )
+
+    def steady_build(build_fn) -> tuple[float, float]:
+        def one() -> float:
+            staging.clear()
+            t0 = time.perf_counter()
+            build_fn()
+            return time.perf_counter() - t0
+
+        one()
+        one()
+        samples = sorted(one() for _ in range(3))
+        return samples[0], samples[1]
+
+    for key, build_fn, probes in (
+        ("q_ann_graph_build", lambda: _nsw_edges_staged(spark, sf_dir),
+         ANN_GRAPH_PROBES),
+        ("q_ann_hnsw_build", lambda: _hnsw_edges_staged(spark, sf_dir),
+         ANN_HNSW_PROBES),
+    ):
+        best, med = steady_build(build_fn)
+        times[key] = round(best, 3)
+        medians[key] = round(med, 3)
+        build_fn()  # leave the index warm for the probes
+        for name in probes:
+            best, med = steady(name, cold=False)
+            times[name] = round(best, 3)
+            medians[name] = round(med, 3)
+
+    # The table-persist half of the serving index (commit +
+    # range-clustered rewrite of the warm edge relation) — the
+    # storage-side build cost, separate from the edge construction.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from mapreduceindexer_spark.operators import similarity as _sim
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    def persist_once() -> None:
+        path = _tempfile.mkdtemp(prefix="bench_hnsw_idx_")
+        try:
+            _sim.persist_graph_index(
+                spark, _hnsw_edges_staged(spark, sf_dir),
+                TransactionalTable(path), n_buckets=8,
+            )
+        finally:
+            _shutil.rmtree(path, ignore_errors=True)
+
+    def persist_timed() -> float:
+        t0 = time.perf_counter()
+        persist_once()
+        return time.perf_counter() - t0
+
+    persist_once()
+    persist_once()
+    _samples = sorted(persist_timed() for _ in range(3))
+    times["q_ann_serving_build"] = round(_samples[0], 3)
+    medians["q_ann_serving_build"] = round(_samples[1], 3)
 
     # Staged-reuse variant of the curation composite: the near-dup pair
     # relation is already materialized in the session staging registry

@@ -7523,6 +7523,60 @@ def q_ann_external_recall(spark, sf_dir):
     )
 
 
+def _hnsw_serving_table(spark, sf_dir):
+    """The PERSISTED HNSW index: the staged edge relation written once
+    per application into a range-clustered transactional table (8
+    vec_id buckets, min/max + Bloom stats per sub-dir) — the
+    build-once/probe-many composition of the round-7 graph-ANN and
+    table tiers. Returns (TransactionalTable, version). The table
+    lives in the OS temp dir for the application's lifetime (a serving
+    index outlives every query that probes it; a production deployment
+    points this at durable storage and vacuums by retention)."""
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+    from mapreduceindexer_spark.staging import staged_value
+
+    def build():
+        table = TransactionalTable(tempfile.mkdtemp(prefix="mri_hnsw_idx_"))
+        v = sim.persist_graph_index(
+            spark, _hnsw_edges_staged(spark, sf_dir), table, n_buckets=8
+        )
+        return (table, v)
+
+    return staged_value(spark, ("hnsw_serving_table", sf_dir), build)
+
+
+@register(
+    "q_ann_serving_table",
+    f"""{_SQL_EXT_WALK}
+ SELECT probe_id, vec_id, cos_sim,
+        CAST(row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rn
+ FROM v{_HNSW_HOPS} WHERE vec_id <> probe_id QUALIFY rn <= {_NSW_K}""",
+)
+def q_ann_serving_table(spark, sf_dir):
+    """SERVING FROM STORAGE: the external-query beam walk of
+    q_ann_external, with the HNSW index read from its PERSISTED
+    transactional table instead of the in-session staged relation —
+    committed once (range-clustered on vec_id, min/max + Bloom stats
+    per bucket sub-dir), then every hop fetches ONLY the frontier
+    nodes' adjacency via Bloom/min-max point-lookup pruning
+    (O(frontier) sub-dirs out of the whole index). Identical answer to
+    q_ann_external by construction — same walk, same edge rows, same
+    oracle SQL — which is exactly the point: persistence and pruning
+    must be invisible in the values and visible only in the scan.
+    operators/similarity.py::persist_graph_index,
+    ann_graph_search_vectors_table; sources/transact.py::compact_clustered."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _ext_query_vectors(emb)
+    table, v = _hnsw_serving_table(spark, sf_dir)
+    return sim.ann_graph_search_vectors_table(
+        spark, table, emb, qv,
+        k=_NSW_K, ef=_NSW_EF, hops=_HNSW_HOPS, version=v,
+    )
+
+
 @register(
     "q_hybrid_rrf",
     f"""WITH t AS ({SQL_TERMS}),
@@ -8622,6 +8676,82 @@ def q_table_skipping(spark, sf_dir):
 
 
 @register(
+    "q_table_skipping_multi",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 3 AS BIGINT) AS b1,
+                         CAST((2 * count(*)) // 3 AS BIGINT) AS b2
+                  FROM documents),
+            sl AS (SELECT CAST(0 AS BIGINT) AS lo, b1 - 1 AS hi FROM b
+                   UNION ALL SELECT b1, b2 - 1 FROM b
+                   UNION ALL SELECT b2, n - 1 FROM b)
+       SELECT CAST(3 AS BIGINT) AS n_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM sl, b
+               WHERE sl.hi < b.b1 OR sl.lo > b.b2 - 1) AS n_dirs_skipped,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents, b
+               WHERE doc_id >= b.b1
+                 AND (b.n - 1 - doc_id) >= (b.n - b.b2)) AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents, b
+               WHERE doc_id >= b.b1
+                 AND (b.n - 1 - doc_id) >= (b.n - b.b2)) AS total_chars""",
+)
+def q_table_skipping_multi(spark, sf_dir):
+    """MULTI-COLUMN data skipping (sources/transact.py::
+    read_pruned_multi): an AND-of-ranges over two stats columns moving
+    in OPPOSITE directions across snapshots — doc_id ascends through
+    the three slices while rev = n-1-doc_id descends — so each single
+    conjunct keeps TWO of the three dirs but the conjunction keeps
+    exactly ONE (a dir is skipped if ANY conjunct's recorded [min, max]
+    precludes it). This is the compound predicate real scans have (a
+    time range AND a key range); the oracle replays the skip decision
+    as interval arithmetic over the slice bounds and the row values as
+    the conjunction of the two filters. Scale: compound pruning is at
+    least as strong as the best single column, at zero extra metadata
+    cost — the manifest already records per-column stats, and the whole
+    decision reads ONE manifest (not one per column; advisor finding).
+    Reference has no stats/table layer (src/functions.cpp:146-162)."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    b1, b2 = n // 3, (2 * n) // 3
+    docs_rev = docs.withColumn(
+        "rev", (F.lit(n - 1) - F.col("doc_id")).cast("bigint")
+    )
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_multi_"))
+    table.commit(
+        docs_rev.filter(F.col("doc_id") < b1), stats_cols=["doc_id", "rev"]
+    )
+    table.commit(
+        docs_rev.filter((F.col("doc_id") >= b1) & (F.col("doc_id") < b2)),
+        mode="append",
+        stats_cols=["doc_id", "rev"],
+    )
+    table.commit(
+        docs_rev.filter(F.col("doc_id") >= b2),
+        mode="append",
+        stats_cols=["doc_id", "rev"],
+    )
+    preds = {"doc_id": (b1, None), "rev": (n - b2, None)}
+    v = table.current_version()
+    kept, skipped = table.pruned_dirs_multi(preds, version=v)
+    out = (
+        table.read_pruned_multi(spark, preds, version=v)
+        .agg(
+            F.lit(len(kept) + len(skipped)).cast("bigint").alias("n_dirs"),
+            F.lit(len(skipped)).cast("bigint").alias("n_dirs_skipped"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_delete",
     """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
                          CAST(count(*) // 3 AS BIGINT) AS b1,
@@ -8916,76 +9046,75 @@ def q_table_bloom_skip(spark, sf_dir):
 
 
 _CHECK_PRIORITY = [
-    # Round-7 window: 3-slot core spine + 47 queries with NO prior
-    # driver row (COVERAGE.md driver ledger; after this round + round 8
-    # every registered query will have external driver evidence). All
-    # were re-verified against DuckDB in-session before rotation.
-    # Mid-round swap: q_index_lines / q_bm25 / q_agg_pricing_summary
-    # (each already green r2-r6) ceded their slots to the three ops born
-    # later this round (q_table_skipping, q_ann_hnsw, q_ann_hnsw_recall)
-    # so every round-7-born op gets a same-round driver row.
-    # -- core spine (reference pipeline flagship); mid-round swaps ceded
-    # the other spine slots (q_index_lines, q_bm25, q_agg_pricing_summary,
-    # q_dedup_exact, q_near_dup — each green 4-5 prior rounds) to the
-    # five ops born late in round 7, keeping the rule that every op gets
-    # a same-round driver row.
-    "q_postings",
-    # -- born late in round 7
-    "q_table_skipping",
-    "q_table_delete",
-    "q_ann_hnsw",
-    "q_ann_hnsw_recall",
-    "q_ann_external",
-    "q_table_merge",
-    "q_table_bloom_skip",
-    "q_table_changes",
-    "q_ann_hnsw_scaled",
-    "q_ann_external_recall",
-    "q_table_cluster",
-    # -- round-6-born ops that missed the r6 window + round-7-born ops
-    "q_bm25_pruned",
-    "q_postings_ef",
-    "q_ivfpq_ann",
-    "q_semantic_dedup_scaled",
-    "q_semantic_dedup_2level",
-    "q_ann_graph",
-    "q_ann_graph_recall",
-    # -- the six round-6 mid-round swap-outs
-    "q_bm25_multi",
-    "q_array_bool",
-    "q_fuzzy_pairs",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_ann_kmeans",
-    # -- streaming rows-only (first external evidence for these paths)
-    "q_cdc_stream",
-    "q_hll_stream",
-    "q_index_stream",
-    "q_events_tumbling_stream",
-    "q_knn_stream",
-    # -- similarity tier, never driver-checked
-    "q_knn_graph",
-    "q_ann_multiprobe",
-    "q_ann_batch",
-    "q_embed_dup",
-    "q_embed_centroids",
-    "q_gram_matrix",
-    # -- text-analysis / curation tier, never driver-checked
-    "q_lang_stats",
-    "q_token_counts",
-    "q_repetition",
-    "q_entropy",
-    "q_ngram_freq",
-    "q_bpe_pairs",
-    "q_bpe_encode",
-    "q_context_chunks",
-    "q_sequence_pack",
-    "q_domain_cap",
-    # -- relational / table-format / multimodal breadth
-    "q_salted_join",
-    "q_upsert",
-    "q_scd2",
-    "q_table_compact",
+    # Round-8 window: 48 queries with NO prior driver row (the whole
+    # remaining COVERAGE.md ledger backlog minus five deferred to r9:
+    # q_multimodal_decode, q_events_sliding_stream,
+    # q_events_dedup_stream, q_attribution_stream, q_select_quantile —
+    # each with a same-family sibling in this window) + the two ops
+    # BORN this round (q_table_skipping_multi, q_ann_serving_table),
+    # keeping the every-round rule that no op ships without a
+    # same-round driver row. The spine stands down entirely
+    # (q_postings has 5 green rounds). All 50 were value-verified
+    # against DuckDB in-session by the full driver-shaped drive before
+    # rotation (0 mismatches across all 240 registered queries).
+    # -- born in round 8
+    "q_table_skipping_multi",
+    "q_ann_serving_table",
+    # -- explicitly deferred from the round-7 window (COVERAGE.md)
+    "q_profile",
+    "q_blocklist",
+    "q_scrub",
+    "q_domain_stats",
+    "q_mix_weights",
+    "q_train_split",
+    # -- multimodal meta/features/frames (family's last never-checked)
+    "q_multimodal_meta",
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    # -- TPC-H / relational shapes
+    "q_disjunctive_join",
+    "q_waiting_suppliers",
+    "q_returned_items",
+    "q_forecast_revenue",
+    "q_product_profit",
+    "q_important_stock",
+    "q_volume_shipping",
+    "q_priority_late",
+    "q_linestatus_priority",
+    "q_big_spenders",
+    "q_multi_rollup",
+    "q_revenue_share",
+    "q_cohort_retention",
+    "q_attribution",
+    "q_event_transitions",
+    # -- window / aggregate / scalar breadth
+    "q_window_distribution",
+    "q_window_firstlast",
+    "q_argmax",
+    "q_gap_fill",
+    "q_unpivot",
+    "q_corr_stats",
+    "q_approx_quantiles",
+    "q_winsorize",
+    "q_incr_agg",
+    "q_rolling_distinct",
+    "q_regex_extract",
+    "q_null_handling",
+    "q_json_typed",
+    "q_bloom_join",
+    "q_postings_docs_join",
+    # -- Spark-4 surface leftovers
+    "q_file_provenance",
+    "q_group_by_all",
+    "q_identifier_clause",
+    # -- similarity / curation leftovers
+    "q_stratified_sample",
+    "q_vector_norms",
+    "q_cluster_sizes",
+    "q_dup_clusters",
+    "q_rp_lsh",
+    # -- streaming rows-only (first external evidence for this path)
+    "q_events_session_stream",
 ]
 assert len(_CHECK_PRIORITY) == 50, (
     f"driver check window is exactly 50 slots, got {len(_CHECK_PRIORITY)}"

@@ -1375,6 +1375,79 @@ def ann_graph_search_vectors(
     )
 
 
+def persist_graph_index(
+    spark, edges: DataFrame, table, n_buckets: int = 8
+) -> int:
+    """Write a graph-ANN edge relation (vec_id, nbr_id, nbr_vec,
+    nbr_nrm) into a ``TransactionalTable`` as ``n_buckets``
+    RANGE-CLUSTERED sub-dirs on vec_id, each with min/max stats AND a
+    Bloom bitmap — the BUILD-ONCE half of the serving contract: the
+    index survives the Spark application (unlike the session-scoped
+    staged relation), later sessions time-travel it, and a point read
+    of one node's adjacency is pruned to O(1) sub-dirs by manifest
+    metadata alone. A plain overwrite commit would land everything in
+    ONE dir (dir-granular stats then prune nothing), so the persist IS
+    commit + OPTIMIZE CLUSTER BY — the same maintenance op that
+    repairs skipping on any table. Returns the committed version."""
+    table.commit(edges, mode="overwrite")
+    return table.compact_clustered(
+        spark,
+        "vec_id",
+        n_buckets=n_buckets,
+        stats_cols=["vec_id"],
+        bloom_cols=["vec_id"],
+    )
+
+
+def ann_graph_search_vectors_table(
+    spark,
+    table,
+    embeddings: DataFrame,
+    query_vectors: DataFrame,
+    k: int = 5,
+    ef: int = 4,
+    hops: int = 4,
+    version: int | None = None,
+) -> DataFrame:
+    """The serving walk of ``ann_graph_search_vectors`` reading the
+    index from its PERSISTED transactional table instead of a staged
+    in-session relation — build-once / probe-many across sessions.
+    Each hop fetches only the frontier's adjacency: the frontier ids
+    (bounded by |probes| x ef) drive ``pruned_dirs_eq`` point lookups,
+    so the scan touches only snapshot dirs whose min/max range AND
+    Bloom bitmap can hold a frontier node — at scale, O(frontier)
+    dirs out of an arbitrarily large index. Results are identical to
+    the staged-relation walk (same ``_graph_beam_walk``, same edge
+    rows; pinned by tests/test_similarity_serving.py)."""
+    import os as _os
+
+    from mapreduceindexer_spark.functions.vector import l2_norm
+
+    if version is None:
+        version = table.current_version()
+
+    def edges_for(ids):
+        kept: set[str] = set()
+        for vid in ids:
+            kd, _ = table.pruned_dirs_eq("vec_id", int(vid), version=version)
+            kept.update(kd)
+        if not kept:
+            return table.read(spark, version).limit(0)
+        df = spark.read.parquet(
+            *[_os.path.join(table.path, d) for d in sorted(kept)]
+        )
+        return df.filter(F.col("vec_id").isin([int(v) for v in ids]))
+
+    probes = query_vectors.select(
+        "probe_id",
+        F.col("qv").alias("pv"),
+        l2_norm("qv").alias("pnrm"),
+    ).localCheckpoint()
+    return _graph_beam_walk(
+        edges_for, probes, _entry_seed(embeddings, probes), k, ef, hops
+    )
+
+
 def _entry_seed(embeddings: DataFrame, probes: DataFrame) -> DataFrame:
     """Seed rows scoring every probe against the global min-id entry
     point — shared by the in-corpus and external-query walks so the two
@@ -1398,7 +1471,7 @@ def _entry_seed(embeddings: DataFrame, probes: DataFrame) -> DataFrame:
 
 
 def _graph_beam_walk(
-    edges: DataFrame,
+    edges,
     probes: DataFrame,
     seeds: DataFrame,
     k: int,
@@ -1409,7 +1482,16 @@ def _graph_beam_walk(
     over a prebuilt edge-with-payload relation from the given seed set.
     ``probes`` = (probe_id, pv, pnrm) checkpointed; ``seeds`` =
     (probe_id, vec_id, cos_sim, expanded). See ``ann_graph_search`` for
-    the algorithm and scale analysis."""
+    the algorithm and scale analysis.
+
+    ``edges`` is either the whole edge relation (DataFrame) or a
+    CALLABLE ``edges_for(frontier_ids) -> DataFrame`` — the serving
+    shape, where each hop fetches only the frontier nodes' adjacency
+    from a persisted index (Bloom/min-max-pruned point reads of the
+    transactional table). The callable path collects the frontier ids
+    first: bounded by |probes| x ef per hop (the beam width), a
+    metadata-plane fetch in the same class as the table tier's commit
+    scalars — never corpus-sized."""
     from mapreduceindexer_spark.functions.vector import dot
 
     visited = (
@@ -1430,9 +1512,18 @@ def _graph_beam_walk(
             .filter(F.col("rn") <= ef)
             .select("probe_id", "vec_id")
         )
+        if callable(edges):
+            frontier = frontier.localCheckpoint()  # collected AND joined
+            ids = sorted(
+                r["vec_id"]
+                for r in frontier.select("vec_id").distinct().collect()
+            )
+            hop_edges = edges(ids)
+        else:
+            hop_edges = edges
         scored = (
             F.broadcast(frontier)
-            .join(edges, "vec_id")
+            .join(hop_edges, "vec_id")
             .join(F.broadcast(probes), "probe_id")
             .select(
                 "probe_id",

@@ -65,6 +65,27 @@ def staged(
     return df
 
 
+def staged_value(
+    spark: SparkSession, key: Hashable, build: Callable[[], object]
+) -> object:
+    """``staged`` for non-DataFrame artifacts — e.g. the (path, version)
+    handle of a persisted serving index, built once per application and
+    probed by every later query. Same eviction/locking discipline; the
+    built value must be self-contained (no lazy Spark lineage)."""
+    app_id = spark.sparkContext.applicationId
+    full_key = (app_id, key)
+    with _LOCK:
+        stale = [k for k in _CACHE if k[0] != app_id]
+        for k in stale:
+            del _CACHE[k]
+        if full_key in _CACHE:
+            return _CACHE[full_key]
+    val = build()
+    with _LOCK:
+        _CACHE[full_key] = val
+    return val
+
+
 def clear() -> None:
     """Drop all memoized handles (tests / benchmarks that must re-pay
     staging call this between measurements)."""

@@ -1,0 +1,114 @@
+"""The persisted HNSW serving index: table-served search must equal the
+staged-relation search bit-for-bit, with the scan actually pruned.
+
+Round-7 verdict item 4 — the graph-ANN tier and the transactional table
+tier compose: persist_graph_index writes the edge relation range-
+clustered with min/max + Bloom stats on vec_id; the serving walk then
+fetches each hop's frontier adjacency via point-lookup pruning.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduceindexer_spark.operators import similarity as sim
+from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+
+def _embeddings(spark, n=48, dim=4):
+    """Small deterministic vector corpus (no test-data dependency)."""
+    rows = [
+        (
+            i,
+            [
+                math.sin(0.7 * i + j) + 0.01 * ((i * 31 + j * 7) % 13)
+                for j in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+
+
+def _queries(spark):
+    rows = [
+        (9000, [0.5, -0.2, 0.8, 0.1]),
+        (9001, [-0.9, 0.4, 0.0, 0.3]),
+    ]
+    return spark.createDataFrame(rows, "probe_id: bigint, qv: array<float>")
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    emb = _embeddings(spark).localCheckpoint()
+    edges = sim.hnsw_graph_edges(
+        emb, k_edges=3, n_centroids=6, n_coarse=3
+    ).localCheckpoint()
+    table = TransactionalTable(str(tmp_path_factory.mktemp("idx") / "t"))
+    version = sim.persist_graph_index(spark, edges, table, n_buckets=4)
+    return emb, edges, table, version
+
+
+def test_table_served_equals_staged_relation(spark, served):
+    emb, edges, table, version = served
+    qv = _queries(spark)
+    want = sorted(
+        tuple(r)
+        for r in sim.ann_graph_search_vectors(
+            emb, qv, k=5, ef=4, hops=5, edges=edges
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in sim.ann_graph_search_vectors_table(
+            spark, table, emb, qv, k=5, ef=4, hops=5, version=version
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_persisted_index_is_clustered_and_prunable(spark, served):
+    emb, edges, table, version = served
+    dirs = table._manifest(version)["dirs"]
+    assert len(dirs) > 1  # clustered into bucket sub-dirs, not one dir
+    # A point lookup of a mid-range node keeps a strict subset of dirs
+    # (range disjointness makes min/max pruning effective) and reads
+    # exactly that node's adjacency.
+    some_id = 23
+    kept, skipped = table.pruned_dirs_eq("vec_id", some_id, version=version)
+    assert skipped and len(kept) < len(dirs)
+    got = {
+        r["nbr_id"]
+        for r in table.read_eq(spark, "vec_id", some_id, version).collect()
+    }
+    want = {
+        r["nbr_id"]
+        for r in edges.filter(F.col("vec_id") == some_id).collect()
+    }
+    assert got == want
+
+
+def test_probe_many_across_new_reader(spark, served):
+    """Build-once/probe-many: a fresh TransactionalTable handle on the
+    same path (a 'new session' reader) serves the identical walk with
+    no rebuild — the index is storage, not session state."""
+    emb, edges, table, version = served
+    reader = TransactionalTable(table.path)
+    assert reader.current_version() == version
+    qv = _queries(spark)
+    want = sorted(
+        tuple(r)
+        for r in sim.ann_graph_search_vectors(
+            emb, qv, k=3, ef=4, hops=4, edges=edges
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in sim.ann_graph_search_vectors_table(
+            spark, reader, emb, qv, k=3, ef=4, hops=4
+        ).collect()
+    )
+    assert got == want
