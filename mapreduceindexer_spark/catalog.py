@@ -8346,6 +8346,41 @@ def q_knn_stream(spark, sf_dir):
     return streaming_knn_graph(spark, sf_dir, n_slices=4, k=3, n_centroids=8)
 
 
+@register("q_hnsw_stream", None)
+def q_hnsw_stream(spark, sf_dir):
+    """FULL-HIERARCHY incremental HNSW maintenance + persisted serving,
+    the complete composition of the round-7/8 tiers: embeddings arrive
+    in microbatches; layer 0 (in-cell KNN) recomputes touched cells
+    only while the O(hubs) upper layers rebuild per batch from the
+    members state via the SAME construction body as the cold build;
+    the final index is persisted through the range-clustered
+    Bloom-statted transactional serving table and the returned relation
+    reads the serving walk's edge source. Rows-only BY DESIGN (real
+    streaming query); final state is pinned bit-identical to the cold
+    ``hnsw_graph_edges`` AND the table-served external walk is pinned
+    equal to the staged-relation walk by tests/test_streaming.py.
+    streaming/ann_stream.py::streaming_hnsw_index,
+    operators/similarity.py::persist_graph_index."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+    from mapreduceindexer_spark.streaming.ann_stream import streaming_hnsw_index
+
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_hnsw_stream_idx_"))
+    try:
+        streaming_hnsw_index(spark, sf_dir, n_slices=4, serving_table=table)
+        v = table.current_version()
+        out = (
+            table.read(spark, v)
+            .select("vec_id", "nbr_id", "nbr_nrm")
+            .localCheckpoint()  # materialize before the table vanishes
+        )
+    finally:
+        shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
 @register(
     "q_file_provenance",
     """SELECT 'documents.parquet' AS file_name,
@@ -9057,9 +9092,12 @@ _CHECK_PRIORITY = [
     # (q_postings has 5 green rounds). All 50 were value-verified
     # against DuckDB in-session by the full driver-shaped drive before
     # rotation (0 mismatches across all 240 registered queries).
-    # -- born in round 8
+    # -- born in round 8 (q_hnsw_stream took q_events_session_stream's
+    # slot mid-round: born-op rule precedes backlog; that stream variant
+    # joins the five r9 deferrals, all with in-window siblings)
     "q_table_skipping_multi",
     "q_ann_serving_table",
+    "q_hnsw_stream",
     # -- explicitly deferred from the round-7 window (COVERAGE.md)
     "q_profile",
     "q_blocklist",
@@ -9113,8 +9151,6 @@ _CHECK_PRIORITY = [
     "q_cluster_sizes",
     "q_dup_clusters",
     "q_rp_lsh",
-    # -- streaming rows-only (first external evidence for this path)
-    "q_events_session_stream",
 ]
 assert len(_CHECK_PRIORITY) == 50, (
     f"driver check window is exactly 50 slots, got {len(_CHECK_PRIORITY)}"

@@ -1128,6 +1128,15 @@ def hnsw_graph_edges(
     on either graph unchanged.
     """
     cells = ivf_assignments(embeddings, n_centroids).localCheckpoint()
+    return _hnsw_edges_from(
+        embeddings, cells, min_id_coarse_picker(n_coarse), k_edges
+    )
+
+
+def min_id_coarse_picker(n_coarse: int):
+    """The fixed-dial coarse-centroid rule (``n_coarse`` lowest hub
+    ids), shared by the cold HNSW build and the maintenance stream so
+    the two can never pick different coarse layers."""
 
     def coarse_of(hub_vecs: DataFrame) -> DataFrame:
         return (
@@ -1139,24 +1148,22 @@ def hnsw_graph_edges(
             )
         )
 
-    return _hnsw_edges_from(embeddings, cells, coarse_of, k_edges)
+    return coarse_of
 
 
-def _hnsw_edges_from(
+def _hnsw_upper_edges(
     embeddings: DataFrame,
     cells: DataFrame,
     coarse_of,
     k_edges: int,
 ) -> DataFrame:
-    """The shared three-layer HNSW construction given the L0 assignment
-    relation and a coarse-centroid picker over the hub relation — ONE
-    body for the fixed-dial and production-dial builds (review finding:
-    two verbatim copies could silently fork the index layouts)."""
-    from mapreduceindexer_spark.functions.vector import l2_norm
-
-    knn = _knn_topk_within_cells(embeddings, cells, k_edges).select(
-        "vec_id", "nbr_id"
-    )
+    """Layers 1-2 of the hierarchy + both member<->hub stars, given the
+    L0 cell assignment — the part of the index that is O(hubs), not
+    O(corpus). Factored out of ``_hnsw_edges_from`` so the incremental
+    maintenance stream (streaming/ann_stream.py::streaming_hnsw_index)
+    can REBUILD these tiny layers per microbatch from the members state
+    while maintaining only the corpus-sized L0 KNN incrementally — one
+    construction body, so streamed and cold indexes cannot fork."""
     hubs = cells.groupBy("cell").agg(F.min("vec_id").alias("hub_id"))
     # One row per cell: tiny, but feeds four branches — stage it.
     hub_vecs = embeddings.join(
@@ -1187,15 +1194,16 @@ def _hnsw_edges_from(
     down2 = memb2.select(
         F.col("hub2").alias("vec_id"), F.col("vec_id").alias("nbr_id")
     )
-    edges = (
-        knn.union(hub_knn)
-        .union(mesh2)
-        .union(up1)
-        .union(down1)
-        .union(up2)
-        .union(down2)
-        .distinct()
-    )
+    return hub_knn.union(mesh2).union(up1).union(down1).union(up2).union(down2)
+
+
+def hnsw_payload_join(embeddings: DataFrame, edges: DataFrame) -> DataFrame:
+    """Attach the neighbor payload (vector + norm) to an edge id-pair
+    relation — the final step of every HNSW build, shared with the
+    maintenance stream (which stores id pairs as state and re-attaches
+    payload from the members table on read)."""
+    from mapreduceindexer_spark.functions.vector import l2_norm
+
     payload = embeddings.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("embedding").alias("nbr_vec"),
@@ -1204,6 +1212,25 @@ def _hnsw_edges_from(
     return edges.join(payload, "nbr_id").select(
         "vec_id", "nbr_id", "nbr_vec", "nbr_nrm"
     )
+
+
+def _hnsw_edges_from(
+    embeddings: DataFrame,
+    cells: DataFrame,
+    coarse_of,
+    k_edges: int,
+) -> DataFrame:
+    """The shared three-layer HNSW construction given the L0 assignment
+    relation and a coarse-centroid picker over the hub relation — ONE
+    body for the fixed-dial and production-dial builds (review finding:
+    two verbatim copies could silently fork the index layouts)."""
+    knn = _knn_topk_within_cells(embeddings, cells, k_edges).select(
+        "vec_id", "nbr_id"
+    )
+    edges = knn.union(
+        _hnsw_upper_edges(embeddings, cells, coarse_of, k_edges)
+    ).distinct()
+    return hnsw_payload_join(embeddings, edges)
 
 
 def hnsw_graph_edges_scaled(

@@ -211,4 +211,189 @@ def streaming_knn_graph(
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
-__all__ = ["streaming_knn_graph"]
+def _apply_hnsw_batch(
+    members: TransactionalTable,
+    edges: TransactionalTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    k_edges: int,
+    n_centroids: int,
+    n_coarse: int,
+) -> None:
+    """One microbatch of full-hierarchy HNSW maintenance. The
+    corpus-sized layer 0 (in-cell KNN pairs) is maintained DELTA-DRIVEN
+    exactly like ``_apply_batch`` — only touched cells recompute. The
+    upper layers (hub KNN, coarse mesh, member<->hub stars) are O(hubs),
+    not O(corpus), so they are REBUILT from the members state each batch
+    via the same ``_hnsw_upper_edges`` body the cold build runs — that
+    is the production trade (linear tiny rebuild beats tracking hub
+    turnover), and it guarantees the committed index equals the cold
+    ``hnsw_graph_edges`` after every batch, not just the last. Edge
+    state rows are layer-tagged: ``cell`` is the L0 replace key,
+    NULL-cell rows are the per-batch upper rebuild. Exactly-once via
+    ``batch_id`` manifest meta on both tables (the ``_apply_batch``
+    crash-retry discipline, including the members-landed dedup)."""
+    from mapreduceindexer_spark.operators.similarity import (
+        _hnsw_upper_edges,
+        _knn_topk_within_cells,
+        assign_to_centroids,
+        min_id_coarse_picker,
+    )
+
+    spark = batch_df.sparkSession
+    ecur = edges.current_version()
+    if ecur > 0 and edges.meta_of(ecur).get("batch_id", -1) >= batch_id:
+        return  # retried microbatch, fully committed
+    batch = batch_df.select("vec_id", "embedding").localCheckpoint()
+    if batch.isEmpty():
+        return
+
+    mcur = members.current_version()
+    state = (
+        members.read(spark, mcur).select("vec_id", "cell", "embedding")
+        if mcur > 0
+        else None
+    )
+    seed_pool = (
+        state.select("vec_id", "embedding").unionByName(batch)
+        if state is not None
+        else batch
+    )
+    cents = (
+        seed_pool.filter(F.col("vec_id") < n_centroids)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        .localCheckpoint()
+    )
+    new_members = (
+        batch.join(assign_to_centroids(batch, cents), "vec_id")
+        .select("vec_id", "cell", "embedding")
+        .localCheckpoint()
+    )
+    if mcur == 0 or members.meta_of(mcur).get("batch_id", -1) < batch_id:
+        members.commit(
+            new_members,
+            mode="append" if mcur > 0 else "overwrite",
+            expected_version=mcur,
+            meta={"batch_id": batch_id},
+        )
+    affected = new_members.select("cell").distinct()
+    all_members = (
+        state.join(new_members, "vec_id", "left_anti").unionByName(new_members)
+        if state is not None
+        else new_members
+    ).localCheckpoint()
+    touched = all_members.join(F.broadcast(affected), "cell", "left_semi")
+    l0_new = (
+        _knn_topk_within_cells(
+            touched.select("vec_id", "embedding"),
+            touched.select("vec_id", "cell"),
+            k_edges,
+        )
+        .select("vec_id", "nbr_id")
+        .join(all_members.select("vec_id", "cell"), "vec_id")
+        .select("cell", "vec_id", "nbr_id")
+    )
+    if ecur > 0:
+        l0_kept = (
+            edges.read(spark, ecur)
+            .filter(F.col("cell").isNotNull())
+            .join(F.broadcast(affected), "cell", "left_anti")
+            .select("cell", "vec_id", "nbr_id")
+        )
+        l0 = l0_kept.unionByName(l0_new)
+    else:
+        l0 = l0_new
+    upper = _hnsw_upper_edges(
+        all_members.select("vec_id", "embedding"),
+        all_members.select("vec_id", "cell"),
+        min_id_coarse_picker(n_coarse),
+        k_edges,
+    ).select(
+        F.lit(None).cast("bigint").alias("cell"), "vec_id", "nbr_id"
+    )
+    edges.commit(
+        l0.unionByName(upper),
+        mode="overwrite",
+        expected_version=ecur,
+        meta={"batch_id": batch_id},
+    )
+
+
+def streaming_hnsw_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    k_edges: int = 3,
+    n_centroids: int = 8,
+    n_coarse: int = 3,
+    serving_table: TransactionalTable | None = None,
+) -> DataFrame:
+    """Replay the embeddings table as ``n_slices`` microbatches,
+    incrementally maintain the FULL three-layer HNSW edge relation
+    (L0 delta-driven, hub layers rebuilt per batch — see
+    ``_apply_hnsw_batch``), and return the final payload-joined edges
+    (vec_id, nbr_id, nbr_vec, nbr_nrm) — exactly
+    ``similarity.hnsw_graph_edges`` over the full corpus (pinned by
+    tests/test_streaming.py). When ``serving_table`` is given, the
+    final edge relation is additionally PERSISTED through
+    ``similarity.persist_graph_index`` (range-clustered, Bloom-statted)
+    — the full composition: streaming ingest -> incremental index ->
+    transactional serving table, build-once/probe-many across
+    sessions."""
+    from mapreduceindexer_spark.operators.similarity import (
+        hnsw_payload_join,
+        persist_graph_index,
+    )
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming.index_stream import _write_doc_slices
+    from mapreduceindexer_spark.streaming.table_sink import read_result
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp_dir = tempfile.mkdtemp(prefix="mri_hnsw_stream_")
+    try:
+        stream_dir = os.path.join(tmp_dir, "stream")
+        _write_doc_slices(emb, stream_dir, n_slices, id_col="vec_id")
+        members = TransactionalTable(os.path.join(tmp_dir, "members"))
+        edges = TransactionalTable(os.path.join(tmp_dir, "edges"))
+        src = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        q = (
+            src.writeStream.foreachBatch(
+                lambda df, bid: _apply_hnsw_batch(
+                    members, edges, df, bid, k_edges, n_centroids, n_coarse
+                )
+            )
+            .queryName(f"hnsw_stream_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise RuntimeError(
+                    "HNSW index maintenance replay did not finish within 300 s"
+                )
+        finally:
+            q.stop()
+        pairs = (
+            read_result(edges, spark, "cell bigint, vec_id bigint, nbr_id bigint")
+            .select("vec_id", "nbr_id")
+            .distinct()
+        )
+        vecs = read_result(
+            members, spark, "vec_id bigint, cell bigint, embedding array<float>"
+        ).select("vec_id", "embedding")
+        final = hnsw_payload_join(vecs, pairs).localCheckpoint()
+        if serving_table is not None:
+            persist_graph_index(spark, final, serving_table)
+        return final
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+__all__ = ["streaming_knn_graph", "streaming_hnsw_index"]

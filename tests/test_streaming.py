@@ -248,6 +248,53 @@ def test_streaming_knn_graph_equals_batch(spark):
     assert s == b and len(s) > 0
 
 
+def test_streaming_hnsw_index_equals_cold_build_and_serves(spark, tmp_path):
+    """Full-hierarchy HNSW maintenance == cold build: after the sliced
+    replay (L0 delta-driven, hub layers rebuilt per batch from the
+    members state), the payload-joined edge relation must be
+    bit-identical to hnsw_graph_edges over the full corpus. The
+    composition contract on top: persisting the streamed index through
+    the serving table and walking external queries over it must equal
+    the staged-relation walk over the cold edges — streaming ingest ->
+    incremental index -> transactional serving table, end to end."""
+    from mapreduceindexer_spark.operators import similarity as sim
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+    from mapreduceindexer_spark.streaming.ann_stream import streaming_hnsw_index
+    from tests.conftest import SF_SMOKE
+
+    def norm(rows):
+        return sorted(
+            (r["vec_id"], r["nbr_id"], tuple(r["nbr_vec"]), r["nbr_nrm"])
+            for r in rows
+        )
+
+    table = TransactionalTable(str(tmp_path / "serving"))
+    streamed = streaming_hnsw_index(spark, SF_SMOKE, serving_table=table)
+    emb = load_table(spark, SF_SMOKE, "embeddings").localCheckpoint()
+    cold = sim.hnsw_graph_edges(emb, k_edges=3, n_centroids=8, n_coarse=3)
+    assert norm(streamed.collect()) == norm(cold.collect())
+    assert len(streamed.columns) == 4
+
+    qv = spark.createDataFrame(
+        [(9000, [0.3, -0.1, 0.5, 0.2] * (len(emb.first()["embedding"]) // 4))],
+        "probe_id: bigint, qv: array<float>",
+    )
+    want = sorted(
+        tuple(r)
+        for r in sim.ann_graph_search_vectors(
+            emb, qv, k=4, ef=4, hops=5, edges=cold.localCheckpoint()
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in sim.ann_graph_search_vectors_table(
+            spark, table, emb, qv, k=4, ef=4, hops=5
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_ann_stream_retry_after_partial_commit_is_exact(spark, tmp_path):
     """Crash-window replay: if a batch's MEMBERS append landed but its
     EDGES overwrite did not, the retried batch must dedup its own rows
