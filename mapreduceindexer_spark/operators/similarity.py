@@ -1454,14 +1454,16 @@ def ann_graph_search_vectors_table(
         version = table.current_version()
 
     def edges_for(ids):
-        kept: set[str] = set()
-        for vid in ids:
-            kd, _ = table.pruned_dirs_eq("vec_id", int(vid), version=version)
-            kept.update(kd)
+        # One manifest resolve for the whole frontier (batched IN-list
+        # pruning) — per-id pruned_dirs_eq would re-read and re-validate
+        # the manifest 10-50x per hop.
+        kept, _ = table.pruned_dirs_eq_many(
+            "vec_id", [int(v) for v in ids], version=version
+        )
         if not kept:
             return table.read(spark, version).limit(0)
         df = spark.read.parquet(
-            *[_os.path.join(table.path, d) for d in sorted(kept)]
+            *[_os.path.join(table.path, d) for d in kept]
         )
         return df.filter(F.col("vec_id").isin([int(v) for v in ids]))
 

@@ -585,6 +585,19 @@ class TransactionalTable:
         (bool → 'True' vs 'true', timestamps → '.500000' vs '.5',
         floats) render differently and would silently skip dirs that
         hold the value — so they raise instead (review finding)."""
+        self._check_eq_probe(value)
+        if version is None:
+            version = self.current_version()
+        if version < 1 or version not in self.versions():
+            raise ValueError(
+                f"version {version} does not exist "
+                f"(available: {self.versions() or 'none'})"
+            )
+        manifest = self._manifest(version)
+        return self._eq_prune(manifest, col, value)
+
+    @staticmethod
+    def _check_eq_probe(value) -> None:
         if value is None:
             raise ValueError("equality never matches NULL; nothing to look up")
         if isinstance(value, bool) or not isinstance(value, (int, str)):
@@ -594,14 +607,15 @@ class TransactionalTable:
                 "from Spark's string cast and would make bloom skipping "
                 "unsound"
             )
-        if version is None:
-            version = self.current_version()
-        if version < 1 or version not in self.versions():
-            raise ValueError(
-                f"version {version} does not exist "
-                f"(available: {self.versions() or 'none'})"
-            )
-        manifest = self._manifest(version)
+
+    @staticmethod
+    def _eq_prune(
+        manifest: dict, col: str, value
+    ) -> tuple[list[str], list[str]]:
+        """The metadata-only point-lookup decision over ONE resolved
+        manifest — shared by ``pruned_dirs_eq`` and the batched
+        ``pruned_dirs_eq_many`` (which amortizes the manifest
+        resolve/validate across an IN-list of probes)."""
         stats = manifest.get("stats", {})
         v_j = _json_stat(value)
         # Probe positions depend only on (value, k, bits) — computed
@@ -675,6 +689,37 @@ class TransactionalTable:
         else:
             df = self.read(spark, version).limit(0)
         return df.filter(F.col(col) == F.lit(value))
+
+    def pruned_dirs_eq_many(
+        self, col: str, values, version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """Batched point lookup: (kept, skipped) for ``col IN values``.
+        A dir is kept if ANY probe's metadata cannot rule it out (IN is
+        a disjunction). Resolves and validates the manifest ONCE for
+        the whole probe set — the serving-path shape, where a beam
+        walk's frontier probes 10-50 ids per hop and per-id manifest
+        reads would dominate the metadata plane. Same probe-type
+        soundness rules as ``pruned_dirs_eq``; duplicate probe values
+        are deduplicated. Empty ``values`` keeps nothing (IN () matches
+        no row) and skips everything."""
+        vals = list(dict.fromkeys(values))
+        for v in vals:
+            self._check_eq_probe(v)
+        if version is None:
+            version = self.current_version()
+        if version < 1 or version not in self.versions():
+            raise ValueError(
+                f"version {version} does not exist "
+                f"(available: {self.versions() or 'none'})"
+            )
+        manifest = self._manifest(version)
+        kept_set: set[str] = set()
+        for v in vals:
+            k, _ = self._eq_prune(manifest, col, v)
+            kept_set.update(k)
+        kept = [d for d in manifest["dirs"] if d in kept_set]
+        skipped = [d for d in manifest["dirs"] if d not in kept_set]
+        return kept, skipped
 
     def delete_where(
         self,

@@ -563,6 +563,34 @@ def test_point_lookup_type_mismatch_never_bloom_skips(spark, tmp_path):
     assert kept == [] and len(skipped) == 1
 
 
+def test_pruned_dirs_eq_many_unions_per_probe_keeps(spark, tmp_path):
+    """Batched IN-list point lookup: a dir is kept iff ANY probe may
+    hit it, the union equals the per-probe pruned_dirs_eq results, and
+    the empty probe set keeps nothing (IN () matches no row)."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.commit(
+            spark.range(i * 10, (i + 1) * 10),
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["id"],
+            bloom_cols=["id"],
+        )
+    d = t._manifest(3)["dirs"]
+    kept, skipped = t.pruned_dirs_eq_many("id", [3, 25, 25])
+    assert kept == [d[0], d[2]] and skipped == [d[1]]
+    # Union contract vs the per-probe API.
+    per = set()
+    for v in (3, 25):
+        per.update(t.pruned_dirs_eq("id", v)[0])
+    assert set(kept) == per
+    kept, skipped = t.pruned_dirs_eq_many("id", [])
+    assert kept == [] and len(skipped) == 3
+    with pytest.raises(TypeError, match="int or str"):
+        t.pruned_dirs_eq_many("id", [3, 1.5])
+
+
 def test_read_changes_empty_table_has_clear_bootstrap_error(
     spark, tmp_path
 ):
