@@ -156,6 +156,83 @@ _BLOOM_SOUND_TYPES = {
 }
 
 
+def _grouped_subdir_stats(
+    spark: SparkSession,
+    snap: str,
+    part_name: str,
+    stats_cols,
+    bloom_cols,
+) -> dict:
+    """Per-sub-dir manifest stats of one PARTITIONED snapshot
+    (``{snap}/{part_name}={v}`` layout): (rows, min/max) and Bloom
+    bitmaps (with the column type, same soundness contract as
+    ``_snapshot_bloom``) computed in ONE grouped pass over the freshly
+    written snapshot — partition discovery restores the partition
+    column — never one read+agg job set per sub-dir (review finding,
+    round 7). Shared by ``compact_clustered``, ``commit_partitioned``
+    and ``replace_partitions``. Returns {"<base>/<part>=<v>": entry}."""
+    from pyspark.sql import functions as F
+
+    stats: dict[str, dict] = {}
+    if not (stats_cols or bloom_cols):
+        return stats
+    base = os.path.basename(snap)
+    snap_df = spark.read.parquet(snap)
+    types = {f.name: f.dataType.simpleString() for f in snap_df.schema.fields}
+
+    def key_of(part_val) -> str:
+        sub = (
+            "__HIVE_DEFAULT_PARTITION__" if part_val is None else str(part_val)
+        )
+        return f"{base}/{part_name}={sub}"
+
+    if stats_cols:
+        aggs = [F.count("*").alias("_rows")]
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        for r in snap_df.groupBy(part_name).agg(*aggs).collect():
+            stats[key_of(r[part_name])] = {
+                "rows": r["_rows"],
+                "cols": {
+                    c: [
+                        _json_stat(r[f"_min_{c}"]),
+                        _json_stat(r[f"_max_{c}"]),
+                    ]
+                    for c in stats_cols
+                },
+            }
+    if bloom_cols:
+        from mapreduceindexer_spark.functions.hashing import hash60
+
+        seeds = F.array([F.lit(i) for i in range(BLOOM_K)])
+        for c in bloom_cols:
+            rows = (
+                snap_df.select(part_name, F.col(c).cast("string").alias("_v"))
+                .where(F.col("_v").isNotNull())
+                .distinct()
+                .select(part_name, "_v", F.explode(seeds).alias("_i"))
+                .select(
+                    part_name,
+                    (hash60(F.col("_v"), F.col("_i")) % BLOOM_BITS).alias("p"),
+                )
+                .distinct()
+                .collect()
+            )
+            bms: dict = {}
+            for r in rows:
+                bms[r[part_name]] = bms.get(r[part_name], 0) | (1 << r["p"])
+            for part_val, bm in bms.items():
+                stats.setdefault(key_of(part_val), {}).setdefault("bloom", {})[
+                    c
+                ] = {
+                    "k": BLOOM_K,
+                    "bits": BLOOM_BITS,
+                    "hex": format(bm, "x"),
+                    "type": types.get(c),
+                }
+    return stats
+
+
 def _snapshot_entry(
     spark: SparkSession,
     snap_dir: str,
@@ -1048,67 +1125,13 @@ class TransactionalTable:
             if d.startswith("_bucket=")
         )
         # Per-bucket stats in ONE grouped pass over the freshly written
-        # snapshot (partition discovery restores the _bucket column),
-        # not one read+agg job set per sub-dir (review finding).
-        stats: dict[str, dict] = {}
-        if stats_cols or bloom_cols:
-            snap_df = spark.read.parquet(snap)
-            if stats_cols:
-                aggs = [F.count("*").alias("_rows")]
-                for c in stats_cols:
-                    aggs += [
-                        F.min(c).alias(f"_min_{c}"),
-                        F.max(c).alias(f"_max_{c}"),
-                    ]
-                for r in snap_df.groupBy("_bucket").agg(*aggs).collect():
-                    stats[f"{base}/_bucket={r['_bucket']}"] = {
-                        "rows": r["_rows"],
-                        "cols": {
-                            c: [
-                                _json_stat(r[f"_min_{c}"]),
-                                _json_stat(r[f"_max_{c}"]),
-                            ]
-                            for c in stats_cols
-                        },
-                    }
-            if bloom_cols:
-                from mapreduceindexer_spark.functions.hashing import hash60
-
-                seeds = F.array([F.lit(i) for i in range(BLOOM_K)])
-                for c in bloom_cols:
-                    rows = (
-                        snap_df.select(
-                            "_bucket",
-                            F.col(c).cast("string").alias("_v"),
-                        )
-                        .where(F.col("_v").isNotNull())
-                        .distinct()
-                        .select(
-                            "_bucket", "_v", F.explode(seeds).alias("_i")
-                        )
-                        .select(
-                            "_bucket",
-                            (
-                                hash60(F.col("_v"), F.col("_i"))
-                                % BLOOM_BITS
-                            ).alias("p"),
-                        )
-                        .distinct()
-                        .collect()
-                    )
-                    bms: dict = {}
-                    for r in rows:
-                        bms[r["_bucket"]] = bms.get(r["_bucket"], 0) | (
-                            1 << r["p"]
-                        )
-                    for bkt, bm in bms.items():
-                        stats.setdefault(f"{base}/_bucket={bkt}", {}).setdefault(
-                            "bloom", {}
-                        )[c] = {
-                            "k": BLOOM_K,
-                            "bits": BLOOM_BITS,
-                            "hex": format(bm, "x"),
-                        }
+        # snapshot (shared helper; also records the bloom column type,
+        # which the pre-helper clustered path omitted — its bitmaps
+        # were dead metadata once point lookups started validating the
+        # probe against the recorded type).
+        stats = _grouped_subdir_stats(
+            spark, snap, "_bucket", stats_cols, bloom_cols
+        )
         payload = {
             "version": cur + 1,
             "mode": "overwrite",
@@ -1122,6 +1145,216 @@ class TransactionalTable:
         if stats:
             payload["stats"] = stats
         return self._publish_manifest(payload, cur + 1, [snap])
+
+    # -- partition-level replace --------------------------------------------
+
+    _PART = "_part"  # reserved partition-key column in sub-dir names
+
+    @staticmethod
+    def _part_suffix(v) -> str:
+        """Sub-dir name fragment of one partition value (None = the
+        Hive default partition Spark writes NULL keys to)."""
+        if v is None:
+            return "__HIVE_DEFAULT_PARTITION__"
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise TypeError(
+                f"partition value must be int or None, got {type(v).__name__}"
+            )
+        return str(v)
+
+    def _write_partitioned_snap(
+        self, spark: SparkSession, df: DataFrame, part_col: str
+    ) -> tuple[str, list[str]]:
+        """Write ``df`` as one snapshot dir of ``{_PART}=<v>`` sub-dirs
+        keyed by a COPY of ``part_col`` (the data files keep the
+        original column — ``partitionBy`` consumes only the copy, so
+        readers see the full schema without partition-column
+        reconstruction). Returns (snap path, sorted sub-dir names).
+        ``part_col`` must be losslessly BIGINT-castable (NULLs allowed:
+        they land in the Hive default partition)."""
+        from pyspark.sql import functions as F
+
+        if self._PART in df.columns:
+            raise ValueError(
+                f"table has a column named {self._PART}, which the "
+                "partitioned write uses as its partition key; rename it"
+            )
+        if part_col not in df.columns:
+            raise ValueError(f"partition column {part_col!r} not in schema")
+        b = df.agg(
+            F.count(part_col).alias("n_keyed"),
+            F.count(F.col(part_col).cast("bigint")).alias("n_cast"),
+        ).collect()[0]
+        if b["n_cast"] < b["n_keyed"]:
+            raise ValueError(
+                f"cannot partition on {part_col!r}: "
+                f"{b['n_keyed'] - b['n_cast']} values are not "
+                "BIGINT-castable — a lossy cast would scatter a key "
+                "across sub-dirs"
+            )
+        snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
+        df.withColumn(
+            self._PART, F.col(part_col).cast("bigint")
+        ).write.mode("error").partitionBy(self._PART).parquet(snap)
+        fsync_tree(snap)
+        fsync_path(self.path)
+        base = os.path.basename(snap)
+        subdirs = sorted(
+            f"{base}/{d}"
+            for d in os.listdir(snap)
+            if d.startswith(f"{self._PART}=")
+        )
+        return snap, subdirs
+
+    def commit_partitioned(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        part_col: str,
+        mode: str = "overwrite",
+        expected_version: int | None = None,
+        meta: dict | None = None,
+        stats_cols: tuple[str, ...] | list[str] | None = None,
+        bloom_cols: tuple[str, ...] | list[str] | None = None,
+    ) -> int:
+        """Publish ``df`` PARTITIONED by ``part_col``: one sub-dir per
+        key value, each its own manifest dir with its own stats — the
+        layout ``replace_partitions`` needs to rewrite O(delta)
+        partitions instead of the whole table. The write-path twin of
+        ``compact_clustered`` for naturally keyed relations (an ANN
+        index's cells, a day-keyed fact table): no bucket arithmetic,
+        the key IS the partition. NULL keys land in the Hive default
+        partition sub-dir (they are data, not an error, for relations
+        whose upper tiers carry no key). Returns the new version."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        base_v = (
+            expected_version
+            if expected_version is not None
+            else self.current_version()
+        )
+        snap, subdirs = self._write_partitioned_snap(spark, df, part_col)
+        stats = _grouped_subdir_stats(
+            spark, snap, self._PART, stats_cols, bloom_cols
+        )
+        if mode == "append" and base_v > 0:
+            prev = self._manifest(base_v)
+            if prev.get("meta", {}).get("partitioned_by") != part_col:
+                shutil.rmtree(snap, ignore_errors=True)
+                raise ValueError(
+                    "append requires the current version to be "
+                    f"partitioned by {part_col!r} "
+                    f"(found {prev.get('meta', {}).get('partitioned_by')!r})"
+                )
+            dirs = prev["dirs"] + subdirs
+            stats = {**prev.get("stats", {}), **stats}
+        else:
+            dirs = subdirs
+        payload = {
+            "version": base_v + 1,
+            "mode": mode,
+            "dirs": dirs,
+            "meta": {**(meta or {}), "partitioned_by": part_col},
+        }
+        if stats:
+            payload["stats"] = stats
+        return self._publish_manifest(payload, base_v + 1, [snap])
+
+    def replace_partitions(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        parts,
+        expected_version: int | None = None,
+        meta: dict | None = None,
+        stats_cols: tuple[str, ...] | list[str] | None = None,
+        bloom_cols: tuple[str, ...] | list[str] | None = None,
+    ) -> int:
+        """PARTITION-LEVEL REPLACE, the O(delta) write path every table
+        format grows once streams append forever: the sub-dirs of the
+        partition values in ``parts`` (ints, or None for the NULL
+        partition) are replaced by ``updates``' rows; every other
+        partition's sub-dirs are carried into the new manifest
+        UNTOUCHED — zero read, zero write, stats inherited. A value in
+        ``parts`` with no rows in ``updates`` is dropped (partition
+        delete). Rows of ``updates`` OUTSIDE ``parts`` raise — a silent
+        write outside the declared replace set is how incremental
+        maintainers corrupt state. The current version must have been
+        published by ``commit_partitioned``/``replace_partitions`` (the
+        manifest records its partition column). Optimistic concurrency
+        via ``expected_version`` as everywhere."""
+        from pyspark.sql import functions as F
+
+        cur = (
+            expected_version
+            if expected_version is not None
+            else self.current_version()
+        )
+        if cur < 1:
+            raise ValueError(
+                "replace_partitions needs a committed partitioned table; "
+                "use commit_partitioned first"
+            )
+        manifest = self._manifest(cur)
+        part_col = manifest.get("meta", {}).get("partitioned_by")
+        if part_col is None:
+            raise ValueError(
+                f"version {cur} was not published by commit_partitioned; "
+                "replace_partitions needs the partitioned layout"
+            )
+        suffixes = {self._part_suffix(v) for v in parts}
+        if not suffixes:
+            raise ValueError("replace_partitions needs at least one partition")
+        # Pin updates before the three consumers (validation agg, write,
+        # stats pass) — the merge_rows determinism discipline.
+        updates = updates.localCheckpoint(eager=True)
+        int_parts = [v for v in parts if v is not None]
+        in_set = F.col(part_col).cast("bigint").isin(int_parts)
+        if any(v is None for v in parts):
+            in_set = in_set | F.col(part_col).isNull()
+        n_outside = updates.filter(~F.coalesce(in_set, F.lit(False))).count()
+        if n_outside:
+            raise ValueError(
+                f"{n_outside} update rows fall outside the declared "
+                f"replace set {sorted(suffixes)}; widen `parts` or fix "
+                "the updates — writing them silently would corrupt the "
+                "untouched partitions' contract"
+            )
+        snap, subdirs = self._write_partitioned_snap(spark, updates, part_col)
+        if not subdirs:
+            # Pure partition delete: no rows -> Spark wrote no sub-dirs
+            # (just a _SUCCESS marker); drop the empty husk and publish
+            # a kept-only manifest.
+            shutil.rmtree(snap, ignore_errors=True)
+            snap_cleanup: list[str] = []
+            new_stats: dict = {}
+        else:
+            snap_cleanup = [snap]
+            new_stats = _grouped_subdir_stats(
+                spark, snap, self._PART, stats_cols, bloom_cols
+            )
+
+        def suffix_of(d: str) -> str:
+            return d.rsplit(f"{self._PART}=", 1)[1]
+
+        kept = [d for d in manifest["dirs"] if suffix_of(d) not in suffixes]
+        old_stats = manifest.get("stats", {})
+        stats = {d: old_stats[d] for d in kept if d in old_stats}
+        stats.update(new_stats)
+        payload = {
+            "version": cur + 1,
+            "mode": "replace_partitions",
+            "dirs": kept + subdirs,
+            "meta": {
+                **(meta or {}),
+                "partitioned_by": part_col,
+                "replaced_partitions": sorted(suffixes),
+                "preserved_dirs": len(kept),
+            },
+        }
+        if stats:
+            payload["stats"] = stats
+        return self._publish_manifest(payload, cur + 1, snap_cleanup)
 
     def vacuum(
         self, keep_versions: int = 1, grace_seconds: float = 300.0

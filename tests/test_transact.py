@@ -795,6 +795,86 @@ def test_vacuum_reclaims_dead_bucket_subdirs(spark, tmp_path):
     assert _ids(t.read(spark)) == list(range(30, 90))
 
 
+def test_commit_partitioned_roundtrip_stats_and_null_partition(
+    spark, tmp_path
+):
+    """Partitioned commit: one sub-dir per key value (NULLs in the Hive
+    default partition), the data files keep the original column, each
+    sub-dir carries its own stats, and point-lookup pruning touches
+    only the matching sub-dir."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(0, 30).withColumn(
+        "cell",
+        F.when(F.col("id") < 27, F.col("id") % 3).cast("bigint"),
+    )
+    v = t.commit_partitioned(
+        spark, df, "cell", stats_cols=["id"], bloom_cols=["id"]
+    )
+    m = t._manifest(v)
+    assert m["meta"]["partitioned_by"] == "cell"
+    assert len(m["dirs"]) == 4  # cells 0,1,2 + NULL partition
+    assert any(d.endswith("__HIVE_DEFAULT_PARTITION__") for d in m["dirs"])
+    got = t.read(spark, v)
+    assert set(got.columns) == {"id", "cell"}
+    assert _ids(got) == list(range(30))
+    # id=1 lives only in cell 1's sub-dir; bloom+range keep exactly it.
+    kept, skipped = t.pruned_dirs_eq("id", 1, v)
+    assert len(kept) == 1 and len(skipped) == 3
+
+
+def test_replace_partitions_is_o_delta_and_guarded(spark, tmp_path):
+    """Partition-level replace: untouched sub-dirs' files are literally
+    the same paths (zero read/write), the replaced partition's content
+    changes, a declared-but-empty partition is dropped, rows outside
+    the declared set raise, and vacuum reclaims the replaced sub-dir."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(0, 30).withColumn("cell", (F.col("id") % 3).cast("bigint"))
+    v1 = t.commit_partitioned(spark, df, "cell", stats_cols=["id"])
+    m1 = t._manifest(v1)
+    untouched_before = sorted(d for d in m1["dirs"] if not d.endswith("=1"))
+    # Replace cell 1 with a halved payload; declare cell 9 too (empty ->
+    # dropped is a no-op here since cell 9 never existed).
+    upd = df.filter((F.col("cell") == 1) & (F.col("id") < 10))
+    v2 = t.replace_partitions(spark, upd, [1], stats_cols=["id"])
+    m2 = t._manifest(v2)
+    untouched_after = sorted(d for d in m2["dirs"] if not d.endswith("=1"))
+    assert untouched_after == untouched_before  # carried, not rewritten
+    want = sorted(
+        [i for i in range(30) if i % 3 != 1] + [i for i in range(10) if i % 3 == 1]
+    )
+    assert _ids(t.read(spark, v2)) == want
+    # Carried sub-dirs keep their inherited stats.
+    assert all(d in m2.get("stats", {}) for d in untouched_before)
+    # Partition delete: replace cell 0 with no rows.
+    v3 = t.replace_partitions(spark, upd.limit(0), [0], stats_cols=["id"])
+    assert _ids(t.read(spark, v3)) == sorted(
+        i for i in want if i % 3 != 0
+    )
+    # Rows outside the declared set raise.
+    with pytest.raises(ValueError, match="outside the declared"):
+        t.replace_partitions(spark, df.filter(F.col("cell") == 2), [1])
+    # A non-partitioned current version refuses.
+    t2 = TransactionalTable(str(tmp_path / "t2"))
+    t2.commit(df)
+    with pytest.raises(ValueError, match="commit_partitioned"):
+        t2.replace_partitions(spark, upd, [1])
+    # Vacuum reclaims the replaced/deleted sub-dirs, keeps the live set.
+    deleted = t.vacuum(keep_versions=1, grace_seconds=0)
+    assert any(d.endswith("=1") for d in deleted)
+    assert _ids(t.read(spark)) == sorted(i for i in want if i % 3 != 0)
+    # The reserved partition-key column name is refused.
+    with pytest.raises(ValueError, match="_part"):
+        t.commit_partitioned(
+            spark, df.withColumn("_part", F.lit(1)), "cell"
+        )
+
+
 def test_multi_column_pruning_intersects_conjuncts(spark, tmp_path):
     """AND-of-ranges pruning: a dir survives only if NO conjunct's
     stats preclude it, and results equal the full filtered read."""
