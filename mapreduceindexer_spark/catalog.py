@@ -8787,6 +8787,65 @@ def q_table_skipping_multi(spark, sf_dir):
 
 
 @register(
+    "q_table_replace",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 2 AS BIGINT) AS half
+                  FROM documents)
+       SELECT CAST(3 AS BIGINT) AS n_dirs,
+              CAST(2 AS BIGINT) AS preserved_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents, b
+               WHERE doc_id % 3 <> 1 OR doc_id < b.half) AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents, b
+               WHERE doc_id % 3 <> 1 OR doc_id < b.half) AS total_chars""",
+)
+def q_table_replace(spark, sf_dir):
+    """PARTITION-LEVEL REPLACE (sources/transact.py::
+    commit_partitioned + replace_partitions): documents are published
+    partitioned by grp = doc_id % 3 (one manifest sub-dir per value,
+    each with its own stats), then partition 1 alone is rewritten with
+    its doc_id < n/2 half — the O(delta) write path of every table
+    format once streams append forever. The two untouched partitions'
+    sub-dirs are CARRIED into the new manifest (zero read, zero write,
+    verified by dir-path identity), and the oracle replays the
+    survivors as the disjunction grp <> 1 OR doc_id < n/2 plus the
+    preserved-dir arithmetic. This is the op that turned the ANN
+    maintenance streams' per-batch state write from whole-index
+    rewrite to O(touched cells) (streaming/ann_stream.py).
+    Reference has no table layer (src/functions.cpp:146-162)."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    grp = docs.withColumn("grp", (F.col("doc_id") % 3).cast("bigint"))
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_repl_"))
+    v1 = table.commit_partitioned(spark, grp, "grp", stats_cols=["doc_id"])
+    before = table._manifest(v1)["dirs"]
+    v2 = table.replace_partitions(
+        spark,
+        grp.filter((F.col("grp") == 1) & (F.col("doc_id") < n // 2)),
+        [1],
+        stats_cols=["doc_id"],
+    )
+    after = table._manifest(v2)["dirs"]
+    preserved = len(set(before) & set(after))
+    out = (
+        table.read(spark, v2)
+        .agg(
+            F.lit(len(before)).cast("bigint").alias("n_dirs"),
+            F.lit(preserved).cast("bigint").alias("preserved_dirs"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_delete",
     """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
                          CAST(count(*) // 3 AS BIGINT) AS b1,
