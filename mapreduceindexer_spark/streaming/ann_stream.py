@@ -13,11 +13,10 @@ cells' neighborhoods. This module is that shape on Structured Streaming:
   IVF cells (broadcast centroid config), APPEND them to members (one
   snapshot dir — the append-heavy pattern ``compact`` exists for),
   recompute the KNN edges of the AFFECTED CELLS ONLY from the members
-  state, and overwrite-commit the merged edge relation. Per-batch
-  COMPUTE is Σ|touched cell|² + |batch| — delta-driven; the edge-state
-  REWRITE is whole-table (the cost of a manifest format without
-  partition-level replace; streamed scan→write, never driver-held —
-  a per-cell dir manifest is the documented next step);
+  state, and REPLACE only those cells' sub-dirs in the cell-partitioned
+  edge state (``replace_partitions`` — round 8; both the compute AND
+  the write are now O(delta): Σ|touched cell|² + |batch| compute,
+  O(touched cells) write, untouched cells carried manifest-only);
 - exactly-once: both commits gate on ``batch_id`` manifest meta (the
   ``table_sink`` / CDC discipline). A retry after a crash between the
   two commits skips the members append (its batch_id already landed),
