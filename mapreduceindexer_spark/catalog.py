@@ -9061,6 +9061,80 @@ def q_table_cluster(spark, sf_dir):
 
 
 _BLOOM_PROBE_ID = 7
+_BLOOM_PROBE_IDS = (7, 11)  # 7 % 3 == 1, 11 % 3 == 2: two distinct slices
+
+
+@register(
+    "q_table_bloom_skip_many",
+    f"""WITH sl AS (SELECT doc_id, n_chars, doc_id % 3 AS s FROM documents),
+            ix AS (SELECT unnest(range(5)) AS i),
+            bits AS (SELECT DISTINCT s,
+                            {_sql_hash60('CAST(doc_id AS VARCHAR)', 'i')} % 8192 AS pos
+                     FROM sl CROSS JOIN ix),
+            pr AS (SELECT pv.v,
+                          {_sql_hash60('CAST(pv.v AS VARCHAR)', 'ix.i')} % 8192 AS pos
+                   FROM (SELECT unnest([{", ".join(map(str, _BLOOM_PROBE_IDS))}]) AS v) pv
+                   CROSS JOIN ix),
+            hitcnt AS (SELECT b.s, p.v, CAST(count(*) AS BIGINT) AS nhit
+                       FROM pr p JOIN bits b ON b.pos = p.pos
+                       GROUP BY b.s, p.v),
+            scanned AS (SELECT DISTINCT s FROM hitcnt WHERE nhit = 5)
+       SELECT CAST(3 AS BIGINT) AS n_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM scanned) AS n_dirs_scanned,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents
+               WHERE doc_id IN {_BLOOM_PROBE_IDS}) AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+               WHERE doc_id IN {_BLOOM_PROBE_IDS}) AS total_chars""",
+)
+def q_table_bloom_skip_many(spark, sf_dir):
+    """BATCHED Bloom point lookup (sources/transact.py::read_eq_many /
+    pruned_dirs_eq_many — the serving layer's multi-get): same
+    unclustered mod-3 fixture as q_table_bloom_skip, probed with TWO
+    ids living in different slices. The whole probe set resolves the
+    manifest ONCE; a dir is scanned iff ANY probe's 5 driver-side bit
+    positions are all set in its bitmap (IN is a disjunction), and the
+    oracle replays that exact per-(dir, probe) bit decision
+    relationally, so even a false positive matches bit-for-bit. This
+    is the pruning path the HNSW serving walk runs per hop
+    (operators/similarity.py::ann_graph_search_vectors_table). Scale:
+    a k-id multi-get on a 100 TB append-heavy table touches the ≤ k
+    snapshots that can hold the ids, at one manifest resolve."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    docs = _docs(spark, sf_dir)
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_bloomm_"))
+    for i in range(3):
+        table.commit(
+            docs.filter(F.col("doc_id") % 3 == i),
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["doc_id"],
+            bloom_cols=["doc_id"],
+        )
+    # The oracle replays ONLY the bloom decision; range stats must be a
+    # no-op for every probe (same fixture guarantee + assert as the
+    # single-probe query).
+    for pid in _BLOOM_PROBE_IDS:
+        kept_range, _ = table.pruned_dirs("doc_id", lo=pid, hi=pid)
+        assert len(kept_range) == 3, (
+            f"bloom-skip fixture assumption broken: range stats pruned "
+            f"{3 - len(kept_range)} dirs for probe {pid}"
+        )
+    kept, skipped = table.pruned_dirs_eq_many("doc_id", _BLOOM_PROBE_IDS)
+    out = (
+        table.read_eq_many(spark, "doc_id", list(_BLOOM_PROBE_IDS))
+        .agg(
+            F.lit(len(kept) + len(skipped)).cast("bigint").alias("n_dirs"),
+            F.lit(len(kept)).cast("bigint").alias("n_dirs_scanned"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
 
 
 @register(

@@ -798,6 +798,26 @@ class TransactionalTable:
         skipped = [d for d in manifest["dirs"] if d not in kept_set]
         return kept, skipped
 
+    def read_eq_many(
+        self, spark: SparkSession, col: str, values, version: int | None = None
+    ) -> DataFrame:
+        """The rows of ``version`` with ``col IN values``, scanning only
+        the dirs ``pruned_dirs_eq_many`` keeps; the residual IN filter
+        makes Bloom false positives a scan cost, never a wrong row —
+        ``read_eq``'s batched twin (a serving layer's multi-get)."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.current_version()
+        kept, _ = self.pruned_dirs_eq_many(col, values, version)
+        if kept:
+            df = spark.read.parquet(
+                *[os.path.join(self.path, d) for d in kept]
+            )
+        else:
+            df = self.read(spark, version).limit(0)
+        return df.filter(F.col(col).isin(list(values)))
+
     def delete_where(
         self,
         spark: SparkSession,
