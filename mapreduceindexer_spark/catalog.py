@@ -8846,6 +8846,67 @@ def q_table_replace(spark, sf_dir):
 
 
 @register(
+    "q_table_evolution",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 2 AS BIGINT) AS half
+                  FROM documents)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents, b
+               WHERE doc_id >= b.half) AS n_lang_rows,
+              (SELECT CAST(count(DISTINCT lang) AS BIGINT)
+               FROM documents, b WHERE doc_id >= b.half) AS n_langs,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+                AS total_chars,
+              CAST(2 AS BIGINT) AS n_cols_v1""",
+)
+def q_table_evolution(spark, sf_dir):
+    """ADD-ONLY SCHEMA EVOLUTION (sources/transact.py): version 1
+    commits the narrow (doc_id, n_chars) half of documents; version 2
+    appends the other half WITH a new ``lang`` column. Each manifest
+    records its version's schema and every read applies it, so the
+    historic v1 dir reads lang as NULL (counted by n_lang_rows — only
+    the appended half has values), time travel to v1 shows exactly two
+    columns (n_cols_v1, asserted in-query so a regression breaks the
+    value hash), and aggregates span both dirs seamlessly. The oracle
+    replays the NULL geometry from the doc_id split. Scale: evolution
+    is metadata-only — no historic dir is rewritten when a column
+    lands, which at 100 TB is the difference between ALTER TABLE in
+    milliseconds and a full-table migration."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    half = n // 2
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_evo_"))
+    table.commit(
+        docs.filter(F.col("doc_id") < half).select("doc_id", "n_chars")
+    )
+    table.commit(
+        docs.filter(F.col("doc_id") >= half).select(
+            "doc_id", "n_chars", "lang"
+        ),
+        mode="append",
+    )
+    n_cols_v1 = len(table.read(spark, 1).columns)
+    out = (
+        table.read(spark, 2)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("lang").cast("bigint").alias("n_lang_rows"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.lit(n_cols_v1).cast("bigint").alias("n_cols_v1"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_delete",
     """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
                          CAST(count(*) // 3 AS BIGINT) AS b1,

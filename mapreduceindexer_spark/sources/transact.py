@@ -33,8 +33,12 @@ index state):
 
 This is intentionally the smallest useful subset of a log-structured
 table format: enough for exactly-once batch publication, reproducible
-time-travel reads (training-data provenance), and safe concurrent
-writers. Schema evolution / row-level deletes are out of scope.
+time-travel reads (training-data provenance), safe concurrent writers,
+copy-on-write DELETE/MERGE, partition-level replace, and ADD-ONLY
+schema evolution (each manifest records its version's schema; reads
+apply it, so historic dirs missing later-added columns read as NULL
+and time travel shows each version's own schema — type changes
+raise).
 """
 
 from __future__ import annotations
@@ -233,6 +237,48 @@ def _grouped_subdir_stats(
     return stats
 
 
+def _schema_json(schema) -> dict:
+    """A StructType as it rides the manifest: every field marked
+    nullable, because under schema evolution ANY column may be absent
+    from some historic snapshot dir (where it reads as NULL)."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(f.name, f.dataType, True) for f in schema.fields]
+    ).jsonValue()
+
+
+def _evolve_schema(prev_json: dict | None, new_schema) -> dict:
+    """ADD-ONLY schema evolution: the next version's recorded schema is
+    the previous fields (original order) plus any new-only fields
+    appended. A field present in both with a DIFFERENT type raises —
+    silent type change is how readers start mis-parsing history; a
+    production format would version a type-widening lattice here.
+    Fields missing from the new data are KEPT (historic dirs still
+    hold them; new dirs read them as NULL) — both add and omit are
+    safe because every read applies the recorded schema."""
+    if prev_json is None:
+        return _schema_json(new_schema)
+    from pyspark.sql.types import StructField, StructType
+
+    prev = StructType.fromJson(prev_json)
+    prev_types = {f.name: f.dataType for f in prev.fields}
+    for f in new_schema.fields:
+        old = prev_types.get(f.name)
+        if old is not None and old.simpleString() != f.dataType.simpleString():
+            raise ValueError(
+                f"schema evolution is add-only: column {f.name!r} "
+                f"changed type {old.simpleString()} -> "
+                f"{f.dataType.simpleString()}"
+            )
+    merged = list(prev.fields) + [
+        StructField(f.name, f.dataType, True)
+        for f in new_schema.fields
+        if f.name not in prev_types
+    ]
+    return _schema_json(StructType(merged))
+
+
 def _snapshot_entry(
     spark: SparkSession,
     snap_dir: str,
@@ -343,6 +389,14 @@ class TransactionalTable:
             else self.current_version()
         )
         new_version = base + 1
+        # Schema evolution resolves BEFORE the snapshot write so an
+        # illegal type change fails fast with no orphan dir: appends
+        # evolve add-only against the recorded schema; overwrite is a
+        # fresh table state and records the new schema as-is.
+        prev = self._manifest(base) if (mode == "append" and base > 0) else None
+        schema_json = _evolve_schema(
+            prev.get("schema") if prev else None, df.schema
+        )
 
         snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
         df.write.mode("error").parquet(snap)
@@ -357,8 +411,7 @@ class TransactionalTable:
         if entry:
             stats[os.path.basename(snap)] = entry
 
-        if mode == "append" and base > 0:
-            prev = self._manifest(base)
+        if prev is not None:
             dirs = prev["dirs"] + [os.path.basename(snap)]
             # Inherited dirs keep whatever stats their own commit
             # recorded — appends extend the stats map, never recompute.
@@ -366,7 +419,12 @@ class TransactionalTable:
         else:
             dirs = [os.path.basename(snap)]
 
-        payload = {"version": new_version, "mode": mode, "dirs": dirs}
+        payload = {
+            "version": new_version,
+            "mode": mode,
+            "dirs": dirs,
+            "schema": schema_json,
+        }
         if stats:
             payload["stats"] = stats
         if meta:
@@ -413,10 +471,25 @@ class TransactionalTable:
                 f"version {version} does not exist "
                 f"(available: {self.versions() or 'none'})"
             )
-        dirs = [
-            os.path.join(self.path, d) for d in self._manifest(version)["dirs"]
-        ]
-        return spark.read.parquet(*dirs)
+        manifest = self._manifest(version)
+        return self._read_dirs(spark, manifest, manifest["dirs"])
+
+    def _read_dirs(
+        self, spark: SparkSession, manifest: dict, dirs
+    ) -> DataFrame:
+        """Read a subset of one version's dirs, applying the version's
+        RECORDED schema when the manifest carries one — the schema-
+        evolution read path: a historic dir missing a later-added
+        column reads it as NULL, and time travel to an old version
+        shows that version's schema, not today's. Manifests from
+        before schema recording read as before (inferred)."""
+        paths = [os.path.join(self.path, d) for d in dirs]
+        sj = manifest.get("schema")
+        if sj is not None:
+            from pyspark.sql.types import StructType
+
+            return spark.read.schema(StructType.fromJson(sj)).parquet(*paths)
+        return spark.read.parquet(*paths)
 
     def pruned_dirs(
         self,
@@ -501,9 +574,7 @@ class TransactionalTable:
             version = self.current_version()
         kept, _ = self.pruned_dirs(col, lo, hi, version)
         if kept:
-            df = spark.read.parquet(
-                *[os.path.join(self.path, d) for d in kept]
-            )
+            df = self._read_dirs(spark, self._manifest(version), kept)
         else:
             # Every dir proved non-matching: keep the schema, read no
             # rows (limit(0) prunes at the planner, not the scan).
@@ -574,9 +645,7 @@ class TransactionalTable:
                 if d not in seen:  # each append re-lists inherited dirs
                     new_dirs.append(d)
                     seen.add(d)
-        return spark.read.parquet(
-            *[os.path.join(self.path, d) for d in new_dirs]
-        )
+        return self._read_dirs(spark, self._manifest(to_version), new_dirs)
 
     def pruned_dirs_multi(
         self,
@@ -634,9 +703,7 @@ class TransactionalTable:
             version = self.current_version()
         kept, _ = self.pruned_dirs_multi(predicates, version)
         if kept:
-            df = spark.read.parquet(
-                *[os.path.join(self.path, d) for d in kept]
-            )
+            df = self._read_dirs(spark, self._manifest(version), kept)
         else:
             df = self.read(spark, version).limit(0)
         for col, (lo, hi) in predicates.items():
@@ -760,9 +827,7 @@ class TransactionalTable:
             version = self.current_version()
         kept, _ = self.pruned_dirs_eq(col, value, version)
         if kept:
-            df = spark.read.parquet(
-                *[os.path.join(self.path, d) for d in kept]
-            )
+            df = self._read_dirs(spark, self._manifest(version), kept)
         else:
             df = self.read(spark, version).limit(0)
         return df.filter(F.col(col) == F.lit(value))
@@ -811,9 +876,7 @@ class TransactionalTable:
             version = self.current_version()
         kept, _ = self.pruned_dirs_eq_many(col, values, version)
         if kept:
-            df = spark.read.parquet(
-                *[os.path.join(self.path, d) for d in kept]
-            )
+            df = self._read_dirs(spark, self._manifest(version), kept)
         else:
             df = self.read(spark, version).limit(0)
         return df.filter(F.col(col).isin(list(values)))
@@ -862,8 +925,8 @@ class TransactionalTable:
                 matched = matched & (F.col(col) >= F.lit(lo))
             if hi is not None:
                 matched = matched & (F.col(col) <= F.lit(hi))
-            survivors = spark.read.parquet(
-                *[os.path.join(self.path, d) for d in may_match]
+            survivors = self._read_dirs(
+                spark, manifest, may_match
             ).filter(F.col(col).isNull() | ~matched)
             snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
             survivors.write.mode("error").parquet(snap)
@@ -877,6 +940,11 @@ class TransactionalTable:
         payload = {
             "version": new_version,
             "mode": "delete",
+            **(
+                {"schema": manifest["schema"]}
+                if "schema" in manifest
+                else {}
+            ),
             "dirs": dirs,
             "meta": {
                 "deleted_from": cur,
@@ -971,9 +1039,7 @@ class TransactionalTable:
         if lo is not None:
             new_rows = updates
             if may_match:
-                base = spark.read.parquet(
-                    *[os.path.join(self.path, d) for d in may_match]
-                )
+                base = self._read_dirs(spark, manifest, may_match)
                 survivors = base.join(
                     updates.select(F.col(key)).distinct(), key, "left_anti"
                 )
@@ -992,6 +1058,11 @@ class TransactionalTable:
         payload = {
             "version": new_version,
             "mode": "merge",
+            **(
+                {"schema": manifest["schema"]}
+                if "schema" in manifest
+                else {}
+            ),
             "dirs": dirs,
             "meta": {
                 "merged_from": cur,
@@ -1152,9 +1223,11 @@ class TransactionalTable:
         stats = _grouped_subdir_stats(
             spark, snap, "_bucket", stats_cols, bloom_cols
         )
+        prev_schema = self._manifest(cur).get("schema")
         payload = {
             "version": cur + 1,
             "mode": "overwrite",
+            **({"schema": prev_schema} if prev_schema is not None else {}),
             "dirs": subdirs,
             "meta": {
                 "clustered_from": cur,
@@ -1253,12 +1326,18 @@ class TransactionalTable:
             if expected_version is not None
             else self.current_version()
         )
+        prev_m = (
+            self._manifest(base_v) if (mode == "append" and base_v > 0) else None
+        )
+        schema_json = _evolve_schema(
+            prev_m.get("schema") if prev_m else None, df.schema
+        )
         snap, subdirs = self._write_partitioned_snap(spark, df, part_col)
         stats = _grouped_subdir_stats(
             spark, snap, self._PART, stats_cols, bloom_cols
         )
-        if mode == "append" and base_v > 0:
-            prev = self._manifest(base_v)
+        if prev_m is not None:
+            prev = prev_m
             if prev.get("meta", {}).get("partitioned_by") != part_col:
                 shutil.rmtree(snap, ignore_errors=True)
                 raise ValueError(
@@ -1273,6 +1352,7 @@ class TransactionalTable:
         payload = {
             "version": base_v + 1,
             "mode": mode,
+            "schema": schema_json,
             "dirs": dirs,
             "meta": {**(meta or {}), "partitioned_by": part_col},
         }
@@ -1325,6 +1405,7 @@ class TransactionalTable:
         suffixes = {self._part_suffix(v) for v in parts}
         if not suffixes:
             raise ValueError("replace_partitions needs at least one partition")
+        schema_json = _evolve_schema(manifest.get("schema"), updates.schema)
         # Pin updates before the three consumers (validation agg, write,
         # stats pass) — the merge_rows determinism discipline.
         updates = updates.localCheckpoint(eager=True)
@@ -1364,6 +1445,7 @@ class TransactionalTable:
         payload = {
             "version": cur + 1,
             "mode": "replace_partitions",
+            "schema": schema_json,
             "dirs": kept + subdirs,
             "meta": {
                 **(meta or {}),

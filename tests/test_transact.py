@@ -875,6 +875,74 @@ def test_replace_partitions_is_o_delta_and_guarded(spark, tmp_path):
         )
 
 
+def test_schema_evolution_add_only(spark, tmp_path):
+    """ADD-ONLY schema evolution: each manifest records its version's
+    schema and every read applies it — an appended column reads as
+    NULL from historic dirs, time travel shows each version's OWN
+    schema, an append missing a column keeps it (new rows NULL), and a
+    type change raises BEFORE any snapshot dir is written."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), stats_cols=["id"])
+    t.commit(
+        spark.range(5, 10).withColumn("score", F.col("id") * 2.0),
+        mode="append",
+        stats_cols=["id"],
+    )
+    cur = t.read(spark)
+    assert set(cur.columns) == {"id", "score"}
+    rows = {r["id"]: r["score"] for r in cur.collect()}
+    assert all(rows[i] is None for i in range(5))
+    assert all(rows[i] == i * 2.0 for i in range(5, 10))
+    # Time travel: v1 shows v1's schema, no later column.
+    assert t.read(spark, 1).columns == ["id"]
+    # Append that OMITS the evolved column keeps it (new rows NULL).
+    t.commit(spark.range(10, 12), mode="append")
+    rows = {r["id"]: r["score"] for r in t.read(spark).collect()}
+    assert rows[10] is None and rows[9] == 18.0
+    # Pruned reads apply the recorded schema too.
+    pr = t.read_pruned(spark, "id", lo=0, hi=4)
+    assert set(pr.columns) == {"id", "score"}
+    assert all(r["score"] is None for r in pr.collect())
+    # Type change fails fast: no new snap dir appears.
+    n_snaps = len([d for d in os.listdir(t.path) if d.startswith("snap-")])
+    with pytest.raises(ValueError, match="add-only"):
+        t.commit(
+            spark.range(0, 2).withColumn("score", F.lit("text")),
+            mode="append",
+        )
+    assert (
+        len([d for d in os.listdir(t.path) if d.startswith("snap-")])
+        == n_snaps
+    )
+    # Maintenance carries the schema: compact preserves evolved reads.
+    t.compact(spark)
+    rows = {r["id"]: r["score"] for r in t.read(spark).collect()}
+    assert rows[0] is None and rows[9] == 18.0
+
+
+def test_schema_evolution_partitioned_replace(spark, tmp_path):
+    """Evolution through the partitioned write path: replace_partitions
+    with an added column records the merged schema; untouched
+    partitions' historic files read the new column as NULL."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    base = spark.range(0, 12).withColumn("cell", (F.col("id") % 3).cast("bigint"))
+    t.commit_partitioned(spark, base, "cell")
+    upd = base.filter(F.col("cell") == 1).withColumn("w", F.lit(1.5))
+    t.replace_partitions(spark, upd, [1])
+    got = t.read(spark)
+    assert set(got.columns) == {"id", "cell", "w"}
+    by_cell = {
+        (r["id"], r["w"]) for r in got.collect()
+    }
+    assert (1, 1.5) in by_cell and (0, None) in by_cell
+
+
 def test_multi_column_pruning_intersects_conjuncts(spark, tmp_path):
     """AND-of-ranges pruning: a dir survives only if NO conjunct's
     stats preclude it, and results equal the full filtered read."""
