@@ -8961,6 +8961,68 @@ def q_table_delete(spark, sf_dir):
 
 
 @register(
+    "q_table_delete_dv",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 3 AS BIGINT) AS b1,
+                         CAST((2 * count(*)) // 3 AS BIGINT) AS b2
+                  FROM documents),
+            sl AS (SELECT CAST(0 AS BIGINT) AS lo, b1 - 1 AS hi FROM b
+                   UNION ALL SELECT b1, b2 - 1 FROM b
+                   UNION ALL SELECT b2, n - 1 FROM b),
+            p AS (SELECT b1 // 2 AS plo, b1 - 1 AS phi FROM b)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents, p
+               WHERE doc_id BETWEEN p.plo AND p.phi) AS dv_rows,
+              (SELECT CAST(count(*) AS BIGINT) FROM sl, p
+               WHERE sl.lo <= p.phi AND sl.hi >= p.plo) AS dv_target_dirs,
+              CAST(3 AS BIGINT) AS n_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents, p
+               WHERE doc_id NOT BETWEEN p.plo AND p.phi) AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents, p
+               WHERE doc_id NOT BETWEEN p.plo AND p.phi) AS total_chars,
+              (SELECT n FROM b) AS n_docs_pre""",
+)
+def q_table_delete_dv(spark, sf_dir):
+    """MERGE-ON-READ DELETE via position deletion vectors
+    (sources/transact.py::delete_where_dv), driven end-to-end: three
+    range-disjoint snapshot appends with doc_id stats, then a ranged
+    delete inside the first slice that writes ONLY a (file, row-index)
+    vector — manifest stats prune the vector scan to the one may-match
+    dir, and the data plane is never rewritten (the manifest still
+    lists the same 3 dirs; contrast q_table_delete's copy-on-write
+    rewrite). The query returns (vector rows, dirs the vector
+    targeted, dir count after the delete, surviving rows, surviving
+    char sum, pre-delete rows via time travel); the oracle replays the
+    vector size as a BETWEEN count, the target decision as interval
+    arithmetic, and the survivors as NOT BETWEEN — the read-side
+    anti-join must be invisible in the values. Scale: a trickle of
+    erasures costs O(rows deleted) in vector bytes instead of
+    rewriting terabyte snapshots; compaction materializes vectors on
+    its own schedule (pinned by test_transact.py's DV suite).
+    Reference has no table/DML layer (src/functions.cpp:146-162)."""
+    import shutil
+
+    _, table, n, b1, b2 = _three_slice_table(spark, sf_dir, "mri_txn_dv_")
+    plo, phi = b1 // 2, b1 - 1
+    v = table.delete_where_dv(spark, "doc_id", lo=plo, hi=phi)
+    meta = table.meta_of(v)
+    pre = table.read(spark, v - 1).count()
+    out = (
+        table.read(spark, v)
+        .agg(
+            F.lit(meta["dv_rows"]).cast("bigint").alias("dv_rows"),
+            F.lit(meta["dv_target_dirs"]).cast("bigint").alias("dv_target_dirs"),
+            F.lit(len(table._manifest(v)["dirs"])).cast("bigint").alias("n_dirs"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.lit(pre).cast("bigint").alias("n_docs_pre"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_merge",
     """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
                          CAST(count(*) // 3 AS BIGINT) AS b1,

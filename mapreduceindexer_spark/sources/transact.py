@@ -34,11 +34,14 @@ index state):
 This is intentionally the smallest useful subset of a log-structured
 table format: enough for exactly-once batch publication, reproducible
 time-travel reads (training-data provenance), safe concurrent writers,
-copy-on-write DELETE/MERGE, partition-level replace, and ADD-ONLY
-schema evolution (each manifest records its version's schema; reads
-apply it, so historic dirs missing later-added columns read as NULL
-and time travel shows each version's own schema — type changes
-raise).
+copy-on-write DELETE/MERGE, MERGE-ON-READ deletes via position
+deletion vectors (``delete_where_dv``: the delete writes only the
+(file, row) positions of the doomed rows — O(deleted), never a data
+rewrite; reads anti-join the vector; compaction materializes it),
+partition-level replace, and ADD-ONLY schema evolution (each manifest
+records its version's schema; reads apply it, so historic dirs missing
+later-added columns read as NULL and time travel shows each version's
+own schema — type changes raise).
 """
 
 from __future__ import annotations
@@ -158,6 +161,44 @@ _BLOOM_SOUND_TYPES = {
     int: {"tinyint", "smallint", "int", "bigint"},
     str: {"string"},
 }
+
+# A deletion vector row addresses one deleted row by its TABLE-RELATIVE
+# file path (anchored at the snap-* dir, so the table can be relocated)
+# and its row index within that file — parquet files are immutable once
+# a snapshot is published, so (rel_path, row_index) is a stable row id.
+_DV_RELPATH_RE = r"/(snap-[0-9a-f]{12}/.+)$"
+# Column names reserved by the deletion-vector machinery: the two DV
+# file columns plus the two tag columns the read-side anti-join adds.
+_DV_RESERVED = {"_dv_rel_path", "_dv_pos", "__mri_dv_rel", "__mri_dv_pos"}
+
+
+def _dv_schema():
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("_dv_rel_path", StringType(), False),
+            StructField("_dv_pos", LongType(), False),
+        ]
+    )
+
+
+def _carry_dv(manifest: dict, dirs) -> dict:
+    """The previous manifest's deletion-vector map restricted to the
+    dirs the next version keeps UNREWRITTEN — a rewritten dir's rows
+    were re-materialized through a DV-applying read, so its vectors
+    must NOT follow it (they address positions in the old files)."""
+    keep = set(dirs)
+    return {
+        d: list(names)
+        for d, names in manifest.get("dv", {}).items()
+        if d in keep
+    }
 
 
 def _grouped_subdir_stats(
@@ -411,11 +452,15 @@ class TransactionalTable:
         if entry:
             stats[os.path.basename(snap)] = entry
 
+        dv = {}
         if prev is not None:
             dirs = prev["dirs"] + [os.path.basename(snap)]
             # Inherited dirs keep whatever stats their own commit
-            # recorded — appends extend the stats map, never recompute.
+            # recorded — appends extend the stats map, never recompute;
+            # their deletion vectors ride along unchanged (the new
+            # snapshot has none by construction).
             stats = {**prev.get("stats", {}), **stats}
+            dv = _carry_dv(prev, prev["dirs"])
         else:
             dirs = [os.path.basename(snap)]
 
@@ -427,6 +472,8 @@ class TransactionalTable:
         }
         if stats:
             payload["stats"] = stats
+        if dv:
+            payload["dv"] = dv
         if meta:
             payload["meta"] = meta
         return self._publish_manifest(payload, new_version, [snap])
@@ -482,14 +529,54 @@ class TransactionalTable:
         evolution read path: a historic dir missing a later-added
         column reads it as NULL, and time travel to an old version
         shows that version's schema, not today's. Manifests from
-        before schema recording read as before (inferred)."""
+        before schema recording read as before (inferred).
+
+        If the manifest carries deletion vectors for any dir being
+        read (``delete_where_dv``), the scan is anti-joined against
+        them on (table-relative file path, row index) — the merge-on-
+        read half of the DV contract. A version with no vectors takes
+        the plain scan path, join-free."""
+        from pyspark.sql import functions as F
+
         paths = [os.path.join(self.path, d) for d in dirs]
         sj = manifest.get("schema")
         if sj is not None:
             from pyspark.sql.types import StructType
 
-            return spark.read.schema(StructType.fromJson(sj)).parquet(*paths)
-        return spark.read.parquet(*paths)
+            df = spark.read.schema(StructType.fromJson(sj)).parquet(*paths)
+        else:
+            df = spark.read.parquet(*paths)
+        dv_map = manifest.get("dv", {})
+        dv_names = sorted({n for d in dirs for n in dv_map.get(d, [])})
+        if not dv_names:
+            return df
+        dv = self._read_dv(spark, dv_names)
+        base_cols = df.columns
+        # Tag each scanned row with its stable (rel_path, row_index) id
+        # BEFORE the join — _metadata resolves only on the file scan.
+        tagged = df.withColumns(
+            {
+                "__mri_dv_rel": F.regexp_extract(
+                    F.col("_metadata.file_path"), _DV_RELPATH_RE, 1
+                ),
+                "__mri_dv_pos": F.col("_metadata.row_index"),
+            }
+        )
+        return tagged.join(
+            dv,
+            (tagged["__mri_dv_rel"] == dv["_dv_rel_path"])
+            & (tagged["__mri_dv_pos"] == dv["_dv_pos"]),
+            "left_anti",
+        ).select(*base_cols)
+
+    def _read_dv(self, spark: SparkSession, dv_names) -> DataFrame:
+        """The union of the named deletion-vector dirs as one typed
+        (_dv_rel_path, _dv_pos) relation. Vectors are bounded by rows
+        DELETED (never table size), so this side of the read's
+        anti-join is small — AQE broadcast-picks it at runtime."""
+        return spark.read.schema(_dv_schema()).parquet(
+            *[os.path.join(self.path, n) for n in dv_names]
+        )
 
     def pruned_dirs(
         self,
@@ -954,6 +1041,144 @@ class TransactionalTable:
         }
         if stats:
             payload["stats"] = stats
+        # Preserved dirs keep their deletion vectors; rewritten dirs
+        # were read THROUGH theirs (so the rewrite already excluded
+        # those rows) and must drop them.
+        dv = _carry_dv(manifest, preserved)
+        if dv:
+            payload["dv"] = dv
+        return self._publish_manifest(payload, new_version, cleanup)
+
+    def delete_where_dv(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+    ) -> int:
+        """MERGE-ON-READ DELETE of rows with ``lo <= col <= hi`` via a
+        position DELETION VECTOR, published as a new version; returns
+        it. Where ``delete_where`` rewrites every may-match snapshot
+        dir (copy-on-write: write cost O(rows in matching dirs)), this
+        writes only the (table-relative file path, row index) of each
+        doomed row to a ``dv-*`` parquet dir and records it in the
+        manifest — write cost O(rows DELETED), the data plane is never
+        touched. Every read path anti-joins the vectors (``_read_dirs``),
+        so results are identical to the copy-on-write delete; the read
+        pays one small anti-join until ``compact``/``compact_clustered``
+        re-materializes the data and drops the vectors (merge-on-read's
+        standard read-amplification-for-write-latency trade — at 100 TB
+        a trickle of GDPR deletes costs megabytes of vectors instead of
+        rewriting terabyte snapshots, with compaction amortizing the
+        read tax on its own schedule).
+
+        Manifest stats are carried VERBATIM: vectors only remove rows,
+        so recorded [min, max]/bloom bits stay conservative-sound for
+        skipping (a fully-deleted dir is still scanned until the next
+        compaction — a cost, never a wrong answer). Stacked DV deletes
+        compose by unioning vectors; rows already deleted by an earlier
+        vector are excluded from the new one, so ``dv_rows`` in the
+        commit meta is the exact count newly deleted. NULLs in ``col``
+        never match a range predicate. Old versions remain
+        time-travelable (their manifests don't list the new vector);
+        optimistic concurrency via the manifest CAS as everywhere."""
+        from pyspark.sql import functions as F
+
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("nothing to delete: table has no committed version")
+        if lo is None and hi is None:
+            raise ValueError("delete_where_dv needs at least one bound")
+        manifest = self._manifest(cur)
+        sj = manifest.get("schema")
+        if sj is not None:
+            clash = _DV_RESERVED & {f["name"] for f in sj["fields"]}
+            if clash:
+                raise ValueError(
+                    f"table columns {sorted(clash)} collide with the "
+                    "deletion-vector machinery's reserved names; rename "
+                    "them or use the copy-on-write delete_where"
+                )
+        may_match, preserved = self.pruned_dirs(col, lo, hi, cur)
+        new_version = cur + 1
+        dv_map = _carry_dv(manifest, manifest["dirs"])
+        cleanup: list[str] = []
+        dv_rows = 0
+        if may_match:
+            # A DV-applying _read_dirs read loses _metadata resolution
+            # past its anti-join, so tag positions on a fresh scan and
+            # exclude PRIOR vectors explicitly — the new vector must
+            # never duplicate an already-deleted position (dv_rows is
+            # the exact newly-deleted count).
+            paths = [os.path.join(self.path, d) for d in may_match]
+            if sj is not None:
+                from pyspark.sql.types import StructType
+
+                raw = spark.read.schema(StructType.fromJson(sj)).parquet(*paths)
+            else:
+                raw = spark.read.parquet(*paths)
+            matched = F.col(col).isNotNull()
+            if lo is not None:
+                matched = matched & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                matched = matched & (F.col(col) <= F.lit(hi))
+            doomed = raw.where(matched).select(
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), _DV_RELPATH_RE, 1
+                ).alias("_dv_rel_path"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            )
+            prior = sorted({n for d in may_match for n in dv_map.get(d, [])})
+            if prior:
+                doomed = doomed.join(
+                    self._read_dv(spark, prior),
+                    ["_dv_rel_path", "_dv_pos"],
+                    "left_anti",
+                )
+            dvdir = os.path.join(self.path, f"dv-{uuid.uuid4().hex[:12]}")
+            # One file per vector: DV deletes are the SMALL-delete path
+            # (a trickle of erasures against big snapshots); a delete
+            # large enough to make one writer the bottleneck should be
+            # copy-on-write (delete_where), which also spares readers
+            # the proportionally large anti-join.
+            doomed.coalesce(1).write.mode("error").parquet(dvdir)
+            fsync_tree(dvdir)
+            fsync_path(self.path)
+            dv_rows = spark.read.schema(_dv_schema()).parquet(dvdir).count()
+            if dv_rows == 0:
+                # Stats kept the dir but no live row matched: don't
+                # register (or retain) an empty vector.
+                shutil.rmtree(dvdir, ignore_errors=True)
+            else:
+                cleanup.append(dvdir)
+                name = os.path.basename(dvdir)
+                for d in may_match:
+                    dv_map.setdefault(d, []).append(name)
+        payload = {
+            "version": new_version,
+            "mode": "delete_dv",
+            **({"schema": sj} if sj is not None else {}),
+            "dirs": list(manifest["dirs"]),
+            "meta": {
+                # A DV delete never disturbs the partitioned layout, so
+                # replace_partitions keeps working across it.
+                **(
+                    {
+                        "partitioned_by": manifest["meta"]["partitioned_by"]
+                    }
+                    if manifest.get("meta", {}).get("partitioned_by")
+                    else {}
+                ),
+                "deleted_from": cur,
+                "dv_rows": dv_rows,
+                "dv_target_dirs": len(may_match),
+                "preserved_dirs": len(preserved),
+            },
+        }
+        if manifest.get("stats"):
+            payload["stats"] = manifest["stats"]
+        if dv_map:
+            payload["dv"] = dv_map
         return self._publish_manifest(payload, new_version, cleanup)
 
     def merge_rows(
@@ -1072,6 +1297,11 @@ class TransactionalTable:
         }
         if stats:
             payload["stats"] = stats
+        # Same DV discipline as delete_where: preserved dirs keep
+        # their vectors, rewritten dirs drop them (already applied).
+        dv = _carry_dv(manifest, preserved)
+        if dv:
+            payload["dv"] = dv
         return self._publish_manifest(payload, new_version, cleanup)
 
     # -- maintenance --------------------------------------------------------
@@ -1336,6 +1566,7 @@ class TransactionalTable:
         stats = _grouped_subdir_stats(
             spark, snap, self._PART, stats_cols, bloom_cols
         )
+        dv = {}
         if prev_m is not None:
             prev = prev_m
             if prev.get("meta", {}).get("partitioned_by") != part_col:
@@ -1347,6 +1578,7 @@ class TransactionalTable:
                 )
             dirs = prev["dirs"] + subdirs
             stats = {**prev.get("stats", {}), **stats}
+            dv = _carry_dv(prev, prev["dirs"])
         else:
             dirs = subdirs
         payload = {
@@ -1358,6 +1590,8 @@ class TransactionalTable:
         }
         if stats:
             payload["stats"] = stats
+        if dv:
+            payload["dv"] = dv
         return self._publish_manifest(payload, base_v + 1, [snap])
 
     def replace_partitions(
@@ -1456,6 +1690,11 @@ class TransactionalTable:
         }
         if stats:
             payload["stats"] = stats
+        # Untouched partitions keep their deletion vectors; replaced
+        # partitions' vectors die with the dirs they addressed.
+        dv = _carry_dv(manifest, kept)
+        if dv:
+            payload["dv"] = dv
         return self._publish_manifest(payload, cur + 1, snap_cleanup)
 
     def vacuum(
@@ -1495,7 +1734,8 @@ class TransactionalTable:
             return mcache[v]
 
         for name in sorted(os.listdir(self.path)):
-            if not name.startswith("snap-"):
+            is_dv = name.startswith("dv-")
+            if not (name.startswith("snap-") or is_dv):
                 continue
             try:
                 age = now - os.path.getmtime(os.path.join(self.path, name))
@@ -1508,8 +1748,21 @@ class TransactionalTable:
             current = self.versions()
             kept_now = set(current[-keep_versions:]) if current else set()
             live_now: set[str] = set()
+            live_dvs: set[str] = set()
             for v in kept_now | (keep & set(current)):
-                live_now.update(_manifest_cached(v)["dirs"])
+                m = _manifest_cached(v)
+                live_now.update(m["dirs"])
+                for names in m.get("dv", {}).values():
+                    live_dvs.update(names)
+            if is_dv:
+                # A deletion vector is live while ANY kept manifest
+                # references it; compaction/rewrites drop references,
+                # after which the vector ages out like a dead snapshot.
+                if name in live_dvs:
+                    continue
+                shutil.rmtree(os.path.join(self.path, name))
+                deleted.append(name)
+                continue
             # Clustered snapshots are referenced as "snap-x/_bucket=N"
             # sub-dirs while this sweep walks TOP-LEVEL snap-x entries:
             # a top-level dir is live if any manifest references it

@@ -976,3 +976,172 @@ def test_multi_column_pruning_intersects_conjuncts(spark, tmp_path):
         t.pruned_dirs_multi({"id": (5, 25), "rev": (None, None)})
     with pytest.raises(ValueError, match="does not exist"):
         t.pruned_dirs_multi({"id": (5, 25)}, version=99)
+
+
+# -- deletion vectors (merge-on-read DELETE) --------------------------------
+
+
+def _snap_files(table_path):
+    """{rel_path: mtime} of every data file under every snap-* dir —
+    the byte-stability witness: a merge-on-read delete must leave this
+    map IDENTICAL."""
+    out = {}
+    for top in os.listdir(table_path):
+        if not top.startswith("snap-"):
+            continue
+        for root, _, files in os.walk(os.path.join(table_path, top)):
+            for f in files:
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, table_path)] = os.path.getmtime(p)
+    return out
+
+
+def test_delete_dv_writes_positions_not_data(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 10).withColumn("x", F.col("id") * 2),
+             stats_cols=["id"])
+    t.commit(spark.range(10, 20).withColumn("x", F.col("id") * 2),
+             mode="append", stats_cols=["id"])
+    before = _snap_files(t.path)
+    v = t.delete_where_dv(spark, "id", lo=3, hi=5)
+    # Data plane untouched: same files, same mtimes; one dv-* dir born.
+    assert _snap_files(t.path) == before
+    assert len([d for d in os.listdir(t.path) if d.startswith("dv-")]) == 1
+    meta = t.meta_of(v)
+    assert meta["dv_rows"] == 3
+    # Stats pruned the vector scan to the one may-match dir.
+    assert meta["dv_target_dirs"] == 1 and meta["preserved_dirs"] == 1
+    assert _ids(t.read(spark)) == [0, 1, 2] + list(range(6, 20))
+    # Old versions don't see the vector (time travel intact).
+    assert _ids(t.read(spark, 2)) == list(range(20))
+    # The non-deleted column rides through the anti-join untouched.
+    row = t.read(spark).filter("id = 7").collect()[0]
+    assert row["x"] == 14
+
+
+def test_delete_dv_matches_cow_delete_and_guards(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    src = spark.range(0, 40).withColumn(
+        "k", F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id"))
+    )
+    cow = TransactionalTable(str(tmp_path / "cow"))
+    mor = TransactionalTable(str(tmp_path / "mor"))
+    for tt in (cow, mor):
+        tt.commit(src.filter("id < 20"), stats_cols=["k"])
+        tt.commit(src.filter("id >= 20"), mode="append", stats_cols=["k"])
+    cow.delete_where(spark, "k", lo=10, hi=30)
+    mor.delete_where_dv(spark, "k", lo=10, hi=30)
+    # Identical answers, including NULL-key rows surviving (a range
+    # predicate never matches NULL).
+    assert _ids(cow.read(spark)) == _ids(mor.read(spark))
+    assert 21 in _ids(mor.read(spark))  # 21 % 7 == 0 -> k NULL -> kept
+    with pytest.raises(ValueError, match="at least one bound"):
+        mor.delete_where_dv(spark, "k")
+    with pytest.raises(ValueError, match="no committed version"):
+        TransactionalTable(str(tmp_path / "empty")).delete_where_dv(
+            spark, "k", lo=0
+        )
+    # Reserved-name collision refuses rather than corrupting the join.
+    bad = TransactionalTable(str(tmp_path / "bad"))
+    bad.commit(spark.range(3).withColumn("_dv_pos", F.col("id")))
+    with pytest.raises(ValueError, match="reserved"):
+        bad.delete_where_dv(spark, "id", lo=0, hi=1)
+
+
+def test_delete_dv_stacks_noop_and_compact_materializes(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 10), stats_cols=["id"])
+    t.commit(spark.range(10, 20), mode="append", stats_cols=["id"])
+    t.delete_where_dv(spark, "id", lo=3, hi=5)
+    v = t.delete_where_dv(spark, "id", lo=5, hi=12)
+    # Overlap (5) is NOT re-recorded: dv_rows is the exact new count.
+    assert t.meta_of(v)["dv_rows"] == 7
+    assert _ids(t.read(spark)) == [0, 1, 2] + list(range(13, 20))
+    # A delete whose range is stats-precluded is a metadata-only commit.
+    n_dv = len([d for d in os.listdir(t.path) if d.startswith("dv-")])
+    v2 = t.delete_where_dv(spark, "id", lo=500, hi=600)
+    assert t.meta_of(v2)["dv_rows"] == 0 and t.meta_of(v2)["dv_target_dirs"] == 0
+    # A delete whose dirs were kept by stats but whose rows are all
+    # already vector-deleted registers no empty vector either.
+    v3 = t.delete_where_dv(spark, "id", lo=4, hi=5)
+    assert t.meta_of(v3)["dv_rows"] == 0
+    assert (
+        len([d for d in os.listdir(t.path) if d.startswith("dv-")]) == n_dv
+    )
+    # Compaction reads THROUGH the vectors and drops them.
+    vc = t.compact(spark, stats_cols=["id"])
+    assert "dv" not in t._manifest(vc)
+    assert _ids(t.read(spark)) == [0, 1, 2] + list(range(13, 20))
+    # Vacuum then reclaims the dead vectors (and old snaps).
+    gone = t.vacuum(keep_versions=1, grace_seconds=0.0)
+    assert [d for d in os.listdir(t.path) if d.startswith("dv-")] == []
+    assert any(d.startswith("dv-") for d in gone)
+    assert _ids(t.read(spark)) == [0, 1, 2] + list(range(13, 20))
+
+
+def test_delete_dv_composes_with_append_merge_cow_and_evolution(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 10).withColumn("v", F.lit("a")), stats_cols=["id"])
+    t.delete_where_dv(spark, "id", lo=2, hi=3)
+    # Append AFTER the vector: inherited dirs keep it; add-only schema
+    # evolution composes (new column reads NULL on the vectored dir).
+    t.commit(
+        spark.range(10, 15)
+        .withColumn("v", F.lit("b"))
+        .withColumn("w", F.lit(1)),
+        mode="append",
+        stats_cols=["id"],
+    )
+    got = t.read(spark)
+    assert _ids(got) == [0, 1] + list(range(4, 15))
+    assert got.filter("id = 5").collect()[0]["w"] is None
+    # MERGE over the vectored table: deleted rows stay deleted, the
+    # update wins where it matches, preserved dirs keep their vector.
+    updates = (
+        spark.range(12, 14)
+        .withColumn("v", F.lit("u"))
+        .withColumn("w", F.lit(9))
+    )
+    t.merge_rows(spark, updates, key="id", stats_cols=["id"])
+    got = t.read(spark)
+    assert _ids(got) == [0, 1] + list(range(4, 15))
+    assert got.filter("id = 12").collect()[0]["v"] == "u"
+    assert "dv" in t._manifest(t.current_version())  # dir-1 vector kept
+    # COW delete over a vectored dir: rewrite applies the vector, new
+    # manifest drops it.
+    t.delete_where(spark, "id", lo=0, hi=1)
+    m = t._manifest(t.current_version())
+    assert _ids(t.read(spark)) == list(range(4, 15))
+    assert not m.get("dv"), m.get("dv")
+
+
+def test_delete_dv_on_clustered_subdirs_and_plain_read_is_joinfree(
+    spark, tmp_path
+):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 100), stats_cols=["id"])
+    t.compact_clustered(spark, "id", n_buckets=4, stats_cols=["id"])
+    # The vector addresses rows inside snap-x/_bucket=N sub-dirs; the
+    # rel-path anchor must capture the sub-dir path.
+    v = t.delete_where_dv(spark, "id", lo=30, hi=34)
+    assert t.meta_of(v)["dv_rows"] == 5
+    # Stats pruned the scan to the one bucket holding [25, 50).
+    assert t.meta_of(v)["dv_target_dirs"] == 1
+    assert _ids(t.read(spark)) == [i for i in range(100) if not 30 <= i <= 34]
+    # read_pruned composes: prune by stats, then anti-join the vector.
+    assert _ids(t.read_pruned(spark, "id", lo=28, hi=40)) == [
+        28, 29, 35, 36, 37, 38, 39, 40
+    ]
+    # A version with NO vectors plans a join-free scan (the DV read
+    # path must cost nothing when unused).
+    clean = TransactionalTable(str(tmp_path / "clean"))
+    clean.commit(spark.range(10))
+    plan = clean.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
