@@ -9023,6 +9023,76 @@ def q_table_delete_dv(spark, sf_dir):
 
 
 @register(
+    "q_table_wap",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 3 AS BIGINT) AS b1
+                  FROM documents),
+            staged AS (SELECT count(*) AS s, sum(n_chars) AS sc
+                       FROM documents, b WHERE doc_id < b.b1)
+       SELECT (SELECT n FROM b) AS main_before,
+              (SELECT n FROM b) + (SELECT CAST(s AS BIGINT) FROM staged)
+                  AS branch_staged,
+              (SELECT n FROM b) AS main_during_stage,
+              (SELECT n FROM b) + (SELECT CAST(s AS BIGINT) FROM staged)
+                  AS main_after,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+                  + (SELECT CAST(sc AS BIGINT) FROM staged)
+                  AS total_chars_after,
+              (SELECT n FROM b) AS tagged_rows,
+              CAST(1 AS BIGINT) AS published_as_append""",
+)
+def q_table_wap(spark, sf_dir):
+    """WRITE-AUDIT-PUBLISH on the transactional table
+    (sources/transact.py::branch/publish_branch/tag): the staging
+    pattern a production ingest pipeline runs every batch — commit new
+    data to a BRANCH (one manifest copy, zero data copied; invisible
+    to main readers), AUDIT it there (the branch rowcount), then
+    publish atomically to main (one manifest CAS — all staged commits
+    land or none do; an append-only stage publishes as mode=append so
+    incremental consumers read straight across). The pre-publish main
+    version is TAGGED, pinning it through vacuum for reproducibility.
+    The query returns (main before, branch staged, main during stage,
+    main after publish, char sum after, tagged rows, append-mode
+    flag); the oracle replays every count as arithmetic over
+    documents. Scale: WAP is how a 100 TB table takes a daily batch
+    without readers ever seeing a half-loaded state, and the fork/
+    publish cost is one small JSON manifest regardless of table size.
+    Reference has no table layer (src/functions.cpp:146-162)."""
+    import shutil
+
+    docs, table, n, b1, _ = _three_slice_table(spark, sf_dir, "mri_txn_wap_")
+    main_before = table.read(spark).count()
+    table.tag("audit-base")
+    stage = table.branch("stage")
+    staged_batch = docs.filter(F.col("doc_id") < b1).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(n)
+    )
+    stage.commit(staged_batch, mode="append", stats_cols=["doc_id"])
+    branch_staged = stage.read(spark).count()
+    main_during = table.read(spark).count()  # audit: main unaffected
+    v = table.publish_branch("stage")
+    published_as_append = int(table._manifest(v)["mode"] == "append")
+    tagged_rows = table.read_tag(spark, "audit-base").count()
+    out = (
+        table.read(spark, v)
+        .agg(
+            F.lit(main_before).cast("bigint").alias("main_before"),
+            F.lit(branch_staged).cast("bigint").alias("branch_staged"),
+            F.lit(main_during).cast("bigint").alias("main_during_stage"),
+            F.count("*").cast("bigint").alias("main_after"),
+            F.sum("n_chars").cast("bigint").alias("total_chars_after"),
+            F.lit(tagged_rows).cast("bigint").alias("tagged_rows"),
+            F.lit(published_as_append).cast("bigint").alias(
+                "published_as_append"
+            ),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_merge",
     """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
                          CAST(count(*) // 3 AS BIGINT) AS b1,

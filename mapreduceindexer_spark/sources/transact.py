@@ -340,19 +340,41 @@ def _snapshot_entry(
     return entry
 
 
+_REF_NAME_RE = r"^[A-Za-z0-9_\-]{1,64}$"
+
+
 class TransactionalTable:
     """A versioned parquet table rooted at ``path`` (local or any
-    fuse-mounted filesystem with atomic link/rename semantics)."""
+    fuse-mounted filesystem with atomic link/rename semantics).
 
-    def __init__(self, path: str):
+    ``ref`` selects a BRANCH view (write-audit-publish): the default
+    ``None`` is the main lineage (``_manifests/``); a branch created by
+    ``branch()`` keeps its own manifest chain under ``_refs/<name>/``
+    while sharing the table root's snapshot dirs — staging commits are
+    invisible to main readers until ``publish_branch`` lands them
+    atomically. All reads/writes work identically on either view."""
+
+    def __init__(self, path: str, ref: str | None = None):
+        import re
+
         self.path = path
-        self.manifest_dir = os.path.join(path, "_manifests")
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        self.ref = ref
+        if ref is None:
+            self.manifest_dir = os.path.join(path, "_manifests")
+            os.makedirs(self.manifest_dir, exist_ok=True)
+        else:
+            if not re.match(_REF_NAME_RE, ref):
+                raise ValueError(f"invalid ref name {ref!r}")
+            # Lazily created by the first publish (branch()) — opening
+            # a view must not resurrect a dropped branch's dir.
+            self.manifest_dir = os.path.join(path, "_refs", ref)
 
     # -- version resolution -------------------------------------------------
 
     def versions(self) -> list[int]:
         out = []
+        if not os.path.isdir(self.manifest_dir):
+            return out  # ref view of a never-created/dropped branch
         for name in os.listdir(self.manifest_dir):
             if name.startswith("v") and name.endswith(".json"):
                 try:
@@ -484,6 +506,7 @@ class TransactionalTable:
         """Atomically publish ``payload`` as ``v<new_version>.json`` via
         the hard-link CAS; on a lost race, remove the loser's freshly
         written ``cleanup_snaps`` and raise ``CommitConflict``."""
+        os.makedirs(self.manifest_dir, exist_ok=True)  # lazy ref dirs
         tmp = os.path.join(
             self.manifest_dir, f".tmp-{uuid.uuid4().hex[:12]}.json"
         )
@@ -1697,6 +1720,161 @@ class TransactionalTable:
             payload["dv"] = dv
         return self._publish_manifest(payload, cur + 1, snap_cleanup)
 
+    # -- branches & tags (write-audit-publish) --------------------------------
+
+    def branch(self, name: str) -> "TransactionalTable":
+        """Fork the current main version into branch ``name`` and
+        return its view — the WRITE-AUDIT-PUBLISH staging pattern every
+        table format grows for pipeline safety: stage commits on the
+        branch (invisible to main readers), audit them (read the
+        branch), then ``publish_branch`` lands the whole batch on main
+        atomically or not at all. The fork is ONE manifest copy (the
+        dir list — zero data copied; snapshots are shared, immutable,
+        and vacuum-pinned while any branch references them); branch
+        commits use the identical CAS protocol in ``_refs/<name>/``.
+        Racing creators of the same branch serialize on the CAS — one
+        wins, the loser gets ``CommitConflict``."""
+        if self.ref is not None:
+            raise ValueError("branches fork from the main view only")
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("cannot branch a table with no commits")
+        b = TransactionalTable(self.path, ref=name)
+        if b.versions():
+            raise ValueError(f"branch {name!r} already exists")
+        m = self._manifest(cur)
+        payload = {
+            **m,
+            "meta": {**m.get("meta", {}), "forked_from": cur, "branch": name},
+        }
+        b._publish_manifest(payload, cur, [])
+        return b
+
+    def publish_branch(self, name: str) -> int:
+        """Atomically land branch ``name``'s head state as the next
+        MAIN version (squash-publish); returns it. Publishes only if
+        main has NOT advanced past the branch's fork point — otherwise
+        ``CommitConflict`` (the staged state was audited against a
+        stale base; re-branch and replay). Zero data movement: the
+        publish is one manifest whose dir list IS the branch head's.
+        If the branch only appended (head dirs ⊇ fork dirs, deletion
+        vectors unchanged), the published manifest keeps mode
+        ``append`` so incremental change-feed consumers read straight
+        across the publish; any rewrite/delete on the branch publishes
+        as a feed boundary (``publish_branch`` mode), exactly like the
+        underlying ops would on main."""
+        if self.ref is not None:
+            raise ValueError("publish_branch runs on the main view only")
+        b = TransactionalTable(self.path, ref=name)
+        bvs = b.versions()
+        if not bvs:
+            raise ValueError(f"branch {name!r} does not exist")
+        fork, head = bvs[0], bvs[-1]
+        if head == fork:
+            raise ValueError(f"branch {name!r} has no commits to publish")
+        cur = self.current_version()
+        if cur != fork:
+            raise CommitConflict(
+                f"main advanced from {fork} to {cur} since branch "
+                f"{name!r} forked; re-branch from the new head and "
+                "replay the staged commits"
+            )
+        fm, hm = b._manifest(fork), b._manifest(head)
+        append_only = set(fm["dirs"]) <= set(hm["dirs"]) and fm.get(
+            "dv", {}
+        ) == hm.get("dv", {})
+        payload = {
+            **hm,
+            "version": cur + 1,
+            "mode": "append" if append_only else "publish_branch",
+            "meta": {
+                **hm.get("meta", {}),
+                "published_from_branch": name,
+                "branch_head": head,
+            },
+        }
+        return self._publish_manifest(payload, cur + 1, [])
+
+    def drop_branch(self, name: str) -> None:
+        """Delete branch ``name``'s manifest chain (abandoning or
+        retiring a published stage). Data dirs only the branch
+        referenced become unreferenced and age out via ``vacuum``."""
+        import re
+
+        if self.ref is not None:
+            raise ValueError("drop_branch runs on the main view only")
+        if not re.match(_REF_NAME_RE, name):
+            raise ValueError(f"invalid ref name {name!r}")
+        rd = os.path.join(self.path, "_refs", name)
+        if not os.path.isdir(rd):
+            raise ValueError(f"branch {name!r} does not exist")
+        shutil.rmtree(rd)
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``version`` (default: current) under an immutable name —
+        the reproducibility handle a training pipeline wants ("the
+        corpus as of run X"): ``read_tag`` resolves it forever, and
+        ``vacuum`` keeps a tagged version's manifest and data alive
+        even past the retention window. Tags are immutable: re-tagging
+        an existing name raises (CAS, same as manifests); ``drop_tag``
+        releases the pin."""
+        import re
+
+        if self.ref is not None:
+            raise ValueError("tags pin main versions; tag from the main view")
+        if not re.match(_REF_NAME_RE, name):
+            raise ValueError(f"invalid ref name {name!r}")
+        if version is None:
+            version = self.current_version()
+        if version < 1 or version not in self.versions():
+            raise ValueError(f"version {version} does not exist")
+        tags_dir = os.path.join(self.path, "_tags")
+        os.makedirs(tags_dir, exist_ok=True)
+        tmp = os.path.join(tags_dir, f".tmp-{uuid.uuid4().hex[:12]}.json")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"name": name, "version": version}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        final = os.path.join(tags_dir, f"{name}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ValueError(
+                f"tag {name!r} already exists (tags are immutable; "
+                "drop_tag first)"
+            ) from None
+        os.unlink(tmp)
+        fsync_path(tags_dir)
+        return version
+
+    def tag_version(self, name: str) -> int:
+        """The main version tag ``name`` pins."""
+        try:
+            with open(
+                os.path.join(self.path, "_tags", f"{name}.json"),
+                encoding="utf-8",
+            ) as fh:
+                return json.load(fh)["version"]
+        except FileNotFoundError:
+            raise ValueError(f"tag {name!r} does not exist") from None
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        """The table as of the tagged version."""
+        return self.read(spark, self.tag_version(name))
+
+    def drop_tag(self, name: str) -> None:
+        import re
+
+        if not re.match(_REF_NAME_RE, name):
+            raise ValueError(f"invalid ref name {name!r}")
+        try:
+            os.unlink(os.path.join(self.path, "_tags", f"{name}.json"))
+        except FileNotFoundError:
+            raise ValueError(f"tag {name!r} does not exist") from None
+
+    # -- maintenance: vacuum ---------------------------------------------------
+
     def vacuum(
         self, keep_versions: int = 1, grace_seconds: float = 300.0
     ) -> list[str]:
@@ -1715,10 +1893,63 @@ class TransactionalTable:
         (and will fail loudly at read time); size the grace above the
         slowest plausible commit, as every log-structured table format
         does for its retention window."""
+        if self.ref is not None:
+            raise ValueError(
+                "vacuum runs on the main view (it owns retention for "
+                "all refs)"
+            )
         vs = self.versions()
         keep = set(vs[-keep_versions:]) if vs else set()
         deleted = []
         now = time.time()
+        # Branch manifests and tag files are immutable once linked, so
+        # their parsed payloads are cached across the sweep like main
+        # manifests.
+        _ref_cache: dict[str, dict] = {}
+
+        def _ref_tag_live() -> tuple[set[str], set[str], set[int]]:
+            """(snap dirs, dv dirs, tagged main versions) pinned by
+            BRANCHES and TAGS — every version of every live branch
+            keeps its dirs (a staged-but-unpublished commit must
+            survive retention), and a tagged main version is exempt
+            from the keep window entirely (reproducibility pins)."""
+            ldirs: set[str] = set()
+            ldvs: set[str] = set()
+            tagged: set[int] = set()
+            refs_root = os.path.join(self.path, "_refs")
+            if os.path.isdir(refs_root):
+                for ref in os.listdir(refs_root):
+                    rd = os.path.join(refs_root, ref)
+                    if not os.path.isdir(rd):
+                        continue
+                    for mn in os.listdir(rd):
+                        if not (mn.startswith("v") and mn.endswith(".json")):
+                            continue
+                        full = os.path.join(rd, mn)
+                        m = _ref_cache.get(full)
+                        if m is None:
+                            try:
+                                with open(full, encoding="utf-8") as fh:
+                                    m = json.load(fh)
+                            except (OSError, ValueError):
+                                continue  # racing drop_branch
+                            _ref_cache[full] = m
+                        ldirs.update(m["dirs"])
+                        for names in m.get("dv", {}).values():
+                            ldvs.update(names)
+            tags_root = os.path.join(self.path, "_tags")
+            if os.path.isdir(tags_root):
+                for tn in os.listdir(tags_root):
+                    if not tn.endswith(".json") or tn.startswith("."):
+                        continue
+                    try:
+                        with open(
+                            os.path.join(tags_root, tn), encoding="utf-8"
+                        ) as fh:
+                            tagged.add(json.load(fh)["version"])
+                    except (OSError, ValueError, KeyError):
+                        continue  # racing drop_tag / torn temp
+            return ldirs, ldvs, tagged
         # Manifest files are immutable once linked (commit writes
         # v{v}.json exactly once), so parsed manifests are cached across
         # the sweep — the per-delete liveness RE-CHECK below still
@@ -1749,7 +1980,12 @@ class TransactionalTable:
             kept_now = set(current[-keep_versions:]) if current else set()
             live_now: set[str] = set()
             live_dvs: set[str] = set()
-            for v in kept_now | (keep & set(current)):
+            rdirs, rdvs, tagged = _ref_tag_live()
+            live_now |= rdirs
+            live_dvs |= rdvs
+            for v in (kept_now | (keep & set(current))) | (
+                tagged & set(current)
+            ):
                 m = _manifest_cached(v)
                 live_now.update(m["dirs"])
                 for names in m.get("dv", {}).values():
@@ -1805,11 +2041,13 @@ class TransactionalTable:
         # version committed while the snap sweep ran would then be
         # unlinked and the table silently rolled back (review finding).
         # Re-read and delete only manifests strictly BELOW the live
-        # keep window.
+        # keep window — except TAGGED versions, whose manifests (and,
+        # above, dirs) stay resolvable for as long as the tag lives.
         vs_now = self.versions()
         keep_now = set(vs_now[-keep_versions:]) if vs_now else set()
         floor = min(keep_now) if keep_now else 0
+        _, _, tagged_now = _ref_tag_live()
         for v in vs_now:
-            if v < floor:
+            if v < floor and v not in tagged_now:
                 os.unlink(os.path.join(self.manifest_dir, f"v{v}.json"))
         return sorted(deleted)

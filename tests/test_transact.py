@@ -1145,3 +1145,111 @@ def test_delete_dv_on_clustered_subdirs_and_plain_read_is_joinfree(
     clean.commit(spark.range(10))
     plan = clean.read(spark)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+# -- branches & tags (write-audit-publish) -----------------------------------
+
+
+def test_branch_stages_invisibly_and_publishes_atomically(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 10), stats_cols=["id"])
+    b = t.branch("stage")
+    b.commit(spark.range(10, 15), mode="append", stats_cols=["id"])
+    b.commit(spark.range(15, 20), mode="append", stats_cols=["id"])
+    # Audit on the branch sees the staged state; main does not.
+    assert _ids(b.read(spark)) == list(range(20))
+    assert _ids(t.read(spark)) == list(range(10))
+    v = t.publish_branch("stage")
+    assert _ids(t.read(spark)) == list(range(20))
+    # Append-only staging publishes as mode=append, so an incremental
+    # change-feed consumer reads straight across the publish.
+    assert t._manifest(v)["mode"] == "append"
+    assert _ids(t.read_changes(spark, 1, v)) == list(range(10, 20))
+    # The publish carried the branch's stats (skipping works on main).
+    kept, skipped = t.pruned_dirs("id", lo=17, hi=19, version=v)
+    assert len(skipped) == 2
+    # Zero data movement: publish wrote no new snap dirs.
+    snaps = [d for d in os.listdir(t.path) if d.startswith("snap-")]
+    assert len(snaps) == 3
+
+
+def test_branch_conflicts_guards_and_rewrite_mode(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 10), stats_cols=["id"])
+    with pytest.raises(ValueError, match="already exists"):
+        t.branch("b")
+        t.branch("b")
+    b = TransactionalTable(str(tmp_path / "t"), ref="b")
+    b.commit(spark.range(10, 12), mode="append")
+    t.commit(spark.range(50, 51), mode="append")  # main advances
+    with pytest.raises(CommitConflict, match="main advanced"):
+        t.publish_branch("b")
+    t.drop_branch("b")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.publish_branch("b")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.drop_branch("b")
+    # A branch that rewrote data publishes as a feed boundary.
+    b2 = t.branch("rw")
+    b2.delete_where(spark, "id", lo=0, hi=4)
+    v = t.publish_branch("rw")
+    assert t._manifest(v)["mode"] == "publish_branch"
+    assert _ids(t.read(spark)) == list(range(5, 10)) + [50]
+    with pytest.raises(ValueError, match="no commits to publish"):
+        t.branch("empty")
+        t.publish_branch("empty")
+    # Branch-view guards: branch ops run on the main view only.
+    with pytest.raises(ValueError, match="main view"):
+        b2.branch("nested")
+    with pytest.raises(ValueError, match="main view"):
+        b2.publish_branch("rw")
+    with pytest.raises(ValueError, match="main view"):
+        b2.vacuum(grace_seconds=0.0)
+    with pytest.raises(ValueError, match="invalid ref name"):
+        t.branch("../escape")
+
+
+def test_branch_dv_publishes_and_vacuum_pins_refs(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 10), stats_cols=["id"])
+    # Stage a MERGE-ON-READ delete on the branch: the published dv map
+    # must follow, and the vector dir must survive vacuum while only
+    # the branch (then main) references it.
+    b = t.branch("dvstage")
+    b.delete_where_dv(spark, "id", lo=2, hi=3)
+    assert _ids(t.read(spark)) == list(range(10))
+    t.vacuum(keep_versions=1, grace_seconds=0.0)  # branch pins its dv
+    assert _ids(b.read(spark)) == [0, 1] + list(range(4, 10))
+    v = t.publish_branch("dvstage")
+    assert t._manifest(v)["mode"] == "publish_branch"  # dv changed
+    assert _ids(t.read(spark)) == [0, 1] + list(range(4, 10))
+    t.drop_branch("dvstage")
+    t.vacuum(keep_versions=1, grace_seconds=0.0)  # main still pins it
+    assert _ids(t.read(spark)) == [0, 1] + list(range(4, 10))
+
+
+def test_tags_pin_versions_through_vacuum(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5))
+    t.tag("gold")  # defaults to current
+    assert t.tag_version("gold") == 1
+    t.commit(spark.range(5, 9), mode="append")
+    t.commit(spark.range(9, 12), mode="append")
+    with pytest.raises(ValueError, match="immutable"):
+        t.tag("gold", version=2)
+    with pytest.raises(ValueError, match="does not exist"):
+        t.tag("v99", version=99)
+    # Vacuum keeps the tagged version's manifest AND dirs beyond the
+    # retention window.
+    t.vacuum(keep_versions=1, grace_seconds=0.0)
+    assert _ids(t.read_tag(spark, "gold")) == list(range(5))
+    assert _ids(t.read(spark)) == list(range(12))
+    # Versions between the tag and the window are retired.
+    assert 2 not in t.versions()
+    # Dropping the tag releases the pin; the next vacuum reclaims.
+    t.drop_tag("gold")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.tag_version("gold")
+    t.vacuum(keep_versions=1, grace_seconds=0.0)
+    assert t.versions() == [3]
+    assert _ids(t.read(spark)) == list(range(12))
