@@ -2756,6 +2756,112 @@ def q_contamination(spark, sf_dir):
     )
 
 
+INGEST_DEDUP_THRESHOLD = 0.5  # >= 8 of 16 minhash seeds agree
+
+
+@register(
+    "q_ingest_dedup",
+    f"""WITH sh AS ({SQL_SHINGLES}),
+         perms AS (SELECT * FROM (VALUES {_MINHASH_VALUES}) t(seed, a, b, c)),
+         base AS (SELECT doc_id, s, {_sql_hash60('s')} AS h FROM sh),
+         mh AS (SELECT doc_id, seed,
+                       min((a * (h & 1073741823)
+                            + b * ((h >> 30) & 1073741823)
+                            + c) % {MINHASH_MOD}) AS mh
+                FROM base, perms GROUP BY doc_id, seed),
+         sigs AS (SELECT doc_id, seed // 2 AS band,
+                         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+                  FROM mh GROUP BY doc_id, seed // 2),
+         st AS (SELECT s.* FROM sigs s JOIN documents d USING (doc_id)
+                WHERE d.lang = 'en'),
+         pb AS (SELECT s.* FROM sigs s JOIN documents d USING (doc_id)
+                WHERE d.lang <> 'en'),
+         census AS (SELECT doc_id, band, sig,
+                           count(*) OVER (PARTITION BY band, sig) AS bsz,
+                           min(doc_id) OVER (PARTITION BY band, sig) AS bmin
+                    FROM st),
+         cands AS (SELECT DISTINCT state_doc, new_doc FROM (
+                     SELECT c.doc_id AS state_doc, b.doc_id AS new_doc
+                     FROM census c JOIN pb b
+                       ON c.band = b.band AND c.sig = b.sig
+                     WHERE c.bsz <= {dd.LSH_MAX_BUCKET}
+                     UNION ALL
+                     SELECT c.bmin, b.doc_id
+                     FROM census c JOIN pb b
+                       ON c.band = b.band AND c.sig = b.sig
+                     WHERE c.bsz > {dd.LSH_MAX_BUCKET}
+                       AND c.doc_id = c.bmin) u),
+         est AS (SELECT c.state_doc, c.new_doc,
+                        count(*) FILTER (WHERE ms.mh = mb.mh) / 16.0 AS est
+                 FROM cands c
+                 JOIN mh ms ON ms.doc_id = c.state_doc
+                 JOIN mh mb ON mb.doc_id = c.new_doc AND mb.seed = ms.seed
+                 GROUP BY 1, 2
+                 HAVING count(*) FILTER (WHERE ms.mh = mb.mh) / 16.0
+                        >= {INGEST_DEDUP_THRESHOLD}),
+         dups AS (SELECT new_doc AS doc_id,
+                         CAST(count(*) AS BIGINT) AS n_matches,
+                         ROUND(max(est), 6) AS best_est
+                  FROM est GROUP BY new_doc)
+       SELECT d.doc_id, d.n_matches, d.best_est,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents)
+                - (SELECT CAST(count(*) AS BIGINT) FROM dups)
+                AS state_docs_after
+       FROM dups d""",
+)
+def q_ingest_dedup(spark, sf_dir):
+    """INCREMENTAL INGEST DEDUP against persisted signature state
+    (operators/dedup.py::ingest_signatures/ingest_dedup_against +
+    sources/transact.py): the corpus's minhash/LSH signatures live in a
+    transactional table (~n_hashes small rows per doc, no text); a new
+    batch is hashed once, bucket-probed against the state on
+    (band, sig) — with the oversized-bucket star guard — and verified
+    by MINHASH SIGNATURE AGREEMENT (fraction of seeds whose minhash
+    coincides, an unbiased Jaccard estimator computable without ever
+    re-reading corpus text). Flagged batch docs are dropped; the
+    survivors' signatures are APPENDED to the state table (one
+    transactional append, stats on doc_id), so the next batch probes
+    them too. The query returns the dup report plus the state's doc
+    count after the append; the oracle replays the whole pipeline —
+    hashing, banding, census guard, agreement estimate, and the final
+    count as arithmetic. Scale: ingest cost is O(batch + bucket
+    collisions) regardless of corpus size — the 100 TB corpus is never
+    re-read; contrast q_cross_dedup, which re-hashes the reference
+    side each run (its own docstring says production would persist the
+    signatures: THIS is that production path, state maintained
+    exactly-once by the table's manifest CAS)."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    d = _docs(spark, sf_dir)
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_ingest_dd_"))
+    state0 = dd.ingest_signatures(d.filter(F.col("lang") == "en"))
+    table.commit(state0, stats_cols=["doc_id"])
+    batch_sigs = dd.ingest_signatures(
+        d.filter(F.col("lang") != "en")
+    ).localCheckpoint()  # hash the batch once for probe AND append
+    dups = dd.ingest_dedup_against(
+        table.read(spark),
+        batch_sigs,
+        n_hashes=16,
+        threshold=INGEST_DEDUP_THRESHOLD,
+    ).localCheckpoint()
+    survivors = batch_sigs.join(
+        dups.select("doc_id"), "doc_id", "left_anti"
+    )
+    v = table.commit(survivors, mode="append", stats_cols=["doc_id"])
+    state_after = (
+        table.read(spark, v).select("doc_id").distinct().count()
+    )
+    out = dups.withColumn(
+        "state_docs_after", F.lit(state_after).cast("bigint")
+    ).localCheckpoint()  # materialize before the table files vanish
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
 @register(
     "q_cross_dedup",
     f"""WITH sh AS ({SQL_SHINGLES}),

@@ -854,3 +854,125 @@ def _semantic_prune(
         "cell",
         F.col("_dropped").isNull().alias("is_kept"),
     )
+
+
+def ingest_signatures(
+    docs: DataFrame, k: int = 3, n_hashes: int = 16, rows_per_band: int = 2
+) -> DataFrame:
+    """The denormalized dedup STATE of one document set: (doc_id, seed,
+    mh, band, sig) — per-seed minhash values for signature-agreement
+    verification, with each row carrying its band's concatenated LSH
+    signature for bucketed candidate generation. This is the relation
+    an incremental ingest pipeline PERSISTS (≈ n_hashes small rows per
+    document, independent of document length): new batches dedup
+    against the corpus by probing this state, never by re-reading or
+    re-hashing corpus text — at 100 TB the difference between O(batch)
+    ingest and a daily full-corpus recompute. One md5 per shingle as in
+    ``minhash_signatures``; the banding is the same expression
+    ``lsh_band_signatures`` uses, so stored state and ad-hoc dedup
+    agree bit-for-bit (and the DuckDB oracle replays both)."""
+    mh = minhash_signatures(doc_shingles(docs, k), n_hashes)
+    sigs = lsh_band_signatures(mh, rows_per_band)
+    banded = mh.withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int")
+    )
+    return banded.join(sigs, ["doc_id", "band"]).select(
+        "doc_id", "seed", "mh", "band", "sig"
+    )
+
+
+def ingest_dedup_against(
+    state_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    n_hashes: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Batch-vs-state incremental dedup: (doc_id, n_matches, best_est)
+    of BATCH documents whose estimated Jaccard against at least one
+    STATE document reaches ``threshold``. Both inputs are
+    ``ingest_signatures`` relations (state typically read from a
+    transactional table; batch freshly hashed).
+
+    Candidates are bucket-joined on (band, sig) — linear in each side
+    plus collisions, never all-pairs. Oversized STATE buckets (boiler-
+    plate corpora collapsing thousands of docs into one signature)
+    switch to a star: each batch member pairs with the bucket's MIN
+    state doc only — linear in bucket size, and since the guard only
+    fires when the bucket is near-identical text, the hub verifies
+    like any member would (same trade as ``lsh_candidates``, stated
+    there).
+
+    Verification is MINHASH SIGNATURE AGREEMENT — the fraction of the
+    ``n_hashes`` seeds on which the two documents' minhash values
+    coincide, an unbiased estimator of Jaccard computable from the
+    stored state alone. That is the production contract: the state
+    carries no shingles and no text, so exact re-verification would
+    need a corpus re-read; estimator granularity is 1/n_hashes (raise
+    n_hashes for a finer gate). The estimate NEVER touches document
+    bytes — ingest cost is O(batch signatures + bucket collisions)."""
+    st = state_sigs.select("doc_id", "band", "sig").distinct()
+    w = Window.partitionBy("band", "sig")
+    census = st.select(
+        "doc_id",
+        "band",
+        "sig",
+        F.count("*").over(w).alias("bsz"),
+        F.min("doc_id").over(w).alias("bmin"),
+    )
+    probe = batch_sigs.select("doc_id", "band", "sig").distinct()
+    small = (
+        census.filter(F.col("bsz") <= max_bucket)
+        .alias("s")
+        .join(
+            probe.alias("b"),
+            (F.col("s.band") == F.col("b.band"))
+            & (F.col("s.sig") == F.col("b.sig")),
+        )
+        .select(
+            F.col("s.doc_id").alias("state_doc"),
+            F.col("b.doc_id").alias("new_doc"),
+        )
+    )
+    large = (
+        census.filter(
+            (F.col("bsz") > max_bucket) & (F.col("doc_id") == F.col("bmin"))
+        )
+        .alias("s")
+        .join(
+            probe.alias("b"),
+            (F.col("s.band") == F.col("b.band"))
+            & (F.col("s.sig") == F.col("b.sig")),
+        )
+        .select(
+            F.col("s.doc_id").alias("state_doc"),
+            F.col("b.doc_id").alias("new_doc"),
+        )
+    )
+    cands = small.unionByName(large).distinct()
+    sm = state_sigs.select(
+        F.col("doc_id").alias("state_doc"),
+        "seed",
+        F.col("mh").alias("mh_s"),
+    ).distinct()
+    bm = batch_sigs.select(
+        F.col("doc_id").alias("new_doc"),
+        "seed",
+        F.col("mh").alias("mh_b"),
+    ).distinct()
+    est = (
+        cands.join(sm, "state_doc")
+        .join(bm, ["new_doc", "seed"])
+        .groupBy("state_doc", "new_doc")
+        .agg(
+            (
+                F.count(F.when(F.col("mh_s") == F.col("mh_b"), 1))
+                / F.lit(float(n_hashes))
+            ).alias("est")
+        )
+        .filter(F.col("est") >= threshold)
+    )
+    return est.groupBy(F.col("new_doc").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("n_matches"),
+        F.round(F.max("est"), 6).alias("best_est"),
+    )

@@ -509,3 +509,75 @@ def test_external_query_recall_is_perfect_on_clustered_data(spark):
     assert len(rec) == 2
     for r in rec:
         assert r["recall"] == 1.0 and r["meets_floor"], (r["probe_id"], r["recall"])
+
+
+# -- incremental ingest dedup (signature state) -------------------------------
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, t, "en", "s", len(t))
+            for i, t in rows
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+
+
+def test_ingest_dedup_flags_only_state_matches(spark):
+    from mapreduceindexer_spark.operators import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    state = _mk_docs(spark, [(1, base), (2, "completely different words here " * 3)])
+    batch = _mk_docs(
+        spark,
+        [
+            (10, base),  # exact dup of state doc 1
+            (11, "utterly unrelated content about spark shuffles and joins"),
+        ],
+    )
+    st = dd.ingest_signatures(state)
+    pb = dd.ingest_signatures(batch)
+    out = dd.ingest_dedup_against(st, pb, threshold=0.5).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["doc_id"] == 10 and row["best_est"] == 1.0
+
+
+def test_ingest_dedup_is_incremental_across_batches(spark, tmp_path):
+    """Batch 2 must dedup against batch 1's SURVIVORS (appended state),
+    not just the original corpus — the property that makes the state
+    table the single source of truth."""
+    from mapreduceindexer_spark.operators import dedup as dd
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    t = TransactionalTable(str(tmp_path / "state"))
+    corpus = _mk_docs(spark, [(1, "alpha beta gamma delta epsilon zeta eta theta")])
+    t.commit(dd.ingest_signatures(corpus), stats_cols=["doc_id"])
+
+    novel = "some brand new sentence with its own vocabulary entirely"
+    b1 = dd.ingest_signatures(_mk_docs(spark, [(10, novel)])).localCheckpoint()
+    d1 = dd.ingest_dedup_against(t.read(spark), b1, threshold=0.5)
+    assert d1.count() == 0  # novel text passes
+    t.commit(
+        b1.join(d1.select("doc_id"), "doc_id", "left_anti"),
+        mode="append",
+        stats_cols=["doc_id"],
+    )
+    # Batch 2 repeats batch 1's text under a new id: only the state
+    # grown by the first append can catch it.
+    b2 = dd.ingest_signatures(_mk_docs(spark, [(20, novel)]))
+    d2 = dd.ingest_dedup_against(t.read(spark), b2, threshold=0.5).collect()
+    assert len(d2) == 1 and d2[0]["doc_id"] == 20 and d2[0]["best_est"] == 1.0
+
+
+def test_ingest_dedup_empty_sides(spark):
+    from mapreduceindexer_spark.operators import dedup as dd
+
+    docs = _mk_docs(spark, [(1, "alpha beta gamma delta epsilon zeta")])
+    sigs = dd.ingest_signatures(docs)
+    empty = dd.ingest_signatures(_empty_docs(spark))
+    assert dd.ingest_dedup_against(sigs, empty).count() == 0
+    assert dd.ingest_dedup_against(empty, sigs).count() == 0
+    cols = dd.ingest_dedup_against(empty, sigs).columns
+    assert cols == ["doc_id", "n_matches", "best_est"]
