@@ -8409,6 +8409,34 @@ def q_postings_ef(spark, sf_dir):
     return elias_fano_stats(_postings(spark, sf_dir))
 
 
+@register(
+    "q_table_stream",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY lang""",
+)
+def q_table_stream(spark, sf_dir):
+    """The transactional table as a STREAMING SOURCE
+    (sources/table_stream.py, ``format("mri_table")``): documents
+    committed in three appends, a Structured Streaming query tailing
+    the commit log — offsets are durable table versions, one input
+    partition per appended dir, rows crossing as Arrow batches — then
+    the per-language aggregate of what arrived. ORACLE-BACKED, unlike
+    the stateful-sink stream queries: the transport must deliver every
+    committed row exactly once, so the aggregate equals DuckDB's over
+    the raw parquet. Restart-incrementality (a checkpointed consumer
+    resumes mid-log and reads only the delta) and the rewrite-boundary
+    raise are pinned by tests/test_streaming.py. Scale: this is how
+    ONE 100 TB table fans out to many independent consumers, each
+    tracking its own position — the read twin of table_sink's
+    exactly-once write. streaming/table_source_stream.py."""
+    from mapreduceindexer_spark.streaming.table_source_stream import (
+        streaming_table_feed,
+    )
+
+    return streaming_table_feed(spark, sf_dir)
+
+
 @register("q_cdc_stream", None)
 def q_cdc_stream(spark, sf_dir):
     """Streaming CDC apply: per-user profile updates merged into the

@@ -722,6 +722,20 @@ class TransactionalTable:
                 "table has no commits yet, so there is no schema for an "
                 "empty change feed; poll current_version() > 0 first"
             )
+        if from_version == to_version:
+            if from_version != 0 and from_version not in self.versions():
+                raise ValueError(f"version {from_version} does not exist")
+            return self.read(spark, to_version).limit(0)
+        new_dirs = self.change_dirs(from_version, to_version)
+        return self._read_dirs(spark, self._manifest(to_version), new_dirs)
+
+    def change_dirs(self, from_version: int, to_version: int) -> list[str]:
+        """The snapshot dirs APPENDED between ``from_version``
+        (exclusive) and ``to_version`` (inclusive) — the manifest-only
+        diff shared by the batch change feed (``read_changes``) and the
+        streaming source (``sources/table_stream.py``), with the same
+        soundness validation: any non-append commit in the range
+        rewrites membership and raises."""
         versions = self.versions()
         if from_version != 0 and from_version not in versions:
             raise ValueError(f"version {from_version} does not exist")
@@ -731,8 +745,6 @@ class TransactionalTable:
             raise ValueError(
                 f"from_version {from_version} > to_version {to_version}"
             )
-        if from_version == to_version:
-            return self.read(spark, to_version).limit(0)
         base_dirs = (
             set(self._manifest(from_version)["dirs"])
             if from_version > 0
@@ -755,7 +767,7 @@ class TransactionalTable:
                 if d not in seen:  # each append re-lists inherited dirs
                     new_dirs.append(d)
                     seen.add(d)
-        return self._read_dirs(spark, self._manifest(to_version), new_dirs)
+        return new_dirs
 
     def pruned_dirs_multi(
         self,

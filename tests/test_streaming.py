@@ -377,3 +377,83 @@ def test_table_sink_batches_record_skipping_stats(spark, tmp_path):
     assert kept == [d2] and skipped == [d1]
     _append_batch(t, spark.range(99, 100), 1, stats_cols=("id",))
     assert t.current_version() == 2  # retried batch still no-ops
+
+
+# -- table as a streaming SOURCE (sources/table_stream.py) --------------------
+
+
+def _drain_table_stream(spark, table_path, sink, cp):
+    from mapreduceindexer_spark.sources.table_stream import (
+        register_table_stream_source,
+    )
+
+    register_table_stream_source(spark)
+    q = (
+        spark.readStream.format("mri_table")
+        .option("path", table_path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.read.parquet(sink)
+
+
+def test_table_stream_restarts_read_only_the_delta(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5).withColumn("x", F.col("id") * 2))
+    t.commit(spark.range(5, 9).withColumn("x", F.col("id") * 2), mode="append")
+    sink, cp = str(tmp_path / "sink"), str(tmp_path / "cp")
+    got = _drain_table_stream(spark, t.path, sink, cp)
+    assert sorted(r["id"] for r in got.collect()) == list(range(9))
+    # Restart from the checkpoint after two more appends: exactly the
+    # delta arrives (offsets are durable table versions).
+    t.commit(spark.range(9, 12).withColumn("x", F.col("id") * 2), mode="append")
+    t.commit(spark.range(12, 14).withColumn("x", F.col("id") * 2), mode="append")
+    got = _drain_table_stream(spark, t.path, sink, cp)
+    assert sorted(r["id"] for r in got.collect()) == list(range(14))
+    # Stream ≡ batch: the sink holds exactly the table's rows.
+    assert sorted((r["id"], r["x"]) for r in got.collect()) == sorted(
+        (r["id"], r["x"]) for r in t.read(spark).collect()
+    )
+
+
+def test_table_stream_rewrite_is_a_feed_boundary(spark, tmp_path):
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 6))
+    sink, cp = str(tmp_path / "sink"), str(tmp_path / "cp")
+    _drain_table_stream(spark, t.path, sink, cp)
+    t.delete_where(spark, "id", lo=0, hi=1)
+    with pytest.raises(StreamingQueryException, match="change feed|mode"):
+        _drain_table_stream(spark, t.path, sink, cp)
+
+
+def test_table_stream_pads_pre_evolution_files_with_null(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 3))
+    t.commit(
+        spark.range(3, 5).withColumn("w", F.lit("new")), mode="append"
+    )
+    sink, cp = str(tmp_path / "sink"), str(tmp_path / "cp")
+    got = _drain_table_stream(spark, t.path, sink, cp)
+    rows = {r["id"]: r["w"] for r in got.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: "new", 4: "new"}
