@@ -128,6 +128,10 @@ HEADLINE = [
     "q_table_changes",     # append-only change feed (incremental consumer)
     "q_table_cluster",     # range-clustered compaction repairs skipping
     "q_table_skipping_multi",  # AND-of-ranges multi-column pruning
+    "q_table_delete_dv",   # merge-on-read delete via position vectors
+    "q_table_wap",         # write-audit-publish branch + tag pin
+    "q_ingest_dedup",      # incremental dedup vs persisted signature state
+    "q_table_stream",      # table commit log as a streaming source
 ]
 
 # The graph-ANN family is benched build/probe SPLIT (round-7 verdict

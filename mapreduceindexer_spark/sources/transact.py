@@ -170,6 +170,9 @@ _DV_RELPATH_RE = r"/(snap-[0-9a-f]{12}/.+)$"
 # Column names reserved by the deletion-vector machinery: the two DV
 # file columns plus the two tag columns the read-side anti-join adds.
 _DV_RESERVED = {"_dv_rel_path", "_dv_pos", "__mri_dv_rel", "__mri_dv_pos"}
+# Reads split clean/doomed files on _metadata.file_name (file-granular
+# pushdown) when the vector touches at most this many files.
+_DV_SPLIT_MAX_FILES = 256
 
 
 def _dv_schema():
@@ -575,22 +578,53 @@ class TransactionalTable:
             return df
         dv = self._read_dv(spark, dv_names)
         base_cols = df.columns
-        # Tag each scanned row with its stable (rel_path, row_index) id
-        # BEFORE the join — _metadata resolves only on the file scan.
-        tagged = df.withColumns(
-            {
-                "__mri_dv_rel": F.regexp_extract(
-                    F.col("_metadata.file_path"), _DV_RELPATH_RE, 1
-                ),
-                "__mri_dv_pos": F.col("_metadata.row_index"),
-            }
-        )
-        return tagged.join(
-            dv,
-            (tagged["__mri_dv_rel"] == dv["_dv_rel_path"])
-            & (tagged["__mri_dv_pos"] == dv["_dv_pos"]),
-            "left_anti",
-        ).select(*base_cols)
+
+        def _anti(part: DataFrame) -> DataFrame:
+            # Tag each scanned row with its stable (rel_path, row_index)
+            # id BEFORE the join — _metadata resolves only on the scan.
+            tagged = part.withColumns(
+                {
+                    "__mri_dv_rel": F.regexp_extract(
+                        F.col("_metadata.file_path"), _DV_RELPATH_RE, 1
+                    ),
+                    "__mri_dv_pos": F.col("_metadata.row_index"),
+                }
+            )
+            return tagged.join(
+                dv,
+                (tagged["__mri_dv_rel"] == dv["_dv_rel_path"])
+                & (tagged["__mri_dv_pos"] == dv["_dv_pos"]),
+                "left_anti",
+            ).select(*base_cols)
+
+        # Files untouched by any vector need no tag and no join:
+        # _metadata.file_name predicates prune at FILE granularity, so
+        # the clean arm scans straight through and only doomed files'
+        # rows pay the per-row path tag + anti-join (loadtest_dv.py:
+        # the read tax was a full-scan regexp before this split). The
+        # doomed-file list is a bounded metadata fetch (<= rows
+        # deleted); a basename collision across dirs merely routes
+        # extra rows through the EXACT rel-path join — sound either
+        # way. Degenerate vectors touching very many files fall back
+        # to the single-pass tagged join (an isin over thousands of
+        # literals would bloat the plan past what it saves).
+        doomed_files = [
+            r["f"]
+            for r in dv.select(
+                F.element_at(
+                    F.split("_dv_rel_path", "/"), -1
+                ).alias("f")
+            )
+            .distinct()
+            .limit(_DV_SPLIT_MAX_FILES + 1)
+            .collect()
+        ]
+        if 0 < len(doomed_files) <= _DV_SPLIT_MAX_FILES:
+            is_doomed = F.col("_metadata.file_name").isin(doomed_files)
+            return df.filter(~is_doomed).unionByName(
+                _anti(df.filter(is_doomed))
+            )
+        return _anti(df)
 
     def _read_dv(self, spark: SparkSession, dv_names) -> DataFrame:
         """The union of the named deletion-vector dirs as one typed
