@@ -9095,6 +9095,102 @@ def q_table_delete(spark, sf_dir):
 
 
 @register(
+    "q_table_zorder",
+    f"""WITH b AS (SELECT CAST(min(l_orderkey) AS BIGINT) AS xmin,
+                          CAST(max(l_orderkey) AS BIGINT) AS xmax,
+                          CAST(min(l_partkey) AS BIGINT) AS ymin,
+                          CAST(max(l_partkey) AS BIGINT) AS ymax
+                   FROM lineitem),
+         p AS (SELECT xmin AS xlo, xmin + (xmax - xmin) // 8 AS xhi,
+                      ymin AS ylo, ymin + (ymax - ymin) // 8 AS yhi
+               FROM b),
+         s AS (SELECT CAST(l_orderkey AS BIGINT) AS x,
+                      CAST(l_partkey AS BIGINT) AS y,
+                      CASE WHEN xmax > xmin
+                           THEN (CAST(l_orderkey AS BIGINT) - xmin) * {_ZTOP} // (xmax - xmin)
+                           ELSE CAST(0 AS BIGINT) END AS sx,
+                      CASE WHEN ymax > ymin
+                           THEN (CAST(l_partkey AS BIGINT) - ymin) * {_ZTOP} // (ymax - ymin)
+                           ELSE CAST(0 AS BIGINT) END AS sy
+               FROM lineitem, b),
+         z AS (SELECT x, y, ({mnt.zorder_interleave_sql("sx", "sy")}) AS zv
+               FROM s),
+         bk AS (SELECT zv >> {2 * mnt.ZORDER_BITS - 6} AS bucket,
+                       min(x) AS bxmin, max(x) AS bxmax,
+                       min(y) AS bymin, max(y) AS bymax
+                FROM z GROUP BY 1),
+         dec AS (SELECT bucket,
+                        (bxmin > (SELECT xhi FROM p)
+                         OR bxmax < (SELECT xlo FROM p)
+                         OR bymin > (SELECT yhi FROM p)
+                         OR bymax < (SELECT ylo FROM p)) AS skipped
+                 FROM bk)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM dec) AS n_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM dec WHERE skipped)
+                  AS n_dirs_skipped,
+              (SELECT CAST(count(*) AS BIGINT) FROM z, p
+               WHERE x BETWEEN xlo AND xhi AND y BETWEEN ylo AND yhi)
+                  AS n_rows,
+              (SELECT CAST(sum(x) AS BIGINT) FROM z, p
+               WHERE x BETWEEN xlo AND xhi AND y BETWEEN ylo AND yhi)
+                  AS sum_x,
+              (SELECT CAST(sum(y) AS BIGINT) FROM z, p
+               WHERE x BETWEEN xlo AND xhi AND y BETWEEN ylo AND yhi)
+                  AS sum_y""",
+)
+def q_table_zorder(spark, sf_dir):
+    """OPTIMIZE ZORDER BY inside the table format
+    (sources/transact.py::compact_zordered): lineitem committed, then
+    rewritten as 64 Morton-bucket sub-dirs with per-bucket min/max
+    stats on BOTH (l_orderkey, l_partkey) — every bucket's extent is a
+    bounded rectangle, so a compound rectangle predicate
+    (pruned_dirs_multi) prunes ~all non-matching buckets where a
+    single-axis clustering could only bound one dimension. The grid is
+    deterministic equal-width (exact integer scaling + interleave, no
+    sampled boundaries), so the oracle replays every bucket id, every
+    bucket extent, and the exact skip decision; the rows/sums come back
+    through the pruned read, proving pruning is invisible in values.
+    Scale: ONE rewrite buys skipping on either or both of the two
+    columns 100 TB scans actually filter on (time AND key) — this is
+    q_zorder_layout's layout math owning the storage tier. Reference
+    has no table layer (src/functions.cpp:146-162)."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = l.agg(
+        F.min("l_orderkey").cast("bigint").alias("xmin"),
+        F.max("l_orderkey").cast("bigint").alias("xmax"),
+        F.min("l_partkey").cast("bigint").alias("ymin"),
+        F.max("l_partkey").cast("bigint").alias("ymax"),
+    ).collect()[0]
+    xlo, xhi = b["xmin"], b["xmin"] + (b["xmax"] - b["xmin"]) // 8
+    ylo, yhi = b["ymin"], b["ymin"] + (b["ymax"] - b["ymin"]) // 8
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_zorder_"))
+    table.commit(l)
+    v = table.compact_zordered(
+        spark, "l_orderkey", "l_partkey", n_bucket_bits=6
+    )
+    preds = {"l_orderkey": (xlo, xhi), "l_partkey": (ylo, yhi)}
+    kept, skipped = table.pruned_dirs_multi(preds, version=v)
+    out = (
+        table.read_pruned_multi(spark, preds, version=v)
+        .agg(
+            F.lit(len(kept) + len(skipped)).cast("bigint").alias("n_dirs"),
+            F.lit(len(skipped)).cast("bigint").alias("n_dirs_skipped"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_orderkey").cast("bigint")).alias("sum_x"),
+            F.sum(F.col("l_partkey").cast("bigint")).alias("sum_y"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_delete_dv",
     """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
                          CAST(count(*) // 3 AS BIGINT) AS b1,

@@ -1538,6 +1538,137 @@ class TransactionalTable:
             payload["stats"] = stats
         return self._publish_manifest(payload, cur + 1, [snap])
 
+    def compact_zordered(
+        self,
+        spark: SparkSession,
+        col_x: str,
+        col_y: str,
+        n_bucket_bits: int = 6,
+        stats_cols: tuple[str, ...] | list[str] | None = None,
+        bloom_cols: tuple[str, ...] | list[str] | None = None,
+    ) -> int:
+        """OPTIMIZE ... ZORDER BY (col_x, col_y): rewrite the CURRENT
+        version as up to ``2**n_bucket_bits`` snapshot sub-dirs keyed by
+        the top z-bits of the MORTON INTERLEAVE of the two min-max-
+        scaled columns, each sub-dir carrying min/max stats on BOTH
+        columns. Where ``compact_clustered`` restores skipping along
+        ONE axis, a z-layout bounds every sub-dir's extent in BOTH
+        dimensions — so ``pruned_dirs_multi``'s compound predicates
+        (the time-range-AND-key-range shape real scans have) prune on
+        either or both columns after ONE rewrite. Same contracts as
+        ``compact_clustered``: deterministic equal-width grid (scaling
+        and interleave are exact integer arithmetic an external oracle
+        replays bit-for-bit — no sampled range boundaries), NULL keys
+        park in bucket 0, content-preserving (the write IS a DV-applying
+        read of the current version), concurrency-safe via
+        ``expected_version``. Both columns must be losslessly
+        BIGINT-castable and their scaled spans must not overflow the
+        interleave arithmetic (raises otherwise). Uses
+        ``operators/maintenance.py``'s interleave expression — the same
+        bits as the standalone ``q_zorder_layout`` operator, now owning
+        the storage layout."""
+        from pyspark.sql import functions as F
+
+        from mapreduceindexer_spark.operators.maintenance import (
+            ZORDER_BITS,
+            zorder_interleave,
+        )
+
+        if not (1 <= n_bucket_bits <= 2 * ZORDER_BITS):
+            raise ValueError(
+                f"n_bucket_bits must be in [1, {2 * ZORDER_BITS}], "
+                f"got {n_bucket_bits}"
+            )
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError(
+                "nothing to compact: table has no committed version"
+            )
+        df = self.read(spark, cur)
+        if "_zbucket" in df.columns:
+            raise ValueError(
+                "table has a column named _zbucket, which the z-ordered "
+                "write uses as its partition key; rename it first"
+            )
+        aggs = []
+        for c in (col_x, col_y):
+            aggs += [
+                F.min(c).cast("bigint").alias(f"_{c}_lo"),
+                F.max(c).cast("bigint").alias(f"_{c}_hi"),
+                F.count(c).alias(f"_{c}_n"),
+                F.count(F.col(c).cast("bigint")).alias(f"_{c}_ncast"),
+            ]
+        b = df.agg(*aggs).collect()[0]
+        top = (1 << ZORDER_BITS) - 1
+        scaled = {}
+        for c in (col_x, col_y):
+            lo, hi = b[f"_{c}_lo"], b[f"_{c}_hi"]
+            if b[f"_{c}_ncast"] < b[f"_{c}_n"]:
+                raise ValueError(
+                    f"cannot z-order on {c!r}: "
+                    f"{b[f'_{c}_n'] - b[f'_{c}_ncast']} values are not "
+                    "BIGINT-castable"
+                )
+            if lo is None:
+                raise ValueError(f"cannot z-order on {c!r}: no non-NULL values")
+            span = hi - lo
+            # The scale multiply runs in BIGINT on the executors: it
+            # must not wrap (same guard family as compact_clustered).
+            if span * top >= 2**63:
+                raise ValueError(
+                    f"cannot z-order on {c!r}: span {span} times the "
+                    f"{ZORDER_BITS}-bit grid overflows BIGINT; z-order a "
+                    "narrower derived key instead"
+                )
+            if span > 0:
+                scaled[c] = F.expr(
+                    f"CAST((CAST({c} AS BIGINT) - {lo}) * {top} "
+                    f"DIV {span} AS BIGINT)"
+                )
+            else:  # degenerate single-value domain
+                scaled[c] = F.lit(0).cast("bigint")
+        z = zorder_interleave(scaled[col_x], scaled[col_y], ZORDER_BITS)
+        bucket = F.coalesce(
+            F.shiftrightunsigned(z, 2 * ZORDER_BITS - n_bucket_bits),
+            F.lit(0),  # NULL in either key: park in bucket 0
+        )
+        snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
+        df.withColumn("_zbucket", bucket).write.mode("error").partitionBy(
+            "_zbucket"
+        ).parquet(snap)
+        fsync_tree(snap)
+        fsync_path(self.path)
+        base = os.path.basename(snap)
+        subdirs = sorted(
+            f"{base}/{d}"
+            for d in os.listdir(snap)
+            if d.startswith("_zbucket=")
+        )
+        # Per-bucket stats on BOTH z dimensions (plus any caller extras)
+        # in one grouped pass — these extents are what make the layout
+        # prunable on either axis.
+        all_stats = list(
+            dict.fromkeys([col_x, col_y, *(stats_cols or ())])
+        )
+        stats = _grouped_subdir_stats(
+            spark, snap, "_zbucket", all_stats, bloom_cols
+        )
+        prev_schema = self._manifest(cur).get("schema")
+        payload = {
+            "version": cur + 1,
+            "mode": "overwrite",
+            **({"schema": prev_schema} if prev_schema is not None else {}),
+            "dirs": subdirs,
+            "meta": {
+                "zordered_from": cur,
+                "zorder_cols": [col_x, col_y],
+                "n_buckets": len(subdirs),
+            },
+        }
+        if stats:
+            payload["stats"] = stats
+        return self._publish_manifest(payload, cur + 1, [snap])
+
     # -- partition-level replace --------------------------------------------
 
     _PART = "_part"  # reserved partition-key column in sub-dir names

@@ -1253,3 +1253,67 @@ def test_tags_pin_versions_through_vacuum(spark, tmp_path):
     t.vacuum(keep_versions=1, grace_seconds=0.0)
     assert t.versions() == [3]
     assert _ids(t.read(spark)) == list(range(12))
+
+
+# -- z-ordered compaction (OPTIMIZE ZORDER BY) --------------------------------
+
+
+def test_compact_zordered_prunes_both_axes_and_preserves_content(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    grid = spark.range(10_000).select(
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") / 100).cast("bigint").alias("y"),
+        F.col("id").alias("v"),
+    )
+    t.commit(grid, stats_cols=["x"])
+    v = t.compact_zordered(spark, "x", "y", n_bucket_bits=6)
+    m = t._manifest(v)
+    assert m["meta"]["zorder_cols"] == ["x", "y"]
+    assert 1 < len(m["dirs"]) <= 64
+    # A small rectangle prunes to a handful of buckets; a single-axis
+    # band prunes too (z bounds BOTH dimensions).
+    kept, skipped = t.pruned_dirs_multi({"x": (0, 12), "y": (0, 12)}, version=v)
+    assert len(kept) <= 4 and len(skipped) >= len(m["dirs"]) - 4
+    ky, sy = t.pruned_dirs("y", lo=90, hi=99, version=v)
+    assert len(sy) >= len(m["dirs"]) // 2
+    # Content-preserving: same rows, same values.
+    got = t.read_pruned_multi(spark, {"x": (0, 12), "y": (0, 12)}, version=v)
+    assert got.count() == 13 * 13
+    assert t.read(spark, v).count() == 10_000
+    assert [r["v"] for r in t.read(spark, v).filter("x=5 and y=5").collect()] == [505]
+
+
+def test_compact_zordered_nulls_guards_and_dv_materialization(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(100).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("x"),
+        (F.col("id") % 7).alias("y"),
+        F.col("id").alias("v"),
+    )
+    t.commit(df, stats_cols=["x"])
+    # A vector-deleted row must NOT survive the z rewrite (the rewrite
+    # reads through the vector and the new manifest drops it).
+    t.delete_where_dv(spark, "v", lo=5, hi=6)
+    v = t.compact_zordered(spark, "x", "y", n_bucket_bits=4)
+    assert "dv" not in t._manifest(v)
+    vs = sorted(r["v"] for r in t.read(spark, v).collect())
+    assert vs == [i for i in range(100) if i not in (5, 6)]
+    # NULL x rows parked but preserved.
+    assert t.read(spark, v).filter("x IS NULL").count() == 10
+    with pytest.raises(ValueError, match="n_bucket_bits"):
+        t.compact_zordered(spark, "x", "y", n_bucket_bits=0)
+    bad = TransactionalTable(str(tmp_path / "bad"))
+    bad.commit(spark.range(3).withColumn("s", F.lit("a")))
+    with pytest.raises(ValueError, match="not\n?.*BIGINT-castable|BIGINT"):
+        bad.compact_zordered(spark, "id", "s")
+    empty = TransactionalTable(str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="no committed version"):
+        empty.compact_zordered(spark, "x", "y")
