@@ -9095,6 +9095,86 @@ def q_table_delete(spark, sf_dir):
 
 
 @register(
+    "q_table_mv",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                         AS DOUBLE), 4) AS revenue
+       FROM orders GROUP BY 1""",
+)
+def q_table_mv(spark, sf_dir):
+    """INCREMENTAL MATERIALIZED VIEW over the table's commit log
+    (operators/maintenance.py::incremental_mv_refresh): orders land in
+    three transactional appends; after each, the monthly-revenue view
+    table refreshes by aggregating ONLY that append's delta (manifest
+    dir-diff via read_changes) and monoid-merging it into the stored
+    view — counts add, exact decimal sums add; the view's manifest meta
+    records the base version it reflects, so retried refreshes no-op
+    (batch-id idempotence) and racing refreshers serialize on the CAS.
+    The oracle is the FULL recompute over orders: matching it after
+    three incremental folds IS the view-maintenance correctness
+    statement (merge ≡ rebuild), now with both states owned by the
+    storage tier — q_incr_agg's in-memory contract productionized.
+    Scale: each refresh costs O(delta + |view|), never O(base);
+    history is never rescanned. Reference has no table layer
+    (src/functions.cpp:146-162)."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.operators.maintenance import (
+        incremental_mv_refresh,
+    )
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    rk = F.col("o_orderkey")
+    slices = [o.filter(rk % 3 == i) for i in range(3)]
+
+    def delta_to_partial(df):
+        return df.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("s"),
+        )
+
+    def combine(view, partial):
+        return (
+            view.unionByName(partial)
+            .groupBy("month")
+            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        )
+
+    root = tempfile.mkdtemp(prefix="mri_txn_mv_")
+    base = TransactionalTable(f"{root}/base")
+    view = TransactionalTable(f"{root}/view")
+    for i, sl in enumerate(slices):
+        base.commit(sl, mode="append" if i else "overwrite")
+        incremental_mv_refresh(spark, base, view, delta_to_partial, combine)
+    # A replayed refresh after the last append must be a pure no-op.
+    v_before = view.current_version()
+    assert (
+        incremental_mv_refresh(
+            spark, base, view, delta_to_partial, combine
+        )
+        == v_before
+    )
+    out = (
+        view.read(spark)
+        .select(
+            F.col("month").cast("timestamp").alias("month"),
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round(F.col("s").cast("double"), 4).alias("revenue"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_zorder",
     f"""WITH b AS (SELECT CAST(min(l_orderkey) AS BIGINT) AS xmin,
                           CAST(max(l_orderkey) AS BIGINT) AS xmax,

@@ -206,3 +206,51 @@ def compact_files_zordered(
         .parquet(out_dir)
     )
     return n
+
+
+def incremental_mv_refresh(
+    spark: SparkSession,
+    base,
+    mv,
+    delta_to_partial,
+    combine,
+) -> int:
+    """Advance a MATERIALIZED-VIEW table to the base table's current
+    version by aggregating ONLY the unprocessed delta — the table-owned
+    form of the monoid-merge contract ``q_incr_agg`` pins in memory.
+
+    ``base`` and ``mv`` are TransactionalTables. The MV's manifest meta
+    records the base version it reflects (``processed``); a refresh
+    reads ``base.read_changes(processed, base_cur)`` (manifest dir-diff
+    — history is never rescanned), folds it with ``delta_to_partial``,
+    merges partials with ``combine`` (must be associative/commutative:
+    sums of counts, sums of decimal sums, min/max — the monoid menu),
+    and commits the merged view with ``meta={"processed": base_cur}``.
+
+    Exactly-once composes from both sides: the commit carries
+    ``expected_version`` (a racing refresher loses the manifest CAS and
+    retries), and a RETRIED refresh whose predecessor already landed
+    sees ``processed >= base_cur`` and no-ops — the same batch-id
+    idempotence discipline as the streaming sinks. The MV itself is
+    rewritten per refresh (mode=overwrite): views are small aggregates
+    by construction, so the rewrite is O(|view|), never O(base). At
+    100 TB this is the difference between a rollup that updates in
+    seconds off the commit log and a nightly full recompute. Any
+    non-append base commit in the unprocessed range raises (the change
+    feed's soundness rule): rewrites invalidate incremental partials,
+    so rebuild the view from scratch after compaction/DML — exactly
+    Delta's MV-over-CDF caveat."""
+    base_v = base.current_version()
+    mv_v = mv.current_version()
+    processed = mv.meta_of(mv_v).get("processed", 0) if mv_v else 0
+    if processed >= base_v:
+        return mv_v  # already current (or a replayed refresh): no-op
+    delta = base.read_changes(spark, processed, base_v)
+    partial = delta_to_partial(delta)
+    merged = combine(mv.read(spark, mv_v), partial) if mv_v else partial
+    return mv.commit(
+        merged,
+        mode="overwrite",
+        expected_version=mv_v,
+        meta={"processed": base_v},
+    )
