@@ -132,6 +132,8 @@ HEADLINE = [
     "q_table_wap",         # write-audit-publish branch + tag pin
     "q_ingest_dedup",      # incremental dedup vs persisted signature state
     "q_table_stream",      # table commit log as a streaming source
+    "q_table_zorder",      # OPTIMIZE ZORDER BY: two-axis bucket pruning
+    "q_table_mv",          # incremental materialized view over commit log
 ]
 
 # The graph-ANN family is benched build/probe SPLIT (round-7 verdict

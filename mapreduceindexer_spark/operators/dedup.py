@@ -197,9 +197,18 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = 16) -> DataFrame:
     )
 
 
+def _band_of(seed, rows_per_band: int):
+    """The band a minhash seed belongs to — ONE definition shared by
+    ``lsh_band_signatures`` and ``ingest_signatures``: the persisted
+    ingest state joins its per-seed rows to band signatures on this
+    expression, so a silent divergence would mis-attach signatures
+    with no error raised (review finding)."""
+    return (seed / rows_per_band).cast("int")
+
+
 def lsh_band_signatures(minhash: DataFrame, rows_per_band: int = 2) -> DataFrame:
     """(doc_id, band, sig): concatenated minhash values per band."""
-    banded = minhash.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    banded = minhash.withColumn("band", _band_of(F.col("seed"), rows_per_band))
     return banded.groupBy("doc_id", "band").agg(
         F.concat_ws(
             ",",
@@ -873,9 +882,7 @@ def ingest_signatures(
     agree bit-for-bit (and the DuckDB oracle replays both)."""
     mh = minhash_signatures(doc_shingles(docs, k), n_hashes)
     sigs = lsh_band_signatures(mh, rows_per_band)
-    banded = mh.withColumn(
-        "band", (F.col("seed") / rows_per_band).cast("int")
-    )
+    banded = mh.withColumn("band", _band_of(F.col("seed"), rows_per_band))
     return banded.join(sigs, ["doc_id", "band"]).select(
         "doc_id", "seed", "mh", "band", "sig"
     )

@@ -300,7 +300,17 @@ def _evolve_schema(prev_json: dict | None, new_schema) -> dict:
     production format would version a type-widening lattice here.
     Fields missing from the new data are KEPT (historic dirs still
     hold them; new dirs read them as NULL) — both add and omit are
-    safe because every read applies the recorded schema."""
+    safe because every read applies the recorded schema. Names the
+    deletion-vector machinery reserves are rejected HERE, on every
+    commit path: a reserved column evolved in AFTER a vector exists
+    would be silently overwritten by the read-side tag columns
+    (review finding) — fail fast at write instead."""
+    clash = _DV_RESERVED & {f.name for f in new_schema.fields}
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} are reserved by the deletion-"
+            "vector machinery; rename them"
+        )
     if prev_json is None:
         return _schema_json(new_schema)
     from pyspark.sql.types import StructField, StructType
@@ -371,6 +381,9 @@ class TransactionalTable:
             # Lazily created by the first publish (branch()) — opening
             # a view must not resurrect a dropped branch's dir.
             self.manifest_dir = os.path.join(path, "_refs", ref)
+        # Deletion vectors are immutable once linked; the doomed-file
+        # enumeration is memoized per vector set (see _dv_doomed_files).
+        self._dv_files_cache: dict[tuple[str, ...], list[str] | None] = {}
 
     # -- version resolution -------------------------------------------------
 
@@ -601,30 +614,59 @@ class TransactionalTable:
         # _metadata.file_name predicates prune at FILE granularity, so
         # the clean arm scans straight through and only doomed files'
         # rows pay the per-row path tag + anti-join (loadtest_dv.py:
-        # the read tax was a full-scan regexp before this split). The
-        # doomed-file list is a bounded metadata fetch (<= rows
-        # deleted); a basename collision across dirs merely routes
-        # extra rows through the EXACT rel-path join — sound either
-        # way. Degenerate vectors touching very many files fall back
-        # to the single-pass tagged join (an isin over thousands of
-        # literals would bloat the plan past what it saves).
-        doomed_files = [
-            r["f"]
-            for r in dv.select(
-                F.element_at(
-                    F.split("_dv_rel_path", "/"), -1
-                ).alias("f")
-            )
-            .distinct()
-            .limit(_DV_SPLIT_MAX_FILES + 1)
-            .collect()
-        ]
-        if 0 < len(doomed_files) <= _DV_SPLIT_MAX_FILES:
+        # the read tax was a full-scan regexp before this split). A
+        # basename collision across dirs merely routes extra rows
+        # through the EXACT rel-path join — sound either way.
+        # Degenerate vectors touching very many files fall back to the
+        # single-pass tagged join.
+        doomed_files = self._dv_doomed_files(tuple(dv_names))
+        if doomed_files:
             is_doomed = F.col("_metadata.file_name").isin(doomed_files)
             return df.filter(~is_doomed).unionByName(
                 _anti(df.filter(is_doomed))
             )
         return _anti(df)
+
+    def _dv_doomed_files(self, dv_names: tuple[str, ...]) -> list[str] | None:
+        """Distinct data-file basenames the named vectors address, or
+        None when enumeration isn't worth it (huge vectors → the read
+        takes the single-pass tagged join). Computed DRIVER-side from
+        the vector parquet footers + one narrow column read — building
+        a DataFrame over a vectored version must not launch a Spark
+        job (review finding). Vectors are immutable once linked, so
+        the answer is memoized per vector set."""
+        if dv_names in self._dv_files_cache:
+            return self._dv_files_cache[dv_names]
+        import pyarrow.parquet as pq
+
+        out: list[str] | None = None
+        parts: list[str] = []
+        total = 0
+        for n in dv_names:
+            d = os.path.join(self.path, n)
+            for f in sorted(os.listdir(d)):
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(d, f)
+                parts.append(full)
+                total += pq.ParquetFile(full).metadata.num_rows
+        # Footer row counts bound the enumeration cost before any data
+        # is read: a vector this large came from a delete that should
+        # have been copy-on-write anyway.
+        if total <= 100_000:
+            names: set[str] = set()
+            for full in parts:
+                col = pq.read_table(full, columns=["_dv_rel_path"])
+                for v in col.column(0).to_pylist():
+                    names.add(v.rsplit("/", 1)[-1])
+                    if len(names) > _DV_SPLIT_MAX_FILES:
+                        break
+                if len(names) > _DV_SPLIT_MAX_FILES:
+                    break
+            if 0 < len(names) <= _DV_SPLIT_MAX_FILES:
+                out = sorted(names)
+        self._dv_files_cache[dv_names] = out
+        return out
 
     def _read_dv(self, spark: SparkSession, dv_names) -> DataFrame:
         """The union of the named deletion-vector dirs as one typed
@@ -778,6 +820,29 @@ class TransactionalTable:
         if from_version > to_version:
             raise ValueError(
                 f"from_version {from_version} > to_version {to_version}"
+            )
+        # INTERNAL gaps make the mode check below unsound: a tagged-
+        # version-exempt vacuum can retire a manifest BETWEEN surviving
+        # ones (e.g. keep tagged v1, retire rewrite v2, keep v3), and
+        # iterating only survivors would silently skip v2's rewrite
+        # boundary and double-deliver its surviving rows (review
+        # finding). A missing PREFIX stays legal — that is ordinary
+        # retention, and the from_version==0 bootstrap treats the
+        # oldest survivor as the baseline.
+        vset = set(versions)
+        floor = min(vset) if from_version == 0 else from_version
+        missing = [
+            v
+            for v in range(max(from_version, floor) + 1, to_version + 1)
+            if v not in vset
+        ]
+        if missing:
+            raise ValueError(
+                f"versions {missing} in ({from_version}, {to_version}] "
+                "were removed by retention while neighbors survive (a "
+                "tag pin can do this); their commit modes are unknowable "
+                "so the feed cannot prove the range is append-only — "
+                "re-baseline the consumer from a full read"
             )
         base_dirs = (
             set(self._manifest(from_version)["dirs"])
@@ -1456,8 +1521,11 @@ class TransactionalTable:
                 "write uses as its partition key; rename it first"
             )
         b = df.agg(
-            F.min(col).cast("bigint").alias("lo"),
-            F.max(col).cast("bigint").alias("hi"),
+            # min/max AFTER the cast — min-then-cast on digit strings
+            # is lexicographic ('10' < '9') and would corrupt the
+            # bucket arithmetic (review finding, shared with zorder).
+            F.min(F.col(col).cast("bigint")).alias("lo"),
+            F.max(F.col(col).cast("bigint")).alias("hi"),
             F.count(col).alias("n_keyed"),
             F.count(F.col(col).cast("bigint")).alias("n_cast"),
         ).collect()[0]
@@ -1592,9 +1660,12 @@ class TransactionalTable:
             )
         aggs = []
         for c in (col_x, col_y):
+            # min/max AFTER the cast: min-then-cast on a digit-string
+            # column would take the LEXICOGRAPHIC extreme ('10' < '9')
+            # and silently break the grid (review finding).
             aggs += [
-                F.min(c).cast("bigint").alias(f"_{c}_lo"),
-                F.max(c).cast("bigint").alias(f"_{c}_hi"),
+                F.min(F.col(c).cast("bigint")).alias(f"_{c}_lo"),
+                F.max(F.col(c).cast("bigint")).alias(f"_{c}_hi"),
                 F.count(c).alias(f"_{c}_n"),
                 F.count(F.col(c).cast("bigint")).alias(f"_{c}_ncast"),
             ]
@@ -2026,7 +2097,14 @@ class TransactionalTable:
         return version
 
     def tag_version(self, name: str) -> int:
-        """The main version tag ``name`` pins."""
+        """The main version tag ``name`` pins. Main view only: a tag
+        pins a MAIN version number, which on a branch view would
+        resolve against the branch's own manifest chain — silently
+        wrong data (review finding)."""
+        if self.ref is not None:
+            raise ValueError(
+                "tags pin main versions; resolve them from the main view"
+            )
         try:
             with open(
                 os.path.join(self.path, "_tags", f"{name}.json"),
@@ -2119,13 +2197,17 @@ class TransactionalTable:
                 for tn in os.listdir(tags_root):
                     if not tn.endswith(".json") or tn.startswith("."):
                         continue
-                    try:
-                        with open(
-                            os.path.join(tags_root, tn), encoding="utf-8"
-                        ) as fh:
-                            tagged.add(json.load(fh)["version"])
-                    except (OSError, ValueError, KeyError):
-                        continue  # racing drop_tag / torn temp
+                    full = os.path.join(tags_root, tn)
+                    m = _ref_cache.get(full)
+                    if m is None:
+                        try:
+                            with open(full, encoding="utf-8") as fh:
+                                m = json.load(fh)
+                        except (OSError, ValueError):
+                            continue  # racing drop_tag / torn temp
+                        _ref_cache[full] = m
+                    if "version" in m:
+                        tagged.add(m["version"])
             return ldirs, ldvs, tagged
         # Manifest files are immutable once linked (commit writes
         # v{v}.json exactly once), so parsed manifests are cached across

@@ -44,7 +44,7 @@ def build(spark, n_rows: int) -> TransactionalTable:
 
 def main() -> None:
     spark = get_spark(app_name="loadtest_dv")
-    for n_rows in (100_000, 1_000_000):
+    for n_rows in (100_000, 1_000_000, 10_000_000):
         # Merge-on-read: position vector only.
         t = build(spark, n_rows)
         t0 = time.time()

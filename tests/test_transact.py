@@ -1044,11 +1044,19 @@ def test_delete_dv_matches_cow_delete_and_guards(spark, tmp_path):
         TransactionalTable(str(tmp_path / "empty")).delete_where_dv(
             spark, "k", lo=0
         )
-    # Reserved-name collision refuses rather than corrupting the join.
+    # Reserved-name collision refuses at COMMIT time, on every write
+    # path (evolving one in after a vector exists would corrupt the
+    # read-side join).
     bad = TransactionalTable(str(tmp_path / "bad"))
-    bad.commit(spark.range(3).withColumn("_dv_pos", F.col("id")))
     with pytest.raises(ValueError, match="reserved"):
-        bad.delete_where_dv(spark, "id", lo=0, hi=1)
+        bad.commit(spark.range(3).withColumn("_dv_pos", F.col("id")))
+    ok = TransactionalTable(str(tmp_path / "ok"))
+    ok.commit(spark.range(3))
+    with pytest.raises(ValueError, match="reserved"):
+        ok.commit(
+            spark.range(3).withColumn("__mri_dv_rel", F.lit("x")),
+            mode="append",
+        )
 
 
 def test_delete_dv_stacks_noop_and_compact_materializes(spark, tmp_path):
@@ -1317,3 +1325,24 @@ def test_compact_zordered_nulls_guards_and_dv_materialization(
     empty = TransactionalTable(str(tmp_path / "empty"))
     with pytest.raises(ValueError, match="no committed version"):
         empty.compact_zordered(spark, "x", "y")
+
+
+def test_change_feed_refuses_internal_version_gaps(spark, tmp_path):
+    """A tag-pinned vacuum can retire a manifest BETWEEN survivors; the
+    feed must refuse the range (the missing version's mode — possibly a
+    rewrite boundary — is unknowable) rather than silently diff across
+    the gap (review finding)."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), stats_cols=["id"])
+    t.tag("pin")  # pins v1 through retention
+    t.delete_where(spark, "id", lo=0, hi=1)  # v2: rewrite boundary
+    t.commit(spark.range(5, 8), mode="append")  # v3
+    t.vacuum(keep_versions=1, grace_seconds=0.0)
+    assert t.versions() == [1, 3]  # v2 retired, v1 tag-pinned
+    with pytest.raises(ValueError, match="removed by retention"):
+        t.read_changes(spark, 1, 3)
+    # A missing PREFIX stays legal: ordinary retention.
+    t.drop_tag("pin")
+    t.vacuum(keep_versions=1, grace_seconds=0.0)
+    assert t.versions() == [3]
+    assert t.read_changes(spark, 0, 3).count() == t.read(spark).count()
