@@ -9095,6 +9095,73 @@ def q_table_delete(spark, sf_dir):
 
 
 @register(
+    "q_table_constraints",
+    """WITH b AS (SELECT CAST(count(*) // 3 AS BIGINT) AS b1 FROM documents)
+       SELECT CAST(2 AS BIGINT) AS n_constraints,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents, b
+               WHERE doc_id >= b.b1 AND doc_id % 97 = 0) AS n_rejected,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+                  AS total_chars""",
+)
+def q_table_constraints(spark, sf_dir):
+    """CHECK CONSTRAINTS on the transactional table
+    (sources/transact.py::add_constraint): rules recorded in the
+    manifest as table properties — `n_chars >= 0` and
+    `lang IS NOT NULL` here — are validated against existing data when
+    added (ADD CONSTRAINT on a populated table) and gate EVERY
+    subsequent write with one narrow aggregate over the batch (O(batch)
+    per commit, never O(table)). The query stages a poisoned batch
+    (every 97th doc's n_chars negated), proves the commit refuses it
+    naming the rule, then lands the clean batch; the oracle replays the
+    rejection count as arithmetic and the final table as the full
+    relation. Constraint versions are metadata-only and feed-safe;
+    constraints survive overwrites/compaction/branch publishes (pinned
+    by test_transact.py). Scale: write-side data quality is the cheap
+    place to enforce it — one agg per batch versus auditing 100 TB
+    after the fact. Reference has no table layer."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    d = _docs(spark, sf_dir)
+    n1 = d.agg((F.count("*") / 3).cast("bigint")).collect()[0][0]
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_cons_"))
+    table.commit(d.filter(F.col("doc_id") < n1), stats_cols=["doc_id"])
+    table.add_constraint(spark, "chars_nonneg", "n_chars >= 0")
+    table.add_constraint(spark, "lang_present", "lang IS NOT NULL")
+    batch = d.filter(F.col("doc_id") >= n1)
+    poisoned = batch.withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 97 == 0, -F.col("n_chars") - 1
+        ).otherwise(F.col("n_chars")),
+    )
+    n_rejected = 0
+    try:
+        table.commit(poisoned, mode="append", stats_cols=["doc_id"])
+    except ValueError as e:
+        assert "chars_nonneg" in str(e)
+        n_rejected = poisoned.filter(F.col("n_chars") < 0).count()
+    v = table.commit(batch, mode="append", stats_cols=["doc_id"])
+    out = (
+        table.read(spark, v)
+        .agg(
+            F.lit(len(table.constraints())).cast("bigint").alias(
+                "n_constraints"
+            ),
+            F.lit(n_rejected).cast("bigint").alias("n_rejected"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_mv",
     """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
               CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -191,6 +191,44 @@ def _dv_schema():
     )
 
 
+def _carried_props(manifest: dict | None) -> dict:
+    """Table-level properties that ride EVERY manifest regardless of
+    commit mode (constraints today): unlike schema (append-evolved) or
+    stats/dv (per-dir), these survive overwrites and rewrites — the
+    Delta 'table properties' semantics."""
+    if manifest and manifest.get("constraints"):
+        return {"constraints": dict(manifest["constraints"])}
+    return {}
+
+
+def _validate_constraints(df: DataFrame, constraints: dict, what: str) -> None:
+    """Raise if any row of ``df`` VIOLATES a CHECK constraint — SQL
+    semantics: a constraint passes unless its expression is FALSE
+    (NULL passes, so `x > 0` admits NULL x; spell NOT NULL as
+    `x IS NOT NULL`). One narrow aggregate over the batch evaluates
+    every constraint together — the per-commit enforcement cost is a
+    single scan of the NEW data, never the table."""
+    if not constraints:
+        return
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.count(
+            F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1)
+        ).alias(name)
+        for name, expr in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {name: row[name] for name in constraints if row[name] > 0}
+    if bad:
+        raise ValueError(
+            f"{what} violates CHECK constraint(s) "
+            + ", ".join(
+                f"{n!r} ({c} rows): {constraints[n]}" for n, c in bad.items()
+            )
+        )
+
+
 def _carry_dv(manifest: dict, dirs) -> dict:
     """The previous manifest's deletion-vector map restricted to the
     dirs the next version keeps UNREWRITTEN — a rewritten dir's rows
@@ -426,11 +464,18 @@ class TransactionalTable:
         meta: dict | None = None,
         stats_cols: tuple[str, ...] | list[str] | None = None,
         bloom_cols: tuple[str, ...] | list[str] | None = None,
+        validate: bool = True,
     ) -> int:
         """Publish ``df`` as the next version; returns it. ``meta`` (a
         small JSON-able dict) rides the manifest — e.g. a streaming
         sink's batch_id, so a retried microbatch can recognize its own
         already-committed version (exactly-once).
+
+        CHECK constraints recorded on the table (``add_constraint``)
+        gate the batch: one narrow aggregate evaluates every
+        constraint and a violation fails the commit before any bytes
+        land. ``validate=False`` skips that scan — for content-
+        preserving rewrites of already-validated data only (compact).
 
         ``stats_cols`` opts the commit into DATA-SKIPPING statistics:
         per snapshot dir, (row count, min, max) of each listed column is
@@ -472,10 +517,18 @@ class TransactionalTable:
         # illegal type change fails fast with no orphan dir: appends
         # evolve add-only against the recorded schema; overwrite is a
         # fresh table state and records the new schema as-is.
-        prev = self._manifest(base) if (mode == "append" and base > 0) else None
+        cur_m = self._manifest(base) if base > 0 else None
+        prev = cur_m if mode == "append" else None
         schema_json = _evolve_schema(
             prev.get("schema") if prev else None, df.schema
         )
+        # CHECK constraints (table properties — they survive overwrite)
+        # gate the batch before any bytes land.
+        props = _carried_props(cur_m)
+        if validate:
+            _validate_constraints(
+                df, props.get("constraints", {}), f"commit to v{new_version}"
+            )
 
         snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
         df.write.mode("error").parquet(snap)
@@ -507,6 +560,7 @@ class TransactionalTable:
             "mode": mode,
             "dirs": dirs,
             "schema": schema_json,
+            **props,
         }
         if stats:
             payload["stats"] = stats
@@ -523,6 +577,10 @@ class TransactionalTable:
         the hard-link CAS; on a lost race, remove the loser's freshly
         written ``cleanup_snaps`` and raise ``CommitConflict``."""
         os.makedirs(self.manifest_dir, exist_ok=True)  # lazy ref dirs
+        # Wall-clock stamp for timestamp time travel (read_asof) —
+        # always fresh: a branch publish is "as of" when it LANDED on
+        # main, not when its head was staged.
+        payload["committed_at"] = time.time()
         tmp = os.path.join(
             self.manifest_dir, f".tmp-{uuid.uuid4().hex[:12]}.json"
         )
@@ -858,10 +916,21 @@ class TransactionalTable:
             if m.get("mode") != "append" and not (
                 v == from_version + 1 and from_version == 0
             ):
-                raise ValueError(
-                    f"version {v} is mode={m.get('mode')!r}; the change "
-                    "feed is defined only over append commits"
-                )
+                # Not labeled append — but METADATA-ONLY versions
+                # (set/drop_constraint) and pure-insert merges keep
+                # membership append-shaped: every prior dir survives
+                # and no deletion vector changed. Those are feed-safe;
+                # anything else rewrites membership and raises.
+                pm = self._manifest(v - 1) if (v - 1) in vset else None
+                if pm is None or not (
+                    set(pm["dirs"]) <= set(m["dirs"])
+                    and pm.get("dv", {}) == m.get("dv", {})
+                ):
+                    raise ValueError(
+                        f"version {v} is mode={m.get('mode')!r}; the "
+                        "change feed is defined only over append-shaped "
+                        "commits"
+                    )
             for d in m["dirs"]:
                 if d not in seen:  # each append re-lists inherited dirs
                     new_dirs.append(d)
@@ -1166,6 +1235,7 @@ class TransactionalTable:
                 if "schema" in manifest
                 else {}
             ),
+            **_carried_props(manifest),
             "dirs": dirs,
             "meta": {
                 "deleted_from": cur,
@@ -1292,6 +1362,7 @@ class TransactionalTable:
             "version": new_version,
             "mode": "delete_dv",
             **({"schema": sj} if sj is not None else {}),
+            **_carried_props(manifest),
             "dirs": list(manifest["dirs"]),
             "meta": {
                 # A DV delete never disturbs the partitioned layout, so
@@ -1385,6 +1456,11 @@ class TransactionalTable:
                 bloom_cols=bloom_cols,
             )
         manifest = self._manifest(cur)
+        _validate_constraints(
+            updates,
+            _carried_props(manifest).get("constraints", {}),
+            "merge_rows update batch",
+        )
         if lo is None:  # empty update batch: pure-metadata new version
             may_match: list[str] = []
             preserved = list(manifest["dirs"])
@@ -1422,6 +1498,7 @@ class TransactionalTable:
                 if "schema" in manifest
                 else {}
             ),
+            **_carried_props(manifest),
             "dirs": dirs,
             "meta": {
                 "merged_from": cur,
@@ -1477,6 +1554,7 @@ class TransactionalTable:
             meta={"compacted_from": cur},
             stats_cols=stats_cols,
             bloom_cols=bloom_cols,
+            validate=False,  # content-preserving: data already gated
         )
 
     def compact_clustered(
@@ -1590,11 +1668,13 @@ class TransactionalTable:
         stats = _grouped_subdir_stats(
             spark, snap, "_bucket", stats_cols, bloom_cols
         )
-        prev_schema = self._manifest(cur).get("schema")
+        prev_m = self._manifest(cur)
+        prev_schema = prev_m.get("schema")
         payload = {
             "version": cur + 1,
             "mode": "overwrite",
             **({"schema": prev_schema} if prev_schema is not None else {}),
+            **_carried_props(prev_m),
             "dirs": subdirs,
             "meta": {
                 "clustered_from": cur,
@@ -1724,11 +1804,13 @@ class TransactionalTable:
         stats = _grouped_subdir_stats(
             spark, snap, "_zbucket", all_stats, bloom_cols
         )
-        prev_schema = self._manifest(cur).get("schema")
+        prev_m = self._manifest(cur)
+        prev_schema = prev_m.get("schema")
         payload = {
             "version": cur + 1,
             "mode": "overwrite",
             **({"schema": prev_schema} if prev_schema is not None else {}),
+            **_carried_props(prev_m),
             "dirs": subdirs,
             "meta": {
                 "zordered_from": cur,
@@ -1827,11 +1909,14 @@ class TransactionalTable:
             if expected_version is not None
             else self.current_version()
         )
-        prev_m = (
-            self._manifest(base_v) if (mode == "append" and base_v > 0) else None
-        )
+        cur_m = self._manifest(base_v) if base_v > 0 else None
+        prev_m = cur_m if mode == "append" else None
         schema_json = _evolve_schema(
             prev_m.get("schema") if prev_m else None, df.schema
+        )
+        props = _carried_props(cur_m)
+        _validate_constraints(
+            df, props.get("constraints", {}), f"commit to v{base_v + 1}"
         )
         snap, subdirs = self._write_partitioned_snap(spark, df, part_col)
         stats = _grouped_subdir_stats(
@@ -1856,6 +1941,7 @@ class TransactionalTable:
             "version": base_v + 1,
             "mode": mode,
             "schema": schema_json,
+            **props,
             "dirs": dirs,
             "meta": {**(meta or {}), "partitioned_by": part_col},
         }
@@ -1914,6 +2000,11 @@ class TransactionalTable:
         # Pin updates before the three consumers (validation agg, write,
         # stats pass) — the merge_rows determinism discipline.
         updates = updates.localCheckpoint(eager=True)
+        _validate_constraints(
+            updates,
+            _carried_props(manifest).get("constraints", {}),
+            "replace_partitions update batch",
+        )
         int_parts = [v for v in parts if v is not None]
         in_set = F.col(part_col).cast("bigint").isin(int_parts)
         if any(v is None for v in parts):
@@ -1951,6 +2042,7 @@ class TransactionalTable:
             "version": cur + 1,
             "mode": "replace_partitions",
             "schema": schema_json,
+            **_carried_props(manifest),
             "dirs": kept + subdirs,
             "meta": {
                 **(meta or {}),
@@ -1967,6 +2059,108 @@ class TransactionalTable:
         if dv:
             payload["dv"] = dv
         return self._publish_manifest(payload, cur + 1, snap_cleanup)
+
+    # -- governance: CHECK constraints & timestamp time travel ---------------
+
+    def constraints(self, version: int | None = None) -> dict:
+        """{name: sql_expr} of the CHECK constraints in force at
+        ``version`` (default current); {} on an empty table."""
+        if version is None:
+            version = self.current_version()
+        if version == 0:
+            return {}
+        return dict(self._manifest(version).get("constraints", {}))
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """Record CHECK constraint ``expr`` (a SQL boolean expression
+        over the table's columns) under ``name`` and return the new
+        (metadata-only) version. The EXISTING data is validated first —
+        one narrow scan; a violation refuses the constraint, exactly
+        like ADD CONSTRAINT on a populated SQL table. From then on
+        every commit/merge/replace validates its batch against the
+        recorded set before any bytes land (O(batch) per write, never
+        O(table)). SQL CHECK semantics: NULL passes — spell NOT NULL
+        as ``col IS NOT NULL``. Constraints are table properties: they
+        survive overwrites, rewrites, and branch publishes, and time
+        travel shows each version's own set."""
+        import re
+
+        if not re.match(_REF_NAME_RE, name):
+            raise ValueError(f"invalid constraint name {name!r}")
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError(
+                "add_constraint needs a committed table (the expression "
+                "is validated against existing data)"
+            )
+        manifest = self._manifest(cur)
+        cons = dict(manifest.get("constraints", {}))
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists: {cons[name]}"
+            )
+        _validate_constraints(
+            self.read(spark, cur), {name: expr}, "existing table data"
+        )
+        cons[name] = expr
+        payload = {
+            **manifest,
+            "version": cur + 1,
+            "mode": "set_constraint",
+            "constraints": cons,
+            "meta": {
+                **manifest.get("meta", {}),
+                "constraint_added": name,
+            },
+        }
+        return self._publish_manifest(payload, cur + 1, [])
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove constraint ``name``; returns the new (metadata-only)
+        version."""
+        cur = self.current_version()
+        cons = self.constraints(cur)
+        if name not in cons:
+            raise ValueError(f"constraint {name!r} does not exist")
+        manifest = self._manifest(cur)
+        del cons[name]
+        payload = {
+            **manifest,
+            "version": cur + 1,
+            "mode": "set_constraint",
+            "meta": {
+                **manifest.get("meta", {}),
+                "constraint_dropped": name,
+            },
+        }
+        payload.pop("constraints", None)
+        if cons:
+            payload["constraints"] = cons
+        return self._publish_manifest(payload, cur + 1, [])
+
+    def version_asof(self, ts) -> int:
+        """The latest version committed AT OR BEFORE ``ts`` (a unix
+        epoch float or a datetime) — timestamp time travel, resolved
+        from the ``committed_at`` stamp every manifest carries.
+        Versions whose manifest predates the stamp (older engines) are
+        skipped; raises if nothing qualifies (or retention removed
+        it)."""
+        when = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
+        best = 0
+        for v in self.versions():
+            at = self._manifest(v).get("committed_at")
+            if at is not None and at <= when and v > best:
+                best = v
+        if best == 0:
+            raise ValueError(
+                f"no version was committed at or before {ts!r} "
+                "(or retention removed it)"
+            )
+        return best
+
+    def read_asof(self, spark: SparkSession, ts) -> DataFrame:
+        """The table as of wall-clock ``ts`` (``version_asof``)."""
+        return self.read(spark, self.version_asof(ts))
 
     # -- branches & tags (write-audit-publish) --------------------------------
 

@@ -1346,3 +1346,93 @@ def test_change_feed_refuses_internal_version_gaps(spark, tmp_path):
     t.vacuum(keep_versions=1, grace_seconds=0.0)
     assert t.versions() == [3]
     assert t.read_changes(spark, 0, 3).count() == t.read(spark).count()
+
+
+# -- governance: CHECK constraints & timestamp time travel ---------------------
+
+
+def test_constraints_gate_every_write_path(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(1, 6).withColumn("v", F.col("id") * 10))
+    v = t.add_constraint(spark, "pos_id", "id > 0")
+    t.add_constraint(spark, "v_not_null", "v IS NOT NULL")
+    assert set(t.constraints()) == {"pos_id", "v_not_null"}
+    assert t._manifest(v)["mode"] == "set_constraint"
+    # Violating batches refuse on every write path, naming the rule.
+    bad = spark.range(0, 2).withColumn("v", F.col("id"))  # id=0 violates
+    with pytest.raises(ValueError, match="pos_id"):
+        t.commit(bad, mode="append")
+    with pytest.raises(ValueError, match="pos_id"):
+        t.merge_rows(spark, bad, key="id")
+    # NULL passes a CHECK (SQL semantics) unless spelled IS NOT NULL.
+    nulls = spark.range(7, 9).select(
+        F.col("id"),
+        F.when(F.col("id") == 7, None).otherwise(F.col("id")).alias("v"),
+    )
+    with pytest.raises(ValueError, match="v_not_null"):
+        t.commit(nulls, mode="append")
+    t.drop_constraint("v_not_null")
+    t.commit(nulls, mode="append")  # CHECK id > 0 passes NULL-free ids
+    assert t.read(spark).count() == 7
+    # Constraints survive overwrite and compaction (table properties).
+    t.commit(spark.range(10, 12).withColumn("v", F.col("id")), mode="overwrite")
+    assert set(t.constraints()) == {"pos_id"}
+    t.compact(spark)
+    assert set(t.constraints()) == {"pos_id"}
+    with pytest.raises(ValueError, match="pos_id"):
+        t.commit(bad, mode="append")
+    # Adding a constraint existing data violates refuses.
+    with pytest.raises(ValueError, match="existing table data"):
+        t.add_constraint(spark, "small", "id < 5")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint(spark, "pos_id", "id > 0")
+
+
+def test_constraint_versions_are_feed_safe_and_branch_carried(
+    spark, tmp_path
+):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 4))
+    t.add_constraint(spark, "nonneg", "id >= 0")  # v2, metadata-only
+    t.commit(spark.range(4, 8), mode="append")  # v3
+    # The metadata-only version does not break the change feed.
+    assert _ids(t.read_changes(spark, 1, 3)) == list(range(4, 8))
+    # Branches carry constraints (fork copies the manifest) and the
+    # publish carries them back.
+    b = t.branch("stage")
+    with pytest.raises(ValueError, match="nonneg"):
+        b.commit(spark.range(-2, 0), mode="append")
+    b.commit(spark.range(8, 10), mode="append")
+    t.publish_branch("stage")
+    assert set(t.constraints()) == {"nonneg"}
+    assert _ids(t.read(spark)) == list(range(10))
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 3))
+    t.commit(spark.range(3, 6), mode="append")
+    t.commit(spark.range(6, 9), mode="append")
+    # Stamps are wall-clock at publish; rewrite them to known instants
+    # (manifests are plain JSON — the test owns the clock).
+    for v, at in ((1, 1000.0), (2, 2000.0), (3, 3000.0)):
+        p = _os.path.join(t.manifest_dir, f"v{v}.json")
+        m = _json.load(open(p))
+        m["committed_at"] = at
+        _json.dump(m, open(p, "w"))
+    assert t.version_asof(1500.0) == 1
+    assert t.version_asof(2000.0) == 2
+    assert _ids(t.read_asof(spark, 2999.9)) == list(range(6))
+    assert _ids(t.read_asof(spark, 10_000)) == list(range(9))
+    with pytest.raises(ValueError, match="at or before"):
+        t.version_asof(999.0)
+    import datetime
+
+    assert (
+        t.version_asof(datetime.datetime.fromtimestamp(2500.0)) == 2
+    )
