@@ -8437,6 +8437,29 @@ def q_table_stream(spark, sf_dir):
     return streaming_table_feed(spark, sf_dir)
 
 
+@register("q_ingest_stream", None)
+def q_ingest_stream(spark, sf_dir):
+    """STREAMING INGEST DEDUP (streaming/ingest_stream.py): documents
+    arrive in microbatches; each batch is hashed once, probed against
+    the persisted signature-state table (band-bucket join + minhash
+    signature agreement — the corpus is never re-read) AND against
+    itself (first-doc-id wins within a batch), survivors' signatures
+    append exactly-once (batch_id-gated manifests), rejections land in
+    an auditable side table. Rows-only BY DESIGN (real streaming query
+    with stateful foreachBatch sinks); the admitted set is pinned
+    equal to a sequential batch replay of the same slices by
+    tests/test_streaming.py — the q_ingest_dedup oracle already
+    value-checks the probe/verify kernel itself. Scale: per-batch cost
+    is O(batch + bucket collisions) at ANY corpus size; state grows
+    O(admitted × n_hashes) rows and compacts via the table's own
+    OPTIMIZE."""
+    from mapreduceindexer_spark.streaming.ingest_stream import (
+        streaming_ingest_dedup,
+    )
+
+    return streaming_ingest_dedup(spark, sf_dir)
+
+
 @register("q_cdc_stream", None)
 def q_cdc_stream(spark, sf_dir):
     """Streaming CDC apply: per-user profile updates merged into the

@@ -457,3 +457,56 @@ def test_table_stream_pads_pre_evolution_files_with_null(spark, tmp_path):
     got = _drain_table_stream(spark, t.path, sink, cp)
     rows = {r["id"]: r["w"] for r in got.collect()}
     assert rows == {0: None, 1: None, 2: None, 3: "new", 4: "new"}
+
+
+# -- streaming ingest dedup (online LSH vs persisted state) --------------------
+
+
+def test_ingest_stream_equals_sequential_replay(spark, tmp_path):
+    """The streamed admitted set must equal driving the SAME per-batch
+    kernel sequentially over the same slices — the transport/idempotence
+    twin; the probe/verify kernel's values are oracle-checked by
+    q_ingest_dedup."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+    from mapreduceindexer_spark.streaming.ingest_stream import (
+        _ingest_batch,
+        streaming_ingest_dedup,
+    )
+
+    sf_dir = SF_SMOKE
+    streamed = {
+        r["doc_id"]
+        for r in streaming_ingest_dedup(spark, sf_dir, n_slices=3).collect()
+    }
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    state = TransactionalTable(str(tmp_path / "state"))
+    rejects = TransactionalTable(str(tmp_path / "rejects"))
+    for i in range(3):
+        sl = docs.filter(F.col("doc_id") % 3 == i)
+        _ingest_batch(state, rejects, sl, i, threshold=0.5)
+    sequential = {
+        r["doc_id"]
+        for r in state.read(spark).select("doc_id").distinct().collect()
+    }
+    assert streamed == sequential
+    # Replaying a batch must not change state (exactly-once).
+    v = state.current_version()
+    _ingest_batch(
+        state, rejects, docs.filter(F.col("doc_id") % 3 == 2), 2, 0.5
+    )
+    assert state.current_version() == v
+    # Audit property: every rejected doc names >= 1 match and is NOT
+    # in the admitted set; admitted + rejected = all docs.
+    rej = {r["doc_id"] for r in rejects.read(spark).select("doc_id").collect()}
+    assert rej.isdisjoint(sequential)
+    assert rej | sequential == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    assert (
+        rejects.read(spark).filter("n_matches < 1 OR best_est < 0.5").count()
+        == 0
+    )
