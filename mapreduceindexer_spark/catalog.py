@@ -9118,6 +9118,63 @@ def q_table_delete(spark, sf_dir):
 
 
 @register(
+    "q_table_fast_agg",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 3 AS BIGINT) AS b1,
+                         CAST((2 * count(*)) // 3 AS BIGINT) AS b2
+                  FROM documents),
+            p AS (SELECT b1 // 2 AS plo, b1 - 1 AS phi FROM b)
+       SELECT (SELECT n FROM b) AS count_pre,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents, p
+               WHERE doc_id NOT BETWEEN p.plo AND p.phi) AS count_post_dv,
+              (SELECT CAST(min(doc_id) AS BIGINT) FROM documents) AS min_id,
+              (SELECT CAST(max(doc_id) AS BIGINT) FROM documents) AS max_id,
+              CAST(1 AS BIGINT) AS minmax_none_after_dv""",
+)
+def q_table_fast_agg(spark, sf_dir):
+    """METADATA-ONLY AGGREGATES (sources/transact.py::fast_count/
+    fast_minmax): COUNT(*) answered from the manifest's per-dir row
+    counts (minus deletion-vector footer rows — exact, since positions
+    are unique across a version's vectors) and MIN/MAX from the stored
+    per-dir extents — zero data reads, zero Spark jobs, the aggregate
+    pushdown every table format serves from its catalog. The query
+    drives the honesty contract too: after a DV delete, fast_count
+    stays exact (footer arithmetic) while fast_minmax correctly
+    refuses (the vector may have deleted the extreme row — returning
+    the stored extent would be WRONG, so it returns None and the
+    caller scans). Oracle replays every number as plain SQL over
+    documents. Scale: COUNT(*) on 100 TB becomes a manifest read.
+    Reference has no table/stats layer (src/functions.cpp:146-162)."""
+    import shutil
+
+    _, table, n, b1, b2 = _three_slice_table(spark, sf_dir, "mri_txn_fagg_")
+    v1 = table.current_version()
+    count_pre = table.fast_count(v1)
+    mn, mx = table.fast_minmax("doc_id", v1)
+    # Cross-check against the scan BEFORE returning metadata answers.
+    assert count_pre == table.read(spark, v1).count()
+    v2 = table.delete_where_dv(spark, "doc_id", lo=b1 // 2, hi=b1 - 1)
+    count_post = table.fast_count(v2)
+    assert count_post == table.read(spark, v2).count()
+    mm_after = table.fast_minmax("doc_id", v2)  # None: DV present
+    out = spark.createDataFrame(
+        [
+            (
+                count_pre,
+                count_post,
+                mn,
+                mx,
+                1 if mm_after is None else 0,
+            )
+        ],
+        "count_pre bigint, count_post_dv bigint, min_id bigint, "
+        "max_id bigint, minmax_none_after_dv bigint",
+    ).localCheckpoint()
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_constraints",
     """WITH b AS (SELECT CAST(count(*) // 3 AS BIGINT) AS b1 FROM documents)
        SELECT CAST(2 AS BIGINT) AS n_constraints,

@@ -2060,6 +2060,77 @@ class TransactionalTable:
             payload["dv"] = dv
         return self._publish_manifest(payload, cur + 1, snap_cleanup)
 
+    # -- metadata-only aggregates (stats pushdown) ----------------------------
+
+    def fast_count(self, version: int | None = None) -> int | None:
+        """COUNT(*) answered from MANIFEST METADATA alone — zero data
+        reads, zero Spark jobs: the sum of per-dir stats row counts,
+        minus the exact number of vector-deleted rows (each deletion
+        vector's parquet footer row count; positions are unique across
+        a version's vectors by construction — ``delete_where_dv``
+        excludes prior vectors when writing a new one). Returns None
+        when any dir lacks stats (the count is unknowable without a
+        scan — mixed stats-less history is legal); callers fall back
+        to ``read().count()``. This is the aggregate pushdown every
+        table format serves COUNT(*) from; at 100 TB it is the
+        difference between a catalog lookup and a full scan."""
+        if version is None:
+            version = self.current_version()
+        if version < 1 or version not in self.versions():
+            raise ValueError(f"version {version} does not exist")
+        manifest = self._manifest(version)
+        stats = manifest.get("stats", {})
+        total = 0
+        for d in manifest["dirs"]:
+            rows = stats.get(d, {}).get("rows")
+            if rows is None:
+                return None
+            total += rows
+        dv_names = sorted(
+            {n for names in manifest.get("dv", {}).values() for n in names}
+        )
+        if dv_names:
+            import pyarrow.parquet as pq
+
+            for n in dv_names:
+                d = os.path.join(self.path, n)
+                for f in os.listdir(d):
+                    if f.endswith(".parquet"):
+                        total -= pq.ParquetFile(
+                            os.path.join(d, f)
+                        ).metadata.num_rows
+        return total
+
+    def fast_minmax(
+        self, col: str, version: int | None = None
+    ) -> tuple | None:
+        """(min, max) of ``col`` from manifest stats alone, or None
+        when metadata cannot prove them: any dir missing stats for
+        ``col``, or ANY deletion vector present (a vector may have
+        deleted exactly the extreme row, so stored extents are only
+        conservative bounds, not exact answers). All-NULL/empty dirs
+        (stats [None, None]) are ignored, matching SQL min/max NULL
+        semantics; returns (None, None) if every dir is all-NULL."""
+        if version is None:
+            version = self.current_version()
+        if version < 1 or version not in self.versions():
+            raise ValueError(f"version {version} does not exist")
+        manifest = self._manifest(version)
+        if manifest.get("dv"):
+            return None
+        stats = manifest.get("stats", {})
+        lo = hi = None
+        for d in manifest["dirs"]:
+            cs = stats.get(d, {}).get("cols", {}).get(col)
+            if cs is None:
+                return None
+            cmin, cmax = cs
+            if cmin is None:
+                continue  # empty/all-NULL dir contributes nothing
+            lo = cmin if lo is None or cmin < lo else lo
+            hi = cmax if hi is None or cmax > hi else hi
+        return (lo, hi)
+
     # -- governance: CHECK constraints & timestamp time travel ---------------
 
     def constraints(self, version: int | None = None) -> dict:

@@ -1436,3 +1436,39 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert (
         t.version_asof(datetime.datetime.fromtimestamp(2500.0)) == 2
     )
+
+
+def test_fast_aggregates_from_metadata_only(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 10), stats_cols=["id"])
+    t.commit(spark.range(10, 25), mode="append", stats_cols=["id"])
+    assert t.fast_count() == 25
+    assert t.fast_minmax("id") == (0, 24)
+    # DV delete: count stays exact (footer arithmetic), min/max
+    # honestly refuses (the extreme row might be deleted).
+    t.delete_where_dv(spark, "id", lo=20, hi=24)
+    assert t.fast_count() == 20
+    assert t.fast_minmax("id") is None
+    assert t.fast_count() == t.read(spark).count()
+    # Stacked vectors stay exact (no double-count of overlaps).
+    t.delete_where_dv(spark, "id", lo=18, hi=21)
+    assert t.fast_count() == 18 == t.read(spark).count()
+    # Compaction materializes: min/max resolvable again, count intact.
+    t.compact(spark, stats_cols=["id"])
+    assert t.fast_count() == 18
+    assert t.fast_minmax("id") == (0, 17)
+    # A stats-less dir makes COUNT unknowable -> None, never a guess.
+    t.commit(spark.range(100, 103), mode="append")
+    assert t.fast_count() is None
+    assert t.fast_minmax("id") is None
+    # All-NULL dirs are ignored by min/max (SQL semantics).
+    t2 = TransactionalTable(str(tmp_path / "t2"))
+    t2.commit(
+        spark.range(3).select(F.lit(None).cast("bigint").alias("id")),
+        stats_cols=["id"],
+    )
+    t2.commit(spark.range(5, 8), mode="append", stats_cols=["id"])
+    assert t2.fast_minmax("id") == (5, 7)
+    assert t2.fast_count() == 6
