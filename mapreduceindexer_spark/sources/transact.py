@@ -2060,6 +2060,37 @@ class TransactionalTable:
             payload["dv"] = dv
         return self._publish_manifest(payload, cur + 1, snap_cleanup)
 
+    def history(self, spark: SparkSession) -> DataFrame:
+        """DESCRIBE HISTORY: one row per live version — (version, mode,
+        committed_at, n_dirs, n_rows, n_constraints, has_dv, meta JSON)
+        — assembled from manifests alone (n_rows via ``fast_count``,
+        NULL where stats-less history makes it unknowable). The audit
+        surface every table format exposes; retention-trimmed versions
+        simply don't appear."""
+        import json as _json
+
+        rows = []
+        for v in self.versions():
+            m = self._manifest(v)
+            rows.append(
+                (
+                    v,
+                    m.get("mode"),
+                    m.get("committed_at"),
+                    len(m["dirs"]),
+                    self.fast_count(v),
+                    len(m.get("constraints", {})),
+                    bool(m.get("dv")),
+                    _json.dumps(m.get("meta", {}), sort_keys=True),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version bigint, mode string, committed_at double, "
+            "n_dirs bigint, n_rows bigint, n_constraints bigint, "
+            "has_dv boolean, meta string",
+        )
+
     # -- metadata-only aggregates (stats pushdown) ----------------------------
 
     def fast_count(self, version: int | None = None) -> int | None:

@@ -1472,3 +1472,22 @@ def test_fast_aggregates_from_metadata_only(spark, tmp_path):
     t2.commit(spark.range(5, 8), mode="append", stats_cols=["id"])
     assert t2.fast_minmax("id") == (5, 7)
     assert t2.fast_count() == 6
+
+
+def test_history_describes_every_live_version(spark, tmp_path):
+    import json as _json
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), stats_cols=["id"])
+    t.commit(spark.range(5, 8), mode="append", stats_cols=["id"])
+    t.add_constraint(spark, "nonneg", "id >= 0")
+    t.delete_where_dv(spark, "id", lo=0, hi=1)
+    h = {r["version"]: r for r in t.history(spark).collect()}
+    assert set(h) == {1, 2, 3, 4}
+    assert h[1]["mode"] == "overwrite" and h[1]["n_rows"] == 5
+    assert h[2]["mode"] == "append" and h[2]["n_rows"] == 8
+    assert h[3]["mode"] == "set_constraint" and h[3]["n_constraints"] == 1
+    assert h[4]["mode"] == "delete_dv" and h[4]["has_dv"]
+    assert h[4]["n_rows"] == 6  # fast_count stays exact under vectors
+    assert _json.loads(h[4]["meta"])["dv_rows"] == 2
+    assert all(r["committed_at"] > 0 for r in h.values())
