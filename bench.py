@@ -134,6 +134,8 @@ HEADLINE = [
     "q_table_stream",      # table commit log as a streaming source
     "q_table_zorder",      # OPTIMIZE ZORDER BY: two-axis bucket pruning
     "q_table_mv",          # incremental materialized view over commit log
+    "q_table_constraints",  # CHECK constraints gating every write
+    "q_table_fast_agg",    # metadata-only COUNT/MIN/MAX pushdown
 ]
 
 # The graph-ANN family is benched build/probe SPLIT (round-7 verdict
