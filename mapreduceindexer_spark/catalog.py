@@ -9218,12 +9218,19 @@ def q_table_constraints(spark, sf_dir):
             F.col("doc_id") % 97 == 0, -F.col("n_chars") - 1
         ).otherwise(F.col("n_chars")),
     )
-    n_rejected = 0
-    try:
-        table.commit(poisoned, mode="append", stats_cols=["doc_id"])
-    except ValueError as e:
-        assert "chars_nonneg" in str(e)
-        n_rejected = poisoned.filter(F.col("n_chars") < 0).count()
+    # Deterministic poison accounting: if the corpus has no row the
+    # poison touches, committing `poisoned` would SUCCEED and the clean
+    # commit below would then double-append (review finding) — so only
+    # attempt the poisoned commit when it must fail, and assert it does.
+    n_rejected = poisoned.filter(F.col("n_chars") < 0).count()
+    if n_rejected:
+        try:
+            table.commit(poisoned, mode="append", stats_cols=["doc_id"])
+            raise AssertionError(
+                "poisoned batch was accepted despite chars_nonneg"
+            )
+        except ValueError as e:
+            assert "chars_nonneg" in str(e)
     v = table.commit(batch, mode="append", stats_cols=["doc_id"])
     out = (
         table.read(spark, v)

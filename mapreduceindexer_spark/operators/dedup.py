@@ -865,8 +865,14 @@ def _semantic_prune(
     )
 
 
+INGEST_N_HASHES = 16  # ONE source of truth for the ingest-dedup family
+
+
 def ingest_signatures(
-    docs: DataFrame, k: int = 3, n_hashes: int = 16, rows_per_band: int = 2
+    docs: DataFrame,
+    k: int = 3,
+    n_hashes: int = INGEST_N_HASHES,
+    rows_per_band: int = 2,
 ) -> DataFrame:
     """The denormalized dedup STATE of one document set: (doc_id, seed,
     mh, band, sig) — per-seed minhash values for signature-agreement
@@ -891,7 +897,7 @@ def ingest_signatures(
 def ingest_dedup_against(
     state_sigs: DataFrame,
     batch_sigs: DataFrame,
-    n_hashes: int = 16,
+    n_hashes: int = INGEST_N_HASHES,
     threshold: float = 0.5,
     max_bucket: int = LSH_MAX_BUCKET,
 ) -> DataFrame:
@@ -957,29 +963,51 @@ def ingest_dedup_against(
         )
     )
     cands = small.unionByName(large).distinct()
-    sm = state_sigs.select(
-        F.col("doc_id").alias("state_doc"),
-        "seed",
-        F.col("mh").alias("mh_s"),
-    ).distinct()
-    bm = batch_sigs.select(
-        F.col("doc_id").alias("new_doc"),
-        "seed",
-        F.col("mh").alias("mh_b"),
-    ).distinct()
-    est = (
-        cands.join(sm, "state_doc")
-        .join(bm, ["new_doc", "seed"])
-        .groupBy("state_doc", "new_doc")
-        .agg(
-            (
-                F.count(F.when(F.col("mh_s") == F.col("mh_b"), 1))
-                / F.lit(float(n_hashes))
-            ).alias("est")
-        )
-        .filter(F.col("est") >= threshold)
+    est = signature_agreement_pairs(
+        cands, state_sigs, batch_sigs, "state_doc", "new_doc",
+        n_hashes, threshold,
     )
     return est.groupBy(F.col("new_doc").alias("doc_id")).agg(
         F.count("*").cast("bigint").alias("n_matches"),
         F.round(F.max("est"), 6).alias("best_est"),
+    )
+
+
+def signature_agreement_pairs(
+    cands: DataFrame,
+    sigs_a: DataFrame,
+    sigs_b: DataFrame,
+    a_col: str,
+    b_col: str,
+    n_hashes: int = INGEST_N_HASHES,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The SHARED verify stage of incremental dedup: (a_col, b_col,
+    est) of candidate pairs whose MINHASH SIGNATURE AGREEMENT (the
+    fraction of seeds on which the two documents' minhash values
+    coincide — an unbiased Jaccard estimator computable from stored
+    signatures alone) reaches ``threshold``. ``cands`` carries
+    (a_col, b_col); ``sigs_a``/``sigs_b`` are ``ingest_signatures``
+    relations. One definition serves both the state probe
+    (``ingest_dedup_against``) and the intra-batch gate of the
+    streaming ingest (``streaming/ingest_stream.py``) — two copies of
+    the estimator would drift silently (review finding, the _band_of
+    class of bug)."""
+    am = sigs_a.select(
+        F.col("doc_id").alias(a_col), "seed", F.col("mh").alias("_mh_a")
+    ).distinct()
+    bm = sigs_b.select(
+        F.col("doc_id").alias(b_col), "seed", F.col("mh").alias("_mh_b")
+    ).distinct()
+    return (
+        cands.join(am, a_col)
+        .join(bm, [b_col, "seed"])
+        .groupBy(a_col, b_col)
+        .agg(
+            (
+                F.count(F.when(F.col("_mh_a") == F.col("_mh_b"), 1))
+                / F.lit(float(n_hashes))
+            ).alias("est")
+        )
+        .filter(F.col("est") >= threshold)
     )

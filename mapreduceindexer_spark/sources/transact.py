@@ -201,17 +201,39 @@ def _carried_props(manifest: dict | None) -> dict:
     return {}
 
 
-def _validate_constraints(df: DataFrame, constraints: dict, what: str) -> None:
+def _validate_constraints(
+    df: DataFrame,
+    constraints: dict,
+    what: str,
+    schema_json: dict | None = None,
+) -> None:
     """Raise if any row of ``df`` VIOLATES a CHECK constraint — SQL
     semantics: a constraint passes unless its expression is FALSE
     (NULL passes, so `x > 0` admits NULL x; spell NOT NULL as
     `x IS NOT NULL`). One narrow aggregate over the batch evaluates
     every constraint together — the per-commit enforcement cost is a
-    single scan of the NEW data, never the table."""
+    single scan of the NEW data, never the table.
+
+    ``schema_json`` is the version's recorded schema: an add-only
+    append may legally OMIT a recorded column (it reads as NULL), so
+    the batch is padded with typed NULLs before evaluation — a
+    constraint over the omitted column then passes by the NULL rule
+    instead of crashing unresolved (review finding)."""
     if not constraints:
         return
     from pyspark.sql import functions as F
 
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        have = set(df.columns)
+        pads = {
+            f.name: F.lit(None).cast(f.dataType)
+            for f in StructType.fromJson(schema_json).fields
+            if f.name not in have
+        }
+        if pads:
+            df = df.withColumns(pads)
     aggs = [
         F.count(
             F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1)
@@ -420,8 +442,10 @@ class TransactionalTable:
             # a view must not resurrect a dropped branch's dir.
             self.manifest_dir = os.path.join(path, "_refs", ref)
         # Deletion vectors are immutable once linked; the doomed-file
-        # enumeration is memoized per vector set (see _dv_doomed_files).
+        # enumeration (read path) and per-dir position histogram
+        # (fast_count) are memoized per vector.
         self._dv_files_cache: dict[tuple[str, ...], list[str] | None] = {}
+        self._dv_rows_cache: dict[str, dict[str, int] | None] = {}
 
     # -- version resolution -------------------------------------------------
 
@@ -517,7 +541,17 @@ class TransactionalTable:
         # illegal type change fails fast with no orphan dir: appends
         # evolve add-only against the recorded schema; overwrite is a
         # fresh table state and records the new schema as-is.
-        cur_m = self._manifest(base) if base > 0 else None
+        try:
+            cur_m = self._manifest(base) if base > 0 else None
+        except FileNotFoundError:
+            # A stale expected_version whose manifest retention retired
+            # is a concurrency loss, not an IO bug — keep the
+            # optimistic-concurrency contract callers catch (review
+            # finding).
+            raise CommitConflict(
+                f"version {base} was retired by retention since it was "
+                "read; re-read the table and retry"
+            ) from None
         prev = cur_m if mode == "append" else None
         schema_json = _evolve_schema(
             prev.get("schema") if prev else None, df.schema
@@ -527,7 +561,10 @@ class TransactionalTable:
         props = _carried_props(cur_m)
         if validate:
             _validate_constraints(
-                df, props.get("constraints", {}), f"commit to v{new_version}"
+                df,
+                props.get("constraints", {}),
+                f"commit to v{new_version}",
+                schema_json,
             )
 
         snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
@@ -1460,6 +1497,7 @@ class TransactionalTable:
             updates,
             _carried_props(manifest).get("constraints", {}),
             "merge_rows update batch",
+            manifest.get("schema"),
         )
         if lo is None:  # empty update batch: pure-metadata new version
             may_match: list[str] = []
@@ -1909,14 +1947,23 @@ class TransactionalTable:
             if expected_version is not None
             else self.current_version()
         )
-        cur_m = self._manifest(base_v) if base_v > 0 else None
+        try:
+            cur_m = self._manifest(base_v) if base_v > 0 else None
+        except FileNotFoundError:
+            raise CommitConflict(
+                f"version {base_v} was retired by retention since it "
+                "was read; re-read the table and retry"
+            ) from None
         prev_m = cur_m if mode == "append" else None
         schema_json = _evolve_schema(
             prev_m.get("schema") if prev_m else None, df.schema
         )
         props = _carried_props(cur_m)
         _validate_constraints(
-            df, props.get("constraints", {}), f"commit to v{base_v + 1}"
+            df,
+            props.get("constraints", {}),
+            f"commit to v{base_v + 1}",
+            schema_json,
         )
         snap, subdirs = self._write_partitioned_snap(spark, df, part_col)
         stats = _grouped_subdir_stats(
@@ -2004,6 +2051,7 @@ class TransactionalTable:
             updates,
             _carried_props(manifest).get("constraints", {}),
             "replace_partitions update batch",
+            schema_json,
         )
         int_parts = [v for v in parts if v is not None]
         in_set = F.col(part_col).cast("bigint").isin(int_parts)
@@ -2078,7 +2126,7 @@ class TransactionalTable:
                     m.get("mode"),
                     m.get("committed_at"),
                     len(m["dirs"]),
-                    self.fast_count(v),
+                    self._fast_count_m(m),  # reuse this parse (O(V), not O(V^2))
                     len(m.get("constraints", {})),
                     bool(m.get("dv")),
                     _json.dumps(m.get("meta", {}), sort_keys=True),
@@ -2096,20 +2144,28 @@ class TransactionalTable:
     def fast_count(self, version: int | None = None) -> int | None:
         """COUNT(*) answered from MANIFEST METADATA alone — zero data
         reads, zero Spark jobs: the sum of per-dir stats row counts,
-        minus the exact number of vector-deleted rows (each deletion
-        vector's parquet footer row count; positions are unique across
-        a version's vectors by construction — ``delete_where_dv``
-        excludes prior vectors when writing a new one). Returns None
-        when any dir lacks stats (the count is unknowable without a
-        scan — mixed stats-less history is legal); callers fall back
-        to ``read().count()``. This is the aggregate pushdown every
-        table format serves COUNT(*) from; at 100 TB it is the
-        difference between a catalog lookup and a full scan."""
+        minus the vector-deleted rows. Returns None when any dir lacks
+        stats (the count is unknowable without a scan — mixed
+        stats-less history is legal) or a vector is too large to
+        enumerate cheaply; callers fall back to ``read().count()``.
+        This is the aggregate pushdown every table format serves
+        COUNT(*) from; at 100 TB it is the difference between a
+        catalog lookup and a full scan."""
         if version is None:
             version = self.current_version()
         if version < 1 or version not in self.versions():
             raise ValueError(f"version {version} does not exist")
-        manifest = self._manifest(version)
+        return self._fast_count_m(self._manifest(version))
+
+    def _fast_count_m(self, manifest: dict) -> int | None:
+        """``fast_count`` over an already-parsed manifest (``history``
+        reuses its parse). The vector subtraction is PER (dir, vector):
+        a vector written against dirs later rewritten keeps those
+        positions in its file, but the manifest no longer registers it
+        on the rewritten dir — subtracting the whole footer count
+        would undercount (review finding). Positions are unique across
+        a version's vectors by construction (``delete_where_dv``
+        excludes prior vectors), so the per-dir sums are exact."""
         stats = manifest.get("stats", {})
         total = 0
         for d in manifest["dirs"]:
@@ -2117,20 +2173,47 @@ class TransactionalTable:
             if rows is None:
                 return None
             total += rows
-        dv_names = sorted(
-            {n for names in manifest.get("dv", {}).values() for n in names}
-        )
-        if dv_names:
-            import pyarrow.parquet as pq
-
-            for n in dv_names:
-                d = os.path.join(self.path, n)
-                for f in os.listdir(d):
-                    if f.endswith(".parquet"):
-                        total -= pq.ParquetFile(
-                            os.path.join(d, f)
-                        ).metadata.num_rows
+        for d, names in manifest.get("dv", {}).items():
+            for n in names:
+                hist = self._dv_dir_rows(n)
+                if hist is None:
+                    return None  # vector too big to enumerate cheaply
+                total -= hist.get(d, 0)
         return total
+
+    def _dv_dir_rows(self, dv_name: str) -> dict[str, int] | None:
+        """{registered dir: deleted-position count} of one deletion
+        vector, from a driver-side read of its (tiny, immutable)
+        parquet — memoized. A position's dir is the prefix of its
+        rel_path that the manifest's dv map keys use (the top snap dir,
+        or the clustered/partitioned sub-dir). None when the vector
+        exceeds the cheap-enumeration bound."""
+        if dv_name in self._dv_rows_cache:
+            return self._dv_rows_cache[dv_name]
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.path, dv_name)
+        parts = [
+            os.path.join(d, f)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        total = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+        out: dict[str, int] | None
+        if total > 100_000:
+            out = None
+        else:
+            out = {}
+            for p in parts:
+                col = pq.read_table(p, columns=["_dv_rel_path"])
+                for v in col.column(0).to_pylist():
+                    # rel_path is "snap-x/file" or "snap-x/sub=k/file";
+                    # the dv map keys are the path minus the filename.
+                    out[v.rsplit("/", 1)[0]] = out.get(
+                        v.rsplit("/", 1)[0], 0
+                    ) + 1
+        self._dv_rows_cache[dv_name] = out
+        return out
 
     def fast_minmax(
         self, col: str, version: int | None = None
@@ -2493,17 +2576,18 @@ class TransactionalTable:
                 for tn in os.listdir(tags_root):
                     if not tn.endswith(".json") or tn.startswith("."):
                         continue
-                    full = os.path.join(tags_root, tn)
-                    m = _ref_cache.get(full)
-                    if m is None:
-                        try:
-                            with open(full, encoding="utf-8") as fh:
-                                m = json.load(fh)
-                        except (OSError, ValueError):
-                            continue  # racing drop_tag / torn temp
-                        _ref_cache[full] = m
-                    if "version" in m:
-                        tagged.add(m["version"])
+                    # Tag files are NOT cached: unlike branch manifests
+                    # a tag PATH is reusable (drop_tag + re-tag pins a
+                    # different version under the same name), and the
+                    # per-delete recheck exists precisely to see such
+                    # concurrent changes (review finding).
+                    try:
+                        with open(
+                            os.path.join(tags_root, tn), encoding="utf-8"
+                        ) as fh:
+                            tagged.add(json.load(fh)["version"])
+                    except (OSError, ValueError, KeyError):
+                        continue  # racing drop_tag / torn temp
             return ldirs, ldvs, tagged
         # Manifest files are immutable once linked (commit writes
         # v{v}.json exactly once), so parsed manifests are cached across

@@ -71,8 +71,12 @@ def _ingest_batch(
     # N+1). ingest_dedup_against can't express the strict ordering (a
     # self-probe matches every doc to itself at agreement 1.0), so the
     # pair relation is built directly with a.doc_id < b.doc_id and
-    # verified by the same signature-agreement estimator.
-    n_hashes = 16  # ingest_signatures default; agreement granularity 1/16
+    # verified by the SAME shared estimator the state probe uses
+    # (dedup.py::signature_agreement_pairs — one definition, no drift).
+    from mapreduceindexer_spark.operators.dedup import (
+        signature_agreement_pairs,
+    )
+
     st = sigs.select("doc_id", "band", "sig").distinct().alias("a")
     pb = sigs.select("doc_id", "band", "sig").distinct().alias("b")
     cands = (
@@ -88,23 +92,8 @@ def _ingest_batch(
         )
         .distinct()
     )
-    am = sigs.select(
-        F.col("doc_id").alias("keep_doc"), "seed", F.col("mh").alias("mh_a")
-    ).distinct()
-    bm = sigs.select(
-        F.col("doc_id").alias("new_doc"), "seed", F.col("mh").alias("mh_b")
-    ).distinct()
-    pair_est = (
-        cands.join(am, "keep_doc")
-        .join(bm, ["new_doc", "seed"])
-        .groupBy("keep_doc", "new_doc")
-        .agg(
-            (
-                F.count(F.when(F.col("mh_a") == F.col("mh_b"), 1))
-                / F.lit(float(n_hashes))
-            ).alias("est")
-        )
-        .filter(F.col("est") >= threshold)
+    pair_est = signature_agreement_pairs(
+        cands, sigs, sigs, "keep_doc", "new_doc", threshold=threshold
     )
     intra_dups = pair_est.groupBy(F.col("new_doc").alias("doc_id")).agg(
         F.count("*").cast("bigint").alias("n_matches"),
@@ -122,12 +111,18 @@ def _ingest_batch(
         .localCheckpoint()
     )
     survivors = sigs.join(all_dropped.select("doc_id"), "doc_id", "left_anti")
-    _append_batch(state, survivors, batch_id, stats_cols=("doc_id",))
+    # REJECTS land FIRST, state LAST: the replay guard above keys on
+    # the state table, so state-committed implies everything before it
+    # committed too. A crash between the two appends replays the batch
+    # (state unchanged → same recomputation), and the rejects append
+    # no-ops on its own batch_id — exactly-once on both tables with no
+    # window that loses rejection rows (review finding).
     _append_batch(
         rejects,
         all_dropped.withColumn("batch_id", F.lit(batch_id)),
         batch_id,
     )
+    _append_batch(state, survivors, batch_id, stats_cols=("doc_id",))
 
 
 def streaming_ingest_dedup(

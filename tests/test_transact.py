@@ -1491,3 +1491,71 @@ def test_history_describes_every_live_version(spark, tmp_path):
     assert h[4]["n_rows"] == 6  # fast_count stays exact under vectors
     assert _json.loads(h[4]["meta"])["dv_rows"] == 2
     assert all(r["committed_at"] > 0 for r in h.values())
+
+
+def test_fast_count_exact_after_partial_rewrite_of_shared_vector(
+    spark, tmp_path
+):
+    """A vector registered on TWO dirs keeps both dirs' positions in
+    its file; when one dir is later rewritten (merge), only the
+    surviving dir's positions may be subtracted (review finding)."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 10).withColumn("v", F.lit("a")), stats_cols=["id"]
+    )
+    t.commit(
+        spark.range(10, 20).withColumn("v", F.lit("a")),
+        mode="append",
+        stats_cols=["id"],
+    )
+    # One vector spanning both dirs: ids 8-12 (2 in dir A, 3 in dir B).
+    t.delete_where_dv(spark, "id", lo=8, hi=12)
+    assert t.fast_count() == 15 == t.read(spark).count()
+    # Merge rewrites only dir B (keys 15-16); its vector entry drops
+    # but the FILE still holds B's 3 positions — they must no longer
+    # be subtracted.
+    updates = spark.range(15, 17).withColumn("v", F.lit("u"))
+    t.merge_rows(spark, updates, key="id", stats_cols=["id"])
+    assert t.fast_count() == 15 == t.read(spark).count()
+    h = {r["version"]: r["n_rows"] for r in t.history(spark).collect()}
+    assert h[t.current_version()] == 15
+
+
+def test_constraints_pass_on_append_omitting_constrained_column(
+    spark, tmp_path
+):
+    """Add-only evolution legalizes omitting a recorded column (reads
+    as NULL); a CHECK over that column must PASS by the NULL rule, not
+    crash unresolved (review finding)."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(3).withColumn("v", F.col("id") + 1))
+    t.add_constraint(spark, "v_pos", "v > 0")
+    t.commit(spark.range(3, 6), mode="append")  # no v column: legal
+    got = t.read(spark)
+    assert got.filter("v IS NULL").count() == 3
+    # NOT-NULL-spelled constraints still catch the padded NULLs.
+    t2 = TransactionalTable(str(tmp_path / "t2"))
+    t2.commit(spark.range(3).withColumn("v", F.col("id") + 1))
+    t2.add_constraint(spark, "v_req", "v IS NOT NULL")
+    with pytest.raises(ValueError, match="v_req"):
+        t2.commit(spark.range(3, 6), mode="append")
+
+
+def test_stale_expected_version_after_vacuum_is_commit_conflict(
+    spark, tmp_path
+):
+    """A retention-retired expected_version must surface as the
+    optimistic-concurrency conflict callers catch, not a raw
+    FileNotFoundError (review finding)."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(3))
+    stale = t.current_version()
+    t.commit(spark.range(3, 6), mode="append")
+    t.vacuum(keep_versions=1, grace_seconds=0.0)
+    assert stale not in t.versions()
+    with pytest.raises(CommitConflict, match="retired by retention"):
+        t.commit(spark.range(9), mode="overwrite", expected_version=stale)
