@@ -3106,6 +3106,62 @@ SQL_2GRAMS = f"""
 """
 
 
+BOILER_W, BOILER_MAX_DF = 10, 2
+
+
+@register(
+    "q_boilerplate_removal",
+    f"""WITH t AS ({SQL_TOKARR}),
+         wins AS (SELECT doc_id,
+                         unnest([i - 1 FOR i IN range(1, len(tk) - {BOILER_W} + 2)]) AS p,
+                         unnest([array_to_string(tk[i:i + {BOILER_W} - 1], ' ')
+                                 FOR i IN range(1, len(tk) - {BOILER_W} + 2)]) AS s
+                  FROM t WHERE len(tk) >= {BOILER_W}),
+         wh AS (SELECT doc_id, p, {_sql_hash60('s')} AS h FROM wins),
+         boiler AS (SELECT h FROM wh GROUP BY h
+                    HAVING count(DISTINCT doc_id) > {BOILER_MAX_DF}),
+         covered AS (SELECT DISTINCT w.doc_id, u.pos
+                     FROM wh w JOIN boiler b ON w.h = b.h,
+                          unnest(range(w.p, w.p + {BOILER_W})) AS u(pos)),
+         pt AS (SELECT doc_id,
+                       CAST(generate_subscripts(tk, 1) - 1 AS BIGINT) AS pos,
+                       unnest(tk) AS tok
+                FROM t),
+         kept AS (SELECT pt.* FROM pt
+                  LEFT JOIN covered c
+                    ON pt.doc_id = c.doc_id AND pt.pos = c.pos
+                  WHERE c.pos IS NULL),
+         rebuilt AS (SELECT doc_id,
+                            string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                            CAST(count(*) AS BIGINT) AS n_tokens
+                     FROM kept GROUP BY doc_id),
+         totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+                    FROM pt GROUP BY doc_id)
+       SELECT totals.doc_id,
+              COALESCE(rebuilt.clean_text, '') AS clean_text,
+              COALESCE(rebuilt.n_tokens, 0) AS n_tokens,
+              totals.n_total - COALESCE(rebuilt.n_tokens, 0) AS n_removed
+       FROM totals LEFT JOIN rebuilt ON totals.doc_id = rebuilt.doc_id""",
+)
+def q_boilerplate_removal(spark, sf_dir):
+    """BOILERPLATE PASSAGE REMOVAL (operators/textstats.py::
+    remove_boilerplate): the C4 span rule in token-window form — any
+    10-token window appearing in more than 2 distinct documents is
+    boilerplate; covered token positions are dropped and each document
+    reassembled from its survivors in order. The dedup tiers drop
+    whole documents; this REPAIRS documents that are mostly unique but
+    share templated passages (navigation chrome, license headers).
+    The oracle replays tokenization, window hashing (portable hash60),
+    the corpus-frequency decision, position coverage, and the exact
+    rebuilt text of every document. Scale: windows build narrowly per
+    row; the frequency pass shuffles 60-bit hashes, not text; coverage
+    is bounded by w x matching windows; reassembly is one per-doc
+    aggregate — the index pipeline's partitioning story."""
+    return ts.remove_boilerplate(
+        _docs(spark, sf_dir), w=BOILER_W, max_df=BOILER_MAX_DF
+    )
+
+
 @register(
     "q_repetition",
     f"""WITH g AS ({SQL_2GRAMS}),

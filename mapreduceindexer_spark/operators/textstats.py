@@ -794,3 +794,102 @@ def unigram_lm_round(
         .limit(top_out)
         .withColumn("rn", F.row_number().over(w_rn).cast("bigint"))
     )
+
+
+def remove_boilerplate(
+    docs: DataFrame, w: int = 10, max_df: int = 2
+) -> DataFrame:
+    """BOILERPLATE PASSAGE REMOVAL (the C4 span rule, token-windowed):
+    any ``w``-token window whose exact content appears in MORE THAN
+    ``max_df`` distinct documents is boilerplate (navigation chrome,
+    license headers, templated spam); every token position covered by
+    at least one boilerplate window is dropped, and each document is
+    reassembled from its surviving tokens in original order. Returns
+    (doc_id, clean_text, n_tokens, n_removed).
+
+    Where the dedup tiers drop whole DOCUMENTS, this repairs documents
+    that are mostly unique but share templated passages — the standard
+    complement (C4 kept pages but removed any three-sentence span seen
+    more than once; this is the token-window form, threshold dialed by
+    ``max_df``).
+
+    Shape: windows are built narrowly per row (transform over the token
+    array — no shuffle, like ``doc_2grams``); the corpus-frequency pass
+    is ONE aggregate on the 60-bit window hash (the shuffle carries
+    hashes, not text); coverage explodes each boilerplate window to its
+    ``w`` positions (bounded by w x matching windows, never the
+    corpus); reassembly is one per-doc aggregate with an in-row sort.
+    Hashing is the portable ``hash60`` so a DuckDB oracle replays every
+    window decision bit-for-bit. Documents shorter than ``w`` tokens
+    have no windows and pass through verbatim.
+    """
+    from mapreduceindexer_spark.functions.hashing import hash60
+
+    toks = docs.select(
+        "doc_id", normalized_token_array("text").alias("tk")
+    ).localCheckpoint()  # windows + positions + reassembly share it
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("tk") >= w,
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {w} + 1),"
+                    f" i -> struct(i - 1 AS p, "
+                    f"array_join(slice(tk, i, {w}), ' ') AS s))"
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<p:int,s:string>>")
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.p").alias("p"), hash60(F.col("x.s")).alias("h"))
+    boiler = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") > max_df)
+        .select("h")
+    )
+    covered = (
+        wins.join(boiler, "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(w - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    pos_toks = toks.select(
+        "doc_id",
+        F.posexplode("tk").alias("pos", "tok"),
+    )
+    kept = pos_toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("n_tokens"),
+    )
+    totals = pos_toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("_n_total")
+    )
+    # Fully-boilerplate docs vanish from `kept`; an outer join restores
+    # them with empty text (removal is a repair, never a silent drop).
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias(
+                "n_tokens"
+            ),
+            (
+                F.col("_n_total")
+                - F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint"))
+            ).alias("n_removed"),
+        )
+    )

@@ -581,3 +581,43 @@ def test_ingest_dedup_empty_sides(spark):
     assert dd.ingest_dedup_against(empty, sigs).count() == 0
     cols = dd.ingest_dedup_against(empty, sigs).columns
     assert cols == ["doc_id", "n_matches", "best_est"]
+
+
+# -- boilerplate passage removal ----------------------------------------------
+
+
+def test_boilerplate_removal_repairs_shared_spans(spark):
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.operators.textstats import remove_boilerplate
+
+    span = " ".join(f"tpl{i}" for i in range(10))  # the shared template
+    docs = _mk_docs(
+        spark,
+        [
+            (1, f"{span} unique alpha beta gamma"),
+            (2, f"delta {span} epsilon zeta"),
+            (3, f"eta theta {span}"),
+            (4, "wholly original words only here nothing shared at all"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate(docs, w=10, max_df=2).collect()}
+    # The 10-token template appears in 3 > max_df docs: removed from
+    # each, in-order survivors reassembled; doc 4 untouched.
+    assert out[1]["clean_text"] == "unique alpha beta gamma"
+    assert out[2]["clean_text"] == "delta epsilon zeta"
+    assert out[3]["clean_text"] == "eta theta"
+    assert out[4]["n_removed"] == 0
+    assert out[1]["n_removed"] == 10
+    # A doc that is ONLY the template survives as an empty repair row,
+    # never a silent drop.
+    docs2 = _mk_docs(
+        spark, [(i, span) for i in range(1, 4)] + [(9, "all fresh words")]
+    )
+    out2 = {r["doc_id"]: r for r in remove_boilerplate(docs2, w=10, max_df=2).collect()}
+    assert out2[1]["clean_text"] == "" and out2[1]["n_tokens"] == 0
+    assert out2[9]["n_removed"] == 0
+    # Shorter-than-w docs have no windows and pass through verbatim.
+    short = _mk_docs(spark, [(1, "tiny doc"), (2, "tiny doc")])
+    out3 = {r["doc_id"]: r for r in remove_boilerplate(short, w=10, max_df=1).collect()}
+    assert out3[1]["clean_text"] == "tiny doc" and out3[1]["n_removed"] == 0
