@@ -136,6 +136,8 @@ HEADLINE = [
     "q_table_mv",          # incremental materialized view over commit log
     "q_table_constraints",  # CHECK constraints gating every write
     "q_table_fast_agg",    # metadata-only COUNT/MIN/MAX pushdown
+    "q_table_history",     # DESCRIBE HISTORY from manifests alone
+    "q_boilerplate_removal",  # C4 span rule: shared-passage repair
 ]
 
 # The graph-ANN family is benched build/probe SPLIT (round-7 verdict

@@ -9174,6 +9174,50 @@ def q_table_delete(spark, sf_dir):
 
 
 @register(
+    "q_table_history",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 3 AS BIGINT) AS b1,
+                         CAST((2 * count(*)) // 3 AS BIGINT) AS b2
+                  FROM documents),
+            p AS (SELECT b1 // 2 AS plo, b1 - 1 AS phi FROM b),
+            dv AS (SELECT CAST(count(*) AS BIGINT) AS nd
+                   FROM documents, p WHERE doc_id BETWEEN p.plo AND p.phi)
+       SELECT * FROM (
+         SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS mode,
+                CAST(1 AS BIGINT) AS n_dirs, b.b1 AS n_rows,
+                FALSE AS has_dv FROM b
+         UNION ALL
+         SELECT 2, 'append', 2, b.b2, FALSE FROM b
+         UNION ALL
+         SELECT 3, 'append', 3, b.n, FALSE FROM b
+         UNION ALL
+         SELECT 4, 'delete_dv', 3, b.n - dv.nd, TRUE FROM b, dv)""",
+)
+def q_table_history(spark, sf_dir):
+    """DESCRIBE HISTORY (sources/transact.py::history): the table's
+    audit surface assembled from manifests alone — version, commit
+    mode, dir count, exact row count (``fast_count``: per-dir stats
+    rows minus per-(dir, vector) deleted positions — still exact under
+    merge-on-read deletes), and vector presence. Driven over the
+    3-slice + DV-delete lifecycle; the oracle replays every row of the
+    history as arithmetic over documents. The wall-clock stamp is
+    projected out (non-deterministic by nature; its presence is pinned
+    by test_transact.py). Scale: the whole audit is O(versions)
+    manifest reads — no data touched. Reference has no table layer."""
+    import shutil
+
+    _, table, n, b1, b2 = _three_slice_table(spark, sf_dir, "mri_txn_hist_")
+    table.delete_where_dv(spark, "doc_id", lo=b1 // 2, hi=b1 - 1)
+    out = (
+        table.history(spark)
+        .select("version", "mode", "n_dirs", "n_rows", "has_dv")
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_fast_agg",
     """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
                          CAST(count(*) // 3 AS BIGINT) AS b1,
