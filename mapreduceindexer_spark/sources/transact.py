@@ -1687,9 +1687,12 @@ class TransactionalTable:
         # min/max stats come from the non-NULL rows it holds).
         bucket = F.coalesce(bucket, F.lit(0))
         snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
-        df.withColumn("_bucket", bucket).write.mode("error").partitionBy(
-            "_bucket"
-        ).parquet(snap)
+        # Shuffle on the bucket key first: otherwise every input task
+        # writes a sliver into every bucket sub-dir (same fix as
+        # compact_zordered, measured 2.5x there at 64 buckets).
+        df.withColumn("_bucket", bucket).repartition(
+            F.col("_bucket")
+        ).write.mode("error").partitionBy("_bucket").parquet(snap)
         fsync_tree(snap)
         fsync_path(self.path)
         base = os.path.basename(snap)
