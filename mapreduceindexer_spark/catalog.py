@@ -3106,6 +3106,84 @@ SQL_2GRAMS = f"""
 """
 
 
+VOCAB_KS = (50, 100, 200)
+
+
+@register(
+    "q_vocab_coverage",
+    f"""WITH t AS ({SQL_TERMS}),
+         freq AS (SELECT term, CAST(count(*) AS BIGINT) AS f
+                  FROM t GROUP BY term),
+         ranked AS (SELECT term, f,
+                           row_number() OVER (ORDER BY f DESC, term ASC)
+                               AS rk
+                    FROM freq),
+         ks AS (SELECT unnest([{", ".join(map(str, VOCAB_KS))}]) AS k),
+         tot AS (SELECT CAST(sum(f) AS BIGINT) AS total,
+                        CAST(count(*) AS BIGINT) AS n_types FROM freq)
+       SELECT CAST(ks.k AS BIGINT) AS k,
+              CAST(least(ks.k, tot.n_types) AS BIGINT) AS vocab_tokens,
+              CAST(sum(r.f) AS BIGINT) AS covered_occurrences,
+              tot.total AS total_occurrences,
+              ROUND(sum(r.f) / CAST(tot.total AS DOUBLE), 6) AS coverage
+       FROM ks JOIN ranked r ON r.rk <= ks.k, tot
+       GROUP BY ks.k, tot.total, tot.n_types""",
+)
+def q_vocab_coverage(spark, sf_dir):
+    """VOCABULARY COVERAGE CURVE — the tokenizer-design question every
+    training pipeline answers before fixing a vocab size: what fraction
+    of all token OCCURRENCES does a top-K frequency vocabulary cover
+    (equivalently, 1 − the UNK rate a K-entry vocab would pay)? One
+    frequency aggregate, one rank window (ties broken by term so the
+    vocabulary is deterministic across engines), one bounded join
+    against the K dials. Scale: the ranked relation is vocabulary-
+    sized (types, not occurrences); the only corpus-sized pass is the
+    frequency aggregate the index pipeline already proves out.
+    Complements q_bpe_train/q_unigram_lm (which BUILD vocabularies)
+    with the coverage audit that picks K."""
+    from pyspark.sql import Window
+
+    t = _docs(spark, sf_dir).select(
+        F.explode(
+            F.expr(
+                "filter(transform(split(text, '\\\\s+'),"
+                " x -> lower(regexp_replace(x, '[^A-Za-z]', ''))),"
+                " x -> x <> '')"
+            )
+        ).alias("term")
+    )
+    freq = t.groupBy("term").agg(F.count("*").cast("bigint").alias("f"))
+    ranked = freq.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("f"), F.asc("term"))
+        ),
+    )
+    tot = freq.agg(
+        F.sum("f").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    ks = spark.createDataFrame([(k,) for k in VOCAB_KS], "k bigint")
+    return (
+        ks.join(ranked, ranked["rk"] <= ks["k"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "total", "n_types")
+        .agg(F.sum("f").cast("bigint").alias("covered_occurrences"))
+        .select(
+            "k",
+            F.least(F.col("k"), F.col("n_types"))
+            .cast("bigint")
+            .alias("vocab_tokens"),
+            "covered_occurrences",
+            F.col("total").alias("total_occurrences"),
+            F.round(
+                F.col("covered_occurrences") / F.col("total").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
 BOILER_W, BOILER_MAX_DF = 10, 2
 
 

@@ -156,6 +156,59 @@ class TableMachine(RuleBasedStateMachine):
         live = set(self.t.versions())
         self.model = {v: s for v, s in self.model.items() if v in live}
 
+    @precondition(lambda self: self.t.current_version() > 0)
+    @rule(n=st.integers(1, 4), publish=st.booleans())
+    def branch_stage_and_publish(self, n, publish):
+        """WAP through the machine: staged commits never perturb main's
+        model; an append-only publish lands fork-state + staged rows as
+        the next main version; an abandoned branch is dropped."""
+        import uuid
+
+        from mapreduceindexer_spark.sources.transact import CommitConflict
+
+        name = f"b{uuid.uuid4().hex[:6]}"
+        fork_state = self._cur()
+        b = self.t.branch(name)
+        rows = self._fresh_rows(n)
+        b.commit(_df(rows), mode="append", stats_cols=["id"])
+        if publish:
+            try:
+                v = self.t.publish_branch(name)
+            except CommitConflict:  # cannot happen: main never moved
+                raise
+            staged = dict(fork_state)
+            staged.update(rows)
+            self._record(v, staged)
+        self.t.drop_branch(name)
+
+    @precondition(lambda self: self.t.current_version() > 0)
+    @rule()
+    def constraint_roundtrip(self, ):
+        """Existing data always satisfies `payload IS NOT NULL` (the
+        generator never makes NULLs), so the add validates; a violating
+        batch must then refuse without minting a version; drop
+        restores writability of anything."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        name = f"c{uuid.uuid4().hex[:6]}"
+        state = self._cur()  # BEFORE the version bump
+        v = self.t.add_constraint(_SPARK, name, "payload IS NOT NULL")
+        self._record(v, state)  # metadata-only version
+        bad = _df(self._fresh_rows(1)).withColumn(
+            "payload", F.lit(None).cast("long")
+        )
+        before = self.t.current_version()
+        try:
+            self.t.commit(bad, mode="append", stats_cols=["id"])
+            raise AssertionError("constraint did not gate the commit")
+        except ValueError:
+            pass
+        assert self.t.current_version() == before
+        v2 = self.t.drop_constraint(name)
+        self._record(v2, state)
+
     @invariant()
     def every_live_version_reads_back_exactly(self):
         for v, want in self.model.items():
