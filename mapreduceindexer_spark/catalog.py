@@ -9252,6 +9252,79 @@ def q_table_delete(spark, sf_dir):
 
 
 @register(
+    "q_table_cdc",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 3 AS BIGINT) AS b1,
+                         CAST((2 * count(*)) // 3 AS BIGINT) AS b2
+                  FROM documents),
+            sl AS (SELECT CAST(0 AS BIGINT) AS lo, b1 - 1 AS hi FROM b
+                   UNION ALL SELECT b1, b2 - 1 FROM b
+                   UNION ALL SELECT b2, n - 1 FROM b),
+            ch AS (SELECT doc_id,
+                          doc_id % 5 = 0 AS tomb
+                   FROM documents, b
+                   WHERE doc_id < b.b1 // 2),
+            bounds AS (SELECT min(doc_id) AS clo, max(doc_id) AS chi
+                       FROM ch)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM sl, bounds
+               WHERE sl.lo <= bounds.chi AND sl.hi >= bounds.clo)
+                  AS rewrote_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM ch WHERE tomb)
+                  AS n_tombstones,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents)
+                  - (SELECT CAST(count(*) AS BIGINT) FROM ch WHERE tomb)
+                  AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents d
+               WHERE NOT EXISTS (SELECT 1 FROM ch
+                                 WHERE ch.doc_id = d.doc_id AND ch.tomb))
+                  + 1000 * (SELECT CAST(count(*) AS BIGINT)
+                            FROM ch WHERE NOT tomb)
+                  AS total_chars""",
+)
+def q_table_cdc(spark, sf_dir):
+    """CDC APPLY WITH TOMBSTONES (sources/transact.py::apply_cdc) —
+    the full MERGE shape (WHEN MATCHED AND deleted THEN DELETE / WHEN
+    MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT) the plain
+    merge lacks: one Debezium-style batch over the first half-slice
+    tombstones every 5th key and upserts the rest (+1000 chars); the
+    batch's key range prunes the rewrite to ONE of three dirs, and
+    eviction + upsert ride one anti-join pass — a CDC batch costs
+    exactly one rewrite of may-match dirs, never two. The oracle
+    replays the prune as interval arithmetic, the erasures as NOT
+    EXISTS, and the updates as arithmetic. Scale: the ingestion shape
+    of every CDC-fed 100 TB table — O(recent snapshots) per batch.
+    Reference has no table layer (src/functions.cpp:146-162)."""
+    import shutil
+
+    docs, table, n, b1, b2 = _three_slice_table(spark, sf_dir, "mri_txn_cdc_")
+    changes = (
+        docs.filter(F.col("doc_id") < b1 // 2)
+        .withColumn("_deleted", F.col("doc_id") % 5 == 0)
+        .withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") % 5 == 0, F.col("n_chars")).otherwise(
+                F.col("n_chars") + 1000
+            ),
+        )
+    )
+    v = table.apply_cdc(spark, changes, key="doc_id", stats_cols=["doc_id"])
+    meta = table.meta_of(v)
+    n_tomb = changes.filter(F.col("_deleted")).count()
+    out = (
+        table.read(spark, v)
+        .agg(
+            F.lit(meta["rewrote_dirs"]).cast("bigint").alias("rewrote_dirs"),
+            F.lit(n_tomb).cast("bigint").alias("n_tombstones"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_history",
     """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
                          CAST(count(*) // 3 AS BIGINT) AS b1,

@@ -1553,6 +1553,143 @@ class TransactionalTable:
             payload["dv"] = dv
         return self._publish_manifest(payload, new_version, cleanup)
 
+    def apply_cdc(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        key: str,
+        deleted_col: str = "_deleted",
+        stats_cols: tuple[str, ...] | list[str] | None = None,
+        bloom_cols: tuple[str, ...] | list[str] | None = None,
+    ) -> int:
+        """Apply one CDC batch with TOMBSTONES — the full
+        ``MERGE WHEN MATCHED AND d THEN DELETE / WHEN MATCHED THEN
+        UPDATE / WHEN NOT MATCHED THEN INSERT`` shape (a Debezium-style
+        feed where ``deleted_col`` marks erasures): tombstoned keys are
+        removed, live rows upsert latest-wins. Published as one new
+        version; returns it.
+
+        Built ON the stats-pruned ``merge_rows`` skeleton: the batch's
+        key range prunes which dirs rewrite (tombstones and upserts
+        ride the SAME anti-join pass, so a CDC batch costs exactly one
+        rewrite of may-match dirs — never two), and the same
+        NULL/duplicate-key validation applies to the whole batch
+        (``deleted_col`` must be boolean, non-NULL). A tombstone for an
+        absent key is a no-op, as in SQL MERGE. Constraints gate only
+        the LIVE rows (tombstones carry no payload to validate).
+        Scale: this is the ingestion shape of every CDC-fed 100 TB
+        table — O(recent snapshots) per batch, with erasure and upsert
+        in one pass."""
+        from pyspark.sql import functions as F
+
+        if deleted_col not in changes.columns:
+            raise ValueError(
+                f"apply_cdc needs a boolean {deleted_col!r} column "
+                "marking tombstones"
+            )
+        dt = dict(changes.dtypes).get(deleted_col)
+        if dt != "boolean":
+            raise ValueError(
+                f"{deleted_col!r} must be boolean, got {dt}"
+            )
+        changes = changes.localCheckpoint(eager=True)  # one batch, 3 jobs
+        bounds = changes.agg(
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+            F.count("*").alias("n"),
+            F.count(key).alias("n_keyed"),
+            F.count_distinct(key).alias("n_keys"),
+            F.count(deleted_col).alias("n_flagged"),
+        ).collect()[0]
+        if bounds["n_flagged"] < bounds["n"]:
+            raise ValueError(
+                f"{deleted_col!r} is NULL on "
+                f"{bounds['n'] - bounds['n_flagged']} rows; a change is "
+                "either a tombstone or an upsert"
+            )
+        if bounds["n_keyed"] < bounds["n"]:
+            raise ValueError(
+                f"apply_cdc batch has {bounds['n'] - bounds['n_keyed']} "
+                f"NULL {key!r} rows; a NULL key matches nothing"
+            )
+        if bounds["n_keys"] < bounds["n_keyed"]:
+            raise ValueError(
+                f"apply_cdc batch has duplicate {key!r} values "
+                f"({bounds['n']} rows, {bounds['n_keys']} distinct); "
+                "collapse to latest-per-key upstream"
+            )
+        live = changes.filter(~F.col(deleted_col)).drop(deleted_col)
+        cur = self.current_version()
+        if cur == 0:
+            # Tombstones on an empty table are no-ops; insert the rest.
+            return self.commit(
+                live, "overwrite", stats_cols=stats_cols,
+                bloom_cols=bloom_cols,
+            )
+        manifest = self._manifest(cur)
+        _validate_constraints(
+            live,
+            _carried_props(manifest).get("constraints", {}),
+            "apply_cdc live rows",
+            manifest.get("schema"),
+        )
+        lo, hi = bounds["lo"], bounds["hi"]
+        if lo is None:
+            may_match: list[str] = []
+            preserved = list(manifest["dirs"])
+        else:
+            may_match, preserved = self.pruned_dirs(key, lo, hi, cur)
+        old_stats = manifest.get("stats", {})
+        new_version = cur + 1
+        dirs = [d for d in manifest["dirs"] if d in set(preserved)]
+        stats = {d: old_stats[d] for d in dirs if d in old_stats}
+        cleanup: list[str] = []
+        if lo is not None:
+            new_rows = live
+            if may_match:
+                base = self._read_dirs(spark, manifest, may_match)
+                # ONE anti-join on ALL change keys evicts both the
+                # tombstoned rows (gone) and the updated rows
+                # (re-inserted from `live`).
+                survivors = base.join(
+                    changes.select(F.col(key)).distinct(), key, "left_anti"
+                )
+                new_rows = survivors.unionByName(
+                    live.select(*survivors.columns)
+                )
+            snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
+            new_rows.write.mode("error").parquet(snap)
+            fsync_tree(snap)
+            fsync_path(self.path)
+            cleanup.append(snap)
+            dirs = dirs + [os.path.basename(snap)]
+            entry = _snapshot_entry(spark, snap, stats_cols, bloom_cols)
+            if entry:
+                stats[os.path.basename(snap)] = entry
+        payload = {
+            "version": new_version,
+            "mode": "cdc",
+            **(
+                {"schema": manifest["schema"]}
+                if "schema" in manifest
+                else {}
+            ),
+            **_carried_props(manifest),
+            "dirs": dirs,
+            "meta": {
+                "cdc_from": cur,
+                "rewrote_dirs": len(may_match),
+                "preserved_dirs": len(preserved),
+                "n_changes": bounds["n"],
+            },
+        }
+        if stats:
+            payload["stats"] = stats
+        dv = _carry_dv(manifest, preserved)
+        if dv:
+            payload["dv"] = dv
+        return self._publish_manifest(payload, new_version, cleanup)
+
     # -- maintenance --------------------------------------------------------
 
     def compact(

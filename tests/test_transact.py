@@ -1533,7 +1533,7 @@ def test_constraints_pass_on_append_omitting_constrained_column(
 
     t = TransactionalTable(str(tmp_path / "t"))
     t.commit(spark.range(3).withColumn("v", F.col("id") + 1))
-    t.add_constraint(spark, "v_pos", "v > 0")
+    t.add_constraint(spark, "v_pos", "v >= 0")
     t.commit(spark.range(3, 6), mode="append")  # no v column: legal
     got = t.read(spark)
     assert got.filter("v IS NULL").count() == 3
@@ -1559,3 +1559,86 @@ def test_stale_expected_version_after_vacuum_is_commit_conflict(
     assert stale not in t.versions()
     with pytest.raises(CommitConflict, match="retired by retention"):
         t.commit(spark.range(9), mode="overwrite", expected_version=stale)
+
+
+def test_apply_cdc_tombstones_and_upserts_in_one_pass(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    base = spark.range(0, 10).withColumn("v", F.col("id") * 10)
+    t.commit(base.filter("id < 5"), stats_cols=["id"])
+    t.commit(base.filter("id >= 5"), mode="append", stats_cols=["id"])
+    changes = spark.createDataFrame(
+        [
+            (1, None, True),    # tombstone existing
+            (3, 999, False),    # update existing
+            (42, 4200, False),  # insert new
+            (77, None, True),   # tombstone absent key: no-op
+        ],
+        "id bigint, v bigint, _deleted boolean",
+    )
+    v = t.apply_cdc(spark, changes, key="id", stats_cols=["id"])
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    want = {i: i * 10 for i in range(10) if i != 1}
+    want[3] = 999
+    want[42] = 4200
+    assert got == want
+    # Key-range pruning: changes span [1, 77] -> both dirs may match
+    # here; a narrow batch rewrites one.
+    t2 = TransactionalTable(str(tmp_path / "t2"))
+    t2.commit(base.filter("id < 5"), stats_cols=["id"])
+    t2.commit(base.filter("id >= 5"), mode="append", stats_cols=["id"])
+    narrow = spark.createDataFrame(
+        [(2, None, True)], "id bigint, v bigint, _deleted boolean"
+    )
+    v2 = t2.apply_cdc(spark, narrow, key="id")
+    assert t2.meta_of(v2)["rewrote_dirs"] == 1
+    assert t2.meta_of(v2)["preserved_dirs"] == 1
+    assert sorted(r["id"] for r in t2.read(spark).collect()) == [
+        0, 1, 3, 4, 5, 6, 7, 8, 9
+    ]
+    # Old version still shows the pre-CDC state (time travel).
+    assert t2.read(spark, 2).count() == 10
+
+
+def test_apply_cdc_guards(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(5).withColumn("v", F.col("id")))
+    no_flag = spark.range(2).withColumn("v", F.col("id"))
+    with pytest.raises(ValueError, match="_deleted"):
+        t.apply_cdc(spark, no_flag, key="id")
+    bad_type = no_flag.withColumn("_deleted", F.lit(1))
+    with pytest.raises(ValueError, match="boolean"):
+        t.apply_cdc(spark, bad_type, key="id")
+    null_flag = no_flag.withColumn(
+        "_deleted", F.when(F.col("id") == 0, True)
+    )
+    with pytest.raises(ValueError, match="NULL on"):
+        t.apply_cdc(spark, null_flag, key="id")
+    dup = spark.createDataFrame(
+        [(1, 1, False), (1, 2, False)], "id bigint, v bigint, _deleted boolean"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        t.apply_cdc(spark, dup, key="id")
+    # Pure-tombstone batch on an EMPTY table is a no-op insert set.
+    empty = TransactionalTable(str(tmp_path / "empty"))
+    tomb = spark.createDataFrame(
+        [(9, None, True)], "id bigint, v bigint, _deleted boolean"
+    )
+    v = empty.apply_cdc(spark, tomb, key="id")
+    assert empty.read(spark, v).count() == 0
+    # Constraints gate LIVE rows only.
+    t.add_constraint(spark, "v_pos", "v >= 0")
+    mixed = spark.createDataFrame(
+        [(0, None, True), (2, -5, False)],
+        "id bigint, v bigint, _deleted boolean",
+    )
+    with pytest.raises(ValueError, match="v_pos"):
+        t.apply_cdc(spark, mixed, key="id")
+    ok = spark.createDataFrame(
+        [(0, None, True)], "id bigint, v bigint, _deleted boolean"
+    )
+    t.apply_cdc(spark, ok, key="id")  # tombstone alone passes the gate
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2, 3, 4]
