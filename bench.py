@@ -138,6 +138,8 @@ HEADLINE = [
     "q_table_fast_agg",    # metadata-only COUNT/MIN/MAX pushdown
     "q_table_history",     # DESCRIBE HISTORY from manifests alone
     "q_boilerplate_removal",  # C4 span rule: shared-passage repair
+    "q_table_cdc",         # CDC apply with tombstones (full MERGE shape)
+    "q_vocab_coverage",    # top-K vocabulary coverage / UNK-rate curve
 ]
 
 # The graph-ANN family is benched build/probe SPLIT (round-7 verdict
