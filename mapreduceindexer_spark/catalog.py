@@ -2863,6 +2863,164 @@ def q_ingest_dedup(spark, sf_dir):
 
 
 @register(
+    "q_ingest_point",
+    f"""WITH sh AS ({SQL_SHINGLES}),
+         perms AS (SELECT * FROM (VALUES {_MINHASH_VALUES}) t(seed, a, b, c)),
+         base AS (SELECT doc_id, s, {_sql_hash60('s')} AS h FROM sh),
+         mh AS (SELECT doc_id, seed,
+                       min((a * (h & 1073741823)
+                            + b * ((h >> 30) & 1073741823)
+                            + c) % {MINHASH_MOD}) AS mh
+                FROM base, perms GROUP BY doc_id, seed),
+         sigs AS (SELECT doc_id, seed // 2 AS band,
+                         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+                  FROM mh GROUP BY doc_id, seed // 2),
+         st AS (SELECT s.*, s.doc_id % 3 AS sl
+                FROM sigs s JOIN documents d USING (doc_id)
+                WHERE d.lang = 'en'),
+         twin AS (SELECT min(new_doc) AS doc_id FROM (
+                    SELECT b.doc_id AS new_doc
+                    FROM sigs a
+                    JOIN documents da ON da.doc_id = a.doc_id
+                                     AND da.lang = 'en'
+                    JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                    JOIN documents db ON db.doc_id = b.doc_id
+                                     AND db.lang <> 'en'
+                    GROUP BY a.doc_id, b.doc_id
+                    HAVING count(*) >= 4)),
+         pdocs AS (SELECT doc_id FROM (
+                     SELECT min(doc_id) AS doc_id
+                     FROM documents WHERE lang <> 'en'
+                     UNION
+                     SELECT doc_id FROM twin)
+                   WHERE doc_id IS NOT NULL),
+         pb AS (SELECT s.* FROM sigs s JOIN pdocs USING (doc_id)),
+         ix AS (SELECT unnest(range(5)) AS i),
+         bits AS (SELECT DISTINCT sl, {_sql_hash60('sig', 'i')} % 8192 AS pos
+                  FROM st CROSS JOIN ix),
+         ppos AS (SELECT sig, {_sql_hash60('sig', 'i')} % 8192 AS pos
+                  FROM (SELECT DISTINCT sig FROM pb) CROSS JOIN ix),
+         hit AS (SELECT b.sl, p.sig, CAST(count(*) AS BIGINT) AS nhit
+                 FROM ppos p JOIN bits b ON b.pos = p.pos
+                 GROUP BY b.sl, p.sig),
+         scanned AS (SELECT DISTINCT sl FROM hit WHERE nhit = 5),
+         cands AS (SELECT DISTINCT s.doc_id AS state_doc,
+                                   b.doc_id AS new_doc
+                   FROM st s JOIN pb b
+                     ON s.band = b.band AND s.sig = b.sig),
+         est AS (SELECT c.state_doc, c.new_doc,
+                        count(*) FILTER (WHERE ms.mh = mb.mh) / 16.0 AS est
+                 FROM cands c
+                 JOIN mh ms ON ms.doc_id = c.state_doc
+                 JOIN mh mb ON mb.doc_id = c.new_doc AND mb.seed = ms.seed
+                 GROUP BY 1, 2
+                 HAVING count(*) FILTER (WHERE ms.mh = mb.mh) / 16.0
+                        >= {INGEST_DEDUP_THRESHOLD}),
+         dups AS (SELECT new_doc AS doc_id,
+                         CAST(count(*) AS BIGINT) AS n_matches,
+                         ROUND(max(est), 6) AS best_est
+                  FROM est GROUP BY new_doc)
+       SELECT p.doc_id,
+              COALESCE(d.n_matches, 0) AS n_matches,
+              d.best_est,
+              CAST(3 AS BIGINT) AS n_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM scanned)
+                  AS n_dirs_scanned
+       FROM pdocs p LEFT JOIN dups d ON p.doc_id = d.doc_id""",
+)
+def q_ingest_point(spark, sf_dir):
+    """BLOOM-PRUNED POINT PROBE of the ingest-dedup state — the
+    serving-path composition PLANS.md's ingest loadtest names as the
+    remaining scan lever: the signature state is committed in three
+    doc_id-sliced dirs with Bloom bitmaps on the SIG column (sigs are
+    unclustered across slices, so range stats prune nothing), and an
+    "is this document already in the corpus?" probe for a HANDFUL of
+    docs computes its sig positions driver-side and reads only the
+    dirs whose bitmaps can hold any probe sig (`pruned_dirs_eq_many`),
+    then verifies by signature agreement against just those dirs —
+    sound because a dir holding a probe sig is always kept (FPs only
+    ADD scan cost) and a candidate doc's full signature lives in the
+    same dir as its matching band row. The oracle replays the minhash
+    pipeline, every bloom bit decision (the q_table_bloom_skip
+    pattern over sig strings), and the agreement verdicts. Scale: the
+    trickle-probe case where the batch join's O(state scan) term
+    collapses to O(matching dirs). One row per probe doc, match or
+    not — the dedup verdict AND the scan count are both driver-checked."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    d = _docs(spark, sf_dir)
+    state_sigs = dd.ingest_signatures(
+        d.filter(F.col("lang") == "en")
+    ).localCheckpoint()
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_ingest_pt_"))
+    for i in range(3):
+        table.commit(
+            state_sigs.filter(F.col("doc_id") % 3 == i),
+            mode="overwrite" if i == 0 else "append",
+            bloom_cols=["sig"],
+        )
+    # Two deterministic probes, both replayed by the oracle: the lowest
+    # non-en doc (expected miss — answered from metadata alone at this
+    # corpus) and the lowest non-en doc sharing >= 4 of 8 band
+    # signatures with one en doc (>= 8 agreeing seeds, so est >= 0.5:
+    # a guaranteed HIT the bloom routes to exactly the matching dirs).
+    non_en_sigs = dd.ingest_signatures(
+        d.filter(F.col("lang") != "en")
+    ).select("doc_id", "band", "sig").distinct()
+    st_d = state_sigs.select("doc_id", "band", "sig").distinct()
+    twin = (
+        st_d.alias("a")
+        .join(
+            non_en_sigs.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .groupBy(F.col("a.doc_id"), F.col("b.doc_id").alias("new_doc"))
+        .count()
+        .filter(F.col("count") >= 4)
+        .agg(F.min("new_doc"))
+        .collect()[0][0]
+    )
+    lowest = (
+        d.filter(F.col("lang") != "en").agg(F.min("doc_id")).collect()[0][0]
+    )
+    probe_ids = sorted({i for i in (lowest, twin) if i is not None})
+    batch_sigs = dd.ingest_signatures(
+        d.filter(F.col("doc_id").isin(probe_ids))
+    ).localCheckpoint()
+    sig_values = [
+        r["sig"] for r in batch_sigs.select("sig").distinct().collect()
+    ]
+    v = table.current_version()
+    kept, skipped = table.pruned_dirs_eq_many("sig", sig_values, version=v)
+    state_sub = table._read_dirs(spark, table._manifest(v), kept)
+    dups = dd.ingest_dedup_against(
+        state_sub, batch_sigs, threshold=INGEST_DEDUP_THRESHOLD
+    )
+    probes = spark.createDataFrame(
+        [(i,) for i in probe_ids], "doc_id bigint"
+    )
+    out = (
+        probes.join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_matches"), F.lit(0).cast("bigint")).alias(
+                "n_matches"
+            ),
+            "best_est",
+            F.lit(len(kept) + len(skipped)).cast("bigint").alias("n_dirs"),
+            F.lit(len(kept)).cast("bigint").alias("n_dirs_scanned"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_cross_dedup",
     f"""WITH sh AS ({SQL_SHINGLES}),
          perms AS (SELECT * FROM (VALUES {_MINHASH_VALUES}) t(seed, a, b, c)),
