@@ -1032,20 +1032,15 @@ def q_value_histogram(spark, sf_dir):
     )
 
 
-@register(
-    "q_events_tumbling",
-    f"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+# Shared with the streaming twins: stream≡batch is the design point, so
+# ONE oracle string value-checks both the batch plan and the incremental
+# replay (round-9: the stream queries graduated from rows-only).
+_SQL_EVENTS_TUMBLING = f"""SELECT date_trunc('hour', ts) AS window_start, event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
                {_sql_dsum('value', 'sum_value')}
-        FROM events GROUP BY 1, 2""",
-)
-def q_events_tumbling(spark, sf_dir):
-    return ev.tumbling_hourly(_t(spark, sf_dir, "events"))
+        FROM events GROUP BY 1, 2"""
 
-
-@register(
-    "q_events_sliding",
-    f"""WITH g AS (
+_SQL_EVENTS_SLIDING = f"""WITH g AS (
           SELECT value,
                  date_trunc('hour', ts)
                    + CASE WHEN extract(minute FROM ts) >= 30
@@ -1054,8 +1049,15 @@ def q_events_tumbling(spark, sf_dir):
         x AS (SELECT unnest([s1, s1 - INTERVAL 30 MINUTE]) AS window_start, value FROM g)
         SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n,
                {_sql_dsum('value', 'sum_value')}
-        FROM x GROUP BY window_start""",
-)
+        FROM x GROUP BY window_start"""
+
+
+@register("q_events_tumbling", _SQL_EVENTS_TUMBLING)
+def q_events_tumbling(spark, sf_dir):
+    return ev.tumbling_hourly(_t(spark, sf_dir, "events"))
+
+
+@register("q_events_sliding", _SQL_EVENTS_SLIDING)
 def q_events_sliding(spark, sf_dir):
     return ev.sliding_hourly(_t(spark, sf_dir, "events"))
 
@@ -1137,9 +1139,7 @@ def q_funnel(spark, sf_dir):
     return ev.funnel(_t(spark, sf_dir, "events"))
 
 
-@register(
-    "q_events_session",
-    """WITH l AS (
+_SQL_EVENTS_SESSION = """WITH l AS (
          SELECT user_id, ts,
                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                           < INTERVAL 10 MINUTE
@@ -1152,8 +1152,10 @@ def q_funnel(spark, sf_dir):
          FROM l)
        SELECT user_id, min(ts) AS session_start,
               CAST(COUNT(*) AS BIGINT) AS n_events
-       FROM g GROUP BY user_id, grp""",
-)
+       FROM g GROUP BY user_id, grp"""
+
+
+@register("q_events_session", _SQL_EVENTS_SESSION)
 def q_events_session(spark, sf_dir):
     return ev.user_sessions(_t(spark, sf_dir, "events"), gap="10 minutes")
 
@@ -1904,30 +1906,42 @@ def q_multimodal_frames(spark, sf_dir):
 # --- structured streaming (rows-only: executes a real streaming query) ---
 
 
-@register("q_events_tumbling_stream", None)
+@register("q_events_tumbling_stream", _SQL_EVENTS_TUMBLING)
 def q_events_tumbling_stream(spark, sf_dir):
     """Streaming twin of q_events_tumbling: availableNow backlog replay
-    through a watermarked incremental aggregation (memory sink)."""
+    through a watermarked incremental aggregation. ORACLE-BACKED since
+    round 9 — the complete-mode result is a plain relation, so the batch
+    twin's oracle value-checks the real streaming execution end-to-end
+    (previously rows-only with a local parity test)."""
     from mapreduceindexer_spark.streaming import run_streaming_tumbling
 
     return run_streaming_tumbling(spark, sf_dir)
 
 
-@register("q_events_dedup_stream", None)
+@register(
+    "q_events_dedup_stream",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
 def q_events_dedup_stream(spark, sf_dir):
     """Streaming exactly-once ingest dedup: the doubled (replayed) event
     stream deduplicated by dropDuplicatesWithinWatermark — returns exactly
-    one row per original event (pinned by tests/test_streaming.py)."""
+    one row per original event. ORACLE-BACKED since round 9: exactly-once
+    delivery means the output IS the events relation, so DuckDB's plain
+    scan replays it value-for-value (a dropped or doubled row breaks the
+    hash, which is precisely the exactly-once contract)."""
     from mapreduceindexer_spark.streaming.windows import run_streaming_dedup
 
     return run_streaming_dedup(spark, sf_dir)
 
 
-@register("q_events_session_stream", None)
+@register("q_events_session_stream", _SQL_EVENTS_SESSION)
 def q_events_session_stream(spark, sf_dir):
     """Custom stateful streaming operator: applyInPandasWithState
     sessionization over a multi-microbatch backlog replay; emits exactly
-    the batch q_events_session result (pinned by tests/test_streaming.py)."""
+    the batch q_events_session result. ORACLE-BACKED since round 9 —
+    the emitted sessions are a plain relation, so the batch oracle
+    value-checks the stateful stream (watermark-driven timeouts, state
+    carry across microbatches) end-to-end."""
     from mapreduceindexer_spark.streaming import streaming_user_sessions
 
     return streaming_user_sessions(spark, sf_dir)
@@ -2018,13 +2032,18 @@ def q_multimodal_png(spark, sf_dir):
     )
 
 
-@register("q_index_stream", None)
+@register(
+    "q_index_stream",
+    f"""SELECT term, letter, array_to_string(doc_ids, ' ') AS doc_ids, df
+        FROM ({SQL_POSTINGS})""",
+)
 def q_index_stream(spark, sf_dir):
     """The FLAGSHIP pipeline, incrementalized as a stream: documents
     arrive in microbatches; each batch's postings delta merges into
-    versioned index state via foreachBatch. The result equals the batch
-    full rebuild exactly (pinned by tests/test_streaming.py); arrays are
-    serialized for the harness canonicalizer as usual."""
+    versioned index state via foreachBatch. ORACLE-BACKED since round 9:
+    the merged index state must equal the batch full rebuild exactly, so
+    q_postings' own oracle value-checks the incremental merge end-to-end
+    (arrays serialized for the harness canonicalizer as usual)."""
     from mapreduceindexer_spark.streaming.index_stream import streaming_index_build
 
     out = streaming_index_build(spark, sf_dir, n_slices=3)
@@ -2033,11 +2052,13 @@ def q_index_stream(spark, sf_dir):
     )
 
 
-@register("q_events_sliding_stream", None)
+@register("q_events_sliding_stream", _SQL_EVENTS_SLIDING)
 def q_events_sliding_stream(spark, sf_dir):
     """Streaming twin of q_events_sliding: overlapping 1-hour windows every
     30 minutes through a watermarked incremental aggregation (availableNow
-    backlog replay; batch≡stream pinned by tests/test_streaming.py)."""
+    backlog replay). ORACLE-BACKED since round 9 — the complete-mode
+    result is a plain relation, so the batch twin's oracle value-checks
+    the overlapping-window streaming state machine end-to-end."""
     from mapreduceindexer_spark.streaming import run_streaming_sliding
 
     return run_streaming_sliding(spark, sf_dir)
@@ -2654,17 +2675,17 @@ def q_embed_centroids(spark, sf_dir):
     )
 
 
-@register(
-    "q_attribution",
-    """SELECT v.event_id AS view_id,
+_SQL_ATTRIBUTION = """SELECT v.event_id AS view_id,
               p.event_id AS purchase_id,
               v.user_id,
               epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
        FROM events v JOIN events p
          ON v.user_id = p.user_id
         AND v.event_type = 'view' AND p.event_type = 'purchase'
-        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE""",
-)
+        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE"""
+
+
+@register("q_attribution", _SQL_ATTRIBUTION)
 def q_attribution(spark, sf_dir):
     """Interval (attribution) join: views matched to same-user purchases
     within 30 minutes — the batch oracle of the stream-stream join in
@@ -2672,11 +2693,14 @@ def q_attribution(spark, sf_dir):
     return ev.view_purchase_attribution(_t(spark, sf_dir, "events"), 30)
 
 
-@register("q_attribution_stream", None)
+@register("q_attribution_stream", _SQL_ATTRIBUTION)
 def q_attribution_stream(spark, sf_dir):
     """Watermarked stream-stream inner join (bounded state via the
     event-time range constraint); emits exactly the batch q_attribution
-    rows (pinned by tests/test_streaming.py)."""
+    rows (pinned by tests/test_streaming.py). ORACLE-BACKED since
+    round 9: the joined rows form a plain relation, so the batch twin's
+    oracle value-checks the REAL streaming execution — stream≡batch is
+    the contract, not just a local test."""
     from mapreduceindexer_spark.streaming.joins import run_streaming_attribution
 
     return run_streaming_attribution(spark, sf_dir, 30)
@@ -3013,6 +3037,167 @@ def q_ingest_point(spark, sf_dir):
             "best_est",
             F.lit(len(kept) + len(skipped)).cast("bigint").alias("n_dirs"),
             F.lit(len(kept)).cast("bigint").alias("n_dirs_scanned"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+INGEST_WAP_MAX_DUP_RATE = 0.9  # audit gate: refuse a batch that is mostly dups
+
+
+@register(
+    "q_ingest_wap",
+    f"""WITH sh AS ({SQL_SHINGLES}),
+         perms AS (SELECT * FROM (VALUES {_MINHASH_VALUES}) t(seed, a, b, c)),
+         base AS (SELECT doc_id, s, {_sql_hash60('s')} AS h FROM sh),
+         mh AS (SELECT doc_id, seed,
+                       min((a * (h & 1073741823)
+                            + b * ((h >> 30) & 1073741823)
+                            + c) % {MINHASH_MOD}) AS mh
+                FROM base, perms GROUP BY doc_id, seed),
+         sigs AS (SELECT doc_id, seed // 2 AS band,
+                         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+                  FROM mh GROUP BY doc_id, seed // 2),
+         st AS (SELECT s.* FROM sigs s JOIN documents d USING (doc_id)
+                WHERE d.lang = 'en'),
+         pb AS (SELECT s.* FROM sigs s JOIN documents d USING (doc_id)
+                WHERE d.lang <> 'en'),
+         census AS (SELECT doc_id, band, sig,
+                           count(*) OVER (PARTITION BY band, sig) AS bsz,
+                           min(doc_id) OVER (PARTITION BY band, sig) AS bmin
+                    FROM st),
+         cands AS (SELECT DISTINCT state_doc, new_doc FROM (
+                     SELECT c.doc_id AS state_doc, b.doc_id AS new_doc
+                     FROM census c JOIN pb b
+                       ON c.band = b.band AND c.sig = b.sig
+                     WHERE c.bsz <= {dd.LSH_MAX_BUCKET}
+                     UNION ALL
+                     SELECT c.bmin, b.doc_id
+                     FROM census c JOIN pb b
+                       ON c.band = b.band AND c.sig = b.sig
+                     WHERE c.bsz > {dd.LSH_MAX_BUCKET}
+                       AND c.doc_id = c.bmin) u),
+         est AS (SELECT c.state_doc, c.new_doc,
+                        count(*) FILTER (WHERE ms.mh = mb.mh) / 16.0 AS est
+                 FROM cands c
+                 JOIN mh ms ON ms.doc_id = c.state_doc
+                 JOIN mh mb ON mb.doc_id = c.new_doc AND mb.seed = ms.seed
+                 GROUP BY 1, 2
+                 HAVING count(*) FILTER (WHERE ms.mh = mb.mh) / 16.0
+                        >= {INGEST_DEDUP_THRESHOLD}),
+         dups AS (SELECT DISTINCT new_doc FROM est),
+         counts AS (SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE lang = 'en') AS main_before,
+            (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE lang <> 'en') AS batch_docs,
+            (SELECT CAST(count(*) AS BIGINT) FROM dups) AS dup_docs)
+       SELECT main_before, batch_docs, dup_docs,
+              batch_docs - dup_docs AS survivor_docs,
+              ROUND(dup_docs / CAST(batch_docs AS DOUBLE), 6) AS dup_rate,
+              main_before AS main_during_stage,
+              main_before + batch_docs - dup_docs AS branch_staged,
+              main_before + batch_docs - dup_docs AS main_after,
+              CAST(1 AS BIGINT) AS published_as_append,
+              CAST(1 AS BIGINT) AS constraint_active
+       FROM counts""",
+)
+def q_ingest_wap(spark, sf_dir):
+    """INGEST DEDUP ∘ WRITE-AUDIT-PUBLISH — the full production ingest
+    transaction (round-9: composes q_ingest_dedup's probe/verify kernel
+    with q_table_wap's staging protocol). The corpus signature state
+    lives in the transactional table under a CHECK constraint on the
+    signature columns; a new batch is hashed once, bucket-probed +
+    signature-agreement-verified against the state, and the SURVIVORS
+    are staged on a BRANCH (invisible to main readers; the constraint
+    gates the staged batch too). The AUDIT then runs on the branch: the
+    dup rate must clear INGEST_WAP_MAX_DUP_RATE (a mostly-duplicate
+    batch is a pipeline bug — drop the branch, never publish) and the
+    staged count must equal state + survivors. Only then does
+    publish_branch land the batch on main — one manifest CAS, readers
+    see all of it or none of it, and the append-only stage publishes as
+    mode=append so incremental consumers read straight across. The
+    oracle replays hashing, banding, the census star guard, agreement
+    verification, and every count as arithmetic over documents. Scale:
+    probe cost O(batch + collisions), stage/publish cost one small
+    manifest regardless of table size — the 100 TB daily-batch shape.
+    Main never sees an unaudited batch: pinned by
+    tests/test_transact.py::test_ingest_wap_audit_gate.
+    operators/dedup.py:871,897 + sources/transact.py::branch/
+    add_constraint/publish_branch."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    d = _docs(spark, sf_dir)
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_ingest_wap_"))
+    state0 = dd.ingest_signatures(d.filter(F.col("lang") == "en"))
+    table.commit(state0, stats_cols=["doc_id"])
+    # Data-quality CHECK: every signature row must be complete and in
+    # range; from here on EVERY commit (branch stages included — the
+    # fork carries table properties) validates its batch first.
+    table.add_constraint(
+        spark,
+        "sig_complete",
+        "sig IS NOT NULL AND mh >= 0 AND band BETWEEN 0 AND 7"
+        " AND seed BETWEEN 0 AND 15",
+    )
+    main_before = table.read(spark).select("doc_id").distinct().count()
+
+    batch_sigs = dd.ingest_signatures(
+        d.filter(F.col("lang") != "en")
+    ).localCheckpoint()  # hash the batch once for probe AND stage
+    batch_docs = batch_sigs.select("doc_id").distinct().count()
+    dups = dd.ingest_dedup_against(
+        table.read(spark),
+        batch_sigs,
+        n_hashes=16,
+        threshold=INGEST_DEDUP_THRESHOLD,
+    ).localCheckpoint()
+    dup_docs = dups.count()
+    survivors = batch_sigs.join(dups.select("doc_id"), "doc_id", "left_anti")
+
+    # WRITE: stage survivors on a branch — main readers see nothing yet.
+    stage = table.branch("ingest")
+    stage.commit(survivors, mode="append", stats_cols=["doc_id"])
+    # AUDIT (on the branch + the untouched main):
+    branch_staged = stage.read(spark).select("doc_id").distinct().count()
+    main_during = table.read(spark).select("doc_id").distinct().count()
+    dup_rate = dup_docs / batch_docs if batch_docs else 0.0
+    if dup_rate > INGEST_WAP_MAX_DUP_RATE or branch_staged != (
+        main_before + batch_docs - dup_docs
+    ):
+        table.drop_branch("ingest")  # failed audit: main never changes
+        raise AssertionError(
+            f"ingest audit failed: dup_rate={dup_rate:.3f}, "
+            f"staged={branch_staged}"
+        )
+    # PUBLISH: one manifest CAS lands the whole audited batch.
+    v = table.publish_branch("ingest")
+    out = (
+        table.read(spark, v)
+        .select("doc_id")
+        .distinct()
+        .agg(
+            F.lit(main_before).cast("bigint").alias("main_before"),
+            F.lit(batch_docs).cast("bigint").alias("batch_docs"),
+            F.lit(dup_docs).cast("bigint").alias("dup_docs"),
+            F.lit(batch_docs - dup_docs).cast("bigint").alias(
+                "survivor_docs"
+            ),
+            F.round(F.lit(dup_rate), 6).alias("dup_rate"),
+            F.lit(main_during).cast("bigint").alias("main_during_stage"),
+            F.lit(branch_staged).cast("bigint").alias("branch_staged"),
+            F.count("*").cast("bigint").alias("main_after"),
+            F.lit(
+                int(table._manifest(v)["mode"] == "append")
+            ).cast("bigint").alias("published_as_append"),
+            F.lit(int("sig_complete" in table.constraints(v)))
+            .cast("bigint")
+            .alias("constraint_active"),
         )
         .localCheckpoint()  # materialize before the table files vanish
     )
@@ -5815,6 +6000,182 @@ def q_bpe_encode(spark, sf_dir):
     return ts.bpe_encode(_docs(spark, sf_dir), rounds=3)
 
 
+def _sql_bpe_apply_b(i: int) -> str:
+    # The B-corpus twin of _sql_bpe_apply: same guarded replace, CTE
+    # chain z{i} so one oracle can segment TWO corpora with the merges
+    # g1..g3 trained on the first.
+    return f"""z{i} AS (SELECT term,
+                 CASE WHEN g{i}.l IS NULL THEN s
+                      ELSE replace(s, ' ' || g{i}.l || '  ' || g{i}.r || ' ',
+                                   ' ' || g{i}.l || g{i}.r || ' ') END AS s
+          FROM z{i - 1}, g{i})"""
+
+
+_SQL_TERMS_EN = r"""
+  SELECT d.doc_id, lower(regexp_replace(t.tok, '[^A-Za-z]', '', 'g')) AS term
+  FROM documents d, unnest(string_split_regex(d.text, '\s+')) AS t(tok)
+  WHERE d.lang = 'en'
+    AND lower(regexp_replace(t.tok, '[^A-Za-z]', '', 'g')) <> ''
+"""
+
+_SQL_TERMS_NON_EN = r"""
+  SELECT d.doc_id, d.lang,
+         lower(regexp_replace(t.tok, '[^A-Za-z]', '', 'g')) AS term
+  FROM documents d, unnest(string_split_regex(d.text, '\s+')) AS t(tok)
+  WHERE d.lang <> 'en'
+    AND lower(regexp_replace(t.tok, '[^A-Za-z]', '', 'g')) <> ''
+"""
+
+
+@register(
+    "q_vocab_oov",
+    f"""WITH ta AS ({_SQL_TERMS_EN}),
+ wf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM ta GROUP BY term),
+ w0 AS (SELECT freq,
+               '  ' || array_to_string([term[j] FOR j IN range(1, len(term)+1)],
+                                       '  ') || '  ' AS s
+        FROM wf),
+{_sql_bpe_round(1)},
+{_sql_bpe_round(2)},
+{_sql_bpe_round(3)},
+ e0 AS (SELECT term,
+               '  ' || array_to_string([term[j] FOR j IN range(1, len(term)+1)],
+                                       '  ') || '  ' AS s
+        FROM (SELECT DISTINCT term FROM ta)),
+{_sql_bpe_apply(1)},
+{_sql_bpe_apply(2)},
+{_sql_bpe_apply(3)},
+ vocab AS (SELECT DISTINCT unnest(string_split(trim(s), '  ')) AS piece
+           FROM e3),
+ tb AS ({_SQL_TERMS_NON_EN}),
+ z0 AS (SELECT term,
+               '  ' || array_to_string([term[j] FOR j IN range(1, len(term)+1)],
+                                       '  ') || '  ' AS s
+        FROM (SELECT DISTINCT term FROM tb)),
+{_sql_bpe_apply_b(1)},
+{_sql_bpe_apply_b(2)},
+{_sql_bpe_apply_b(3)},
+ zt AS (SELECT term, string_split(trim(s), '  ') AS ps FROM z3),
+ pt AS (SELECT term, CAST(len(ps) AS BIGINT) AS n_pieces_term FROM zt),
+ ov AS (SELECT term, CAST(count(*) AS BIGINT) AS n_oov_term
+        FROM (SELECT zt.term, u.piece
+              FROM zt, unnest(zt.ps) AS u(piece)) q
+        LEFT JOIN vocab v ON q.piece = v.piece
+        WHERE v.piece IS NULL GROUP BY term),
+ tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tb GROUP BY 1, 2),
+ vsz AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM vocab)
+ SELECT lang,
+        CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        CAST(SUM(tf * n_pieces_term) AS BIGINT) AS n_pieces,
+        CAST(SUM(tf * COALESCE(n_oov_term, 0)) AS BIGINT) AS oov_pieces,
+        ROUND(1 - SUM(tf * COALESCE(n_oov_term, 0))
+                  / CAST(SUM(tf * n_pieces_term) AS DOUBLE), 6) AS coverage,
+        (SELECT vocab_size FROM vsz) AS vocab_size
+ FROM tf JOIN pt USING (term) LEFT JOIN ov USING (term)
+ GROUP BY lang""",
+)
+def q_vocab_oov(spark, sf_dir):
+    """TOKENIZER SERVING LOOP — train BPE on corpus A (lang='en'),
+    PERSIST the tokenizer through the transactional table, then measure
+    piece coverage / OOV on corpus B (every other language) using ONLY
+    the persisted state — the production tokenizer-eval shape (a vocab
+    is trained once, shipped as a table, and audited against every new
+    corpus before it bills tokens). Two relations persist: the 3-round
+    merge table (q_bpe_train's output) and A's piece VOCABULARY (the
+    distinct symbols of A's own segmentation under those merges). B is
+    then segmented by operators/textstats.py::bpe_segment DRIVEN BY THE
+    READ-BACK MERGES (train-time state never leaks into serve-time via
+    lineage — the merges cross a commit/read boundary), each B piece
+    occurrence is checked against the read-back vocab, and the per-lang
+    rollup reports tokens, pieces, OOV piece occurrences, coverage, and
+    the vocabulary size. The oracle replays BOTH halves: training with
+    the two-space-string replace mechanism, both segmentations, the
+    vocab set, and the tf-weighted rollup. Scale: the persisted state
+    is vocabulary-sized; encoding B touches its corpus once (the tf
+    aggregate), and the per-term work is O(|distinct terms| x rounds) —
+    the q_bpe_encode design, now with the state durable and shared.
+    Complements q_vocab_coverage (which sizes K on ONE corpus).
+    operators/textstats.py::bpe_train/bpe_segment +
+    sources/transact.py."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    d = _docs(spark, sf_dir)
+    a_docs = d.filter(F.col("lang") == "en")
+    b_docs = d.filter(F.col("lang") != "en")
+
+    root = tempfile.mkdtemp(prefix="mri_vocab_oov_")
+    tok_table = TransactionalTable(f"{root}/merges")
+    vocab_table = TransactionalTable(f"{root}/vocab")
+    try:
+        # TRAIN on A; persist the merge table.
+        merges = ts.bpe_train(a_docs, rounds=3).localCheckpoint()
+        tok_table.commit(merges)
+        merges_read = tok_table.read(spark)
+        # A's piece vocabulary under its own segmentation; persist it.
+        from mapreduceindexer_spark.functions.text import tokens_normalized
+
+        a_terms = tokens_normalized(a_docs)
+        piece_vocab = (
+            ts.bpe_segment(a_terms, merges_read, rounds=3)
+            .select(F.explode("symbols").alias("piece"))
+            .distinct()
+        )
+        vocab_table.commit(piece_vocab)
+        vocab_read = vocab_table.read(spark)
+        vocab_size = vocab_read.count()
+
+        # SERVE: segment B with the PERSISTED merges only.
+        b_terms = tokens_normalized(b_docs)
+        seg_b = ts.bpe_segment(b_terms, merges_read, rounds=3)
+        per_term = seg_b.select(
+            "term", F.size("symbols").cast("bigint").alias("n_pieces_term")
+        )
+        oov_term = (
+            seg_b.select("term", F.explode("symbols").alias("piece"))
+            .join(vocab_read, "piece", "left_anti")
+            .groupBy("term")
+            .agg(F.count("*").cast("bigint").alias("n_oov_term"))
+        )
+        tf = (
+            b_terms.join(b_docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang", "term")
+            .agg(F.count("*").cast("bigint").alias("tf"))
+        )
+        out = (
+            tf.join(per_term, "term")
+            .join(oov_term, "term", "left")
+            .na.fill({"n_oov_term": 0})
+            .groupBy("lang")
+            .agg(
+                F.sum("tf").cast("bigint").alias("n_tokens"),
+                F.sum(F.col("tf") * F.col("n_pieces_term"))
+                .cast("bigint")
+                .alias("n_pieces"),
+                F.sum(F.col("tf") * F.col("n_oov_term"))
+                .cast("bigint")
+                .alias("oov_pieces"),
+                F.round(
+                    F.lit(1.0)
+                    - F.sum(F.col("tf") * F.col("n_oov_term")).cast("double")
+                    / F.sum(F.col("tf") * F.col("n_pieces_term")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("coverage"),
+                F.lit(vocab_size).cast("bigint").alias("vocab_size"),
+            )
+            .localCheckpoint()  # materialize before the tables vanish
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+
 @register(
     "q_weighted_sample",
     f"""WITH wts AS (SELECT doc_id, lang,
@@ -7279,9 +7640,7 @@ def q_prefix_trie(spark, sf_dir):
     )
 
 
-@register(
-    "q_knn_graph",
-    f"""WITH e AS ({SQL_EMB}),
+_SQL_KNN_GRAPH = f"""WITH e AS ({SQL_EMB}),
          c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
          d AS (SELECT e.vec_id, c.centroid_id,
                       ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
@@ -7301,8 +7660,10 @@ def q_prefix_trie(spark, sf_dir):
        SELECT vec_id, nbr_id, cos_sim,
               CAST(row_number() OVER (PARTITION BY vec_id
                                       ORDER BY cos_sim DESC, nbr_id ASC) AS BIGINT) AS rn
-       FROM pairs QUALIFY rn <= 3""",
-)
+       FROM pairs QUALIFY rn <= 3"""
+
+
+@register("q_knn_graph", _SQL_KNN_GRAPH)
 def q_knn_graph(spark, sf_dir):
     """Approximate KNN GRAPH: every vector's top-3 in-cell cosine
     neighbors — the all-vectors counterpart of single-probe ANN and the
@@ -8752,27 +9113,50 @@ def q_ingest_stream(spark, sf_dir):
     return streaming_ingest_dedup(spark, sf_dir)
 
 
-@register("q_cdc_stream", None)
+@register(
+    "q_cdc_stream",
+    """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+              value AS last_value
+       FROM (SELECT user_id, ts, event_id, value,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events)
+       WHERE rn = 1""",
+)
 def q_cdc_stream(spark, sf_dir):
     """Streaming CDC apply: per-user profile updates merged into the
     transactional table format (sources/transact.py) with exactly-once
     via batch_id-in-manifest idempotence and atomic snapshot commits.
-    Rows-only BY DESIGN (real streaming query with a stateful sink); the
-    final table is pinned equal to the batch latest-event-per-user
-    relation by tests/test_streaming.py."""
+    ORACLE-BACKED since round 9: the final committed table is the
+    latest-event-per-user relation ((ts, event_id)-ordered latest-wins),
+    which DuckDB replays as one window — a lost microbatch, a doubled
+    retry, or a wrong merge order breaks the value hash."""
     from mapreduceindexer_spark.streaming.cdc_stream import streaming_cdc_apply
 
     return streaming_cdc_apply(spark, sf_dir)
 
 
-@register("q_hll_stream", None)
+@register(
+    "q_hll_stream",
+    f"""WITH hh AS (SELECT event_type,
+                           {_sql_hash60("CAST(user_id AS VARCHAR)")} AS h
+                    FROM events)
+       SELECT event_type,
+              CAST(h % {_HLL_M} AS BIGINT) AS bucket,
+              CAST(MAX(CASE WHEN h // {_HLL_M} = 0 THEN 53
+                       ELSE strpos(lpad(bin(h // {_HLL_M}), 52, '0'), '1')
+                       END) AS BIGINT) AS rho
+       FROM hh GROUP BY 1, 2""",
+)
 def q_hll_stream(spark, sf_dir):
     """Streaming sketch maintenance: per-event-type HLL registers held
     as applyInPandasWithState state and advanced across microbatches —
     the time-axis counterpart of q_hll_merge's space-axis mergeability.
-    Rows-only here BY DESIGN (real streaming query); the end state is
-    pinned bit-for-bit equal to the batch-built registers by
-    tests/test_streaming.py."""
+    ORACLE-BACKED since round 9: the flushed end state is the register
+    RELATION (event_type, bucket, rho), and the oracle rebuilds every
+    register from the same portable hash60 / low-bits bucket /
+    first-set-bit rho arithmetic q_hll pins — a dropped update or a
+    stale state row breaks the value hash bit-for-bit."""
     from mapreduceindexer_spark.streaming.sketch_stream import (
         streaming_hll_registers,
     )
@@ -8780,22 +9164,31 @@ def q_hll_stream(spark, sf_dir):
     return streaming_hll_registers(spark, sf_dir)
 
 
-@register("q_knn_stream", None)
+@register("q_knn_stream", _SQL_KNN_GRAPH)
 def q_knn_stream(spark, sf_dir):
     """Incremental ANN-index maintenance: the in-cell KNN edge relation
     kept up to date while embeddings arrive in microbatches — new
     vectors are cell-assigned and ONLY the touched cells' neighborhoods
     recompute, with both state tables committed exactly-once per batch
-    (transactional manifests gating on batch_id). Rows-only BY DESIGN
-    (real streaming query); the final edge state is pinned bit-identical
-    to the cold batch ``knn_graph`` over the full corpus by
-    tests/test_streaming.py. streaming/ann_stream.py."""
+    (transactional manifests gating on batch_id). ORACLE-BACKED since
+    round 9: the maintained edge state must be bit-identical to the cold
+    batch ``knn_graph`` over the full corpus, so q_knn_graph's oracle
+    value-checks the delta-driven maintenance end-to-end (same
+    assignment, same rounded cosines, same tie-breaks).
+    streaming/ann_stream.py."""
     from mapreduceindexer_spark.streaming.ann_stream import streaming_knn_graph
 
     return streaming_knn_graph(spark, sf_dir, n_slices=4, k=3, n_centroids=8)
 
 
-@register("q_hnsw_stream", None)
+@register(
+    "q_hnsw_stream",
+    f"""WITH e AS MATERIALIZED ({SQL_EMB}),{_SQL_HNSW_EDGES}
+       SELECT g.vec_id, g.nbr_id,
+              ROUND(sqrt(list_sum(list_transform(ev.v, x -> x * x))), 6)
+                AS nbr_nrm
+       FROM edges g JOIN e ev ON ev.vec_id = g.nbr_id""",
+)
 def q_hnsw_stream(spark, sf_dir):
     """FULL-HIERARCHY incremental HNSW maintenance + persisted serving,
     the complete composition of the round-7/8 tiers: embeddings arrive
@@ -8804,10 +9197,14 @@ def q_hnsw_stream(spark, sf_dir):
     members state via the SAME construction body as the cold build;
     the final index is persisted through the range-clustered
     Bloom-statted transactional serving table and the returned relation
-    reads the serving walk's edge source. Rows-only BY DESIGN (real
-    streaming query); final state is pinned bit-identical to the cold
-    ``hnsw_graph_edges`` AND the table-served external walk is pinned
-    equal to the staged-relation walk by tests/test_streaming.py.
+    reads the serving walk's edge source. ORACLE-BACKED since round 9:
+    the maintained index must be bit-identical to the cold
+    ``hnsw_graph_edges``, so the q_ann_hnsw oracle's three-layer build
+    replay checks every edge (plus the neighbor norm, rounded like
+    q_vector_norms) against the incremental result — a stale cell, a
+    dropped hub, or a wrong payload join breaks the value hash. The
+    table-served external walk is additionally pinned equal to the
+    staged-relation walk by tests/test_streaming.py.
     streaming/ann_stream.py::streaming_hnsw_index,
     operators/similarity.py::persist_graph_index."""
     import shutil
@@ -8822,7 +9219,9 @@ def q_hnsw_stream(spark, sf_dir):
         v = table.current_version()
         out = (
             table.read(spark, v)
-            .select("vec_id", "nbr_id", "nbr_nrm")
+            .select(
+                "vec_id", "nbr_id", F.round("nbr_nrm", 6).alias("nbr_nrm")
+            )
             .localCheckpoint()  # materialize before the table vanishes
         )
     finally:

@@ -544,7 +544,38 @@ def bpe_encode(docs: DataFrame, rounds: int = 3) -> DataFrame:
     tf = terms.groupBy("doc_id", "term").agg(
         F.count("*").cast("bigint").alias("tf")
     )
-    vocab = tf.select("term").distinct().select(
+    pieces = bpe_segment(tf.select("term"), merges, rounds).select(
+        "term", F.size("symbols").cast("bigint").alias("pieces_per_term")
+    )
+    return (
+        tf.join(pieces, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("pieces_per_term"))
+            .cast("bigint")
+            .alias("n_pieces"),
+            F.expr("sum(tf * pieces_per_term) * 1000 div sum(tf)")
+            .cast("bigint")
+            .alias("pieces_per_token_permille"),
+        )
+    )
+
+
+def bpe_segment(
+    terms: DataFrame, merges: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Apply a TRAINED merge table to a term relation: (term, symbols)
+    after ``rounds`` greedy merge applications — the serving half of the
+    tokenizer split out of ``bpe_encode`` (round 9) so a PERSISTED merge
+    table (read back from a transactional table) can encode a corpus the
+    trainer never saw. ``merges`` is ``bpe_train`` output (or any
+    relation with merge_round/lhs/rhs); each round's pair enters the
+    plan as a broadcast one-row aggregate and the fold is the same JVM
+    higher-order ``aggregate`` as training, so train-time and
+    serve-time segmentation cannot drift. Cost: O(|distinct terms| x
+    rounds), corpus never touched."""
+    vocab = terms.select("term").distinct().select(
         "term", F.split("term", "").alias("symbols")
     )
     merge_fold = """aggregate(
@@ -565,22 +596,7 @@ def bpe_encode(docs: DataFrame, rounds: int = 3) -> DataFrame:
         vocab = vocab.crossJoin(F.broadcast(mi)).select(
             "term", F.expr(merge_fold).alias("symbols")
         )
-    pieces = vocab.select(
-        "term", F.size("symbols").cast("bigint").alias("pieces_per_term")
-    )
-    return (
-        tf.join(pieces, "term")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").cast("bigint").alias("n_tokens"),
-            F.sum(F.col("tf") * F.col("pieces_per_term"))
-            .cast("bigint")
-            .alias("n_pieces"),
-            F.expr("sum(tf * pieces_per_term) * 1000 div sum(tf)")
-            .cast("bigint")
-            .alias("pieces_per_token_permille"),
-        )
-    )
+    return vocab
 
 
 def token_stats_arrow(docs: DataFrame) -> DataFrame:

@@ -1642,3 +1642,73 @@ def test_apply_cdc_guards(spark, tmp_path):
     )
     t.apply_cdc(spark, ok, key="id")  # tombstone alone passes the gate
     assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2, 3, 4]
+
+
+def test_ingest_wap_audit_gate(spark, tmp_path):
+    """q_ingest_wap's protocol invariant: MAIN NEVER SEES AN UNAUDITED
+    BATCH. Staged survivors are invisible to main readers; a failed
+    audit drops the branch with main untouched; only a passed audit
+    publishes — and then atomically, as one append-mode manifest."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta", "en"),
+            (1, "one two three four five six seven", "en"),
+            # batch: doc 2 duplicates doc 0's text (a guaranteed dup),
+            # doc 3 is fresh (the survivor).
+            (2, "alpha beta gamma delta epsilon zeta", "xx"),
+            (3, "totally different words appear here now", "xx"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    t = TransactionalTable(str(tmp_path / "state"))
+    state = dd.ingest_signatures(docs.filter(F.col("lang") == "en"))
+    t.commit(state, stats_cols=["doc_id"])
+    t.add_constraint(spark, "sig_complete", "sig IS NOT NULL AND mh >= 0")
+    main_v = t.current_version()
+    main_docs = t.read(spark).select("doc_id").distinct().count()
+
+    batch = dd.ingest_signatures(
+        docs.filter(F.col("lang") != "en")
+    ).localCheckpoint()
+    dups = dd.ingest_dedup_against(t.read(spark), batch, threshold=0.5)
+    dup_ids = sorted(r["doc_id"] for r in dups.collect())
+    assert dup_ids == [2]  # the exact-text twin flags; the fresh doc not
+    survivors = batch.join(dups.select("doc_id"), "doc_id", "left_anti")
+
+    # WRITE: staged on the branch — main readers see NOTHING.
+    stage = t.branch("ingest")
+    stage.commit(survivors, mode="append", stats_cols=["doc_id"])
+    assert t.current_version() == main_v
+    assert t.read(spark).select("doc_id").distinct().count() == main_docs
+
+    # Failed AUDIT path: drop the branch; main is still untouched, and
+    # the staged rows are gone with it.
+    t.drop_branch("ingest")
+    assert t.current_version() == main_v
+    assert t.read(spark).select("doc_id").distinct().count() == main_docs
+    with pytest.raises(ValueError, match="does not exist"):
+        t.publish_branch("ingest")  # an unstaged batch cannot publish
+
+    # Passed AUDIT path: re-stage, audit the counts, publish — main
+    # changes exactly once, atomically, in append mode.
+    stage = t.branch("ingest")
+    stage.commit(survivors, mode="append", stats_cols=["doc_id"])
+    staged = stage.read(spark).select("doc_id").distinct().count()
+    assert staged == main_docs + 1  # state + the single survivor
+    v = t.publish_branch("ingest")
+    assert v == main_v + 1
+    assert t._manifest(v)["mode"] == "append"
+    assert t.read(spark).select("doc_id").distinct().count() == main_docs + 1
+    assert sorted(
+        r["doc_id"]
+        for r in t.read(spark).select("doc_id").distinct().collect()
+    ) == [0, 1, 3]
+    # The CHECK constraint gates branch stages too (table property).
+    bad = survivors.withColumn("mh", F.lit(-1).cast("long"))
+    stage2 = t.branch("ingest2")
+    with pytest.raises(ValueError, match="sig_complete"):
+        stage2.commit(bad, mode="append")
