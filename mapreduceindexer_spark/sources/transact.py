@@ -1171,9 +1171,6 @@ class TransactionalTable:
         soundness rules as ``pruned_dirs_eq``; duplicate probe values
         are deduplicated. Empty ``values`` keeps nothing (IN () matches
         no row) and skips everything."""
-        vals = list(dict.fromkeys(values))
-        for v in vals:
-            self._check_eq_probe(v)
         if version is None:
             version = self.current_version()
         if version < 1 or version not in self.versions():
@@ -1181,7 +1178,20 @@ class TransactionalTable:
                 f"version {version} does not exist "
                 f"(available: {self.versions() or 'none'})"
             )
-        manifest = self._manifest(version)
+        return self._eq_prune_many(self._manifest(version), col, values)
+
+    def _eq_prune_many(
+        self, manifest: dict, col: str, values
+    ) -> tuple[list[str], list[str]]:
+        """``pruned_dirs_eq_many`` over an ALREADY-RESOLVED manifest —
+        the serving-walk entry point: a beam walk probes the same
+        immutable version once per hop, so the caller pins the manifest
+        for the walk's duration and pays the resolve/validate exactly
+        once (round-9 verdict item; manifests are CAS-published and
+        never rewritten, so holding one is always sound)."""
+        vals = list(dict.fromkeys(values))
+        for v in vals:
+            self._check_eq_probe(v)
         kept_set: set[str] = set()
         for v in vals:
             k, _ = self._eq_prune(manifest, col, v)

@@ -405,6 +405,64 @@ def _drain_table_stream(spark, table_path, sink, cp):
     return spark.read.parquet(sink)
 
 
+def test_table_stream_and_change_feed_across_schema_evolution(
+    spark, tmp_path
+):
+    """Round-9 verdict item: the table STREAMING source and the change
+    feed must read straight across an add-only ALTER boundary —
+    pre-evolution snapshots project NULL for the later-added column,
+    and a consumer checkpointed BEFORE the ALTER resumes with the
+    evolved schema (derived from the current manifest at restart) and
+    receives exactly the delta, exactly once."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5).withColumn("x", F.col("id") * 2))
+    sink1, cp1 = str(tmp_path / "sink1"), str(tmp_path / "cp1")
+    got = _drain_table_stream(spark, t.path, sink1, cp1)
+    assert sorted(got.columns) == ["id", "x"]
+    # ALTER: the next append carries a NEW column y — metadata-only
+    # evolution, no historic dir rewritten.
+    t.commit(
+        spark.range(5, 9)
+        .withColumn("x", F.col("id") * 2)
+        .withColumn("y", F.col("id") + 100),
+        mode="append",
+    )
+    # The pre-ALTER checkpointed consumer resumes across the boundary:
+    # exactly the delta arrives (9 rows total, no duplicates), carrying
+    # the evolved schema; the sink now holds pre- and post-ALTER files,
+    # so it is read with mergeSchema (a plain read would pick an
+    # arbitrary footer — the mixed-schema sink is the consumer's own
+    # migration concern, not the source's).
+    _drain_table_stream(spark, t.path, sink1, cp1)
+    merged = spark.read.option("mergeSchema", "true").parquet(sink1)
+    assert sorted(merged.columns) == ["id", "x", "y"]
+    rows = merged.collect()
+    assert sorted(r["id"] for r in rows) == list(range(9))  # exactly once
+    y1 = {r["id"]: r["y"] for r in rows}
+    assert all(y1[i] is None for i in range(5))
+    assert all(y1[i] == i + 100 for i in range(5, 9))
+    # A FRESH consumer derives the evolved schema; the pre-evolution
+    # dir's rows project NULL for y, the appended rows carry values.
+    sink2, cp2 = str(tmp_path / "sink2"), str(tmp_path / "cp2")
+    got2 = _drain_table_stream(spark, t.path, sink2, cp2)
+    assert sorted(got2.columns) == ["id", "x", "y"]
+    y_of = {r["id"]: r["y"] for r in got2.collect()}
+    assert all(y_of[i] is None for i in range(5))
+    assert all(y_of[i] == i + 100 for i in range(5, 9))
+    # The change feed spans the same boundary with the same NULL
+    # geometry (full history), and a delta-only read carries values.
+    ch = {r["id"]: r["y"] for r in t.read_changes(spark, 0, 2).collect()}
+    assert ch == y_of
+    delta = t.read_changes(spark, 1, 2)
+    assert sorted((r["id"], r["y"]) for r in delta.collect()) == [
+        (i, i + 100) for i in range(5, 9)
+    ]
+
+
 def test_table_stream_restarts_read_only_the_delta(spark, tmp_path):
     from pyspark.sql import functions as F
 
