@@ -140,6 +140,9 @@ HEADLINE = [
     "q_boilerplate_removal",  # C4 span rule: shared-passage repair
     "q_table_cdc",         # CDC apply with tombstones (full MERGE shape)
     "q_vocab_coverage",    # top-K vocabulary coverage / UNK-rate curve
+    "q_ingest_wap",        # ingest dedup staged/audited/published (WAP)
+    "q_vocab_oov",         # tokenizer serving loop: persisted vocab, OOV on B
+    "q_table_restore",     # version rollback as a forward manifest commit
 ]
 
 # The graph-ANN family is benched build/probe SPLIT (round-7 verdict

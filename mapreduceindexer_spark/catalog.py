@@ -9090,7 +9090,87 @@ def q_table_stream(spark, sf_dir):
     return streaming_table_feed(spark, sf_dir)
 
 
-@register("q_ingest_stream", None)
+def _sql_ingest_round(i: int, n_slices: int = 4) -> str:
+    """One microbatch of the sequential ingest-dedup replay: slice ``i``
+    (doc_id mod n_slices — the stream's deterministic arrival slicing)
+    probes the STATE admitted by slices < i (band-bucket join with the
+    oversized-bucket star guard, minhash-agreement verify) AND itself
+    (first-doc-id wins among batch twins), and the survivors join the
+    state for slice i+1 — exactly streaming/ingest_stream.py::
+    _ingest_batch, unrolled. adm{{i}} is MATERIALIZED: later rounds
+    reference every earlier round's admissions, and inlined CTEs would
+    re-evaluate the whole prefix per reference."""
+    intra = f"""
+ bs{i} AS (SELECT s.doc_id, s.band, s.sig FROM sigs s
+           JOIN sl{i} USING (doc_id)),
+ ic{i} AS (SELECT DISTINCT a.doc_id AS keep_doc, b.doc_id AS new_doc
+           FROM bs{i} a JOIN bs{i} b
+             ON a.band = b.band AND a.sig = b.sig
+            AND a.doc_id < b.doc_id),
+ ir{i} AS (SELECT c.new_doc AS doc_id
+           FROM ic{i} c
+           JOIN mh ma ON ma.doc_id = c.keep_doc
+           JOIN mh mb ON mb.doc_id = c.new_doc AND mb.seed = ma.seed
+           GROUP BY c.keep_doc, c.new_doc
+           HAVING count(*) FILTER (WHERE ma.mh = mb.mh) / 16.0
+                  >= {INGEST_DEDUP_THRESHOLD})"""
+    head = f"""
+ sl{i} AS (SELECT doc_id FROM documents
+           WHERE doc_id % {n_slices} = {i}),{intra}"""
+    if i == 0:
+        return f"""{head},
+ adm0 AS MATERIALIZED (SELECT doc_id FROM sl0
+                       EXCEPT SELECT DISTINCT doc_id FROM ir0)"""
+    state = " UNION ALL ".join(
+        f"SELECT doc_id FROM adm{j}" for j in range(i)
+    )
+    return f"""{head},
+ st{i} AS (SELECT s.doc_id, s.band, s.sig FROM sigs s
+           JOIN ({state}) a ON s.doc_id = a.doc_id),
+ cen{i} AS (SELECT doc_id, band, sig,
+                   count(*) OVER (PARTITION BY band, sig) AS bsz,
+                   min(doc_id) OVER (PARTITION BY band, sig) AS bmin
+            FROM st{i}),
+ sc{i} AS (SELECT DISTINCT state_doc, new_doc FROM (
+             SELECT c.doc_id AS state_doc, b.doc_id AS new_doc
+             FROM cen{i} c JOIN bs{i} b
+               ON c.band = b.band AND c.sig = b.sig
+             WHERE c.bsz <= {dd.LSH_MAX_BUCKET}
+             UNION ALL
+             SELECT c.bmin, b.doc_id
+             FROM cen{i} c JOIN bs{i} b
+               ON c.band = b.band AND c.sig = b.sig
+             WHERE c.bsz > {dd.LSH_MAX_BUCKET}
+               AND c.doc_id = c.bmin) u),
+ sr{i} AS (SELECT c.new_doc AS doc_id
+           FROM sc{i} c
+           JOIN mh ms ON ms.doc_id = c.state_doc
+           JOIN mh mb ON mb.doc_id = c.new_doc AND mb.seed = ms.seed
+           GROUP BY c.state_doc, c.new_doc
+           HAVING count(*) FILTER (WHERE ms.mh = mb.mh) / 16.0
+                  >= {INGEST_DEDUP_THRESHOLD}),
+ adm{i} AS MATERIALIZED (SELECT doc_id FROM sl{i}
+           EXCEPT SELECT DISTINCT doc_id FROM (
+             SELECT doc_id FROM ir{i}
+             UNION ALL SELECT doc_id FROM sr{i}) r)"""
+
+
+@register(
+    "q_ingest_stream",
+    f"""WITH sh AS ({SQL_SHINGLES}),
+ perms AS (SELECT * FROM (VALUES {_MINHASH_VALUES}) t(seed, a, b, c)),
+ base AS (SELECT doc_id, s, {_sql_hash60('s')} AS h FROM sh),
+ mh AS MATERIALIZED (SELECT doc_id, seed,
+             min((a * (h & 1073741823)
+                  + b * ((h >> 30) & 1073741823)
+                  + c) % {MINHASH_MOD}) AS mh
+      FROM base, perms GROUP BY doc_id, seed),
+ sigs AS MATERIALIZED (SELECT doc_id, seed // 2 AS band,
+               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+        FROM mh GROUP BY doc_id, seed // 2),{_sql_ingest_round(0)},{_sql_ingest_round(1)},{_sql_ingest_round(2)},{_sql_ingest_round(3)}
+ SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1
+ UNION ALL SELECT doc_id FROM adm2 UNION ALL SELECT doc_id FROM adm3""",
+)
 def q_ingest_stream(spark, sf_dir):
     """STREAMING INGEST DEDUP (streaming/ingest_stream.py): documents
     arrive in microbatches; each batch is hashed once, probed against
@@ -9098,14 +9178,16 @@ def q_ingest_stream(spark, sf_dir):
     signature agreement — the corpus is never re-read) AND against
     itself (first-doc-id wins within a batch), survivors' signatures
     append exactly-once (batch_id-gated manifests), rejections land in
-    an auditable side table. Rows-only BY DESIGN (real streaming query
-    with stateful foreachBatch sinks); the admitted set is pinned
-    equal to a sequential batch replay of the same slices by
-    tests/test_streaming.py — the q_ingest_dedup oracle already
-    value-checks the probe/verify kernel itself. Scale: per-batch cost
-    is O(batch + bucket collisions) at ANY corpus size; state grows
-    O(admitted × n_hashes) rows and compacts via the table's own
-    OPTIMIZE."""
+    an auditable side table. ORACLE-BACKED since round 9: the admitted
+    set is deterministic because the arrival slicing is (doc_id mod 4),
+    so the oracle UNROLLS the sequential replay — four rounds of
+    hashing, banding, census star guard, agreement verify, intra-batch
+    first-wins, and state accumulation — and the driver hash-checks
+    the streaming run's final admitted relation against it (a lost
+    microbatch, a doubled retry, or a wrong probe order all change the
+    set). Scale: per-batch cost is O(batch + bucket collisions) at ANY
+    corpus size; state grows O(admitted x n_hashes) rows and compacts
+    via the table's own OPTIMIZE."""
     from mapreduceindexer_spark.streaming.ingest_stream import (
         streaming_ingest_dedup,
     )
@@ -10365,6 +10447,71 @@ def q_table_wap(spark, sf_dir):
 
 
 @register(
+    "q_table_restore",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 3 AS BIGINT) AS b1
+                  FROM documents),
+            p AS (SELECT b1 // 2 AS plo, b1 - 1 AS phi FROM b)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+                AS total_chars,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents, p
+               WHERE doc_id NOT BETWEEN p.plo AND p.phi)
+                AS docs_during_incident,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents, p
+               WHERE doc_id NOT BETWEEN p.plo AND p.phi)
+                AS time_travel_incident_docs,
+              CAST(5 AS BIGINT) AS n_versions,
+              CAST(3 AS BIGINT) AS restored_from,
+              CAST(1 AS BIGINT) AS restore_mode""",
+)
+def q_table_restore(spark, sf_dir):
+    """RESTORE — version rollback as a forward commit
+    (sources/transact.py::restore): three snapshot appends, an
+    "incident" ranged DELETE, then RESTORE to the pre-incident version
+    — one manifest referencing the old dirs, zero data movement (the
+    100 TB rollback is one small JSON), history intact: the query
+    returns the restored content (count + char sum == the full
+    documents table), the row count DURING the incident, the same
+    count via TIME TRAVEL to the incident version after the restore
+    (nothing was deleted — the bad version stays inspectable), the
+    version counter (3 appends + delete + restore = 5), the recorded
+    provenance (restored_from = 3), and the restore-mode flag. The
+    oracle replays the delete geometry and every count as arithmetic.
+    Feed semantics: a shrinking restore is a change-feed boundary —
+    pinned with constraint carriage and vacuum liveness by
+    tests/test_transact.py::test_restore_rolls_back_without_deleting."""
+    import shutil
+
+    _, table, n, b1, _ = _three_slice_table(spark, sf_dir, "mri_txn_rst_")
+    pre_incident = table.current_version()  # 3
+    v_del = table.delete_where(
+        spark, "doc_id", lo=b1 // 2, hi=b1 - 1, stats_cols=["doc_id"]
+    )
+    docs_during = table.read(spark, v_del).count()
+    v_r = table.restore(pre_incident)
+    tt_docs = table.read(spark, v_del).count()  # incident still readable
+    restored_from = table.meta_of(v_r)["restored_from"]
+    out = (
+        table.read(spark, v_r)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.lit(docs_during).cast("bigint").alias("docs_during_incident"),
+            F.lit(tt_docs).cast("bigint").alias("time_travel_incident_docs"),
+            F.lit(v_r).cast("bigint").alias("n_versions"),
+            F.lit(restored_from).cast("bigint").alias("restored_from"),
+            F.lit(
+                int(table._manifest(v_r)["mode"] == "restore")
+            ).cast("bigint").alias("restore_mode"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_merge",
     """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
                          CAST(count(*) // 3 AS BIGINT) AS b1,
@@ -10679,76 +10826,76 @@ def q_table_bloom_skip(spark, sf_dir):
 
 
 _CHECK_PRIORITY = [
-    # Round-8 window: 48 queries with NO prior driver row (the whole
-    # remaining COVERAGE.md ledger backlog minus five deferred to r9:
-    # q_multimodal_decode, q_events_sliding_stream,
-    # q_events_dedup_stream, q_attribution_stream, q_select_quantile —
-    # each with a same-family sibling in this window) + the two ops
-    # BORN this round (q_table_skipping_multi, q_ann_serving_table),
-    # keeping the every-round rule that no op ships without a
-    # same-round driver row. The spine stands down entirely
-    # (q_postings has 5 green rounds). All 50 were value-verified
-    # against DuckDB in-session by the full driver-shaped drive before
-    # rotation (0 mismatches across all 240 registered queries).
-    # -- born in round 8 (q_hnsw_stream took q_events_session_stream's
-    # slot mid-round: born-op rule precedes backlog; that stream variant
-    # joins the five r9 deferrals, all with in-window siblings)
-    "q_table_skipping_multi",
-    "q_ann_serving_table",
+    # Round-9 window: CLOSE THE LEDGER. All 25 queries with NO prior
+    # driver row — the 23-query r8 backlog (post-window-freeze table
+    # tier, the ingest trio, four deferred stream variants, four
+    # deferred-with-sibling ops) plus the two BORN this round
+    # (q_ingest_wap, q_vocab_oov) — then the six stream queries whose
+    # oracle is NEW this round (rows-only -> value-checked: the
+    # stronger contract earns a fresh external row), then 19 spine
+    # re-greens whose last driver row is r2/r3 (the stalest entries in
+    # COVERAGE.md's ledger). After this window every registered query
+    # has >= 1 driver row. All 50 were value-verified against DuckDB
+    # in-session by the full driver-shaped drive before rotation.
+    # -- born in round 9 (q_table_restore took the q_top_orders spine
+    # re-green slot mid-round: born-op rule precedes re-greens)
+    "q_ingest_wap",
+    "q_vocab_oov",
+    "q_table_restore",
+    # -- the r8 backlog: table tier (registered after the r8 freeze)
+    "q_table_wap",
+    "q_table_zorder",
+    "q_table_mv",
+    "q_table_constraints",
+    "q_table_fast_agg",
+    "q_table_history",
+    "q_table_cdc",
+    "q_table_stream",
+    "q_table_delete_dv",
+    "q_table_replace",
+    "q_table_bloom_skip_many",
+    "q_table_evolution",
+    # -- the ingest trio
+    "q_ingest_dedup",
+    "q_ingest_point",
+    "q_ingest_stream",
+    # -- deferred stream variants (all oracle-backed as of r9)
+    "q_events_sliding_stream",
+    "q_events_dedup_stream",
+    "q_events_session_stream",
+    "q_attribution_stream",
+    # -- deferred-with-sibling ops
+    "q_multimodal_decode",
+    "q_select_quantile",
+    "q_boilerplate_removal",
+    "q_vocab_coverage",
+    # -- stream queries converted rows-only -> oracle-backed this round
+    "q_events_tumbling_stream",
+    "q_index_stream",
+    "q_cdc_stream",
+    "q_hll_stream",
+    "q_knn_stream",
     "q_hnsw_stream",
-    # -- explicitly deferred from the round-7 window (COVERAGE.md)
-    "q_profile",
-    "q_blocklist",
-    "q_scrub",
-    "q_domain_stats",
-    "q_mix_weights",
-    "q_train_split",
-    # -- multimodal meta/features/frames (family's last never-checked)
-    "q_multimodal_meta",
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    # -- TPC-H / relational shapes
-    "q_disjunctive_join",
-    "q_waiting_suppliers",
-    "q_returned_items",
-    "q_forecast_revenue",
-    "q_product_profit",
-    "q_important_stock",
-    "q_volume_shipping",
-    "q_priority_late",
-    "q_linestatus_priority",
-    "q_big_spenders",
-    "q_multi_rollup",
-    "q_revenue_share",
-    "q_cohort_retention",
-    "q_attribution",
-    "q_event_transitions",
-    # -- window / aggregate / scalar breadth
-    "q_window_distribution",
-    "q_window_firstlast",
-    "q_argmax",
-    "q_gap_fill",
-    "q_unpivot",
-    "q_corr_stats",
-    "q_approx_quantiles",
-    "q_winsorize",
-    "q_incr_agg",
-    "q_rolling_distinct",
-    "q_regex_extract",
-    "q_null_handling",
-    "q_json_typed",
-    "q_bloom_join",
-    "q_postings_docs_join",
-    # -- Spark-4 surface leftovers
-    "q_file_provenance",
-    "q_group_by_all",
-    "q_identifier_clause",
-    # -- similarity / curation leftovers
-    "q_stratified_sample",
-    "q_vector_norms",
-    "q_cluster_sizes",
-    "q_dup_clusters",
-    "q_rp_lsh",
+    # -- spine re-greens: last driver row r2
+    "q_anti_join",
+    "q_approx_distinct_parts",
+    "q_distinct_counts",
+    "q_events_sliding",
+    "q_funnel",
+    "q_phrase_search",
+    "q_project",
+    "q_promo_revenue",
+    "q_rank_terms_per_letter",
+    "q_setops_all",
+    "q_window_range_time",
+    "q_window_running",
+    # -- spine re-greens: last driver row r3
+    "q_tfidf",
+    "q_events_session",
+    "q_cosine_topk",
+    "q_quality_score",
+    "q_cube",
+    "q_grouping_sets",
 ]
 assert len(_CHECK_PRIORITY) == 50, (
     f"driver check window is exactly 50 slots, got {len(_CHECK_PRIORITY)}"

@@ -2503,6 +2503,66 @@ class TransactionalTable:
         """The table as of wall-clock ``ts`` (``version_asof``)."""
         return self.read(spark, self.version_asof(ts))
 
+    def restore(self, version: int) -> int:
+        """RESTORE the table to the data state of ``version`` as a NEW
+        head version (Delta/Iceberg RESTORE semantics): one manifest
+        whose dirs/stats/deletion-vectors/schema are the target's,
+        published at head+1 via the same CAS every commit uses. History
+        only moves FORWARD — nothing is deleted, the bad versions stay
+        time-travelable for the post-mortem, and vacuum retires them by
+        retention as usual (dirs the restored head references are live
+        again and therefore pinned). Zero data movement at any table
+        size — the rollback story for a 100 TB table is one small JSON
+        manifest.
+
+        The CURRENT table properties (CHECK constraints) are kept, not
+        the target's: properties are policy, not data. A restore can
+        therefore resurface rows that predate a constraint — exactly
+        like SQL RESTORE semantics elsewhere, existing data is not
+        re-validated; the next WRITE is still gated. Restoring to the
+        current head is refused (it would burn a version changing
+        nothing). Mode is ``restore``: a membership rewrite, so the
+        change feed treats it as a boundary unless the restored dir
+        set happens to be append-shaped — the same soundness rule
+        every rewrite follows."""
+        cur = self.current_version()
+        if version == cur:
+            raise ValueError(
+                f"version {version} is already the current head"
+            )
+        if version < 1 or version not in self.versions():
+            raise ValueError(
+                f"version {version} does not exist "
+                f"(available: {self.versions() or 'none'})"
+            )
+        tm = self._manifest(version)
+        cm = self._manifest(cur)
+        # Meta is NOT carried from either side: the head's meta can
+        # hold a streaming sink's batch_id (carrying it would make a
+        # retried microbatch after the restore no-op as "already
+        # committed"), and the target's meta described a different
+        # commit. The exceptions are the restore's own provenance and
+        # the target's partition layout marker, which describes the
+        # restored DIRS (commit_partitioned/replace_partitions key on
+        # it).
+        meta = {"restored_from": version}
+        if tm.get("meta", {}).get("partitioned_by"):
+            meta["partitioned_by"] = tm["meta"]["partitioned_by"]
+        payload = {
+            "version": cur + 1,
+            "mode": "restore",
+            "dirs": list(tm["dirs"]),
+            **_carried_props(cm),
+            "meta": meta,
+        }
+        if tm.get("schema") is not None:
+            payload["schema"] = tm["schema"]
+        if tm.get("stats"):
+            payload["stats"] = tm["stats"]
+        if tm.get("dv"):
+            payload["dv"] = tm["dv"]
+        return self._publish_manifest(payload, cur + 1, [])
+
     # -- branches & tags (write-audit-publish) --------------------------------
 
     def branch(self, name: str) -> "TransactionalTable":

@@ -1712,3 +1712,58 @@ def test_ingest_wap_audit_gate(spark, tmp_path):
     stage2 = t.branch("ingest2")
     with pytest.raises(ValueError, match="sig_complete"):
         stage2.commit(bad, mode="append")
+
+
+def test_restore_rolls_back_without_deleting(spark, tmp_path):
+    """restore(): rollback is a FORWARD commit — old versions stay
+    time-travelable, current constraints are kept (not the target's),
+    a shrinking restore is a change-feed boundary, and vacuum treats
+    the restored head's dirs as live again."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5))                       # v1
+    t.commit(spark.range(5, 8), mode="append")        # v2
+    t.delete_where(spark, "id", lo=0, hi=2)           # v3 (incident)
+    assert _ids(t.read(spark)) == list(range(3, 8))
+    t.add_constraint(spark, "id_small", "id < 100")   # v4 (policy NOW)
+    v_r = t.restore(2)                                # v5
+    assert v_r == 5
+    assert _ids(t.read(spark)) == list(range(8))      # pre-incident data
+    assert _ids(t.read(spark, 3)) == list(range(3, 8))  # incident visible
+    assert t.meta_of(v_r) == {"restored_from": 2}
+    # CURRENT constraints survive the restore (properties ≠ data)...
+    assert t.constraints() == {"id_small": "id < 100"}
+    with pytest.raises(ValueError, match="id_small"):
+        t.commit(spark.range(200, 201), mode="append")
+    # ...and the restored-to version's own (empty) set is untouched.
+    assert t.constraints(2) == {}
+    # Rewrites are feed boundaries: a range spanning the incident hits
+    # the DELETE first; a range starting after it hits the RESTORE's
+    # own membership change. Consumers re-baseline either way.
+    with pytest.raises(ValueError, match="delete"):
+        t.read_changes(spark, 2, 5)
+    with pytest.raises(ValueError, match="restore"):
+        t.read_changes(spark, 4, 5)
+    # Guards: no-op restores and unknown versions refuse.
+    with pytest.raises(ValueError, match="already the current head"):
+        t.restore(5)
+    with pytest.raises(ValueError, match="does not exist"):
+        t.restore(99)
+    # Vacuum keeps the restored head's dirs (they are referenced by a
+    # surviving manifest) — the full pre-incident data reads back.
+    t.vacuum(keep_versions=1, grace_seconds=0.0)
+    assert _ids(t.read(spark)) == list(range(8))
+
+
+def test_restore_carries_dv_and_stats(spark, tmp_path):
+    """A restore target that carries deletion vectors and skipping
+    stats restores BOTH: merge-on-read rows stay deleted and point
+    lookups still prune."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 8), stats_cols=["id"], bloom_cols=["id"])
+    t.delete_where_dv(spark, "id", lo=6, hi=7)        # v2: DV, no rewrite
+    assert _ids(t.read(spark)) == list(range(6))
+    t.commit(spark.range(100, 103), mode="overwrite")  # v3: wipes it
+    v_r = t.restore(2)                                 # v4
+    assert _ids(t.read(spark, v_r)) == list(range(6))  # DV honored
+    kept, skipped = t.pruned_dirs_eq("id", 3, version=v_r)
+    assert kept and not skipped  # single dir holds 3; stats carried

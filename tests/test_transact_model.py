@@ -181,6 +181,24 @@ class TableMachine(RuleBasedStateMachine):
             self._record(v, staged)
         self.t.drop_branch(name)
 
+    @precondition(lambda self: len(self.t.versions()) > 1)
+    @rule(pick=st.floats(0, 1))
+    def restore(self, pick):
+        """RESTORE through the machine: rolling back to any live,
+        model-tracked version republishes exactly that version's state
+        as the new head (forward-only history — the rolled-over
+        versions stay in the model and the read-back invariant keeps
+        checking them)."""
+        cur = self.t.current_version()
+        targets = [
+            v for v in self.t.versions() if v != cur and v in self.model
+        ]
+        if not targets:
+            return
+        target = targets[int(pick * (len(targets) - 1))]
+        v = self.t.restore(target)
+        self._record(v, dict(self.model[target]))
+
     @precondition(lambda self: self.t.current_version() > 0)
     @rule()
     def constraint_roundtrip(self, ):
