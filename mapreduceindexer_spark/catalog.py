@@ -1281,6 +1281,30 @@ _MINHASH_VALUES = ", ".join(
     f"({i}, {a}, {b}, {c})" for i, (a, b, c) in enumerate(minhash_perm_constants(16))
 )
 
+
+def _sql_minhash_sigs(materialized: bool = False) -> str:
+    """The shared minhash/banding prefix of every ingest/LSH oracle
+    (shingles -> portable hash60 -> 16 affine permutations -> per-seed
+    minhash -> 2-row band signatures), kept in ONE place so the six
+    oracles that replay operators/dedup.py::minhash_signatures/
+    lsh_band_signatures cannot desynchronize (round-9 review finding).
+    Emits the CTE list WITHOUT the leading WITH; ``materialized`` marks
+    mh/sigs AS MATERIALIZED for oracles that reference them from many
+    later CTEs (the unrolled ingest replay)."""
+    m = " MATERIALIZED" if materialized else ""
+    return f"""sh AS ({SQL_SHINGLES}),
+         perms AS (SELECT * FROM (VALUES {_MINHASH_VALUES}) t(seed, a, b, c)),
+         base AS (SELECT doc_id, s, {_sql_hash60('s')} AS h FROM sh),
+         mh AS{m} (SELECT doc_id, seed,
+                       min((a * (h & 1073741823)
+                            + b * ((h >> 30) & 1073741823)
+                            + c) % {MINHASH_MOD}) AS mh
+                FROM base, perms GROUP BY doc_id, seed),
+         sigs AS{m} (SELECT doc_id, seed // 2 AS band,
+                         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+                  FROM mh GROUP BY doc_id, seed // 2)"""
+
+
 # LSH candidate CTEs with the same two-regime bucket guard as
 # operators/dedup.py::lsh_candidates (buckets over LSH_MAX_BUCKET members
 # switch from all-pairs to a star on the bucket-min doc): the oracle must
@@ -1323,17 +1347,7 @@ def _near_pairs_staged(spark, sf_dir):
 
 @register(
     "q_near_dup",
-    f"""WITH sh AS ({SQL_SHINGLES}),
-         perms AS (SELECT * FROM (VALUES {_MINHASH_VALUES}) t(seed, a, b, c)),
-         base AS (SELECT doc_id, s, {_sql_hash60('s')} AS h FROM sh),
-         mh AS (SELECT doc_id, seed,
-                       min((a * (h & 1073741823)
-                            + b * ((h >> 30) & 1073741823)
-                            + c) % {MINHASH_MOD}) AS mh
-                FROM base, perms GROUP BY doc_id, seed),
-         sigs AS (SELECT doc_id, seed // 2 AS band,
-                         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
-                  FROM mh GROUP BY doc_id, seed // 2),
+    f"""WITH {_sql_minhash_sigs()},
          {_SQL_LSH_CANDS},
          jac AS ({SQL_JACCARD})
        SELECT j.doc_a, j.doc_b, j.jaccard
@@ -2782,21 +2796,13 @@ def q_contamination(spark, sf_dir):
 
 INGEST_DEDUP_THRESHOLD = 0.5  # >= 8 of 16 minhash seeds agree
 
-
-@register(
-    "q_ingest_dedup",
-    f"""WITH sh AS ({SQL_SHINGLES}),
-         perms AS (SELECT * FROM (VALUES {_MINHASH_VALUES}) t(seed, a, b, c)),
-         base AS (SELECT doc_id, s, {_sql_hash60('s')} AS h FROM sh),
-         mh AS (SELECT doc_id, seed,
-                       min((a * (h & 1073741823)
-                            + b * ((h >> 30) & 1073741823)
-                            + c) % {MINHASH_MOD}) AS mh
-                FROM base, perms GROUP BY doc_id, seed),
-         sigs AS (SELECT doc_id, seed // 2 AS band,
-                         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
-                  FROM mh GROUP BY doc_id, seed // 2),
-         st AS (SELECT s.* FROM sigs s JOIN documents d USING (doc_id)
+# The shared state-probe chain of the batch ingest-dedup oracles
+# (q_ingest_dedup + q_ingest_wap): en docs as STATE, non-en as the
+# arriving BATCH, census star guard, (band, sig) bucket candidates,
+# minhash-agreement verify — one definition so the two replays of
+# operators/dedup.py::ingest_dedup_against cannot desynchronize
+# (round-9 review finding). Expects the _sql_minhash_sigs CTEs.
+_SQL_INGEST_PROBE = f"""st AS (SELECT s.* FROM sigs s JOIN documents d USING (doc_id)
                 WHERE d.lang = 'en'),
          pb AS (SELECT s.* FROM sigs s JOIN documents d USING (doc_id)
                 WHERE d.lang <> 'en'),
@@ -2822,7 +2828,15 @@ INGEST_DEDUP_THRESHOLD = 0.5  # >= 8 of 16 minhash seeds agree
                  JOIN mh mb ON mb.doc_id = c.new_doc AND mb.seed = ms.seed
                  GROUP BY 1, 2
                  HAVING count(*) FILTER (WHERE ms.mh = mb.mh) / 16.0
-                        >= {INGEST_DEDUP_THRESHOLD}),
+                        >= {INGEST_DEDUP_THRESHOLD})"""
+
+
+
+
+@register(
+    "q_ingest_dedup",
+    f"""WITH {_sql_minhash_sigs()},
+{_SQL_INGEST_PROBE},
          dups AS (SELECT new_doc AS doc_id,
                          CAST(count(*) AS BIGINT) AS n_matches,
                          ROUND(max(est), 6) AS best_est
@@ -2888,17 +2902,7 @@ def q_ingest_dedup(spark, sf_dir):
 
 @register(
     "q_ingest_point",
-    f"""WITH sh AS ({SQL_SHINGLES}),
-         perms AS (SELECT * FROM (VALUES {_MINHASH_VALUES}) t(seed, a, b, c)),
-         base AS (SELECT doc_id, s, {_sql_hash60('s')} AS h FROM sh),
-         mh AS (SELECT doc_id, seed,
-                       min((a * (h & 1073741823)
-                            + b * ((h >> 30) & 1073741823)
-                            + c) % {MINHASH_MOD}) AS mh
-                FROM base, perms GROUP BY doc_id, seed),
-         sigs AS (SELECT doc_id, seed // 2 AS band,
-                         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
-                  FROM mh GROUP BY doc_id, seed // 2),
+    f"""WITH {_sql_minhash_sigs()},
          st AS (SELECT s.*, s.doc_id % 3 AS sl
                 FROM sigs s JOIN documents d USING (doc_id)
                 WHERE d.lang = 'en'),
@@ -3049,44 +3053,8 @@ INGEST_WAP_MAX_DUP_RATE = 0.9  # audit gate: refuse a batch that is mostly dups
 
 @register(
     "q_ingest_wap",
-    f"""WITH sh AS ({SQL_SHINGLES}),
-         perms AS (SELECT * FROM (VALUES {_MINHASH_VALUES}) t(seed, a, b, c)),
-         base AS (SELECT doc_id, s, {_sql_hash60('s')} AS h FROM sh),
-         mh AS (SELECT doc_id, seed,
-                       min((a * (h & 1073741823)
-                            + b * ((h >> 30) & 1073741823)
-                            + c) % {MINHASH_MOD}) AS mh
-                FROM base, perms GROUP BY doc_id, seed),
-         sigs AS (SELECT doc_id, seed // 2 AS band,
-                         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
-                  FROM mh GROUP BY doc_id, seed // 2),
-         st AS (SELECT s.* FROM sigs s JOIN documents d USING (doc_id)
-                WHERE d.lang = 'en'),
-         pb AS (SELECT s.* FROM sigs s JOIN documents d USING (doc_id)
-                WHERE d.lang <> 'en'),
-         census AS (SELECT doc_id, band, sig,
-                           count(*) OVER (PARTITION BY band, sig) AS bsz,
-                           min(doc_id) OVER (PARTITION BY band, sig) AS bmin
-                    FROM st),
-         cands AS (SELECT DISTINCT state_doc, new_doc FROM (
-                     SELECT c.doc_id AS state_doc, b.doc_id AS new_doc
-                     FROM census c JOIN pb b
-                       ON c.band = b.band AND c.sig = b.sig
-                     WHERE c.bsz <= {dd.LSH_MAX_BUCKET}
-                     UNION ALL
-                     SELECT c.bmin, b.doc_id
-                     FROM census c JOIN pb b
-                       ON c.band = b.band AND c.sig = b.sig
-                     WHERE c.bsz > {dd.LSH_MAX_BUCKET}
-                       AND c.doc_id = c.bmin) u),
-         est AS (SELECT c.state_doc, c.new_doc,
-                        count(*) FILTER (WHERE ms.mh = mb.mh) / 16.0 AS est
-                 FROM cands c
-                 JOIN mh ms ON ms.doc_id = c.state_doc
-                 JOIN mh mb ON mb.doc_id = c.new_doc AND mb.seed = ms.seed
-                 GROUP BY 1, 2
-                 HAVING count(*) FILTER (WHERE ms.mh = mb.mh) / 16.0
-                        >= {INGEST_DEDUP_THRESHOLD}),
+    f"""WITH {_sql_minhash_sigs()},
+{_SQL_INGEST_PROBE},
          dups AS (SELECT DISTINCT new_doc FROM est),
          counts AS (SELECT
             (SELECT CAST(count(*) AS BIGINT) FROM documents
@@ -3134,90 +3102,83 @@ def q_ingest_wap(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     table = TransactionalTable(tempfile.mkdtemp(prefix="mri_ingest_wap_"))
-    state0 = dd.ingest_signatures(d.filter(F.col("lang") == "en"))
-    table.commit(state0, stats_cols=["doc_id"])
-    # Data-quality CHECK: every signature row must be complete and in
-    # range; from here on EVERY commit (branch stages included — the
-    # fork carries table properties) validates its batch first.
-    table.add_constraint(
-        spark,
-        "sig_complete",
-        "sig IS NOT NULL AND mh >= 0 AND band BETWEEN 0 AND 7"
-        " AND seed BETWEEN 0 AND 15",
-    )
-    main_before = table.read(spark).select("doc_id").distinct().count()
-
-    batch_sigs = dd.ingest_signatures(
-        d.filter(F.col("lang") != "en")
-    ).localCheckpoint()  # hash the batch once for probe AND stage
-    batch_docs = batch_sigs.select("doc_id").distinct().count()
-    dups = dd.ingest_dedup_against(
-        table.read(spark),
-        batch_sigs,
-        n_hashes=16,
-        threshold=INGEST_DEDUP_THRESHOLD,
-    ).localCheckpoint()
-    dup_docs = dups.count()
-    survivors = batch_sigs.join(dups.select("doc_id"), "doc_id", "left_anti")
-
-    # WRITE: stage survivors on a branch — main readers see nothing yet.
-    stage = table.branch("ingest")
-    stage.commit(survivors, mode="append", stats_cols=["doc_id"])
-    # AUDIT (on the branch + the untouched main):
-    branch_staged = stage.read(spark).select("doc_id").distinct().count()
-    main_during = table.read(spark).select("doc_id").distinct().count()
-    dup_rate = dup_docs / batch_docs if batch_docs else 0.0
-    if dup_rate > INGEST_WAP_MAX_DUP_RATE or branch_staged != (
-        main_before + batch_docs - dup_docs
-    ):
-        table.drop_branch("ingest")  # failed audit: main never changes
-        raise AssertionError(
-            f"ingest audit failed: dup_rate={dup_rate:.3f}, "
-            f"staged={branch_staged}"
+    try:
+        state0 = dd.ingest_signatures(d.filter(F.col("lang") == "en"))
+        table.commit(state0, stats_cols=["doc_id"])
+        # Data-quality CHECK: every signature row must be complete and in
+        # range; from here on EVERY commit (branch stages included — the
+        # fork carries table properties) validates its batch first.
+        table.add_constraint(
+            spark,
+            "sig_complete",
+            "sig IS NOT NULL AND mh >= 0 AND band BETWEEN 0 AND 7"
+            " AND seed BETWEEN 0 AND 15",
         )
-    # PUBLISH: one manifest CAS lands the whole audited batch.
-    v = table.publish_branch("ingest")
-    out = (
-        table.read(spark, v)
-        .select("doc_id")
-        .distinct()
-        .agg(
-            F.lit(main_before).cast("bigint").alias("main_before"),
-            F.lit(batch_docs).cast("bigint").alias("batch_docs"),
-            F.lit(dup_docs).cast("bigint").alias("dup_docs"),
-            F.lit(batch_docs - dup_docs).cast("bigint").alias(
-                "survivor_docs"
-            ),
-            F.round(F.lit(dup_rate), 6).alias("dup_rate"),
-            F.lit(main_during).cast("bigint").alias("main_during_stage"),
-            F.lit(branch_staged).cast("bigint").alias("branch_staged"),
-            F.count("*").cast("bigint").alias("main_after"),
-            F.lit(
-                int(table._manifest(v)["mode"] == "append")
-            ).cast("bigint").alias("published_as_append"),
-            F.lit(int("sig_complete" in table.constraints(v)))
-            .cast("bigint")
-            .alias("constraint_active"),
+        main_before = table.read(spark).select("doc_id").distinct().count()
+
+        batch_sigs = dd.ingest_signatures(
+            d.filter(F.col("lang") != "en")
+        ).localCheckpoint()  # hash the batch once for probe AND stage
+        batch_docs = batch_sigs.select("doc_id").distinct().count()
+        dups = dd.ingest_dedup_against(
+            table.read(spark),
+            batch_sigs,
+            n_hashes=16,
+            threshold=INGEST_DEDUP_THRESHOLD,
+        ).localCheckpoint()
+        dup_docs = dups.count()
+        survivors = batch_sigs.join(dups.select("doc_id"), "doc_id", "left_anti")
+
+        # WRITE: stage survivors on a branch — main readers see nothing yet.
+        stage = table.branch("ingest")
+        stage.commit(survivors, mode="append", stats_cols=["doc_id"])
+        # AUDIT (on the branch + the untouched main):
+        branch_staged = stage.read(spark).select("doc_id").distinct().count()
+        main_during = table.read(spark).select("doc_id").distinct().count()
+        dup_rate = dup_docs / batch_docs if batch_docs else 0.0
+        if dup_rate > INGEST_WAP_MAX_DUP_RATE or branch_staged != (
+            main_before + batch_docs - dup_docs
+        ):
+            table.drop_branch("ingest")  # failed audit: main never changes
+            raise AssertionError(
+                f"ingest audit failed: dup_rate={dup_rate:.3f}, "
+                f"staged={branch_staged}"
+            )
+        # PUBLISH: one manifest CAS lands the whole audited batch.
+        v = table.publish_branch("ingest")
+        out = (
+            table.read(spark, v)
+            .select("doc_id")
+            .distinct()
+            .agg(
+                F.lit(main_before).cast("bigint").alias("main_before"),
+                F.lit(batch_docs).cast("bigint").alias("batch_docs"),
+                F.lit(dup_docs).cast("bigint").alias("dup_docs"),
+                F.lit(batch_docs - dup_docs).cast("bigint").alias(
+                    "survivor_docs"
+                ),
+                F.round(F.lit(dup_rate), 6).alias("dup_rate"),
+                F.lit(main_during).cast("bigint").alias("main_during_stage"),
+                F.lit(branch_staged).cast("bigint").alias("branch_staged"),
+                F.count("*").cast("bigint").alias("main_after"),
+                F.lit(
+                    int(table._manifest(v)["mode"] == "append")
+                ).cast("bigint").alias("published_as_append"),
+                F.lit(int("sig_complete" in table.constraints(v)))
+                .cast("bigint")
+                .alias("constraint_active"),
+            )
+            .localCheckpoint()  # materialize before the table files vanish
         )
-        .localCheckpoint()  # materialize before the table files vanish
-    )
-    shutil.rmtree(table.path, ignore_errors=True)
-    return out
+        return out
+    finally:
+        # failed audits and commit conflicts must not leak the state dir
+        shutil.rmtree(table.path, ignore_errors=True)
 
 
 @register(
     "q_cross_dedup",
-    f"""WITH sh AS ({SQL_SHINGLES}),
-         perms AS (SELECT * FROM (VALUES {_MINHASH_VALUES}) t(seed, a, b, c)),
-         base AS (SELECT doc_id, s, {_sql_hash60('s')} AS h FROM sh),
-         mh AS (SELECT doc_id, seed,
-                       min((a * (h & 1073741823)
-                            + b * ((h >> 30) & 1073741823)
-                            + c) % {MINHASH_MOD}) AS mh
-                FROM base, perms GROUP BY doc_id, seed),
-         sigs AS (SELECT doc_id, seed // 2 AS band,
-                         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
-                  FROM mh GROUP BY doc_id, seed // 2),
+    f"""WITH {_sql_minhash_sigs()},
          ref AS (SELECT doc_id FROM documents WHERE lang = 'en'),
          cand_docs AS (SELECT doc_id FROM documents WHERE lang <> 'en'),
          cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -5727,17 +5688,7 @@ CONTAINMENT_THRESHOLD = 0.5
 
 @register(
     "q_containment",
-    f"""WITH sh AS ({SQL_SHINGLES}),
-         perms AS (SELECT * FROM (VALUES {_MINHASH_VALUES}) t(seed, a, b, c)),
-         base AS (SELECT doc_id, s, {_sql_hash60('s')} AS h FROM sh),
-         mh AS (SELECT doc_id, seed,
-                       min((a * (h & 1073741823)
-                            + b * ((h >> 30) & 1073741823)
-                            + c) % {MINHASH_MOD}) AS mh
-                FROM base, perms GROUP BY doc_id, seed),
-         sigs AS (SELECT doc_id, seed // 2 AS band,
-                         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
-                  FROM mh GROUP BY doc_id, seed // 2),
+    f"""WITH {_sql_minhash_sigs()},
          {_SQL_LSH_CANDS},
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -9157,17 +9108,7 @@ def _sql_ingest_round(i: int, n_slices: int = 4) -> str:
 
 @register(
     "q_ingest_stream",
-    f"""WITH sh AS ({SQL_SHINGLES}),
- perms AS (SELECT * FROM (VALUES {_MINHASH_VALUES}) t(seed, a, b, c)),
- base AS (SELECT doc_id, s, {_sql_hash60('s')} AS h FROM sh),
- mh AS MATERIALIZED (SELECT doc_id, seed,
-             min((a * (h & 1073741823)
-                  + b * ((h >> 30) & 1073741823)
-                  + c) % {MINHASH_MOD}) AS mh
-      FROM base, perms GROUP BY doc_id, seed),
- sigs AS MATERIALIZED (SELECT doc_id, seed // 2 AS band,
-               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
-        FROM mh GROUP BY doc_id, seed // 2),{_sql_ingest_round(0)},{_sql_ingest_round(1)},{_sql_ingest_round(2)},{_sql_ingest_round(3)}
+    f"""WITH {_sql_minhash_sigs(materialized=True)},{_sql_ingest_round(0)},{_sql_ingest_round(1)},{_sql_ingest_round(2)},{_sql_ingest_round(3)}
  SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1
  UNION ALL SELECT doc_id FROM adm2 UNION ALL SELECT doc_id FROM adm3""",
 )
