@@ -143,6 +143,7 @@ HEADLINE = [
     "q_ingest_wap",        # ingest dedup staged/audited/published (WAP)
     "q_vocab_oov",         # tokenizer serving loop: persisted vocab, OOV on B
     "q_table_restore",     # version rollback as a forward manifest commit
+    "q_quality_classifier",  # Rocchio-trained model-based quality filter
 ]
 
 # The graph-ANN family is benched build/probe SPLIT (round-7 verdict

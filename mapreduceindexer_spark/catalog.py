@@ -6211,6 +6211,69 @@ def q_dsir_weights(spark, sf_dir):
                         n_buckets=_DSIR_B, scale=_DSIR_S)
 
 
+_QC_B, _QC_GAIN = 64, 1000.0
+
+
+@register(
+    "q_quality_classifier",
+    f"""WITH t AS ({SQL_TERMS}),
+ xc AS (SELECT doc_id, {_sql_hash60('term')} % {_QC_B} AS j,
+               CAST(count(*) AS BIGINT) AS c
+        FROM t GROUP BY 1, 2),
+ nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok FROM t GROUP BY 1),
+ xf AS MATERIALIZED (
+        SELECT doc_id, j, ROUND(c / CAST(ntok AS DOUBLE), 6) AS x
+        FROM xc JOIN nt USING (doc_id)),
+ lab AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS pos FROM documents),
+ sz AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - pos) AS BIGINT) AS n_neg FROM lab),
+ mj AS (SELECT j,
+               ROUND(CAST(SUM(CASE WHEN pos = 1 THEN CAST(x AS DECIMAL(38,10))
+                                   ELSE CAST(0.0 AS DECIMAL(38,10)) END)
+                          AS DOUBLE) / (SELECT n_pos FROM sz), 6) AS m_pos,
+               ROUND(CAST(SUM(CASE WHEN pos = 0 THEN CAST(x AS DECIMAL(38,10))
+                                   ELSE CAST(0.0 AS DECIMAL(38,10)) END)
+                          AS DOUBLE) / (SELECT n_neg FROM sz), 6) AS m_neg
+        FROM xf JOIN lab USING (doc_id) GROUP BY j),
+ wj AS (SELECT j, ROUND(m_pos - m_neg, 6) AS w,
+               ROUND((m_pos + m_neg) / 2, 6) AS m
+        FROM mj),
+ bb AS (SELECT ROUND(-CAST(SUM(CAST(w * m AS DECIMAL(38,10))) AS DOUBLE), 6)
+                 AS b
+        FROM wj),
+ dots AS (SELECT doc_id,
+                 CAST(SUM(CAST(w * x AS DECIMAL(38,10))) AS DOUBLE) AS dot
+          FROM xf JOIN wj USING (j) GROUP BY doc_id),
+ pf AS (SELECT d.doc_id, d.lang,
+               ROUND(1.0 / (1.0 + exp(-{_QC_GAIN}
+                     * ROUND(COALESCE(dots.dot, 0.0)
+                             + (SELECT b FROM bb), 6))), 6) AS p
+        FROM documents d LEFT JOIN dots ON d.doc_id = dots.doc_id)
+ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(*) FILTER (WHERE p > 0.5) AS BIGINT) AS n_pred_pos,
+        ROUND(CAST(SUM(CAST(p AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6)
+          AS mean_score
+ FROM pf GROUP BY lang""",
+)
+def q_quality_classifier(spark, sf_dir):
+    """TRAINED QUALITY CLASSIFIER (operators/textstats.py::
+    quality_classifier): a Rocchio / nearest-centroid linear model over
+    hash60-bucketed term-frequency features, trained in ONE corpus pass
+    on a deterministic label (lang='en' as the positive class) and used
+    to score every document — the model-based filter tier beside the
+    heuristic gates, the bigram-LM perplexity filter, and DSIR. Train =
+    per-class per-bucket feature means (≤ 2x65 groups at any corpus
+    size); score = sparse broadcast dot + midpoint bias + calibrated
+    sigmoid. Every mean, the bias, and each margin accumulate in exact
+    decimal and round to 6 at every boundary, so the oracle replays
+    training AND scoring bit-for-bit. Returns per-language (count,
+    predicted-positive count, mean score) — the separation a filter
+    would threshold on."""
+    return ts.quality_classifier(
+        _docs(spark, sf_dir), n_buckets=_QC_B, gain=_QC_GAIN
+    )
+
+
 @register(
     "q_semantic_dedup",
     f"""WITH e AS ({SQL_EMB}),
@@ -10778,11 +10841,13 @@ _CHECK_PRIORITY = [
     # COVERAGE.md's ledger). After this window every registered query
     # has >= 1 driver row. All 50 were value-verified against DuckDB
     # in-session by the full driver-shaped drive before rotation.
-    # -- born in round 9 (q_table_restore took the q_top_orders spine
-    # re-green slot mid-round: born-op rule precedes re-greens)
+    # -- born in round 9 (q_table_restore and q_quality_classifier took
+    # the q_top_orders / q_cube spine re-green slots mid-round: born-op
+    # rule precedes re-greens; both swap-outs stay locally verified)
     "q_ingest_wap",
     "q_vocab_oov",
     "q_table_restore",
+    "q_quality_classifier",
     # -- the r8 backlog: table tier (registered after the r8 freeze)
     "q_table_wap",
     "q_table_zorder",
@@ -10835,7 +10900,6 @@ _CHECK_PRIORITY = [
     "q_events_session",
     "q_cosine_topk",
     "q_quality_score",
-    "q_cube",
     "q_grouping_sets",
 ]
 assert len(_CHECK_PRIORITY) == 50, (

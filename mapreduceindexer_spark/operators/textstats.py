@@ -344,6 +344,152 @@ def lm_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_classifier(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    gain: float = 1000.0,
+) -> DataFrame:
+    """TRAINED quality classifier — the model-based data-filtering tier
+    beside the heuristic gates (``quality_scores``), the bigram-LM
+    perplexity filter (``lm_scores``), and DSIR importance weights: a
+    Rocchio / nearest-centroid LINEAR classifier over hash60-bucketed
+    term-frequency features, trained in ONE corpus pass (labels:
+    lang='en' as the deterministic positive class — production swaps in
+    curated seed labels; the plan is identical) and used to score every
+    document. This is the classic cheap trainable baseline of the
+    GPT-3-style "quality classifier" stage: train small, score
+    everything; a logistic/fastText upgrade keeps the exact same plan
+    shape (train = per-class feature statistics, score = one broadcast
+    dot product).
+
+    Model: w_j = mean_pos(x_j) - mean_neg(x_j) over tf-share features
+    x_j = count_j / doc_len (absent buckets count as 0 via the
+    class-size denominator — no densification needed), bias = -w . m at
+    the class-centroid midpoint m, score = sigmoid(gain * (w . x + b))
+    with a fixed calibration ``gain`` (margins live at tf-share scale;
+    the sign — and therefore every keep/drop decision — is
+    gain-independent).
+
+    Scale + determinism: train is one (bucket, class) aggregate —
+    at most 2 x (n_buckets + 1) groups regardless of corpus size; the
+    weight relation is broadcast-scale by construction; scoring is a
+    sparse join + per-doc reduce (docs never densify). Every mean, the
+    bias dot, and each margin accumulate in exact DECIMAL(38,10) and
+    round to 6 decimals at every boundary, so the DuckDB oracle replays
+    training AND scoring bit-for-bit. Output: (lang, n_docs,
+    n_pred_pos, mean_score) — the per-language separation the filter
+    thresholds on. No reference counterpart (src/functions.cpp has no
+    scoring of any kind)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.functions.hashing import hash60
+    from mapreduceindexer_spark.functions.text import tokens_normalized
+
+    t = tokens_normalized(docs)
+    cnt = t.groupBy(
+        "doc_id", (hash60("term") % n_buckets).cast("bigint").alias("j")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    ntok = t.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("ntok"))
+    x = (
+        cnt.join(ntok, "doc_id")
+        .select(
+            "doc_id",
+            "j",
+            F.round(F.col("c") / F.col("ntok").cast("double"), 6).alias("x"),
+        )
+        .localCheckpoint()  # feeds training AND scoring
+    )
+    lab = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("pos")
+    )
+    sizes = lab.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("n_neg"),
+    )
+    # TRAIN: per-class per-bucket mean of x, absent (doc, bucket) pairs
+    # contributing 0 through the class-size denominator.
+    sums = (
+        x.join(lab, "doc_id")
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.when(F.col("pos") == 1, F.col("x"))
+                .otherwise(F.lit(0.0))
+                .cast("decimal(38,10)")
+            ).alias("s_pos"),
+            F.sum(
+                F.when(F.col("pos") == 0, F.col("x"))
+                .otherwise(F.lit(0.0))
+                .cast("decimal(38,10)")
+            ).alias("s_neg"),
+        )
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "j",
+            F.round(F.col("s_pos").cast("double") / F.col("n_pos"), 6).alias(
+                "m_pos"
+            ),
+            F.round(F.col("s_neg").cast("double") / F.col("n_neg"), 6).alias(
+                "m_neg"
+            ),
+        )
+    )
+    weights = sums.select(
+        "j",
+        F.round(F.col("m_pos") - F.col("m_neg"), 6).alias("w"),
+        F.round((F.col("m_pos") + F.col("m_neg")) / 2, 6).alias("m"),
+    ).localCheckpoint()
+    bias = weights.agg(
+        F.round(
+            -F.sum((F.col("w") * F.col("m")).cast("decimal(38,10)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("b")
+    )
+    # SCORE: sparse dot + broadcast bias; a doc with no features scores
+    # at the bias alone (left join keeps it).
+    dots = (
+        x.join(F.broadcast(weights.select("j", "w")), "j")
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("w") * F.col("x")).cast("decimal(38,10)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    scored = (
+        docs.select("doc_id", "lang")
+        .join(dots, "doc_id", "left")
+        .crossJoin(F.broadcast(bias))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0.0)) + F.col("b"), 6
+            ).alias("margin"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-gain * F.col("margin"))), 6
+            ).alias("p"),
+        )
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("p") > 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("n_pred_pos"),
+        F.round(
+            F.sum(F.col("p").cast("decimal(38,10)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_score"),
+    )
+
+
 def bpe_train(docs: DataFrame, rounds: int = 3) -> DataFrame:
     """Greedy BPE vocabulary training, ``rounds`` merge rounds: the full
     trainer promised by q_bpe_pairs' docstring (Sennrich et al. 2016).
