@@ -2060,10 +2060,17 @@ def q_index_stream(spark, sf_dir):
     (arrays serialized for the harness canonicalizer as usual)."""
     from mapreduceindexer_spark.streaming.index_stream import streaming_index_build
 
-    out = streaming_index_build(spark, sf_dir, n_slices=3)
-    return out.select(
-        "term", "letter", F.concat_ws(" ", "doc_ids").alias("doc_ids"), "df"
+    st: list = []
+    out = (
+        streaming_index_build(spark, sf_dir, n_slices=3, state_table=st)
+        .select(
+            "term", "letter", F.concat_ws(" ", "doc_ids").alias("doc_ids"), "df"
+        )
+        .localCheckpoint()  # materialize so the state table can drop now
     )
+    for t in st:  # repeated runs must not accumulate warehouse tables
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
 
 
 @register("q_events_sliding_stream", _SQL_EVENTS_SLIDING)
