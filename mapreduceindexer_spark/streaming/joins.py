@@ -78,7 +78,13 @@ def run_streaming_attribution(
         .start()
     )
     try:
-        q.awaitTermination(120)
+        # Raise on timeout instead of reading the sink: a partial
+        # backlog replay must fail loudly, never return short rows
+        # (these queries are value-hash-checked since round 9).
+        if not q.awaitTermination(300):
+            raise RuntimeError(
+                "streaming backlog replay did not finish within 300 s"
+            )
     finally:
         q.stop()
     return spark.table(name)

@@ -102,7 +102,13 @@ def run_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(120)
+        # Raise on timeout instead of reading the sink: a partial
+        # backlog replay must fail loudly, never return short rows
+        # (these queries are value-hash-checked since round 9).
+        if not q.awaitTermination(300):
+            raise RuntimeError(
+                "streaming backlog replay did not finish within 300 s"
+            )
     finally:
         q.stop()
     return spark.table(name)
@@ -124,7 +130,13 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(120)
+        # Raise on timeout instead of reading the sink: a partial
+        # backlog replay must fail loudly, never return short rows
+        # (these queries are value-hash-checked since round 9).
+        if not q.awaitTermination(300):
+            raise RuntimeError(
+                "streaming backlog replay did not finish within 300 s"
+            )
     finally:
         q.stop()
     return spark.table(name)
@@ -173,7 +185,13 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(120)
+        # Raise on timeout instead of reading the sink: a partial
+        # backlog replay must fail loudly, never return short rows
+        # (these queries are value-hash-checked since round 9).
+        if not q.awaitTermination(300):
+            raise RuntimeError(
+                "streaming backlog replay did not finish within 300 s"
+            )
     finally:
         q.stop()
     return spark.table(name)
