@@ -144,6 +144,7 @@ HEADLINE = [
     "q_vocab_oov",         # tokenizer serving loop: persisted vocab, OOV on B
     "q_table_restore",     # version rollback as a forward manifest commit
     "q_quality_classifier",  # Rocchio-trained model-based quality filter
+    "q_quality_holdout",   # its train/test generalization audit
 ]
 
 # The graph-ANN family is benched build/probe SPLIT (round-7 verdict

@@ -6282,6 +6282,71 @@ def q_quality_classifier(spark, sf_dir):
 
 
 @register(
+    "q_quality_holdout",
+    f"""WITH t AS ({SQL_TERMS}),
+ xc AS (SELECT doc_id, {_sql_hash60('term')} % {_QC_B} AS j,
+               CAST(count(*) AS BIGINT) AS c
+        FROM t GROUP BY 1, 2),
+ nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok FROM t GROUP BY 1),
+ xf AS MATERIALIZED (
+        SELECT doc_id, j, ROUND(c / CAST(ntok AS DOUBLE), 6) AS x
+        FROM xc JOIN nt USING (doc_id)),
+ lab AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS pos
+         FROM documents WHERE doc_id % 2 = 0),
+ sz AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - pos) AS BIGINT) AS n_neg FROM lab),
+ mj AS (SELECT j,
+               ROUND(CAST(SUM(CASE WHEN pos = 1 THEN CAST(x AS DECIMAL(38,10))
+                                   ELSE CAST(0.0 AS DECIMAL(38,10)) END)
+                          AS DOUBLE) / (SELECT n_pos FROM sz), 6) AS m_pos,
+               ROUND(CAST(SUM(CASE WHEN pos = 0 THEN CAST(x AS DECIMAL(38,10))
+                                   ELSE CAST(0.0 AS DECIMAL(38,10)) END)
+                          AS DOUBLE) / (SELECT n_neg FROM sz), 6) AS m_neg
+        FROM xf JOIN lab USING (doc_id) GROUP BY j),
+ wj AS (SELECT j, ROUND(m_pos - m_neg, 6) AS w,
+               ROUND((m_pos + m_neg) / 2, 6) AS m
+        FROM mj),
+ bb AS (SELECT ROUND(-CAST(SUM(CAST(w * m AS DECIMAL(38,10))) AS DOUBLE), 6)
+                 AS b
+        FROM wj),
+ dots AS (SELECT doc_id,
+                 CAST(SUM(CAST(w * x AS DECIMAL(38,10))) AS DOUBLE) AS dot
+          FROM xf JOIN wj USING (j) GROUP BY doc_id),
+ pf AS (SELECT d.doc_id, d.lang,
+               ROUND(1.0 / (1.0 + exp(-{_QC_GAIN}
+                     * ROUND(COALESCE(dots.dot, 0.0)
+                             + (SELECT b FROM bb), 6))), 6) AS p
+        FROM documents d LEFT JOIN dots ON d.doc_id = dots.doc_id
+        WHERE d.doc_id % 2 = 1)
+ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(*) FILTER (WHERE p > 0.5) AS BIGINT) AS n_pred_pos,
+        CAST(count(*) FILTER (WHERE (lang = 'en') = (p > 0.5)) AS BIGINT)
+          AS n_correct,
+        ROUND(CAST(SUM(CAST(p AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6)
+          AS mean_score
+ FROM pf GROUP BY lang""",
+)
+def q_quality_holdout(spark, sf_dir):
+    """TRAIN/TEST HOLDOUT evaluation of the quality classifier
+    (operators/textstats.py::quality_classifier_holdout): centroids
+    trained on the even-doc_id half only, scored on the odd half the
+    trainer never saw — per test-language counts, predicted positives,
+    CORRECT classifications, and mean score. Generalization is the
+    number a production filter is deployed on; q_quality_classifier's
+    full-corpus fit alone cannot distinguish signal from memorization
+    — and on THIS synthetic corpus (a single shared vocabulary, small
+    frequency shifts) it measures near-chance holdout accuracy, the
+    honest verdict the instrument exists to deliver (the q_ann_recall
+    pattern: report the real number, not the flattering one). Same
+    bit-replay contract: the oracle retrains on the even half and
+    rescores the odd half exactly. One shared body with the full-corpus
+    query (textstats.py::_rocchio_scored) — the two cannot drift."""
+    return ts.quality_classifier_holdout(
+        _docs(spark, sf_dir), n_buckets=_QC_B, gain=_QC_GAIN
+    )
+
+
+@register(
     "q_semantic_dedup",
     f"""WITH e AS ({SQL_EMB}),
  c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
@@ -10855,6 +10920,7 @@ _CHECK_PRIORITY = [
     "q_vocab_oov",
     "q_table_restore",
     "q_quality_classifier",
+    "q_quality_holdout",
     # -- the r8 backlog: table tier (registered after the r8 freeze)
     "q_table_wap",
     "q_table_zorder",
@@ -10906,7 +10972,6 @@ _CHECK_PRIORITY = [
     "q_tfidf",
     "q_events_session",
     "q_cosine_topk",
-    "q_quality_score",
     "q_grouping_sets",
 ]
 assert len(_CHECK_PRIORITY) == 50, (

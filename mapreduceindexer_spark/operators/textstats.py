@@ -382,6 +382,79 @@ def quality_classifier(
     scoring of any kind)."""
     from pyspark.sql import functions as F
 
+    scored = _rocchio_scored(docs, docs, docs, n_buckets, gain)
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("p") > 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("n_pred_pos"),
+        F.round(
+            F.sum(F.col("p").cast("decimal(38,10)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_score"),
+    )
+
+
+def quality_classifier_holdout(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    gain: float = 1000.0,
+) -> DataFrame:
+    """The PROPER train/test protocol over ``quality_classifier``'s
+    model: the centroids are trained on the EVEN-doc_id half of the
+    corpus only and evaluated on the odd half the trainer never saw —
+    per test-set language: document count, predicted-positive count,
+    CORRECT classifications ((lang='en') == (p > 0.5)), and mean score.
+    Generalization, not memorization, is what a production quality
+    filter is deployed on; the deterministic parity split keeps the
+    protocol oracle-replayable (a hash-based split would work the same
+    way at scale). Same determinism contract as the full-corpus query.
+
+    Measured honesty note: on the driver's synthetic corpus (one 31-term
+    vocabulary shared by every language, only small frequency shifts)
+    holdout accuracy sits near chance — the instrument correctly
+    exposes that the full-corpus fit's separation is partly memorized
+    noise there; corpora with real vocabulary differences separate."""
+    from pyspark.sql import functions as F
+
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    scored = _rocchio_scored(docs, train, test, n_buckets, gain)
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("p") > 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("n_pred_pos"),
+        F.sum(
+            ((F.col("lang") == "en") == (F.col("p") > 0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum(F.col("p").cast("decimal(38,10)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_score"),
+    )
+
+
+
+def _rocchio_scored(
+    docs: DataFrame,
+    train: DataFrame,
+    score: DataFrame,
+    n_buckets: int,
+    gain: float,
+) -> DataFrame:
+    """The shared train+score body of the quality-classifier family:
+    (doc_id, lang, p) of every ``score`` document under a Rocchio
+    centroid model trained on ``train`` (both subsets of ``docs``;
+    features are hashed once over the union — the full-corpus query
+    passes docs for both, the holdout twin disjoint halves). See
+    ``quality_classifier`` for the model and determinism contract."""
+    from pyspark.sql import functions as F
+
     from mapreduceindexer_spark.functions.hashing import hash60
     from mapreduceindexer_spark.functions.text import tokens_normalized
 
@@ -399,7 +472,7 @@ def quality_classifier(
         )
         .localCheckpoint()  # feeds training AND scoring
     )
-    lab = docs.select(
+    lab = train.select(
         "doc_id", (F.col("lang") == "en").cast("int").alias("pos")
     )
     sizes = lab.agg(
@@ -407,7 +480,8 @@ def quality_classifier(
         F.sum(1 - F.col("pos")).cast("bigint").alias("n_neg"),
     )
     # TRAIN: per-class per-bucket mean of x, absent (doc, bucket) pairs
-    # contributing 0 through the class-size denominator.
+    # contributing 0 through the class-size denominator. The inner join
+    # on the label relation restricts training to ``train`` docs.
     sums = (
         x.join(lab, "doc_id")
         .groupBy("j")
@@ -458,8 +532,8 @@ def quality_classifier(
             .alias("dot")
         )
     )
-    scored = (
-        docs.select("doc_id", "lang")
+    return (
+        score.select("doc_id", "lang")
         .join(dots, "doc_id", "left")
         .crossJoin(F.broadcast(bias))
         .select(
@@ -477,17 +551,7 @@ def quality_classifier(
             ).alias("p"),
         )
     )
-    return scored.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum((F.col("p") > 0.5).cast("bigint"))
-        .cast("bigint")
-        .alias("n_pred_pos"),
-        F.round(
-            F.sum(F.col("p").cast("decimal(38,10)")).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("mean_score"),
-    )
+
 
 
 def bpe_train(docs: DataFrame, rounds: int = 3) -> DataFrame:
