@@ -145,6 +145,11 @@ HEADLINE = [
     "q_table_restore",     # version rollback as a forward manifest commit
     "q_quality_classifier",  # Rocchio-trained model-based quality filter
     "q_quality_holdout",   # its train/test generalization audit
+    "q_table_hidden_partition",  # day-transform layout, source-col pruning
+    "q_table_partition_evolution",  # day->month spec change, per-spec prune
+    "q_table_bucket_partition",  # bucket[8] layout, 1-dir point lookup
+    "q_term_serving_table",  # postings served via bucket[16] point reads
+    "q_train_shuffle",     # deterministic shard + within-shard order
 ]
 
 # The graph-ANN family is benched build/probe SPLIT (round-7 verdict

@@ -3943,6 +3943,51 @@ def q_train_split(spark, sf_dir):
 
 
 @register(
+    "q_train_shuffle",
+    """WITH h AS (SELECT doc_id,
+                         CAST('0x' || substr(md5('42:'
+                                || CAST(doc_id AS VARCHAR)), 1, 15)
+                              AS BIGINT) AS hv
+                  FROM documents)
+       SELECT doc_id,
+              CAST(hv % 8 AS BIGINT) AS shard,
+              CAST(row_number() OVER (PARTITION BY hv % 8
+                                      ORDER BY hv, doc_id) AS BIGINT)
+                AS pos
+       FROM h""",
+)
+def q_train_shuffle(spark, sf_dir):
+    """Deterministic GLOBAL SHUFFLE into training shards — the
+    reproducible-data-order primitive every training run needs: shard =
+    seeded hash60 of the doc key mod N, within-shard position = rank by
+    (hash, key). Never random(): the permutation must be identical
+    across reruns, engines, and executor counts (the q_train_split
+    discipline applied to ORDER, which data-parallel trainers consume
+    as (shard, pos)). One hash projection + one per-shard window; at
+    scale the write is ``repartition(shard).sortWithinPartitions(pos)``
+    → ``partitionBy(shard)`` — the exact physical shape this plan
+    already has, with skew impossible by construction (the hash is
+    uniform). The oracle replays the identical permutation through the
+    md5 twin. Reference ships no shuffling (fixed manifest order,
+    src/main.cpp:14-27)."""
+    from mapreduceindexer_spark.functions.hashing import hash60
+
+    d = _docs(spark, sf_dir)
+    h = hash60(F.col("doc_id").cast("string"), 42)
+    sharded = d.select(
+        "doc_id",
+        F.pmod(h, F.lit(8)).cast("bigint").alias("shard"),
+        h.alias("_h"),
+    )
+    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+    return sharded.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+@register(
     "q_canonical",
     f"""WITH fp AS (SELECT doc_id, min(md5(s)) AS f
                     FROM ({SQL_SHINGLES}) GROUP BY doc_id),
@@ -9913,6 +9958,300 @@ def q_table_evolution(spark, sf_dir):
 
 
 @register(
+    "q_table_hidden_partition",
+    """WITH k AS (SELECT DISTINCT
+                    CAST(date_diff('day', DATE '1970-01-01',
+                                   CAST(ts AS DATE)) AS BIGINT) AS d
+                  FROM events),
+            win AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+                                          DATE '2024-01-11') AS BIGINT) AS lo,
+                           CAST(date_diff('day', DATE '1970-01-01',
+                                          DATE '2024-01-21') AS BIGINT) AS hi)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM k, win
+                WHERE d BETWEEN lo AND hi) AS n_dirs_kept,
+              (SELECT CAST(count(*) AS BIGINT) FROM events
+                WHERE ts >= TIMESTAMP '2024-01-11'
+                  AND ts <= TIMESTAMP '2024-01-21') AS n_rows,
+              (SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4)
+                           AS DOUBLE) FROM events
+                WHERE ts >= TIMESTAMP '2024-01-11'
+                  AND ts <= TIMESTAMP '2024-01-21') AS sum_value""",
+)
+def q_table_hidden_partition(spark, sf_dir):
+    """HIDDEN PARTITIONING (sources/transact.py::commit_partitioned
+    ``transform=``): events are published partitioned by day(ts) — the
+    layout is keyed by a DERIVED day number while queries keep
+    predicating on the raw timestamp; ``read_pruned_part`` maps the
+    source-column bounds through the recorded transform and skips
+    whole day sub-dirs with zero data reads (the Iceberg transform
+    design: no derived column in the data, no partition key in the
+    query). The oracle replays the layout — the day-key set, the kept
+    window, and the surviving rows/sum — as date arithmetic. Scale:
+    time-ranged scans over an events fact table are THE dominant 100 TB
+    access path; day-partitioned layout turns them from full scans
+    into O(days touched), and the transform (vs a user-managed derived
+    column) means no query rewrite and no miskeyed-row risk.
+    Reference has no table layer (src/functions.cpp:146-162)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    ev_df = _t(spark, sf_dir, "events")
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_hp_"))
+    table.commit_partitioned(spark, ev_df, "ts", transform="day")
+    lo, hi = dt.datetime(2024, 1, 11), dt.datetime(2024, 1, 21)
+    kept, skipped = table.pruned_dirs_part("ts", lo, hi)
+    out = (
+        table.read_pruned_part(spark, "ts", lo, hi)
+        .agg(
+            F.lit(len(kept) + len(skipped)).cast("bigint").alias("n_dirs"),
+            F.lit(len(kept)).cast("bigint").alias("n_dirs_kept"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "q_table_partition_evolution",
+    """WITH oldh AS (SELECT * FROM events
+                     WHERE ts < TIMESTAMP '2024-01-16'),
+            newh AS (SELECT * FROM events
+                     WHERE ts >= TIMESTAMP '2024-01-16'),
+            dk AS (SELECT DISTINCT
+                     CAST(date_diff('day', DATE '1970-01-01',
+                                    CAST(ts AS DATE)) AS BIGINT) AS d
+                   FROM oldh),
+            mk AS (SELECT DISTINCT
+                     CAST((year(ts) - 1970) * 12 + month(ts) - 1 AS BIGINT)
+                       AS m
+                   FROM newh),
+            win AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+                                          DATE '2024-01-06') AS BIGINT) AS dlo,
+                           CAST(date_diff('day', DATE '1970-01-01',
+                                          DATE '2024-01-12') AS BIGINT) AS dhi,
+                           CAST((2024 - 1970) * 12 + 0 AS BIGINT) AS mlo,
+                           CAST((2024 - 1970) * 12 + 0 AS BIGINT) AS mhi)
+       SELECT CAST(2 AS BIGINT) AS n_specs,
+              (SELECT CAST(count(*) AS BIGINT) FROM dk)
+                + (SELECT CAST(count(*) AS BIGINT) FROM mk) AS n_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM dk, win
+                WHERE d BETWEEN dlo AND dhi)
+                + (SELECT CAST(count(*) AS BIGINT) FROM mk, win
+                    WHERE m BETWEEN mlo AND mhi) AS n_dirs_kept,
+              (SELECT CAST(count(*) AS BIGINT) FROM events
+                WHERE ts >= TIMESTAMP '2024-01-06'
+                  AND ts <= TIMESTAMP '2024-01-12') AS n_rows,
+              (SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4)
+                           AS DOUBLE) FROM events
+                WHERE ts >= TIMESTAMP '2024-01-06'
+                  AND ts <= TIMESTAMP '2024-01-12') AS sum_value""",
+)
+def q_table_partition_evolution(spark, sf_dir):
+    """PARTITION EVOLUTION (sources/transact.py::commit_partitioned
+    ``evolve=True``): the first half of events is published under a
+    day(ts) spec, the rest appended under a month(ts) spec WITHOUT
+    rewriting a byte of historic data — the manifest records a spec
+    list + per-dir spec index (the Iceberg spec-id design), reads union
+    both layouts, and a timestamp-range prune decides each dir under
+    ITS OWN spec (day dirs by day keys, the month dir by month keys —
+    kept here because the probe month intersects, then emptied by the
+    residual filter). The oracle replays the per-spec dir sets, the
+    kept decision, and the surviving rows as date arithmetic. Scale:
+    repartitioning a 100 TB fact table because the ingest granularity
+    changed is a multi-day rewrite; spec evolution is one manifest
+    write, with ``rewrite_partitioned`` as the explicitly scheduled
+    unifier. Reference has no table layer (src/functions.cpp:146-162)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    ev_df = _t(spark, sf_dir, "events")
+    split = dt.datetime(2024, 1, 16)
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_pe_"))
+    table.commit_partitioned(
+        spark, ev_df.filter(F.col("ts") < split), "ts", transform="day"
+    )
+    v2 = table.commit_partitioned(
+        spark,
+        ev_df.filter(F.col("ts") >= split),
+        "ts",
+        mode="append",
+        transform="month",
+        evolve=True,
+    )
+    n_specs = len(table._manifest(v2)["specs"])
+    lo, hi = dt.datetime(2024, 1, 6), dt.datetime(2024, 1, 12)
+    kept, skipped = table.pruned_dirs_part("ts", lo, hi)
+    out = (
+        table.read_pruned_part(spark, "ts", lo, hi)
+        .agg(
+            F.lit(n_specs).cast("bigint").alias("n_specs"),
+            F.lit(len(kept) + len(skipped)).cast("bigint").alias("n_dirs"),
+            F.lit(len(kept)).cast("bigint").alias("n_dirs_kept"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "q_table_bucket_partition",
+    f"""WITH b AS (SELECT CAST(count(*) // 2 AS BIGINT) AS probe
+                   FROM documents),
+            k AS (SELECT DISTINCT
+                    {_sql_hash60("CAST(doc_id AS VARCHAR)")} % 8 AS kb
+                  FROM documents),
+            pk AS (SELECT {_sql_hash60("CAST(probe AS VARCHAR)")} % 8 AS kb
+                   FROM b)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM k
+                WHERE kb = (SELECT kb FROM pk)) AS n_dirs_scanned,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents, b
+                WHERE doc_id = probe) AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents, b
+                WHERE doc_id = probe) AS total_chars""",
+)
+def q_table_bucket_partition(spark, sf_dir):
+    """BUCKET-TRANSFORM layout + point-lookup pruning
+    (sources/transact.py::pruned_dirs_part_eq): documents are published
+    under bucket[8](doc_id) — the portable 60-bit hash keys the layout,
+    so a point lookup computes the probe's bucket DRIVER-side and scans
+    exactly one sub-dir; the other seven are skipped by arithmetic, no
+    Bloom bitmap or stats needed. The oracle replays every bucket
+    decision through the same md5-derived hash (the Bloom-replay
+    discipline). Scale: bucket layout is the high-cardinality-key
+    answer where identity partitioning would explode the dir count —
+    point reads (feature-store lookups, dedup probes) touch 1/N of the
+    data with a constant-size manifest. Reference has no table layer
+    (src/functions.cpp:146-162)."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    probe = n // 2
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_bp_"))
+    table.commit_partitioned(spark, docs, "doc_id", transform="bucket[8]")
+    kept, skipped = table.pruned_dirs_part_eq("doc_id", probe)
+    out = (
+        table.read_eq_part(spark, "doc_id", probe)
+        .agg(
+            F.lit(len(kept) + len(skipped)).cast("bigint").alias("n_dirs"),
+            F.lit(len(kept)).cast("bigint").alias("n_dirs_scanned"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
+    "q_term_serving_table",
+    f"""WITH p AS ({SQL_POSTINGS}),
+            ta AS (SELECT term FROM p ORDER BY df DESC, term ASC LIMIT 1),
+            tb AS (SELECT term FROM p ORDER BY df DESC, term ASC
+                   LIMIT 1 OFFSET 1),
+            bk AS (SELECT DISTINCT {_sql_hash60('term')} % 16 AS kb FROM p),
+            ia AS (SELECT unnest(doc_ids) AS doc_id FROM p, ta
+                   WHERE p.term = ta.term),
+            ib AS (SELECT unnest(doc_ids) AS doc_id FROM p, tb
+                   WHERE p.term = tb.term),
+            common AS (SELECT doc_id FROM ia INTERSECT
+                       SELECT doc_id FROM ib)
+       SELECT (SELECT term FROM ta) AS term_a,
+              (SELECT term FROM tb) AS term_b,
+              (SELECT CAST(count(*) AS BIGINT) FROM bk) AS n_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM bk, ta
+                WHERE kb = {_sql_hash60('ta.term')} % 16)
+                + (SELECT CAST(count(*) AS BIGINT) FROM bk, tb
+                    WHERE kb = {_sql_hash60('tb.term')} % 16)
+                AS n_dirs_scanned,
+              (SELECT CAST(count(*) AS BIGINT) FROM common) AS n_common,
+              (SELECT CAST(min(doc_id) AS BIGINT) FROM common) AS min_doc,
+              (SELECT CAST(max(doc_id) AS BIGINT) FROM common) AS max_doc""",
+)
+def q_term_serving_table(spark, sf_dir):
+    """INDEX SERVING through the transactional table — the reference's
+    own inverted index (src/functions.cpp:69-117 pipeline) persisted
+    under a bucket[16](term) hidden-partition layout and SERVED by
+    point-pruned reads: a term lookup computes its bucket driver-side
+    (portable hash60) and scans exactly one sub-dir of the postings
+    table, so a boolean-AND of the two highest-df terms touches 2/16 of
+    the index (vs a full postings scan) and intersects only two posting
+    lists. The text-search twin of q_ann_serving_table: build once,
+    commit once, serve many point queries against the immutable
+    manifest. The oracle replays the postings build, the top-2
+    selection, every bucket decision through the same md5 hash, and the
+    intersection. Scale: a 100 TB corpus's dictionary has ~billions of
+    terms — bucket layout keeps the manifest constant-size while a
+    lookup reads O(|bucket|), and df stats ride per sub-dir for
+    MaxScore-style pruning on top. Reference serves lookups only by
+    grepping its letter files (checker/checker.sh)."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    postings = _postings(spark, sf_dir)
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_srv_"))
+    table.commit_partitioned(spark, postings, "term", transform="bucket[16]")
+    # Bounded scalar fetch (two rows) to pick the probe terms — the
+    # serving shape: queries arrive as VALUES, not as a relation.
+    top2 = (
+        postings.orderBy(F.desc("df"), F.asc("term"))
+        .select("term")
+        .limit(2)
+        .collect()
+    )
+    ta, tb = top2[0][0], top2[1][0]
+    kept_a, skip_a = table.pruned_dirs_part_eq("term", ta)
+    kept_b, _ = table.pruned_dirs_part_eq("term", tb)
+    da = table.read_eq_part(spark, "term", ta).select(
+        F.explode("doc_ids").alias("doc_id")
+    )
+    db = table.read_eq_part(spark, "term", tb).select(
+        F.explode("doc_ids").alias("doc_id")
+    )
+    out = (
+        da.join(db, "doc_id")
+        .agg(
+            F.lit(ta).alias("term_a"),
+            F.lit(tb).alias("term_b"),
+            F.lit(len(kept_a) + len(skip_a)).cast("bigint").alias("n_dirs"),
+            F.lit(len(kept_a) + len(kept_b))
+            .cast("bigint")
+            .alias("n_dirs_scanned"),
+            F.count("*").cast("bigint").alias("n_common"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_delete",
     """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
                          CAST(count(*) // 3 AS BIGINT) AS b1,
@@ -10967,12 +11306,17 @@ _CHECK_PRIORITY = [
     "q_rank_terms_per_letter",
     "q_setops_all",
     "q_window_range_time",
-    "q_window_running",
-    # -- spine re-greens: last driver row r3
-    "q_tfidf",
-    "q_events_session",
-    "q_cosine_topk",
-    "q_grouping_sets",
+    # -- born mid-round: hidden partitioning + partition evolution +
+    # bucket layout, the index served through the bucket layout, and
+    # the deterministic training shuffle (the born-op rule took the
+    # five spine re-green slots q_events_session / q_cosine_topk /
+    # q_grouping_sets / q_tfidf / q_window_running; all five swap-outs
+    # stay locally verified by test_oracle_parity)
+    "q_table_hidden_partition",
+    "q_table_partition_evolution",
+    "q_table_bucket_partition",
+    "q_term_serving_table",
+    "q_train_shuffle",
 ]
 assert len(_CHECK_PRIORITY) == 50, (
     f"driver check window is exactly 50 slots, got {len(_CHECK_PRIORITY)}"

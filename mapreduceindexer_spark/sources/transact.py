@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -2021,6 +2022,109 @@ class TransactionalTable:
     _PART = "_part"  # reserved partition-key column in sub-dir names
 
     @staticmethod
+    def _parse_transform(transform: str | None) -> tuple[str, int | None, str]:
+        """Normalize a partition-transform spec string -> (kind, param,
+        canonical string). Supported (the Iceberg transform family):
+        ``identity`` (default), ``day``/``month`` over date or timestamp
+        columns, ``truncate[W]`` over integers, ``bucket[N]`` via the
+        portable 60-bit hash (so a bucket decision is replayable driver-
+        side and in the DuckDB oracle, like the Bloom bits)."""
+        if transform is None or transform == "identity":
+            return "identity", None, "identity"
+        if transform in ("day", "month"):
+            return transform, None, transform
+        m = re.fullmatch(r"(bucket|truncate)\[(\d+)\]", transform)
+        if m:
+            param = int(m.group(2))
+            if param < 1:
+                raise ValueError(f"{m.group(1)} width must be >= 1")
+            return m.group(1), param, f"{m.group(1)}[{param}]"
+        raise ValueError(
+            f"unknown partition transform {transform!r}; supported: "
+            "identity, day, month, truncate[W], bucket[N]"
+        )
+
+    @staticmethod
+    def _transform_key_expr(col: str, kind: str, param: int | None):
+        """The Spark expression producing a row's BIGINT partition key
+        under one transform — hidden partitioning's write side. The
+        driver-side twin is ``_transform_key_py``; the two MUST agree
+        (pinned by tests) or layout pruning would be unsound."""
+        from pyspark.sql import functions as F
+
+        c = F.col(col)
+        if kind == "identity":
+            return c.cast("bigint")
+        if kind == "day":
+            return F.datediff(c.cast("date"), F.lit("1970-01-01")).cast(
+                "bigint"
+            )
+        if kind == "month":
+            return ((F.year(c) - 1970) * 12 + F.month(c) - 1).cast("bigint")
+        if kind == "truncate":
+            b = c.cast("bigint")
+            return (b - F.pmod(b, F.lit(param))).cast("bigint")
+        if kind == "bucket":
+            from mapreduceindexer_spark.functions.hashing import hash60
+
+            return F.pmod(hash60(c.cast("string")), F.lit(param)).cast(
+                "bigint"
+            )
+        raise ValueError(f"unknown transform kind {kind!r}")
+
+    @staticmethod
+    def _transform_key_py(v, kind: str, param: int | None) -> int | None:
+        """Driver-side twin of ``_transform_key_expr`` for predicate
+        bounds: maps a SOURCE-column value to its partition key without
+        a Spark job. Accepts date/datetime/ISO strings for the temporal
+        transforms; ints (or int-castable) elsewhere."""
+        import datetime as dt
+
+        if v is None:
+            return None
+        if kind == "identity":
+            return int(v)
+        if kind == "truncate":
+            iv = int(v)
+            return iv - (iv % param)
+        if kind == "bucket":
+            # int/string columns only: str(v) matches Spark's string cast
+            # for both (documented; temporal casts render differently).
+            return hash60_py(str(v)) % param
+        if kind in ("day", "month"):
+            if isinstance(v, str):
+                v = dt.date.fromisoformat(v[:10])
+            d = v.date() if isinstance(v, dt.datetime) else v
+            if kind == "day":
+                return (d - dt.date(1970, 1, 1)).days
+            return (d.year - 1970) * 12 + d.month - 1
+        raise ValueError(f"unknown transform kind {kind!r}")
+
+    def _dir_specs(self, manifest: dict) -> dict[str, dict] | None:
+        """dir -> ``{"col", "transform"}`` for every live dir of a
+        partitioned manifest. Evolved manifests record a spec list +
+        per-dir index (``specs``/``dir_spec``); legacy single-spec
+        manifests map every dir to identity(partitioned_by). None when
+        the manifest was not published by a partitioned commit."""
+        meta = manifest.get("meta", {})
+        col = meta.get("partitioned_by")
+        if col is None:
+            return None
+        specs = manifest.get("specs")
+        if specs:
+            ds = manifest.get("dir_spec", {})
+            return {d: specs[ds[d]] for d in manifest["dirs"] if d in ds}
+        return {
+            d: {"col": col, "transform": "identity"} for d in manifest["dirs"]
+        }
+
+    def _dir_key(self, d: str) -> int | None:
+        """The partition key encoded in a sub-dir name (None for the
+        Hive default/NULL partition)."""
+        suffix = d.rsplit(f"{self._PART}=", 1)[1]
+        return None if suffix == "__HIVE_DEFAULT_PARTITION__" else int(suffix)
+
+    @staticmethod
     def _part_suffix(v) -> str:
         """Sub-dir name fragment of one partition value (None = the
         Hive default partition Spark writes NULL keys to)."""
@@ -2033,15 +2137,22 @@ class TransactionalTable:
         return str(v)
 
     def _write_partitioned_snap(
-        self, spark: SparkSession, df: DataFrame, part_col: str
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        part_col: str,
+        kind: str = "identity",
+        param: int | None = None,
     ) -> tuple[str, list[str]]:
         """Write ``df`` as one snapshot dir of ``{_PART}=<v>`` sub-dirs
-        keyed by a COPY of ``part_col`` (the data files keep the
-        original column — ``partitionBy`` consumes only the copy, so
-        readers see the full schema without partition-column
-        reconstruction). Returns (snap path, sorted sub-dir names).
-        ``part_col`` must be losslessly BIGINT-castable (NULLs allowed:
-        they land in the Hive default partition)."""
+        keyed by ``transform(part_col)`` (identity by default — hidden
+        partitioning keys the LAYOUT by the transform while the data
+        files keep the original column, so readers see the full schema
+        without partition-column reconstruction). Returns (snap path,
+        sorted sub-dir names). The key must be non-NULL wherever the
+        source column is (a lossy cast / unparseable temporal would
+        scatter a key across sub-dirs); source NULLs land in the Hive
+        default partition."""
         from pyspark.sql import functions as F
 
         if self._PART in df.columns:
@@ -2051,21 +2162,21 @@ class TransactionalTable:
             )
         if part_col not in df.columns:
             raise ValueError(f"partition column {part_col!r} not in schema")
+        key = self._transform_key_expr(part_col, kind, param)
         b = df.agg(
             F.count(part_col).alias("n_keyed"),
-            F.count(F.col(part_col).cast("bigint")).alias("n_cast"),
+            F.count(key).alias("n_cast"),
         ).collect()[0]
         if b["n_cast"] < b["n_keyed"]:
             raise ValueError(
-                f"cannot partition on {part_col!r}: "
-                f"{b['n_keyed'] - b['n_cast']} values are not "
-                "BIGINT-castable — a lossy cast would scatter a key "
-                "across sub-dirs"
+                f"cannot partition on {kind}({part_col!r}): "
+                f"{b['n_keyed'] - b['n_cast']} values produce NULL keys "
+                "— a lossy key would scatter rows across sub-dirs"
             )
         snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
-        df.withColumn(
-            self._PART, F.col(part_col).cast("bigint")
-        ).write.mode("error").partitionBy(self._PART).parquet(snap)
+        df.withColumn(self._PART, key).write.mode("error").partitionBy(
+            self._PART
+        ).parquet(snap)
         fsync_tree(snap)
         fsync_path(self.path)
         base = os.path.basename(snap)
@@ -2086,18 +2197,33 @@ class TransactionalTable:
         meta: dict | None = None,
         stats_cols: tuple[str, ...] | list[str] | None = None,
         bloom_cols: tuple[str, ...] | list[str] | None = None,
+        transform: str | None = None,
+        evolve: bool = False,
     ) -> int:
-        """Publish ``df`` PARTITIONED by ``part_col``: one sub-dir per
-        key value, each its own manifest dir with its own stats — the
-        layout ``replace_partitions`` needs to rewrite O(delta)
-        partitions instead of the whole table. The write-path twin of
-        ``compact_clustered`` for naturally keyed relations (an ANN
-        index's cells, a day-keyed fact table): no bucket arithmetic,
-        the key IS the partition. NULL keys land in the Hive default
-        partition sub-dir (they are data, not an error, for relations
-        whose upper tiers carry no key). Returns the new version."""
+        """Publish ``df`` PARTITIONED by ``transform(part_col)``: one
+        sub-dir per key value, each its own manifest dir with its own
+        stats — the layout ``replace_partitions`` needs to rewrite
+        O(delta) partitions instead of the whole table. ``transform``
+        (identity | day | month | truncate[W] | bucket[N]) is HIDDEN
+        partitioning: the layout is keyed by a derived value while
+        queries keep predicating on the source column —
+        ``read_pruned_part``/``read_eq_part`` map source-column bounds
+        to key bounds and skip whole sub-dirs, no derived column in the
+        data or the query. NULL source keys land in the Hive default
+        partition sub-dir (they are data, not an error).
+
+        PARTITION EVOLUTION: an append whose (column, transform) spec
+        differs from the table's current spec requires ``evolve=True``
+        and starts a NEW spec without rewriting a byte of historic
+        data — the manifest records a spec list plus a per-dir spec
+        index (the Iceberg spec-id design), reads union the layouts
+        through the recorded schema, and layout pruning decides each
+        dir under ITS OWN spec. Old data keeps its old layout until
+        ``rewrite_partitioned`` unifies it. Returns the new version."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        kind, param, canon = self._parse_transform(transform)
+        spec = {"col": part_col, "transform": canon}
         base_v = (
             expected_version
             if expected_version is not None
@@ -2121,38 +2247,89 @@ class TransactionalTable:
             f"commit to v{base_v + 1}",
             schema_json,
         )
-        snap, subdirs = self._write_partitioned_snap(spark, df, part_col)
+        snap, subdirs = self._write_partitioned_snap(
+            spark, df, part_col, kind, param
+        )
         stats = _grouped_subdir_stats(
             spark, snap, self._PART, stats_cols, bloom_cols
         )
         dv = {}
         if prev_m is not None:
             prev = prev_m
-            if prev.get("meta", {}).get("partitioned_by") != part_col:
+            prev_dir_specs = self._dir_specs(prev)
+            if prev_dir_specs is None:
                 shutil.rmtree(snap, ignore_errors=True)
                 raise ValueError(
                     "append requires the current version to be "
-                    f"partitioned by {part_col!r} "
-                    f"(found {prev.get('meta', {}).get('partitioned_by')!r})"
+                    "partitioned (published by commit_partitioned/"
+                    "replace_partitions)"
+                )
+            prev_spec = {
+                "col": prev.get("meta", {}).get("partitioned_by"),
+                "transform": prev.get("meta", {}).get(
+                    "partition_transform", "identity"
+                ),
+            }
+            if spec != prev_spec and not evolve:
+                shutil.rmtree(snap, ignore_errors=True)
+                raise ValueError(
+                    f"append spec {canon}({part_col!r}) differs from the "
+                    f"current spec {prev_spec['transform']}"
+                    f"({prev_spec['col']!r}); pass evolve=True to start a "
+                    "new partition spec (partition evolution)"
                 )
             dirs = prev["dirs"] + subdirs
             stats = {**prev.get("stats", {}), **stats}
             dv = _carry_dv(prev, prev["dirs"])
+            specs, dir_spec = self._extend_specs(
+                prev_dir_specs, spec, subdirs
+            )
         else:
             dirs = subdirs
+            specs, dir_spec = [spec], {d: 0 for d in subdirs}
         payload = {
             "version": base_v + 1,
             "mode": mode,
             "schema": schema_json,
             **props,
             "dirs": dirs,
-            "meta": {**(meta or {}), "partitioned_by": part_col},
+            "specs": specs,
+            "dir_spec": dir_spec,
+            "meta": {
+                **(meta or {}),
+                "partitioned_by": part_col,
+                "partition_transform": canon,
+            },
         }
         if stats:
             payload["stats"] = stats
         if dv:
             payload["dv"] = dv
         return self._publish_manifest(payload, base_v + 1, [snap])
+
+    @staticmethod
+    def _extend_specs(
+        prev_dir_specs: dict[str, dict], new_spec: dict, new_dirs
+    ) -> tuple[list[dict], dict[str, int]]:
+        """Fold the previous dirs' specs plus ``new_spec`` for
+        ``new_dirs`` into a deduplicated spec list + per-dir index —
+        the compact encoding an evolved manifest carries."""
+        specs: list[dict] = []
+        dir_spec: dict[str, int] = {}
+
+        def idx_of(s: dict) -> int:
+            for i, e in enumerate(specs):
+                if e == s:
+                    return i
+            specs.append(s)
+            return len(specs) - 1
+
+        for d, s in prev_dir_specs.items():
+            dir_spec[d] = idx_of(s)
+        ni = idx_of(new_spec)
+        for d in new_dirs:
+            dir_spec[d] = ni
+        return specs, dir_spec
 
     def replace_partitions(
         self,
@@ -2196,6 +2373,19 @@ class TransactionalTable:
                 f"version {cur} was not published by commit_partitioned; "
                 "replace_partitions needs the partitioned layout"
             )
+        canon = manifest.get("meta", {}).get("partition_transform", "identity")
+        dir_specs = self._dir_specs(manifest) or {}
+        live_specs = {json.dumps(s, sort_keys=True) for s in dir_specs.values()}
+        if len(live_specs) > 1:
+            # A replaced key value could have matching rows hiding in
+            # old-spec dirs the new key space cannot address — replacing
+            # "partition 5" would silently leave stale twins behind.
+            raise ValueError(
+                "replace_partitions on a spec-evolved table is ambiguous "
+                f"({len(live_specs)} live partition specs); run "
+                "rewrite_partitioned() to unify the layout first"
+            )
+        kind, kparam, _ = self._parse_transform(canon)
         suffixes = {self._part_suffix(v) for v in parts}
         if not suffixes:
             raise ValueError("replace_partitions needs at least one partition")
@@ -2210,7 +2400,8 @@ class TransactionalTable:
             schema_json,
         )
         int_parts = [v for v in parts if v is not None]
-        in_set = F.col(part_col).cast("bigint").isin(int_parts)
+        key = self._transform_key_expr(part_col, kind, kparam)
+        in_set = key.isin(int_parts)
         if any(v is None for v in parts):
             in_set = in_set | F.col(part_col).isNull()
         n_outside = updates.filter(~F.coalesce(in_set, F.lit(False))).count()
@@ -2221,7 +2412,9 @@ class TransactionalTable:
                 "the updates — writing them silently would corrupt the "
                 "untouched partitions' contract"
             )
-        snap, subdirs = self._write_partitioned_snap(spark, updates, part_col)
+        snap, subdirs = self._write_partitioned_snap(
+            spark, updates, part_col, kind, kparam
+        )
         if not subdirs:
             # Pure partition delete: no rows -> Spark wrote no sub-dirs
             # (just a _SUCCESS marker); drop the empty husk and publish
@@ -2242,15 +2435,22 @@ class TransactionalTable:
         old_stats = manifest.get("stats", {})
         stats = {d: old_stats[d] for d in kept if d in old_stats}
         stats.update(new_stats)
+        spec = {"col": part_col, "transform": canon}
+        specs, dir_spec = self._extend_specs(
+            {d: dir_specs.get(d, spec) for d in kept}, spec, subdirs
+        )
         payload = {
             "version": cur + 1,
             "mode": "replace_partitions",
             "schema": schema_json,
             **_carried_props(manifest),
             "dirs": kept + subdirs,
+            "specs": specs,
+            "dir_spec": dir_spec,
             "meta": {
                 **(meta or {}),
                 "partitioned_by": part_col,
+                "partition_transform": canon,
                 "replaced_partitions": sorted(suffixes),
                 "preserved_dirs": len(kept),
             },
@@ -2263,6 +2463,208 @@ class TransactionalTable:
         if dv:
             payload["dv"] = dv
         return self._publish_manifest(payload, cur + 1, snap_cleanup)
+
+    def pruned_dirs_part(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """(kept, skipped) sub-dirs for ``lo <= col <= hi`` decided by
+        PARTITION LAYOUT — hidden partitioning's read side: each dir's
+        key (from its name) is compared against the predicate bounds
+        mapped through that dir's OWN recorded transform, so the
+        decision stays sound across partition evolution (a day-keyed
+        dir and a month-keyed dir each prune under their own spec).
+        Dirs whose spec keys a different column — or a non-monotone
+        bucket transform — are layout-undecidable and fall through to
+        the per-column min/max stats prune when stats were recorded
+        (the two prunes COMPOSE; both are sound-never-lossy). The NULL
+        partition is skipped: range predicates never match NULL.
+        Zero data reads; one manifest."""
+        if lo is None and hi is None:
+            raise ValueError(
+                "pruned_dirs_part needs at least one bound; an unbounded "
+                "read is read()"
+            )
+        if version is None:
+            version = self.current_version()
+        if version < 1 or version not in self.versions():
+            raise ValueError(
+                f"version {version} does not exist "
+                f"(available: {self.versions() or 'none'})"
+            )
+        manifest = self._manifest(version)
+        dir_specs = self._dir_specs(manifest)
+        if dir_specs is None:
+            raise ValueError(
+                f"version {version} has no partitioned layout; use "
+                "pruned_dirs (stats) instead"
+            )
+        layout_kept, skipped = [], []
+        for d in manifest["dirs"]:
+            spec = dir_specs.get(d)
+            if spec is None or spec["col"] != col:
+                layout_kept.append(d)
+                continue
+            kind, param, _ = self._parse_transform(spec["transform"])
+            if kind == "bucket":
+                layout_kept.append(d)  # non-monotone: ranges undecidable
+                continue
+            k = self._dir_key(d)
+            if k is None:  # NULL partition: range predicates never match
+                skipped.append(d)
+                continue
+            t_lo = self._transform_key_py(lo, kind, param)
+            t_hi = self._transform_key_py(hi, kind, param)
+            if (t_lo is not None and k < t_lo) or (
+                t_hi is not None and k > t_hi
+            ):
+                skipped.append(d)
+            else:
+                layout_kept.append(d)
+        sub = dict(manifest)
+        sub["dirs"] = layout_kept
+        kept, stats_skipped = self._range_prune(sub, col, lo, hi)
+        return kept, skipped + stats_skipped
+
+    def read_pruned_part(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """The rows of ``version`` satisfying ``lo <= col <= hi``,
+        scanning only the sub-dirs the partition layout (+ stats) keeps
+        (``pruned_dirs_part``) — the hidden-partitioning promise: the
+        query predicates on the SOURCE column, never on a derived
+        partition key, and still reads O(matching partitions). The
+        residual filter is applied, so results are identical to
+        filtering a full read."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.current_version()
+        kept, _ = self.pruned_dirs_part(col, lo, hi, version)
+        if kept:
+            df = self._read_dirs(spark, self._manifest(version), kept)
+        else:
+            df = self.read(spark, version).limit(0)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
+    def pruned_dirs_part_eq(
+        self, col: str, value, version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """(kept, skipped) sub-dirs for ``col = value`` by partition
+        layout — the point-lookup path where BUCKET transforms earn
+        their keep: only the dir whose key equals transform(value)
+        can match (plus layout-undecidable dirs keyed by another
+        column, which fall through to the stats prune). NULL-partition
+        dirs are skipped (equality never matches NULL)."""
+        if value is None:
+            raise ValueError("col = NULL matches nothing; use a scan")
+        if version is None:
+            version = self.current_version()
+        if version < 1 or version not in self.versions():
+            raise ValueError(
+                f"version {version} does not exist "
+                f"(available: {self.versions() or 'none'})"
+            )
+        manifest = self._manifest(version)
+        dir_specs = self._dir_specs(manifest)
+        if dir_specs is None:
+            raise ValueError(
+                f"version {version} has no partitioned layout; use "
+                "pruned_dirs_eq (bloom) instead"
+            )
+        layout_kept, skipped = [], []
+        for d in manifest["dirs"]:
+            spec = dir_specs.get(d)
+            if spec is None or spec["col"] != col:
+                layout_kept.append(d)
+                continue
+            kind, param, _ = self._parse_transform(spec["transform"])
+            k = self._dir_key(d)
+            if k is not None and k == self._transform_key_py(
+                value, kind, param
+            ):
+                layout_kept.append(d)
+            else:
+                skipped.append(d)
+        sub = dict(manifest)
+        sub["dirs"] = layout_kept
+        kept, stats_skipped = self._range_prune(sub, col, value, value)
+        return kept, skipped + stats_skipped
+
+    def read_eq_part(
+        self, spark: SparkSession, col: str, value, version: int | None = None
+    ) -> DataFrame:
+        """The rows of ``version`` with ``col = value``, scanning only
+        the sub-dirs ``pruned_dirs_part_eq`` keeps. Residual filter
+        applied — identical to filtering a full read."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.current_version()
+        kept, _ = self.pruned_dirs_part_eq(col, value, version)
+        if kept:
+            df = self._read_dirs(spark, self._manifest(version), kept)
+        else:
+            df = self.read(spark, version).limit(0)
+        return df.filter(F.col(col) == F.lit(value))
+
+    def rewrite_partitioned(
+        self,
+        spark: SparkSession,
+        part_col: str | None = None,
+        transform: str | None = None,
+        expected_version: int | None = None,
+        stats_cols: tuple[str, ...] | list[str] | None = None,
+        bloom_cols: tuple[str, ...] | list[str] | None = None,
+    ) -> int:
+        """Rewrite the CURRENT rows under ONE partition spec (default:
+        the table's latest spec) — the maintenance op that retires a
+        spec evolution's mixed layout so ``replace_partitions`` is
+        addressable again. This is the only evolution step that touches
+        data, it is explicitly scheduled (like compaction), and it
+        costs one full read + partitioned write; the evolution itself
+        (``commit_partitioned(evolve=True)``) stays metadata-only.
+        Optimistic concurrency via ``expected_version``."""
+        cur = (
+            expected_version
+            if expected_version is not None
+            else self.current_version()
+        )
+        if cur < 1:
+            raise ValueError("rewrite_partitioned needs a committed table")
+        manifest = self._manifest(cur)
+        meta = manifest.get("meta", {})
+        if part_col is None:
+            part_col = meta.get("partitioned_by")
+            if part_col is None:
+                raise ValueError(
+                    "table has no current partition spec; pass part_col"
+                )
+            if transform is None:
+                transform = meta.get("partition_transform", "identity")
+        return self.commit_partitioned(
+            spark,
+            self.read(spark, cur),
+            part_col,
+            mode="overwrite",
+            expected_version=cur,
+            meta={"rewritten_from": cur},
+            stats_cols=stats_cols,
+            bloom_cols=bloom_cols,
+            transform=transform,
+        )
 
     def history(self, spark: SparkSession) -> DataFrame:
         """DESCRIBE HISTORY: one row per live version — (version, mode,

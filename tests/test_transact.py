@@ -1767,3 +1767,182 @@ def test_restore_carries_dv_and_stats(spark, tmp_path):
     assert _ids(t.read(spark, v_r)) == list(range(6))  # DV honored
     kept, skipped = t.pruned_dirs_eq("id", 3, version=v_r)
     assert kept and not skipped  # single dir holds 3; stats carried
+
+
+# -- hidden partitioning (transforms) + partition evolution ------------------
+
+
+def test_transform_key_twins_agree(spark):
+    """The Spark key expression and the driver-side python twin MUST
+    produce identical keys — layout pruning's soundness rests on it."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    ints = [-17, -5, -1, 0, 1, 4, 5, 42, 10**12]
+    dates = [dt.date(1970, 1, 1), dt.date(1999, 12, 31), dt.date(2024, 2, 29)]
+    stamps = [dt.datetime(2024, 1, 1, 0, 0, 7), dt.datetime(2025, 6, 30, 23, 59)]
+    cases = [
+        ("identity", None, ints, "bigint"),
+        ("truncate", 5, ints, "bigint"),
+        ("bucket", 8, ints, "bigint"),
+        ("bucket", 8, ["alpha", "beta", ""], "string"),
+        ("day", None, dates, "date"),
+        ("month", None, dates, "date"),
+        ("day", None, stamps, "timestamp"),
+        ("month", None, stamps, "timestamp"),
+    ]
+    for kind, param, values, typ in cases:
+        df = spark.createDataFrame([(v,) for v in values], f"v {typ}")
+        got = [
+            r[0]
+            for r in df.select(
+                TransactionalTable._transform_key_expr("v", kind, param)
+            ).collect()
+        ]
+        want = [
+            TransactionalTable._transform_key_py(v, kind, param)
+            for v in values
+        ]
+        assert got == want, (kind, param, typ, got, want)
+
+
+def _dated(spark, n=12):
+    """n rows, one every 20 days from 2024-01-10 — spans ~8 months."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        "id",
+        F.date_add(F.lit("2024-01-10").cast("date"), (F.col("id") * 20).cast("int")).alias("d"),
+    )
+
+
+def test_hidden_partition_month_prune(spark, tmp_path):
+    """month(d) layout: a source-column range reads only the months it
+    can touch, and the pruned read equals the filtered full read."""
+    import datetime as dt
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = _dated(spark)
+    t.commit_partitioned(spark, df, "d", transform="month")
+    m = t._manifest(t.current_version())
+    assert m["meta"]["partition_transform"] == "month"
+    assert m["specs"] == [{"col": "d", "transform": "month"}]
+    lo, hi = dt.date(2024, 3, 1), dt.date(2024, 4, 30)
+    kept, skipped = t.pruned_dirs_part("d", lo, hi)
+    assert skipped and len(kept) == 2  # March + April dirs only
+    got = _ids(t.read_pruned_part(spark, "d", lo, hi))
+    want = _ids(df.filter((df.d >= lo) & (df.d <= hi)))
+    assert got == want and got  # non-trivial and identical
+
+
+def test_partition_evolution_append_requires_evolve_flag(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = _dated(spark)
+    t.commit_partitioned(spark, df, "d", transform="day")
+    with pytest.raises(ValueError, match="evolve=True"):
+        t.commit_partitioned(
+            spark, df, "d", mode="append", transform="month"
+        )
+    # Same-spec append still needs no flag.
+    t.commit_partitioned(spark, df, "d", mode="append", transform="day")
+
+
+def test_partition_evolution_reads_and_prunes_across_specs(spark, tmp_path):
+    """day(d) history + month(d) tail: reads union both layouts; a
+    range prune decides each dir under its own spec."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = _dated(spark)
+    old = df.filter(F.col("id") < 6)
+    new = df.filter(F.col("id") >= 6)
+    t.commit_partitioned(spark, old, "d", transform="day")
+    v2 = t.commit_partitioned(
+        spark, new, "d", mode="append", transform="month", evolve=True
+    )
+    m = t._manifest(v2)
+    assert len(m["specs"]) == 2
+    assert _ids(t.read(spark)) == list(range(12))  # union of layouts
+    # Time travel to v1 still shows only the day-spec half.
+    assert _ids(t.read(spark, 1)) == list(range(6))
+    # A range prune spanning the spec boundary keeps dirs from BOTH
+    # layouts and equals the filtered full read.
+    lo, hi = dt.date(2024, 4, 1), dt.date(2024, 8, 31)
+    kept, skipped = t.pruned_dirs_part("d", lo, hi)
+    day_kept = [d for d in kept if m["dir_spec"][d] == 0]
+    month_kept = [d for d in kept if m["dir_spec"][d] == 1]
+    assert day_kept and month_kept and skipped
+    got = _ids(t.read_pruned_part(spark, "d", lo, hi))
+    want = _ids(df.filter((df.d >= lo) & (df.d <= hi)))
+    assert got == want and got
+
+
+def test_replace_on_mixed_specs_raises_until_rewritten(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = _dated(spark)
+    t.commit_partitioned(spark, df.filter(F.col("id") < 6), "d", transform="day")
+    t.commit_partitioned(
+        spark,
+        df.filter(F.col("id") >= 6),
+        "d",
+        mode="append",
+        transform="month",
+        evolve=True,
+    )
+    upd = df.filter(F.col("id") == 7)
+    key7 = TransactionalTable._transform_key_py(
+        df.filter(F.col("id") == 7).collect()[0]["d"], "month", None
+    )
+    with pytest.raises(ValueError, match="rewrite_partitioned"):
+        t.replace_partitions(spark, upd, [key7])
+    v = t.rewrite_partitioned(spark)  # unify under the latest (month) spec
+    m = t._manifest(v)
+    assert m["specs"] == [{"col": "d", "transform": "month"}]
+    assert _ids(t.read(spark)) == list(range(12))  # rewrite loses nothing
+    t.replace_partitions(spark, upd.limit(0), [key7])  # month-key delete works
+    assert key7 not in {
+        TransactionalTable._transform_key_py(r["d"], "month", None)
+        for r in t.read(spark).collect()
+    }
+
+
+def test_bucket_point_lookup_prunes_to_one_dir(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(64).withColumnRenamed("id", "k")
+    t.commit_partitioned(spark, df, "k", transform="bucket[8]")
+    kept, skipped = t.pruned_dirs_part_eq("k", 37)
+    assert len(kept) == 1 and len(skipped) == 7
+    assert [r[0] for r in t.read_eq_part(spark, "k", 37).collect()] == [37]
+    # Ranges cannot prune a bucket layout (non-monotone) — all kept.
+    kept_r, skipped_r = t.pruned_dirs_part("k", lo=10, hi=12)
+    assert len(kept_r) == 8 and not skipped_r
+
+
+def test_layout_prune_composes_with_stats_and_skips_null_partition(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    # grp keys the layout; id carries min/max stats; one NULL-key row.
+    df = spark.range(30).withColumn(
+        "grp", F.when(F.col("id") == 29, None).otherwise(F.col("id") % 3)
+    )
+    t.commit_partitioned(spark, df, "grp", stats_cols=["id"])
+    # Predicate on the NON-partition column: layout undecidable, stats
+    # cannot split within one snapshot write here (per-dir stats exist),
+    # so pruning falls to per-dir id ranges — sound either way.
+    kept, _ = t.pruned_dirs_part("id", lo=0, hi=29)
+    got = _ids(t.read_pruned_part(spark, "id", 0, 29))
+    assert got == list(range(30))  # NULL-grp row has id 29, still read
+    # Predicate on the partition column skips the NULL dir.
+    kept2, skipped2 = t.pruned_dirs_part("grp", lo=1, hi=1)
+    assert len(kept2) == 1 and len(skipped2) == 3  # grp 0,2 + NULL dir
+    assert _ids(t.read_pruned_part(spark, "grp", 1, 1)) == [
+        i for i in range(29) if i % 3 == 1
+    ]
