@@ -150,6 +150,7 @@ HEADLINE = [
     "q_table_bucket_partition",  # bucket[8] layout, 1-dir point lookup
     "q_term_serving_table",  # postings served via bucket[16] point reads
     "q_train_shuffle",     # deterministic shard + within-shard order
+    "q_table_mv_join",     # join IVM: delta-join refresh from two logs
 ]
 
 # The graph-ANN family is benched build/probe SPLIT (round-7 verdict

@@ -10634,6 +10634,94 @@ def q_table_mv(spark, sf_dir):
 
 
 @register(
+    "q_table_mv_join",
+    """SELECT c.c_mktsegment AS segment,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10)))
+                         AS DOUBLE), 4) AS revenue
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_mktsegment""",
+)
+def q_table_mv_join(spark, sf_dir):
+    """INCREMENTAL VIEW MAINTENANCE FOR A JOIN
+    (operators/maintenance.py::incremental_mv_join_refresh): a
+    materialized orders⋈customer view kept current from BOTH tables'
+    commit logs via the append-only IVM decomposition
+    Δ(A⋈B) = (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB), with A_old taken EXACTLY by
+    time-traveling the orders table to the version the view last
+    processed — the IVM algebra riding on the snapshot layer. The drive
+    interleaves three orders appends with a LATE customer append (the
+    dimension arrives after facts referencing it) and one refresh that
+    folds deltas on both sides at once; a replayed refresh must no-op.
+    The oracle is the full join recomputed from scratch: matching it
+    after the incremental folds IS the maintenance-correctness
+    statement, including the late-arriving matches the A_old ⋈ ΔB term
+    exists for. Scale: each refresh joins only the deltas (AQE
+    broadcasts the small side), the view table only appends — never
+    O(A ⋈ B) after the first fold; the monoid refresh (q_table_mv)
+    cannot express this shape. Reference has no table layer
+    (src/functions.cpp:146-162)."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.operators.maintenance import (
+        incremental_mv_join_refresh,
+    )
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    half = c.count() // 2
+    rk = F.col("o_orderkey")
+
+    def join_delta(left, right):
+        return left.join(
+            right, left["o_custkey"] == right["c_custkey"]
+        ).select("o_orderkey", "c_mktsegment", "o_totalprice")
+
+    root = tempfile.mkdtemp(prefix="mri_txn_mvj_")
+    orders_t = TransactionalTable(f"{root}/orders")
+    cust_t = TransactionalTable(f"{root}/customer")
+    view = TransactionalTable(f"{root}/view")
+    cust_t.commit(c.filter(F.col("c_custkey") < half))
+    orders_t.commit(o.filter(rk % 3 == 0))
+    incremental_mv_join_refresh(spark, orders_t, cust_t, view, join_delta)
+    # Both sides advance before one refresh: the late dimension half
+    # (A_old ⋈ ΔB catches facts already in the view's past) plus a new
+    # facts slice (ΔA ⋈ B_new, which now includes ΔB — counted once).
+    cust_t.commit(c.filter(F.col("c_custkey") >= half), mode="append")
+    orders_t.commit(o.filter(rk % 3 == 1), mode="append")
+    incremental_mv_join_refresh(spark, orders_t, cust_t, view, join_delta)
+    orders_t.commit(o.filter(rk % 3 == 2), mode="append")
+    incremental_mv_join_refresh(spark, orders_t, cust_t, view, join_delta)
+    # A replayed refresh after the last appends must be a pure no-op.
+    v_before = view.current_version()
+    assert (
+        incremental_mv_join_refresh(
+            spark, orders_t, cust_t, view, join_delta
+        )
+        == v_before
+    )
+    out = (
+        view.read(spark)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,10)")), 4
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_zorder",
     f"""WITH b AS (SELECT CAST(min(l_orderkey) AS BIGINT) AS xmin,
                           CAST(max(l_orderkey) AS BIGINT) AS xmax,
@@ -11305,7 +11393,6 @@ _CHECK_PRIORITY = [
     "q_promo_revenue",
     "q_rank_terms_per_letter",
     "q_setops_all",
-    "q_window_range_time",
     # -- born mid-round: hidden partitioning + partition evolution +
     # bucket layout, the index served through the bucket layout, and
     # the deterministic training shuffle (the born-op rule took the
@@ -11317,6 +11404,7 @@ _CHECK_PRIORITY = [
     "q_table_bucket_partition",
     "q_term_serving_table",
     "q_train_shuffle",
+    "q_table_mv_join",
 ]
 assert len(_CHECK_PRIORITY) == 50, (
     f"driver check window is exactly 50 slots, got {len(_CHECK_PRIORITY)}"

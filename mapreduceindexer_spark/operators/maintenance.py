@@ -254,3 +254,65 @@ def incremental_mv_refresh(
         expected_version=mv_v,
         meta={"processed": base_v},
     )
+
+
+def incremental_mv_join_refresh(
+    spark: SparkSession,
+    a,
+    b,
+    mv,
+    join_delta,
+) -> int:
+    """Advance a JOIN materialized view to both base tables' current
+    versions by joining ONLY the unprocessed deltas — incremental view
+    maintenance for the binary-join case the monoid refresh above
+    cannot express.
+
+    ``a``/``b``/``mv`` are TransactionalTables; ``join_delta(left,
+    right)`` builds the view rows for one (left, right) pair (the join
+    + projection). For append-only bases the view delta decomposes as
+
+        Δ(A ⋈ B) = (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB)
+
+    — the first term covers ΔA against everything B now holds
+    (including ΔB, so ΔA ⋈ ΔB is counted once), the second adds the
+    late-arriving right-side matches against the PRE-delta left side.
+    ``A_old`` is exact, not approximated: the MV's manifest meta
+    records the (processed_a, processed_b) version pair it reflects,
+    and the snapshot layer time-travels to ``processed_a`` — the IVM
+    algebra rides directly on the table format's versioning. Deltas
+    come from ``read_changes`` (manifest dir-diff, history never
+    rescanned); a non-append base commit in the range raises there.
+
+    The view table only ever APPENDS its delta rows, so refresh cost is
+    O(|ΔA| ⋈ B + A_old ⋈ |ΔB|) with small-side broadcast picked by AQE
+    — never O(A ⋈ B). Late-arriving dimension rows are handled by the
+    second term: a fact that found no partner at its own refresh joins
+    when the partner's delta arrives. Exactly-once composes exactly as
+    in ``incremental_mv_refresh``: CAS on ``expected_version`` plus
+    processed-pair idempotence (a replayed refresh no-ops). Returns the
+    MV's (possibly unchanged) version."""
+    a_cur, b_cur = a.current_version(), b.current_version()
+    mv_v = mv.current_version()
+    meta = mv.meta_of(mv_v) if mv_v else {}
+    pa, pb = meta.get("processed_a", 0), meta.get("processed_b", 0)
+    if (pa >= a_cur and pb >= b_cur) or a_cur == 0 or b_cur == 0:
+        return mv_v  # current, replayed, or a side still empty: no-op
+    parts = []
+    if a_cur > pa:
+        delta_a = a.read_changes(spark, pa, a_cur)
+        parts.append(join_delta(delta_a, b.read(spark, b_cur)))
+    if b_cur > pb:
+        a_old = (
+            a.read(spark, pa)
+            if pa >= 1
+            else a.read(spark, a_cur).limit(0)
+        )
+        parts.append(join_delta(a_old, b.read_changes(spark, pb, b_cur)))
+    delta = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return mv.commit(
+        delta,
+        mode="append",
+        expected_version=mv_v,
+        meta={"processed_a": a_cur, "processed_b": b_cur},
+    )

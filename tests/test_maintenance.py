@@ -134,3 +134,61 @@ def test_incremental_mv_rewritten_base_raises(spark, tmp_path):
     base.delete_where(spark, "v", lo=0, hi=3)
     with pytest.raises(ValueError, match="append"):
         incremental_mv_refresh(spark, base, view, d2p, comb)
+
+
+def test_join_mv_decomposition_counts_overlap_once(spark, tmp_path):
+    """Both sides advance before one refresh: ΔA ⋈ ΔB must land exactly
+    once (it lives in the ΔA ⋈ B_new term; A_old ⋈ ΔB excludes it by
+    construction), late dimension rows must back-fill matches for facts
+    already processed, and a replayed refresh must no-op."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.operators.maintenance import (
+        incremental_mv_join_refresh,
+    )
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    facts = TransactionalTable(str(tmp_path / "facts"))
+    dims = TransactionalTable(str(tmp_path / "dims"))
+    view = TransactionalTable(str(tmp_path / "view"))
+    f_all = spark.range(12).select(
+        F.col("id").alias("fk"), (F.col("id") % 6).alias("k")
+    )
+    d_all = spark.range(6).select(
+        F.col("id").alias("k2"), (F.col("id") * 10).alias("attr")
+    )
+
+    def jd(left, right):
+        return left.join(right, left["k"] == right["k2"]).select(
+            "fk", "k", "attr"
+        )
+
+    # Refresh while the dims side is still empty: a recorded no-op.
+    facts.commit(f_all.filter(F.col("fk") < 4))
+    assert (
+        incremental_mv_join_refresh(spark, facts, dims, view, jd) == 0
+    )
+    # Dims 0..2 arrive; facts 0..3 (k 0..3) match only k 0..2 for now.
+    dims.commit(d_all.filter(F.col("k2") < 3))
+    incremental_mv_join_refresh(spark, facts, dims, view, jd)
+    assert view.read(spark).count() == 3  # fk 0,1,2
+    # BOTH sides advance before one refresh: late dims 3..5 back-fill
+    # fk 3 (A_old ⋈ ΔB), new facts 4..7 join the FULL dims (ΔA ⋈ B_new,
+    # which contains ΔB — the overlap must not double-count).
+    dims.commit(d_all.filter(F.col("k2") >= 3), mode="append")
+    facts.commit(
+        f_all.filter((F.col("fk") >= 4) & (F.col("fk") < 8)), mode="append"
+    )
+    incremental_mv_join_refresh(spark, facts, dims, view, jd)
+    got = sorted(r["fk"] for r in view.read(spark).collect())
+    assert got == list(range(8))  # every fact exactly once
+    # Remaining facts, then replay no-op.
+    facts.commit(f_all.filter(F.col("fk") >= 8), mode="append")
+    v = incremental_mv_join_refresh(spark, facts, dims, view, jd)
+    assert incremental_mv_join_refresh(spark, facts, dims, view, jd) == v
+    final = {(r["fk"], r["attr"]) for r in view.read(spark).collect()}
+    want = {(r["fk"], r["attr"]) for r in jd(f_all, d_all).collect()}
+    assert final == want  # incremental == full rebuild, attrs included
+    m = view.meta_of(v)
+    assert m["processed_a"] == facts.current_version()
+    assert m["processed_b"] == dims.current_version()
