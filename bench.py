@@ -151,6 +151,7 @@ HEADLINE = [
     "q_term_serving_table",  # postings served via bucket[16] point reads
     "q_train_shuffle",     # deterministic shard + within-shard order
     "q_table_mv_join",     # join IVM: delta-join refresh from two logs
+    "q_table_retention",   # partition-aligned expiry: drop interior days
 ]
 
 # The graph-ANN family is benched build/probe SPLIT (round-7 verdict

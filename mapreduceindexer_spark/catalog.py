@@ -10166,6 +10166,72 @@ def q_table_bucket_partition(spark, sf_dir):
 
 
 @register(
+    "q_table_retention",
+    """WITH k AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM k
+                WHERE d < DATE '2024-01-11') AS n_dropped,
+              (SELECT CAST(count(*) AS BIGINT) FROM k
+                WHERE d = DATE '2024-01-11') AS n_rewritten,
+              (SELECT CAST(count(*) AS BIGINT) FROM events
+                WHERE ts > TIMESTAMP '2024-01-11 12:00:00') AS n_rows,
+              (SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4)
+                           AS DOUBLE) FROM events
+                WHERE ts > TIMESTAMP '2024-01-11 12:00:00') AS sum_value""",
+)
+def q_table_retention(spark, sf_dir):
+    """RETENTION EXPIRY as a partition-aligned delete
+    (sources/transact.py::delete_where_part): events live day-
+    partitioned; "expire everything up to Jan 11 noon" DROPS every
+    strictly-older day partition with zero read and zero write (the
+    sub-dir just leaves the manifest) and rewrites ONLY the boundary
+    day with its surviving afternoon rows — one replace_partitions
+    call under the hood, O(1 partition) of data movement for an
+    arbitrarily large expiry. The oracle replays the per-day
+    drop/rewrite classification and the surviving rows/sum as date
+    arithmetic. Scale: this is THE lifecycle op of a 100 TB events
+    table — a copy-on-write ranged delete (q_table_delete) rewrites
+    every matching snapshot, while the aligned layout makes expiry a
+    manifest write plus at most one boundary partition. Reference has
+    no table layer (src/functions.cpp:146-162)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    ev_df = _t(spark, sf_dir, "events")
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_ret_"))
+    table.commit_partitioned(spark, ev_df, "ts", transform="day")
+    v = table.delete_where_part(spark, hi=dt.datetime(2024, 1, 11, 12))
+    meta = table.meta_of(v)
+    n_dirs = (
+        meta["dropped_partitions"]
+        + meta["rewritten_partitions"]
+        + meta["untouched_partitions"]
+    )
+    out = (
+        table.read(spark, v)
+        .agg(
+            F.lit(n_dirs).cast("bigint").alias("n_dirs"),
+            F.lit(meta["dropped_partitions"])
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.lit(meta["rewritten_partitions"])
+            .cast("bigint")
+            .alias("n_rewritten"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_term_serving_table",
     f"""WITH p AS ({SQL_POSTINGS}),
             ta AS (SELECT term FROM p ORDER BY df DESC, term ASC LIMIT 1),
@@ -11392,7 +11458,6 @@ _CHECK_PRIORITY = [
     "q_project",
     "q_promo_revenue",
     "q_rank_terms_per_letter",
-    "q_setops_all",
     # -- born mid-round: hidden partitioning + partition evolution +
     # bucket layout, the index served through the bucket layout, and
     # the deterministic training shuffle (the born-op rule took the
@@ -11405,6 +11470,7 @@ _CHECK_PRIORITY = [
     "q_term_serving_table",
     "q_train_shuffle",
     "q_table_mv_join",
+    "q_table_retention",
 ]
 assert len(_CHECK_PRIORITY) == 50, (
     f"driver check window is exactly 50 slots, got {len(_CHECK_PRIORITY)}"

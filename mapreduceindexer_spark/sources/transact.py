@@ -2620,6 +2620,130 @@ class TransactionalTable:
             df = self.read(spark, version).limit(0)
         return df.filter(F.col(col) == F.lit(value))
 
+    def delete_where_part(
+        self,
+        spark: SparkSession,
+        lo=None,
+        hi=None,
+        expected_version: int | None = None,
+        stats_cols: tuple[str, ...] | list[str] | None = None,
+        bloom_cols: tuple[str, ...] | list[str] | None = None,
+    ) -> int:
+        """PARTITION-ALIGNED range delete on the partition SOURCE
+        column (``lo <= col <= hi``; either bound may be None) — the
+        retention-expiry shape: every partition whose key range is
+        PROVABLY inside the delete range is dropped with zero read and
+        zero write (its sub-dir simply leaves the manifest), only the
+        BOUNDARY partitions — those the range cuts through — are
+        rewritten with their surviving rows, and everything outside is
+        carried untouched. Keys strictly interior to the mapped bounds
+        drop; keys AT a bound are rewritten with the residual filter —
+        conservative when the bound aligns with a period edge (and for
+        identity keys, where a fractional source value shares its
+        truncated key), correct either way. Requires a single monotone
+        spec: bucket
+        layouts cannot place a range (delete by predicate instead), and
+        mixed evolved layouts must be unified by
+        ``rewrite_partitioned`` first (``replace_partitions``'s rule).
+        At 100 TB this is the op that makes "expire everything older
+        than D" a manifest write plus at most one partition rewrite,
+        instead of a table-wide COW delete. Returns the new version;
+        meta records (dropped, rewritten, untouched) partition
+        counts."""
+        from pyspark.sql import functions as F
+
+        if lo is None and hi is None:
+            raise ValueError("delete_where_part needs at least one bound")
+        cur = (
+            expected_version
+            if expected_version is not None
+            else self.current_version()
+        )
+        if cur < 1:
+            raise ValueError("delete_where_part needs a committed table")
+        manifest = self._manifest(cur)
+        dir_specs = self._dir_specs(manifest)
+        if dir_specs is None:
+            raise ValueError(
+                "delete_where_part needs the partitioned layout; use "
+                "delete_where on unpartitioned tables"
+            )
+        if len(dir_specs) < len(manifest["dirs"]):
+            raise ValueError(
+                "manifest has dirs without a recorded partition spec; "
+                "a range delete cannot prove them row-free — "
+                "rewrite_partitioned() first"
+            )
+        col = manifest["meta"]["partitioned_by"]
+        canon = manifest["meta"].get("partition_transform", "identity")
+        if {json.dumps(s, sort_keys=True) for s in dir_specs.values()} != {
+            json.dumps(
+                {"col": col, "transform": canon}, sort_keys=True
+            )
+        }:
+            raise ValueError(
+                "delete_where_part on a spec-evolved table is ambiguous; "
+                "run rewrite_partitioned() to unify the layout first"
+            )
+        kind, param, _ = self._parse_transform(canon)
+        if kind == "bucket":
+            raise ValueError(
+                "bucket layouts cannot place a range; use delete_where"
+            )
+        t_lo = self._transform_key_py(lo, kind, param)
+        t_hi = self._transform_key_py(hi, kind, param)
+        interior, boundary = [], []
+        for d in manifest["dirs"]:
+            k = self._dir_key(d)
+            if k is None:  # NULL partition: range predicates never match
+                continue
+            if (t_lo is not None and k < t_lo) or (
+                t_hi is not None and k > t_hi
+            ):
+                continue  # outside: carried untouched
+            at_bound = (t_lo is not None and k == t_lo) or (
+                t_hi is not None and k == t_hi
+            )
+            if at_bound:
+                # The bound cuts (or may cut) through this key's value
+                # range — rewrite with the residual filter. Conservative
+                # for aligned bounds and for exactly-integral identity
+                # keys; a fractional source value shares its truncated
+                # key, so even identity cannot prove bound keys covered.
+                boundary.append((d, k))
+            else:
+                interior.append(k)  # strictly inside: provably covered
+        if not interior and not boundary:
+            return cur  # nothing can match: no-op, no version burned
+        if boundary:
+            surv = self._read_dirs(
+                spark, manifest, [d for d, _ in boundary]
+            )
+            pred = F.lit(True)
+            if lo is not None:
+                pred = pred & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                pred = pred & (F.col(col) <= F.lit(hi))
+            surv = surv.filter(~pred)
+        else:
+            surv = self.read(spark, cur).limit(0)
+        return self.replace_partitions(
+            spark,
+            surv,
+            interior + [k for _, k in boundary],
+            expected_version=cur,
+            meta={
+                "deleted_range": [_json_stat(lo), _json_stat(hi)],
+                "dropped_partitions": len(interior),
+                "rewritten_partitions": len(boundary),
+                "untouched_partitions": len(manifest["dirs"])
+                - len(interior)
+                - len(boundary),
+            },
+            stats_cols=stats_cols,
+            bloom_cols=bloom_cols,
+        )
+
     def rewrite_partitioned(
         self,
         spark: SparkSession,
@@ -2950,6 +3074,13 @@ class TransactionalTable:
         meta = {"restored_from": version}
         if tm.get("meta", {}).get("partitioned_by"):
             meta["partitioned_by"] = tm["meta"]["partitioned_by"]
+            # The transform + per-dir spec index MUST travel with the
+            # dirs they describe: restoring a bucket/month layout as
+            # bare partitioned_by would attribute identity specs to
+            # transformed keys and make layout pruning unsound.
+            meta["partition_transform"] = tm["meta"].get(
+                "partition_transform", "identity"
+            )
         payload = {
             "version": cur + 1,
             "mode": "restore",
@@ -2957,6 +3088,9 @@ class TransactionalTable:
             **_carried_props(cm),
             "meta": meta,
         }
+        if tm.get("specs"):
+            payload["specs"] = tm["specs"]
+            payload["dir_spec"] = tm["dir_spec"]
         if tm.get("schema") is not None:
             payload["schema"] = tm["schema"]
         if tm.get("stats"):

@@ -568,3 +568,38 @@ def test_ingest_stream_equals_sequential_replay(spark, tmp_path):
         rejects.read(spark).filter("n_matches < 1 OR best_est < 0.5").count()
         == 0
     )
+
+
+def test_table_stream_across_partition_spec_evolution(spark, tmp_path):
+    """Partition-spec evolution is invisible to the table streaming
+    source: a consumer checkpointed under the day spec resumes across
+    the evolve-append (month spec) and receives exactly the new dirs'
+    rows — the microbatch is a manifest dir-diff, and evolved appends
+    are ordinary new dirs."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    rows = spark.range(12).select(
+        "id",
+        F.date_add(
+            F.lit("2024-01-10").cast("date"), (F.col("id") * 20).cast("int")
+        ).alias("d"),
+    )
+    t.commit_partitioned(
+        spark, rows.filter(F.col("id") < 6), "d", transform="day"
+    )
+    sink, cp = str(tmp_path / "sink"), str(tmp_path / "cp")
+    got = _drain_table_stream(spark, t.path, sink, cp)
+    assert sorted(r["id"] for r in got.collect()) == list(range(6))
+    t.commit_partitioned(
+        spark,
+        rows.filter(F.col("id") >= 6),
+        "d",
+        mode="append",
+        transform="month",
+        evolve=True,
+    )
+    got2 = _drain_table_stream(spark, t.path, sink, cp)
+    assert sorted(r["id"] for r in got2.collect()) == list(range(12))

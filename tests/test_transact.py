@@ -1946,3 +1946,115 @@ def test_layout_prune_composes_with_stats_and_skips_null_partition(
     assert _ids(t.read_pruned_part(spark, "grp", 1, 1)) == [
         i for i in range(29) if i % 3 == 1
     ]
+
+
+def test_vacuum_after_partition_evolution(spark, tmp_path):
+    """Evolution's mixed-layout dirs stay live through vacuum while the
+    retention window covers them, and the PRE-rewrite layout is
+    reclaimed once rewrite_partitioned retires it out of the window."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = _dated(spark)
+    t.commit_partitioned(spark, df.filter(F.col("id") < 6), "d", transform="day")
+    t.commit_partitioned(
+        spark,
+        df.filter(F.col("id") >= 6),
+        "d",
+        mode="append",
+        transform="month",
+        evolve=True,
+    )
+    t.vacuum(keep_versions=2, grace_seconds=0)
+    assert _ids(t.read(spark)) == list(range(12))  # mixed layout intact
+    assert _ids(t.read(spark, 1)) == list(range(6))  # window honored
+    v = t.rewrite_partitioned(spark)
+    t.vacuum(keep_versions=1, grace_seconds=0)
+    assert t.versions() == [v]
+    assert _ids(t.read(spark)) == list(range(12))
+    # The unified layout prunes under the single (month) spec.
+    m = t._manifest(v)
+    assert m["specs"] == [{"col": "d", "transform": "month"}]
+    import datetime as dt
+
+    got = _ids(t.read_pruned_part(spark, "d", dt.date(2024, 3, 1), dt.date(2024, 4, 30)))
+    want = _ids(
+        df.filter((df.d >= dt.date(2024, 3, 1)) & (df.d <= dt.date(2024, 4, 30)))
+    )
+    assert got == want and got
+
+
+def test_restore_carries_partition_specs(spark, tmp_path):
+    """Restoring a transform-partitioned version must carry the spec
+    list with the dirs it describes — a bare partitioned_by marker
+    would attribute identity specs to bucket keys and make layout
+    pruning skip live data."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(64).withColumnRenamed("id", "k")
+    t.commit_partitioned(spark, df, "k", transform="bucket[8]")
+    t.commit(spark.range(5).withColumnRenamed("id", "k"), mode="overwrite")
+    v = t.restore(1)
+    m = t._manifest(v)
+    assert m["specs"] == [{"col": "k", "transform": "bucket[8]"}]
+    assert m["meta"]["partition_transform"] == "bucket[8]"
+    kept, skipped = t.pruned_dirs_part_eq("k", 37, version=v)
+    assert len(kept) == 1 and len(skipped) == 7
+    assert [r[0] for r in t.read_eq_part(spark, "k", 37, version=v).collect()] == [37]
+
+
+def test_delete_where_part_drops_interior_rewrites_boundary(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    # Ten rows on distinct days from Jan 10, one NULL-key row.
+    df = spark.range(10).select(
+        "id",
+        F.when(
+            F.col("id") == 9, None
+        ).otherwise(
+            F.date_add(F.lit("2024-01-10").cast("date"), F.col("id").cast("int"))
+        ).alias("d"),
+    )
+    v1 = t.commit_partitioned(spark, df, "d", transform="day")
+    before = set(t._manifest(v1)["dirs"])
+    # Expire everything up to Jan 13 (aligned bound: day key of the
+    # bound is rewritten conservatively, strictly-older days drop).
+    v2 = t.delete_where_part(spark, hi=dt.date(2024, 1, 13))
+    meta = t.meta_of(v2)
+    assert meta["dropped_partitions"] == 3  # Jan 10, 11, 12
+    assert meta["rewritten_partitions"] == 1  # Jan 13 (bound key)
+    assert meta["untouched_partitions"] == 6  # Jan 14..18 + NULL dir
+    after = set(t._manifest(v2)["dirs"])
+    # Untouched dirs are carried by identity — zero read, zero write.
+    assert len(before & after) == 6  # 5 later days + the NULL dir
+    got = sorted(r["id"] for r in t.read(spark, v2).collect())
+    assert got == [4, 5, 6, 7, 8, 9]  # Jan 14+ survive; NULL row survives
+    # A range that provably matches nothing is a version-free no-op.
+    assert t.delete_where_part(spark, hi=dt.date(2023, 6, 1)) == v2
+
+
+def test_delete_where_part_guards(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(16).withColumnRenamed("id", "k")
+    t.commit_partitioned(spark, df, "k", transform="bucket[4]")
+    with pytest.raises(ValueError, match="bucket"):
+        t.delete_where_part(spark, lo=0, hi=5)
+    t2 = TransactionalTable(str(tmp_path / "t2"))
+    dd = _dated(spark)
+    t2.commit_partitioned(spark, dd.filter(F.col("id") < 6), "d", transform="day")
+    t2.commit_partitioned(
+        spark, dd.filter(F.col("id") >= 6), "d",
+        mode="append", transform="month", evolve=True,
+    )
+    with pytest.raises(ValueError, match="rewrite_partitioned"):
+        t2.delete_where_part(spark, hi=dt.date(2024, 3, 1))
+    t3 = TransactionalTable(str(tmp_path / "t3"))
+    t3.commit(spark.range(5))
+    with pytest.raises(ValueError, match="partitioned layout"):
+        t3.delete_where_part(spark, lo=1)

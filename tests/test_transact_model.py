@@ -227,6 +227,97 @@ class TableMachine(RuleBasedStateMachine):
         v2 = self.t.drop_constraint(name)
         self._record(v2, state)
 
+    def _cur_spec(self):
+        """The current head's partition spec (or None) read from the
+        manifest — mode selection only; CONTENT stays model-tracked."""
+        cur = self.t.current_version()
+        if cur == 0:
+            return None
+        m = self.t._manifest(cur)
+        col = m.get("meta", {}).get("partitioned_by")
+        if col is None:
+            return None
+        return {
+            "col": col,
+            "transform": m["meta"].get("partition_transform", "identity"),
+        }
+
+    @rule(
+        spec=st.sampled_from(["identity", "truncate[3]", "bucket[4]"]),
+        evolve=st.booleans(),
+        n=st.integers(1, 4),
+    )
+    def partitioned_commit(self, spec, evolve, n):
+        """Partitioned commits through the machine: overwrite when the
+        head isn't partitioned; append when it is — a spec CHANGE must
+        refuse without evolve=True (and mint no version) and evolve
+        when allowed. Layout is orthogonal to content, so the model
+        update is the same as append/overwrite."""
+        rows = self._fresh_rows(n)
+        canon = TransactionalTable._parse_transform(spec)[2]
+        cur_spec = self._cur_spec()
+        if cur_spec is None:
+            v = self.t.commit_partitioned(
+                _SPARK, _df(rows), "id", transform=spec, stats_cols=["id"]
+            )
+            self._record(v, dict(rows))
+            return
+        changed = cur_spec != {"col": "id", "transform": canon}
+        if changed and not evolve:
+            before = self.t.current_version()
+            try:
+                self.t.commit_partitioned(
+                    _SPARK, _df(rows), "id", mode="append", transform=spec
+                )
+                raise AssertionError("spec change without evolve=True")
+            except ValueError:
+                pass
+            assert self.t.current_version() == before
+            # The refused batch is gone; ids stay unique, state unchanged.
+            return
+        state = self._cur()
+        state.update(rows)
+        v = self.t.commit_partitioned(
+            _SPARK,
+            _df(rows),
+            "id",
+            mode="append",
+            transform=spec,
+            evolve=evolve,
+            stats_cols=["id"],
+        )
+        self._record(v, state)
+
+    @precondition(lambda self: self._cur_spec() is not None)
+    @rule()
+    def rewrite_partitioned(self):
+        """Unifying a (possibly mixed) layout under the current spec
+        never changes content."""
+        state = self._cur()  # BEFORE the version bump
+        v = self.t.rewrite_partitioned(_SPARK, stats_cols=["id"])
+        self._record(v, state)
+
+    @precondition(lambda self: self._cur_spec() is not None)
+    @rule(frac=st.tuples(st.floats(0, 1), st.floats(0, 1)))
+    def pruned_part_read_matches_filter(self, frac):
+        """Layout pruning on the head must equal a plain filter over
+        the model for every spec kind, single or evolved/mixed."""
+        state = self._cur()
+        if not state:
+            return
+        ids = sorted(state)
+        a = ids[int(frac[0] * (len(ids) - 1))]
+        b = ids[int(frac[1] * (len(ids) - 1))]
+        lo, hi = min(a, b), max(a, b)
+        got = {
+            r["id"]: r["payload"]
+            for r in self.t.read_pruned_part(
+                _SPARK, "id", lo, hi
+            ).collect()
+        }
+        want = {k: p for k, p in state.items() if lo <= k <= hi}
+        assert got == want, (lo, hi, got, want)
+
     @invariant()
     def every_live_version_reads_back_exactly(self):
         for v, want in self.model.items():
