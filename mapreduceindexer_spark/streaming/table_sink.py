@@ -29,6 +29,8 @@ def _append_batch(
     batch_id: int,
     stats_cols: tuple[str, ...] | None = None,
     bloom_cols: tuple[str, ...] | None = None,
+    part_col: str | None = None,
+    transform: str | None = None,
 ) -> None:
     cur = table.current_version()
     if cur > 0 and table.meta_of(cur).get("batch_id", -1) >= batch_id:
@@ -43,6 +45,25 @@ def _append_batch(
     # skips again).
     cp = batch_df.localCheckpoint()
     if cp.isEmpty():
+        return
+    if part_col is not None:
+        # Partitioned streaming ingest: each microbatch appends under
+        # the table's (hidden-partition) spec, so a forever-appending
+        # stream lands day/bucket-aligned and the lifecycle ops
+        # (read_pruned_part, delete_where_part retention) apply to the
+        # streamed table exactly as to a batch-built one. Same
+        # batch_id idempotence + CAS.
+        table.commit_partitioned(
+            cp.sparkSession,
+            cp,
+            part_col,
+            mode="append" if cur > 0 else "overwrite",
+            expected_version=cur,
+            meta={"batch_id": batch_id},
+            stats_cols=stats_cols,
+            bloom_cols=bloom_cols,
+            transform=transform,
+        )
         return
     table.commit(
         cp,
@@ -61,6 +82,8 @@ def run_stream_to_table(
     timeout_seconds: int = 300,
     stats_cols: tuple[str, ...] | None = None,
     bloom_cols: tuple[str, ...] | None = None,
+    part_col: str | None = None,
+    transform: str | None = None,
 ) -> None:
     """Drain ``stream_df`` (availableNow) into ``table`` with per-batch
     append-commits; raises if the backlog does not finish inside
@@ -70,10 +93,15 @@ def run_stream_to_table(
     commit, so a streaming-built table gets the same dir-granular data
     skipping (ranged + point-lookup) as a batch-built one — per-batch
     stats are one narrow agg over the NEW snapshot only, in keeping with
-    the appends-never-rescan contract."""
+    the appends-never-rescan contract. ``part_col``/``transform`` route
+    every batch through the partitioned commit path instead: the
+    streamed table lands layout-aligned (e.g. day(ts)) and the
+    partition lifecycle ops apply unchanged."""
     q = (
         stream_df.writeStream.foreachBatch(
-            lambda df, bid: _append_batch(table, df, bid, stats_cols, bloom_cols)
+            lambda df, bid: _append_batch(
+                table, df, bid, stats_cols, bloom_cols, part_col, transform
+            )
         )
         .queryName(f"tablesink_{uuid.uuid4().hex[:8]}")
         .outputMode(output_mode)

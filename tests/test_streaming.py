@@ -603,3 +603,75 @@ def test_table_stream_across_partition_spec_evolution(spark, tmp_path):
     )
     got2 = _drain_table_stream(spark, t.path, sink, cp)
     assert sorted(r["id"] for r in got2.collect()) == list(range(12))
+
+
+def test_stream_into_partitioned_table_then_expire(spark, tmp_path):
+    """The full streamed-table lifecycle: microbatches land as
+    day-partitioned append-commits (hidden-partition layout, batch-id
+    exactly-once), the streamed table prunes like a batch-built one,
+    a replayed drain is a no-op, and retention expiry drops whole
+    streamed days with zero data movement."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+    from mapreduceindexer_spark.streaming.table_sink import (
+        run_stream_to_table,
+    )
+
+    rows = spark.range(12).select(
+        "id",
+        F.date_add(
+            F.lit("2024-01-10").cast("date"), (F.col("id") % 4).cast("int")
+        ).alias("d"),
+    )
+    backlog = str(tmp_path / "backlog")
+    os.makedirs(backlog)
+    for i in range(3):
+        rows.filter(F.col("id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(backlog)
+    src = (
+        spark.readStream.schema("id bigint, d date")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(backlog)
+    )
+    t = TransactionalTable(str(tmp_path / "t"))
+    run_stream_to_table(
+        src, t, output_mode="append", part_col="d", transform="day"
+    )
+    v = t.current_version()
+    assert v >= 3  # one commit per non-empty microbatch
+    m = t._manifest(v)
+    assert m["meta"]["partitioned_by"] == "d"
+    assert m["meta"]["partition_transform"] == "day"
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(12))
+    # The streamed layout prunes: one day touches only that day's dirs.
+    kept, skipped = t.pruned_dirs_part(
+        "d", dt.date(2024, 1, 11), dt.date(2024, 1, 11)
+    )
+    assert kept and skipped
+    got = sorted(r["id"] for r in t.read_pruned_part(
+        spark, "d", dt.date(2024, 1, 11), dt.date(2024, 1, 11)
+    ).collect())
+    assert got == [i for i in range(12) if i % 4 == 1]
+    # Replaying the whole backlog (fresh query, same table) must no-op
+    # via batch-id idempotence — not duplicate a single row.
+    src2 = (
+        spark.readStream.schema("id bigint, d date")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(backlog)
+    )
+    run_stream_to_table(
+        src2, t, output_mode="append", part_col="d", transform="day"
+    )
+    assert t.current_version() == v
+    # Retention: expire the first two streamed days — interior days
+    # drop with zero IO (aligned day bound rewrites conservatively).
+    v2 = t.delete_where_part(spark, hi=dt.date(2024, 1, 11, ))
+    meta = t.meta_of(v2)
+    assert meta["dropped_partitions"] >= 1
+    survivors = sorted(r["id"] for r in t.read(spark).collect())
+    assert survivors == [i for i in range(12) if i % 4 >= 2]
