@@ -152,6 +152,7 @@ HEADLINE = [
     "q_train_shuffle",     # deterministic shard + within-shard order
     "q_table_mv_join",     # join IVM: delta-join refresh from two logs
     "q_table_retention",   # partition-aligned expiry: drop interior days
+    "q_table_diff",        # version diff, common dirs pruned exactly
 ]
 
 # The graph-ANN family is benched build/probe SPLIT (round-7 verdict

@@ -10166,6 +10166,65 @@ def q_table_bucket_partition(spark, sf_dir):
 
 
 @register(
+    "q_table_diff",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 3 AS BIGINT) AS b1,
+                         CAST((2 * count(*)) // 3 AS BIGINT) AS b2
+                  FROM documents),
+            p AS (SELECT b1 // 2 AS plo, b1 - 1 AS phi FROM b)
+       SELECT 'added' AS change,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents, b
+                WHERE doc_id >= b2) AS n_rows,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents, b
+                WHERE doc_id >= b2) AS sum_chars,
+              CAST(3 AS BIGINT) AS n_dirs_scanned,
+              CAST(1 AS BIGINT) AS n_dirs_common
+       UNION ALL
+       SELECT 'removed',
+              (SELECT CAST(count(*) AS BIGINT) FROM documents, p
+                WHERE doc_id BETWEEN plo AND phi),
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents, p
+                WHERE doc_id BETWEEN plo AND phi),
+              CAST(3 AS BIGINT), CAST(1 AS BIGINT)""",
+)
+def q_table_diff(spark, sf_dir):
+    """VERSION DIFF with dir-granular pruning
+    (sources/transact.py::diff): the three-slice documents table takes
+    a ranged COW delete inside slice 1, then the diff v2 → v4 must
+    report exactly slice 3 as added and the deleted rows as removed —
+    across a REWRITE, where the append-only change feed refuses. The
+    scan prunes first: slice 2's dir rides both manifests unchanged and
+    multiset algebra cancels it exactly ((A+C)−(B+C) = A−B), so the
+    exceptAll touches 3 dirs and skips 1 — the oracle replays the
+    added/removed sets from the slice arithmetic and the dir census
+    from the construction. Scale: auditing "what changed between
+    Monday's and Tuesday's snapshot" on a 100 TB table costs O(dirs
+    that actually changed), not two full scans — the metadata plane
+    decides, the data plane pays only the delta.
+    Reference has no table layer (src/functions.cpp:146-162)."""
+    import shutil
+
+    _, table, n, b1, b2 = _three_slice_table(spark, sf_dir, "mri_txn_diff_")
+    table.delete_where(
+        spark, "doc_id", lo=b1 // 2, hi=b1 - 1, stats_cols=["doc_id"]
+    )
+    old_n, new_n, common = table.diff_dirs(2, 4)
+    out = (
+        table.diff(spark, 2, 4)
+        .groupBy(F.col("_change").alias("change"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.lit(old_n + new_n).cast("bigint").alias("n_dirs_scanned"),
+            F.lit(common).cast("bigint").alias("n_dirs_common"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_retention",
     """WITH k AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
        SELECT (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_dirs,
@@ -11456,7 +11515,6 @@ _CHECK_PRIORITY = [
     "q_funnel",
     "q_phrase_search",
     "q_project",
-    "q_promo_revenue",
     "q_rank_terms_per_letter",
     # -- born mid-round: hidden partitioning + partition evolution +
     # bucket layout, the index served through the bucket layout, and
@@ -11471,6 +11529,7 @@ _CHECK_PRIORITY = [
     "q_train_shuffle",
     "q_table_mv_join",
     "q_table_retention",
+    "q_table_diff",
 ]
 assert len(_CHECK_PRIORITY) == 50, (
     f"driver check window is exactly 50 slots, got {len(_CHECK_PRIORITY)}"

@@ -2620,6 +2620,88 @@ class TransactionalTable:
             df = self.read(spark, version).limit(0)
         return df.filter(F.col(col) == F.lit(value))
 
+    def diff(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """ROW-LEVEL DIFF between two versions — every row ``added`` or
+        ``removed`` going from ``from_version`` to ``to_version``
+        (``_change`` column), correct across ANY commit kinds
+        (rewrites, deletes, compactions — where the append-only change
+        feed must refuse). The cost is the point: snapshot dirs present
+        in BOTH manifests with identical deletion-vector sets
+        contribute the same multiset to both sides, and multiset
+        algebra gives (A+C) − (B+C) = A − B, so common dirs are pruned
+        BEFORE the exceptAll — the diff scans O(changed dirs), not two
+        full versions (a compaction that rewrites one slice diffs
+        against that slice alone). Schema evolution is aligned to the
+        TO version's schema (old rows read later-added columns as NULL,
+        exactly as a time-travel read would)."""
+        from pyspark.sql import functions as F
+
+        if to_version is None:
+            to_version = self.current_version()
+        fm = self._manifest(from_version)
+        tm = self._manifest(to_version)
+        fdv, tdv = fm.get("dv", {}), tm.get("dv", {})
+        to_dirs = set(tm["dirs"])
+        common = {
+            d
+            for d in fm["dirs"]
+            if d in to_dirs and fdv.get(d, []) == tdv.get(d, [])
+        }
+        old_only = [d for d in fm["dirs"] if d not in common]
+        new_only = [d for d in tm["dirs"] if d not in common]
+        new_df = (
+            self._read_dirs(spark, tm, new_only)
+            if new_only
+            else self.read(spark, to_version).limit(0)
+        )
+        cols = new_df.columns
+        if old_only:
+            old_df = self._read_dirs(spark, fm, old_only)
+            # Align the old side to the TO schema: later-added columns
+            # read as NULL (matching what time travel shows), dropped
+            # columns cannot exist (evolution is add-only).
+            old_df = old_df.select(
+                *[
+                    F.col(c) if c in old_df.columns
+                    else F.lit(None).cast(dict(new_df.dtypes)[c]).alias(c)
+                    for c in cols
+                ]
+            )
+        else:
+            old_df = new_df.limit(0)
+        return new_df.exceptAll(old_df).withColumn(
+            "_change", F.lit("added")
+        ).unionByName(
+            old_df.exceptAll(new_df).withColumn("_change", F.lit("removed"))
+        )
+
+    def diff_dirs(
+        self, from_version: int, to_version: int | None = None
+    ) -> tuple[int, int, int]:
+        """(old-only, new-only, common) dir counts the diff would scan
+        vs skip — the metadata-plane census of ``diff``'s pruning."""
+        if to_version is None:
+            to_version = self.current_version()
+        fm = self._manifest(from_version)
+        tm = self._manifest(to_version)
+        fdv, tdv = fm.get("dv", {}), tm.get("dv", {})
+        to_dirs = set(tm["dirs"])
+        common = {
+            d
+            for d in fm["dirs"]
+            if d in to_dirs and fdv.get(d, []) == tdv.get(d, [])
+        }
+        return (
+            len([d for d in fm["dirs"] if d not in common]),
+            len([d for d in tm["dirs"] if d not in common]),
+            len(common),
+        )
+
     def delete_where_part(
         self,
         spark: SparkSession,

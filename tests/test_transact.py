@@ -2058,3 +2058,47 @@ def test_delete_where_part_guards(spark, tmp_path):
     t3.commit(spark.range(5))
     with pytest.raises(ValueError, match="partitioned layout"):
         t3.delete_where_part(spark, lo=1)
+
+
+def test_diff_prunes_common_dirs_and_handles_dv_and_evolution(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 6).withColumn("x", F.col("id") * 2),
+        stats_cols=["id"],
+    )
+    t.commit(
+        spark.range(6, 10).withColumn("x", F.col("id") * 2),
+        mode="append",
+        stats_cols=["id"],
+    )
+    # v3: MOR delete touches slice 1's dir via a vector (dir set is
+    # UNCHANGED — only the DV map distinguishes the versions).
+    t.delete_where_dv(spark, "id", lo=1, hi=2)
+    # v4: evolved append with a new column.
+    t.commit(
+        spark.range(10, 12)
+        .withColumn("x", F.col("id") * 2)
+        .withColumn("y", F.lit("new")),
+        mode="append",
+    )
+    d = {(r["id"], r["_change"], r["y"]) for r in t.diff(spark, 1, 4).collect()}
+    want = {(i, "added", None) for i in range(6, 10)} | {
+        (i, "added", "new") for i in (10, 11)
+    } | {(i, "removed", None) for i in (1, 2)}
+    assert d == want
+    # v1's dir appears on BOTH sides (its DV changed) — not common;
+    # the v2 append dir IS common between v2 and v4 and is pruned.
+    old_n, new_n, common = t.diff_dirs(2, 4)
+    assert common == 1 and old_n == 1 and new_n == 2
+    # Identity diff: nothing changed, everything prunes, zero rows.
+    assert t.diff(spark, 4, 4).count() == 0
+    assert t.diff_dirs(4, 4) == (0, 0, 3)
+    # Reverse diff flips the labels.
+    rev = {(r["id"], r["_change"]) for r in t.diff(spark, 4, 1).collect()}
+    assert rev == {(i, "removed") for i in range(6, 12)} | {
+        (i, "added") for i in (1, 2)
+    }
