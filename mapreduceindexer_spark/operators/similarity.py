@@ -416,6 +416,49 @@ def lloyd_rounds(
     return cents
 
 
+def _nearest_probe_cells(
+    embeddings: DataFrame,
+    cells: DataFrame,
+    probe_id: int,
+    n_centroids: int,
+    n_probe_cells: int,
+) -> DataFrame:
+    """The probe's ``n_probe_cells`` nearest IVF cells as a one-column
+    (probe_cell) relation. For a single probe cell this is just the
+    probe's own assignment row; multi-probe re-scores the centroid table
+    with the assignment's exact distance/tie rule, ranks 1..n."""
+    if n_probe_cells == 1:
+        return cells.filter(F.col("vec_id") == probe_id).select(
+            F.col("cell").alias("probe_cell")
+        )
+    centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    probe_vec0 = embeddings.filter(F.col("vec_id") == probe_id)
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "cvec",
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    scored_cells = probe_vec0.crossJoin(F.broadcast(centroids)).select(
+        "centroid_id", d2.alias("d2")
+    )
+    wc = Window.orderBy(F.asc("d2"), F.asc("centroid_id"))
+    return (
+        scored_cells.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= n_probe_cells)
+        .select(F.col("centroid_id").alias("probe_cell"))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     probe_id: int,
@@ -431,39 +474,9 @@ def ivf_topk(
     it is still fully deterministic, so the oracle replays it exactly.
     """
     cells = ivf_assignments(embeddings, n_centroids)
-    if n_probe_cells == 1:
-        probe_cells = cells.filter(F.col("vec_id") == probe_id).select(
-            F.col("cell").alias("probe_cell")
-        )
-    else:
-        # The probe's n nearest centroids (same distance/tie rule as the
-        # assignment itself, ranks 1..n instead of rank 1 only).
-        centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
-        )
-        probe_vec0 = embeddings.filter(F.col("vec_id") == probe_id)
-        d2 = F.round(
-            F.aggregate(
-                F.zip_with(
-                    "embedding",
-                    "cvec",
-                    lambda a, b: (a.cast("double") - b.cast("double"))
-                    * (a.cast("double") - b.cast("double")),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            6,
-        )
-        scored_cells = probe_vec0.crossJoin(F.broadcast(centroids)).select(
-            "centroid_id", d2.alias("d2")
-        )
-        wc = Window.orderBy(F.asc("d2"), F.asc("centroid_id"))
-        probe_cells = (
-            scored_cells.withColumn("rn", F.row_number().over(wc))
-            .filter(F.col("rn") <= n_probe_cells)
-            .select(F.col("centroid_id").alias("probe_cell"))
-        )
+    probe_cells = _nearest_probe_cells(
+        embeddings, cells, probe_id, n_centroids, n_probe_cells
+    )
     candidates = (
         embeddings.join(cells, "vec_id")
         .join(
@@ -481,6 +494,99 @@ def ivf_topk(
         F.round(cosine_similarity("embedding", "probe_vec"), 6).alias("cos_sim"),
     )
     return _rank_topk(scored, k)
+
+
+def filtered_topk(
+    embeddings: DataFrame, probe_id: int, label: int, k: int = 10
+) -> DataFrame:
+    """FILTERED vector search, exact tier: cosine top-k among vectors
+    whose metadata satisfies a predicate (here ``label = value``) — "k
+    nearest English docs", "k nearest from this source". The production
+    serving shape is (predicate AND nearest), not nearest-then-filter:
+    post-filtering a plain top-k can return fewer than k (or zero)
+    matching rows; pre-filtering guarantees exactly min(k, |matches|).
+
+    Plan: the predicate is an ordinary Catalyst filter, so it pushes to
+    the parquet scan (PushedFilters) and the distance kernel only runs
+    on surviving rows; top-k is TakeOrderedAndProject. At 100 TB with
+    the table partitioned/bucketed by the predicate column, the filter
+    prunes partitions before any vector math.
+    """
+    probe = embeddings.filter(F.col("vec_id") == probe_id).select(
+        F.col("embedding").alias("probe_vec")
+    )
+    scored = (
+        embeddings.filter(
+            (F.col("label") == label) & (F.col("vec_id") != probe_id)
+        )
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity("embedding", "probe_vec"), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
+def ivf_filtered_topk(
+    embeddings: DataFrame,
+    probe_id: int,
+    label: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe_cells: int = 2,
+) -> DataFrame:
+    """FILTERED ANN, IVF tier, with a SOUND exact fallback: candidates =
+    (probed cells ∩ predicate); if the intersection holds fewer than
+    ``k`` vectors, the probe provably cannot fill its result from the
+    index, so the search widens to an exact scan of the FULL filtered
+    set instead of silently returning a short list — the failure mode
+    every filtered-ANN serving system has to answer (a selective filter
+    starves the probed cells). The widen rule is deterministic (count
+    < k), so the DuckDB oracle replays the decision bit-for-bit, and
+    the output carries its own evidence: ``n_cand`` (pre-widen
+    candidate count) and ``fallback`` are value-checked columns.
+
+    Cost: the decision is ONE bounded count over the probed cells'
+    filtered rows (metadata-plane — candidates are capped by the cell
+    sizes, never the corpus); the happy path scores only that
+    intersection. At 100 TB the assignment table is bucketed by cell
+    AND the predicate column is a partition/stats-pruned dimension, so
+    both branches prune at the storage layer; the fallback's exact scan
+    is the filtered slice, not the corpus.
+    """
+    cells = ivf_assignments(embeddings, n_centroids)
+    probe_cells = _nearest_probe_cells(
+        embeddings, cells, probe_id, n_centroids, n_probe_cells
+    )
+    filtered = embeddings.filter(
+        (F.col("label") == label) & (F.col("vec_id") != probe_id)
+    )
+    cand = filtered.join(cells, "vec_id").join(
+        F.broadcast(probe_cells),
+        F.col("cell") == F.col("probe_cell"),
+        "left_semi",
+    )
+    # Bounded decision count: |probed cells ∩ filter| rows at most.
+    n_cand = cand.count()
+    fallback = n_cand < k
+    base = filtered if fallback else cand
+    probe_vec = embeddings.filter(F.col("vec_id") == probe_id).select(
+        F.col("embedding").alias("probe_vec")
+    )
+    scored = base.crossJoin(F.broadcast(probe_vec)).select(
+        "vec_id",
+        F.round(cosine_similarity("embedding", "probe_vec"), 6).alias("cos_sim"),
+    )
+    return _rank_topk(scored, k).select(
+        "vec_id",
+        "cos_sim",
+        "rn",
+        F.lit(n_cand).cast("bigint").alias("n_cand"),
+        F.lit(fallback).alias("fallback"),
+    )
 
 
 def quantization_error(embeddings: DataFrame) -> DataFrame:
