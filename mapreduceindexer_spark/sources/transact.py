@@ -3271,6 +3271,81 @@ class TransactionalTable:
             raise ValueError(f"branch {name!r} does not exist")
         shutil.rmtree(rd)
 
+    def clone_to(
+        self, dest_path: str, version: int | None = None
+    ) -> "TransactionalTable":
+        """SHALLOW CLONE: create a brand-new table at ``dest_path``
+        whose v1 manifest REFERENCES this table's data dirs at
+        ``version`` (default: current head) — the Delta ``CLONE`` /
+        Iceberg snapshot-ref pattern. Zero data bytes move: cloning a
+        100 TB table is one manifest write. The clone then evolves
+        independently — its commits write snapshots under ITS OWN root,
+        invisible to the source and vice versa (unlike ``branch``,
+        which shares the source's version line and publishes back).
+
+        Mechanics: inherited dirs are recorded as ABSOLUTE paths (every
+        read path resolves dirs via ``os.path.join(self.path, d)``,
+        which passes absolute entries through), and the stats / Bloom /
+        deletion-vector maps are re-keyed to match, so data skipping
+        and merge-on-read deletes keep working across the boundary
+        (DV row addresses are root-independent: ``_DV_RELPATH_RE``
+        anchors on the globally-unique snap dir name). CHECK
+        constraints and the recorded schema ride along. Hidden-
+        partitioned layouts are refused — their pruning metadata is
+        keyed by sub-dir NAME fragments; ``rewrite_partitioned`` or
+        ``compact`` the source first.
+
+        RETENTION CAVEAT (pinned by tests/test_transact.py): the
+        source's ``vacuum`` retains only dirs its OWN manifests,
+        branches, and tags reference — it cannot see clones. If the
+        source drops the cloned version and vacuums, the clone's
+        inherited dirs die with it (exactly Delta's shallow-clone
+        contract). The sound patterns: ``tag`` the source version
+        before cloning (tags pin vacuum forever), or localize the
+        clone (``compact`` rewrites it under its own root) before
+        source retention runs. A clone's own vacuum never deletes
+        inherited dirs — they live outside its root.
+        """
+        if self.ref is not None:
+            raise ValueError("clone_to runs on the main view only")
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("cannot clone a table with no commits")
+        v = cur if version is None else version
+        m = self._manifest(v)
+        if m.get("partitioned_by") or m.get("dir_spec") or m.get("specs"):
+            raise ValueError(
+                "shallow clone of hidden-partitioned layouts is not "
+                "supported (pruning metadata is keyed by sub-dir name); "
+                "rewrite_partitioned/compact the source first"
+            )
+        dest = TransactionalTable(dest_path)
+        if dest.versions():
+            raise ValueError(f"destination {dest_path!r} is not empty")
+
+        def _abs(d: str) -> str:
+            return d if os.path.isabs(d) else os.path.join(self.path, d)
+
+        payload = {
+            "version": 1,
+            "mode": "overwrite",
+            "dirs": [_abs(d) for d in m["dirs"]],
+            **_carried_props(m),
+            "meta": {"cloned_from": self.path, "clone_source_version": v},
+        }
+        if m.get("schema") is not None:
+            payload["schema"] = m["schema"]
+        if m.get("stats"):
+            payload["stats"] = {_abs(k): s for k, s in m["stats"].items()}
+        if m.get("dv"):
+            payload["dv"] = {
+                _abs(d): [_abs(n) for n in names]
+                for d, names in m["dv"].items()
+            }
+        os.makedirs(dest.path, exist_ok=True)
+        dest._publish_manifest(payload, 1, [])
+        return dest
+
     def tag(self, name: str, version: int | None = None) -> int:
         """Pin ``version`` (default: current) under an immutable name —
         the reproducibility handle a training pipeline wants ("the

@@ -2102,3 +2102,123 @@ def test_diff_prunes_common_dirs_and_handles_dv_and_evolution(
     assert rev == {(i, "removed") for i in range(6, 12)} | {
         (i, "added") for i in (1, 2)
     }
+
+
+# --- shallow clone (clone_to) ---
+
+
+def test_clone_reads_source_state_and_diverges_independently(spark, tmp_path):
+    src = TransactionalTable(str(tmp_path / "src"))
+    src.commit(spark.range(0, 6), stats_cols=["id"])
+    src.commit(spark.range(6, 10), mode="append", stats_cols=["id"])
+    clone = src.clone_to(str(tmp_path / "dst"))
+    assert _ids(clone.read(spark)) == list(range(10))
+    # Divergence is two-way invisible.
+    clone.commit(spark.range(100, 103), mode="append")
+    src.commit(spark.range(200, 201), mode="append")
+    assert _ids(clone.read(spark)) == list(range(10)) + [100, 101, 102]
+    assert _ids(src.read(spark)) == list(range(10)) + [200]
+    # Time travel inside the clone sees the inherited state as its v1.
+    assert _ids(clone.read(spark, 1)) == list(range(10))
+    # Cloning an older source version is pinned to that version.
+    old = src.clone_to(str(tmp_path / "dst_old"), version=1)
+    assert _ids(old.read(spark)) == list(range(6))
+
+
+def test_clone_carries_stats_dv_and_constraints(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    src = TransactionalTable(str(tmp_path / "src"))
+    src.commit(spark.range(0, 6), stats_cols=["id"], bloom_cols=["id"])
+    src.commit(
+        spark.range(6, 12), mode="append", stats_cols=["id"], bloom_cols=["id"]
+    )
+    src.add_constraint(spark, "id_nonneg", "id >= 0")
+    src.delete_where_dv(spark, "id", lo=2, hi=3)
+    clone = src.clone_to(str(tmp_path / "dst"))
+    # DV rides across the root boundary (row addresses are relative).
+    assert _ids(clone.read(spark)) == [0, 1, 4, 5] + list(range(6, 12))
+    # Range stats prune inherited dirs from the clone's reads.
+    kept, skipped = clone.pruned_dirs("id", lo=7, hi=8)
+    assert len(kept) == 1 and len(skipped) == 1
+    # Bloom bits survive the re-key: a point probe prunes too.
+    keptb, skippedb = clone.pruned_dirs_eq("id", 7)
+    assert len(keptb) == 1 and len(skippedb) == 1
+    # Constraints gate clone commits exactly as they did on the source.
+    with pytest.raises(ValueError, match="id_nonneg"):
+        clone.commit(
+            spark.range(0, 3).select((F.col("id") - 10).alias("id")),
+            mode="append",
+        )
+
+
+def test_clone_vacuum_never_touches_inherited_dirs(spark, tmp_path):
+    src = TransactionalTable(str(tmp_path / "src"))
+    src.commit(spark.range(0, 5), stats_cols=["id"])
+    clone = src.clone_to(str(tmp_path / "dst"))
+    clone.commit(spark.range(5, 8), mode="append")
+    clone.commit(spark.range(50, 52), mode="overwrite")
+    src_snaps = {
+        d for d in os.listdir(str(tmp_path / "src")) if d.startswith("snap-")
+    }
+    deleted = clone.vacuum(keep_versions=1, grace_seconds=0.0)
+    # The sweep walks the CLONE's root listing only, so the source's
+    # snap dirs are structurally out of reach.
+    assert deleted, "the clone's own dead snapshots should age out"
+    assert src_snaps == {
+        d for d in os.listdir(str(tmp_path / "src")) if d.startswith("snap-")
+    }
+    assert _ids(src.read(spark)) == list(range(5))
+
+
+def test_clone_breaks_if_source_vacuums_unpinned_and_tag_prevents_it(
+    spark, tmp_path
+):
+    # The documented shallow-clone retention caveat, both halves.
+    src = TransactionalTable(str(tmp_path / "src"))
+    src.commit(spark.range(0, 5))
+    src.tag("for_clone")  # pin BEFORE cloning: the sound pattern
+    pinned = src.clone_to(str(tmp_path / "pinned"))
+    src.commit(spark.range(10, 12), mode="overwrite")
+    src.vacuum(keep_versions=1, grace_seconds=0.0)
+    # Tagged version's dirs survive retention → the clone still reads.
+    assert _ids(pinned.read(spark)) == list(range(5))
+    # Now the unpinned half: drop the tag, vacuum again → clone breaks.
+    src.drop_tag("for_clone")
+    deleted = src.vacuum(keep_versions=1, grace_seconds=0.0)
+    assert deleted, "the cloned dirs should now age out"
+    with pytest.raises(Exception):
+        pinned.read(spark).collect()
+
+
+def test_clone_localizes_via_compact(spark, tmp_path):
+    src = TransactionalTable(str(tmp_path / "src"))
+    src.commit(spark.range(0, 7), stats_cols=["id"])
+    clone = src.clone_to(str(tmp_path / "dst"))
+    clone.compact(spark)
+    m = clone._manifest(clone.current_version())
+    assert all(not os.path.isabs(d) for d in m["dirs"]), m["dirs"]
+    # After localization the source can vacuum freely.
+    src.commit(spark.range(10, 11), mode="overwrite")
+    src.vacuum(keep_versions=1, grace_seconds=0.0)
+    assert _ids(clone.read(spark)) == list(range(7))
+
+
+def test_clone_guards(spark, tmp_path):
+    src = TransactionalTable(str(tmp_path / "src"))
+    with pytest.raises(ValueError, match="no commits"):
+        src.clone_to(str(tmp_path / "dst"))
+    src.commit_partitioned(
+        spark, spark.range(0, 8).selectExpr("id", "id % 2 AS p"), "p"
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        src.clone_to(str(tmp_path / "dst"))
+    flat = TransactionalTable(str(tmp_path / "flat"))
+    flat.commit(spark.range(0, 3))
+    dst = flat.clone_to(str(tmp_path / "dst2"))
+    with pytest.raises(ValueError, match="not empty"):
+        flat.clone_to(str(tmp_path / "dst2"))
+    # Clone-of-a-clone chains keep resolving (absolute stays absolute).
+    dst.commit(spark.range(3, 5), mode="append")
+    dd = dst.clone_to(str(tmp_path / "dst3"))
+    assert _ids(dd.read(spark)) == list(range(5))
