@@ -172,6 +172,49 @@ def merge_postings_colocated(base: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
+def delete_from_postings(base: DataFrame, deleted_postings: DataFrame) -> DataFrame:
+    """Incremental index DOWNDATE: remove a batch of deleted documents
+    from a postings relation WITHOUT re-scanning the surviving corpus —
+    the GDPR-erasure / retention-expiry shape. Contract (the oracle of
+    ``q_postings_unmerge`` is the full rebuild over survivors):
+
+        delete(build(A ∪ B), B) ≡ build(A)
+
+    The touched-term set is derived from the DELETED documents' own
+    text — build postings over the delete batch exactly as ingest would
+    (``build_postings``), then one left join on term: untouched terms
+    pass through with their arrays unread; touched terms get
+    ``array_except`` (order-preserving on the already-sorted base
+    arrays) and df re-derived; terms whose posting sets empty out drop
+    from the index entirely. Cost is O(|index| passthrough + |terms in
+    deleted docs| array work) with ONE shuffle on term — and zero
+    exchanges when the maintained index and the delta are both
+    bucketed by term, same as ``merge_postings_colocated`` (the
+    ``merge`` hint pins SMJ for the same reason documented there).
+
+    Reference parity: the reference (src/functions.cpp:146-162) only
+    builds the index batch-fresh; downdate is what its pipeline would
+    need the moment a source file is retracted.
+    """
+    delta = deleted_postings.select("term", F.col("doc_ids").alias("_gone"))
+    joined = base.hint("merge").join(delta, "term", "left")
+    return (
+        joined.select(
+            "term",
+            F.when(F.col("_gone").isNull(), F.col("doc_ids"))
+            .otherwise(F.array_except("doc_ids", "_gone"))
+            .alias("doc_ids"),
+        )
+        .filter(F.size("doc_ids") > 0)
+        .select(
+            "term",
+            F.substring("term", 1, 1).alias("letter"),
+            "doc_ids",
+            F.size("doc_ids").cast("bigint").alias("df"),
+        )
+    )
+
+
 def letter_histogram(postings: DataFrame) -> DataFrame:
     """letter → number of distinct terms (P1 as a query)."""
     return postings.groupBy("letter").agg(
