@@ -66,6 +66,7 @@ HEADLINE = [
     "q_curation_pipeline",  # LLM pipeline: 4-stage curation composite
     "q_cosine_topk",       # LLM pipeline: similarity search
     "q_ann_ivf",           # LLM pipeline: IVF-pruned ANN
+    "q_ann_filtered_ivf",  # filtered ANN: predicate ∩ probed cells + fallback
     "q_top_orders",        # TPC-H Q3 shape: join-agg top-k
     "q_multi_rollup",      # hierarchical time rollup (minute->hour->day)
     "q_repetition",        # LLM pipeline: intra-doc repetition gate
@@ -89,6 +90,7 @@ HEADLINE = [
     "q_bpe_train",         # full greedy BPE train (3 merge rounds, one lazy plan)
     "q_semantic_dedup",    # SemDeDup: trained clusters + within-cell prune
     "q_postings_compress",  # delta+varint posting encode (Arrow, narrow)
+    "q_postings_unmerge",  # incremental index downdate (GDPR retraction)
     "q_weighted_sample",   # ticket-replication weighted sample (1 exchange)
     "q_product_profit",    # TPC-H Q9 shape: profit rollup, 5-table join
     "q_dsir_weights",      # DSIR importance weights (hashed-bigram models)
@@ -153,6 +155,7 @@ HEADLINE = [
     "q_table_mv_join",     # join IVM: delta-join refresh from two logs
     "q_table_retention",   # partition-aligned expiry: drop interior days
     "q_table_diff",        # version diff, common dirs pruned exactly
+    "q_table_clone",       # shallow clone: zero-copy fork + divergence
 ]
 
 # The graph-ANN family is benched build/probe SPLIT (round-7 verdict

@@ -256,6 +256,85 @@ def q_postings_merge(spark, sf_dir):
 
 
 @register(
+    "q_postings_unmerge",
+    f"""WITH pairs AS ({SQL_PAIRS}),
+         surv AS (SELECT doc_id, term FROM pairs WHERE doc_id % 7 <> 3)
+       SELECT term,
+              substr(term, 1, 1) AS letter,
+              array_to_string(list_sort(list(doc_id)), ' ') AS doc_ids,
+              CAST(count(doc_id) AS BIGINT) AS df
+       FROM surv GROUP BY term""",
+)
+def q_postings_unmerge(spark, sf_dir):
+    """Incremental index DOWNDATE (operators/index.delete_from_postings):
+    build the full index, then retract every 7th document (the GDPR/
+    retention shape) by building postings over the DELETED batch only
+    and array-subtracting them from the maintained index — never
+    re-scanning the surviving corpus. delete(build(A∪B), B) ≡ build(A),
+    which is exactly the oracle: a full rebuild over the survivors.
+    Terms whose posting sets empty out drop from the index (value-
+    checked — a leftover (term, []) row would hash-mismatch). Array
+    serialized to a string for the pandas canonicalizer (see
+    q_postings)."""
+    docs = _docs(spark, sf_dir)
+    base = ix.build_postings(docs, salt_buckets=16)
+    gone = ix.build_postings(
+        docs.filter(F.col("doc_id") % 7 == 3), salt_buckets=16
+    )
+    return ix.delete_from_postings(base, gone).select(
+        "term",
+        "letter",
+        F.concat_ws(" ", "doc_ids").alias("doc_ids"),
+        "df",
+    )
+
+
+@register(
+    "q_index_cdc",
+    f"""WITH pairs AS ({SQL_PAIRS}),
+         surv AS (SELECT doc_id, term FROM pairs
+                  WHERE (doc_id % 2 = 0 AND doc_id % 3 <> 0)
+                     OR doc_id % 2 = 1)
+       SELECT term,
+              substr(term, 1, 1) AS letter,
+              array_to_string(list_sort(list(doc_id)), ' ') AS doc_ids,
+              CAST(count(doc_id) AS BIGINT) AS df
+       FROM surv GROUP BY term""",
+)
+def q_index_cdc(spark, sf_dir):
+    """CDC-driven index maintenance — one round of upstream change
+    capture applied to a maintained postings state: the batch DELETES
+    some existing documents (downdate, operators/index.
+    delete_from_postings) and INSERTS new ones (merge, merge_postings),
+    composed as merge(delete(base, gone), build(added)). The oracle is
+    the full rebuild over the final document set — the maintained index
+    must be indistinguishable from a from-scratch build, which is the
+    invariant that lets a 100 TB index absorb upstream churn without
+    ever re-scanning the surviving corpus. Both halves are term-keyed
+    joins/aggregations: zero-exchange when the state is bucketed by
+    term (tests/test_bucketing.py pins the plan)."""
+    docs = _docs(spark, sf_dir)
+    base = ix.build_postings(
+        docs.filter(F.col("doc_id") % 2 == 0), salt_buckets=16
+    )
+    gone = ix.build_postings(
+        docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 3 == 0)),
+        salt_buckets=16,
+    )
+    added = ix.build_postings(
+        docs.filter(F.col("doc_id") % 2 == 1), salt_buckets=16
+    )
+    return ix.merge_postings(
+        ix.delete_from_postings(base, gone), added
+    ).select(
+        "term",
+        "letter",
+        F.concat_ws(" ", "doc_ids").alias("doc_ids"),
+        "df",
+    )
+
+
+@register(
     "q_postings_gaps",
     f"""WITH p AS ({SQL_POSTINGS}),
          g AS (SELECT term, df,
@@ -1486,6 +1565,94 @@ def q_ann_multiprobe(spark, sf_dir):
     return sim.ivf_topk(
         _t(spark, sf_dir, "embeddings"),
         PROBE_VEC_ID,
+        k=5,
+        n_centroids=8,
+        n_probe_cells=2,
+    )
+
+
+FILTER_LABEL = 3
+
+SQL_EMB_L = (
+    "SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v, label"
+    " FROM embeddings"
+)
+
+
+@register(
+    "q_ann_filtered",
+    f"""WITH e AS ({SQL_EMB_L}),
+         p AS (SELECT v AS pv FROM e WHERE vec_id = {PROBE_VEC_ID}),
+         scored AS (SELECT e.vec_id,
+                           ROUND({SQL_COS.format(a='e.v', b='p.pv')}, 6) AS cos_sim
+                    FROM e, p
+                    WHERE e.label = {FILTER_LABEL} AND e.vec_id <> {PROBE_VEC_ID})
+       SELECT vec_id, cos_sim,
+              CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rn
+       FROM scored QUALIFY rn <= 10""",
+)
+def q_ann_filtered(spark, sf_dir):
+    """FILTERED vector search, exact tier (operators/similarity.py::
+    filtered_topk): cosine top-10 among vectors with label=3 only —
+    predicate AND nearest, the production serving shape (post-filtering
+    a plain top-k can return < k matches; pre-filtering guarantees
+    min(k, |matches|)). The predicate is a pushed-down Catalyst filter,
+    so at scale it prunes partitions before any vector math runs."""
+    return sim.filtered_topk(
+        _t(spark, sf_dir, "embeddings"), PROBE_VEC_ID, label=FILTER_LABEL, k=10
+    )
+
+
+@register(
+    "q_ann_filtered_ivf",
+    f"""WITH e AS ({SQL_EMB_L}),
+         c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+         d AS (SELECT e.vec_id, c.centroid_id,
+                      ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+                                                    z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2
+               FROM e, c),
+         assign AS (SELECT vec_id, centroid_id AS cell
+                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY d2 ASC, centroid_id ASC) AS rn
+                          FROM d)
+                    WHERE rn = 1),
+         pc AS (SELECT centroid_id AS probe_cell
+                FROM (SELECT centroid_id, d2,
+                             row_number() OVER (ORDER BY d2 ASC, centroid_id ASC) AS rn
+                      FROM d WHERE vec_id = {PROBE_VEC_ID})
+                WHERE rn <= 2),
+         filt AS (SELECT vec_id, v FROM e
+                  WHERE label = {FILTER_LABEL} AND vec_id <> {PROBE_VEC_ID}),
+         cand AS (SELECT f.vec_id, f.v
+                  FROM filt f JOIN assign a ON f.vec_id = a.vec_id
+                  WHERE a.cell IN (SELECT probe_cell FROM pc)),
+         n AS (SELECT COUNT(*) AS n_cand FROM cand),
+         base AS (SELECT vec_id, v FROM cand WHERE (SELECT n_cand FROM n) >= 5
+                  UNION ALL
+                  SELECT vec_id, v FROM filt WHERE (SELECT n_cand FROM n) < 5),
+         p AS (SELECT v AS pv FROM e WHERE vec_id = {PROBE_VEC_ID}),
+         scored AS (SELECT b.vec_id,
+                           ROUND({SQL_COS.format(a='b.v', b='p.pv')}, 6) AS cos_sim
+                    FROM base b, p)
+       SELECT vec_id, cos_sim,
+              CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rn,
+              CAST((SELECT n_cand FROM n) AS BIGINT) AS n_cand,
+              (SELECT n_cand FROM n) < 5 AS fallback
+       FROM scored QUALIFY rn <= 5""",
+)
+def q_ann_filtered_ivf(spark, sf_dir):
+    """FILTERED ANN, IVF tier (operators/similarity.py::
+    ivf_filtered_topk): candidates = (2 probed cells ∩ label=3); if the
+    intersection holds < k vectors the search provably cannot fill its
+    result from the index and WIDENS to an exact scan of the filtered
+    slice — the selective-filter starvation answer, decided by one
+    bounded count and replayed bit-for-bit by the oracle's gated UNION.
+    The output carries its own evidence (n_cand + fallback columns are
+    value-checked)."""
+    return sim.ivf_filtered_topk(
+        _t(spark, sf_dir, "embeddings"),
+        PROBE_VEC_ID,
+        label=FILTER_LABEL,
         k=5,
         n_centroids=8,
         n_probe_cells=2,
@@ -11005,6 +11172,78 @@ def q_table_delete_dv(spark, sf_dir):
 
 
 @register(
+    "q_table_clone",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 3 AS BIGINT) AS b1,
+                         CAST((2 * count(*)) // 3 AS BIGINT) AS b2
+                  FROM documents),
+            p AS (SELECT b1 // 2 AS plo, b1 - 1 AS phi, b1 // 4 AS a FROM b),
+            surv AS (SELECT CAST(count(*) AS BIGINT) AS c,
+                            CAST(sum(n_chars) AS BIGINT) AS ch
+                     FROM documents, p
+                     WHERE doc_id NOT BETWEEN p.plo AND p.phi),
+            app AS (SELECT CAST(count(*) AS BIGINT) AS c,
+                           CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS ch
+                    FROM documents, p WHERE doc_id < p.a)
+       SELECT (SELECT c FROM surv) + (SELECT c FROM app) AS clone_rows,
+              (SELECT ch FROM surv) + (SELECT ch FROM app) AS clone_chars,
+              (SELECT c FROM surv) AS clone_v1_rows,
+              (SELECT c FROM surv) + 5 AS src_head_rows,
+              CAST(1 AS BIGINT) AS n_dirs_scanned,
+              CAST(4 AS BIGINT) AS n_dirs""",
+)
+def q_table_clone(spark, sf_dir):
+    """SHALLOW CLONE of the transactional table
+    (sources/transact.py::clone_to): three stats-backed snapshot
+    appends + a deletion-vector delete, then CLONE — one manifest
+    write, ZERO data bytes copied (cloning a 100 TB table is a
+    metadata op) — and both sides diverge: the clone appends a batch
+    under its own root, the source appends a different batch after
+    the clone. The query proves the full contract in values: the
+    clone sees (survivors + its own append) and NOT the source's
+    post-clone commit; time travel to clone v1 shows the inherited
+    state with the source's deletion vector still applied (DV row
+    addresses are root-independent); a range probe on the clone
+    still PRUNES across inherited dirs (re-keyed stats), scanning 1
+    of 4. Oracle replays survivors/append/divergence as range
+    arithmetic and the prune as the fixed interval decision.
+    Reference has no table layer (src/functions.cpp:146-162)."""
+    import shutil
+    import tempfile
+
+    docs, table, n, b1, b2 = _three_slice_table(
+        spark, sf_dir, "mri_txn_clonesrc_"
+    )
+    plo, phi = b1 // 2, b1 - 1
+    table.delete_where_dv(spark, "doc_id", lo=plo, hi=phi)
+    clone = table.clone_to(tempfile.mkdtemp(prefix="mri_txn_clonedst_"))
+    a = b1 // 4
+    clone.commit(
+        docs.filter(F.col("doc_id") < a), mode="append", stats_cols=["doc_id"]
+    )
+    # Post-clone divergence on the SOURCE: invisible to the clone.
+    table.commit(docs.filter(F.col("doc_id") < 5), mode="append")
+    kept, skipped = clone.pruned_dirs("doc_id", lo=b1, hi=b2 - 1)
+    clone_v1_rows = clone.read(spark, 1).count()
+    src_head_rows = table.read(spark).count()
+    out = (
+        clone.read(spark)
+        .agg(
+            F.count("*").cast("bigint").alias("clone_rows"),
+            F.sum("n_chars").cast("bigint").alias("clone_chars"),
+            F.lit(clone_v1_rows).cast("bigint").alias("clone_v1_rows"),
+            F.lit(src_head_rows).cast("bigint").alias("src_head_rows"),
+            F.lit(len(kept)).cast("bigint").alias("n_dirs_scanned"),
+            F.lit(len(kept) + len(skipped)).cast("bigint").alias("n_dirs"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(clone.path, ignore_errors=True)
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_wap",
     """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
                          CAST(count(*) // 3 AS BIGINT) AS b1
@@ -11507,14 +11746,20 @@ _CHECK_PRIORITY = [
     "q_hll_stream",
     "q_knn_stream",
     "q_hnsw_stream",
+    # -- born mid-round (third session): filtered vector search (exact
+    # tier + IVF tier with the sound exact-scan fallback), shallow table
+    # clone, incremental index downdate, and CDC index maintenance (the
+    # born-op rule took the q_anti_join / q_project / q_distinct_counts /
+    # q_events_sliding / q_funnel spine re-green slots; all five
+    # swap-outs stay locally verified by test_oracle_parity)
+    "q_ann_filtered",
+    "q_ann_filtered_ivf",
+    "q_table_clone",
+    "q_postings_unmerge",
+    "q_index_cdc",
     # -- spine re-greens: last driver row r2
-    "q_anti_join",
     "q_approx_distinct_parts",
-    "q_distinct_counts",
-    "q_events_sliding",
-    "q_funnel",
     "q_phrase_search",
-    "q_project",
     "q_rank_terms_per_letter",
     # -- born mid-round: hidden partitioning + partition evolution +
     # bucket layout, the index served through the bucket layout, and
