@@ -1628,6 +1628,29 @@ def _graph_beam_walk(
     first: bounded by |probes| x ef per hop (the beam width), a
     metadata-plane fetch in the same class as the table tier's commit
     scalars — never corpus-sized."""
+    visited = _graph_beam_visited(edges, probes, seeds, ef, hops)
+    w_beam = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        visited.filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("rn", F.row_number().over(w_beam).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "vec_id", "cos_sim", "rn")
+    )
+
+
+def _graph_beam_visited(
+    edges,
+    probes: DataFrame,
+    seeds: DataFrame,
+    ef: int,
+    hops: int,
+) -> DataFrame:
+    """The hop loop itself, returning the full VISITED relation
+    (probe_id, vec_id, cos_sim, expanded) after ``hops`` rounds —
+    factored out so filtered search can re-rank the visited set under
+    a predicate instead of taking the plain top-k."""
     from mapreduceindexer_spark.functions.vector import dot
 
     visited = (
@@ -1697,11 +1720,161 @@ def _graph_beam_walk(
             )
             .localCheckpoint()
         )
+    return visited
+
+
+def ann_graph_search_filtered(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    label: int,
+    k: int = 5,
+    ef: int = 8,
+    hops: int = 4,
+    k_edges: int = 3,
+    n_centroids: int = 8,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """FILTERED graph-ANN: the standard filtered-HNSW strategy — the
+    WALK routes through non-matching nodes unfiltered (filtering the
+    routing graph fragments it and strands the beam; every production
+    graph index routes-then-filters), and the PREDICATE applies at the
+    final ranking. Per-probe soundness dial, same contract as
+    ``ivf_filtered_topk``: a probe whose visited ∩ predicate set holds
+    fewer than ``k`` nodes provably cannot fill its result from the
+    walk, so THAT probe (and only that probe) widens to an exact scan
+    of the filtered slice — the decision is a per-probe relational
+    count (no driver collect), and the output carries its evidence
+    (``n_cand``, ``fallback`` per probe, value-checked by the oracle's
+    per-probe gated union).
+
+    Scale: the walk is the ordinary bounded beam (|probes| × ef ×
+    out-degree per hop); the filter join touches only the visited set;
+    the fallback's exact scan is the filtered slice for the starved
+    probes only, never the corpus for every probe.
+    """
+    from mapreduceindexer_spark.functions.vector import l2_norm
+
+    if edges is None:
+        edges = nsw_graph_edges(embeddings, k_edges, n_centroids).localCheckpoint()
+    probes = (
+        embeddings.filter(F.col("vec_id").isin(list(probe_ids)))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pv"),
+            l2_norm("embedding").alias("pnrm"),
+        )
+        .localCheckpoint()
+    )
+    seed_entry = _entry_seed(embeddings, probes)
+    seed_self = probes.select(
+        "probe_id",
+        F.col("probe_id").alias("vec_id"),
+        F.lit(1.0).alias("cos_sim"),
+        F.lit(False).alias("expanded"),
+    )
+    visited = _graph_beam_visited(
+        edges, probes, seed_entry.unionAll(seed_self), ef, hops
+    )
+    return _filtered_visited_rank(embeddings, probes, visited, label, k)
+
+
+def ann_graph_search_vectors_filtered(
+    embeddings: DataFrame,
+    query_vectors: DataFrame,
+    label: int,
+    k: int = 5,
+    ef: int = 8,
+    hops: int = 4,
+    k_edges: int = 3,
+    n_centroids: int = 8,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """FILTERED search on the SERVING path: external query vectors (not
+    corpus nodes) + a metadata predicate + the per-probe sound fallback
+    — the full production picture in one operator: "the k nearest
+    label-L documents to this fresh embedding". Entry-only seeding
+    (external queries have no self node, as in
+    ``ann_graph_search_vectors``); routing unfiltered; the predicate
+    and the starvation gate apply at ranking, per probe, relationally
+    (``_filtered_visited_rank``). ``edges`` accepts the same callable
+    form as the walk (persisted-index point reads), so this composes
+    with ``persist_graph_index`` unchanged."""
+    from mapreduceindexer_spark.functions.vector import l2_norm
+
+    if edges is None:
+        edges = nsw_graph_edges(embeddings, k_edges, n_centroids).localCheckpoint()
+    probes = query_vectors.select(
+        "probe_id",
+        F.col("qv").alias("pv"),
+        l2_norm("qv").alias("pnrm"),
+    ).localCheckpoint()
+    visited = _graph_beam_visited(
+        edges, probes, _entry_seed(embeddings, probes), ef, hops
+    )
+    return _filtered_visited_rank(embeddings, probes, visited, label, k)
+
+
+def _filtered_visited_rank(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    visited: DataFrame,
+    label: int,
+    k: int,
+) -> DataFrame:
+    """Shared predicate-and-rank tail of the filtered graph searches:
+    restrict the visited set to the label, gate each probe on its own
+    candidate count (n_cand < k → that probe re-scores the exact
+    filtered slice), rank, and carry (n_cand, fallback) as
+    value-checked evidence. All relational — no driver collect."""
+    from mapreduceindexer_spark.functions.vector import cosine_similarity as _cos
+
+    lab = embeddings.select("vec_id", "label")
+    matches = (
+        visited.join(F.broadcast(lab.filter(F.col("label") == label)), "vec_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", "cos_sim")
+    ).localCheckpoint()  # feeds the count gate AND the ranked union
+    counts = (
+        probes.select("probe_id")
+        .join(
+            matches.groupBy("probe_id").agg(F.count("*").alias("n_cand")),
+            "probe_id",
+            "left",
+        )
+        .select(
+            "probe_id", F.coalesce("n_cand", F.lit(0)).cast("bigint").alias("n_cand")
+        )
+    ).localCheckpoint()  # gates both union branches
+    graph_side = matches.join(
+        F.broadcast(counts.filter(F.col("n_cand") >= k)), "probe_id"
+    )
+    starved = counts.filter(F.col("n_cand") < k)
+    exact_side = (
+        embeddings.filter(F.col("label") == label)
+        .crossJoin(F.broadcast(probes.join(starved, "probe_id")))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(_cos("embedding", "pv"), 6).alias("cos_sim"),
+            "n_cand",
+        )
+    )
+    w_beam = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
     return (
-        visited.filter(F.col("vec_id") != F.col("probe_id"))
+        graph_side.unionByName(exact_side)
         .withColumn("rn", F.row_number().over(w_beam).cast("bigint"))
         .filter(F.col("rn") <= k)
-        .select("probe_id", "vec_id", "cos_sim", "rn")
+        .select(
+            "probe_id",
+            "vec_id",
+            "cos_sim",
+            "rn",
+            "n_cand",
+            (F.col("n_cand") < k).alias("fallback"),
+        )
     )
 
 

@@ -107,3 +107,84 @@ def test_filtered_predicate_pushes_to_parquet_scan(spark):
     )
     pf = " ".join(pushed_filters(df))
     assert "label" in pf, pf
+
+
+def test_graph_filtered_matches_predicate_and_per_probe_counts(emb):
+    out = sim.ann_graph_search_filtered(
+        emb, probe_ids=[0, 7], label=2, k=2, ef=8, hops=4,
+        k_edges=3, n_centroids=4,
+    ).collect()
+    label_of = {r.vec_id: r.label for r in emb.collect()}
+    assert all(label_of[r.vec_id] == 2 for r in out)
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert set(by_probe) == {0, 7}
+    for rows in by_probe.values():
+        assert sorted(r.rn for r in rows) == [1, 2]
+        # n_cand/fallback are constant per probe.
+        assert len({(r.n_cand, r.fallback) for r in rows}) == 1
+
+
+def test_graph_filtered_starved_probe_falls_back_to_exact(emb):
+    # k above anything a 4-hop walk's visited ∩ label can hold → every
+    # probe widens, and the result equals the exact filtered top-k.
+    k = 11  # |label=2| = 12, minus the probe where it matches
+    out = sim.ann_graph_search_filtered(
+        emb, probe_ids=[0], label=2, k=k, ef=2, hops=1,
+        k_edges=3, n_centroids=4,
+    ).collect()
+    assert out and all(r.fallback is True for r in out)
+    exact = sim.filtered_topk(emb, probe_id=0, label=2, k=k).collect()
+    assert [(r.vec_id, r.cos_sim, r.rn) for r in sorted(out, key=lambda r: r.rn)] == [
+        (r.vec_id, r.cos_sim, r.rn) for r in exact
+    ]
+
+
+def test_graph_filtered_mixed_probes_gate_independently(emb):
+    # A tiny walk starves some probes but not others; each decides alone.
+    out = sim.ann_graph_search_filtered(
+        emb, probe_ids=[0, 7, 13], label=2, k=3, ef=2, hops=2,
+        k_edges=3, n_centroids=4,
+    ).collect()
+    flags = {}
+    for r in out:
+        flags.setdefault(r.probe_id, set()).add((r.fallback, r.n_cand))
+    for probe, fs in flags.items():
+        assert len(fs) == 1, (probe, fs)
+        (fb, n_cand), = fs
+        assert fb == (n_cand < 3)
+
+
+def test_external_filtered_serving_matches_predicate_and_gates(spark, emb):
+    qv = spark.createDataFrame(
+        [(9000, [0.5, -0.2, 0.8, 0.1]), (9001, [-0.9, 0.4, 0.0, 0.3])],
+        "probe_id: bigint, qv: array<float>",
+    )
+    out = sim.ann_graph_search_vectors_filtered(
+        emb, qv, label=2, k=3, ef=4, hops=3, k_edges=3, n_centroids=4
+    ).collect()
+    label_of = {r.vec_id: r.label for r in emb.collect()}
+    assert all(label_of[r.vec_id] == 2 for r in out)
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert set(by_probe) == {9000, 9001}
+    for rows in by_probe.values():
+        assert sorted(r.rn for r in rows) == [1, 2, 3]
+        (gate,) = {(r.n_cand, r.fallback) for r in rows}
+        assert gate[1] == (gate[0] < 3)
+        if gate[1]:  # a starved external probe equals the exact slice
+            got = [(r.vec_id, r.cos_sim) for r in sorted(rows, key=lambda r: r.rn)]
+            from pyspark.sql import functions as F
+            from mapreduceindexer_spark.functions.vector import cosine_similarity
+            pv = qv.filter(F.col("probe_id") == rows[0].probe_id).select(
+                F.col("qv").alias("pv")
+            )
+            exact = (
+                emb.filter(F.col("label") == 2)
+                .crossJoin(F.broadcast(pv))
+                .select("vec_id", F.round(cosine_similarity("embedding", "pv"), 6).alias("c"))
+                .orderBy(F.desc("c"), F.asc("vec_id")).limit(3).collect()
+            )
+            assert got == [(r.vec_id, r.c) for r in exact]
