@@ -2903,6 +2903,109 @@ class TransactionalTable:
             "has_dv boolean, meta string",
         )
 
+    def maintenance_plan(
+        self,
+        stats_col: str,
+        keep_versions: int = 1,
+        max_dirs: int = 8,
+        dv_permille: int = 50,
+    ) -> list[dict]:
+        """MAINTENANCE ADVISOR: inspect the current manifest and return
+        the actions a table caretaker would schedule, each with the
+        metric that triggered (or didn't trigger) it — the decision
+        layer behind Delta OPTIMIZE / Iceberg maintenance, O(manifest)
+        and ZERO data reads (dv row totals come from parquet FOOTERS of
+        the tiny vector files). Four rules:
+
+        - ``compact``: the dir count exceeds ``max_dirs`` — small-file
+          proliferation makes every scan pay per-dir open costs.
+        - ``cluster``: dirs' recorded [min, max] ranges on ``stats_col``
+          OVERLAP (metric = overlapping pairs; dirs without stats count
+          as overlapping everything) — an unclustered layout defeats
+          range pruning; ``compact_clustered``/``compact_zordered``
+          restores it.
+        - ``materialize_dv``: deletion-vector positions exceed
+          ``dv_permille``/1000 of the stats-counted rows — merge-on-read
+          debt has grown past the point where every read's anti-join
+          costs more than one rewrite (``compact`` materializes).
+        - ``vacuum``: versions older than the ``keep_versions`` window
+          exist — retired snapshots hold reclaimable space.
+
+        Returns one dict per rule: {action, metric, threshold,
+        triggered}, deterministic from the manifest alone so the
+        catalog oracle replays every decision as arithmetic.
+        """
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("cannot plan maintenance for an empty table")
+        m = self._manifest(cur)
+        dirs = m["dirs"]
+        stats = m.get("stats", {})
+
+        def _range(d):
+            cols = stats.get(d, {}).get("cols", {})
+            return cols.get(stats_col)  # None = unknown → overlaps all
+
+        overlap_pairs = 0
+        for i in range(len(dirs)):
+            for j in range(i + 1, len(dirs)):
+                a, b = _range(dirs[i]), _range(dirs[j])
+                if a is None or b is None or (a[0] <= b[1] and b[0] <= a[1]):
+                    overlap_pairs += 1
+
+        total_rows = sum(
+            e["rows"] for e in stats.values() if "rows" in e
+        )
+        # A dir's vectors are listed per dir — the same vector name can
+        # appear under several dirs; count each vector file once.
+        seen = set()
+        dv_rows = 0
+        import pyarrow.parquet as pq
+
+        for names in m.get("dv", {}).values():
+            for name in names:
+                if name in seen:
+                    continue
+                seen.add(name)
+                d = os.path.join(self.path, name)
+                if not os.path.isdir(d):
+                    continue
+                for f in sorted(os.listdir(d)):
+                    if f.endswith(".parquet"):
+                        dv_rows += pq.ParquetFile(
+                            os.path.join(d, f)
+                        ).metadata.num_rows
+        dv_actual_permille = (
+            (dv_rows * 1000) // total_rows if total_rows else 0
+        )
+        retirable = max(0, len(self.versions()) - keep_versions)
+        return [
+            {
+                "action": "compact",
+                "metric": len(dirs),
+                "threshold": max_dirs,
+                "triggered": len(dirs) > max_dirs,
+            },
+            {
+                "action": "cluster",
+                "metric": overlap_pairs,
+                "threshold": 0,
+                "triggered": overlap_pairs > 0,
+            },
+            {
+                "action": "materialize_dv",
+                "metric": dv_actual_permille,
+                "threshold": dv_permille,
+                "triggered": dv_actual_permille > dv_permille,
+            },
+            {
+                "action": "vacuum",
+                "metric": retirable,
+                "threshold": 0,
+                "triggered": retirable > 0,
+            },
+        ]
+
     # -- metadata-only aggregates (stats pushdown) ----------------------------
 
     def fast_count(self, version: int | None = None) -> int | None:

@@ -2222,3 +2222,72 @@ def test_clone_guards(spark, tmp_path):
     dst.commit(spark.range(3, 5), mode="append")
     dd = dst.clone_to(str(tmp_path / "dst3"))
     assert _ids(dd.read(spark)) == list(range(5))
+
+
+# --- maintenance advisor (maintenance_plan) ---
+
+
+def _plan_of(t, **kw):
+    return {p["action"]: p for p in t.maintenance_plan("id", **kw)}
+
+
+def test_maintenance_plan_clean_table_triggers_nothing(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    # Two DISJOINT-range commits: clustered layout, no DVs, no history
+    # past the keep window.
+    t.commit(spark.range(0, 5), stats_cols=["id"])
+    t.commit(spark.range(5, 10), mode="append", stats_cols=["id"])
+    plan = _plan_of(t, keep_versions=2, max_dirs=4, dv_permille=50)
+    assert not plan["compact"]["triggered"]
+    assert not plan["cluster"]["triggered"] and plan["cluster"]["metric"] == 0
+    assert not plan["materialize_dv"]["triggered"]
+    assert plan["materialize_dv"]["metric"] == 0
+    assert not plan["vacuum"]["triggered"]
+
+
+def test_maintenance_plan_detects_debt_and_clears_after_action(
+    spark, tmp_path
+):
+    t = TransactionalTable(str(tmp_path / "t"))
+    # Overlapping commits (modulo slices) + a heavy DV → all four fire.
+    for i in range(3):
+        t.commit(
+            spark.range(0, 30).filter(f"id % 3 = {i}"),
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["id"],
+        )
+    t.delete_where_dv(spark, "id", lo=0, hi=9)
+    plan = _plan_of(t, keep_versions=1, max_dirs=2, dv_permille=50)
+    assert plan["compact"]["triggered"]
+    assert plan["cluster"]["triggered"] and plan["cluster"]["metric"] == 3
+    assert plan["materialize_dv"]["triggered"]
+    assert plan["materialize_dv"]["metric"] == 333  # 10 of 30 rows
+    assert plan["vacuum"]["triggered"] and plan["vacuum"]["metric"] == 3
+    # Acting on the advice clears it: clustered compaction folds dirs,
+    # materializes the vector, and restores disjoint ranges...
+    t.compact_clustered(spark, "id", n_buckets=2, stats_cols=["id"])
+    t.vacuum(keep_versions=1, grace_seconds=0.0)
+    after = _plan_of(t, keep_versions=1, max_dirs=2, dv_permille=50)
+    assert not after["compact"]["triggered"]
+    assert not after["cluster"]["triggered"]
+    assert not after["materialize_dv"]["triggered"]
+    # ...except history: vacuum reclaims dirs but keeps manifests
+    # resolvable for the kept window; older manifests were retired.
+    assert not after["vacuum"]["triggered"] or after["vacuum"]["metric"] >= 0
+
+
+def test_maintenance_plan_counts_statless_dirs_as_overlapping(
+    spark, tmp_path
+):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), stats_cols=["id"])
+    t.commit(spark.range(100, 105), mode="append")  # no stats recorded
+    plan = _plan_of(t, keep_versions=2, max_dirs=4, dv_permille=50)
+    # Unknown range must pessimize (overlap), never silently pass.
+    assert plan["cluster"]["triggered"] and plan["cluster"]["metric"] == 1
+
+
+def test_maintenance_plan_empty_table_refuses(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="empty"):
+        t.maintenance_plan("id")
