@@ -156,6 +156,7 @@ HEADLINE = [
     "q_table_retention",   # partition-aligned expiry: drop interior days
     "q_table_diff",        # version diff, common dirs pruned exactly
     "q_table_clone",       # shallow clone: zero-copy fork + divergence
+    "q_table_maintenance",  # metadata-only maintenance advisor
 ]
 
 # The graph-ANN family is benched build/probe SPLIT (round-7 verdict
@@ -167,12 +168,14 @@ HEADLINE = [
 # staging, the measured runs are pure walk/audit).
 ANN_GRAPH_PROBES = [
     "q_ann_graph",         # NSW graph-ANN best-first beam search
+    "q_ann_graph_filtered",  # filtered graph-ANN, per-probe sound fallback
     "q_ann_graph_recall",  # graph-ANN recall@5 contract vs brute force
 ]
 ANN_HNSW_PROBES = [
     "q_ann_hnsw",          # HNSW: 3-layer hierarchical graph-ANN search
     "q_ann_hnsw_recall",   # HNSW recall@5 contract vs brute force
     "q_ann_external",      # serving path: external query vectors over HNSW
+    "q_ann_external_filtered",  # serving + predicate + per-probe fallback
     "q_ann_external_recall",  # serving-path recall@5 contract
     "q_ann_hnsw_scaled",   # HNSW with live production dials (broadcast)
     "q_ann_serving_table",  # serving walk over the PERSISTED table index

@@ -8253,6 +8253,54 @@ def q_ann_graph_recall(spark, sf_dir):
     )
 
 
+@register(
+    "q_ann_graph_filtered",
+    f"""{_SQL_NSW_WALK},
+ lab AS (SELECT vec_id, label FROM embeddings),
+ m AS (SELECT v.probe_id, v.vec_id, v.cos_sim
+       FROM v{_NSW_HOPS} v JOIN lab l ON l.vec_id = v.vec_id
+       WHERE l.label = {FILTER_LABEL} AND v.vec_id <> v.probe_id),
+ nc AS (SELECT p.probe_id,
+               CAST((SELECT count(*) FROM m
+                     WHERE m.probe_id = p.probe_id) AS BIGINT) AS n_cand
+        FROM probes p),
+ ex AS (SELECT p.probe_id, ev.vec_id,
+               ROUND({SQL_COS.format(a='ev.v', b='p.pv')}, 6) AS cos_sim
+        FROM probes p
+        JOIN e ev ON ev.vec_id <> p.probe_id
+        JOIN lab l ON l.vec_id = ev.vec_id
+        WHERE l.label = {FILTER_LABEL}),
+ base AS (SELECT m.probe_id, m.vec_id, m.cos_sim, nc.n_cand
+          FROM m JOIN nc USING (probe_id) WHERE nc.n_cand >= {_NSW_K}
+          UNION ALL
+          SELECT ex.probe_id, ex.vec_id, ex.cos_sim, nc.n_cand
+          FROM ex JOIN nc USING (probe_id) WHERE nc.n_cand < {_NSW_K})
+ SELECT probe_id, vec_id, cos_sim,
+        CAST(row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rn,
+        n_cand, n_cand < {_NSW_K} AS fallback
+ FROM base QUALIFY rn <= {_NSW_K}""",
+)
+def q_ann_graph_filtered(spark, sf_dir):
+    """FILTERED graph-ANN (operators/similarity.py::
+    ann_graph_search_filtered): the standard filtered-HNSW strategy —
+    the beam walk ROUTES through non-matching nodes unfiltered
+    (filtering the routing graph fragments it), and the label predicate
+    applies at the final ranking, with a PER-PROBE sound fallback: any
+    probe whose visited ∩ predicate set holds < k nodes widens to an
+    exact scan of the filtered slice (relational count gate, no driver
+    collect; n_cand + fallback are value-checked per probe). Completes
+    the filtered-search story across both index families (IVF:
+    q_ann_filtered_ivf)."""
+    return sim.ann_graph_search_filtered(
+        _t(spark, sf_dir, "embeddings"),
+        list(ANN_RECALL_PROBES),
+        label=FILTER_LABEL,
+        k=_NSW_K, ef=_NSW_EF, hops=_NSW_HOPS, k_edges=3, n_centroids=8,
+        edges=_nsw_edges_staged(spark, sf_dir),
+    )
+
+
 # --- HNSW: three-layer hierarchical edge set ------------------------------
 # Same base (assign/knn/hubs) as NSW, but the flat hub² mesh is replaced by
 # the hub hierarchy: coarse-quantized hubs with in-coarse-cell hub KNN +
@@ -8577,6 +8625,54 @@ def q_ann_external_recall(spark, sf_dir):
         emb, qv, k=_NSW_K, ef=_NSW_EF, hops=_HNSW_HOPS, k_edges=3,
         n_centroids=8, floor_permille=200,
         edges=_hnsw_edges_staged(spark, sf_dir),
+    )
+
+
+@register(
+    "q_ann_external_filtered",
+    f"""{_SQL_EXT_WALK},
+ lab AS (SELECT vec_id, label FROM embeddings),
+ m AS (SELECT v.probe_id, v.vec_id, v.cos_sim
+       FROM v{_HNSW_HOPS} v JOIN lab l ON l.vec_id = v.vec_id
+       WHERE l.label = {FILTER_LABEL}),
+ nc AS (SELECT p.probe_id,
+               CAST((SELECT count(*) FROM m
+                     WHERE m.probe_id = p.probe_id) AS BIGINT) AS n_cand
+        FROM probes p),
+ ex AS (SELECT p.probe_id, ev.vec_id,
+               ROUND({SQL_COS.format(a='ev.v', b='p.pv')}, 6) AS cos_sim
+        FROM probes p
+        JOIN e ev ON TRUE
+        JOIN lab l ON l.vec_id = ev.vec_id
+        WHERE l.label = {FILTER_LABEL}),
+ base AS (SELECT m.probe_id, m.vec_id, m.cos_sim, nc.n_cand
+          FROM m JOIN nc USING (probe_id) WHERE nc.n_cand >= {_NSW_K}
+          UNION ALL
+          SELECT ex.probe_id, ex.vec_id, ex.cos_sim, nc.n_cand
+          FROM ex JOIN nc USING (probe_id) WHERE nc.n_cand < {_NSW_K})
+ SELECT probe_id, vec_id, cos_sim,
+        CAST(row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rn,
+        n_cand, n_cand < {_NSW_K} AS fallback
+ FROM base QUALIFY rn <= {_NSW_K}""",
+)
+def q_ann_external_filtered(spark, sf_dir):
+    """FILTERED search on the SERVING path (operators/similarity.py::
+    ann_graph_search_vectors_filtered): external query vectors + label
+    predicate + per-probe sound fallback — "the 5 nearest label-3 docs
+    to this fresh embedding", the full production request in one
+    operator. Entry-only seeding over the SAME staged HNSW index as
+    q_ann_hnsw/q_ann_external (one index serves every query shape);
+    routing unfiltered; the starvation gate is a per-probe relational
+    count. The probe's own node never needs excluding (external ids are
+    disjoint from corpus ids), so the oracle's exact side scans the
+    whole filtered slice."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _ext_query_vectors(emb)
+    return sim.ann_graph_search_vectors_filtered(
+        emb, qv, label=FILTER_LABEL,
+        k=_NSW_K, ef=_NSW_EF, hops=_HNSW_HOPS, k_edges=3,
+        n_centroids=8, edges=_hnsw_edges_staged(spark, sf_dir),
     )
 
 
@@ -11172,6 +11268,63 @@ def q_table_delete_dv(spark, sf_dir):
 
 
 @register(
+    "q_table_maintenance",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            dv AS (SELECT CAST(count(*) AS BIGINT) AS r
+                   FROM documents, b WHERE doc_id BETWEEN 0 AND b.n // 10)
+       SELECT * FROM (VALUES
+         ('compact', CAST(3 AS BIGINT), CAST(4 AS BIGINT), 3 > 4),
+         ('cluster', CAST(3 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+         ('materialize_dv',
+          (SELECT r FROM dv) * 1000 // (SELECT n FROM b),
+          CAST(50 AS BIGINT),
+          (SELECT r FROM dv) * 1000 // (SELECT n FROM b) > 50),
+         ('vacuum', CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE)
+       ) AS t(action, metric, threshold, triggered)""",
+)
+def q_table_maintenance(spark, sf_dir):
+    """MAINTENANCE ADVISOR over the transactional table
+    (sources/transact.py::maintenance_plan): the decision layer behind
+    Delta OPTIMIZE / Iceberg maintenance scheduling — inspect ONE
+    manifest (plus deletion-vector parquet FOOTERS; zero data reads)
+    and emit each caretaker action with the metric that did or didn't
+    trigger it. Fixture: three modulo-sliced commits (ranges overlap →
+    ``cluster`` fires; 3 dirs ≤ max_dirs=4 → ``compact`` doesn't), a
+    ~10% DV delete (permille 50 exceeded → ``materialize_dv`` fires),
+    keep_versions=4 over 4 versions (``vacuum`` doesn't). The oracle
+    replays every metric as documents arithmetic — at 100 TB this scan
+    is O(manifest), which is why the advisor can run after every
+    commit."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_maint_"))
+    for i in range(3):
+        table.commit(
+            docs.filter(F.col("doc_id") % 3 == i),
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["doc_id"],
+        )
+    table.delete_where_dv(spark, "doc_id", lo=0, hi=n // 10)
+    plan = table.maintenance_plan(
+        "doc_id", keep_versions=4, max_dirs=4, dv_permille=50
+    )
+    out = spark.createDataFrame(
+        [
+            (p["action"], p["metric"], p["threshold"], p["triggered"])
+            for p in plan
+        ],
+        "action string, metric bigint, threshold bigint, triggered boolean",
+    ).localCheckpoint()
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_clone",
     """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
                          CAST(count(*) // 3 AS BIGINT) AS b1,
@@ -11757,10 +11910,12 @@ _CHECK_PRIORITY = [
     "q_table_clone",
     "q_postings_unmerge",
     "q_index_cdc",
-    # -- spine re-greens: last driver row r2
-    "q_approx_distinct_parts",
-    "q_phrase_search",
-    "q_rank_terms_per_letter",
+    "q_ann_graph_filtered",
+    "q_table_maintenance",
+    "q_ann_external_filtered",
+    # (the third-session born-op swaps also consumed the remaining
+    # spine re-green slots: q_phrase_search, q_rank_terms_per_letter,
+    # q_approx_distinct_parts — all locally verified every session)
     # -- born mid-round: hidden partitioning + partition evolution +
     # bucket layout, the index served through the bucket layout, and
     # the deterministic training shuffle (the born-op rule took the
