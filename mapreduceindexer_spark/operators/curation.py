@@ -254,3 +254,84 @@ def dsir_weights(
             (F.sum("r_s") > F.count("*") * scale).alias("selected"),
         )
     )
+
+
+def kcenter_sample(embeddings: DataFrame, m: int = 8) -> DataFrame:
+    """DIVERSITY-AWARE SUBSET SELECTION: greedy k-center (farthest-point
+    traversal) over the embedding column — pick ``m`` points such that
+    each new pick is the point FARTHEST from everything already picked.
+    The classic 2-approximation to the k-center objective, and the
+    standard diversity pass of a training-data pipeline: where
+    stratified/weighted sampling balances metadata and SemDeDup removes
+    redundancy, k-center picks maximally-SPREAD exemplars (coreset
+    seeds, eval-panel selection, annotation budgets).
+
+    Deterministic by construction so the DuckDB oracle replays every
+    round: seed = lowest vec_id; distance = squared L2 rounded to 6
+    digits (engine-exact); argmax ties break to the lowest vec_id.
+    Fully relational — the selected set stays a DataFrame (the
+    ``lloyd_rounds`` discipline, no driver-side collect): each round is
+    one anti-join (drop already-selected), one broadcast of the ≤ m
+    selected vectors, a per-candidate MIN aggregate, and a
+    deterministic LIMIT 1 argmax. Rounds are a driver loop, checkpointed
+    per round like the graph walks (the result feeds the next round and
+    the final output).
+
+    Output: (vec_id, sel_rank 0..m-1, d2) — ``d2`` is the point's
+    max-min squared distance AT SELECTION TIME, i.e. the coverage
+    radius the selection guarantees after that round (monotonically
+    non-increasing; the round-r radius bounds the k-center cost of the
+    first r+1 picks). Seed row carries d2 = 0.
+
+    Scale: each round is one corpus pass with a broadcast of ≤ m rows —
+    m passes total, the known cost of exact greedy k-center; at 100 TB
+    production runs it on a uniform pre-sample (same plan, smaller
+    input), exactly like k-means training.
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = embeddings.select("vec_id", v.alias("v")).localCheckpoint()
+
+    def _d2(a, b):
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+            6,
+        )
+
+    sel = (
+        e.orderBy(F.asc("vec_id"))
+        .limit(1)
+        .select(
+            "vec_id",
+            F.lit(0).cast("bigint").alias("sel_rank"),
+            F.lit(0.0).alias("d2"),
+        )
+        .localCheckpoint()
+    )
+    for r in range(1, m):
+        sel_vecs = e.join(sel.select("vec_id"), "vec_id").select(
+            F.col("v").alias("sv")
+        )
+        dmin = (
+            e.join(sel.select("vec_id"), "vec_id", "left_anti")
+            .crossJoin(F.broadcast(sel_vecs))
+            .select("vec_id", _d2("v", "sv").alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("dmin"))
+        )
+        pick = (
+            dmin.orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                "vec_id",
+                F.lit(r).cast("bigint").alias("sel_rank"),
+                F.col("dmin").alias("d2"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel
