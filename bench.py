@@ -92,6 +92,7 @@ HEADLINE = [
     "q_postings_compress",  # delta+varint posting encode (Arrow, narrow)
     "q_postings_unmerge",  # incremental index downdate (GDPR retraction)
     "q_weighted_sample",   # ticket-replication weighted sample (1 exchange)
+    "q_diverse_sample",    # greedy k-center diversity selection (m passes)
     "q_product_profit",    # TPC-H Q9 shape: profit rollup, 5-table join
     "q_dsir_weights",      # DSIR importance weights (hashed-bigram models)
     "q_power_iteration",   # PCA direction: gram reduction + K mat-vec rounds

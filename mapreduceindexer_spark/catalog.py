@@ -6558,6 +6558,55 @@ def q_quality_holdout(spark, sf_dir):
     )
 
 
+def _sql_kcenter_round(i: int) -> str:
+    """One greedy k-center round as CTE blocks: per-candidate MIN
+    distance to the selected set, deterministic argmax, grow the set."""
+    return f"""
+ km{i} AS (SELECT c.vec_id,
+                MIN(ROUND(list_sum(list_transform(list_zip(c.v, es.v),
+                                                  z -> (z[1] - z[2]) * (z[1] - z[2]))), 6)) AS dmin
+           FROM e c
+           JOIN sel{i - 1} s ON TRUE
+           JOIN e es ON es.vec_id = s.vec_id
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+           GROUP BY c.vec_id),
+ kp{i} AS (SELECT vec_id, dmin FROM km{i}
+           ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+ sel{i} AS (SELECT vec_id, sel_rank, d2 FROM sel{i - 1}
+            UNION ALL
+            SELECT vec_id, CAST({i} AS BIGINT) AS sel_rank, dmin AS d2
+            FROM kp{i})"""
+
+
+_KCENTER_M = 6
+
+
+@register(
+    "q_diverse_sample",
+    f"""WITH e AS MATERIALIZED ({SQL_EMB}),
+ sel0 AS (SELECT vec_id, CAST(0 AS BIGINT) AS sel_rank, 0.0 AS d2
+          FROM e ORDER BY vec_id ASC LIMIT 1),"""
+    + ",".join(_sql_kcenter_round(i) for i in range(1, _KCENTER_M))
+    + f"""
+ SELECT vec_id, sel_rank, d2 FROM sel{_KCENTER_M - 1}""",
+)
+def q_diverse_sample(spark, sf_dir):
+    """DIVERSITY-AWARE SUBSET SELECTION (operators/curation.py::
+    kcenter_sample): greedy k-center / farthest-point traversal over
+    the embedding corpus — each pick is the point farthest from
+    everything already picked (2-approx to the k-center objective), the
+    diversity pass of a curation pipeline (coreset seeds, eval panels,
+    annotation budgets) that stratified sampling and SemDeDup don't
+    cover: they balance metadata and remove redundancy, this maximizes
+    SPREAD. Fully relational rounds (the lloyd_rounds discipline — the
+    selected set never leaves the cluster); every round replayed by the
+    oracle's unrolled CTEs; d2 is the coverage radius at selection
+    time, value-checked."""
+    from mapreduceindexer_spark.operators.curation import kcenter_sample
+
+    return kcenter_sample(_t(spark, sf_dir, "embeddings"), m=_KCENTER_M)
+
+
 @register(
     "q_semantic_dedup",
     f"""WITH e AS ({SQL_EMB}),
@@ -11893,12 +11942,14 @@ _CHECK_PRIORITY = [
     "q_boilerplate_removal",
     "q_vocab_coverage",
     # -- stream queries converted rows-only -> oracle-backed this round
+    # (q_hnsw_stream gave its slot to born-op q_diverse_sample; it keeps
+    # its r8 driver row and session-green stream-parity tests)
     "q_events_tumbling_stream",
     "q_index_stream",
     "q_cdc_stream",
     "q_hll_stream",
     "q_knn_stream",
-    "q_hnsw_stream",
+    "q_diverse_sample",
     # -- born mid-round (third session): filtered vector search (exact
     # tier + IVF tier with the sound exact-scan fallback), shallow table
     # clone, incremental index downdate, and CDC index maintenance (the
