@@ -1119,3 +1119,111 @@ def remove_boilerplate(
             ).alias("n_removed"),
         )
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """DOCUMENT FINGERPRINTING by WINNOWING (Schleimer/Wilkerson/Aiken
+    2003 — the MOSS algorithm): rolling k-gram hashes, then one selected
+    fingerprint per length-``w`` window of consecutive hashes (the
+    window MINIMUM, ties to the LEFTMOST position — struct ordering
+    gives both engines the identical pick). The selection guarantee is
+    the algorithm's whole point: any token substring of length
+    >= w + k - 1 shared by two documents forces a shared fingerprint,
+    while storing only ~2/(w+1) of the k-gram hashes — the
+    plagiarism/attribution primitive between a single min-hash
+    (q_fingerprint: cheap, no guarantee) and full substring search
+    (q_substring_dup: exact, heavier).
+
+    Documents with fewer than ``w`` k-grams fingerprint their single
+    global minimum (the standard short-doc rule); empty/short-of-k
+    documents report zero counts rather than vanishing.
+
+    Shape: hashing and window selection are per-row array expressions —
+    no shuffle, no explosion beyond the SELECTED set (~m/w rows per
+    doc); the only joins are hash-keyed (the sharing count) and the
+    outer join restoring short docs. Hashing is the portable ``hash60``
+    so the oracle replays every window pick bit-for-bit.
+
+    Output: (doc_id, n_kgrams, n_fps, n_docs_sharing) — sharing counts
+    DISTINCT other documents with >= 1 common selected fingerprint.
+    """
+    toks = docs.select(
+        "doc_id", normalized_token_array("text").alias("tk")
+    ).localCheckpoint()  # feeds fingerprints AND the short-doc restore
+    # (h, p) structs per k-gram — the expr-string form keeps the nested
+    # higher-order lambda readable; the hash is hash60's md5 form
+    # inlined (seed 0), identical to functions/hashing.py::hash60.
+    g = toks.filter(F.size("tk") >= k).select(
+        "doc_id",
+        F.expr(
+            f"""transform(sequence(1, size(tk) - {k} + 1),
+                 i -> struct(
+                   CAST(conv(substring(md5(concat('0:', array_join(slice(tk, i, {k}), ' '))), 1, 15), 16, 10) AS BIGINT) AS h,
+                   CAST(i - 1 AS BIGINT) AS p))"""
+        ).alias("hs"),
+    )
+    sel = g.select(
+        "doc_id",
+        F.size("hs").alias("n_kgrams"),
+        F.when(
+            F.size("hs") >= w,
+            F.expr(
+                f"transform(sequence(1, size(hs) - {w} + 1),"
+                f" j -> array_min(slice(hs, j, {w})))"
+            ),
+        )
+        .otherwise(F.array(F.array_min("hs")))
+        .alias("fps"),
+    ).localCheckpoint()  # feeds the exploded join and the per-doc counts
+    fp = (
+        sel.select("doc_id", F.explode("fps").alias("f"))
+        .select("doc_id", F.col("f.h").alias("h"))
+        .distinct()
+    )
+    sharing = (
+        fp.alias("a")
+        .join(fp.alias("b"), "h")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.count_distinct(F.col("b.doc_id")).alias("n_docs_sharing"))
+    )
+    # Distinct SELECTIONS counted via string keys — the same window
+    # minimum reachable from several windows counts once; struct
+    # dedup is avoided because the oracle engine can't distinct
+    # struct lists (both sides use the identical "h:p" key).
+    counted = (
+        sel.select(
+            "doc_id",
+            F.col("n_kgrams").cast("bigint").alias("n_kgrams"),
+            F.size(
+                F.array_distinct(
+                    F.expr("transform(fps, x -> concat(x.h, ':', x.p))")
+                )
+            )
+            .cast("bigint")
+            .alias("n_fps"),
+        )
+        .join(sharing, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_kgrams",
+            "n_fps",
+            F.coalesce("n_docs_sharing", F.lit(0)).cast("bigint").alias(
+                "n_docs_sharing"
+            ),
+        )
+    )
+    return (
+        toks.select("doc_id")
+        .join(counted, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kgrams", F.lit(0)).cast("bigint").alias("n_kgrams"),
+            F.coalesce("n_fps", F.lit(0)).cast("bigint").alias("n_fps"),
+            F.coalesce("n_docs_sharing", F.lit(0)).cast("bigint").alias(
+                "n_docs_sharing"
+            ),
+        )
+    )
