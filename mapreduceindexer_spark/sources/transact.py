@@ -2903,6 +2903,74 @@ class TransactionalTable:
             "has_dv boolean, meta string",
         )
 
+    def analyze(
+        self,
+        spark: SparkSession,
+        stats_cols: tuple[str, ...] | list[str],
+        bloom_cols: tuple[str, ...] | list[str] | None = None,
+    ) -> int:
+        """ANALYZE: backfill data-skipping statistics for dirs that were
+        committed WITHOUT them — reads ONLY the stats-less dirs (one
+        narrow aggregate each; dirs that already carry stats are never
+        rescanned) and publishes a metadata-only version: same dir
+        list, same deletion vectors, enriched stats map. The repair
+        action for mixed stats-less history (the maintenance advisor's
+        ``cluster`` rule pessimizes unknown ranges to
+        overlaps-everything; after analyze, pruning uses real bounds).
+        Returns the new version, or the CURRENT version unchanged if
+        nothing needed backfilling (no empty commits).
+
+        Scale: cost is proportional to the stats-less slice only — on
+        a 100 TB table where one early ingest skipped stats, analyze
+        scans that ingest, not the table. The publish is the ordinary
+        manifest CAS; concurrent commits conflict-and-retry like any
+        writer."""
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("cannot analyze an empty table")
+        m = self._manifest(cur)
+        stats = dict(m.get("stats", {}))
+        want_bloom = list(bloom_cols) if bloom_cols else []
+        missing = [
+            d
+            for d in m["dirs"]
+            if "rows" not in stats.get(d, {})
+            or any(c not in stats[d].get("cols", {}) for c in stats_cols)
+            or any(
+                c not in stats[d].get("bloom", {}) for c in want_bloom
+            )
+        ]
+        if not missing:
+            return cur
+        for d in missing:
+            entry = _snapshot_entry(
+                spark, os.path.join(self.path, d), list(stats_cols), want_bloom
+            )
+            prev = stats.get(d, {})
+            merged = {**prev, **entry}
+            if "cols" in prev or "cols" in entry:
+                merged["cols"] = {
+                    **prev.get("cols", {}),
+                    **entry.get("cols", {}),
+                }
+            if "bloom" in prev or "bloom" in entry:
+                merged["bloom"] = {
+                    **prev.get("bloom", {}),
+                    **entry.get("bloom", {}),
+                }
+            stats[d] = merged
+        payload = {
+            **m,
+            "version": cur + 1,
+            "mode": "analyze",
+            "stats": stats,
+            "meta": {
+                **m.get("meta", {}),
+                "analyzed_dirs": len(missing),
+            },
+        }
+        return self._publish_manifest(payload, cur + 1, [])
+
     def maintenance_plan(
         self,
         stats_col: str,

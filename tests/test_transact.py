@@ -2291,3 +2291,51 @@ def test_maintenance_plan_empty_table_refuses(spark, tmp_path):
     t = TransactionalTable(str(tmp_path / "t"))
     with pytest.raises(ValueError, match="empty"):
         t.maintenance_plan("id")
+
+
+# --- ANALYZE (stats backfill) ---
+
+
+def test_analyze_backfills_only_missing_and_is_idempotent(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), stats_cols=["id"])
+    t.commit(spark.range(5, 10), mode="append")  # stats-less
+    t.commit(spark.range(10, 15), mode="append", stats_cols=["id"])
+    kept, skipped = t.pruned_dirs("id", lo=12, hi=13)
+    assert len(kept) == 2  # true match + the unknown dir
+    v = t.analyze(spark, stats_cols=["id"])
+    assert t.meta_of(v)["analyzed_dirs"] == 1
+    kept2, skipped2 = t.pruned_dirs("id", lo=12, hi=13)
+    assert len(kept2) == 1 and len(skipped2) == 2
+    # Same dirs, same data — analyze is metadata-only.
+    assert t._manifest(v)["dirs"] == t._manifest(v - 1)["dirs"]
+    assert _ids(t.read(spark)) == list(range(15))
+    # Nothing left to backfill → no empty commit, version unchanged.
+    assert t.analyze(spark, stats_cols=["id"]) == v
+
+
+def test_analyze_backfills_bloom_and_preserves_dv(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 8), stats_cols=["id"])   # stats but no bloom
+    t.commit(spark.range(8, 16), mode="append")      # nothing at all
+    t.delete_where_dv(spark, "id", lo=2, hi=3)
+    v = t.analyze(spark, stats_cols=["id"], bloom_cols=["id"])
+    assert t.meta_of(v)["analyzed_dirs"] == 2  # both lacked bloom
+    keptb, skippedb = t.pruned_dirs_eq("id", 12)
+    assert len(keptb) == 1 and len(skippedb) == 1
+    # The deletion vector rides across the metadata-only version.
+    assert _ids(t.read(spark)) == [0, 1] + list(range(4, 16))
+
+
+def test_analyze_is_feed_safe_and_guards_empty(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="empty"):
+        t.analyze(spark, stats_cols=["id"])
+    t.commit(spark.range(0, 4))
+    t.commit(spark.range(4, 8), mode="append")
+    v = t.analyze(spark, stats_cols=["id"])
+    t.commit(spark.range(8, 10), mode="append", stats_cols=["id"])
+    # The change feed reads straight across the analyze version (it is
+    # append-shaped: same dirs, no boundary).
+    delta = t.read_changes(spark, from_version=2, to_version=v + 1)
+    assert _ids(delta) == [8, 9]
