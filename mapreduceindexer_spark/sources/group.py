@@ -1,0 +1,217 @@
+"""Multi-table consistent snapshots: the catalog-level transaction.
+
+A single ``TransactionalTable`` gives snapshot isolation per table; a
+pipeline that maintains DERIVED tables (documents + their inverted
+index, embeddings + their ANN index) needs the pair to move TOGETHER —
+a reader must never see new documents against an old index. That is the
+catalog-transaction gap every lakehouse hits (Iceberg solves it with an
+external catalog such as Nessie; Delta doesn't solve it at all).
+
+``TableGroup`` closes it with the same primitive the tables themselves
+use: a hard-link CAS over immutable JSON manifests. Group version ``g``
+pins ``{member name -> (table path, table version)}``. The write
+protocol is write-then-publish:
+
+1. commit to each member table normally (those versions are visible to
+   DIRECT table readers immediately — the group adds consistency for
+   GROUP readers, it does not hide single-table history);
+2. ``commit(pins)`` — ONE manifest CAS publishes the new pin set
+   atomically; a racing group committer loses the CAS and retries.
+
+A writer dying between (1) and (2) leaves the group head unchanged:
+group readers keep resolving the old, mutually-consistent pin set —
+the torn write is invisible at the group level by construction.
+
+Retention safety: each pin is materialized as an immutable TAG
+(``grp_<group>_v<g>``) on the member table, so member ``vacuum`` keeps
+pinned versions alive for as long as the group version exists —
+``expire()`` retires old group manifests AND releases their tags in
+one place. Pins-as-tags means a group snapshot can never dangle.
+
+Reference has no table or catalog layer (src/functions.cpp:146-162);
+this generalizes its single-output pipeline to the multi-artifact
+shape a production indexer actually ships (corpus + index + stats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduceindexer_spark.ioutil import fsync_path
+from mapreduceindexer_spark.sources.transact import (
+    CommitConflict,
+    TransactionalTable,
+    _REF_NAME_RE,
+)
+
+_GROUP_NAME_RE = r"^[A-Za-z0-9_\-]{1,48}$"
+
+
+class TableGroup:
+    """A versioned pin-set over member ``TransactionalTable``s rooted at
+    ``path`` (its own directory; member tables live wherever they live).
+    ``name`` prefixes the pin tags on member tables."""
+
+    def __init__(self, path: str, name: str = "grp"):
+        if not re.match(_GROUP_NAME_RE, name):
+            raise ValueError(f"invalid group name {name!r}")
+        self.path = path
+        self.name = name
+        self.manifest_dir = os.path.join(path, "_group")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- manifest plumbing (the TransactionalTable CAS, group-shaped) --
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        out = []
+        for n in os.listdir(self.manifest_dir):
+            m = re.match(r"^g(\d+)\.json$", n)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def current_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def _manifest(self, g: int) -> dict:
+        p = os.path.join(self.manifest_dir, f"g{g}.json")
+        try:
+            with open(p, encoding="utf-8") as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise ValueError(f"group version {g} does not exist") from None
+
+    def pins(self, version: int | None = None) -> dict[str, dict]:
+        """{name: {"path": ..., "version": ...}} of one group version."""
+        g = self.current_version() if version is None else version
+        if g == 0:
+            raise ValueError("group has no commits")
+        return self._manifest(g)["pins"]
+
+    def _tag_name(self, member: str, g: int) -> str:
+        return f"{self.name}_{member}_v{g}"
+
+    def commit(
+        self,
+        pins: dict[str, tuple[TransactionalTable, int]],
+        expected_version: int | None = None,
+        meta: dict | None = None,
+    ) -> int:
+        """Atomically publish a new pin set; returns the group version.
+        Each pinned member version is TAGGED on its table first (so
+        member retention can never retire it while the group version
+        lives); the group manifest CAS is the commit point — a lost
+        race rolls the fresh tags back and raises ``CommitConflict``.
+
+        ``pins`` = {member name: (table, version)}. Member names are
+        ref-safe strings; tables must be main views (tags pin main
+        lineage)."""
+        base = (
+            expected_version
+            if expected_version is not None
+            else self.current_version()
+        )
+        g = base + 1
+        fresh_tags: list[tuple[TransactionalTable, str]] = []
+        payload_pins: dict[str, dict] = {}
+        try:
+            for member, (table, v) in sorted(pins.items()):
+                if not re.match(_REF_NAME_RE, member):
+                    raise ValueError(f"invalid member name {member!r}")
+                tag = self._tag_name(member, g)
+                try:
+                    table.tag(tag, v)  # raises if v doesn't exist
+                except ValueError as e:
+                    if "already exists" in str(e):
+                        # Another group committer is racing the same
+                        # version slot — its pin tag landed first. A
+                        # concurrency loss, not a caller bug.
+                        raise CommitConflict(
+                            f"group version {g} pin tag {tag!r} already "
+                            "taken by a racing committer; re-read the "
+                            "group and retry"
+                        ) from None
+                    raise
+                fresh_tags.append((table, tag))
+                payload_pins[member] = {"path": table.path, "version": v}
+        except Exception:
+            for table, tag in fresh_tags:
+                try:
+                    table.drop_tag(tag)
+                except Exception:
+                    pass
+            raise
+        payload = {"version": g, "pins": payload_pins}
+        if meta:
+            payload["meta"] = meta
+        tmp = os.path.join(
+            self.manifest_dir, f".tmp-{uuid.uuid4().hex[:12]}.json"
+        )
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        final = os.path.join(self.manifest_dir, f"g{g}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            for table, tag in fresh_tags:
+                try:
+                    table.drop_tag(tag)
+                except Exception:
+                    pass
+            raise CommitConflict(
+                f"group version {g} was published by another committer; "
+                "re-read the group and retry"
+            ) from None
+        os.unlink(tmp)
+        fsync_path(self.manifest_dir)
+        return g
+
+    def read(
+        self, spark: SparkSession, member: str, version: int | None = None
+    ) -> DataFrame:
+        """Read ``member`` AT THE GROUP-PINNED table version — the
+        whole point: two ``read`` calls against the same group version
+        are mutually consistent no matter what direct writers have
+        done to the member tables since."""
+        pins = self.pins(version)
+        if member not in pins:
+            raise ValueError(
+                f"member {member!r} is not pinned by this group version "
+                f"(pinned: {sorted(pins)})"
+            )
+        pin = pins[member]
+        return TransactionalTable(pin["path"]).read(spark, pin["version"])
+
+    def expire(self, keep_versions: int = 1) -> list[int]:
+        """Retire group manifests older than the newest
+        ``keep_versions`` and release their member tags — after which
+        member ``vacuum`` may reclaim the underlying versions. Returns
+        the retired group versions."""
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        vs = self.versions()
+        retire = vs[:-keep_versions] if len(vs) > keep_versions else []
+        for g in retire:
+            m = self._manifest(g)
+            for member, pin in m["pins"].items():
+                try:
+                    TransactionalTable(pin["path"]).drop_tag(
+                        self._tag_name(member, g)
+                    )
+                except Exception:
+                    pass  # tag already released / table gone
+            os.unlink(os.path.join(self.manifest_dir, f"g{g}.json"))
+        if retire:
+            fsync_path(self.manifest_dir)
+        return retire

@@ -1,0 +1,112 @@
+"""TableGroup: multi-table consistent snapshots (catalog transactions).
+
+The contract: a group version is a mutually-consistent pin set; torn
+writes are invisible at the group level; pins survive member retention
+until the group version itself is expired."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduceindexer_spark.sources.group import TableGroup
+from mapreduceindexer_spark.sources.transact import (
+    CommitConflict,
+    TransactionalTable,
+)
+
+
+def _ids(df):
+    return sorted(r[0] for r in df.select("id").collect())
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    docs = TransactionalTable(str(tmp_path / "docs"))
+    idx = TransactionalTable(str(tmp_path / "idx"))
+    dv = docs.commit(spark.range(0, 6))
+    iv = idx.commit(spark.range(100, 103))  # "index over v1 docs"
+    grp = TableGroup(str(tmp_path / "grp"))
+    g1 = grp.commit({"docs": (docs, dv), "idx": (idx, iv)})
+    assert g1 == 1
+    return docs, idx, grp
+
+
+def test_group_reads_are_mutually_consistent(spark, pair):
+    docs, idx, grp = pair
+    # Direct writers advance BOTH members; the group still serves the
+    # old, consistent pair until a new pin set is published.
+    docs.commit(spark.range(6, 12), mode="append")
+    idx.commit(spark.range(103, 109), mode="append")
+    assert _ids(grp.read(spark, "docs")) == list(range(6))
+    assert _ids(grp.read(spark, "idx")) == [100, 101, 102]
+    g2 = grp.commit(
+        {"docs": (docs, docs.current_version()),
+         "idx": (idx, idx.current_version())}
+    )
+    assert _ids(grp.read(spark, "docs")) == list(range(12))
+    # Old group version remains time-travelable and consistent.
+    assert _ids(grp.read(spark, "docs", version=1)) == list(range(6))
+    assert _ids(grp.read(spark, "idx", version=1)) == [100, 101, 102]
+    assert grp.current_version() == g2
+
+
+def test_torn_member_write_is_invisible_to_group_readers(spark, pair):
+    docs, idx, grp = pair
+    docs.commit(spark.range(6, 9), mode="append")  # member-only: no pin
+    # The group head still resolves the old docs AND the matching idx.
+    assert _ids(grp.read(spark, "docs")) == list(range(6))
+    assert _ids(grp.read(spark, "idx")) == [100, 101, 102]
+
+
+def test_group_cas_conflict_rolls_back_fresh_tags(spark, pair):
+    docs, idx, grp = pair
+    base = grp.current_version()
+    dv = docs.commit(spark.range(6, 9), mode="append")
+    g2 = grp.commit({"docs": (docs, dv)}, expected_version=base)
+    with pytest.raises(CommitConflict):
+        grp.commit({"docs": (docs, dv)}, expected_version=base)
+    # The loser's tag for g2 was rolled back; the winner's stands.
+    assert docs.tag_version(grp._tag_name("docs", g2)) == dv
+    # And the loser left no stray g3 tag behind.
+    with pytest.raises(ValueError):
+        docs.tag_version(grp._tag_name("docs", g2 + 1))
+
+
+def test_group_pins_survive_member_vacuum_until_expired(spark, pair):
+    docs, idx, grp = pair
+    docs.commit(spark.range(100, 101), mode="overwrite")
+    grp.commit(
+        {"docs": (docs, docs.current_version()),
+         "idx": (idx, idx.current_version())}
+    )
+    docs.vacuum(keep_versions=1, grace_seconds=0.0)
+    # Group v1 pinned docs v1: the pin tag kept it alive through vacuum.
+    assert _ids(grp.read(spark, "docs", version=1)) == list(range(6))
+    retired = grp.expire(keep_versions=1)
+    assert retired == [1]
+    docs.vacuum(keep_versions=1, grace_seconds=0.0)
+    with pytest.raises(ValueError):
+        grp.read(spark, "docs", version=1)  # manifest retired
+    # The underlying table version is now reclaimable (tag released).
+    with pytest.raises(Exception):
+        docs.read(spark, 1).collect()
+
+
+def test_group_guards(spark, tmp_path, pair):
+    docs, idx, grp = pair
+    with pytest.raises(ValueError, match="not pinned"):
+        grp.read(spark, "nope")
+    with pytest.raises(ValueError, match="invalid member name"):
+        grp.commit({"bad name!": (docs, 1)})
+    with pytest.raises(ValueError, match="does not exist"):
+        grp.commit({"docs": (docs, 99)})
+    # A failed commit leaves no half-created tags behind.
+    with pytest.raises(ValueError):
+        grp.commit({"docs": (docs, 1), "zz bad": (idx, 1)})
+    with pytest.raises(ValueError):
+        docs.tag_version(grp._tag_name("docs", grp.current_version() + 1))
+    with pytest.raises(ValueError, match="invalid group name"):
+        TableGroup(str(tmp_path / "g2"), name="bad name!")
+    empty = TableGroup(str(tmp_path / "g3"))
+    with pytest.raises(ValueError, match="no commits"):
+        empty.pins()
