@@ -91,8 +91,10 @@ HEADLINE = [
     "q_semantic_dedup",    # SemDeDup: trained clusters + within-cell prune
     "q_postings_compress",  # delta+varint posting encode (Arrow, narrow)
     "q_postings_unmerge",  # incremental index downdate (GDPR retraction)
+    "q_index_cdc",         # CDC round: downdate + merge ≡ full rebuild
     "q_weighted_sample",   # ticket-replication weighted sample (1 exchange)
     "q_diverse_sample",    # greedy k-center diversity selection (m passes)
+    "q_winnowing",         # MOSS winnowing fingerprints + sharing join
     "q_product_profit",    # TPC-H Q9 shape: profit rollup, 5-table join
     "q_dsir_weights",      # DSIR importance weights (hashed-bigram models)
     "q_power_iteration",   # PCA direction: gram reduction + K mat-vec rounds
@@ -158,6 +160,8 @@ HEADLINE = [
     "q_table_diff",        # version diff, common dirs pruned exactly
     "q_table_clone",       # shallow clone: zero-copy fork + divergence
     "q_table_maintenance",  # metadata-only maintenance advisor
+    "q_table_analyze",     # stats backfill reads only stats-less dirs
+    "q_table_group",       # multi-table consistent snapshot pin sets
 ]
 
 # The graph-ANN family is benched build/probe SPLIT (round-7 verdict

@@ -1980,6 +1980,55 @@ def q_fingerprint(spark, sf_dir):
     return ts.fingerprints(_docs(spark, sf_dir), k=3)
 
 
+_WINNOW_K, _WINNOW_W = 3, 4
+
+
+@register(
+    "q_winnowing",
+    f"""WITH t AS ({SQL_TOKARR}),
+         g AS (SELECT doc_id,
+                      [{{'h': {_sql_hash60(f"array_to_string(tk[i:i + {_WINNOW_K} - 1], ' ')")},
+                         'p': CAST(i - 1 AS BIGINT)}}
+                       FOR i IN range(1, len(tk) - {_WINNOW_K} + 2)] AS hs
+               FROM t WHERE len(tk) >= {_WINNOW_K}),
+         sel AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_kgrams,
+                        CASE WHEN len(hs) >= {_WINNOW_W}
+                             THEN [list_min(hs[j:j + {_WINNOW_W} - 1])
+                                   FOR j IN range(1, len(hs) - {_WINNOW_W} + 2)]
+                             ELSE [list_min(hs)] END AS fps
+                 FROM g),
+         fp AS (SELECT DISTINCT doc_id, f['h'] AS h
+                FROM (SELECT doc_id, unnest(fps) AS f FROM sel)),
+         share AS (SELECT a.doc_id,
+                          CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_docs_sharing
+                   FROM fp a JOIN fp b USING (h)
+                   WHERE a.doc_id <> b.doc_id GROUP BY a.doc_id)
+       SELECT t.doc_id,
+              COALESCE(sel.n_kgrams, 0) AS n_kgrams,
+              CAST(COALESCE(len(list_distinct(
+                  [CAST(f['h'] AS VARCHAR) || ':' || CAST(f['p'] AS VARCHAR)
+                   FOR f IN sel.fps])), 0) AS BIGINT) AS n_fps,
+              COALESCE(share.n_docs_sharing, 0) AS n_docs_sharing
+       FROM t
+       LEFT JOIN sel ON sel.doc_id = t.doc_id
+       LEFT JOIN share ON share.doc_id = t.doc_id""",
+)
+def q_winnowing(spark, sf_dir):
+    """DOCUMENT FINGERPRINTING by WINNOWING (operators/textstats.py::
+    winnowing_fingerprints — the MOSS algorithm, Schleimer et al. 2003):
+    rolling k-gram hashes, one selected fingerprint per w-window (window
+    minimum, leftmost tie — struct ordering makes both engines pick
+    identically), which GUARANTEES any shared token run of length
+    >= w+k-1 produces a shared fingerprint while storing ~2/(w+1) of
+    the hashes. Sits between q_fingerprint (one min-hash, no guarantee)
+    and q_substring_dup (exact, heavier); the output counts each doc's
+    k-grams, selected prints, and distinct sharing partners — all
+    value-checked, window pick included."""
+    return ts.winnowing_fingerprints(
+        _docs(spark, sf_dir), k=_WINNOW_K, w=_WINNOW_W
+    )
+
+
 # --- multimodal ---
 
 
@@ -11374,6 +11423,141 @@ def q_table_maintenance(spark, sf_dir):
 
 
 @register(
+    "q_table_group",
+    f"""WITH pairs AS ({SQL_PAIRS}),
+            ev AS (SELECT doc_id, term FROM pairs WHERE doc_id % 2 = 0)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+               WHERE doc_id % 2 = 0) AS g1_docs,
+              (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM ev) AS g1_terms,
+              (SELECT CAST(count(*) AS BIGINT) FROM ev) AS g1_pairs,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents) AS g2_docs,
+              (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM pairs)
+                  AS g2_terms,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents)
+                  AS head_docs_after_torn,
+              CAST(2 AS BIGINT) AS n_group_versions""",
+)
+def q_table_group(spark, sf_dir):
+    """MULTI-TABLE CONSISTENT SNAPSHOTS (sources/group.py::TableGroup)
+    — the catalog-level transaction: a documents table and its DERIVED
+    inverted-index table move together under group versions (pin sets
+    published by one manifest CAS; every pin materialized as a member
+    tag so retention can't dangle a snapshot). The query drives the
+    production sequence — g1 pins (even docs, index over evens); both
+    members advance; g2 pins the full pair; then a TORN write lands on
+    the docs member with NO group publish — and proves in values that
+    (a) each group version serves a mutually consistent (docs, index)
+    pair and (b) the torn write is invisible to group readers (the
+    head still counts g2's docs). All counts replay as documents
+    arithmetic. Reference has no catalog layer
+    (src/functions.cpp:146-162)."""
+    import os
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.group import TableGroup
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mri_txn_group_")
+    dt = TransactionalTable(os.path.join(root, "docs"))
+    it = TransactionalTable(os.path.join(root, "idx"))
+    grp = TableGroup(os.path.join(root, "grp"))
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    dv1 = dt.commit(evens)
+    iv1 = it.commit(ix.build_postings(evens, salt_buckets=16).select("term", "df"))
+    grp.commit({"docs": (dt, dv1), "idx": (it, iv1)})
+    dv2 = dt.commit(docs.filter(F.col("doc_id") % 2 == 1), mode="append")
+    iv2 = it.commit(
+        ix.build_postings(docs, salt_buckets=16).select("term", "df"),
+        mode="overwrite",
+    )
+    grp.commit({"docs": (dt, dv2), "idx": (it, iv2)})
+    dt.commit(docs.limit(5), mode="append")  # torn: no group publish
+    g1d = grp.read(spark, "docs", version=1).count()
+    g1i = grp.read(spark, "idx", version=1)
+    g1_terms = g1i.count()
+    g1_pairs = g1i.agg(F.sum("df")).collect()[0][0]
+    g2d = grp.read(spark, "docs", version=2).count()
+    g2_terms = grp.read(spark, "idx", version=2).count()
+    head_docs = grp.read(spark, "docs").count()
+    n_g = grp.current_version()
+    out = spark.createDataFrame(
+        [(g1d, g1_terms, g1_pairs, g2d, g2_terms, head_docs, n_g)],
+        "g1_docs bigint, g1_terms bigint, g1_pairs bigint, g2_docs bigint,"
+        " g2_terms bigint, head_docs_after_torn bigint,"
+        " n_group_versions bigint",
+    ).localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "q_table_analyze",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 3 AS BIGINT) AS b1,
+                         CAST((2 * count(*)) // 3 AS BIGINT) AS b2
+                  FROM documents),
+            p AS (SELECT b2 + (n - b2) // 2 AS plo, n - 1 AS phi FROM b)
+       SELECT CAST(2 AS BIGINT) AS scanned_before,
+              CAST(1 AS BIGINT) AS scanned_after,
+              CAST(1 AS BIGINT) AS analyzed_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents, p
+               WHERE doc_id BETWEEN p.plo AND p.phi) AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents, p
+               WHERE doc_id BETWEEN p.plo AND p.phi) AS total_chars""",
+)
+def q_table_analyze(spark, sf_dir):
+    """ANALYZE — stats backfill (sources/transact.py::analyze): three
+    range-disjoint commits where the MIDDLE one skipped stats; a range
+    probe into the third slice must scan 2 of 3 dirs before (the
+    stats-less dir's range is unknown → pessimized to overlap) and 1 of
+    3 after analyze backfills bounds by reading ONLY that dir. The
+    values (probe rows, chars) are identical before and after —
+    analyze is metadata-only repair, never a data change — and the
+    oracle replays the prune decisions as interval arithmetic plus the
+    probe as a BETWEEN. The 100 TB story: one early stats-less ingest
+    costs one targeted scan, not a table rewrite."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    b1, b2 = n // 3, (2 * n) // 3
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_analyze_"))
+    table.commit(docs.filter(F.col("doc_id") < b1), stats_cols=["doc_id"])
+    table.commit(
+        docs.filter((F.col("doc_id") >= b1) & (F.col("doc_id") < b2)),
+        mode="append",  # deliberately NO stats
+    )
+    table.commit(
+        docs.filter(F.col("doc_id") >= b2),
+        mode="append",
+        stats_cols=["doc_id"],
+    )
+    plo, phi = b2 + (n - b2) // 2, n - 1  # interior of slice 3
+    kept_before, _ = table.pruned_dirs("doc_id", lo=plo, hi=phi)
+    v = table.analyze(spark, stats_cols=["doc_id"])
+    kept_after, _ = table.pruned_dirs("doc_id", lo=plo, hi=phi)
+    analyzed = table.meta_of(v)["analyzed_dirs"]
+    out = (
+        table.read_pruned(spark, "doc_id", lo=plo, hi=phi)
+        .agg(
+            F.lit(len(kept_before)).cast("bigint").alias("scanned_before"),
+            F.lit(len(kept_after)).cast("bigint").alias("scanned_after"),
+            F.lit(analyzed).cast("bigint").alias("analyzed_dirs"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_clone",
     """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
                          CAST(count(*) // 3 AS BIGINT) AS b1,
@@ -11942,14 +12126,16 @@ _CHECK_PRIORITY = [
     "q_boilerplate_removal",
     "q_vocab_coverage",
     # -- stream queries converted rows-only -> oracle-backed this round
-    # (q_hnsw_stream gave its slot to born-op q_diverse_sample; it keeps
-    # its r8 driver row and session-green stream-parity tests)
+    # (q_hnsw_stream / q_knn_stream / q_hll_stream gave their slots to
+    # born-ops q_diverse_sample / q_winnowing / q_table_analyze; all
+    # three keep their r8 driver rows and session-green stream-parity
+    # tests)
     "q_events_tumbling_stream",
     "q_index_stream",
-    "q_cdc_stream",
-    "q_hll_stream",
-    "q_knn_stream",
     "q_diverse_sample",
+    "q_winnowing",
+    "q_table_analyze",
+    "q_table_group",
     # -- born mid-round (third session): filtered vector search (exact
     # tier + IVF tier with the sound exact-scan fallback), shallow table
     # clone, incremental index downdate, and CDC index maintenance (the
