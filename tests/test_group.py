@@ -110,3 +110,52 @@ def test_group_guards(spark, tmp_path, pair):
     empty = TableGroup(str(tmp_path / "g3"))
     with pytest.raises(ValueError, match="no commits"):
         empty.pins()
+
+
+def test_group_stream_replay_is_idempotent_and_consistent(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.streaming.group_sink import run_stream_to_group
+    from mapreduceindexer_spark.streaming.index_stream import _write_doc_slices
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i % 4} beta{i % 3} gamma") for i in range(30)],
+        "doc_id: bigint, text: string",
+    )
+    stream_dir = str(tmp_path / "backlog")
+    _write_doc_slices(docs, stream_dir, n_slices=3)
+    dt = TransactionalTable(str(tmp_path / "docs"))
+    it = TransactionalTable(str(tmp_path / "idx"))
+    grp = TableGroup(str(tmp_path / "grp"))
+
+    def drain(cp):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        run_stream_to_group(stream, dt, it, grp)
+
+    drain("cp1")
+    assert grp.current_version() == 3
+    head_docs = grp.read(spark, "docs").count()
+    head_terms = grp.read(spark, "idx").count()
+    assert head_docs == 30
+    # Every group version is index-consistent: the docs member's rows
+    # equal the index member's document coverage at the SAME pin.
+    for v in (1, 2, 3):
+        dvc = grp.read(spark, "docs", version=v).count()
+        cov = (
+            grp.read(spark, "idx", version=v)
+            .select(F.explode("doc_ids").alias("d"))
+            .agg(F.count_distinct("d"))
+            .collect()[0][0]
+        )
+        assert dvc == cov, (v, dvc, cov)
+    # Full-backlog REPLAY (fresh checkpoint) no-ops at every layer.
+    drain("cp2")
+    assert grp.current_version() == 3
+    assert grp.read(spark, "docs").count() == head_docs
+    assert grp.read(spark, "idx").count() == head_terms
