@@ -589,6 +589,66 @@ def ivf_filtered_topk(
     )
 
 
+def embedding_drift(embeddings: DataFrame, mod: int = 2) -> DataFrame:
+    """EMBEDDING DISTRIBUTION-DRIFT MONITOR: per-label centroid
+    agreement between two deterministic corpus halves (``vec_id % mod``
+    — stand-ins for "yesterday's snapshot" vs "today's batch"). The
+    data-quality gate an embedding pipeline runs before shipping a new
+    corpus slice: a label whose new-half centroid swings away from the
+    reference half signals upstream drift (embedder change, source
+    shift, label contamination) before any model sees it.
+
+    Determinism contract as everywhere: per-dimension means through
+    DECIMAL(38,10) sums (order-independent), centroid cosine rounded to
+    6 digits — the oracle replays both halves bit-for-bit. One shuffle
+    on (label, half, dim), then a per-label join of two one-row-ish
+    sides; at 100 TB the explode carries (label, half, dim, value)
+    rows — linear, map-side combinable, no all-pairs anything.
+
+    Output: (label, n_ref, n_new, centroid_cos) — cos near 1.0 means
+    the halves agree; the monitor's consumer thresholds it.
+    """
+    from mapreduceindexer_spark.functions.vector import cosine_similarity
+
+    ex = embeddings.select(
+        "label",
+        (F.col("vec_id") % mod).alias("h"),
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    cent = (
+        ex.groupBy("label", "h", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        .groupBy("label", "h")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    )
+    counts = embeddings.groupBy(
+        "label", (F.col("vec_id") % mod).alias("h")
+    ).count()
+    side = cent.join(counts, ["label", "h"])
+    a = side.filter(F.col("h") == 0).select(
+        "label", F.col("c").alias("ca"), F.col("count").alias("n_ref")
+    )
+    b = side.filter(F.col("h") == 1).select(
+        "label", F.col("c").alias("cb"), F.col("count").alias("n_new")
+    )
+    return a.join(b, "label").select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+        F.round(cosine_similarity("ca", "cb"), 6).alias("centroid_cos"),
+    )
+
+
 def quantization_error(embeddings: DataFrame) -> DataFrame:
     """Per-vector int8 (0..255) min-max scalar quantization with exact
     reconstruction-error accounting — the storage tier every large vector
@@ -1541,10 +1601,14 @@ def ann_graph_search_vectors_table(
     ef: int = 4,
     hops: int = 4,
     version: int | None = None,
+    label: int | None = None,
 ) -> DataFrame:
     """The serving walk of ``ann_graph_search_vectors`` reading the
     index from its PERSISTED transactional table instead of a staged
     in-session relation — build-once / probe-many across sessions.
+    ``label`` composes the FILTERED contract on top (predicate at
+    ranking, per-probe sound fallback via ``_filtered_visited_rank``)
+    — storage, pruning, and filtering stack without touching the walk.
     Each hop fetches only the frontier's adjacency: the frontier ids
     (bounded by |probes| x ef) drive ``pruned_dirs_eq`` point lookups,
     so the scan touches only snapshot dirs whose min/max range AND
@@ -1579,9 +1643,14 @@ def ann_graph_search_vectors_table(
         F.col("qv").alias("pv"),
         l2_norm("qv").alias("pnrm"),
     ).localCheckpoint()
-    return _graph_beam_walk(
-        edges_for, probes, _entry_seed(embeddings, probes), k, ef, hops
+    if label is None:
+        return _graph_beam_walk(
+            edges_for, probes, _entry_seed(embeddings, probes), k, ef, hops
+        )
+    visited = _graph_beam_visited(
+        edges_for, probes, _entry_seed(embeddings, probes), ef, hops
     )
+    return _filtered_visited_rank(embeddings, probes, visited, label, k)
 
 
 def _entry_seed(embeddings: DataFrame, probes: DataFrame) -> DataFrame:
