@@ -3483,6 +3483,8 @@ class TransactionalTable:
         if cur == 0:
             raise ValueError("cannot clone a table with no commits")
         v = cur if version is None else version
+        if v not in self.versions():
+            raise ValueError(f"version {v} does not exist")
         m = self._manifest(v)
         if m.get("partitioned_by") or m.get("dir_spec") or m.get("specs"):
             raise ValueError(

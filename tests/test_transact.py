@@ -2215,6 +2215,8 @@ def test_clone_guards(spark, tmp_path):
         src.clone_to(str(tmp_path / "dst"))
     flat = TransactionalTable(str(tmp_path / "flat"))
     flat.commit(spark.range(0, 3))
+    with pytest.raises(ValueError, match="does not exist"):
+        flat.clone_to(str(tmp_path / "nope"), version=9)
     dst = flat.clone_to(str(tmp_path / "dst2"))
     with pytest.raises(ValueError, match="not empty"):
         flat.clone_to(str(tmp_path / "dst2"))
