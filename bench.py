@@ -162,6 +162,8 @@ HEADLINE = [
     "q_table_maintenance",  # metadata-only maintenance advisor
     "q_table_analyze",     # stats backfill reads only stats-less dirs
     "q_table_group",       # multi-table consistent snapshot pin sets
+    "q_group_stream",      # streaming ingest with per-batch group pins
+    "q_embedding_drift",   # per-label centroid drift between halves
 ]
 
 # The graph-ANN family is benched build/probe SPLIT (round-7 verdict
@@ -184,6 +186,7 @@ ANN_HNSW_PROBES = [
     "q_ann_external_recall",  # serving-path recall@5 contract
     "q_ann_hnsw_scaled",   # HNSW with live production dials (broadcast)
     "q_ann_serving_table",  # serving walk over the PERSISTED table index
+    "q_ann_serving_filtered",  # persisted index + predicate + fallback
 ]
 
 

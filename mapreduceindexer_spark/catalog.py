@@ -2289,6 +2289,81 @@ def q_index_stream(spark, sf_dir):
     return out
 
 
+@register(
+    "q_group_stream",
+    f"""WITH pairs AS ({SQL_PAIRS})
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS docs_rows,
+              (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM pairs)
+                  AS idx_terms,
+              (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS idx_pairs,
+              CAST(3 AS BIGINT) AS n_group_versions,
+              CASE WHEN (SELECT count(*) FROM documents d
+                         WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                                           WHERE p.doc_id = d.doc_id)) = 0
+                   THEN CAST(3 AS BIGINT)
+                   ELSE CAST(-1 AS BIGINT) END AS consistent_versions""",
+)
+def q_group_stream(spark, sf_dir):
+    """STREAMING INGEST INTO A TABLE GROUP (streaming/group_sink.py):
+    each microbatch appends to the documents member, incrementally
+    merges its postings delta into the index member (never
+    re-tokenizing committed docs), and publishes ONE group pin — so
+    group readers get an index-consistent snapshot at every point of
+    the stream. The query drains a 3-slice backlog and proves it in
+    values: final docs/terms/pairs equal the batch rebuild (the oracle),
+    the group advanced once per batch, and EVERY group version's docs
+    member matches its index member's document coverage
+    (consistent_versions = 3; the oracle predicts 3 exactly when every
+    document tokenizes non-empty, so a torn pin or stale index could
+    not hide). Per-member + per-group batch_id idempotence makes
+    retried batches no-ops — the cross-table exactly-once shape."""
+    import os
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.group import TableGroup
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+    from mapreduceindexer_spark.streaming.group_sink import run_stream_to_group
+    from mapreduceindexer_spark.streaming.index_stream import _write_doc_slices
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mri_grp_stream_")
+    stream_dir = os.path.join(root, "backlog")
+    _write_doc_slices(docs, stream_dir, n_slices=3)
+    dt = TransactionalTable(os.path.join(root, "docs"))
+    it = TransactionalTable(os.path.join(root, "idx"))
+    grp = TableGroup(os.path.join(root, "grp"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    run_stream_to_group(stream, dt, it, grp)
+    n_g = grp.current_version()
+    consistent = 0
+    for v in range(1, n_g + 1):
+        dvc = grp.read(spark, "docs", version=v).count()
+        idocs = (
+            grp.read(spark, "idx", version=v)
+            .select(F.explode("doc_ids").alias("d"))
+            .agg(F.count_distinct("d"))
+            .collect()[0][0]
+        )
+        if dvc == idocs:
+            consistent += 1
+    head_idx = grp.read(spark, "idx")
+    idx_terms = head_idx.count()
+    idx_pairs = head_idx.agg(F.sum("df")).collect()[0][0]
+    docs_rows = grp.read(spark, "docs").count()
+    out = spark.createDataFrame(
+        [(docs_rows, idx_terms, idx_pairs, n_g, consistent)],
+        "docs_rows bigint, idx_terms bigint, idx_pairs bigint,"
+        " n_group_versions bigint, consistent_versions bigint",
+    ).localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 @register("q_events_sliding_stream", _SQL_EVENTS_SLIDING)
 def q_events_sliding_stream(spark, sf_dir):
     """Streaming twin of q_events_sliding: overlapping 1-hour windows every
@@ -2910,6 +2985,42 @@ def q_embed_centroids(spark, sf_dir):
             ).alias("avg_val")
         )
     )
+
+
+@register(
+    "q_embedding_drift",
+    f"""WITH e AS ({SQL_EMB_L}),
+         ex AS (SELECT label, vec_id % 2 AS h,
+                       generate_subscripts(v, 1) AS pos, unnest(v) AS val
+                FROM e),
+         cent AS (SELECT label, h, pos,
+                         CAST(SUM(CAST(val AS DECIMAL(38,10))) AS DOUBLE)
+                             / COUNT(*) AS m
+                  FROM ex GROUP BY label, h, pos),
+         arr AS (SELECT label, h, list(m ORDER BY pos) AS c
+                 FROM cent GROUP BY label, h),
+         cnt AS (SELECT label, vec_id % 2 AS h,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM e GROUP BY label, vec_id % 2)
+       SELECT a.label,
+              (SELECT n FROM cnt WHERE cnt.label = a.label AND cnt.h = 0)
+                  AS n_ref,
+              (SELECT n FROM cnt WHERE cnt.label = a.label AND cnt.h = 1)
+                  AS n_new,
+              ROUND({SQL_COS.format(a='a.c', b='b.c')}, 6) AS centroid_cos
+       FROM arr a JOIN arr b ON a.label = b.label
+       WHERE a.h = 0 AND b.h = 1""",
+)
+def q_embedding_drift(spark, sf_dir):
+    """EMBEDDING DRIFT MONITOR (operators/similarity.py::
+    embedding_drift): per-label centroid cosine between two
+    deterministic corpus halves — the data-quality gate an embedding
+    pipeline runs before shipping a new slice (embedder change, source
+    shift, or label contamination shows up as a centroid swing before
+    any model trains on it). Decimal-sum means and rounded cosine keep
+    both halves bit-replayable; counts per half ride the output so a
+    lopsided split can't masquerade as agreement."""
+    return sim.embedding_drift(_t(spark, sf_dir, "embeddings"), mod=2)
 
 
 _SQL_ATTRIBUTION = """SELECT v.event_id AS view_id,
@@ -8829,6 +8940,57 @@ def q_ann_serving_table(spark, sf_dir):
 
 
 @register(
+    "q_ann_serving_filtered",
+    # Same oracle as q_ann_external_filtered by construction: the
+    # persisted index holds the identical edge rows the staged relation
+    # holds, so the filtered walk over storage must reproduce the
+    # staged filtered walk value-for-value.
+    f"""{_SQL_EXT_WALK},
+ lab AS (SELECT vec_id, label FROM embeddings),
+ m AS (SELECT v.probe_id, v.vec_id, v.cos_sim
+       FROM v{_HNSW_HOPS} v JOIN lab l ON l.vec_id = v.vec_id
+       WHERE l.label = {FILTER_LABEL}),
+ nc AS (SELECT p.probe_id,
+               CAST((SELECT count(*) FROM m
+                     WHERE m.probe_id = p.probe_id) AS BIGINT) AS n_cand
+        FROM probes p),
+ ex AS (SELECT p.probe_id, ev.vec_id,
+               ROUND({SQL_COS.format(a='ev.v', b='p.pv')}, 6) AS cos_sim
+        FROM probes p
+        JOIN e ev ON TRUE
+        JOIN lab l ON l.vec_id = ev.vec_id
+        WHERE l.label = {FILTER_LABEL}),
+ base AS (SELECT m.probe_id, m.vec_id, m.cos_sim, nc.n_cand
+          FROM m JOIN nc USING (probe_id) WHERE nc.n_cand >= {_NSW_K}
+          UNION ALL
+          SELECT ex.probe_id, ex.vec_id, ex.cos_sim, nc.n_cand
+          FROM ex JOIN nc USING (probe_id) WHERE nc.n_cand < {_NSW_K})
+ SELECT probe_id, vec_id, cos_sim,
+        CAST(row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rn,
+        n_cand, n_cand < {_NSW_K} AS fallback
+ FROM base QUALIFY rn <= {_NSW_K}""",
+)
+def q_ann_serving_filtered(spark, sf_dir):
+    """THE FULL SERVING STACK in one query: external query vectors +
+    label predicate + per-probe sound fallback, over the PERSISTED
+    table index with per-hop Bloom/min-max point-lookup pruning —
+    storage (q_ann_serving_table), filtering (q_ann_external_filtered),
+    and the walk compose without touching each other, and the oracle is
+    the staged filtered walk verbatim: persistence must be invisible in
+    the values. operators/similarity.py::ann_graph_search_vectors_table
+    (label=...)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _ext_query_vectors(emb)
+    table, v = _hnsw_serving_table(spark, sf_dir)
+    return sim.ann_graph_search_vectors_table(
+        spark, table, emb, qv,
+        k=_NSW_K, ef=_NSW_EF, hops=_HNSW_HOPS, version=v,
+        label=FILTER_LABEL,
+    )
+
+
+@register(
     "q_hybrid_rrf",
     f"""WITH t AS ({SQL_TERMS}),
          tf_t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
@@ -12125,17 +12287,17 @@ _CHECK_PRIORITY = [
     "q_select_quantile",
     "q_boilerplate_removal",
     "q_vocab_coverage",
-    # -- stream queries converted rows-only -> oracle-backed this round
-    # (q_hnsw_stream / q_knn_stream / q_hll_stream gave their slots to
-    # born-ops q_diverse_sample / q_winnowing / q_table_analyze; all
-    # three keep their r8 driver rows and session-green stream-parity
-    # tests)
-    "q_events_tumbling_stream",
-    "q_index_stream",
+    # -- more born-this-session ops (the born-op rule consumed the
+    # remaining converted-stream re-green slots q_hnsw_stream /
+    # q_knn_stream / q_hll_stream / q_cdc_stream / q_index_stream /
+    # q_events_tumbling_stream — all six keep their r8 driver rows and
+    # session-green stream-parity tests)
     "q_diverse_sample",
     "q_winnowing",
     "q_table_analyze",
     "q_table_group",
+    "q_ann_serving_filtered",
+    "q_group_stream",
     # -- born mid-round (third session): filtered vector search (exact
     # tier + IVF tier with the sound exact-scan fallback), shallow table
     # clone, incremental index downdate, and CDC index maintenance (the
