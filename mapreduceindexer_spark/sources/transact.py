@@ -194,12 +194,15 @@ def _dv_schema():
 
 def _carried_props(manifest: dict | None) -> dict:
     """Table-level properties that ride EVERY manifest regardless of
-    commit mode (constraints today): unlike schema (append-evolved) or
-    stats/dv (per-dir), these survive overwrites and rewrites — the
-    Delta 'table properties' semantics."""
+    commit mode (CHECK constraints + UNIQUE keys): unlike schema
+    (append-evolved) or stats/dv (per-dir), these survive overwrites
+    and rewrites — the Delta 'table properties' semantics."""
+    out: dict = {}
     if manifest and manifest.get("constraints"):
-        return {"constraints": dict(manifest["constraints"])}
-    return {}
+        out["constraints"] = dict(manifest["constraints"])
+    if manifest and manifest.get("unique"):
+        out["unique"] = list(manifest["unique"])
+    return out
 
 
 def _validate_constraints(
@@ -560,6 +563,7 @@ class TransactionalTable:
         # CHECK constraints (table properties — they survive overwrite)
         # gate the batch before any bytes land.
         props = _carried_props(cur_m)
+        unique_probe_dirs = None
         if validate:
             _validate_constraints(
                 df,
@@ -567,6 +571,10 @@ class TransactionalTable:
                 f"commit to v{new_version}",
                 schema_json,
             )
+            if props.get("unique"):
+                unique_probe_dirs = self._validate_unique(
+                    df, props["unique"], prev
+                )
 
         snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
         df.write.mode("error").parquet(snap)
@@ -604,6 +612,8 @@ class TransactionalTable:
             payload["stats"] = stats
         if dv:
             payload["dv"] = dv
+        if unique_probe_dirs is not None:
+            meta = {**(meta or {}), "unique_probe_dirs": unique_probe_dirs}
         if meta:
             payload["meta"] = meta
         return self._publish_manifest(payload, new_version, [snap])
@@ -3190,6 +3200,123 @@ class TransactionalTable:
         if version == 0:
             return {}
         return dict(self._manifest(version).get("constraints", {}))
+
+    def _validate_unique(self, df: DataFrame, cols, prev_manifest) -> int:
+        """Enforce UNIQUE(col) on one incoming batch: (a) the batch
+        itself carries no duplicate non-NULL keys (one aggregate), and
+        (b) on APPEND, no batch key already exists — probed via the
+        batch's [min, max] against each committed dir's recorded range,
+        so the existence check reads O(overlapping dirs), not the
+        table: range-disjoint ingest (monotone ids, date-keyed loads)
+        proves uniqueness from stats alone with ZERO data reads.
+        SQL semantics: NULL keys are exempt (multiple NULLs allowed).
+        Returns the number of dirs the existence probe had to scan —
+        commit() records it in the manifest meta as the enforcement
+        cost receipt. Deleted rows don't conflict: the overlap scan
+        reads through the manifest's deletion vectors."""
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        scanned = 0
+        for c in cols:
+            dup = (
+                df.filter(F.col(c).isNotNull())
+                .groupBy(c)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    f"batch violates UNIQUE({c}): duplicate keys inside "
+                    "the batch"
+                )
+            if prev_manifest is None:
+                continue  # overwrite: the batch IS the new table
+            b = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+            if b["lo"] is None:
+                continue  # all keys NULL: exempt
+            kept, _ = self._range_prune(prev_manifest, c, b["lo"], b["hi"])
+            scanned += len(kept)
+            if not kept:
+                continue
+            existing = self._read_dirs(spark, prev_manifest, kept).select(c)
+            clash = (
+                existing.join(df.select(c).distinct(), c, "left_semi")
+                .limit(1)
+                .count()
+            )
+            if clash:
+                raise ValueError(
+                    f"append violates UNIQUE({c}): at least one batch key "
+                    "is already present in the table"
+                )
+        return scanned
+
+    def add_unique(self, spark: SparkSession, col: str) -> int:
+        """Record a UNIQUE key on ``col`` and return the new
+        (metadata-only) version — the primary-key enforcement most
+        lakehouse formats skip (Delta/Iceberg PKs are informational).
+        Existing data is validated first (one aggregate over the
+        table); from then on every ``commit`` enforces the key via
+        ``_validate_unique``'s range-pruned existence probe. Enforcement
+        hooks the ingest path (``commit``); key-aware writers
+        (``merge_rows``) are upserts by construction."""
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError(
+                "add_unique needs a committed table (existing data is "
+                "validated)"
+            )
+        from pyspark.sql import functions as F
+
+        manifest = self._manifest(cur)
+        uniq = list(manifest.get("unique", []))
+        if col in uniq:
+            raise ValueError(f"UNIQUE({col}) already recorded")
+        dup = (
+            self.read(spark, cur)
+            .filter(F.col(col).isNotNull())
+            .groupBy(col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"existing data violates UNIQUE({col}); deduplicate first"
+            )
+        payload = {
+            **manifest,
+            "version": cur + 1,
+            "mode": "set_unique",
+            "unique": sorted(uniq + [col]),
+            "meta": {**manifest.get("meta", {}), "unique_added": col},
+        }
+        return self._publish_manifest(payload, cur + 1, [])
+
+    def drop_unique(self, col: str) -> int:
+        """Release UNIQUE(col); metadata-only version."""
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("empty table")
+        manifest = self._manifest(cur)
+        uniq = list(manifest.get("unique", []))
+        if col not in uniq:
+            raise ValueError(f"UNIQUE({col}) is not recorded")
+        uniq.remove(col)
+        payload = {
+            **manifest,
+            "version": cur + 1,
+            "mode": "set_unique",
+            "meta": {**manifest.get("meta", {}), "unique_dropped": col},
+        }
+        payload.pop("unique", None)
+        if uniq:
+            payload["unique"] = uniq
+        return self._publish_manifest(payload, cur + 1, [])
 
     def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
         """Record CHECK constraint ``expr`` (a SQL boolean expression

@@ -2341,3 +2341,76 @@ def test_analyze_is_feed_safe_and_guards_empty(spark, tmp_path):
     # append-shaped: same dirs, no boundary).
     delta = t.read_changes(spark, from_version=2, to_version=v + 1)
     assert _ids(delta) == [8, 9]
+
+
+# --- UNIQUE keys (add_unique / _validate_unique) ---
+
+
+def test_unique_blocks_batch_dups_and_existing_clashes(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), stats_cols=["id"])
+    t.add_unique(spark, "id")
+    with pytest.raises(ValueError, match=r"duplicate keys inside"):
+        t.commit(
+            spark.range(10, 12).unionAll(spark.range(10, 11)), mode="append"
+        )
+    with pytest.raises(ValueError, match=r"already present"):
+        t.commit(spark.range(4, 6), mode="append")
+    # The failed commits left no orphan state: version unchanged, clean
+    # append still lands.
+    v = t.commit(spark.range(5, 10), mode="append", stats_cols=["id"])
+    assert _ids(t.read(spark, v)) == list(range(10))
+
+
+def test_unique_probe_is_range_pruned_and_receipted(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 9, 2), stats_cols=["id"])  # evens 0..8
+    t.add_unique(spark, "id")
+    # Range-disjoint append: stats prove uniqueness, ZERO dirs scanned.
+    v = t.commit(spark.range(100, 105), mode="append", stats_cols=["id"])
+    assert t.meta_of(v)["unique_probe_dirs"] == 0
+    # Interleaved-but-clean append (odds inside the evens' [0, 8]
+    # range): exactly the one overlapping dir is read for the
+    # existence check, and it passes.
+    v2 = t.commit(spark.range(1, 8, 2), mode="append", stats_cols=["id"])
+    assert t.meta_of(v2)["unique_probe_dirs"] == 1
+    assert t.read(spark, v2).count() == 14
+
+
+def test_unique_exempts_nulls_and_respects_dv(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 5), stats_cols=["id"])
+    t.add_unique(spark, "id")
+    nulls = spark.range(2).select(F.lit(None).cast("long").alias("id"))
+    v = t.commit(nulls.unionAll(spark.range(20, 22)), mode="append")
+    assert t.read(spark, v).count() == 9
+    # A DV-deleted key is reusable: the overlap scan reads through the
+    # deletion vector.
+    t.delete_where_dv(spark, "id", lo=3, hi=3)
+    v2 = t.commit(spark.range(3, 4), mode="append")
+    assert sorted(
+        r[0] for r in t.read(spark, v2).select("id").collect() if r[0] is not None
+    ) == [0, 1, 2, 3, 4, 20, 21]
+
+
+def test_unique_lifecycle_guards(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="committed table"):
+        t.add_unique(spark, "id")
+    t.commit(spark.range(3).unionAll(spark.range(3)))
+    with pytest.raises(ValueError, match="existing data violates"):
+        t.add_unique(spark, "id")
+    t.commit(spark.range(3), mode="overwrite")
+    t.add_unique(spark, "id")
+    with pytest.raises(ValueError, match="already recorded"):
+        t.add_unique(spark, "id")
+    # The key survives overwrite (table property) and releases cleanly.
+    t.commit(spark.range(7), mode="overwrite")
+    with pytest.raises(ValueError, match="already present"):
+        t.commit(spark.range(0, 1), mode="append")
+    t.drop_unique("id")
+    t.commit(spark.range(0, 1), mode="append")  # now admitted
+    with pytest.raises(ValueError, match="not recorded"):
+        t.drop_unique("id")
