@@ -161,6 +161,7 @@ HEADLINE = [
     "q_table_clone",       # shallow clone: zero-copy fork + divergence
     "q_table_maintenance",  # metadata-only maintenance advisor
     "q_table_analyze",     # stats backfill reads only stats-less dirs
+    "q_table_unique",      # enforced unique key, range-pruned probe
     "q_table_group",       # multi-table consistent snapshot pin sets
     "q_group_stream",      # streaming ingest with per-batch group pins
     "q_embedding_drift",   # per-label centroid drift between halves

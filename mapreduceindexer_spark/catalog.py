@@ -11655,6 +11655,95 @@ def q_table_group(spark, sf_dir):
 
 
 @register(
+    "q_table_unique",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 3 AS BIGINT) AS b1,
+                         CAST((2 * count(*)) // 3 AS BIGINT) AS b2
+                  FROM documents)
+       SELECT (SELECT n FROM b) AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+                  AS total_chars,
+              CAST(3 AS BIGINT) AS n_dirs,
+              CAST(0 AS BIGINT) AS disjoint_probe_dirs,
+              CAST(1 AS BIGINT) AS dup_rejected,
+              CAST(1 AS BIGINT) AS batch_dup_rejected""",
+)
+def q_table_unique(spark, sf_dir):
+    """ENFORCED UNIQUE KEY on the transactional table
+    (sources/transact.py::add_unique/_validate_unique) — the
+    primary-key enforcement most lakehouse formats leave informational:
+    existing data validated at declaration; every append then (a)
+    rejects batch-internal duplicate keys with one aggregate and (b)
+    probes existence via the batch's [min, max] against each dir's
+    recorded range — range-disjoint ingest proves uniqueness from
+    stats alone with ZERO data reads (the receipt rides the manifest
+    meta and is value-checked here). The query declares UNIQUE(doc_id)
+    after slice 1, appends the two remaining disjoint slices
+    (probe_dirs = 0 each), then proves both rejection paths fire: a
+    re-append of existing ids and a self-duplicated batch both fail
+    loudly and leave no orphan state — the final table is exactly the
+    corpus, chars included."""
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.transact import TransactionalTable
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    b1, b2 = n // 3, (2 * n) // 3
+    table = TransactionalTable(tempfile.mkdtemp(prefix="mri_txn_uniq_"))
+    table.commit(docs.filter(F.col("doc_id") < b1), stats_cols=["doc_id"])
+    table.add_unique(spark, "doc_id")
+    v2 = table.commit(
+        docs.filter((F.col("doc_id") >= b1) & (F.col("doc_id") < b2)),
+        mode="append",
+        stats_cols=["doc_id"],
+    )
+    v3 = table.commit(
+        docs.filter(F.col("doc_id") >= b2),
+        mode="append",
+        stats_cols=["doc_id"],
+    )
+    disjoint_probes = (
+        table.meta_of(v2)["unique_probe_dirs"]
+        + table.meta_of(v3)["unique_probe_dirs"]
+    )
+    dup_rejected = 0
+    try:
+        table.commit(docs.filter(F.col("doc_id") < 5), mode="append")
+    except ValueError:
+        dup_rejected = 1
+    batch_dup_rejected = 0
+    try:
+        table.commit(
+            docs.filter(F.col("doc_id") == 0).unionAll(
+                docs.filter(F.col("doc_id") == 0)
+            ),
+            mode="append",
+        )
+    except ValueError:
+        batch_dup_rejected = 1
+    out = (
+        table.read(spark)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.lit(len(table._manifest(table.current_version())["dirs"]))
+            .cast("bigint")
+            .alias("n_dirs"),
+            F.lit(disjoint_probes).cast("bigint").alias("disjoint_probe_dirs"),
+            F.lit(dup_rejected).cast("bigint").alias("dup_rejected"),
+            F.lit(batch_dup_rejected)
+            .cast("bigint")
+            .alias("batch_dup_rejected"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_analyze",
     """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
                          CAST(count(*) // 3 AS BIGINT) AS b1,
