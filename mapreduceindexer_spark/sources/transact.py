@@ -2257,6 +2257,10 @@ class TransactionalTable:
             f"commit to v{base_v + 1}",
             schema_json,
         )
+        if props.get("unique"):
+            # UNIQUE keys gate the partitioned ingest path exactly like
+            # the plain one — a layout choice must not weaken a key.
+            self._validate_unique(df, props["unique"], prev_m)
         snap, subdirs = self._write_partitioned_snap(
             spark, df, part_col, kind, param
         )
@@ -2421,6 +2425,23 @@ class TransactionalTable:
                 f"replace set {sorted(suffixes)}; widen `parts` or fix "
                 "the updates — writing them silently would corrupt the "
                 "untouched partitions' contract"
+            )
+        uniq = _carried_props(manifest).get("unique", [])
+        if uniq:
+            # The replacement batch must be key-clean AND clash-free
+            # against the SURVIVING dirs only (the replaced dirs die
+            # with this commit, so their keys are reusable).
+            def _suffix(d: str) -> str:
+                return d.rsplit(f"{self._PART}=", 1)[1]
+
+            surviving = {
+                **manifest,
+                "dirs": [
+                    d for d in manifest["dirs"] if _suffix(d) not in suffixes
+                ],
+            }
+            self._validate_unique(
+                updates, uniq, surviving if surviving["dirs"] else None
             )
         snap, subdirs = self._write_partitioned_snap(
             spark, updates, part_col, kind, kparam

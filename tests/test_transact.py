@@ -2150,6 +2150,11 @@ def test_clone_carries_stats_dv_and_constraints(spark, tmp_path):
             spark.range(0, 3).select((F.col("id") - 10).alias("id")),
             mode="append",
         )
+    # UNIQUE keys ride the clone too (table properties carry whole).
+    src.add_unique(spark, "id")
+    clone2 = src.clone_to(str(tmp_path / "dst_uniq"))
+    with pytest.raises(ValueError, match="already present"):
+        clone2.commit(spark.range(5, 6), mode="append")
 
 
 def test_clone_vacuum_never_touches_inherited_dirs(spark, tmp_path):
@@ -2414,3 +2419,42 @@ def test_unique_lifecycle_guards(spark, tmp_path):
     t.commit(spark.range(0, 1), mode="append")  # now admitted
     with pytest.raises(ValueError, match="not recorded"):
         t.drop_unique("id")
+
+
+def test_unique_gates_partitioned_commits_and_replace(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(0, 12).select("id", (F.col("id") % 3).alias("p"))
+    t.commit_partitioned(spark, df, "p", stats_cols=["id"])
+    t.add_unique(spark, "id")
+    # Partitioned append with a clashing key is refused like plain ones.
+    with pytest.raises(ValueError, match="already present"):
+        t.commit_partitioned(
+            spark,
+            spark.range(11, 13).select("id", (F.col("id") % 3).alias("p")),
+            "p",
+            mode="append",
+        )
+    # A clean disjoint partitioned append still lands.
+    t.commit_partitioned(
+        spark,
+        spark.range(100, 103).select("id", (F.col("id") % 3).alias("p")),
+        "p",
+        mode="append",
+        stats_cols=["id"],
+    )
+    # replace_partitions may REUSE keys of the partitions it replaces…
+    t.replace_partitions(
+        spark,
+        spark.range(0, 12, 3).select("id", (F.col("id") % 3).alias("p")),
+        parts=[0],
+    )
+    # …but not keys that live in the SURVIVING partitions (id=2 is in
+    # partition 2; here it arrives as a partition-1 row).
+    with pytest.raises(ValueError, match="already present"):
+        t.replace_partitions(
+            spark,
+            spark.createDataFrame([(2, 1)], "id: bigint, p: bigint"),
+            parts=[1],
+        )
