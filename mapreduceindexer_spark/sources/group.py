@@ -130,16 +130,24 @@ class TableGroup:
                 try:
                     table.tag(tag, v)  # raises if v doesn't exist
                 except ValueError as e:
-                    if "already exists" in str(e):
-                        # Another group committer is racing the same
-                        # version slot — its pin tag landed first. A
-                        # concurrency loss, not a caller bug.
+                    if "already exists" not in str(e):
+                        raise
+                    if os.path.exists(
+                        os.path.join(self.manifest_dir, f"g{g}.json")
+                    ):
+                        # The slot's manifest is published: the tag
+                        # belongs to the winner. A concurrency loss.
                         raise CommitConflict(
-                            f"group version {g} pin tag {tag!r} already "
-                            "taken by a racing committer; re-read the "
-                            "group and retry"
+                            f"group version {g} was published by another "
+                            "committer; re-read the group and retry"
                         ) from None
-                    raise
+                    # No manifest for slot g: the tag is an ORPHAN from
+                    # a committer that died between tagging and linking
+                    # (or a racer we will serialize with at the CAS).
+                    # Without this healing, the slot would wedge: every
+                    # retry re-raises on the stale tag forever.
+                    table.drop_tag(tag)
+                    table.tag(tag, v)
                 fresh_tags.append((table, tag))
                 payload_pins[member] = {"path": table.path, "version": v}
         except Exception:
@@ -175,6 +183,22 @@ class TableGroup:
             ) from None
         os.unlink(tmp)
         fsync_path(self.manifest_dir)
+        # Post-link re-verify: a racing committer may have treated one
+        # of our fresh tags as an orphan (its manifest check ran before
+        # our link landed) and dropped it. Tags are idempotent to
+        # re-create at the same version, so heal any gap — the pin must
+        # outlive us, not just win the race.
+        for member, (table, v) in sorted(pins.items()):
+            tag = self._tag_name(member, g)
+            try:
+                if table.tag_version(tag) != v:
+                    table.drop_tag(tag)
+                    table.tag(tag, v)
+            except ValueError:
+                try:
+                    table.tag(tag, v)
+                except ValueError:
+                    pass  # lost a bench-race to an identical healer
         return g
 
     def read(

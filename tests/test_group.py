@@ -159,3 +159,16 @@ def test_group_stream_replay_is_idempotent_and_consistent(spark, tmp_path):
     assert grp.current_version() == 3
     assert grp.read(spark, "docs").count() == head_docs
     assert grp.read(spark, "idx").count() == head_terms
+
+
+def test_group_commit_heals_orphan_pin_tags(spark, pair):
+    # Simulate a committer that died between tagging and linking: the
+    # orphan tag for the NEXT slot must not wedge every retry.
+    docs, idx, grp = pair
+    g_next = grp.current_version() + 1
+    docs.tag(grp._tag_name("docs", g_next), 1)  # stale orphan (v1)
+    dv = docs.commit(spark.range(6, 9), mode="append")
+    g = grp.commit({"docs": (docs, dv)})
+    assert g == g_next
+    # The healed tag pins the COMMITTED version, not the orphan's.
+    assert docs.tag_version(grp._tag_name("docs", g)) == dv
