@@ -565,6 +565,14 @@ class TransactionalTable:
         props = _carried_props(cur_m)
         unique_probe_dirs = None
         if validate:
+            if props.get("unique"):
+                # Pin the batch BEFORE validating and writing: the
+                # unique probe materializes df three times and the
+                # write a fourth — an unpinned non-deterministic
+                # lineage (sample, limit) could pass validation and
+                # then persist different, duplicate-carrying rows
+                # (the replace_partitions discipline).
+                df = df.localCheckpoint(eager=True)
             _validate_constraints(
                 df,
                 props.get("constraints", {}),
@@ -2251,6 +2259,11 @@ class TransactionalTable:
             prev_m.get("schema") if prev_m else None, df.schema
         )
         props = _carried_props(cur_m)
+        if props.get("unique"):
+            # Pin before validate-then-write (see commit()): an
+            # unpinned non-deterministic batch could pass the probe
+            # and persist different rows.
+            df = df.localCheckpoint(eager=True)
         _validate_constraints(
             df,
             props.get("constraints", {}),
@@ -2426,18 +2439,18 @@ class TransactionalTable:
                 "the updates — writing them silently would corrupt the "
                 "untouched partitions' contract"
             )
+        def suffix_of(d: str) -> str:
+            return d.rsplit(f"{self._PART}=", 1)[1]
+
         uniq = _carried_props(manifest).get("unique", [])
         if uniq:
             # The replacement batch must be key-clean AND clash-free
             # against the SURVIVING dirs only (the replaced dirs die
             # with this commit, so their keys are reusable).
-            def _suffix(d: str) -> str:
-                return d.rsplit(f"{self._PART}=", 1)[1]
-
             surviving = {
                 **manifest,
                 "dirs": [
-                    d for d in manifest["dirs"] if _suffix(d) not in suffixes
+                    d for d in manifest["dirs"] if suffix_of(d) not in suffixes
                 ],
             }
             self._validate_unique(
@@ -2458,9 +2471,6 @@ class TransactionalTable:
             new_stats = _grouped_subdir_stats(
                 spark, snap, self._PART, stats_cols, bloom_cols
             )
-
-        def suffix_of(d: str) -> str:
-            return d.rsplit(f"{self._PART}=", 1)[1]
 
         kept = [d for d in manifest["dirs"] if suffix_of(d) not in suffixes]
         old_stats = manifest.get("stats", {})
@@ -2959,6 +2969,11 @@ class TransactionalTable:
         cur = self.current_version()
         if cur == 0:
             raise ValueError("cannot analyze an empty table")
+        if not stats_cols:
+            # An empty column list could never satisfy the missing
+            # predicate, so each call would mint a new do-nothing
+            # version forever — refuse instead of looping.
+            raise ValueError("analyze needs at least one stats column")
         m = self._manifest(cur)
         stats = dict(m.get("stats", {}))
         want_bloom = list(bloom_cols) if bloom_cols else []
@@ -3634,7 +3649,16 @@ class TransactionalTable:
         if v not in self.versions():
             raise ValueError(f"version {v} does not exist")
         m = self._manifest(v)
-        if m.get("partitioned_by") or m.get("dir_spec") or m.get("specs"):
+        if (
+            m.get("meta", {}).get("partitioned_by")
+            or m.get("dir_spec")
+            or m.get("specs")
+        ):
+            # partitioned_by lives under meta (like every other reader
+            # of it); dir_spec/specs are top-level. Checking only the
+            # top level would silently admit a partitioned head whose
+            # spec keys weren't carried (e.g. after delete_where_dv),
+            # and the clone would drop the layout metadata.
             raise ValueError(
                 "shallow clone of hidden-partitioned layouts is not "
                 "supported (pruning metadata is keyed by sub-dir name); "

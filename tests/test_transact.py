@@ -2458,3 +2458,30 @@ def test_unique_gates_partitioned_commits_and_replace(spark, tmp_path):
             spark.createDataFrame([(2, 1)], "id: bigint, p: bigint"),
             parts=[1],
         )
+
+
+def test_clone_refuses_partitioned_head_even_after_dv(spark, tmp_path):
+    # delete_where_dv on a partitioned table keeps meta.partitioned_by
+    # but the guard must still fire (review finding: a top-level-only
+    # check silently admitted this head and dropped the layout).
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit_partitioned(
+        spark,
+        spark.range(0, 12).select("id", (F.col("id") % 3).alias("p")),
+        "p",
+        stats_cols=["id"],
+    )
+    t.delete_where_dv(spark, "id", lo=0, hi=1)
+    with pytest.raises(ValueError, match="partitioned"):
+        t.clone_to(str(tmp_path / "dst"))
+
+
+def test_analyze_refuses_empty_stats_cols(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 4))
+    v = t.current_version()
+    with pytest.raises(ValueError, match="at least one stats column"):
+        t.analyze(spark, stats_cols=[])
+    assert t.current_version() == v  # no do-nothing version minted
