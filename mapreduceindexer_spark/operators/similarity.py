@@ -641,11 +641,22 @@ def embedding_drift(embeddings: DataFrame, mod: int = 2) -> DataFrame:
     b = side.filter(F.col("h") == 1).select(
         "label", F.col("c").alias("cb"), F.col("count").alias("n_new")
     )
-    return a.join(b, "label").select(
+    # FULL outer join: a label present in only one half is the
+    # strongest drift event of all (brand-new label arriving, or an
+    # established one vanishing) — an inner join would silently drop
+    # exactly the row the monitor exists to raise. One-sided labels
+    # report the absent half as 0 with a NULL cosine.
+    return a.join(b, "label", "full").select(
         F.col("label").cast("bigint").alias("label"),
-        F.col("n_ref").cast("bigint").alias("n_ref"),
-        F.col("n_new").cast("bigint").alias("n_new"),
-        F.round(cosine_similarity("ca", "cb"), 6).alias("centroid_cos"),
+        F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+        F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        # Explicit NULL for one-sided labels: the higher-order cosine
+        # over a NULL array would quietly yield 0.0, which reads as
+        # "maximal drift" instead of "nothing to compare".
+        F.when(
+            F.col("ca").isNotNull() & F.col("cb").isNotNull(),
+            F.round(cosine_similarity("ca", "cb"), 6),
+        ).alias("centroid_cos"),
     )
 
 

@@ -188,3 +188,19 @@ def test_external_filtered_serving_matches_predicate_and_gates(spark, emb):
                 .orderBy(F.desc("c"), F.asc("vec_id")).limit(3).collect()
             )
             assert got == [(r.vec_id, r.c) for r in exact]
+
+
+def test_embedding_drift_surfaces_one_sided_labels(spark):
+    # A label present ONLY in the new half (odd vec_ids) is the
+    # strongest drift event; it must appear with n_ref=0, not vanish.
+    rows = [(i, [float(i % 3), 1.0], 0) for i in range(8)]
+    rows += [(9, [5.0, 5.0], 7), (11, [5.0, 4.0], 7)]  # odd-only label
+    emb2 = spark.createDataFrame(
+        rows, "vec_id: bigint, embedding: array<float>, label: int"
+    )
+    out = {r.label: r for r in sim.embedding_drift(emb2, mod=2).collect()}
+    assert 7 in out
+    assert out[7].n_ref == 0 and out[7].n_new == 2
+    assert out[7].centroid_cos is None
+    assert out[0].n_ref > 0 and out[0].n_new > 0
+    assert out[0].centroid_cos is not None
