@@ -3002,14 +3002,16 @@ def q_embed_centroids(spark, sf_dir):
          cnt AS (SELECT label, vec_id % 2 AS h,
                         CAST(count(*) AS BIGINT) AS n
                  FROM e GROUP BY label, vec_id % 2)
-       SELECT a.label,
-              (SELECT n FROM cnt WHERE cnt.label = a.label AND cnt.h = 0)
-                  AS n_ref,
-              (SELECT n FROM cnt WHERE cnt.label = a.label AND cnt.h = 1)
-                  AS n_new,
+       SELECT COALESCE(a.label, b.label) AS label,
+              CAST(COALESCE(
+                  (SELECT n FROM cnt WHERE cnt.label = COALESCE(a.label, b.label)
+                   AND cnt.h = 0), 0) AS BIGINT) AS n_ref,
+              CAST(COALESCE(
+                  (SELECT n FROM cnt WHERE cnt.label = COALESCE(a.label, b.label)
+                   AND cnt.h = 1), 0) AS BIGINT) AS n_new,
               ROUND({SQL_COS.format(a='a.c', b='b.c')}, 6) AS centroid_cos
-       FROM arr a JOIN arr b ON a.label = b.label
-       WHERE a.h = 0 AND b.h = 1""",
+       FROM (SELECT * FROM arr WHERE h = 0) a
+       FULL JOIN (SELECT * FROM arr WHERE h = 1) b ON a.label = b.label""",
 )
 def q_embedding_drift(spark, sf_dir):
     """EMBEDDING DRIFT MONITOR (operators/similarity.py::
@@ -3019,7 +3021,10 @@ def q_embedding_drift(spark, sf_dir):
     shift, or label contamination shows up as a centroid swing before
     any model trains on it). Decimal-sum means and rounded cosine keep
     both halves bit-replayable; counts per half ride the output so a
-    lopsided split can't masquerade as agreement."""
+    lopsided split can't masquerade as agreement, and the join is FULL
+    OUTER — a label present in only one half (the strongest drift
+    event) surfaces with the absent side at 0 and a NULL cosine instead
+    of vanishing (review finding)."""
     return sim.embedding_drift(_t(spark, sf_dir, "embeddings"), mod=2)
 
 
@@ -8462,13 +8467,20 @@ def q_ann_graph_recall(spark, sf_dir):
     )
 
 
-@register(
-    "q_ann_graph_filtered",
-    f"""{_SQL_NSW_WALK},
+def _sql_filtered_walk_tail(walk_cte: str, exclude_self: bool) -> str:
+    """The shared filtered-rank + per-probe-gated-fallback oracle tail
+    over a finished walk CTE — ONE body for the graph / external /
+    serving filtered queries, so a change to the fallback gate can
+    never desynchronize the trio. ``exclude_self`` is the only real
+    difference: in-corpus probes exclude their own node; external
+    probe ids are disjoint from corpus ids."""
+    self_m = " AND v.vec_id <> v.probe_id" if exclude_self else ""
+    self_ex = "ev.vec_id <> p.probe_id" if exclude_self else "TRUE"
+    return f""",
  lab AS (SELECT vec_id, label FROM embeddings),
  m AS (SELECT v.probe_id, v.vec_id, v.cos_sim
-       FROM v{_NSW_HOPS} v JOIN lab l ON l.vec_id = v.vec_id
-       WHERE l.label = {FILTER_LABEL} AND v.vec_id <> v.probe_id),
+       FROM {walk_cte} v JOIN lab l ON l.vec_id = v.vec_id
+       WHERE l.label = {FILTER_LABEL}{self_m}),
  nc AS (SELECT p.probe_id,
                CAST((SELECT count(*) FROM m
                      WHERE m.probe_id = p.probe_id) AS BIGINT) AS n_cand
@@ -8476,7 +8488,7 @@ def q_ann_graph_recall(spark, sf_dir):
  ex AS (SELECT p.probe_id, ev.vec_id,
                ROUND({SQL_COS.format(a='ev.v', b='p.pv')}, 6) AS cos_sim
         FROM probes p
-        JOIN e ev ON ev.vec_id <> p.probe_id
+        JOIN e ev ON {self_ex}
         JOIN lab l ON l.vec_id = ev.vec_id
         WHERE l.label = {FILTER_LABEL}),
  base AS (SELECT m.probe_id, m.vec_id, m.cos_sim, nc.n_cand
@@ -8488,7 +8500,13 @@ def q_ann_graph_recall(spark, sf_dir):
         CAST(row_number() OVER (PARTITION BY probe_id
                                 ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rn,
         n_cand, n_cand < {_NSW_K} AS fallback
- FROM base QUALIFY rn <= {_NSW_K}""",
+ FROM base QUALIFY rn <= {_NSW_K}"""
+
+
+@register(
+    "q_ann_graph_filtered",
+    _SQL_NSW_WALK
+    + _sql_filtered_walk_tail(f"v{_NSW_HOPS}", exclude_self=True),
 )
 def q_ann_graph_filtered(spark, sf_dir):
     """FILTERED graph-ANN (operators/similarity.py::
@@ -8839,31 +8857,8 @@ def q_ann_external_recall(spark, sf_dir):
 
 @register(
     "q_ann_external_filtered",
-    f"""{_SQL_EXT_WALK},
- lab AS (SELECT vec_id, label FROM embeddings),
- m AS (SELECT v.probe_id, v.vec_id, v.cos_sim
-       FROM v{_HNSW_HOPS} v JOIN lab l ON l.vec_id = v.vec_id
-       WHERE l.label = {FILTER_LABEL}),
- nc AS (SELECT p.probe_id,
-               CAST((SELECT count(*) FROM m
-                     WHERE m.probe_id = p.probe_id) AS BIGINT) AS n_cand
-        FROM probes p),
- ex AS (SELECT p.probe_id, ev.vec_id,
-               ROUND({SQL_COS.format(a='ev.v', b='p.pv')}, 6) AS cos_sim
-        FROM probes p
-        JOIN e ev ON TRUE
-        JOIN lab l ON l.vec_id = ev.vec_id
-        WHERE l.label = {FILTER_LABEL}),
- base AS (SELECT m.probe_id, m.vec_id, m.cos_sim, nc.n_cand
-          FROM m JOIN nc USING (probe_id) WHERE nc.n_cand >= {_NSW_K}
-          UNION ALL
-          SELECT ex.probe_id, ex.vec_id, ex.cos_sim, nc.n_cand
-          FROM ex JOIN nc USING (probe_id) WHERE nc.n_cand < {_NSW_K})
- SELECT probe_id, vec_id, cos_sim,
-        CAST(row_number() OVER (PARTITION BY probe_id
-                                ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rn,
-        n_cand, n_cand < {_NSW_K} AS fallback
- FROM base QUALIFY rn <= {_NSW_K}""",
+    _SQL_EXT_WALK
+    + _sql_filtered_walk_tail(f"v{_HNSW_HOPS}", exclude_self=False),
 )
 def q_ann_external_filtered(spark, sf_dir):
     """FILTERED search on the SERVING path (operators/similarity.py::
@@ -8945,31 +8940,8 @@ def q_ann_serving_table(spark, sf_dir):
     # persisted index holds the identical edge rows the staged relation
     # holds, so the filtered walk over storage must reproduce the
     # staged filtered walk value-for-value.
-    f"""{_SQL_EXT_WALK},
- lab AS (SELECT vec_id, label FROM embeddings),
- m AS (SELECT v.probe_id, v.vec_id, v.cos_sim
-       FROM v{_HNSW_HOPS} v JOIN lab l ON l.vec_id = v.vec_id
-       WHERE l.label = {FILTER_LABEL}),
- nc AS (SELECT p.probe_id,
-               CAST((SELECT count(*) FROM m
-                     WHERE m.probe_id = p.probe_id) AS BIGINT) AS n_cand
-        FROM probes p),
- ex AS (SELECT p.probe_id, ev.vec_id,
-               ROUND({SQL_COS.format(a='ev.v', b='p.pv')}, 6) AS cos_sim
-        FROM probes p
-        JOIN e ev ON TRUE
-        JOIN lab l ON l.vec_id = ev.vec_id
-        WHERE l.label = {FILTER_LABEL}),
- base AS (SELECT m.probe_id, m.vec_id, m.cos_sim, nc.n_cand
-          FROM m JOIN nc USING (probe_id) WHERE nc.n_cand >= {_NSW_K}
-          UNION ALL
-          SELECT ex.probe_id, ex.vec_id, ex.cos_sim, nc.n_cand
-          FROM ex JOIN nc USING (probe_id) WHERE nc.n_cand < {_NSW_K})
- SELECT probe_id, vec_id, cos_sim,
-        CAST(row_number() OVER (PARTITION BY probe_id
-                                ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rn,
-        n_cand, n_cand < {_NSW_K} AS fallback
- FROM base QUALIFY rn <= {_NSW_K}""",
+    _SQL_EXT_WALK
+    + _sql_filtered_walk_tail(f"v{_HNSW_HOPS}", exclude_self=False),
 )
 def q_ann_serving_filtered(spark, sf_dir):
     """THE FULL SERVING STACK in one query: external query vectors +
