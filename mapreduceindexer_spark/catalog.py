@@ -12302,94 +12302,73 @@ def q_table_bloom_skip(spark, sf_dir):
 
 
 _CHECK_PRIORITY = [
-    # Round-9 window: CLOSE THE LEDGER. All 25 queries with NO prior
-    # driver row — the 23-query r8 backlog (post-window-freeze table
-    # tier, the ingest trio, four deferred stream variants, four
-    # deferred-with-sibling ops) plus the two BORN this round
-    # (q_ingest_wap, q_vocab_oov) — then the six stream queries whose
-    # oracle is NEW this round (rows-only -> value-checked: the
-    # stronger contract earns a fresh external row), then 19 spine
-    # re-greens whose last driver row is r2/r3 (the stalest entries in
-    # COVERAGE.md's ledger). After this window every registered query
-    # has >= 1 driver row. All 50 were value-verified against DuckDB
-    # in-session by the full driver-shaped drive before rotation.
-    # -- born in round 9 (q_table_restore and q_quality_classifier took
-    # the q_top_orders / q_cube spine re-green slots mid-round: born-op
-    # rule precedes re-greens; both swap-outs stay locally verified)
-    "q_ingest_wap",
-    "q_vocab_oov",
-    "q_table_restore",
-    "q_quality_classifier",
-    "q_quality_holdout",
-    # -- the r8 backlog: table tier (registered after the r8 freeze)
-    "q_table_wap",
-    "q_table_zorder",
-    "q_table_mv",
-    "q_table_constraints",
-    "q_table_fast_agg",
-    "q_table_history",
-    "q_table_cdc",
-    "q_table_stream",
-    "q_table_delete_dv",
-    "q_table_replace",
-    "q_table_bloom_skip_many",
-    "q_table_evolution",
-    # -- the ingest trio
-    "q_ingest_dedup",
-    "q_ingest_point",
-    "q_ingest_stream",
-    # -- deferred stream variants (all oracle-backed as of r9)
-    "q_events_sliding_stream",
-    "q_events_dedup_stream",
-    "q_events_session_stream",
-    "q_attribution_stream",
-    # -- deferred-with-sibling ops
-    "q_multimodal_decode",
-    "q_select_quantile",
-    "q_boilerplate_removal",
-    "q_vocab_coverage",
-    # -- more born-this-session ops (the born-op rule consumed the
-    # remaining converted-stream re-green slots q_hnsw_stream /
-    # q_knn_stream / q_hll_stream / q_cdc_stream / q_index_stream /
-    # q_events_tumbling_stream — all six keep their r8 driver rows and
-    # session-green stream-parity tests)
-    "q_diverse_sample",
-    "q_winnowing",
-    "q_table_analyze",
-    "q_table_group",
-    "q_ann_serving_filtered",
-    "q_group_stream",
-    # -- born mid-round (third session): filtered vector search (exact
-    # tier + IVF tier with the sound exact-scan fallback), shallow table
-    # clone, incremental index downdate, and CDC index maintenance (the
-    # born-op rule took the q_anti_join / q_project / q_distinct_counts /
-    # q_events_sliding / q_funnel spine re-green slots; all five
-    # swap-outs stay locally verified by test_oracle_parity)
-    "q_ann_filtered",
-    "q_ann_filtered_ivf",
-    "q_table_clone",
-    "q_postings_unmerge",
-    "q_index_cdc",
-    "q_ann_graph_filtered",
-    "q_table_maintenance",
-    "q_ann_external_filtered",
-    # (the third-session born-op swaps also consumed the remaining
-    # spine re-green slots: q_phrase_search, q_rank_terms_per_letter,
-    # q_approx_distinct_parts — all locally verified every session)
-    # -- born mid-round: hidden partitioning + partition evolution +
-    # bucket layout, the index served through the bucket layout, and
-    # the deterministic training shuffle (the born-op rule took the
-    # five spine re-green slots q_events_session / q_cosine_topk /
-    # q_grouping_sets / q_tfidf / q_window_running; all five swap-outs
-    # stay locally verified by test_oracle_parity)
-    "q_table_hidden_partition",
-    "q_table_partition_evolution",
-    "q_table_bucket_partition",
-    "q_term_serving_table",
-    "q_train_shuffle",
-    "q_table_mv_join",
-    "q_table_retention",
-    "q_table_diff",
+    # Round-10 window: CLOSE THE ORACLE-EVIDENCE GAP (verdict r9 item 1).
+    # Lead with the 8 queries whose CURRENT check mode has no driver row:
+    # the two born after the r9 window froze (q_embedding_drift,
+    # q_table_unique) and the six stream queries whose oracles were
+    # converted rows-only -> value-checked in r9 but which were NOT in
+    # the r9 window (their only driver rows are r7/r8 rows-only). After
+    # these land, every registered query has a driver row for its
+    # current contract. The remaining 42 slots are spine re-greens,
+    # stalest-first per the generated COVERAGE.md ledger: every r2 row
+    # (11), every r3 row (16), every r4 row (14), plus one r5 row.
+    # All 50 are value-verified against DuckDB in-session by the full
+    # driver-shaped drive before this rotation is committed.
+    # -- current-contract gap (8)
+    "q_embedding_drift",
+    "q_table_unique",
+    "q_events_tumbling_stream",
+    "q_index_stream",
+    "q_cdc_stream",
+    "q_hll_stream",
+    "q_knn_stream",
+    "q_hnsw_stream",
+    # -- spine re-greens, last driver row r2 (11)
+    "q_anti_join",
+    "q_distinct_counts",
+    "q_events_sliding",
+    "q_funnel",
+    "q_phrase_search",
+    "q_project",
+    "q_promo_revenue",
+    "q_rank_terms_per_letter",
+    "q_setops_all",
+    "q_window_range_time",
+    "q_window_running",
+    # -- last driver row r3 (16)
+    "q_cosine_topk",
+    "q_cube",
+    "q_distinct_terms",
+    "q_events_session",
+    "q_grouping_sets",
+    "q_percentiles",
+    "q_pivot",
+    "q_postings_gaps",
+    "q_quality_score",
+    "q_scalar_subquery",
+    "q_sentences",
+    "q_term_cooccurrence",
+    "q_tfidf",
+    "q_top_orders",
+    "q_value_histogram",
+    "q_value_outliers",
+    # -- last driver row r4 (14)
+    "q_bloom",
+    "q_bool_or",
+    "q_containment",
+    "q_countmin",
+    "q_hll",
+    "q_lm_score",
+    "q_multimodal_ppm",
+    "q_postings_merge",
+    "q_scan_lineitem",
+    "q_setops",
+    "q_simhash",
+    "q_sorted_index",
+    "q_term_lookup",
+    "q_user_trend",
+    # -- last driver row r5 (1)
+    "q_ann_ivf",
 ]
 assert len(_CHECK_PRIORITY) == 50, (
     f"driver check window is exactly 50 slots, got {len(_CHECK_PRIORITY)}"

@@ -561,13 +561,24 @@ def ivf_filtered_topk(
     probe_cells = _nearest_probe_cells(
         embeddings, cells, probe_id, n_centroids, n_probe_cells
     )
+    # Pin both relations BEFORE the gate count (the commit()
+    # discipline): the count burns its result into F.lit(n_cand) and
+    # the branch choice, so with a non-deterministic or
+    # later-mutated input the gate decision and the scored rows could
+    # diverge — localCheckpoint makes count and score read the same
+    # snapshot (r9 advice). Both are small: the filtered slice and
+    # the probed-cells intersection, never the corpus.
     filtered = embeddings.filter(
         (F.col("label") == label) & (F.col("vec_id") != probe_id)
-    )
-    cand = filtered.join(cells, "vec_id").join(
-        F.broadcast(probe_cells),
-        F.col("cell") == F.col("probe_cell"),
-        "left_semi",
+    ).localCheckpoint()
+    cand = (
+        filtered.join(cells, "vec_id")
+        .join(
+            F.broadcast(probe_cells),
+            F.col("cell") == F.col("probe_cell"),
+            "left_semi",
+        )
+        .localCheckpoint()
     )
     # Bounded decision count: |probed cells ∩ filter| rows at most.
     n_cand = cand.count()

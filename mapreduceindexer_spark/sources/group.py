@@ -99,6 +99,48 @@ class TableGroup:
     def _tag_name(self, member: str, g: int) -> str:
         return f"{self.name}_{member}_v{g}"
 
+    def _release_tag(
+        self, table: "TransactionalTable", member: str, tag: str, g: int
+    ) -> None:
+        """Rollback helper: release a slot-``g`` tag this committer
+        created — UNLESS slot ``g`` has since been PUBLISHED pinning
+        this member, in which case the tag now belongs to the group
+        version and must be left in place (converged on the published
+        version if a racer left it elsewhere).
+
+        Without the publish check a losing committer could dangle the
+        winner's pin: B heals A's not-yet-published tag as an orphan
+        and re-tags it; A then wins the manifest CAS; B's rollback
+        drop removes the tag AFTER A's post-link re-verify already
+        ran — group version g ends published with no member tag, and
+        member vacuum may reclaim the pinned version (r9 advice)."""
+        published = None
+        try:
+            pin = self._manifest(g)["pins"].get(member)
+            if pin is not None and pin.get("path") == table.path:
+                published = pin.get("version")
+        except ValueError:
+            published = None  # slot g not published: drop is safe
+        if published is None:
+            try:
+                table.drop_tag(tag)
+            except Exception:
+                pass
+            return
+        # Slot g is published: keep the tag, converging it on the
+        # published version (idempotent with the winner's post-link
+        # re-verify — both writers write the same value).
+        try:
+            if table.tag_version(tag) == published:
+                return
+            table.drop_tag(tag)
+        except ValueError:
+            pass
+        try:
+            table.tag(tag, published)
+        except ValueError:
+            pass  # a concurrent healer landed the identical tag
+
     def commit(
         self,
         pins: dict[str, tuple[TransactionalTable, int]],
@@ -120,7 +162,7 @@ class TableGroup:
             else self.current_version()
         )
         g = base + 1
-        fresh_tags: list[tuple[TransactionalTable, str]] = []
+        fresh_tags: list[tuple[TransactionalTable, str, str]] = []
         payload_pins: dict[str, dict] = {}
         try:
             for member, (table, v) in sorted(pins.items()):
@@ -148,14 +190,11 @@ class TableGroup:
                     # retry re-raises on the stale tag forever.
                     table.drop_tag(tag)
                     table.tag(tag, v)
-                fresh_tags.append((table, tag))
+                fresh_tags.append((table, member, tag))
                 payload_pins[member] = {"path": table.path, "version": v}
         except Exception:
-            for table, tag in fresh_tags:
-                try:
-                    table.drop_tag(tag)
-                except Exception:
-                    pass
+            for table, member, tag in fresh_tags:
+                self._release_tag(table, member, tag, g)
             raise
         payload = {"version": g, "pins": payload_pins}
         if meta:
@@ -172,11 +211,8 @@ class TableGroup:
             os.link(tmp, final)
         except FileExistsError:
             os.unlink(tmp)
-            for table, tag in fresh_tags:
-                try:
-                    table.drop_tag(tag)
-                except Exception:
-                    pass
+            for table, member, tag in fresh_tags:
+                self._release_tag(table, member, tag, g)
             raise CommitConflict(
                 f"group version {g} was published by another committer; "
                 "re-read the group and retry"

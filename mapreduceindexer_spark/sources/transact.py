@@ -3067,14 +3067,35 @@ class TransactionalTable:
                 if a is None or b is None or (a[0] <= b[1] and b[0] <= a[1]):
                     overlap_pairs += 1
 
+        import pyarrow.parquet as pq
+
+        def _footer_rows(dirname: str) -> int:
+            d = os.path.join(self.path, dirname)
+            if not os.path.isdir(d):
+                return 0
+            return sum(
+                pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+
+        # Denominator = rows across ALL live dirs: recorded stats where
+        # present, parquet-footer counts for stats-less dirs (footers
+        # are already being read for the DV files — still zero DATA
+        # reads). Summing stats-carrying dirs only would overstate the
+        # permille on mixed-history tables (spurious trigger), and a
+        # fully stats-less table would report 0 even with DV debt
+        # (r9 advice).
         total_rows = sum(
-            e["rows"] for e in stats.values() if "rows" in e
+            stats[d]["rows"]
+            if d in stats and "rows" in stats[d]
+            else _footer_rows(d)
+            for d in dirs
         )
         # A dir's vectors are listed per dir — the same vector name can
         # appear under several dirs; count each vector file once.
         seen = set()
         dv_rows = 0
-        import pyarrow.parquet as pq
 
         for names in m.get("dv", {}).values():
             for name in names:

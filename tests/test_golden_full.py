@@ -130,3 +130,54 @@ def test_full_index_independent_of_parallelism(
         )
         total += len(got)
     assert total == 33262
+
+
+@pytest.mark.parametrize("segment_size", [64, 257])
+def test_full_index_with_production_dials_matches_golden(
+    full_corpus, tmp_path, segment_size
+):
+    """Round-9 verdict item 8: the golden gate with the PRODUCTION
+    dials live, not just defaults — salt_buckets=16 (the skew knob) ×
+    a segment_size sweep (the task-memory cap). Segmented postings are
+    reassembled RELATIONALLY (group by term, flatten segments in
+    order — the documented consumer contract) and the 26 letter files
+    must stay byte-equal to the golden outputs: scale hardening must
+    never bend reference semantics."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.operators.index import build_postings
+    from mapreduceindexer_spark.operators.sink import (
+        read_index_letter,
+        write_index,
+    )
+
+    seg = build_postings(
+        full_corpus, salt_buckets=16, segment_size=segment_size
+    )
+    assert "segment" in seg.columns
+    # Consumer-side reassembly, fully relational: order segments per
+    # term, flatten, recompute df — no driver-side loops.
+    postings = (
+        seg.groupBy("term", "letter")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("segment", "doc_ids"))
+                    ),
+                    lambda s: s["doc_ids"],
+                )
+            ).alias("doc_ids")
+        )
+        .withColumn("df", F.size("doc_ids"))
+    )
+    out = str(tmp_path / f"idx_seg{segment_size}")
+    write_index(postings, out)
+    total = 0
+    for letter in string.ascii_lowercase:
+        got = read_index_letter(out, letter)
+        assert got == golden_lines(letter), (
+            f"segment_size {segment_size} changed letter {letter}"
+        )
+        total += len(got)
+    assert total == 33262

@@ -172,3 +172,34 @@ def test_group_commit_heals_orphan_pin_tags(spark, pair):
     assert g == g_next
     # The healed tag pins the COMMITTED version, not the orphan's.
     assert docs.tag_version(grp._tag_name("docs", g)) == dv
+
+
+def test_loser_rollback_never_drops_published_pin(spark, pair):
+    # r9-advice race: committer B heals A's not-yet-published slot-g
+    # tag as an orphan and re-tags it; A then wins the manifest CAS
+    # and its post-link re-verify runs BEFORE B's rollback — B's
+    # unconditional drop would dangle the published pin. The rollback
+    # must instead leave the tag, converged on the published version.
+    import json
+    import os
+
+    docs, idx, grp = pair
+    base = grp.current_version()
+    vA = docs.commit(spark.range(6, 9), mode="append")
+    vB = docs.commit(spark.range(9, 12), mode="append")
+    g = base + 1
+    tag = grp._tag_name("docs", g)
+    docs.tag(tag, vB)  # B's orphan-heal re-tag, at B's own version
+    # A wins the CAS: slot g publishes pinning docs@vA.
+    man = {"version": g, "pins": {"docs": {"path": docs.path, "version": vA}}}
+    with open(os.path.join(grp.manifest_dir, f"g{g}.json"), "w") as fh:
+        json.dump(man, fh)
+    # B's rollback: tag stays, converged on the PUBLISHED version.
+    grp._release_tag(docs, "docs", tag, g)
+    assert docs.tag_version(tag) == vA
+    # Unpublished slot: rollback still drops the fresh tag as before.
+    tag_next = grp._tag_name("docs", g + 1)
+    docs.tag(tag_next, vB)
+    grp._release_tag(docs, "docs", tag_next, g + 1)
+    with pytest.raises(ValueError):
+        docs.tag_version(tag_next)

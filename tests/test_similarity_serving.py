@@ -112,3 +112,76 @@ def test_probe_many_across_new_reader(spark, served):
         ).collect()
     )
     assert got == want
+
+
+def test_pinned_walk_unaffected_by_concurrent_maintenance(spark, tmp_path):
+    """Round-9 verdict item 5: ANN serving reads pinned to version V
+    keep returning identical results WHILE a maintenance writer commits
+    new index versions and runs retention. The group pin-tag holds V's
+    dirs through vacuum (reference determinism-under-parallelism ethos,
+    checker/checker.sh:141-247, at the serving layer); releasing the
+    pin afterwards lets retention reclaim V."""
+    import threading
+
+    from mapreduceindexer_spark.sources.group import TableGroup
+
+    emb = _embeddings(spark).localCheckpoint()
+    edges = sim.hnsw_graph_edges(
+        emb, k_edges=3, n_centroids=6, n_coarse=3
+    ).localCheckpoint()
+    table = TransactionalTable(str(tmp_path / "t"))
+    v0 = sim.persist_graph_index(spark, edges, table, n_buckets=4)
+    grp = TableGroup(str(tmp_path / "grp"))
+    g1 = grp.commit({"idx": (table, v0)})  # the serving pin
+    qv = _queries(spark)
+    want = sorted(
+        tuple(r)
+        for r in sim.ann_graph_search_vectors_table(
+            spark, table, emb, qv, k=5, ef=4, hops=5, version=v0
+        ).collect()
+    )
+    assert want
+
+    stop = threading.Event()
+    errs: list[Exception] = []
+    committed = []
+
+    def maintain():
+        # The maintenance job: rewrite the index with a (deliberately
+        # different) degenerate edge subset and retire old versions —
+        # head churns, the pinned version must not.
+        try:
+            sub = edges.limit(40).localCheckpoint()
+            while not stop.is_set():
+                committed.append(
+                    sim.persist_graph_index(spark, sub, table, n_buckets=2)
+                )
+                table.vacuum(keep_versions=1, grace_seconds=0.0)
+        except Exception as e:  # surfaced after join
+            errs.append(e)
+
+    t = threading.Thread(target=maintain)
+    t.start()
+    try:
+        for _ in range(4):
+            pin = grp.pins(g1)["idx"]["version"]
+            assert pin == v0
+            got = sorted(
+                tuple(r)
+                for r in sim.ann_graph_search_vectors_table(
+                    spark, table, emb, qv, k=5, ef=4, hops=5, version=pin
+                ).collect()
+            )
+            assert got == want
+    finally:
+        stop.set()
+        t.join()
+    assert not errs, errs
+    assert committed and table.current_version() > v0  # head really churned
+    # Release the pin: advance the group to head, expire the old group
+    # version, and retention may then reclaim V.
+    grp.commit({"idx": (table, table.current_version())})
+    assert grp.expire(keep_versions=1) == [g1]
+    table.vacuum(keep_versions=1, grace_seconds=0.0)
+    with pytest.raises(Exception):
+        table.read(spark, v0).collect()

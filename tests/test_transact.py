@@ -2294,6 +2294,29 @@ def test_maintenance_plan_counts_statless_dirs_as_overlapping(
     assert plan["cluster"]["triggered"] and plan["cluster"]["metric"] == 1
 
 
+def test_maintenance_plan_dv_permille_counts_statless_dirs(
+    spark, tmp_path
+):
+    # r9 advice: the DV-debt denominator must cover stats-less dirs
+    # too (via parquet footers), else mixed-history tables overstate
+    # the permille and fully stats-less tables never trigger.
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 10), stats_cols=["id"])
+    t.commit(spark.range(10, 30), mode="append")  # no stats recorded
+    t.delete_where_dv(spark, "id", lo=0, hi=2)  # 3 of 30 rows deleted
+    plan = _plan_of(t, keep_versions=3, max_dirs=4, dv_permille=50)
+    # 3/30 = 100 permille (not 3/10 = 300 from stats-carrying dirs).
+    assert plan["materialize_dv"]["metric"] == 100
+    assert plan["materialize_dv"]["triggered"]
+    # Fully stats-less table: DV debt must still be measurable.
+    u = TransactionalTable(str(tmp_path / "u"))
+    u.commit(spark.range(0, 10))
+    u.delete_where_dv(spark, "id", lo=0, hi=4)  # 5 of 10 rows
+    uplan = _plan_of(u, keep_versions=2, max_dirs=4, dv_permille=50)
+    assert uplan["materialize_dv"]["metric"] == 500
+    assert uplan["materialize_dv"]["triggered"]
+
+
 def test_maintenance_plan_empty_table_refuses(spark, tmp_path):
     t = TransactionalTable(str(tmp_path / "t"))
     with pytest.raises(ValueError, match="empty"):
