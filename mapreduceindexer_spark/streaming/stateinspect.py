@@ -38,6 +38,76 @@ def read_aggregation_state(
     return r.load(checkpoint_dir)
 
 
+def streaming_totals_state(
+    spark: SparkSession, sf_dir: str, n_slices: int = 4
+) -> DataFrame:
+    """Run a NATIVE streaming aggregation (JVM hash-agg state, not a
+    Python kernel) over the multi-microbatch events backlog, then read
+    its RAW STATE STORE back through the ``statestore`` source — the
+    returned relation is the store's own rows (one per live key), not
+    the sink's output. The contract: after the full replay, state ==
+    the batch aggregate, for any slicing — the store is the database.
+    Complements ``q_tws_totals`` (typed-state Python kernel): together
+    they driver-check both halves of the stateful-streaming surface
+    the environment-gated transformWithState path uses (round-9
+    verdict item 4).
+
+    The scaled-sum is SUM(CAST(round(value*1e6) AS BIGINT)) — exact
+    int64 adds, so cross-batch accumulation is order-independent and
+    the DuckDB oracle replays it verbatim."""
+    import os
+    import shutil
+    import tempfile
+
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming.twstate import _write_sliced_events
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="mri_stateq_")
+    try:
+        stream_dir = _write_sliced_events(events, tmp, n_slices)
+        ckpt = os.path.join(tmp, "ckpt")
+        src = (
+            spark.readStream.schema(
+                "user_id bigint, event_id bigint, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        agg = src.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 1_000_000).cast("bigint")
+            ).alias("sum_scaled"),
+        )
+        from mapreduceindexer_spark.streaming.twstate import _rocksdb_provider
+
+        with _rocksdb_provider(spark):
+            q = (
+                agg.writeStream.outputMode("update")
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        return (
+            read_aggregation_state(spark, ckpt)
+            .select(
+                F.col("key.user_id").alias("user_id"),
+                F.col("value.count").alias("n_events"),
+                F.col("value.sum").alias("sum_scaled"),
+            )
+            # Materialize before the checkpoint dir is removed: the
+            # statestore read is lazy over the checkpoint files.
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def state_skew_census(
     spark: SparkSession, checkpoint_dir: str, operator_id: int = 0
 ) -> DataFrame:

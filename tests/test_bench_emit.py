@@ -37,3 +37,28 @@ def test_emit_line_drops_fastest_first():
     # Every dropped query must be no slower than every kept one.
     dropped_max = max(v for k, v in times.items() if k not in kept)
     assert dropped_max <= min(kept.values())
+
+
+def test_rotation_keeps_exactly_one_member_per_family():
+    """The secondary tier measures ONE member of each near-duplicate
+    family per round and rotates deterministically with the recorded
+    artifact count — full coverage every len(family) rounds, never a
+    silently skipped family."""
+    import bench
+
+    out = bench.rotated_out_queries()
+    for fam in bench.SECONDARY_FAMILIES.values():
+        kept = [n for n in fam if n not in out]
+        assert len(kept) == 1, (fam, kept)
+    # Every family member is a real HEADLINE/probe entry (a typo here
+    # would silently rotate nothing).
+    all_entries = set(bench.HEADLINE) | set(bench.ANN_GRAPH_PROBES) | set(
+        bench.ANN_HNSW_PROBES
+    )
+    for fam in bench.SECONDARY_FAMILIES.values():
+        for n in fam:
+            assert n in all_entries, n
+    # Over len(family) consecutive rotations each member is kept once.
+    for fam in bench.SECONDARY_FAMILIES.values():
+        picks = {fam[r % len(fam)] for r in range(len(fam))}
+        assert picks == set(fam)

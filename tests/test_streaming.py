@@ -146,7 +146,11 @@ def test_twstate_totals_match_batch(spark):
     else:
         with pytest.raises(RuntimeError, match="google.protobuf"):
             twstate.streaming_user_totals(spark, SF_SMOKE)
-        stream_df = twstate.streaming_user_totals_apws(spark, SF_SMOKE)
+        # The apws twin ON the RocksDB provider — exactly what the
+        # registered q_tws_totals runs here (round-9 verdict item 4).
+        stream_df = twstate.streaming_user_totals_apws(
+            spark, SF_SMOKE, rocksdb=True
+        )
 
     from pyspark.sql import functions as F
 
