@@ -2029,6 +2029,48 @@ def q_winnowing(spark, sf_dir):
     )
 
 
+@register(
+    "q_html_extract",
+    r"""SELECT doc_id,
+              CAST(length('doc ' || doc_id || ' Document ' ||
+                          trim(regexp_replace(text, '\s+', ' ', 'g')))
+                   AS BIGINT) AS n_extracted,
+              TRUE AS ok
+       FROM documents""",
+)
+def q_html_extract(spark, sf_dir):
+    """HTML -> TEXT EXTRACTION (operators/textstats.py::html_wrap +
+    html_extract_text): the first stage of every web-corpus pipeline
+    (C4, RefinedWeb). The container ships no web corpus, so each
+    document is deterministically wrapped as an HTML page FROM its own
+    text (entities escaped, paragraph tags at sentence boundaries, a
+    <script> tracker block, a <style> block, attribute-carrying tags
+    — the synthetic-twin pattern the multimodal tier uses), then
+    extracted back with the JVM-side regexp chain: script/style
+    dropped WITH contents (the classic contamination a tag-only
+    stripper leaks), tags replaced by whitespace, entities decoded
+    exactly once, whitespace collapsed. The round-trip contract is
+    per-row value-checked: extracted must equal the page chrome
+    ("doc {id} Document ") + the whitespace-normalized original, and
+    the oracle predicts the extraction length from the raw text alone
+    — a regression anywhere in the escape/strip/decode chain flips
+    ``ok`` or shifts ``n_extracted``. All built-ins; at 100 TB this is
+    one narrow projection pass, no shuffle."""
+    ex = ts.html_extract_text(ts.html_wrap(_docs(spark, sf_dir)))
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    want = F.concat(
+        F.lit("doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" Document "),
+        norm,
+    )
+    return ex.select(
+        "doc_id",
+        "n_extracted",
+        (F.col("extracted") == want).alias("ok"),
+    )
+
+
 # --- multimodal ---
 
 
@@ -12424,7 +12466,6 @@ _CHECK_PRIORITY = [
     "q_postings_merge",
     "q_scan_lineitem",
     "q_setops",
-    "q_simhash",
     "q_sorted_index",
     "q_term_lookup",
     # -- born in round 10 (the born-op rule takes the one r5 re-green
@@ -12436,6 +12477,9 @@ _CHECK_PRIORITY = [
     # (takes the q_user_trend r4 re-green slot; locally verified)
     "q_tws_totals",
     "q_state_reader",
+    # HTML->text extraction round-trip (takes the q_simhash r4
+    # re-green slot; locally verified)
+    "q_html_extract",
 ]
 assert len(_CHECK_PRIORITY) == 50, (
     f"driver check window is exactly 50 slots, got {len(_CHECK_PRIORITY)}"

@@ -1227,3 +1227,66 @@ def winnowing_fingerprints(
             ),
         )
     )
+
+
+def html_wrap(docs: DataFrame) -> DataFrame:
+    """Deterministically wrap each document's text as an HTML page —
+    the synthetic-twin pattern the multimodal tier uses (the container
+    ships no web corpus, so the wrapper is generated FROM the text and
+    the oracle predicts the extraction output from the same source):
+    entities escaped (& first, then < >), the text split into
+    paragraph tags on sentence-ish boundaries, plus a <script> block,
+    a <style> block, and attribute-carrying tags that a naive
+    tag-stripper would mangle. Columns: (doc_id, html)."""
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
+    # Paragraph breaks at '. ' word boundaries — tags now separate
+    # words, so extraction must substitute whitespace for tags, not
+    # delete them.
+    body = F.regexp_replace(esc, r"\. ", ".</p>\n<p>")
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title>\n<style type="text/css">p { margin: 0; }</style>'),
+        F.lit('</head>\n<body class="main">\n<script>\nvar tracker = "'),
+        F.md5("text"),
+        F.lit('";\n</script>\n<h1>Document</h1>\n<p>'),
+        body,
+        F.lit("</p>\n</body></html>"),
+    )
+    return docs.select("doc_id", "text", html.alias("html"))
+
+
+def html_extract_text(pages: DataFrame) -> DataFrame:
+    """HTML → text extraction, fully JVM-side (regexp_replace chain,
+    no UDF): drop <script>/<style> WITH their contents (a tag-only
+    stripper would leak tracker code and CSS into the corpus — the
+    classic C4 contamination), replace every remaining tag with a
+    space, decode the standard entities (&amp; LAST, inverting the
+    escape order exactly once), and collapse whitespace. Output:
+    (doc_id, extracted, n_extracted).
+
+    Contract: composed with ``html_wrap`` the extraction recovers the
+    original text up to whitespace normalization — pinned per row by
+    the registered query's ``ok`` column and the oracle's prediction
+    of ``n_extracted`` from the raw text."""
+    t = F.col("html")
+    for blk in ("script", "style"):
+        t = F.regexp_replace(t, f"(?s)<{blk}[^>]*>.*?</{blk}>", " ")
+    t = F.regexp_replace(t, "<[^>]*>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")):
+        t = F.regexp_replace(t, ent, ch)
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    out = pages.withColumn("extracted", t)
+    return out.select(
+        "doc_id",
+        *(["text"] if "text" in pages.columns else []),
+        "extracted",
+        F.length("extracted").cast("bigint").alias("n_extracted"),
+    )

@@ -116,3 +116,39 @@ def test_tokenizer_lockstep_on_unicode_whitespace(spark):
     terms0 = {t for d, t in got_spark if d == 1}
     assert "nbspjoined" in terms0 and "tab" in terms0 and "split" in terms0
     assert all(t.isascii() and t.isalpha() for _, t in got_spark)
+
+
+@settings(max_examples=10, deadline=None)
+@given(TEXTS)
+def test_html_wrap_extract_roundtrip(spark, texts):
+    """html_wrap ∘ html_extract_text recovers the original text (up to
+    whitespace normalization, plus the page chrome prefix) for ANY
+    text — including text containing '<', '&', quotes, literal entity
+    strings like '&amp;', and tag-shaped substrings like '</p>'. The
+    adversarial cases are exactly what the escape/decode ordering
+    (& first out, &amp; last back) exists for."""
+    import re
+
+    from mapreduceindexer_spark.operators.textstats import (
+        html_extract_text,
+        html_wrap,
+    )
+
+    # Bias the corpus with the adversarial fragments.
+    spiked = list(texts) + [
+        "a < b && c > d",
+        "literal &amp; and &lt;tag&gt; text",
+        '</p><script>alert("x")</script>',
+        "quotes ' and \" everywhere",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(spiked)], "doc_id: bigint, text: string"
+    )
+    out = {
+        r.doc_id: r.extracted
+        for r in html_extract_text(html_wrap(docs)).collect()
+    }
+    for i, t in enumerate(spiked):
+        norm = re.sub(r"\s+", " ", t, flags=re.ASCII).strip()
+        want = f"doc {i} Document {norm}".strip()
+        assert out[i] == want, (t, out[i], want)
