@@ -188,8 +188,26 @@ class TableGroup:
                     # (or a racer we will serialize with at the CAS).
                     # Without this healing, the slot would wedge: every
                     # retry re-raises on the stale tag forever.
-                    table.drop_tag(tag)
-                    table.tag(tag, v)
+                    # The heal itself RACES with other healers: the
+                    # drop can find the tag already gone and the
+                    # re-tag can find a racer's tag already landed —
+                    # both are live-contention signals, not errors,
+                    # and must surface as CommitConflict (the API's
+                    # retry contract), never as a raw ValueError
+                    # (found by the threaded-committer race test).
+                    try:
+                        table.drop_tag(tag)
+                    except ValueError:
+                        pass  # a racing healer dropped it first
+                    try:
+                        table.tag(tag, v)
+                    except ValueError as e2:
+                        if "already exists" not in str(e2):
+                            raise
+                        raise CommitConflict(
+                            f"slot {g} tag contended by a concurrent "
+                            "committer; re-read the group and retry"
+                        ) from None
                 fresh_tags.append((table, member, tag))
                 payload_pins[member] = {"path": table.path, "version": v}
         except Exception:

@@ -203,3 +203,46 @@ def test_loser_rollback_never_drops_published_pin(spark, pair):
     grp._release_tag(docs, "docs", tag_next, g + 1)
     with pytest.raises(ValueError):
         docs.tag_version(tag_next)
+
+
+def test_concurrent_group_committers_never_dangle(spark, pair):
+    """The module invariant under REAL racing (not a scripted
+    interleave): N threads retry-commit pin sets for successive slots;
+    afterwards every published group version must hold a live member
+    tag at exactly its pinned version — no orphan heal, CAS loss, or
+    rollback ordering may ever leave a published manifest without its
+    pin (the dangle the r10 _release_tag fix closes)."""
+    import threading
+
+    docs, idx, grp = pair
+    vs = [
+        docs.commit(spark.range(i * 10, (i + 1) * 10), mode="append")
+        for i in range(1, 5)
+    ]
+    errs: list[Exception] = []
+
+    def worker(v: int) -> None:
+        try:
+            for _ in range(20):
+                try:
+                    grp.commit({"docs": (docs, v)})
+                    return
+                except CommitConflict:
+                    continue
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(v,)) for v in vs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    published = grp.versions()
+    assert len(published) >= 1 + len(vs)  # g1 from the fixture + one per worker
+    for g in published:
+        pins = grp.pins(g)
+        for member, pin in pins.items():
+            table = TransactionalTable(pin["path"])
+            tag = grp._tag_name(member, g)
+            assert table.tag_version(tag) == pin["version"], (g, member)
