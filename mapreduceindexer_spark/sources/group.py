@@ -113,33 +113,53 @@ class TableGroup:
         and re-tags it; A then wins the manifest CAS; B's rollback
         drop removes the tag AFTER A's post-link re-verify already
         ran — group version g ends published with no member tag, and
-        member vacuum may reclaim the pinned version (r9 advice)."""
-        published = None
-        try:
-            pin = self._manifest(g)["pins"].get(member)
-            if pin is not None and pin.get("path") == table.path:
-                published = pin.get("version")
-        except ValueError:
-            published = None  # slot g not published: drop is safe
-        if published is None:
+        member vacuum may reclaim the pinned version (r9 advice).
+
+        Ordering matters BOTH sides of the drop: a manifest can link
+        between a single pre-drop check and the drop (with the
+        winner's re-verify completing in that gap), so the publish
+        check is re-run AFTER the drop too, restoring the tag if slot
+        g turned out published — check-after-drop pairs with the
+        winner's verify-after-link; between them one of the two
+        always runs last and heals (r10 review finding)."""
+
+        def _published_pin() -> int | None:
             try:
+                pin = self._manifest(g)["pins"].get(member)
+                if pin is not None and pin.get("path") == table.path:
+                    return pin.get("version")
+            except ValueError:
+                pass  # slot g not published (yet)
+            return None
+
+        def _converge(published: int) -> None:
+            # Keep the tag, converging it on the published version
+            # (idempotent with the winner's post-link re-verify —
+            # both writers write the same value).
+            try:
+                if table.tag_version(tag) == published:
+                    return
                 table.drop_tag(tag)
-            except Exception:
+            except ValueError:
                 pass
+            try:
+                table.tag(tag, published)
+            except ValueError:
+                pass  # a concurrent healer landed the identical tag
+
+        published = _published_pin()
+        if published is not None:
+            _converge(published)
             return
-        # Slot g is published: keep the tag, converging it on the
-        # published version (idempotent with the winner's post-link
-        # re-verify — both writers write the same value).
         try:
-            if table.tag_version(tag) == published:
-                return
             table.drop_tag(tag)
-        except ValueError:
+        except Exception:
             pass
-        try:
-            table.tag(tag, published)
-        except ValueError:
-            pass  # a concurrent healer landed the identical tag
+        # Post-drop re-check: the manifest may have linked while we
+        # were dropping — restore the published pin if so.
+        published = _published_pin()
+        if published is not None:
+            _converge(published)
 
     def commit(
         self,
@@ -212,7 +232,12 @@ class TableGroup:
                 payload_pins[member] = {"path": table.path, "version": v}
         except Exception:
             for table, member, tag in fresh_tags:
-                self._release_tag(table, member, tag, g)
+                try:
+                    self._release_tag(table, member, tag, g)
+                except Exception:
+                    pass  # best-effort rollback: a failed release is
+                    # an orphan the next committer's heal path clears;
+                    # the ORIGINAL error must reach the caller
             raise
         payload = {"version": g, "pins": payload_pins}
         if meta:
@@ -230,7 +255,10 @@ class TableGroup:
         except FileExistsError:
             os.unlink(tmp)
             for table, member, tag in fresh_tags:
-                self._release_tag(table, member, tag, g)
+                try:
+                    self._release_tag(table, member, tag, g)
+                except Exception:
+                    pass  # best-effort: see the rollback above
             raise CommitConflict(
                 f"group version {g} was published by another committer; "
                 "re-read the group and retry"

@@ -92,7 +92,16 @@ def streaming_totals_state(
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            # A timed-out replay must FAIL, not silently return the
+            # store mid-replay (partial totals) while the finally
+            # block deletes the checkpoint under a running query —
+            # same contract as table_sink.run_stream_to_table.
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "streaming_totals_state: backlog replay did not "
+                    "finish within 300s; state read aborted"
+                )
         return (
             read_aggregation_state(spark, ckpt)
             .select(

@@ -23,56 +23,22 @@ Replicas perturb text (documents) / roll dimensions (embeddings) so no
 digest dedup collapses the scale; IDs are offset to disjoint ranges.
 
 Usage: python scripts/loadtest_r9_100x.py [REP_DOCS] [REP_EMB]
-(defaults 10 and 100); JSON lines to stdout.
+(defaults 10 and 100); JSON lines to stdout. Harness:
+scripts/_loadtest_common.py.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import sys
-import tempfile
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from mapreduceindexer_spark.catalog import QUERIES  # noqa: E402
+from scripts._loadtest_common import emit, measure, stage_dir  # noqa: E402
+
 from mapreduceindexer_spark.session import get_spark  # noqa: E402
-
-ALL_TABLES = (
-    "region nation customer supplier part orders lineitem events documents"
-    " embeddings"
-).split()
-
-
-def emit(**kw) -> None:
-    print(json.dumps(kw), flush=True)
-
-
-def run_once(spark, name: str, sf_dir: str) -> tuple[float, int]:
-    t0 = time.perf_counter()
-    n = QUERIES[name][0](spark, sf_dir).count()
-    return time.perf_counter() - t0, n
-
-
-def measure(spark, name, src, big, rep):
-    run_once(spark, name, src)  # warm-up
-    t1 = min(run_once(spark, name, src)[0], run_once(spark, name, src)[0])
-    n1 = run_once(spark, name, src)[1]
-    emit(query=name, scale="1x", sec=round(t1, 2), rows=n1)
-    tN, nN = run_once(spark, name, big)
-    emit(query=name, scale=f"{rep}x", sec=round(tN, 2), rows=nN,
-         ratio=round(tN / max(t1, 1e-9), 1))
-
-
-def stage_dir(src: str, replaced: str) -> str:
-    out = tempfile.mkdtemp(prefix=f"r9load_{replaced}_")
-    for t in ALL_TABLES:
-        if t != replaced:
-            os.symlink(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
-    return out
 
 
 def main() -> None:
@@ -82,7 +48,7 @@ def main() -> None:
     spark = get_spark(app_name="r9-loadtest")
 
     # --- documents tier: winnowing / boilerplate / classifier ------------
-    doc_dir = stage_dir(src, "documents")
+    doc_dir = stage_dir(src, "documents", "r9load_documents_")
     docs = spark.read.parquet(f"{src}/documents.parquet")
     reps_d = spark.range(rep_docs).select(F.col("id").alias("r"))
     docs.crossJoin(reps_d).select(
@@ -101,7 +67,7 @@ def main() -> None:
         measure(spark, q, src, doc_dir, rep_docs)
 
     # --- embeddings tier: k-center diversity sample -----------------------
-    emb_dir = stage_dir(src, "embeddings")
+    emb_dir = stage_dir(src, "embeddings", "r9load_embeddings_")
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
     reps = spark.range(rep_emb).select(F.col("id").alias("r"))

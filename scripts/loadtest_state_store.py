@@ -10,48 +10,21 @@ updates + state-store point writes; the statestore read back is one
 scan of the final store.
 
 Usage: python scripts/loadtest_state_store.py [REP] (default 50);
-JSON lines to stdout.
+JSON lines to stdout. Harness: scripts/_loadtest_common.py.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import sys
-import tempfile
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from mapreduceindexer_spark.catalog import QUERIES  # noqa: E402
+from scripts._loadtest_common import emit, measure, stage_dir  # noqa: E402
+
 from mapreduceindexer_spark.session import get_spark  # noqa: E402
-
-ALL_TABLES = (
-    "region nation customer supplier part orders lineitem events documents"
-    " embeddings"
-).split()
-
-
-def emit(**kw) -> None:
-    print(json.dumps(kw), flush=True)
-
-
-def run_once(spark, name: str, sf_dir: str) -> tuple[float, int]:
-    t0 = time.perf_counter()
-    n = QUERIES[name][0](spark, sf_dir).count()
-    return time.perf_counter() - t0, n
-
-
-def measure(spark, name, src, big, rep):
-    run_once(spark, name, src)  # warm-up
-    t1 = min(run_once(spark, name, src)[0], run_once(spark, name, src)[0])
-    n1 = run_once(spark, name, src)[1]
-    emit(query=name, scale="1x", sec=round(t1, 2), keys=n1)
-    tN, nN = run_once(spark, name, big)
-    emit(query=name, scale=f"{rep}x", sec=round(tN, 2), keys=nN,
-         ratio=round(tN / max(t1, 1e-9), 1))
 
 
 def main() -> None:
@@ -59,10 +32,7 @@ def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="state-loadtest")
 
-    big = tempfile.mkdtemp(prefix="stateload_")
-    for t in ALL_TABLES:
-        if t != "events":
-            os.symlink(f"{src}/{t}.parquet", f"{big}/{t}.parquet")
+    big = stage_dir(src, "events", "stateload_")
     ev = spark.read.parquet(f"{src}/events.parquet")
     reps = spark.range(rep).select(F.col("id").alias("r"))
     ev.crossJoin(reps).select(
@@ -75,8 +45,8 @@ def main() -> None:
     ).repartition(64).write.mode("overwrite").parquet(f"{big}/events.parquet")
     emit(stage="replicate_events", rep=rep)
 
-    measure(spark, "q_state_reader", src, big, rep)
-    measure(spark, "q_tws_totals", src, big, rep)
+    measure(spark, "q_state_reader", src, big, rep, rows_key="keys")
+    measure(spark, "q_tws_totals", src, big, rep, rows_key="keys")
 
     spark.stop()
 

@@ -62,3 +62,17 @@ def test_rotation_keeps_exactly_one_member_per_family():
     for fam in bench.SECONDARY_FAMILIES.values():
         picks = {fam[r % len(fam)] for r in range(len(fam))}
         assert picks == set(fam)
+
+
+def test_stable_total_is_rotation_invariant():
+    """The stdout "value" must not move with rotation phase: family
+    members contribute nothing, so any subset of them being measured
+    yields the same total (round-10 accounting change)."""
+    import bench
+
+    fam = next(iter(bench.SECONDARY_FAMILIES.values()))
+    base = {"q_postings": 1.0, "index_build_refcorpus": 2.0}
+    t_none = bench.stable_total(dict(base))
+    t_one = bench.stable_total({**base, fam[0]: 5.0})
+    t_all = bench.stable_total({**base, **{n: 9.9 for n in fam}})
+    assert t_none == t_one == t_all == 3.0
