@@ -842,3 +842,20 @@ def test_pq_ann_broadcasts_probe_table_and_codebook(spark):
     # nested loop — that input is ksub rows by construction; the pins
     # above guarantee the ADC lookup is a broadcast HASH join and nothing
     # plans a real cartesian product.)
+
+
+def test_html_extract_is_one_narrow_pass(spark):
+    """The HTML wrap+extract query must stay a single narrow
+    projection pass — zero shuffle exchanges, zero Python UDF nodes —
+    so at 100 TB it runs at scan speed."""
+    from mapreduceindexer_spark.catalog import QUERIES
+
+    df = QUERIES["q_html_extract"][0](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The only exchange allowed is the shared _docs loader's
+    # round-robin input rebalance (parallelism, not a key shuffle).
+    assert all(
+        kind == "RoundRobinPartitioning" for kind in shuffle_exchanges(plan)
+    ), plan
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_node not in plan, plan
