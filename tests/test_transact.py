@@ -2508,3 +2508,52 @@ def test_analyze_refuses_empty_stats_cols(spark, tmp_path):
     with pytest.raises(ValueError, match="at least one stats column"):
         t.analyze(spark, stats_cols=[])
     assert t.current_version() == v  # no do-nothing version minted
+
+
+def test_concurrent_unique_writers_validate_against_cas_base(spark, tmp_path):
+    """UNIQUE enforcement under real write racing: validation runs
+    against the same manifest the CAS serializes on (base -> base+1),
+    so a loser always re-validates against the winner's state on
+    retry — the classic check-then-link TOCTOU cannot admit duplicate
+    keys. Disjoint writers must all land; clashing writers must end
+    with the UNIQUE violation (not spin on CommitConflict, not land);
+    the final table must hold no duplicate keys."""
+    import threading
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 10), stats_cols=["id"])
+    t.add_unique(spark, "id")
+    results: dict[str, str] = {}
+
+    def writer(name: str, lo: int, hi: int) -> None:
+        for _ in range(40):
+            try:
+                t.commit(spark.range(lo, hi), mode="append", stats_cols=["id"])
+                results[name] = "committed"
+                return
+            except CommitConflict:
+                continue
+            except ValueError as e:
+                assert "UNIQUE" in str(e), e
+                results[name] = "unique_violation"
+                return
+        results[name] = "exhausted"
+
+    threads = [
+        threading.Thread(target=writer, args=(f"disjoint{i}", 100 * (i + 1),
+                                              100 * (i + 1) + 10))
+        for i in range(3)
+    ] + [
+        threading.Thread(target=writer, args=(f"clash{i}", 5, 8))
+        for i in range(2)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert all(results[f"disjoint{i}"] == "committed" for i in range(3)), results
+    assert all(
+        results[f"clash{i}"] == "unique_violation" for i in range(2)
+    ), results
+    ids = [r["id"] for r in t.read(spark).collect()]
+    assert len(ids) == len(set(ids)) == 40  # 10 seed + 3x10 disjoint
