@@ -475,7 +475,6 @@ def main() -> None:
     # "total_measured"; cross-round family comparisons use per-query
     # detail medians as ever.
     total = stable_total(times)
-    total_measured = round(sum(times.values()), 3)
 
     staging.clear()
     _near_pairs_staged(spark, sf_dir)  # stage once, outside the timer
@@ -526,7 +525,11 @@ def main() -> None:
                 "jvm_drift": drift,
                 "rotated_out": sorted(rotated_out),
                 "rotation": _bench_rotation(),
-                "total_measured": total_measured,
+                # Computed HERE, after the staged variants land, so it
+                # always equals sum(queries.values()) in this file —
+                # a frozen-early copy left a 2.7 s unexplained gap
+                # (review finding).
+                "total_measured": round(sum(times.values()), 3),
                 "sf": sf,
             },
             fh,

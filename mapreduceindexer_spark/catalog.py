@@ -2033,7 +2033,7 @@ def q_winnowing(spark, sf_dir):
     "q_html_extract",
     r"""SELECT doc_id,
               CAST(length(trim('doc ' || doc_id || ' Document ' ||
-                               trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                               trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))))
                    AS BIGINT) AS n_extracted,
               TRUE AS ok
        FROM documents""",
@@ -2057,7 +2057,9 @@ def q_html_extract(spark, sf_dir):
     ``ok`` or shifts ``n_extracted``. All built-ins; at 100 TB this is
     one narrow projection pass, no shuffle."""
     ex = ts.html_extract_text(ts.html_wrap(_docs(spark, sf_dir)))
-    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    # Same explicit whitespace class as the extraction (Java \s would
+    # include \x0B, RE2's does not — see html_extract_text).
+    norm = F.trim(F.regexp_replace(F.col("text"), "[ \t\n\f\r]+", " "))
     # Outer trim: on an empty/whitespace-only document the extraction
     # collapses the chrome's trailing space too, so the expectation
     # must be trimmed the same way (review finding — latent off-by-one

@@ -1282,7 +1282,11 @@ def html_extract_text(pages: DataFrame) -> DataFrame:
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                     ("&#39;", "'"), ("&amp;", "&")):
         t = F.regexp_replace(t, ent, ch)
-    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    # Explicit whitespace class, NOT \s: Java's \s includes vertical
+    # tab (\x0B) where RE2's (DuckDB, the oracle) does not — the one
+    # character where the two engines' \s disagree. Spelling the class
+    # out keeps the extraction bit-identical across engines.
+    t = F.trim(F.regexp_replace(t, "[ \t\n\f\r]+", " "))
     out = pages.withColumn("extracted", t)
     return out.select(
         "doc_id",

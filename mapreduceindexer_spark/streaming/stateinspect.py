@@ -95,9 +95,17 @@ def streaming_totals_state(
             # A timed-out replay must FAIL, not silently return the
             # store mid-replay (partial totals) while the finally
             # block deletes the checkpoint under a running query —
-            # same contract as table_sink.run_stream_to_table.
-            if not q.awaitTermination(300):
-                q.stop()
+            # same contract as table_sink.run_stream_to_table. The
+            # stop() lives in a finally like every sibling module:
+            # ANY exit (timeout, Py4J error, interrupt) must not
+            # leave the query running over a checkpoint the outer
+            # finally is about to delete.
+            try:
+                done = q.awaitTermination(300)
+            finally:
+                if q.isActive:
+                    q.stop()
+            if not done:
                 raise RuntimeError(
                     "streaming_totals_state: backlog replay did not "
                     "finish within 300s; state read aborted"

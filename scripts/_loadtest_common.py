@@ -32,6 +32,12 @@ def emit(**kw) -> None:
 
 
 def run_once(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    """One builder-inclusive timed run, staging-COLD (bench.py
+    semantics: memoized staged relations re-pay their build, so a
+    staged query is never accidentally timed as a cache read)."""
+    from mapreduceindexer_spark import staging
+
+    staging.clear()
     t0 = time.perf_counter()
     n = QUERIES[name][0](spark, sf_dir).count()
     return time.perf_counter() - t0, n
@@ -39,8 +45,8 @@ def run_once(spark, name: str, sf_dir: str) -> tuple[float, int]:
 
 def measure(spark, name, src, big, rep, rows_key: str = "rows") -> None:
     run_once(spark, name, src)  # 1x warm-up
-    t1 = min(run_once(spark, name, src)[0], run_once(spark, name, src)[0])
-    n1 = run_once(spark, name, src)[1]
+    (ta, n1), (tb, _) = run_once(spark, name, src), run_once(spark, name, src)
+    t1 = min(ta, tb)
     emit(query=name, scale="1x", sec=round(t1, 2), **{rows_key: n1})
     run_once(spark, name, big)  # Nx warm-up (see module docstring)
     tN, nN = run_once(spark, name, big)

@@ -43,11 +43,23 @@ def main() -> None:
     )
     from mapreduceindexer_spark.session import get_spark
 
+    import bench
+
     spark = get_spark(app_name="ab-isolated")
     builds = {
         "q_ann_graph_build": lambda: _nsw_edges_staged(spark, sf_dir),
         "q_ann_hnsw_build": lambda: _hnsw_edges_staged(spark, sf_dir),
     }
+    # Entries bench.py measures WARM (probes over a pre-built index):
+    # this script measures everything COLD, so their vs_detail is
+    # build-inclusive and NOT comparable — flagged per row below.
+    warm_in_bench = set(bench.ANN_GRAPH_PROBES) | set(bench.ANN_HNSW_PROBES)
+    bad = [n for n in targets if n not in builds and n not in QUERIES]
+    if bad:
+        sys.exit(
+            f"unknown entries {bad}; valid: any registered query or "
+            f"the build pseudo-entries {sorted(builds)}"
+        )
 
     def one(name: str) -> float:
         staging.clear()
@@ -83,6 +95,12 @@ def main() -> None:
         if name in detail:
             row["bench_detail"] = detail[name]
             row["vs_detail"] = round(best / max(detail[name], 1e-9), 2)
+            if name in warm_in_bench:
+                row["caveat"] = (
+                    "bench measures this entry WARM over a staged "
+                    "index; this cold number includes the build — "
+                    "vs_detail is not a like-for-like comparison"
+                )
         print(json.dumps(row), flush=True)
 
     spark.stop()

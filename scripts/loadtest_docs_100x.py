@@ -28,23 +28,18 @@ JSON lines to stdout.
 
 from __future__ import annotations
 
-import json
 import os
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from mapreduceindexer_spark import staging  # noqa: E402
-from mapreduceindexer_spark.catalog import QUERIES  # noqa: E402
+from scripts._loadtest_common import emit, measure, stage_dir  # noqa: E402
+
 from mapreduceindexer_spark.session import get_spark  # noqa: E402
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events embeddings"
-).split()
 QUERY_NAMES = [
     "q_near_dup",
     "q_substring_dup",
@@ -53,27 +48,13 @@ QUERY_NAMES = [
 ]
 
 
-def emit(**kw) -> None:
-    print(json.dumps(kw), flush=True)
-
-
-def run_once(spark, name: str, sf_dir: str) -> tuple[float, int]:
-    staging.clear()
-    t0 = time.perf_counter()
-    df = QUERIES[name][0](spark, sf_dir)
-    n = df.count()
-    return time.perf_counter() - t0, n
-
-
 def main() -> None:
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     names = sys.argv[2:] or QUERY_NAMES
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="docs-loadtest")
 
-    out_dir = tempfile.mkdtemp(prefix=f"docs{rep}x_")
-    for t in TABLES:
-        os.symlink(f"{src}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    out_dir = stage_dir(src, "documents", f"docs{rep}x_")
     docs = spark.read.parquet(f"{src}/documents.parquet")
     reps = spark.range(rep).select(F.col("id").alias("r"))
     tag = F.concat(
@@ -102,19 +83,8 @@ def main() -> None:
     emit(stage="replicate", rep=rep, out_dir=out_dir,
          sec=round(time.perf_counter() - t0, 1))
 
-    results = {}
     for name in names:
-        run_once(spark, name, src)  # warm-up
-        t1, n1 = run_once(spark, name, src)
-        t1b, _ = run_once(spark, name, src)
-        t1 = min(t1, t1b)
-        emit(query=name, scale="1x", sec=round(t1, 2), rows=n1)
-        tN, nN = run_once(spark, name, out_dir)
-        emit(query=name, scale=f"{rep}x", sec=round(tN, 2), rows=nN,
-             ratio=round(tN / max(t1, 1e-9), 1))
-        results[name] = {"t1": round(t1, 2), "tN": round(tN, 2),
-                         "rows1": n1, "rowsN": nN}
-    emit(stage="done", rep=rep, results=results)
+        measure(spark, name, src, out_dir, rep)
     spark.stop()
 
 

@@ -22,33 +22,19 @@ Usage: python scripts/loadtest_knn_100x.py [REP] [query ...]
 
 from __future__ import annotations
 
-import json
 import os
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from mapreduceindexer_spark.catalog import QUERIES  # noqa: E402
+from scripts._loadtest_common import emit, measure, stage_dir  # noqa: E402
+
 from mapreduceindexer_spark.session import get_spark  # noqa: E402
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents"
-).split()
 DEFAULT_QUERIES = ["q_knn_graph", "q_knn_graph_scaled", "q_ann_recall"]
-
-
-def emit(**kw) -> None:
-    print(json.dumps(kw), flush=True)
-
-
-def run_once(spark, name: str, sf_dir: str) -> tuple[float, int]:
-    t0 = time.perf_counter()
-    n = QUERIES[name][0](spark, sf_dir).count()
-    return time.perf_counter() - t0, n
 
 
 def main() -> None:
@@ -57,9 +43,7 @@ def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="knn-loadtest")
 
-    out_dir = tempfile.mkdtemp(prefix=f"knn{rep}x_")
-    for t in TABLES:
-        os.symlink(f"{src}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    out_dir = stage_dir(src, "embeddings", f"knn{rep}x_")
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
     reps = spark.range(rep).select(F.col("id").alias("r"))
@@ -80,19 +64,8 @@ def main() -> None:
     emit(stage="replicate", rep=rep, out_dir=out_dir,
          sec=round(time.perf_counter() - t0, 1))
 
-    results = {}
     for name in names:
-        run_once(spark, name, src)  # warm-up
-        t1, n1 = run_once(spark, name, src)
-        t1b, _ = run_once(spark, name, src)
-        t1 = min(t1, t1b)
-        emit(query=name, scale="1x", sec=round(t1, 2), rows=n1)
-        tN, nN = run_once(spark, name, out_dir)
-        emit(query=name, scale=f"{rep}x", sec=round(tN, 2), rows=nN,
-             ratio=round(tN / max(t1, 1e-9), 1))
-        results[name] = {"t1": round(t1, 2), "tN": round(tN, 2),
-                         "rows1": n1, "rowsN": nN}
-    emit(stage="done", rep=rep, results=results)
+        measure(spark, name, src, out_dir, rep)
     spark.stop()
 
 

@@ -24,51 +24,21 @@ Usage: python scripts/loadtest_r6_100x.py [REP_EMB] [REP_DOCS]
 
 from __future__ import annotations
 
-import json
 import os
 import sys
-import tempfile
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from mapreduceindexer_spark.catalog import QUERIES  # noqa: E402
+from scripts._loadtest_common import emit, measure  # noqa: E402
+from scripts._loadtest_common import stage_dir as _stage_dir  # noqa: E402
+
 from mapreduceindexer_spark.session import get_spark  # noqa: E402
-
-ALL_TABLES = (
-    "region nation customer supplier part orders lineitem events documents"
-    " embeddings"
-).split()
-
-
-def emit(**kw) -> None:
-    print(json.dumps(kw), flush=True)
-
-
-def run_once(spark, name: str, sf_dir: str) -> tuple[float, int]:
-    t0 = time.perf_counter()
-    n = QUERIES[name][0](spark, sf_dir).count()
-    return time.perf_counter() - t0, n
-
-
-def measure(spark, name, src, big, rep):
-    run_once(spark, name, src)  # warm-up
-    t1 = min(run_once(spark, name, src)[0], run_once(spark, name, src)[0])
-    n1 = run_once(spark, name, src)[1]
-    emit(query=name, scale="1x", sec=round(t1, 2), rows=n1)
-    tN, nN = run_once(spark, name, big)
-    emit(query=name, scale=f"{rep}x", sec=round(tN, 2), rows=nN,
-         ratio=round(tN / max(t1, 1e-9), 1))
 
 
 def stage_dir(src: str, replaced: str) -> str:
-    out = tempfile.mkdtemp(prefix=f"r6load_{replaced}_")
-    for t in ALL_TABLES:
-        if t != replaced:
-            os.symlink(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
-    return out
+    return _stage_dir(src, replaced, f"r6load_{replaced}_")
 
 
 def main() -> None:

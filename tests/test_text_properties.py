@@ -142,6 +142,8 @@ def test_html_wrap_extract_roundtrip(spark, texts):
         "quotes ' and \" everywhere",
         "",  # empty and whitespace-only: the chrome's trailing space
         "   ",  # collapses too (the registered query trims both sides)
+        "a\x0b\x0bb",  # vertical tab: in Java's \s, NOT in RE2's —
+        "x\x0b",  # both engines must pass it through untouched
     ]
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(spiked)], "doc_id: bigint, text: string"
@@ -151,11 +153,13 @@ def test_html_wrap_extract_roundtrip(spark, texts):
         for r in html_extract_text(html_wrap(docs)).collect()
     }
     for i, t in enumerate(spiked):
-        # The python twin must model ENGINE semantics: Java/RE2 \s is
-        # ASCII-only (re.ASCII) and Spark/DuckDB trim strips ' ' only —
-        # python's bare str.strip() would also eat unicode whitespace
-        # like U+0085 that both engines deliberately keep (found by
-        # Hypothesis: texts=['\x85']).
-        norm = re.sub(r"\s+", " ", t, flags=re.ASCII).strip(" ")
+        # The python twin must model ENGINE semantics: the extraction
+        # collapses the EXPLICIT class [ \t\n\f\r] (the Java∩RE2 \s —
+        # Java's \s would also eat \x0B, RE2's would not) and
+        # Spark/DuckDB trim strips ' ' only — python's bare
+        # str.strip() would also eat unicode whitespace like U+0085
+        # that both engines deliberately keep (found by Hypothesis:
+        # texts=['\x85'], then texts=['\x0b'] for the class itself).
+        norm = re.sub(r"[ \t\n\f\r]+", " ", t).strip(" ")
         want = f"doc {i} Document {norm}".strip(" ")
         assert out[i] == want, (t, out[i], want)
