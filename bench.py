@@ -258,13 +258,22 @@ SECONDARY_FAMILIES = {
 
 
 def _bench_rotation() -> int:
-    """Deterministic per-round rotation: the count of already-recorded
-    driver bench artifacts (this round's file doesn't exist while the
-    bench runs)."""
+    """Deterministic per-round rotation: the max round number among the
+    recorded driver bench artifacts (this round's file doesn't exist
+    while the bench runs). Derived from the round NUMBERS, not the file
+    count, so an untracked just-recorded artifact or a missing early
+    round can't silently shift the phase between a clean clone and the
+    dev tree (round-10 advice)."""
     import glob
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    return len(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+    ]
+    return max(rounds, default=0)
 
 
 def rotated_out_queries() -> set[str]:

@@ -2343,9 +2343,10 @@ def q_index_stream(spark, sf_dir):
     "q_tws_totals",
     """SELECT user_id,
               CAST(COUNT(*) AS BIGINT) AS n_events,
-              COALESCE(SUM(CASE WHEN isfinite(value * 1000000)
-                                THEN CAST(round(value * 1000000) AS BIGINT)
-                           END), 0) AS sum_scaled
+              CAST(COALESCE(SUM(CASE WHEN isfinite(value)
+                        THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                                  AS BIGINT)
+                   END), 0) AS BIGINT) AS sum_scaled
        FROM events
        GROUP BY user_id""",
 )
@@ -2361,11 +2362,14 @@ def q_tws_totals(spark, sf_dir):
     where it doesn't, the IDENTICAL kernel (shared _accumulate_batch)
     runs on applyInPandasWithState — in both cases ON the RocksDB
     state store provider, the disk-spilling store that makes
-    billions-of-keys state viable at 100 TB. The oracle replays the
-    batch aggregate with the kernel's exact rounding (HALF_UP on the
-    shortest-repr scaled product, finite-only, zero-start sum) so the
-    driver value-checks the streaming execution end-to-end (round-9
-    verdict item 4)."""
+    billions-of-keys state viable at 100 TB. The scaled value is the
+    catalog's DECIMAL discipline — CAST(value AS DECIMAL(18,6)) * 1e6
+    as exact int64, finite-only, zero-start sum — NOT double round()
+    (round-11 fix: the r10 driver red came from the old oracle's bare
+    SUM(BIGINT) returning a DuckDB HUGEINT, which pandas coerces to
+    float64; the outer CAST(... AS BIGINT) plus the decimal quantize
+    make the contract int64 and rounding-mode-proof on both sides) so
+    the driver value-checks the streaming execution end-to-end."""
     from mapreduceindexer_spark.streaming.twstate import (
         streaming_user_totals_best,
     )
@@ -2377,7 +2381,10 @@ def q_tws_totals(spark, sf_dir):
     "q_state_reader",
     """SELECT user_id,
               CAST(COUNT(*) AS BIGINT) AS n_events,
-              SUM(CAST(round(value * 1000000) AS BIGINT)) AS sum_scaled
+              CAST(SUM(CASE WHEN isfinite(value)
+                        THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                                  AS BIGINT)
+                   END) AS BIGINT) AS sum_scaled
        FROM events
        GROUP BY user_id""",
 )
@@ -2392,7 +2399,10 @@ def q_state_reader(spark, sf_dir):
     with (state growth, hot keys, post-deploy corruption) — served as
     a plain batch DataFrame over the checkpoint, no stream restart.
     The driver value-checks actual RocksDB-format state file contents
-    against DuckDB's batch replay."""
+    against DuckDB's batch replay. Scaled sum via the DECIMAL(18,6)
+    discipline with an outer CAST(... AS BIGINT) — same round-11 fix
+    as q_tws_totals (the old bare SUM(BIGINT) oracle returned HUGEINT,
+    float64 under the driver's pandas canonicalizer)."""
     from mapreduceindexer_spark.streaming.stateinspect import (
         streaming_totals_state,
     )
@@ -12413,80 +12423,74 @@ def q_table_bloom_skip(spark, sf_dir):
 
 
 _CHECK_PRIORITY = [
-    # Round-10 window: CLOSE THE ORACLE-EVIDENCE GAP (verdict r9 item 1).
-    # Lead with the 8 queries whose CURRENT check mode has no driver row:
-    # the two born after the r9 window froze (q_embedding_drift,
-    # q_table_unique) and the six stream queries whose oracles were
-    # converted rows-only -> value-checked in r9 but which were NOT in
-    # the r9 window (their only driver rows are r7/r8 rows-only). After
-    # these land, every registered query has a driver row for its
-    # current contract. The remaining 42 slots are spine re-greens,
-    # stalest-first per the generated COVERAGE.md ledger: every r2 row
-    # (11), every r3 row (16), every r4 row (14), plus one r5 row.
-    # All 50 are value-verified against DuckDB in-session by the full
+    # Round-11 window: KILL THE REDS, FINISH THE STALENESS DRAIN
+    # (verdict r10 items 1 and 3). Lead with the two round-10 DRIVER-RED
+    # state-store queries, re-contracted this round onto the DECIMAL
+    # discipline with BIGINT-cast oracles (the red was the catalog's
+    # only two bare SUM(BIGINT) = HUGEINT oracle columns — float64 under
+    # the driver's pandas canonicalizer; see COVERAGE.md narrative).
+    # Then every remaining query whose latest driver row predates r6:
+    # the r2 rows-only row (q_approx_distinct_parts), the two r4 rows
+    # (q_simhash, q_user_trend), and all 44 r5 rows. The final slot
+    # gives the round-10-born q_html_extract a second consecutive green.
+    # After this window lands, every registered query's latest driver
+    # row is >= r6 and under its CURRENT check mode. All 50 are
+    # value-verified against DuckDB in-session by the full
     # driver-shaped drive before this rotation is committed.
-    # -- current-contract gap (8)
-    "q_embedding_drift",
-    "q_table_unique",
-    "q_events_tumbling_stream",
-    "q_index_stream",
-    "q_cdc_stream",
-    "q_hll_stream",
-    "q_knn_stream",
-    "q_hnsw_stream",
-    # -- spine re-greens, last driver row r2 (11)
-    "q_anti_join",
-    "q_distinct_counts",
-    "q_events_sliding",
-    "q_funnel",
-    "q_phrase_search",
-    "q_project",
-    "q_promo_revenue",
-    "q_rank_terms_per_letter",
-    "q_setops_all",
-    "q_window_range_time",
-    "q_window_running",
-    # -- last driver row r3 (16)
-    "q_cosine_topk",
-    "q_cube",
-    "q_distinct_terms",
-    "q_events_session",
-    "q_grouping_sets",
-    "q_percentiles",
-    "q_pivot",
-    "q_postings_gaps",
-    "q_quality_score",
-    "q_scalar_subquery",
-    "q_sentences",
-    "q_term_cooccurrence",
-    "q_tfidf",
-    "q_top_orders",
-    "q_value_histogram",
-    "q_value_outliers",
-    # -- last driver row r4 (14)
-    "q_bloom",
-    "q_bool_or",
-    "q_containment",
-    "q_countmin",
-    "q_hll",
-    "q_lm_score",
-    "q_multimodal_ppm",
-    "q_postings_merge",
-    "q_scan_lineitem",
-    "q_setops",
-    "q_sorted_index",
-    "q_term_lookup",
-    # -- born in round 10 (the born-op rule takes the one r5 re-green
-    # slot q_ann_ivf, which stays locally verified by
-    # test_oracle_parity): the typed-state streaming totals on the
-    # RocksDB provider — the driver-checkable surface for the
-    # environment-gated transformWithState path (r9 verdict item 4),
-    # and the raw state-store read of a native streaming aggregation
-    # (takes the q_user_trend r4 re-green slot; locally verified)
+    # -- round-10 DRIVER-RED, fixed this round (2)
     "q_tws_totals",
     "q_state_reader",
-    # HTML->text extraction round-trip (takes the q_simhash r4
-    # re-green slot; locally verified)
+    # -- last driver row r2 (rows-only estimate, by design) (1)
+    "q_approx_distinct_parts",
+    # -- last driver row r4 (2)
+    "q_simhash",
+    "q_user_trend",
+    # -- last driver row r5 (44)
+    "q_ann_ivf",
+    "q_approx_distinct_bound",
+    "q_approx_quantiles_bound",
+    "q_asof_join",
+    "q_bool_and",
+    "q_bool_not",
+    "q_bpe_train",
+    "q_doc_scan",
+    "q_dsir_weights",
+    "q_embed_dup_scaled",
+    "q_events_tumbling",
+    "q_filter_shipdate",
+    "q_grouped_agg_udf",
+    "q_hll_merge",
+    "q_join_5way",
+    "q_join_orders_customer",
+    "q_json_events",
+    "q_kll_quantiles_bound",
+    "q_letter_histogram",
+    "q_lm_retrieval",
+    "q_manifest_scan",
+    "q_multimodal_png",
+    "q_normalize",
+    "q_pmi",
+    "q_postings_compress",
+    "q_power_iteration",
+    "q_range_bounds",
+    "q_rollup",
+    "q_rp_lsh_scaled",
+    "q_scalar_fns",
+    "q_semantic_dedup",
+    "q_semi_join",
+    "q_sparse_cosine",
+    "q_substring_dup",
+    "q_term_doc_distinct",
+    "q_theta_setops_bound",
+    "q_tokenize",
+    "q_top_terms",
+    "q_triangles",
+    "q_udtf_topterms",
+    "q_variant_events",
+    "q_weighted_sample",
+    "q_window_topn",
+    "q_zorder_layout",
+    # -- second consecutive green for the round-10-born op (1)
     "q_html_extract",
 ]
 assert len(_CHECK_PRIORITY) == 50, (

@@ -52,9 +52,12 @@ def streaming_totals_state(
     the environment-gated transformWithState path uses (round-9
     verdict item 4).
 
-    The scaled-sum is SUM(CAST(round(value*1e6) AS BIGINT)) — exact
-    int64 adds, so cross-batch accumulation is order-independent and
-    the DuckDB oracle replays it verbatim."""
+    The scaled-sum is SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1e6 AS
+    BIGINT)) — the catalog's decimal discipline (round-11 fix: no
+    double ``round()`` whose half-way semantics engines may disagree
+    on; the decimal cast is exact for ≤6-fractional-digit values).
+    Exact int64 adds, so cross-batch accumulation is
+    order-independent and the DuckDB oracle replays it verbatim."""
     import os
     import shutil
     import tempfile
@@ -79,7 +82,10 @@ def streaming_totals_state(
         agg = src.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
             F.sum(
-                F.round(F.col("value") * 1_000_000).cast("bigint")
+                (
+                    F.col("value").cast("decimal(18,6)")
+                    * F.lit(1_000_000).cast("decimal(7,0)")
+                ).cast("bigint")
             ).alias("sum_scaled"),
         )
         from mapreduceindexer_spark.streaming.twstate import _rocksdb_provider

@@ -68,31 +68,37 @@ def _accumulate_batch(n: int, s: int, pdf: pd.DataFrame) -> tuple[int, int]:
     ``applyInPandasWithState`` parity twin), so their answers agree by
     construction, not by coincidence.
 
-    Exact emulation of the batch twin's F.round(x*1e6): Spark's Round on
-    DoubleType goes through BigDecimal.valueOf (shortest decimal repr) +
-    HALF_UP — Python's Decimal(repr(x)).quantize(1, HALF_UP) is the same
-    function (floor(|x|+0.5) is NOT: IEEE makes 0.49999999999999994 +
-    0.5 == 1.0). NULLs are dropped like the batch sum skips nulls.
-    Non-finite values are ALSO dropped — a documented divergence from
-    the raw batch formula, which would raise CAST_OVERFLOW (ANSI) or
-    clamp to Long.MaxValue (non-ANSI) on +/-inf; the batch twin in
-    test_twstate_totals_match_batch applies the same finite filter (on
-    the SCALED product) so the parity contract is well-defined on any
-    finite input whose scaled values and running sums fit int64 —
-    beyond that the batch cast clamps (non-ANSI) or raises (ANSI) while
-    this kernel accumulates exact Python ints; neither behavior is
-    meaningful, so the contract is scoped to the int64 domain."""
+    Scaled value = the catalog's proven DECIMAL-sum discipline, not
+    double rounding (round-11 fix for the r10 driver-red rows): each
+    value is quantized to DECIMAL(18,6) — exactly Spark's
+    ``CAST(value AS DECIMAL(18,6))``, which goes through
+    BigDecimal.valueOf (shortest decimal repr) + HALF_UP; Python's
+    Decimal(repr(x)).quantize(1e-6, HALF_UP) is the same function —
+    then held as the exact 1e6-scaled int64. The old contract rounded
+    the *1e6 PRODUCT (one extra IEEE multiply whose half-way behavior
+    engines may disagree on); quantizing the raw value is exact
+    whenever the value's shortest repr has ≤6 fractional digits and
+    otherwise rounds where Spark's decimal cast rounds. NULL/NaN are
+    dropped like the batch sum skips nulls; non-finite and
+    DECIMAL(18,6)-overflow (|v| ≥ 1e12) values are dropped exactly
+    where the batch twin's non-ANSI cast yields NULL, so the parity
+    contract (kernel ≡ SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1e6 AS
+    BIGINT))) is well-defined on any input; running sums are exact
+    Python ints, meaningful while they fit int64."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
     n += int(len(pdf))
-    for v in (pdf["value"] * 1_000_000).dropna():
+    for v in pdf["value"].dropna():
         fv = float(v)
         if not math.isfinite(fv):
             continue
-        s += int(
-            Decimal(repr(fv)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        q = Decimal(repr(fv)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
         )
+        if abs(q) >= Decimal(10) ** 12:  # DECIMAL(18,6) overflow → NULL
+            continue
+        s += int(q.scaleb(6))
     return n, s
 
 

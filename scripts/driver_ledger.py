@@ -52,15 +52,35 @@ def build_section() -> str:
         rounds[rnd] = json.load(open(f))
 
     per_query: dict[str, list[str]] = {}
+    red: dict[str, list[str]] = {}
     for rnd, data in rounds.items():
         for q, row in data.items():
             rows_only = q in QUERIES and QUERIES[q][1] is None
             if green(row, rows_only):
                 per_query.setdefault(q, []).append(rnd)
+            elif (
+                row.get("err") not in (None, "no_oracle")
+                or row.get("rows_match") is False
+                or row.get("schema_match") is False
+                or row.get("hash_match") is False
+            ):
+                # An actually-FAILED driver row is evidence too — a red
+                # check must stay visible until a later green supersedes
+                # it (round-10 verdict item 2: never overstate, never
+                # silently rotate past a failure). Rows that merely ran
+                # under an older, weaker check mode (e.g. rows-only
+                # before an oracle existed) are neither green nor red.
+                red.setdefault(q, []).append(rnd)
 
     names = list(QUERIES)
     covered = [n for n in names if n in per_query]
     local_only = [n for n in names if n not in per_query]
+    reds_unresolved = sorted(
+        n
+        for n in names
+        if n in red
+        and (n not in per_query or max(map(int, per_query[n])) < max(map(int, red[n])))
+    )
     lines = [
         BEGIN,
         "",
@@ -69,19 +89,29 @@ def build_section() -> str:
         "The driver hash-checks a rotating 50-slot window per round; every",
         "oracle-backed query is ALSO value-checked against DuckDB locally each",
         "session (tests/test_oracle_parity.py). This table is the external",
-        "evidence only: per query, the rounds whose driver row was green.",
+        "evidence only: per query, the rounds whose driver row was green —",
+        "and, in RED, any round whose driver row FAILED and has not yet been",
+        "superseded by a later green row.",
         "",
         f"- registered queries: **{len(names)}**",
         f"- with ≥1 green driver row: **{len(covered)}**",
-        f"- local-oracle-only (never yet in a driver window): **{len(local_only)}**",
+        f"- local-oracle-only (never yet green in a driver window): **{len(local_only)}**",
+        f"- RED in their latest driver round (fix + re-window pending): **{len(reds_unresolved)}**"
+        + (
+            " — " + ", ".join(f"`{n}`" for n in reds_unresolved)
+            if reds_unresolved
+            else ""
+        ),
         "",
-        "| Query | Green driver rounds |",
+        "| Query | Driver rounds |",
         "|---|---|",
     ]
     for n in names:
-        rs = per_query.get(n)
+        cells = [(int(r), f"r{r}") for r in per_query.get(n, [])]
+        cells += [(int(r), f"**r{r} RED**") for r in red.get(n, [])]
+        cells.sort()
         lines.append(
-            f"| `{n}` | {'r' + ', r'.join(rs) if rs else '— (local-only)'} |"
+            f"| `{n}` | {', '.join(c for _, c in cells) if cells else '— (local-only)'} |"
         )
     lines += ["", END]
     return "\n".join(lines)

@@ -36,6 +36,59 @@ def test_no_complex_output_columns(spark, name):
     )
 
 
+def test_no_hugeint_or_decimal_oracle_columns():
+    """Round-10 shipped the catalog's only two driver-red rows
+    (q_tws_totals, q_state_reader) from exactly this: a bare
+    ``SUM(BIGINT)`` output column is HUGEINT in DuckDB, which
+    ``fetchall()`` (the local comparator) returns as exact Python ints
+    but the driver's pandas canonicalizer coerces to float64 — so the
+    int64 Spark column hash-mismatches on dtype while every local check
+    passes. Pin the invariant: every oracle output column must bind to
+    a type pandas maps losslessly onto the matching Spark dtype
+    (BIGINT/INTEGER/DOUBLE/..., never HUGEINT/DECIMAL/UHUGEINT).
+    DESCRIBE only binds the query — no execution — so this covers all
+    288 oracles in seconds."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    ok = {
+        "BIGINT",
+        "INTEGER",
+        "SMALLINT",
+        "TINYINT",
+        "DOUBLE",
+        "FLOAT",
+        "VARCHAR",
+        "BOOLEAN",
+        "DATE",
+        "TIMESTAMP",
+    }
+    bad = {}
+    for name, (_, oracle) in QUERIES.items():
+        if oracle is None:
+            continue
+        susp = [
+            (c, t)
+            for c, t, *_ in con.execute(f"DESCRIBE ({oracle})").fetchall()
+            if t not in ok
+        ]
+        if susp:
+            bad[name] = susp
+    assert not bad, (
+        f"oracle output columns with pandas-lossy DuckDB types: {bad}; "
+        "CAST sums/counts to BIGINT and decimal aggregates to DOUBLE "
+        "in the oracle SQL"
+    )
+
+
 def test_check_priority_window_mostly_oracle_backed():
     """The first 50 registered queries are the harness's verification
     window. Through round 6 the window was oracle-only; rounds 7-8

@@ -155,26 +155,21 @@ def test_twstate_totals_match_batch(spark):
     from pyspark.sql import functions as F
 
     ev = load_table(spark, SF_SMOKE, "events")
-    # Same finite filter as the stream kernel — applied to the SCALED
-    # value, exactly where the kernel applies it: a finite value whose
-    # *1e6 product overflows to inf (|value| > ~1.79e302) is dropped by
-    # the kernel's post-scale isfinite check, so the batch twin must
-    # filter on the scaled product too, not the raw column. Domain note:
-    # parity is defined for scaled values (and running sums) within
-    # int64 — beyond that the batch cast clamps/raises while the kernel
-    # accumulates exact Python ints; neither side is meaningful there.
-    scaled = F.col("value") * 1_000_000
-    finite = ~F.isnan(scaled) & (F.abs(scaled) != float("inf"))
+    # The batch twin of the kernel's DECIMAL discipline (round-11):
+    # CAST(value AS DECIMAL(18,6)) * 1e6 → exact int64 per row, summed.
+    # Spark's non-ANSI cast yields NULL for NaN/inf/overflow (|v| ≥
+    # 1e12) and the sum skips NULLs — exactly where the kernel drops
+    # non-finite/overflow values, so no explicit filter is needed.
+    scaled = (
+        F.col("value").cast("decimal(18,6)")
+        * F.lit(1_000_000).cast("decimal(7,0)")
+    ).cast("bigint")
     batch = sorted(
         tuple(r)
         for r in ev.groupBy("user_id")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.sum(
-                F.when(
-                    finite, F.round(F.col("value") * 1_000_000).cast("bigint")
-                )
-            ).alias("sum_scaled"),
+            F.sum(scaled).alias("sum_scaled"),
         )
         .collect()
     )
