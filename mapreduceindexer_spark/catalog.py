@@ -2072,10 +2072,17 @@ def q_html_extract(spark, sf_dir):
             norm,
         )
     )
+    # Coalesce the comparison: on a NULL text both extracted and want
+    # are NULL, and a bare == null-propagates — the oracle's literal
+    # TRUE would then fail the value check with a confusing NULL row
+    # instead of this explicit contract: a NULL document trivially
+    # round-trips (r10 advice).
     return ex.select(
         "doc_id",
         "n_extracted",
-        (F.col("extracted") == want).alias("ok"),
+        F.coalesce(F.col("extracted") == want, F.col("text").isNull()).alias(
+            "ok"
+        ),
     )
 
 

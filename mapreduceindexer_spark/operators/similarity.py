@@ -561,16 +561,19 @@ def ivf_filtered_topk(
     probe_cells = _nearest_probe_cells(
         embeddings, cells, probe_id, n_centroids, n_probe_cells
     )
-    # Pin both relations BEFORE the gate count (the commit()
+    # Pin ONLY ``cand`` before the gate count (the commit()
     # discipline): the count burns its result into F.lit(n_cand) and
-    # the branch choice, so with a non-deterministic or
-    # later-mutated input the gate decision and the scored rows could
-    # diverge — localCheckpoint makes count and score read the same
-    # snapshot (r9 advice). Both are small: the filtered slice and
-    # the probed-cells intersection, never the corpus.
+    # the branch choice, so localCheckpoint makes the count and the
+    # scored rows read the same snapshot (r9 advice). ``cand`` is
+    # small — capped by the probed cells' sizes, never the corpus.
+    # The label-filtered slice is NOT checkpointed (r10 advice): it is
+    # corpus-proportional (every vector of one label), nothing gates
+    # on its count, and the fallback branch's exact scan is correct
+    # over a re-evaluated deterministic input — eagerly pinning it
+    # accumulated executor storage blocks across repeated probes.
     filtered = embeddings.filter(
         (F.col("label") == label) & (F.col("vec_id") != probe_id)
-    ).localCheckpoint()
+    )
     cand = (
         filtered.join(cells, "vec_id")
         .join(

@@ -135,17 +135,58 @@ class TableGroup:
         def _converge(published: int) -> None:
             # Keep the tag, converging it on the published version
             # (idempotent with the winner's post-link re-verify —
-            # both writers write the same value).
+            # both writers write the same value). The drop→re-tag pair
+            # is NOT atomic, so a guard tag is placed at the published
+            # version FIRST — without it, a concurrent member vacuum in
+            # the gap could reclaim the published pinned version while
+            # no tag protects it (r10 advice). The guard also makes the
+            # final re-tag's failure diagnosable: if the tag cannot be
+            # restored AND nobody else restored it, that is a dangling
+            # published pin and must surface, not pass.
             try:
                 if table.tag_version(tag) == published:
                     return
-                table.drop_tag(tag)
             except ValueError:
+                pass  # tag missing entirely — restore it below
+            guard = f"{tag}__cvg"
+            guard_held = False
+            try:
+                table.tag(guard, published)
+                guard_held = True
+            except ValueError:
+                # Version already gone (the final check below surfaces
+                # it) or a concurrent healer holds the guard (its guard
+                # protects the version through our gap).
                 pass
             try:
-                table.tag(tag, published)
-            except ValueError:
-                pass  # a concurrent healer landed the identical tag
+                try:
+                    table.drop_tag(tag)
+                except ValueError:
+                    pass  # already gone
+                try:
+                    table.tag(tag, published)
+                except ValueError:
+                    # Either a concurrent healer landed the identical
+                    # tag (fine) or the published version no longer
+                    # exists (the dangling-pin corruption this guard
+                    # exists to prevent) — distinguish, never swallow.
+                    try:
+                        if table.tag_version(tag) == published:
+                            return
+                    except ValueError:
+                        pass
+                    raise CommitConflict(
+                        f"group {self.name!r}: published pin tag "
+                        f"{tag!r} -> v{published} on {table.path} could "
+                        "not be restored (version reclaimed?); the "
+                        "published group manifest may dangle"
+                    ) from None
+            finally:
+                if guard_held:
+                    try:
+                        table.drop_tag(guard)
+                    except ValueError:
+                        pass
 
         published = _published_pin()
         if published is not None:

@@ -149,11 +149,20 @@ def _write_sliced_events(
     events: DataFrame, tmp_dir: str, n_slices: int
 ) -> str:
     """Materialize (user_id, event_id, value) as n_slices parquet files,
-    mtime-ordered so maxFilesPerTrigger=1 replays a multi-batch stream."""
+    mtime-ordered so maxFilesPerTrigger=1 replays a multi-batch stream.
+
+    Slice assignment must be DETERMINISTIC or the replay isn't (r10
+    verdict item 6): the ntile window orders by every column, a total
+    order up to full-duplicate rows — and ties among full duplicates
+    are interchangeable, so each slice's CONTENTS are a well-defined
+    multiset for any input (event_id alone is unique in the shipped
+    tables, but the helper must not silently depend on that).
+    Property-pinned by tests/test_replay_determinism.py."""
     stream_dir = os.path.join(tmp_dir, "stream")
     os.makedirs(stream_dir)
     sliced = events.withColumn(
-        "slice", F.ntile(n_slices).over(Window.orderBy("event_id"))
+        "slice",
+        F.ntile(n_slices).over(Window.orderBy(*events.columns)),
     )
     for i in range(1, n_slices + 1):
         part_dir = os.path.join(tmp_dir, f"w{i}")

@@ -205,6 +205,54 @@ def test_loser_rollback_never_drops_published_pin(spark, pair):
         docs.tag_version(tag_next)
 
 
+def test_converge_guard_survives_vacuum_in_drop_retag_gap(spark, pair):
+    """r10-advice race: _converge's drop_tag→tag(published) pair is not
+    atomic — a member vacuum running in the gap sees the published
+    version momentarily untagged and could reclaim it, after which the
+    re-tag fails and (pre-fix) was silently swallowed, leaving the
+    published group manifest dangling. The fix places a guard tag at
+    the published version BEFORE the drop; this scripted interleave
+    runs a real vacuum inside the gap and asserts the published
+    version's data survives and the pin tag converges."""
+    import json
+    import os
+
+    docs, idx, grp = pair
+    base = grp.current_version()
+    vA = docs.commit(spark.range(6, 9), mode="append")
+    vB = docs.commit(spark.range(9, 12), mode="append")
+    g = base + 1
+    tag = grp._tag_name("docs", g)
+    docs.tag(tag, vB)  # B's orphan-heal re-tag, at B's own version
+    # A wins the CAS: slot g publishes pinning docs@vA.
+    man = {"version": g, "pins": {"docs": {"path": docs.path, "version": vA}}}
+    with open(os.path.join(grp.manifest_dir, f"g{g}.json"), "w") as fh:
+        json.dump(man, fh)
+    # Sink more commits so vA falls outside keep_versions=1 retention —
+    # only a tag keeps it alive.
+    for i in range(3):
+        docs.commit(spark.range(100 + i), mode="append")
+    real_drop = docs.drop_tag
+
+    def drop_then_vacuum(name):
+        real_drop(name)
+        if name == tag:  # inside the gap: the adversarial vacuum
+            docs.vacuum(keep_versions=1, grace_seconds=0.0)
+
+    docs.drop_tag = drop_then_vacuum
+    try:
+        grp._release_tag(docs, "docs", tag, g)
+    finally:
+        docs.drop_tag = real_drop
+    assert docs.tag_version(tag) == vA
+    # The published pinned version is still fully readable (its data
+    # dirs were never reclaimed) and no guard tag is left behind.
+    assert grp.read(spark, "docs").count() == docs.read(spark, vA).count()
+    assert not os.path.exists(
+        os.path.join(docs.path, "_tags", f"{tag}__cvg.json")
+    )
+
+
 def test_concurrent_group_committers_never_dangle(spark, pair):
     """The module invariant under REAL racing (not a scripted
     interleave): N threads retry-commit pin sets for successive slots;

@@ -1,0 +1,165 @@
+"""Determinism of the streaming replay helpers (r10 verdict item 6).
+
+The state-store queries' driver contract is "final state ≡ batch
+aggregate for ANY slicing" — which holds only if the replay machinery
+itself is deterministic. Three hazards pinned here:
+
+1. ``_write_sliced_events``'s ntile slice assignment on inputs where
+   the (formerly sole) order key is NOT unique — the window now orders
+   by every column, so slice contents are well-defined multisets up to
+   interchangeable full-duplicate rows.
+2. ``availableNow`` + ``maxFilesPerTrigger=1`` must replay exactly one
+   file per microbatch — n_slices files → n_slices commits; a version
+   that silently coalesced files into one batch would turn the
+   multi-batch state test into a single-batch no-op.
+3. The update-mode final-row selection in ``_run_totals_stream`` picks
+   the max-``n_events`` row per key, which is sound only if emissions
+   per key are strictly increasing in ``n_events`` (no ties) — true
+   because a stateful kernel only fires for keys present in the batch,
+   every batch adds ≥1 row for such keys, and a key appears in exactly
+   one update row per batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _dup_heavy_df(spark):
+    # Duplicate event_ids across users AND some full-duplicate rows.
+    rows = []
+    for i in range(60):
+        rows.append((i % 7, i % 10, float(i % 5)))
+    rows += [(1, 3, 2.0)] * 4  # full duplicates
+    return spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, value double"
+    )
+
+
+def test_sliced_events_partition_input_even_with_duplicate_keys(
+    spark, tmp_path
+):
+    from mapreduceindexer_spark.streaming.twstate import _write_sliced_events
+
+    ev = _dup_heavy_df(spark)
+    n_slices = 4
+
+    def slices(run_dir: str) -> list[list[tuple]]:
+        d = str(tmp_path / run_dir)
+        os.makedirs(d)
+        stream_dir = _write_sliced_events(ev, d, n_slices)
+        out = []
+        for f in sorted(os.listdir(stream_dir)):
+            pdf = spark.read.parquet(os.path.join(stream_dir, f))
+            out.append(sorted(map(tuple, pdf.collect())))
+        return out
+
+    a = slices("run_a")
+    # Union of slices == the input multiset (nothing lost or invented).
+    got = sorted(t for s in a for t in s)
+    want = sorted(map(tuple, ev.collect()))
+    assert got == want
+    # ntile balance: slice sizes differ by at most one.
+    sizes = [len(s) for s in a]
+    assert max(sizes) - min(sizes) <= 1, sizes
+    # Determinism: a second materialization produces identical
+    # per-slice multisets (full-column ordering; remaining ties are
+    # full duplicates, interchangeable by definition).
+    b = slices("run_b")
+    assert a == b
+
+
+def test_available_now_replays_one_file_per_microbatch(spark, tmp_path):
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming.twstate import _write_sliced_events
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "value"
+    )
+    n_slices = 5
+    stream_dir = _write_sliced_events(events, str(tmp_path), n_slices)
+    ckpt = str(tmp_path / "ckpt")
+    src = (
+        spark.readStream.schema("user_id bigint, event_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = (
+        src.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    commits = [
+        c
+        for c in os.listdir(os.path.join(ckpt, "commits"))
+        if not c.startswith(".")
+    ]
+    assert len(commits) == n_slices, sorted(commits)
+
+
+def test_update_emissions_strictly_increase_per_key(spark, tmp_path):
+    """Every update emission for a key carries a strictly larger
+    n_events than the key's previous emission — so max(n_events) has a
+    UNIQUE row per key and the final-state selection can never pick an
+    arbitrary tie."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming.table_sink import (
+        TransactionalTable,
+        read_result,
+        run_stream_to_table,
+    )
+    from mapreduceindexer_spark.streaming.twstate import (
+        OUT_SCHEMA,
+        STATE_SCHEMA,
+        _apws_totals_fn,
+        _write_sliced_events,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "value"
+    )
+    stream_dir = _write_sliced_events(events, str(tmp_path), 4)
+    src = (
+        spark.readStream.schema("user_id bigint, event_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    totals = src.groupBy("user_id").applyInPandasWithState(
+        _apws_totals_fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    table = TransactionalTable(str(tmp_path / "emissions"))
+    run_stream_to_table(totals, table, output_mode="update")
+    emitted = read_result(table, spark, OUT_SCHEMA)
+    # No (user, n_events) pair repeats across the whole emission log.
+    dup = (
+        emitted.groupBy("user_id", "n_events")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    # And every key emitted at least twice (the backlog really was
+    # multi-batch for some keys), so the strict-increase claim is
+    # exercised, not vacuous.
+    multi = (
+        emitted.groupBy("user_id").count().filter(F.col("count") >= 2).count()
+    )
+    assert multi > 0
