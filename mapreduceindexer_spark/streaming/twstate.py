@@ -7,6 +7,12 @@ Spark 4's successor API: typed state handles (value/list/map state, TTL,
 timers) on the RocksDB state store, schema-evolvable across restarts —
 at 100 TB this is the operator for billions of keys because RocksDB
 spills state to disk instead of holding the whole map on-heap.
+Measured (scripts/loadtest_state_store.py --keys, round 11): the
+native-agg/store path is essentially FLAT in live-key count (17.2 s at
+100k keys -> 18.8 s at 1M on local[32]; 53k keys/s including the full
+replay and read-back), while the Python kernel path pays per-group
+Arrow overhead (9.4k keys/s at 1M) — so the typed/native paths are the
+production hot path and this kernel is the flexibility tier.
 
 The kernel keeps two exact integers per user — event count and the
 1e6-scaled value sum (scaled-integer discipline, same as the catalog's
