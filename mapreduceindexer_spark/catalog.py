@@ -2351,6 +2351,7 @@ def q_index_stream(spark, sf_dir):
     """SELECT user_id,
               CAST(COUNT(*) AS BIGINT) AS n_events,
               CAST(COALESCE(SUM(CASE WHEN isfinite(value)
+                                      AND abs(value) < 1000000000000
                         THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000
                                   AS BIGINT)
                    END), 0) AS BIGINT) AS sum_scaled
@@ -2389,6 +2390,7 @@ def q_tws_totals(spark, sf_dir):
     """SELECT user_id,
               CAST(COUNT(*) AS BIGINT) AS n_events,
               CAST(SUM(CASE WHEN isfinite(value)
+                             AND abs(value) < 1000000000000
                         THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000
                                   AS BIGINT)
                    END) AS BIGINT) AS sum_scaled

@@ -148,15 +148,21 @@ class TableGroup:
                     return
             except ValueError:
                 pass  # tag missing entirely — restore it below
-            guard = f"{tag}__cvg"
+            # Guard name: per-healer UNIQUE (two healers sharing one
+            # guard name would let the non-holder run its gap
+            # unprotected after the holder's finally drops the shared
+            # guard — r11 review finding) and capped well under
+            # _REF_NAME_RE's 64 chars even for maximal base tags (a
+            # too-long name would make tag() raise and silently
+            # disable the guard — r11 review finding).
+            guard = f"{tag[:40]}__cvg_{uuid.uuid4().hex[:8]}"
             guard_held = False
             try:
                 table.tag(guard, published)
                 guard_held = True
             except ValueError:
-                # Version already gone (the final check below surfaces
-                # it) or a concurrent healer holds the guard (its guard
-                # protects the version through our gap).
+                # The published version is already gone — the final
+                # re-tag check below surfaces it loudly.
                 pass
             try:
                 try:

@@ -7,12 +7,14 @@ Spark 4's successor API: typed state handles (value/list/map state, TTL,
 timers) on the RocksDB state store, schema-evolvable across restarts —
 at 100 TB this is the operator for billions of keys because RocksDB
 spills state to disk instead of holding the whole map on-heap.
-Measured (scripts/loadtest_state_store.py --keys, round 11): the
-native-agg/store path is essentially FLAT in live-key count (17.2 s at
-100k keys -> 18.8 s at 1M on local[32]; 53k keys/s including the full
-replay and read-back), while the Python kernel path pays per-group
-Arrow overhead (9.4k keys/s at 1M) — so the typed/native paths are the
-production hot path and this kernel is the flexibility tier.
+Measured (scripts/loadtest_state_store.py --keys, round 11, with every
+key's state written in one microbatch and point-updated in a later
+one): the native-agg/store path is strongly sublinear in live-key
+count (8.5 s at 100k keys -> 16.7 s at 1M on local[32]; 60k keys/s
+including the full replay and read-back), while the Python kernel path
+pays per-group-per-batch Arrow overhead (5.1k keys/s at 1M) — so the
+typed/native paths are the production hot path and this kernel is the
+flexibility tier.
 
 The kernel keeps two exact integers per user — event count and the
 1e6-scaled value sum (scaled-integer discipline, same as the catalog's
@@ -99,12 +101,21 @@ def _accumulate_batch(n: int, s: int, pdf: pd.DataFrame) -> tuple[int, int]:
         fv = float(v)
         if not math.isfinite(fv):
             continue
-        q = Decimal(repr(fv)).quantize(
-            Decimal("0.000001"), rounding=ROUND_HALF_UP
-        )
-        if abs(q) >= Decimal(10) ** 12:  # DECIMAL(18,6) overflow → NULL
+        # DECIMAL(18,6) overflow → NULL in both engines. Checked on the
+        # RAW double, BEFORE quantize, for two reasons: (1) no double
+        # below 1e12 quantizes up to 1e12 (ulp(1e12) ≈ 1.2e-4, so the
+        # largest double under 1e12 quantizes to ...999878 — the raw
+        # check is exactly the post-quantize check), and (2) quantizing
+        # a huge double (e.g. 1e308 → 314 digits) raises
+        # decimal.InvalidOperation under the default 28-digit context
+        # (r11 property-test finding, test_twstate_kernel_property).
+        if abs(fv) >= 1e12:
             continue
-        s += int(q.scaleb(6))
+        s += int(
+            Decimal(repr(fv))
+            .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            .scaleb(6)
+        )
     return n, s
 
 
@@ -158,17 +169,25 @@ def _write_sliced_events(
     mtime-ordered so maxFilesPerTrigger=1 replays a multi-batch stream.
 
     Slice assignment must be DETERMINISTIC or the replay isn't (r10
-    verdict item 6): the ntile window orders by every column, a total
-    order up to full-duplicate rows — and ties among full duplicates
-    are interchangeable, so each slice's CONTENTS are a well-defined
-    multiset for any input (event_id alone is unique in the shipped
-    tables, but the helper must not silently depend on that).
-    Property-pinned by tests/test_replay_determinism.py."""
+    verdict item 6): the ntile window orders by event_id FIRST, then
+    every remaining column — a total order up to full-duplicate rows,
+    whose ties are interchangeable, so each slice's CONTENTS are a
+    well-defined multiset for any input (event_id alone is unique in
+    the shipped tables, but the helper must not silently depend on
+    that). event_id must LEAD the sort: ordering user_id-first would
+    make slices user-contiguous, so almost every key's whole history
+    lands in one microbatch and the cross-batch state-resume path the
+    replay exists to exercise goes untested (r11 review finding).
+    Property-pinned by tests/test_replay_determinism.py (determinism
+    AND interleaving)."""
     stream_dir = os.path.join(tmp_dir, "stream")
     os.makedirs(stream_dir)
+    order_cols = [c for c in events.columns if c == "event_id"] + [
+        c for c in events.columns if c != "event_id"
+    ]
     sliced = events.withColumn(
         "slice",
-        F.ntile(n_slices).over(Window.orderBy(*events.columns)),
+        F.ntile(n_slices).over(Window.orderBy(*order_cols)),
     )
     for i in range(1, n_slices + 1):
         part_dir = os.path.join(tmp_dir, f"w{i}")

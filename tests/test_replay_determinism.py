@@ -73,6 +73,32 @@ def test_sliced_events_partition_input_even_with_duplicate_keys(
     assert a == b
 
 
+def test_slices_interleave_keys_across_microbatches(spark, tmp_path):
+    """The replay must exercise the CROSS-BATCH state-resume path for
+    most keys, not just ntile-boundary stragglers: ordering the slice
+    window user_id-first would make slices user-contiguous and turn the
+    multi-batch state tests into single-batch no-ops (r11 review
+    finding — the all-columns ordering shipped briefly and collapsed
+    interleaving from 15/15 users to 3/15 at sf0.001). Pin: on the
+    shipped events table a MAJORITY of users span >= 2 slices."""
+    import os as _os
+
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming.twstate import _write_sliced_events
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "value"
+    )
+    stream_dir = _write_sliced_events(events, str(tmp_path), 4)
+    seen: dict[int, set[str]] = {}
+    for f in sorted(_os.listdir(stream_dir)):
+        pdf = spark.read.parquet(_os.path.join(stream_dir, f))
+        for r in pdf.select("user_id").distinct().collect():
+            seen.setdefault(r.user_id, set()).add(f)
+    multi = sum(1 for s in seen.values() if len(s) >= 2)
+    assert multi > len(seen) / 2, (multi, len(seen))
+
+
 def test_available_now_replays_one_file_per_microbatch(spark, tmp_path):
     from mapreduceindexer_spark.sources.tables import load_table
     from mapreduceindexer_spark.streaming.twstate import _write_sliced_events
