@@ -16,6 +16,24 @@ by name):
 - hashes that feed bucketing (minhash/simhash/fingerprints) use the
   md5-derived portable ``hash60`` (``functions/hashing.py``) which DuckDB
   reproduces exactly — never engine-native ``xxhash64``.
+- integer aggregates are CAST to BIGINT in the oracle: DuckDB types a
+  bare ``SUM(BIGINT)`` as HUGEINT, which the driver's pandas
+  canonicalizer coerces to float64 while ``fetchall()`` (the local
+  comparator) returns exact ints — the r10 "locally green, driver red"
+  signature. ``tests/test_harness_contract.py`` DESCRIBEs every oracle
+  and bans pandas-lossy output types (HUGEINT/DECIMAL/...).
+- SCOPE of double→DECIMAL cross-engine exactness (r11): Spark casts
+  from the double's SHORTEST REPR (BigDecimal.valueOf + HALF_UP);
+  DuckDB converts from the BINARY value — identical wherever the repr
+  carries every fractional digit the cast keeps (scale 6: any
+  |v| < 2^32; scale 10: |v| < ~2^19), and at repr-boundary midpoints
+  beyond that the engines may legitimately differ by one unit in the
+  last place of the decimal. All shipped fixtures live deep inside the
+  exact domain (values carry ≤ 2-4 fractional digits); oracles over
+  future data must keep that domain in mind. Also: DuckDB decimal
+  arithmetic does NOT widen (DECIMAL(18,6) * 1e6 stays (18,6) and
+  raises on overflow where Spark widens to (26,6)) — multiply through
+  an explicitly wide type, e.g. DECIMAL(30,6).
 """
 
 from __future__ import annotations
@@ -2352,7 +2370,7 @@ def q_index_stream(spark, sf_dir):
               CAST(COUNT(*) AS BIGINT) AS n_events,
               CAST(COALESCE(SUM(CASE WHEN isfinite(value)
                                       AND abs(value) < 1000000000000
-                        THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                        THEN CAST(CAST(value AS DECIMAL(30,6)) * 1000000
                                   AS BIGINT)
                    END), 0) AS BIGINT) AS sum_scaled
        FROM events
@@ -2391,7 +2409,7 @@ def q_tws_totals(spark, sf_dir):
               CAST(COUNT(*) AS BIGINT) AS n_events,
               CAST(SUM(CASE WHEN isfinite(value)
                              AND abs(value) < 1000000000000
-                        THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                        THEN CAST(CAST(value AS DECIMAL(30,6)) * 1000000
                                   AS BIGINT)
                    END) AS BIGINT) AS sum_scaled
        FROM events

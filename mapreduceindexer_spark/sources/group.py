@@ -51,6 +51,31 @@ from mapreduceindexer_spark.sources.transact import (
 
 _GROUP_NAME_RE = r"^[A-Za-z0-9_\-]{1,48}$"
 
+# Converge-guard tags protect a published pin for the MILLISECONDS of a
+# drop→re-tag gap; one older than this is a crash orphan (its healer
+# died holding it) and may be swept by any later healer.
+_GUARD_GRACE_SECONDS = 3600.0
+
+
+def _sweep_stale_guards(
+    table: TransactionalTable, grace_seconds: float = _GUARD_GRACE_SECONDS
+) -> None:
+    """Drop crash-orphaned converge-guard tags (``*__cvg_*``) older than
+    the grace window. Without this, a healer killed between taking its
+    uuid-named guard and the finally-drop would pin that member version
+    against vacuum FOREVER (r11 second review). Tag files are hardlinked
+    once and never rewritten, so mtime is creation time; racing drops
+    are tolerated."""
+    import glob
+    import time
+
+    for f in glob.glob(os.path.join(table.path, "_tags", "*__cvg_*.json")):
+        try:
+            if time.time() - os.path.getmtime(f) > grace_seconds:
+                os.unlink(f)
+        except OSError:
+            pass  # a concurrent healer swept it first
+
 
 class TableGroup:
     """A versioned pin-set over member ``TransactionalTable``s rooted at
@@ -155,6 +180,14 @@ class TableGroup:
             # _REF_NAME_RE's 64 chars even for maximal base tags (a
             # too-long name would make tag() raise and silently
             # disable the guard — r11 review finding).
+            # Crash-orphan cleanup (r11 second review): a healer
+            # killed between tag(guard) and the finally-drop leaks a
+            # uuid-named guard no one else would ever drop, pinning
+            # that version against vacuum forever. Guards live for
+            # MILLISECONDS, so any guard file older than the grace
+            # window is a crash orphan — sweep them opportunistically
+            # before taking our own.
+            _sweep_stale_guards(table)
             guard = f"{tag[:40]}__cvg_{uuid.uuid4().hex[:8]}"
             guard_held = False
             try:

@@ -89,10 +89,18 @@ def _accumulate_batch(n: int, s: int, pdf: pd.DataFrame) -> tuple[int, int]:
     otherwise rounds where Spark's decimal cast rounds. NULL/NaN are
     dropped like the batch sum skips nulls; non-finite and
     DECIMAL(18,6)-overflow (|v| ≥ 1e12) values are dropped exactly
-    where the batch twin's non-ANSI cast yields NULL, so the parity
-    contract (kernel ≡ SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1e6 AS
-    BIGINT))) is well-defined on any input; running sums are exact
-    Python ints, meaningful while they fit int64."""
+    where the batch twin's non-ANSI cast yields NULL. Contract scope
+    (r11 second review): kernel ≡ SPARK's cast (BigDecimal.valueOf =
+    shortest repr + HALF_UP) on ANY input — property-pinned against
+    the live JVM in tests/test_twstate_kernel_property.py. Kernel ≡
+    the DUCKDB ORACLE only where the double's shortest repr carries
+    all 6 fractional digits (any |v| < 2^32; DuckDB converts
+    double→decimal from the BINARY value, not the repr, so above that
+    — or at repr-boundary midpoints with >6 fractional digits — the
+    engines can legitimately disagree by 1e-6). The shipped events
+    data (≤2 fractional digits, |v| < 1e3) is deep inside the exact
+    domain; the same scoping applies to every decimal-cast oracle in
+    the catalog, this one is just where it's written down."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 

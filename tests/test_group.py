@@ -253,6 +253,43 @@ def test_converge_guard_survives_vacuum_in_drop_retag_gap(spark, pair):
     assert not glob.glob(os.path.join(docs.path, "_tags", "*__cvg_*.json"))
 
 
+def test_stale_crash_orphan_guards_are_swept(spark, pair):
+    """A healer SIGKILLed between taking its uuid guard and the
+    finally-drop leaks a guard tag nobody would ever name again; the
+    next converge must sweep it once it ages past the grace window
+    (else that member version is pinned against vacuum forever — r11
+    second review). A FRESH guard inside the window must survive."""
+    import glob
+    import json
+    import os
+    import time
+
+    docs, idx, grp = pair
+    base = grp.current_version()
+    vA = docs.commit(spark.range(6, 9), mode="append")
+    vB = docs.commit(spark.range(9, 12), mode="append")
+    g = base + 1
+    tag = grp._tag_name("docs", g)
+    # Two orphans from "crashed healers": one ancient, one fresh.
+    docs.tag(f"{tag[:40]}__cvg_deadbeef", vA)
+    docs.tag(f"{tag[:40]}__cvg_cafef00d", vA)
+    old = os.path.join(docs.path, "_tags", f"{tag[:40]}__cvg_deadbeef.json")
+    os.utime(old, (time.time() - 7200, time.time() - 7200))
+    # Trigger a converge (B's orphan-heal loses to a published slot g).
+    docs.tag(tag, vB)
+    man = {"version": g, "pins": {"docs": {"path": docs.path, "version": vA}}}
+    with open(os.path.join(grp.manifest_dir, f"g{g}.json"), "w") as fh:
+        json.dump(man, fh)
+    grp._release_tag(docs, "docs", tag, g)
+    assert docs.tag_version(tag) == vA
+    left = {
+        os.path.basename(f)
+        for f in glob.glob(os.path.join(docs.path, "_tags", "*__cvg_*.json"))
+    }
+    assert f"{tag[:40]}__cvg_deadbeef.json" not in left  # aged out: swept
+    assert f"{tag[:40]}__cvg_cafef00d.json" in left  # in-window: kept
+
+
 def test_concurrent_group_committers_never_dangle(spark, pair):
     """The module invariant under REAL racing (not a scripted
     interleave): N threads retry-commit pin sets for successive slots;

@@ -81,8 +81,6 @@ def test_slices_interleave_keys_across_microbatches(spark, tmp_path):
     finding — the all-columns ordering shipped briefly and collapsed
     interleaving from 15/15 users to 3/15 at sf0.001). Pin: on the
     shipped events table a MAJORITY of users span >= 2 slices."""
-    import os as _os
-
     from mapreduceindexer_spark.sources.tables import load_table
     from mapreduceindexer_spark.streaming.twstate import _write_sliced_events
 
@@ -91,8 +89,8 @@ def test_slices_interleave_keys_across_microbatches(spark, tmp_path):
     )
     stream_dir = _write_sliced_events(events, str(tmp_path), 4)
     seen: dict[int, set[str]] = {}
-    for f in sorted(_os.listdir(stream_dir)):
-        pdf = spark.read.parquet(_os.path.join(stream_dir, f))
+    for f in sorted(os.listdir(stream_dir)):
+        pdf = spark.read.parquet(os.path.join(stream_dir, f))
         for r in pdf.select("user_id").distinct().collect():
             seen.setdefault(r.user_id, set()).add(f)
     multi = sum(1 for s in seen.values() if len(s) >= 2)
