@@ -1,0 +1,139 @@
+"""Driver-shaped drive of the full catalog — the canonical local
+replication of the harness's correctness check, as a script instead of
+a per-session heredoc (r11; the verify skill's recipe now calls this).
+
+What it does, exactly like the driver:
+  1. ``entry(spark)`` smoke at sf0.001 (row count).
+  2. Every ``queries()`` entry at sf0.01 vs its ``oracle_sql()`` in
+     DuckDB — values repr-sorted and compared; rows-only queries get a
+     row-count print.
+
+What it adds beyond the driver (both lessons from the r10 red rows):
+  - ``--pandas-audit``: fetches each result through BOTH engines'
+    pandas paths (Spark ``toPandas()`` and DuckDB ``.df()`` — what the
+    driver canonicalizes through) and flags any output column whose
+    dtype KINDS differ between the two sides (the HUGEINT→float64
+    signature: locally green via fetchall, driver-red via pandas).
+    The comparison basis is toPandas-vs-df, NOT the Spark schema: both
+    engines render NULLABLE int columns as float64+NaN, so a schema
+    check would false-positive every outer-join/lag query (verified:
+    q_asof_join etc. are float64 on BOTH sides and driver-green).
+  - ``--stress N``: N fresh-SparkSession repeat runs of the queries
+    named in ``--only`` (default: the full catalog once) — the
+    load/flake hunt the r10 verdict prescribed.
+
+Exit status: 0 iff every comparison matched and the audit is clean.
+
+Usage:
+  python scripts/drive_catalog.py                    # full drive
+  python scripts/drive_catalog.py --pandas-audit
+  python scripts/drive_catalog.py --only q_tws_totals,q_state_reader --stress 6
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents"
+    " embeddings"
+).split()
+
+
+
+def _rows(df) -> list:
+    return sorted(
+        tuple(map(repr, (tuple(x) if isinstance(x, list) else x for x in r)))
+        for r in df
+    )
+
+
+def _connect(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def drive(spark, names, sf_dir: str, pandas_audit: bool) -> int:
+    import __spark_entry__ as entrymod
+
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    con = _connect(sf_dir)
+    bad = 0
+    for name in names:
+        b = qs[name]
+        if name not in osql:
+            print(name, "rows-only:", b(spark, sf_dir).count(), flush=True)
+            continue
+        sdf = b(spark, sf_dir)
+        s = _rows(sdf.collect())
+        o = _rows(con.execute(osql[name]).fetchall())
+        ok = s == o
+        note = ""
+        if pandas_audit:
+            pdf = con.execute(osql[name]).df()
+            spdf = sdf.toPandas()
+            # DateType is exempt: Spark toPandas yields object-of-date,
+            # DuckDB yields datetime64[us] — both exact, and queries
+            # with date outputs are historically driver-green
+            # (q_promo_revenue r10 et al.), so the pairing is benign.
+            dates = {
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() == "date"
+            }
+            lossy = [
+                (c, str(spdf[c].dtype), str(pdf[c].dtype))
+                for c in pdf.columns
+                if c in spdf.columns
+                and c not in dates
+                and spdf[c].dtype.kind != pdf[c].dtype.kind
+            ]
+            if lossy:
+                ok = False
+                note = f" PANDAS-KIND-MISMATCH (spark,duckdb) {lossy}"
+        bad += not ok
+        print(name, "match:", ok, len(s), note, flush=True)
+    return bad
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None, help="comma-separated names")
+    ap.add_argument("--stress", type=int, default=1, help="fresh-session repeats")
+    ap.add_argument("--pandas-audit", action="store_true")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+
+    from mapreduceindexer_spark.session import get_spark
+
+    names = (
+        args.only.split(",") if args.only else list(entrymod.queries())
+    )
+    bad = 0
+    for i in range(args.stress):
+        spark = get_spark(
+            app_name=f"drive_catalog_{i}", shuffle_partitions=8
+        )
+        if i == 0 and not args.only:
+            print("entry rows:", entrymod.entry(spark).count(), flush=True)
+        bad += drive(spark, names, args.sf, args.pandas_audit)
+        spark.stop()
+    print(f"mismatches: {bad}", flush=True)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
