@@ -207,3 +207,93 @@ def test_manifest_commit_survives_kill_mid_batch(spark, tmp_path):
     assert live == [manifest["table"]], live
     for t in state_tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rocksdb_kernel_state_survives_query_restart(spark, tmp_path):
+    """RESTART RECOVERY for the round-11 state-store surfaces: the
+    Python stateful kernel (applyInPandasWithState, the q_tws_totals
+    path here) runs on the RocksDB provider over HALF the backlog, the
+    query STOPS, the rest of the backlog arrives, and a NEW query run
+    resumes from the same checkpoint. The raw RocksDB state read back
+    through the statestore source must equal the batch aggregate over
+    the WHOLE backlog — state written by run 1 was reloaded from
+    RocksDB files by run 2 and folded exactly once (the complement of
+    test_checkpoint_restart_is_exactly_once, which pins the native-agg
+    + parquet-sink path)."""
+    import shutil
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming.stateinspect import (
+        read_aggregation_state,
+    )
+    from mapreduceindexer_spark.streaming.twstate import (
+        OUT_SCHEMA,
+        STATE_SCHEMA,
+        _apws_totals_fn,
+        _rocksdb_provider,
+        _write_sliced_events,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "value"
+    )
+    stream_dir = _write_sliced_events(events, str(tmp_path), 4)
+    side = str(tmp_path / "held_back")
+    os.makedirs(side)
+    held = ["slice_003.parquet", "slice_004.parquet"]
+    for f in held:
+        shutil.move(os.path.join(stream_dir, f), os.path.join(side, f))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_query() -> None:
+        src = (
+            spark.readStream.schema(
+                "user_id bigint, event_id bigint, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        totals = src.groupBy("user_id").applyInPandasWithState(
+            _apws_totals_fn,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            totals.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180)
+        finally:
+            q.stop()
+
+    with _rocksdb_provider(spark):
+        run_query()  # slices 1-2 only
+        for f in held:  # the rest of the backlog arrives
+            dst = os.path.join(stream_dir, f)
+            shutil.move(os.path.join(side, f), dst)
+            os.utime(dst)
+        run_query()  # restart from the SAME checkpoint
+
+    state = read_aggregation_state(spark, ckpt).select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.groupState.n").alias("n"),
+        F.col("value.groupState.s").alias("s"),
+    )
+    scaled = (
+        F.col("value").cast("decimal(18,6)")
+        * F.lit(1_000_000).cast("decimal(7,0)")
+    ).cast("bigint")
+    batch = events.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"), F.sum(scaled).alias("s")
+    )
+    assert sorted(map(tuple, state.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
