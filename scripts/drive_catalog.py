@@ -83,6 +83,17 @@ def drive(spark, names, sf_dir: str, pandas_audit: bool) -> int:
         if pandas_audit:
             pdf = con.execute(osql[name]).df()
             spdf = sdf.toPandas()
+            # Column NAMES must agree exactly — the driver sorts
+            # columns by name before hashing, so an aliasing drift is
+            # itself a red row; silently skipping unmatched names here
+            # would hide exactly the divergence the audit hunts
+            # (r11 third review).
+            if set(pdf.columns) != set(spdf.columns):
+                ok = False
+                note = (
+                    f" COLUMN-NAME-MISMATCH spark={sorted(spdf.columns)}"
+                    f" duckdb={sorted(pdf.columns)}"
+                )
             # DateType is exempt: Spark toPandas yields object-of-date,
             # DuckDB yields datetime64[us] — both exact, and queries
             # with date outputs are historically driver-green
@@ -101,7 +112,7 @@ def drive(spark, names, sf_dir: str, pandas_audit: bool) -> int:
             ]
             if lossy:
                 ok = False
-                note = f" PANDAS-KIND-MISMATCH (spark,duckdb) {lossy}"
+                note += f" PANDAS-KIND-MISMATCH (spark,duckdb) {lossy}"
         bad += not ok
         print(name, "match:", ok, len(s), note, flush=True)
     return bad
@@ -110,8 +121,18 @@ def drive(spark, names, sf_dir: str, pandas_audit: bool) -> int:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    def _positive(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError(
+                "--stress must be >= 1 (0 drives = vacuous green)"
+            )
+        return n
+
     ap.add_argument("--only", default=None, help="comma-separated names")
-    ap.add_argument("--stress", type=int, default=1, help="fresh-session repeats")
+    ap.add_argument(
+        "--stress", type=_positive, default=1, help="fresh-session repeats"
+    )
     ap.add_argument("--pandas-audit", action="store_true")
     args = ap.parse_args()
 
@@ -119,9 +140,14 @@ def main() -> None:
 
     from mapreduceindexer_spark.session import get_spark
 
-    names = (
-        args.only.split(",") if args.only else list(entrymod.queries())
-    )
+    registered = list(entrymod.queries())
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in registered]
+        if unknown:
+            sys.exit(f"unknown query names: {unknown}")
+    else:
+        names = registered
     bad = 0
     for i in range(args.stress):
         spark = get_spark(

@@ -291,8 +291,13 @@ def test_rocksdb_kernel_state_survives_query_restart(spark, tmp_path):
         F.col("value").cast("decimal(18,6)")
         * F.lit(1_000_000).cast("decimal(7,0)")
     ).cast("bigint")
+    # Coalesce: a group whose every value is dropped (NULL/NaN/overflow)
+    # sums to NULL in batch but accumulates s=0 in the kernel's state —
+    # the twin must model the kernel's zero-start, or a future data
+    # change would read as a recovery bug (r11 third review).
     batch = events.groupBy("user_id").agg(
-        F.count("*").cast("bigint").alias("n"), F.sum(scaled).alias("s")
+        F.count("*").cast("bigint").alias("n"),
+        F.coalesce(F.sum(scaled), F.lit(0)).alias("s"),
     )
     assert sorted(map(tuple, state.collect())) == sorted(
         map(tuple, batch.collect())
