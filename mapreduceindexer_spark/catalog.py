@@ -12196,6 +12196,82 @@ def q_table_merge(spark, sf_dir):
 
 
 @register(
+    "q_table_merge_mor",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 3 AS BIGINT) AS b1,
+                         CAST((2 * count(*)) // 3 AS BIGINT) AS b2
+                  FROM documents),
+            sl AS (SELECT CAST(0 AS BIGINT) AS lo, b1 - 1 AS hi FROM b
+                   UNION ALL SELECT b1, b2 - 1 FROM b
+                   UNION ALL SELECT b2, n - 1 FROM b),
+            p AS (SELECT b1 // 2 AS plo, b1 - 1 AS phi FROM b)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM sl, p
+               WHERE sl.lo <= p.phi AND sl.hi >= p.plo) AS dv_target_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM sl, p
+               WHERE sl.lo > p.phi OR sl.hi < p.plo) AS preserved_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents, p
+               WHERE doc_id BETWEEN p.plo AND p.phi) AS dv_rows,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT)
+                      + 1000 * CAST(count(*) FILTER (
+                          WHERE doc_id BETWEEN p.plo AND p.phi) AS BIGINT)
+               FROM documents, p) AS total_chars""",
+)
+def q_table_merge_mor(spark, sf_dir):
+    """MERGE-ON-READ MERGE on the transactional table
+    (sources/transact.py::merge_rows_mor), driven end-to-end on the
+    same three-slice fixture as the copy-on-write q_table_merge:
+    matched base rows become position deletion-vector entries (the
+    q_table_delete_dv machinery) and the update batch appends as ONE
+    new snapshot dir — the base data plane is never rewritten, so the
+    upsert's write cost is O(update batch + matched positions) instead
+    of O(rows in matching dirs). The key-range prune still bounds the
+    match scan (two slices carried without being scanned), and the
+    query returns (dirs the vector targets, dirs preserved, positions
+    newly deleted, row count, merged char sum) with the read replaying
+    the full MOR stack: DV anti-join + latest-wins union. The oracle
+    replays the prune as interval arithmetic, the vector as a count of
+    matched keys, and the merge as arithmetic over the base table —
+    identical latest-wins semantics to q_table_merge, different write
+    shape. At 100 TB this is the trickle-upsert path: a CDC batch
+    against terabyte snapshots writes megabytes, and compaction
+    re-materializes on its own schedule (pinned by
+    tests/test_transact.py::test_merge_mor_stacks_and_compact_materializes);
+    scripts/loadtest_merge_mor.py measures the O(Δ) vs O(dir) write
+    A/B against merge_rows."""
+    import shutil
+
+    docs, table, n, b1, b2 = _three_slice_table(
+        spark, sf_dir, "mri_txn_mor_"
+    )
+    plo, phi = b1 // 2, b1 - 1
+    updates = docs.filter(
+        (F.col("doc_id") >= plo) & (F.col("doc_id") <= phi)
+    ).withColumn("n_chars", F.col("n_chars") + 1000)
+    v = table.merge_rows_mor(
+        spark, updates, "doc_id", stats_cols=["doc_id"]
+    )
+    meta = table.meta_of(v)
+    out = (
+        table.read(spark, v)
+        .agg(
+            F.lit(meta["dv_target_dirs"])
+            .cast("bigint")
+            .alias("dv_target_dirs"),
+            F.lit(meta["preserved_dirs"])
+            .cast("bigint")
+            .alias("preserved_dirs"),
+            F.lit(meta["dv_rows"]).cast("bigint").alias("dv_rows"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_changes",
     """WITH b AS (SELECT CAST(count(*) // 3 AS BIGINT) AS b1 FROM documents)
        SELECT CAST(count(*) AS BIGINT) AS n_new_docs,

@@ -1582,6 +1582,198 @@ class TransactionalTable:
             payload["dv"] = dv
         return self._publish_manifest(payload, new_version, cleanup)
 
+    def merge_rows_mor(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str,
+        stats_cols: tuple[str, ...] | list[str] | None = None,
+        bloom_cols: tuple[str, ...] | list[str] | None = None,
+    ) -> int:
+        """MERGE-ON-READ MERGE (upsert, latest-wins by ``key``): same
+        answer as ``merge_rows``, different write shape. Matched base
+        rows become position DELETION-VECTOR entries (the
+        ``delete_where_dv`` machinery) and the update batch appends as
+        ONE new snapshot dir — write cost O(update batch + matched
+        positions), the base data plane is never rewritten. Where the
+        copy-on-write ``merge_rows`` re-materializes every may-match
+        dir (an upsert touching one row in a dir rewrites the dir),
+        this is the path a 100 TB table takes for trickle upserts: a
+        CDC batch against terabyte snapshots writes megabytes (the
+        vector + the batch), and ``compact``/``compact_clustered``
+        re-materializes on its own schedule, dropping the vectors.
+
+        Reads pay merge-on-read's standard tax: the file-granular DV
+        anti-join in ``_read_dirs`` plus one extra snapshot dir per
+        merge until compaction. Manifest stats of base dirs are
+        carried VERBATIM (vectors only remove rows — recorded ranges
+        and bloom bits stay conservative-sound for skipping); the new
+        snapshot gets fresh stats. Update-batch discipline is
+        identical to ``merge_rows``: the batch is pinned once
+        (localCheckpoint), ``key`` must be non-NULL and unique per row
+        (SQL MERGE's multiple-source-match rule), CHECK constraints
+        are validated, and candidate dirs come from the key-range
+        prune, so untouched snapshots are not even scanned for
+        matches. Rows a PRIOR vector already deleted are excluded from
+        the new vector (``dv_rows`` in the commit meta is the exact
+        newly-dead count). Old versions stay time-travelable;
+        optimistic concurrency via the manifest CAS as everywhere."""
+        from pyspark.sql import functions as F
+
+        # Pin the update batch once — same three-consumer rationale as
+        # merge_rows (bounds agg, DV build, snapshot write must all see
+        # identical rows).
+        updates = updates.localCheckpoint(eager=True)
+        bounds = updates.agg(
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+            F.count("*").alias("n"),
+            F.count(key).alias("n_keyed"),
+            F.count_distinct(key).alias("n_keys"),
+        ).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        if bounds["n_keyed"] < bounds["n"]:
+            raise ValueError(
+                f"merge_rows_mor update batch has "
+                f"{bounds['n'] - bounds['n_keyed']} NULL {key!r} rows; "
+                "a NULL key matches nothing"
+            )
+        if bounds["n_keys"] < bounds["n_keyed"]:
+            raise ValueError(
+                f"merge_rows_mor update batch has duplicate {key!r} "
+                f"values ({bounds['n']} rows, {bounds['n_keys']} distinct "
+                "keys); latest-wins needs one row per key"
+            )
+        cur = self.current_version()
+        if cur == 0:
+            return self.commit(
+                updates,
+                "overwrite",
+                stats_cols=stats_cols,
+                bloom_cols=bloom_cols,
+            )
+        manifest = self._manifest(cur)
+        sj = manifest.get("schema")
+        if sj is not None:
+            clash = _DV_RESERVED & {f["name"] for f in sj["fields"]}
+            if clash:
+                raise ValueError(
+                    f"table columns {sorted(clash)} collide with the "
+                    "deletion-vector machinery's reserved names; rename "
+                    "them or use the copy-on-write merge_rows"
+                )
+        if sj is not None:
+            # Parity with merge_rows' select(*survivors.columns): a
+            # batch missing a table column must fail loudly, not append
+            # a thin snapshot that reads the column as NULL.
+            wanted = [f["name"] for f in sj["fields"]]
+            gap = [c for c in wanted if c not in set(updates.columns)]
+            if gap:
+                raise ValueError(
+                    f"merge_rows_mor update batch is missing table "
+                    f"column(s) {gap}"
+                )
+            updates = updates.select(*wanted)
+        _validate_constraints(
+            updates,
+            _carried_props(manifest).get("constraints", {}),
+            "merge_rows_mor update batch",
+            sj,
+        )
+        if lo is None:  # empty update batch: pure-metadata new version
+            may_match: list[str] = []
+            preserved = list(manifest["dirs"])
+        else:
+            may_match, preserved = self.pruned_dirs(key, lo, hi, cur)
+        new_version = cur + 1
+        dv_map = _carry_dv(manifest, manifest["dirs"])
+        cleanup: list[str] = []
+        dv_rows = 0
+        if may_match:
+            # Tag doomed positions on a fresh raw scan (a DV-applying
+            # _read_dirs read loses _metadata resolution past its
+            # anti-join) and exclude PRIOR vectors explicitly — exactly
+            # the delete_where_dv discipline, with the match predicate
+            # being key membership in the update batch instead of a
+            # range. The update-keys side is the bounded validated
+            # batch, so AQE broadcast-picks it.
+            paths = [os.path.join(self.path, d) for d in may_match]
+            if sj is not None:
+                from pyspark.sql.types import StructType
+
+                raw = spark.read.schema(StructType.fromJson(sj)).parquet(
+                    *paths
+                )
+            else:
+                raw = spark.read.parquet(*paths)
+            # Tag positions BEFORE the join — _metadata resolves only
+            # on the scan, and a join projects it away.
+            tagged = raw.select(
+                F.col(key),
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), _DV_RELPATH_RE, 1
+                ).alias("_dv_rel_path"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            )
+            doomed = tagged.join(
+                updates.select(F.col(key)).distinct(), key, "semi"
+            ).select("_dv_rel_path", "_dv_pos")
+            prior = sorted({n for d in may_match for n in dv_map.get(d, [])})
+            if prior:
+                doomed = doomed.join(
+                    self._read_dv(spark, prior),
+                    ["_dv_rel_path", "_dv_pos"],
+                    "left_anti",
+                )
+            dvdir = os.path.join(self.path, f"dv-{uuid.uuid4().hex[:12]}")
+            # One file per vector, as in delete_where_dv: MOR merge is
+            # the SMALL-batch path; an upsert touching a large fraction
+            # of the table should be copy-on-write (merge_rows), which
+            # also spares readers the proportionally large anti-join.
+            doomed.coalesce(1).write.mode("error").parquet(dvdir)
+            fsync_tree(dvdir)
+            fsync_path(self.path)
+            dv_rows = spark.read.schema(_dv_schema()).parquet(dvdir).count()
+            if dv_rows == 0:
+                # Range stats kept the dirs but no live base row shares
+                # a key with the batch: pure insert, no vector.
+                shutil.rmtree(dvdir, ignore_errors=True)
+            else:
+                cleanup.append(dvdir)
+                name = os.path.basename(dvdir)
+                for d in may_match:
+                    dv_map.setdefault(d, []).append(name)
+        dirs = list(manifest["dirs"])
+        stats = dict(manifest.get("stats", {}))
+        if lo is not None:
+            snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
+            updates.write.mode("error").parquet(snap)
+            fsync_tree(snap)
+            fsync_path(self.path)
+            cleanup.append(snap)
+            dirs.append(os.path.basename(snap))
+            entry = _snapshot_entry(spark, snap, stats_cols, bloom_cols)
+            if entry:
+                stats[os.path.basename(snap)] = entry
+        payload = {
+            "version": new_version,
+            "mode": "merge_mor",
+            **({"schema": sj} if sj is not None else {}),
+            **_carried_props(manifest),
+            "dirs": dirs,
+            "meta": {
+                "merged_from": cur,
+                "dv_rows": dv_rows,
+                "dv_target_dirs": len(may_match),
+                "preserved_dirs": len(preserved),
+            },
+        }
+        if stats:
+            payload["stats"] = stats
+        if dv_map:
+            payload["dv"] = dv_map
+        return self._publish_manifest(payload, new_version, cleanup)
+
     def apply_cdc(
         self,
         spark: SparkSession,

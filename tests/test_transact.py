@@ -418,6 +418,136 @@ def test_merge_rows_rejects_null_and_duplicate_keys(spark, tmp_path):
     assert _ids(t.read(spark)) == list(range(5))  # nothing was published
 
 
+def test_merge_mor_matches_cow_and_never_rewrites_base(spark, tmp_path):
+    """Merge-on-read MERGE: same final table as the copy-on-write
+    merge_rows on the same fixture, but the base dirs are carried
+    VERBATIM — matched rows die via a deletion vector and the update
+    batch appends as one new snapshot dir (write cost O(Δ))."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    base = lambda a, b: spark.range(a, b).withColumn(  # noqa: E731
+        "val", F.col("id") * 10
+    )
+    t.commit(base(0, 10), stats_cols=["id"])
+    t.commit(base(10, 20), mode="append", stats_cols=["id"])
+    t.commit(base(20, 30), mode="append", stats_cols=["id"])
+    d1, d2, d3 = t._manifest(3)["dirs"]
+    updates = spark.createDataFrame(
+        [(12, -1), (14, -2), (31, -3)], "id bigint, val bigint"
+    )
+    v = t.merge_rows_mor(spark, updates, "id", stats_cols=["id"])
+    assert v == 4
+    m = t._manifest(4)
+    # All three base dirs survive untouched + one new snapshot dir.
+    assert m["dirs"][:3] == [d1, d2, d3] and len(m["dirs"]) == 4
+    assert m["meta"]["merged_from"] == 3
+    assert m["meta"]["dv_rows"] == 2  # keys 12, 14 matched; 31 inserted
+    assert m["meta"]["dv_target_dirs"] == 2  # [12, 31] ∩ {d2, d3}
+    assert m["meta"]["preserved_dirs"] == 1
+    # The vector is registered against exactly the may-match dirs.
+    dv = m["dv"]
+    assert set(dv) == {d2, d3} and dv[d2] == dv[d3]
+    # Same answer as the CoW merge asserts on this fixture.
+    got = {r["id"]: r["val"] for r in t.read(spark).collect()}
+    assert len(got) == 31
+    assert got[12] == -1 and got[14] == -2 and got[31] == -3
+    assert got[13] == 130 and got[0] == 0 and got[29] == 290
+    assert _ids(t.read(spark, 3)) == list(range(30))  # history intact
+    # Base-dir stats carried verbatim: pruning still works post-merge.
+    may, preserved = t.pruned_dirs("id", lo=0, hi=5)
+    assert d1 in may and d2 in preserved and d3 in preserved
+
+
+def test_merge_mor_stacks_and_compact_materializes(spark, tmp_path):
+    """Stacked MOR merges exclude positions a PRIOR vector already
+    killed (dv_rows is the exact newly-dead count), compose with DV
+    deletes, and compact() re-materializes dropping every vector."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 20).withColumn("val", F.col("id")),
+        stats_cols=["id"],
+    )
+    # First merge kills positions of keys 3..5 in the base dir.
+    u1 = spark.createDataFrame(
+        [(3, -3), (4, -4), (5, -5)], "id bigint, val bigint"
+    )
+    t.merge_rows_mor(spark, u1, "id")
+    # Second merge re-touches key 4 (now live only in u1's snapshot)
+    # and key 6 (live in base): base position of 4 is ALREADY dead, so
+    # only u1's row of 4 and base's row of 6 are newly dead.
+    u2 = spark.createDataFrame([(4, -44), (6, -66)], "id bigint, val bigint")
+    v = t.merge_rows_mor(spark, u2, "id")
+    assert t._manifest(v)["meta"]["dv_rows"] == 2
+    # A DV delete composes on top.
+    t.delete_where_dv(spark, "id", lo=0, hi=1)
+    got = {r["id"]: r["val"] for r in t.read(spark).collect()}
+    assert len(got) == 18  # 20 - deleted {0, 1}
+    assert got[3] == -3 and got[4] == -44 and got[5] == -5
+    assert got[6] == -66 and got[19] == 19
+    # Compaction materializes the merged state and drops the vectors.
+    vc = t.compact(spark, stats_cols=["id"])
+    mc = t._manifest(vc)
+    assert "dv" not in mc and len(mc["dirs"]) == 1
+    assert {r["id"]: r["val"] for r in t.read(spark).collect()} == got
+
+
+def test_merge_mor_guards_and_degenerate_batches(spark, tmp_path):
+    """NULL/duplicate keys and missing table columns raise; an empty
+    batch publishes a pure-metadata version; a pure-insert batch whose
+    range overlaps base dirs writes NO vector; merging into an empty
+    table is the initial commit."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 10).withColumn("val", F.col("id")),
+        stats_cols=["id"],
+    )
+    nulls = (
+        spark.range(0, 3)
+        .withColumn("id", F.lit(None).cast("bigint"))
+        .withColumn("val", F.lit(0).cast("bigint"))
+    )
+    with pytest.raises(ValueError, match="NULL 'id'"):
+        t.merge_rows_mor(spark, nulls, "id")
+    dups = spark.createDataFrame([(1, 0), (1, 1)], "id bigint, val bigint")
+    with pytest.raises(ValueError, match="duplicate 'id'"):
+        t.merge_rows_mor(spark, dups, "id")
+    thin = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(ValueError, match="missing table column"):
+        t.merge_rows_mor(spark, thin, "id")
+    # Empty batch: metadata-only version, no vector, same dirs.
+    dirs_before = t._manifest(1)["dirs"]
+    v = t.merge_rows_mor(spark, t.read(spark).limit(0), "id")
+    m = t._manifest(v)
+    assert m["dirs"] == dirs_before and m["meta"]["dv_rows"] == 0
+    assert "dv" not in m
+    # Pure insert with an in-range key: sparse keys put 100 inside the
+    # new dir's recorded [99, 101] range, so stats can't prune — but
+    # the semi-join matches nothing, so no vector is written or
+    # registered.
+    t.commit(
+        spark.createDataFrame([(99, 0), (101, 0)], "id bigint, val bigint"),
+        mode="append",
+        stats_cols=["id"],
+    )
+    ins = spark.createDataFrame([(100, -1)], "id bigint, val bigint")
+    v = t.merge_rows_mor(spark, ins, "id")
+    m = t._manifest(v)
+    assert m["meta"]["dv_rows"] == 0 and m["meta"]["dv_target_dirs"] == 1
+    assert "dv" not in m
+    assert not [d for d in m["dirs"] if d.startswith("dv-")]
+    got = {r["id"]: r["val"] for r in t.read(spark).collect()}
+    assert got[100] == -1 and len(got) == 13
+    # Empty table: merge == initial commit.
+    e = TransactionalTable(str(tmp_path / "e"))
+    v = e.merge_rows_mor(spark, spark.range(0, 5), "id", stats_cols=["id"])
+    assert v == 1 and _ids(e.read(spark)) == list(range(5))
+
+
 def test_pruned_dirs_requires_bound_and_real_version(spark, tmp_path):
     """Review findings: unbounded pruning would wrongly drop all-NULL
     snapshots (no residual filter exists to reclaim them), and an
