@@ -57,6 +57,12 @@ _GROUP_NAME_RE = r"^[A-Za-z0-9_\-]{1,48}$"
 _GUARD_GRACE_SECONDS = 3600.0
 
 
+# A guard file must match the exact shape _converge creates
+# (<=40-char tag prefix + __cvg_ + 8 hex): anything else in the glob is
+# NOT ours and must not be unlinked.
+_GUARD_FILE_RE = re.compile(r"^[A-Za-z0-9_\-]{1,40}__cvg_[0-9a-f]{8}\.json$")
+
+
 def _sweep_stale_guards(
     table: TransactionalTable, grace_seconds: float = _GUARD_GRACE_SECONDS
 ) -> None:
@@ -65,16 +71,30 @@ def _sweep_stale_guards(
     uuid-named guard and the finally-drop would pin that member version
     against vacuum FOREVER (r11 second review). Tag files are hardlinked
     once and never rewritten, so mtime is creation time; racing drops
-    are tolerated."""
+    are tolerated.
+
+    The guard namespace is reserved — public ``tag()`` rejects names
+    containing ``__cvg_`` — so nothing here can delete a user tag. As
+    defense in depth (pre-reservation legacy files, foreign writers),
+    a candidate is unlinked only if its FILENAME matches the exact
+    guard shape AND its JSON ``name`` field agrees with the filename
+    (r11 advice)."""
     import glob
     import time
 
     for f in glob.glob(os.path.join(table.path, "_tags", "*__cvg_*.json")):
+        base = os.path.basename(f)
+        if not _GUARD_FILE_RE.match(base):
+            continue
         try:
-            if time.time() - os.path.getmtime(f) > grace_seconds:
-                os.unlink(f)
-        except OSError:
-            pass  # a concurrent healer swept it first
+            if time.time() - os.path.getmtime(f) <= grace_seconds:
+                continue
+            with open(f, encoding="utf-8") as fh:
+                if json.load(fh).get("name") != base[: -len(".json")]:
+                    continue  # content disagrees: not a guard we wrote
+            os.unlink(f)
+        except (OSError, ValueError):
+            pass  # a concurrent healer swept it first / unreadable
 
 
 class TableGroup:
@@ -188,10 +208,13 @@ class TableGroup:
             # window is a crash orphan — sweep them opportunistically
             # before taking our own.
             _sweep_stale_guards(table)
+            # Guards live in a RESERVED tag namespace (public tag()
+            # rejects '__cvg_' names), so they go through the internal
+            # entry points.
             guard = f"{tag[:40]}__cvg_{uuid.uuid4().hex[:8]}"
             guard_held = False
             try:
-                table.tag(guard, published)
+                table._tag_unreserved(guard, published)
                 guard_held = True
             except ValueError:
                 # The published version is already gone — the final
@@ -210,22 +233,35 @@ class TableGroup:
                     # exists (the dangling-pin corruption this guard
                     # exists to prevent) — distinguish, never swallow.
                     try:
-                        if table.tag_version(tag) == published:
-                            return
+                        if table.tag_version(tag) != published:
+                            raise ValueError("tag diverged")
                     except ValueError:
-                        pass
-                    raise CommitConflict(
-                        f"group {self.name!r}: published pin tag "
-                        f"{tag!r} -> v{published} on {table.path} could "
-                        "not be restored (version reclaimed?); the "
-                        "published group manifest may dangle"
-                    ) from None
+                        raise CommitConflict(
+                            f"group {self.name!r}: published pin tag "
+                            f"{tag!r} -> v{published} on {table.path} "
+                            "could not be restored (version reclaimed?); "
+                            "the published group manifest may dangle"
+                        ) from None
             finally:
                 if guard_held:
                     try:
-                        table.drop_tag(guard)
+                        table._drop_tag_unreserved(guard)
                     except ValueError:
                         pass
+            # The guard is a fixed lease, not a renewed one: a healer
+            # suspended past the grace window has its still-live guard
+            # swept by a later healer, re-opening the vacuum race for
+            # its drop->re-tag gap. Cheap hardening (r11 advice): after
+            # the final re-tag, verify the published version still
+            # EXISTS — a swept-guard race then surfaces as
+            # CommitConflict instead of a silently dangling pin.
+            if published not in table.versions():
+                raise CommitConflict(
+                    f"group {self.name!r}: published pin {tag!r} -> "
+                    f"v{published} on {table.path} points at a reclaimed "
+                    "version (guard lease expired mid-heal); the "
+                    "published group manifest dangles"
+                )
 
         published = _published_pin()
         if published is not None:

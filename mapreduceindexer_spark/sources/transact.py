@@ -419,6 +419,11 @@ def _snapshot_entry(
 
 _REF_NAME_RE = r"^[A-Za-z0-9_\-]{1,64}$"
 
+# Reserved tag-name namespace of the group converge guards
+# (sources/group.py): public tag()/drop_tag() reject it so the guard
+# sweeper can never delete — or be blocked by — a user tag (r11 advice).
+_GUARD_NS = "__cvg_"
+
 
 class TransactionalTable:
     """A versioned parquet table rooted at ``path`` (local or any
@@ -3911,7 +3916,27 @@ class TransactionalTable:
         ``vacuum`` keeps a tagged version's manifest and data alive
         even past the retention window. Tags are immutable: re-tagging
         an existing name raises (CAS, same as manifests); ``drop_tag``
-        releases the pin."""
+        releases the pin.
+
+        Names containing ``__cvg_`` are RESERVED for the group
+        converge-guard machinery (sources/group.py): its stale-guard
+        sweeper deletes old guard files by pattern, so a user tag in
+        that namespace could be silently unpinned against vacuum —
+        reserve it outright instead (r11 advice)."""
+        self._check_not_guard_ns(name)
+        return self._tag_unreserved(name, version)
+
+    @staticmethod
+    def _check_not_guard_ns(name: str) -> None:
+        if _GUARD_NS in name:
+            raise ValueError(
+                f"tag name {name!r} uses the reserved converge-guard "
+                f"namespace ({_GUARD_NS!r}); pick another name"
+            )
+
+    def _tag_unreserved(self, name: str, version: int | None = None) -> int:
+        """``tag`` minus the guard-namespace reservation — the internal
+        entry point the converge-guard path itself uses."""
         import re
 
         if self.ref is not None:
@@ -3965,6 +3990,10 @@ class TransactionalTable:
         return self.read(spark, self.tag_version(name))
 
     def drop_tag(self, name: str) -> None:
+        self._check_not_guard_ns(name)
+        self._drop_tag_unreserved(name)
+
+    def _drop_tag_unreserved(self, name: str) -> None:
         import re
 
         if not re.match(_REF_NAME_RE, name):

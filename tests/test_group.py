@@ -270,11 +270,24 @@ def test_stale_crash_orphan_guards_are_swept(spark, pair):
     vB = docs.commit(spark.range(9, 12), mode="append")
     g = base + 1
     tag = grp._tag_name("docs", g)
-    # Two orphans from "crashed healers": one ancient, one fresh.
-    docs.tag(f"{tag[:40]}__cvg_deadbeef", vA)
-    docs.tag(f"{tag[:40]}__cvg_cafef00d", vA)
+    # The guard namespace is reserved: a user tag can neither be
+    # created nor dropped there (so the sweeper can never unpin one).
+    with pytest.raises(ValueError, match="reserved"):
+        docs.tag(f"corpus__cvg_{g}", vA)
+    with pytest.raises(ValueError, match="reserved"):
+        docs.drop_tag(f"corpus__cvg_{g}")
+    # Two orphans from "crashed healers" (internal entry point, as the
+    # healer itself uses): one ancient, one fresh.
+    docs._tag_unreserved(f"{tag[:40]}__cvg_deadbeef", vA)
+    docs._tag_unreserved(f"{tag[:40]}__cvg_cafef00d", vA)
     old = os.path.join(docs.path, "_tags", f"{tag[:40]}__cvg_deadbeef.json")
     os.utime(old, (time.time() - 7200, time.time() - 7200))
+    # An aged file whose CONTENT disagrees with its guard-shaped name
+    # (hand-planted, not ours) must survive the sweep.
+    alien = os.path.join(docs.path, "_tags", f"{tag[:38]}__cvg_0badf00d.json")
+    with open(alien, "w", encoding="utf-8") as fh:
+        json.dump({"name": "something-else", "version": vA}, fh)
+    os.utime(alien, (time.time() - 7200, time.time() - 7200))
     # Trigger a converge (B's orphan-heal loses to a published slot g).
     docs.tag(tag, vB)
     man = {"version": g, "pins": {"docs": {"path": docs.path, "version": vA}}}
@@ -288,6 +301,7 @@ def test_stale_crash_orphan_guards_are_swept(spark, pair):
     }
     assert f"{tag[:40]}__cvg_deadbeef.json" not in left  # aged out: swept
     assert f"{tag[:40]}__cvg_cafef00d.json" in left  # in-window: kept
+    assert f"{tag[:38]}__cvg_0badf00d.json" in left  # alien content: kept
 
 
 def test_concurrent_group_committers_never_dangle(spark, pair):
