@@ -12526,75 +12526,73 @@ def q_table_bloom_skip(spark, sf_dir):
 
 
 _CHECK_PRIORITY = [
-    # Round-11 window: KILL THE REDS, FINISH THE STALENESS DRAIN
-    # (verdict r10 items 1 and 3). Lead with the two round-10 DRIVER-RED
-    # state-store queries, re-contracted this round onto the DECIMAL
-    # discipline with BIGINT-cast oracles (the red was the catalog's
-    # only two bare SUM(BIGINT) = HUGEINT oracle columns — float64 under
-    # the driver's pandas canonicalizer; see COVERAGE.md narrative).
-    # Then every remaining query whose latest driver row predates r6:
-    # the r2 rows-only row (q_approx_distinct_parts), the two r4 rows
-    # (q_simhash, q_user_trend), and all 44 r5 rows. The final slot
-    # gives the round-10-born q_html_extract a second consecutive green.
-    # After this window lands, every registered query's latest driver
-    # row is >= r6 and under its CURRENT check mode. All 50 are
-    # value-verified against DuckDB in-session by the full
+    # Round-12 window: ROTATE TO THE r6 COHORT (verdict r11 item 1).
+    # Leads: the two re-contracted state-store queries (one green row
+    # after a red deserves a second consecutive external green) and the
+    # round-12-born merge-on-read MERGE (born-op rule). Then 47 of the
+    # 49 queries whose latest driver row is r6 — the stalest evidence
+    # in the ledger — leaving exactly two r6 rows for the r13 window,
+    # chosen for having the strongest non-driver evidence: q_index_lines
+    # (byte-exact golden e2e on the FULL 355-file corpus every session,
+    # tests/test_golden_full.py) and q_bm25 (family externally green
+    # through r7+ via q_bm25_multi/q_bm25_pruned; value-checked locally
+    # each session like everything else). After this window lands, no
+    # query's latest driver row predates r6, and only those two are r6.
+    # All 50 are value-verified against DuckDB in-session by the full
     # driver-shaped drive before this rotation is committed.
-    # -- round-10 DRIVER-RED, fixed this round (2)
+    # -- second consecutive green after the r10 red (2)
     "q_tws_totals",
     "q_state_reader",
-    # -- last driver row r2 (rows-only estimate, by design) (1)
-    "q_approx_distinct_parts",
-    # -- last driver row r4 (2)
-    "q_simhash",
-    "q_user_trend",
-    # -- last driver row r5 (44)
-    "q_ann_ivf",
-    "q_approx_distinct_bound",
-    "q_approx_quantiles_bound",
-    "q_asof_join",
-    "q_bool_and",
-    "q_bool_not",
-    "q_bpe_train",
-    "q_doc_scan",
-    "q_dsir_weights",
-    "q_embed_dup_scaled",
-    "q_events_tumbling",
-    "q_filter_shipdate",
-    "q_grouped_agg_udf",
-    "q_hll_merge",
-    "q_join_5way",
-    "q_join_orders_customer",
-    "q_json_events",
-    "q_kll_quantiles_bound",
-    "q_letter_histogram",
-    "q_lm_retrieval",
-    "q_manifest_scan",
-    "q_multimodal_png",
-    "q_normalize",
-    "q_pmi",
-    "q_postings_compress",
-    "q_power_iteration",
-    "q_range_bounds",
-    "q_rollup",
-    "q_rp_lsh_scaled",
-    "q_scalar_fns",
-    "q_semantic_dedup",
-    "q_semi_join",
-    "q_sparse_cosine",
-    "q_substring_dup",
-    "q_term_doc_distinct",
-    "q_theta_setops_bound",
-    "q_tokenize",
-    "q_top_terms",
-    "q_triangles",
-    "q_udtf_topterms",
-    "q_variant_events",
-    "q_weighted_sample",
-    "q_window_topn",
-    "q_zorder_layout",
-    # -- second consecutive green for the round-10-born op (1)
-    "q_html_extract",
+    # -- born this round: merge-on-read MERGE (1)
+    "q_table_merge_mor",
+    # -- last driver row r6 (47 of 49)
+    "q_agg_pricing_summary",
+    "q_ann_recall",
+    "q_approx_topk_bound",
+    "q_arrow_token_stats",
+    "q_canonical",
+    "q_cogroup_funnel",
+    "q_collation_group",
+    "q_contamination",
+    "q_cross_dedup",
+    "q_curation_pipeline",
+    "q_dedup_exact",
+    "q_dup_clusters_logstar",
+    "q_embed_quant",
+    "q_excess_suppliers",
+    "q_hll_native_merge_bound",
+    "q_hybrid_rrf",
+    "q_idle_customers",
+    "q_interval_join",
+    "q_knn_graph_scaled",
+    "q_lateral_topdocs",
+    "q_market_share",
+    "q_min_cost_supplier",
+    "q_multimodal_gif",
+    "q_multimodal_wav",
+    "q_near_dup",
+    "q_ngram_jaccard",
+    "q_order_distribution",
+    "q_outer_join_daily",
+    "q_pagerank",
+    "q_param_sql",
+    "q_pipe_syntax",
+    "q_pq_ann",
+    "q_prefix_search",
+    "q_prefix_trie",
+    "q_range_join",
+    "q_session_vars",
+    "q_shortest_path",
+    "q_small_qty_revenue",
+    "q_sql_scripting",
+    "q_sql_table_udf",
+    "q_sql_udf",
+    "q_supplier_variety",
+    "q_table_versions",
+    "q_top_supplier",
+    "q_udtf_table_arg",
+    "q_unigram_lm",
+    "q_wordpiece_encode",
 ]
 assert len(_CHECK_PRIORITY) == 50, (
     f"driver check window is exactly 50 slots, got {len(_CHECK_PRIORITY)}"
