@@ -136,6 +136,7 @@ HEADLINE = [
     "q_table_skipping",    # manifest-stats data skipping (ranged read)
     "q_table_delete",      # copy-on-write ranged delete (stats-pruned rewrite)
     "q_table_merge",       # storage-integrated MERGE (stats-pruned upsert)
+    "q_table_merge_mor",   # merge-on-read MERGE (position vectors + append)
     "q_table_bloom_skip",  # bloom point-lookup skipping (unclustered keys)
     "q_table_changes",     # append-only change feed (incremental consumer)
     "q_table_cluster",     # range-clustered compaction repairs skipping
@@ -238,6 +239,8 @@ SECONDARY_FAMILIES = {
     "table_skipping": ["q_table_skipping", "q_table_skipping_multi"],
     # copy-on-write vs merge-on-read of the same ranged delete
     "table_delete": ["q_table_delete", "q_table_delete_dv"],
+    # copy-on-write vs merge-on-read of the same latest-wins upsert
+    "table_merge": ["q_table_merge", "q_table_merge_mor"],
     # partition-spec layouts: transform / evolution / bucket
     "partition_spec": [
         "q_table_hidden_partition",
@@ -255,6 +258,54 @@ SECONDARY_FAMILIES = {
     # write-audit-publish: bare table op vs the ingest composite
     "wap": ["q_table_wap", "q_ingest_wap"],
 }
+
+
+# Canary normalization (round-11 verdict item 3): cross-round bench
+# deltas were costing a manual isolated A/B session per round to tell
+# ambient JVM/session drift from real regressions (the r4 postmortem's
+# +-16-30% band; r8-r11 spikes all A/B'd to noise). The canaries are
+# four cheap, never-rotated, untouched-plan entries spanning shapes
+# (agg-heavy flagship, sketch, filter-probe, vector). session_factor =
+# median(this_run[c] / CANARY_REF[c]) estimates THIS session's ambient
+# speed vs the reference epoch; queries_normalized divides every entry
+# by it so a uniform session drift cancels to ~1.0x and only
+# query-specific movement stands out. Reference epoch: the round-11
+# BENCH_DETAIL session (re-pin deliberately, with a note here, if the
+# machine or measurement method ever changes).
+CANARY_REF = {
+    "q_postings": 0.607,
+    "q_hll": 1.002,
+    "q_bloom": 0.682,
+    "q_sparse_cosine": 1.025,
+}
+
+
+def canary_block(times: dict) -> dict:
+    """The normalization block written to BENCH_DETAIL: per-canary
+    ratios, the median session_factor, and every measured entry's
+    factor-normalized time. Falls back to factor 1.0 (flagged) if a
+    canary ever goes missing from the measured set."""
+    ratios = {
+        c: round(times[c] / ref, 3)
+        for c, ref in CANARY_REF.items()
+        if c in times
+    }
+    if len(ratios) == len(CANARY_REF):
+        s = sorted(ratios.values())
+        factor = round((s[1] + s[2]) / 2, 3)  # median of 4
+        missing = []
+    else:
+        factor = 1.0
+        missing = sorted(set(CANARY_REF) - set(ratios))
+    return {
+        "ref_round": 11,
+        "ratios": ratios,
+        "session_factor": factor,
+        **({"missing_canaries": missing} if missing else {}),
+        "normalized": {
+            k: round(v / max(factor, 1e-9), 3) for k, v in times.items()
+        },
+    }
 
 
 def _bench_rotation() -> int:
@@ -532,6 +583,7 @@ def main() -> None:
                 "queries": times,
                 "queries_median": medians,
                 "jvm_drift": drift,
+                "canary": canary_block(times),
                 "rotated_out": sorted(rotated_out),
                 "rotation": _bench_rotation(),
                 # Computed HERE, after the staged variants land, so it

@@ -12,8 +12,11 @@ What it adds beyond the driver (both lessons from the r10 red rows):
   - ``--pandas-audit``: fetches each result through BOTH engines'
     pandas paths (Spark ``toPandas()`` and DuckDB ``.df()`` — what the
     driver canonicalizes through) and flags any output column whose
-    dtype KINDS differ between the two sides (the HUGEINT→float64
-    signature: locally green via fetchall, driver-red via pandas).
+    FULL dtype string differs between the two sides (the
+    HUGEINT→float64 signature: locally green via fetchall, driver-red
+    via pandas; since r12 also int/float WIDTH drift like int32-vs-
+    int64, with date and datetime64-resolution pairings exempt as
+    documented at the check).
     The comparison basis is toPandas-vs-df, NOT the Spark schema: both
     engines render NULLABLE int columns as float64+NaN, so a schema
     check would false-positive every outer-join/lag query (verified:
@@ -94,25 +97,39 @@ def drive(spark, names, sf_dir: str, pandas_audit: bool) -> int:
                     f" COLUMN-NAME-MISMATCH spark={sorted(spdf.columns)}"
                     f" duckdb={sorted(pdf.columns)}"
                 )
-            # DateType is exempt: Spark toPandas yields object-of-date,
-            # DuckDB yields datetime64[us] — both exact, and queries
-            # with date outputs are historically driver-green
-            # (q_promo_revenue r10 et al.), so the pairing is benign.
+            # FULL dtype strings must agree (r11 advice: a kind-only
+            # compare admits int32-vs-int64 / float32-vs-float64 width
+            # drift — the same locally-green/driver-red shape as the
+            # HUGEINT incident, one notch subtler). Two documented,
+            # value-exact exemptions, both pinned by
+            # tests/test_harness_contract.py::test_date_exemption_is_value_exact:
+            #   - DATE columns: Spark toPandas yields object-of-date,
+            #     DuckDB datetime64[us] at midnight — both exact
+            #     (q_promo_revenue r10 et al. driver-green).
+            #   - datetime64 RESOLUTION: Spark emits [ns], DuckDB [us]
+            #     — same instants, all 21 TIMESTAMP oracles
+            #     historically driver-green; kinds must still agree.
             dates = {
                 f.name
                 for f in sdf.schema.fields
                 if f.dataType.typeName() == "date"
             }
+
+            def _differs(a, b) -> bool:
+                if a.kind == "M" and b.kind == "M":
+                    return False  # resolution-exempt
+                return str(a) != str(b)
+
             lossy = [
                 (c, str(spdf[c].dtype), str(pdf[c].dtype))
                 for c in pdf.columns
                 if c in spdf.columns
                 and c not in dates
-                and spdf[c].dtype.kind != pdf[c].dtype.kind
+                and _differs(spdf[c].dtype, pdf[c].dtype)
             ]
             if lossy:
                 ok = False
-                note += f" PANDAS-KIND-MISMATCH (spark,duckdb) {lossy}"
+                note += f" PANDAS-DTYPE-MISMATCH (spark,duckdb) {lossy}"
         bad += not ok
         print(name, "match:", ok, len(s), note, flush=True)
     return bad

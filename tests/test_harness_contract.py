@@ -112,3 +112,93 @@ def test_check_priority_is_exactly_the_window():
     assert len(_CHECK_PRIORITY) == 50
     assert len(set(_CHECK_PRIORITY)) == 50
     assert list(QUERIES)[:50] == _CHECK_PRIORITY
+
+
+def test_date_exemption_is_value_exact(spark):
+    """The drive script's pandas audit compares FULL dtype strings but
+    exempts two pairings as value-exact: DATE (Spark object-of-date vs
+    DuckDB datetime64[us]) and datetime64 RESOLUTION ([ns] vs [us]).
+    Pin that both exemptions are EXACT on the live fetch paths for
+    every oracle with a DATE output column — DuckDB's datetime64 cells
+    sit at midnight and round-trip to the identical ``datetime.date``
+    Spark returns — so the exemption can never silently widen to a
+    lossy pairing (r11 verdict item 6; same class of pin as
+    test_no_hugeint_or_decimal_oracle_columns)."""
+    import datetime
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    date_queries = {}
+    for name, (_, oracle) in QUERIES.items():
+        if oracle is None:
+            continue
+        cols = [
+            c
+            for c, t, *_ in con.execute(f"DESCRIBE ({oracle})").fetchall()
+            if t == "DATE"
+        ]
+        if cols:
+            date_queries[name] = cols
+    assert date_queries, "census drift: no DATE oracle columns left"
+    for name, cols in date_queries.items():
+        builder, oracle = QUERIES[name]
+        spdf = builder(spark, SF_SMOKE).toPandas()
+        pdf = con.execute(oracle).df()
+        for c in cols:
+            duck = pdf[c].dropna()
+            assert str(duck.dtype).startswith("datetime64"), (
+                f"{name}.{c}: DuckDB dtype {duck.dtype} left the "
+                "exempted pairing"
+            )
+            # Midnight-exact: date-level compare loses nothing.
+            assert (duck.dt.normalize() == duck).all(), (
+                f"{name}.{c}: DuckDB DATE cells carry time-of-day"
+            )
+            got = sorted(duck.dt.date)
+            want = sorted(v for v in spdf[c] if v is not None)
+            assert all(isinstance(v, datetime.date) for v in want), (
+                f"{name}.{c}: Spark side is not object-of-date"
+            )
+            assert got == want, f"{name}.{c}: date values differ"
+
+
+def test_events_value_stays_in_decimal_exact_domain():
+    """The DECIMAL(18,6) oracle discipline (q_tws_totals,
+    q_state_reader, and every decimal-cast oracle) is kernel≡DuckDB
+    EXACT only where a double's shortest repr carries all its
+    fractional digits at ≤6 places — any |v| < 2^32 with ≤6-digit
+    repr qualifies (streaming/twstate.py:79-124). The shipped
+    events.value data lives deep inside that domain; pin it so a
+    future fixture regeneration that ships wider values fails HERE
+    with the scope documented, not as an unexplained 1e-6 driver red
+    (r11 advice item 4)."""
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        vals = (
+            pq.read_table(
+                f"/root/testdata/{sf}/events.parquet", columns=["value"]
+            )
+            .column("value")
+            .to_pylist()
+        )
+        assert vals, f"{sf}: events.value is empty"
+        for v in vals:
+            if v is None:
+                continue
+            assert abs(v) < 2**32, f"{sf}: |{v!r}| >= 2^32"
+            r = repr(float(v))
+            frac = r.split(".", 1)[1] if "." in r else ""
+            assert "e" not in r and "E" not in r and len(frac) <= 6, (
+                f"{sf}: {r} repr exceeds the 6-fractional-digit "
+                "exact domain"
+            )
