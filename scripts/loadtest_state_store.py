@@ -70,8 +70,13 @@ def _stage_synthetic_events(spark, src: str, n_keys: int) -> str:
     return big
 
 
-def keys_phase(spark, src: str, n_keys: int) -> None:
-    """Time both state-store surfaces at ``n_keys`` live RocksDB keys."""
+def keys_phase(
+    spark, src: str, n_keys: int, bundled_only: bool = False
+) -> None:
+    """Time the state-store surfaces at ``n_keys`` live RocksDB keys.
+    ``bundled_only`` skips the slow per-key kernel (its 100k/1M numbers
+    are already on record) and measures just the bundled kernel +
+    native path."""
     import time as _time
 
     from mapreduceindexer_spark.streaming.stateinspect import (
@@ -79,16 +84,36 @@ def keys_phase(spark, src: str, n_keys: int) -> None:
     )
     from mapreduceindexer_spark.streaming.twstate import (
         streaming_user_totals_apws,
+        streaming_user_totals_bundled,
     )
 
     big = _stage_synthetic_events(spark, src, n_keys)
+    if not bundled_only:
+        t0 = _time.perf_counter()
+        n = streaming_user_totals_apws(
+            spark, big, n_slices=4, rocksdb=True
+        ).count()
+        dt = _time.perf_counter() - t0
+        assert n == n_keys, (n, n_keys)
+        emit(
+            query="tws_kernel_rocksdb",
+            keys=n_keys,
+            sec=round(dt, 2),
+            keys_per_sec=int(n_keys / dt),
+        )
+    # The r12 state-bundled kernel: bucket-keyed array state, dial
+    # n_buckets ~ keys/1000 (see twstate._apws_bundled_fn docstring).
+    n_buckets = max(64, n_keys // 1000)
     t0 = _time.perf_counter()
-    n = streaming_user_totals_apws(spark, big, n_slices=4, rocksdb=True).count()
+    n = streaming_user_totals_bundled(
+        spark, big, n_slices=4, n_buckets=n_buckets, rocksdb=True
+    ).count()
     dt = _time.perf_counter() - t0
     assert n == n_keys, (n, n_keys)
     emit(
-        query="tws_kernel_rocksdb",
+        query="tws_kernel_bundled_rocksdb",
         keys=n_keys,
+        buckets=n_buckets,
         sec=round(dt, 2),
         keys_per_sec=int(n_keys / dt),
     )
@@ -109,13 +134,15 @@ def main() -> None:
         i = sys.argv.index("--keys")
         ladder = (
             [int(sys.argv[i + 1])]
-            if len(sys.argv) > i + 1
+            if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("--")
             else [100_000, 1_000_000]
         )
         src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         spark = get_spark(app_name="state-keys-loadtest")
         for n_keys in ladder:
-            keys_phase(spark, src, n_keys)
+            keys_phase(
+                spark, src, n_keys, bundled_only="--bundled" in sys.argv
+            )
         spark.stop()
         return
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 50

@@ -177,6 +177,38 @@ def test_twstate_totals_match_batch(spark):
     assert batch == stream
 
 
+def test_bundled_totals_match_batch(spark):
+    """The STATE-BUNDLED kernel (bucket-keyed, per-user array state —
+    the r12 fix for the per-key kernel's per-group-per-batch API tax)
+    must produce the identical final totals as the batch aggregate and
+    hence as the per-key kernels. n_buckets=7 forces multi-user
+    buckets AND multi-bucket state; RocksDB provider as in
+    production."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.sources.tables import load_table
+    from mapreduceindexer_spark.streaming import twstate
+
+    stream_df = twstate.streaming_user_totals_bundled(
+        spark, SF_SMOKE, n_buckets=7, rocksdb=True
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    scaled = (
+        F.col("value").cast("decimal(18,6)")
+        * F.lit(1_000_000).cast("decimal(7,0)")
+    ).cast("bigint")
+    batch = sorted(
+        tuple(r)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(scaled).alias("sum_scaled"),
+        )
+        .collect()
+    )
+    assert batch == sorted(tuple(r) for r in stream_df.collect())
+
+
 def test_streaming_hll_registers_equal_batch(spark):
     """Streaming HLL maintenance: the flushed register state after the
     multi-microbatch replay equals the batch-built register relation
