@@ -137,6 +137,7 @@ HEADLINE = [
     "q_table_delete",      # copy-on-write ranged delete (stats-pruned rewrite)
     "q_table_merge",       # storage-integrated MERGE (stats-pruned upsert)
     "q_table_merge_mor",   # merge-on-read MERGE (position vectors + append)
+    "q_table_cdc_mor",     # merge-on-read CDC apply (shared MOR path)
     "q_table_bloom_skip",  # bloom point-lookup skipping (unclustered keys)
     "q_table_changes",     # append-only change feed (incremental consumer)
     "q_table_cluster",     # range-clustered compaction repairs skipping
@@ -241,6 +242,8 @@ SECONDARY_FAMILIES = {
     "table_delete": ["q_table_delete", "q_table_delete_dv"],
     # copy-on-write vs merge-on-read of the same latest-wins upsert
     "table_merge": ["q_table_merge", "q_table_merge_mor"],
+    # copy-on-write vs merge-on-read of the same tombstone CDC batch
+    "table_cdc": ["q_table_cdc", "q_table_cdc_mor"],
     # partition-spec layouts: transform / evolution / bucket
     "partition_spec": [
         "q_table_hidden_partition",

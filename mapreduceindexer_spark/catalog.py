@@ -11186,6 +11186,95 @@ def q_table_cdc(spark, sf_dir):
 
 
 @register(
+    "q_table_cdc_mor",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 3 AS BIGINT) AS b1,
+                         CAST((2 * count(*)) // 3 AS BIGINT) AS b2
+                  FROM documents),
+            sl AS (SELECT CAST(0 AS BIGINT) AS lo, b1 - 1 AS hi FROM b
+                   UNION ALL SELECT b1, b2 - 1 FROM b
+                   UNION ALL SELECT b2, n - 1 FROM b),
+            ch AS (SELECT doc_id,
+                          doc_id % 5 = 0 AS tomb
+                   FROM documents, b
+                   WHERE doc_id < b.b1 // 2),
+            bounds AS (SELECT min(doc_id) AS clo, max(doc_id) AS chi
+                       FROM ch)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM sl, bounds
+               WHERE sl.lo <= bounds.chi AND sl.hi >= bounds.clo)
+                  AS dv_target_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM sl, bounds
+               WHERE sl.lo > bounds.chi OR sl.hi < bounds.clo)
+                  AS preserved_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM ch) AS dv_rows,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents)
+                  - (SELECT CAST(count(*) AS BIGINT) FROM ch WHERE tomb)
+                  AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents d
+               WHERE NOT EXISTS (SELECT 1 FROM ch
+                                 WHERE ch.doc_id = d.doc_id AND ch.tomb))
+                  + 1000 * (SELECT CAST(count(*) AS BIGINT)
+                            FROM ch WHERE NOT tomb)
+                  AS total_chars""",
+)
+def q_table_cdc_mor(spark, sf_dir):
+    """MERGE-ON-READ CDC APPLY (sources/transact.py::apply_cdc_mor,
+    round 12) — the same Debezium-style batch as q_table_cdc
+    (tombstone every 5th key of the first half-slice, upsert the rest
+    +1000 chars) through the shared ``_mor_apply`` write path of
+    q_table_merge_mor: EVERY change key's live base positions die via
+    ONE position deletion vector (tombstones and updates alike — here
+    all half-slice keys exist in base, so dv_rows = the batch size)
+    and only the live rows append as one snapshot dir, base dirs
+    carried verbatim. Where apply_cdc rewrites the may-match dir, this
+    writes O(batch): the steady-state trickle shape of a CDC-fed
+    100 TB table, with compaction materializing on its own schedule
+    (pinned by tests/test_transact.py::
+    test_apply_cdc_mor_matches_cow_and_never_rewrites_base). The
+    oracle replays the prune as interval arithmetic, the vector as
+    the matched-key count, erasures as NOT EXISTS, updates as
+    arithmetic — identical final relation to q_table_cdc's, different
+    write shape. Reference has no table layer
+    (src/functions.cpp:146-162)."""
+    import shutil
+
+    docs, table, n, b1, b2 = _three_slice_table(
+        spark, sf_dir, "mri_txn_cdcmor_"
+    )
+    changes = (
+        docs.filter(F.col("doc_id") < b1 // 2)
+        .withColumn("_deleted", F.col("doc_id") % 5 == 0)
+        .withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") % 5 == 0, F.col("n_chars")).otherwise(
+                F.col("n_chars") + 1000
+            ),
+        )
+    )
+    v = table.apply_cdc_mor(
+        spark, changes, key="doc_id", stats_cols=["doc_id"]
+    )
+    meta = table.meta_of(v)
+    out = (
+        table.read(spark, v)
+        .agg(
+            F.lit(meta["dv_target_dirs"])
+            .cast("bigint")
+            .alias("dv_target_dirs"),
+            F.lit(meta["preserved_dirs"])
+            .cast("bigint")
+            .alias("preserved_dirs"),
+            F.lit(meta["dv_rows"]).cast("bigint").alias("dv_rows"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_history",
     """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
                          CAST(count(*) // 3 AS BIGINT) AS b1,

@@ -1657,6 +1657,49 @@ class TransactionalTable:
                 stats_cols=stats_cols,
                 bloom_cols=bloom_cols,
             )
+        return self._mor_apply(
+            spark,
+            cur=cur,
+            batch_cols=updates.columns,
+            kill_keys=updates.select(F.col(key)).distinct(),
+            inserts=updates if lo is not None else None,
+            key=key,
+            lo=lo,
+            hi=hi,
+            stats_cols=stats_cols,
+            bloom_cols=bloom_cols,
+            mode="merge_mor",
+            label="merge_rows_mor update batch",
+            meta={"merged_from": cur},
+        )
+
+    def _mor_apply(
+        self,
+        spark: SparkSession,
+        *,
+        cur: int,
+        batch_cols,
+        kill_keys: DataFrame,
+        inserts: DataFrame | None,
+        key: str,
+        lo,
+        hi,
+        stats_cols,
+        bloom_cols,
+        mode: str,
+        label: str,
+        meta: dict,
+    ) -> int:
+        """The shared MERGE-ON-READ write path of ``merge_rows_mor``
+        and ``apply_cdc_mor``: live base positions of ``kill_keys``
+        become one position deletion vector (prior vectors excluded),
+        ``inserts`` (None = nothing to add) appends as one snapshot
+        dir, base dirs and their stats carry verbatim. ``lo``/``hi``
+        bound ALL batch keys (kills and inserts) so the key-range
+        prune covers tombstone matching too; ``batch_cols`` is the
+        caller's raw column list for the loud missing-column check."""
+        from pyspark.sql import functions as F
+
         manifest = self._manifest(cur)
         sj = manifest.get("schema")
         if sj is not None:
@@ -1665,27 +1708,27 @@ class TransactionalTable:
                 raise ValueError(
                     f"table columns {sorted(clash)} collide with the "
                     "deletion-vector machinery's reserved names; rename "
-                    "them or use the copy-on-write merge_rows"
+                    "them or use the copy-on-write path"
                 )
-        if sj is not None:
             # Parity with merge_rows' select(*survivors.columns): a
             # batch missing a table column must fail loudly, not append
             # a thin snapshot that reads the column as NULL.
             wanted = [f["name"] for f in sj["fields"]]
-            gap = [c for c in wanted if c not in set(updates.columns)]
+            gap = [c for c in wanted if c not in set(batch_cols)]
             if gap:
                 raise ValueError(
-                    f"merge_rows_mor update batch is missing table "
-                    f"column(s) {gap}"
+                    f"{label} is missing table column(s) {gap}"
                 )
-            updates = updates.select(*wanted)
-        _validate_constraints(
-            updates,
-            _carried_props(manifest).get("constraints", {}),
-            "merge_rows_mor update batch",
-            sj,
-        )
-        if lo is None:  # empty update batch: pure-metadata new version
+            if inserts is not None:
+                inserts = inserts.select(*wanted)
+        if inserts is not None:
+            _validate_constraints(
+                inserts,
+                _carried_props(manifest).get("constraints", {}),
+                label,
+                sj,
+            )
+        if lo is None:  # empty batch: pure-metadata new version
             may_match: list[str] = []
             preserved = list(manifest["dirs"])
         else:
@@ -1699,9 +1742,9 @@ class TransactionalTable:
             # _read_dirs read loses _metadata resolution past its
             # anti-join) and exclude PRIOR vectors explicitly — exactly
             # the delete_where_dv discipline, with the match predicate
-            # being key membership in the update batch instead of a
-            # range. The update-keys side is the bounded validated
-            # batch, so AQE broadcast-picks it.
+            # being key membership in the batch instead of a range.
+            # The kill-keys side is the bounded validated batch, so
+            # AQE broadcast-picks it.
             paths = [os.path.join(self.path, d) for d in may_match]
             if sj is not None:
                 from pyspark.sql.types import StructType
@@ -1720,9 +1763,9 @@ class TransactionalTable:
                 ).alias("_dv_rel_path"),
                 F.col("_metadata.row_index").alias("_dv_pos"),
             )
-            doomed = tagged.join(
-                updates.select(F.col(key)).distinct(), key, "semi"
-            ).select("_dv_rel_path", "_dv_pos")
+            doomed = tagged.join(kill_keys, key, "semi").select(
+                "_dv_rel_path", "_dv_pos"
+            )
             prior = sorted({n for d in may_match for n in dv_map.get(d, [])})
             if prior:
                 doomed = doomed.join(
@@ -1731,10 +1774,11 @@ class TransactionalTable:
                     "left_anti",
                 )
             dvdir = os.path.join(self.path, f"dv-{uuid.uuid4().hex[:12]}")
-            # One file per vector, as in delete_where_dv: MOR merge is
-            # the SMALL-batch path; an upsert touching a large fraction
-            # of the table should be copy-on-write (merge_rows), which
-            # also spares readers the proportionally large anti-join.
+            # One file per vector, as in delete_where_dv: MOR is the
+            # SMALL-batch path; a batch touching a large fraction of
+            # the table should be copy-on-write (merge_rows /
+            # apply_cdc), which also spares readers the proportionally
+            # large anti-join.
             doomed.coalesce(1).write.mode("error").parquet(dvdir)
             fsync_tree(dvdir)
             fsync_path(self.path)
@@ -1750,9 +1794,9 @@ class TransactionalTable:
                     dv_map.setdefault(d, []).append(name)
         dirs = list(manifest["dirs"])
         stats = dict(manifest.get("stats", {}))
-        if lo is not None:
+        if inserts is not None:
             snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
-            updates.write.mode("error").parquet(snap)
+            inserts.write.mode("error").parquet(snap)
             fsync_tree(snap)
             fsync_path(self.path)
             cleanup.append(snap)
@@ -1762,12 +1806,12 @@ class TransactionalTable:
                 stats[os.path.basename(snap)] = entry
         payload = {
             "version": new_version,
-            "mode": "merge_mor",
+            "mode": mode,
             **({"schema": sj} if sj is not None else {}),
             **_carried_props(manifest),
             "dirs": dirs,
             "meta": {
-                "merged_from": cur,
+                **meta,
                 "dv_rows": dv_rows,
                 "dv_target_dirs": len(may_match),
                 "preserved_dirs": len(preserved),
@@ -1915,6 +1959,96 @@ class TransactionalTable:
         if dv:
             payload["dv"] = dv
         return self._publish_manifest(payload, new_version, cleanup)
+
+    def apply_cdc_mor(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        key: str,
+        deleted_col: str = "_deleted",
+        stats_cols: tuple[str, ...] | list[str] | None = None,
+        bloom_cols: tuple[str, ...] | list[str] | None = None,
+    ) -> int:
+        """MERGE-ON-READ CDC APPLY: same answer as ``apply_cdc``
+        (tombstoned keys removed, live rows upsert latest-wins),
+        different write shape — the shared ``_mor_apply`` path of
+        ``merge_rows_mor``. EVERY change key's live base positions
+        (tombstones AND updates alike) die via ONE position deletion
+        vector, and only the live rows append as one snapshot dir, so
+        a CDC batch costs O(batch + matched positions) to write where
+        ``apply_cdc`` rewrites every may-match dir. This is the
+        steady-state shape of a CDC-fed 100 TB table: the Debezium
+        trickle writes kilobyte vectors + the batch, and compaction
+        materializes on its own schedule. Same batch discipline as
+        ``apply_cdc``: boolean non-NULL ``deleted_col``, non-NULL
+        unique keys (latest-per-key upstream), constraints gate only
+        the live rows, tombstones for absent keys are no-ops (the
+        semi-join finds no position). Reads pay the standard MOR tax
+        until compaction; base-dir stats carry verbatim
+        (conservative-sound: vectors only remove rows)."""
+        from pyspark.sql import functions as F
+
+        if deleted_col not in changes.columns:
+            raise ValueError(
+                f"apply_cdc_mor needs a boolean {deleted_col!r} column "
+                "marking tombstones"
+            )
+        dt = dict(changes.dtypes).get(deleted_col)
+        if dt != "boolean":
+            raise ValueError(
+                f"{deleted_col!r} must be boolean, got {dt}"
+            )
+        changes = changes.localCheckpoint(eager=True)  # one batch, 3 jobs
+        bounds = changes.agg(
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+            F.count("*").alias("n"),
+            F.count(key).alias("n_keyed"),
+            F.count_distinct(key).alias("n_keys"),
+            F.count(deleted_col).alias("n_flagged"),
+            F.count_if(F.col(deleted_col)).alias("n_deleted"),
+        ).collect()[0]
+        if bounds["n_flagged"] < bounds["n"]:
+            raise ValueError(
+                f"{deleted_col!r} is NULL on "
+                f"{bounds['n'] - bounds['n_flagged']} rows; a change is "
+                "either a tombstone or an upsert"
+            )
+        if bounds["n_keyed"] < bounds["n"]:
+            raise ValueError(
+                f"apply_cdc_mor batch has {bounds['n'] - bounds['n_keyed']} "
+                f"NULL {key!r} rows; a NULL key matches nothing"
+            )
+        if bounds["n_keys"] < bounds["n_keyed"]:
+            raise ValueError(
+                f"apply_cdc_mor batch has duplicate {key!r} values "
+                f"({bounds['n']} rows, {bounds['n_keys']} distinct); "
+                "collapse to latest-per-key upstream"
+            )
+        live = changes.filter(~F.col(deleted_col)).drop(deleted_col)
+        n_live = bounds["n"] - bounds["n_deleted"]
+        cur = self.current_version()
+        if cur == 0:
+            # Tombstones on an empty table are no-ops; insert the rest.
+            return self.commit(
+                live, "overwrite", stats_cols=stats_cols,
+                bloom_cols=bloom_cols,
+            )
+        return self._mor_apply(
+            spark,
+            cur=cur,
+            batch_cols=live.columns,
+            kill_keys=changes.select(F.col(key)).distinct(),
+            inserts=live if n_live > 0 else None,
+            key=key,
+            lo=bounds["lo"],
+            hi=bounds["hi"],
+            stats_cols=stats_cols,
+            bloom_cols=bloom_cols,
+            mode="cdc_mor",
+            label="apply_cdc_mor live rows",
+            meta={"cdc_from": cur, "n_changes": bounds["n"]},
+        )
 
     # -- maintenance --------------------------------------------------------
 

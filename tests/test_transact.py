@@ -1731,6 +1731,101 @@ def test_apply_cdc_tombstones_and_upserts_in_one_pass(spark, tmp_path):
     assert t2.read(spark, 2).count() == 10
 
 
+def test_apply_cdc_mor_matches_cow_and_never_rewrites_base(spark, tmp_path):
+    """Merge-on-read CDC apply: identical final table to apply_cdc on
+    the same fixture, but tombstones AND updates kill base positions
+    via ONE deletion vector and only live rows append — base dirs are
+    carried verbatim (write cost O(batch))."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    base = spark.range(0, 10).withColumn("v", F.col("id") * 10)
+    t.commit(base.filter("id < 5"), stats_cols=["id"])
+    t.commit(base.filter("id >= 5"), mode="append", stats_cols=["id"])
+    d1, d2 = t._manifest(2)["dirs"]
+    changes = spark.createDataFrame(
+        [
+            (1, None, True),    # tombstone existing
+            (3, 999, False),    # update existing
+            (42, 4200, False),  # insert new
+            (77, None, True),   # tombstone absent key: no-op
+        ],
+        "id bigint, v bigint, _deleted boolean",
+    )
+    v = t.apply_cdc_mor(spark, changes, key="id", stats_cols=["id"])
+    m = t._manifest(v)
+    # Both base dirs survive untouched + one live-rows snapshot dir.
+    assert m["dirs"][:2] == [d1, d2] and len(m["dirs"]) == 3
+    # Positions of keys 1 and 3 die; 42 and 77 match nothing.
+    assert m["meta"]["dv_rows"] == 2
+    assert m["meta"]["n_changes"] == 4 and m["meta"]["cdc_from"] == 2
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    want = {i: i * 10 for i in range(10) if i != 1}
+    want[3] = 999
+    want[42] = 4200
+    assert got == want
+    assert t.read(spark, 2).count() == 10  # time travel intact
+    # ALL-tombstone batch: vector only, NO new snapshot dir.
+    tomb = spark.createDataFrame(
+        [(0, None, True), (9, None, True)],
+        "id bigint, v bigint, _deleted boolean",
+    )
+    v2 = t.apply_cdc_mor(spark, tomb, key="id")
+    m2 = t._manifest(v2)
+    assert len(m2["dirs"]) == 3  # no snap appended
+    assert m2["meta"]["dv_rows"] == 2
+    got2 = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert set(got2) == set(want) - {0, 9}
+    # Compaction materializes and drops the vectors.
+    vc = t.compact(spark, stats_cols=["id"])
+    assert "dv" not in t._manifest(vc)
+    assert {r["id"]: r["v"] for r in t.read(spark).collect()} == got2
+
+
+def test_apply_cdc_mor_guards(spark, tmp_path):
+    """The MOR CDC apply carries apply_cdc's full batch discipline:
+    flag presence/type/non-NULL, unique keys, constraints on live rows
+    only, tombstones-on-empty-table no-op."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(5).withColumn("v", F.col("id")))
+    no_flag = spark.range(2).withColumn("v", F.col("id"))
+    with pytest.raises(ValueError, match="_deleted"):
+        t.apply_cdc_mor(spark, no_flag, key="id")
+    bad_type = no_flag.withColumn("_deleted", F.lit(1))
+    with pytest.raises(ValueError, match="boolean"):
+        t.apply_cdc_mor(spark, bad_type, key="id")
+    null_flag = no_flag.withColumn(
+        "_deleted", F.when(F.col("id") == 0, True)
+    )
+    with pytest.raises(ValueError, match="NULL on"):
+        t.apply_cdc_mor(spark, null_flag, key="id")
+    dup = spark.createDataFrame(
+        [(1, 1, False), (1, 2, False)], "id bigint, v bigint, _deleted boolean"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        t.apply_cdc_mor(spark, dup, key="id")
+    empty = TransactionalTable(str(tmp_path / "empty"))
+    tomb = spark.createDataFrame(
+        [(9, None, True)], "id bigint, v bigint, _deleted boolean"
+    )
+    v = empty.apply_cdc_mor(spark, tomb, key="id")
+    assert empty.read(spark, v).count() == 0
+    t.add_constraint(spark, "v_pos", "v >= 0")
+    mixed = spark.createDataFrame(
+        [(0, None, True), (2, -5, False)],
+        "id bigint, v bigint, _deleted boolean",
+    )
+    with pytest.raises(ValueError, match="v_pos"):
+        t.apply_cdc_mor(spark, mixed, key="id")
+    ok = spark.createDataFrame(
+        [(0, None, True)], "id bigint, v bigint, _deleted boolean"
+    )
+    t.apply_cdc_mor(spark, ok, key="id")  # tombstone alone passes
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2, 3, 4]
+
+
 def test_apply_cdc_guards(spark, tmp_path):
     from pyspark.sql import functions as F
 
