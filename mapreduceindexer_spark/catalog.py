@@ -12677,7 +12677,7 @@ _CHECK_PRIORITY = [
     # -- born this round: merge-on-read MERGE + bundled-state kernel (2)
     "q_table_merge_mor",
     "q_tws_totals_bundled",
-    # -- last driver row r6 (47 of 49)
+    # -- last driver row r6 (46 of 49)
     "q_agg_pricing_summary",
     "q_ann_recall",
     "q_approx_topk_bound",

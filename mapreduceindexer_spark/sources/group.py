@@ -105,6 +105,15 @@ class TableGroup:
     def __init__(self, path: str, name: str = "grp"):
         if not re.match(_GROUP_NAME_RE, name):
             raise ValueError(f"invalid group name {name!r}")
+        if "__cvg_" in name:
+            # Pin tags are built FROM the group name; a name containing
+            # the converge-guard namespace would make every commit's
+            # public tag() call hit the reservation deep inside tagging
+            # (r12 review). Reject at naming time instead.
+            raise ValueError(
+                f"group name {name!r} uses the reserved converge-guard "
+                "namespace ('__cvg_'); pick another name"
+            )
         self.path = path
         self.name = name
         self.manifest_dir = os.path.join(path, "_group")
@@ -304,6 +313,12 @@ class TableGroup:
             for member, (table, v) in sorted(pins.items()):
                 if not re.match(_REF_NAME_RE, member):
                     raise ValueError(f"invalid member name {member!r}")
+                if "__cvg_" in member:
+                    raise ValueError(
+                        f"member name {member!r} uses the reserved "
+                        "converge-guard namespace ('__cvg_'); pick "
+                        "another name"
+                    )
                 tag = self._tag_name(member, g)
                 try:
                     table.tag(tag, v)  # raises if v doesn't exist

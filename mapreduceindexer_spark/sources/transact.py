@@ -1712,14 +1712,17 @@ class TransactionalTable:
                 )
             # Parity with merge_rows' select(*survivors.columns): a
             # batch missing a table column must fail loudly, not append
-            # a thin snapshot that reads the column as NULL.
-            wanted = [f["name"] for f in sj["fields"]]
-            gap = [c for c in wanted if c not in set(batch_cols)]
-            if gap:
-                raise ValueError(
-                    f"{label} is missing table column(s) {gap}"
-                )
+            # a thin snapshot that reads the column as NULL. Gated on
+            # an actual append: a tombstone-only CDC batch carrying no
+            # payload columns appends nothing, so there is nothing to
+            # fail loudly about (r12 review).
             if inserts is not None:
+                wanted = [f["name"] for f in sj["fields"]]
+                gap = [c for c in wanted if c not in set(batch_cols)]
+                if gap:
+                    raise ValueError(
+                        f"{label} is missing table column(s) {gap}"
+                    )
                 inserts = inserts.select(*wanted)
         if inserts is not None:
             _validate_constraints(
@@ -1870,6 +1873,7 @@ class TransactionalTable:
             F.count(key).alias("n_keyed"),
             F.count_distinct(key).alias("n_keys"),
             F.count(deleted_col).alias("n_flagged"),
+            F.count_if(F.col(deleted_col)).alias("n_deleted"),
         ).collect()[0]
         if bounds["n_flagged"] < bounds["n"]:
             raise ValueError(
@@ -1914,28 +1918,39 @@ class TransactionalTable:
         dirs = [d for d in manifest["dirs"] if d in set(preserved)]
         stats = {d: old_stats[d] for d in dirs if d in old_stats}
         cleanup: list[str] = []
+        n_live = bounds["n"] - bounds["n_deleted"]
         if lo is not None:
-            new_rows = live
+            # A tombstone-only batch appends nothing: with matching
+            # dirs it rewrites survivors alone; with none (pure no-op
+            # tombstones) the new version is metadata-only. The union
+            # with `live` is gated on actual live rows so a payload-
+            # free tombstone feed (id + flag only) is accepted — there
+            # is no thin snapshot to guard against (r12 review).
+            new_rows = None
             if may_match:
                 base = self._read_dirs(spark, manifest, may_match)
                 # ONE anti-join on ALL change keys evicts both the
                 # tombstoned rows (gone) and the updated rows
                 # (re-inserted from `live`).
-                survivors = base.join(
+                new_rows = base.join(
                     changes.select(F.col(key)).distinct(), key, "left_anti"
                 )
-                new_rows = survivors.unionByName(
-                    live.select(*survivors.columns)
-                )
-            snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
-            new_rows.write.mode("error").parquet(snap)
-            fsync_tree(snap)
-            fsync_path(self.path)
-            cleanup.append(snap)
-            dirs = dirs + [os.path.basename(snap)]
-            entry = _snapshot_entry(spark, snap, stats_cols, bloom_cols)
-            if entry:
-                stats[os.path.basename(snap)] = entry
+                if n_live > 0:
+                    new_rows = new_rows.unionByName(
+                        live.select(*new_rows.columns)
+                    )
+            elif n_live > 0:
+                new_rows = live
+            if new_rows is not None:
+                snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
+                new_rows.write.mode("error").parquet(snap)
+                fsync_tree(snap)
+                fsync_path(self.path)
+                cleanup.append(snap)
+                dirs = dirs + [os.path.basename(snap)]
+                entry = _snapshot_entry(spark, snap, stats_cols, bloom_cols)
+                if entry:
+                    stats[os.path.basename(snap)] = entry
         payload = {
             "version": new_version,
             "mode": "cdc",

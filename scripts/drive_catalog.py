@@ -48,6 +48,26 @@ TABLES = (
 
 
 
+def dtypes_differ(a, b) -> bool:
+    """FULL-dtype-string comparison with ONE exemption: both sides
+    naive datetime64 differing only in RESOLUTION (Spark toPandas
+    [ns] vs DuckDB .df() [us] — same instants, historically
+    driver-green). tz-AWARE datetimes are NOT exempt: an aware-vs-
+    naive pairing can carry shifted wall-clock values, exactly the
+    lossy widening the audit hunts, so any timezone on either side
+    falls through to the strict string compare (r12 review; pinned by
+    tests/test_harness_contract.py::test_dtype_audit_exemptions)."""
+    sa, sb = str(a), str(b)
+    if (
+        sa.startswith("datetime64[")
+        and sb.startswith("datetime64[")
+        and "," not in sa
+        and "," not in sb
+    ):
+        return False  # naive resolution pairing — exempt
+    return sa != sb
+
+
 def _rows(df) -> list:
     return sorted(
         tuple(map(repr, (tuple(x) if isinstance(x, list) else x for x in r)))
@@ -106,26 +126,21 @@ def drive(spark, names, sf_dir: str, pandas_audit: bool) -> int:
             #   - DATE columns: Spark toPandas yields object-of-date,
             #     DuckDB datetime64[us] at midnight — both exact
             #     (q_promo_revenue r10 et al. driver-green).
-            #   - datetime64 RESOLUTION: Spark emits [ns], DuckDB [us]
-            #     — same instants, all 21 TIMESTAMP oracles
-            #     historically driver-green; kinds must still agree.
+            #   - NAIVE datetime64 RESOLUTION: Spark emits [ns],
+            #     DuckDB [us] — same instants, all 21 TIMESTAMP
+            #     oracles historically driver-green. tz-aware is NOT
+            #     exempt (dtypes_differ docstring).
             dates = {
                 f.name
                 for f in sdf.schema.fields
                 if f.dataType.typeName() == "date"
             }
-
-            def _differs(a, b) -> bool:
-                if a.kind == "M" and b.kind == "M":
-                    return False  # resolution-exempt
-                return str(a) != str(b)
-
             lossy = [
                 (c, str(spdf[c].dtype), str(pdf[c].dtype))
                 for c in pdf.columns
                 if c in spdf.columns
                 and c not in dates
-                and _differs(spdf[c].dtype, pdf[c].dtype)
+                and dtypes_differ(spdf[c].dtype, pdf[c].dtype)
             ]
             if lossy:
                 ok = False

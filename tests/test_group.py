@@ -304,6 +304,19 @@ def test_stale_crash_orphan_guards_are_swept(spark, pair):
     assert f"{tag[:38]}__cvg_0badf00d.json" in left  # alien content: kept
 
 
+def test_guard_namespace_rejected_at_naming_time(spark, pair):
+    """A group or member whose NAME contains '__cvg_' would build pin
+    tags inside the reserved converge-guard namespace and fail deep in
+    tagging on every commit — reject at naming time instead (r12
+    review of the r11-advice reservation)."""
+    docs, idx, grp = pair
+    with pytest.raises(ValueError, match="reserved converge-guard"):
+        TableGroup(grp.path, name="runs__cvg_a")
+    v = docs.commit(spark.range(3), mode="append")
+    with pytest.raises(ValueError, match="reserved converge-guard"):
+        grp.commit({"m__cvg_x": (docs, v)})
+
+
 def test_concurrent_group_committers_never_dangle(spark, pair):
     """The module invariant under REAL racing (not a scripted
     interleave): N threads retry-commit pin sets for successive slots;

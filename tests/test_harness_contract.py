@@ -202,3 +202,31 @@ def test_events_value_stays_in_decimal_exact_domain():
                 f"{sf}: {r} repr exceeds the 6-fractional-digit "
                 "exact domain"
             )
+
+
+def test_dtype_audit_exemptions():
+    """The drive script's dtype audit exempts exactly ONE datetime
+    pairing: both sides NAIVE datetime64, differing only in
+    resolution. tz-aware-vs-naive (shifted wall clocks) and
+    aware-vs-aware-different-zone must NOT be exempt — that is the
+    'exemption silently widens to a lossy pairing' failure the r12
+    review flagged (the old kind=='M' check admitted them all)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import numpy as np
+    import pandas as pd
+    from drive_catalog import dtypes_differ
+
+    ns, us = np.dtype("datetime64[ns]"), np.dtype("datetime64[us]")
+    aware = pd.DatetimeTZDtype(tz="UTC")
+    aware2 = pd.DatetimeTZDtype(tz="America/New_York")
+    assert not dtypes_differ(ns, us)          # naive resolution: exempt
+    assert not dtypes_differ(ns, ns)
+    assert dtypes_differ(ns, aware)           # aware vs naive: flagged
+    assert dtypes_differ(aware, us)
+    assert dtypes_differ(aware, aware2)       # different zones: flagged
+    assert not dtypes_differ(aware, pd.DatetimeTZDtype(tz="UTC"))
+    assert dtypes_differ(np.dtype("int32"), np.dtype("int64"))
+    assert dtypes_differ(np.dtype("float32"), np.dtype("float64"))
+    assert not dtypes_differ(np.dtype("int64"), np.dtype("int64"))

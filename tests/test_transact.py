@@ -1826,6 +1826,39 @@ def test_apply_cdc_mor_guards(spark, tmp_path):
     assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2, 3, 4]
 
 
+def test_tombstone_only_payload_free_batch_both_paths(spark, tmp_path):
+    """A Debezium tombstone feed often carries ONLY (key, flag) — no
+    payload columns. Both CDC paths must accept it (nothing is
+    appended, so the thin-snapshot guard does not apply): CoW rewrites
+    survivors alone (or publishes a metadata-only version when no dir
+    matches), MOR writes the vector alone (r12 review)."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 10).withColumn("v", F.col("id") * 10)
+    thin_tomb = spark.createDataFrame(
+        [(2, True), (7, True)], "id bigint, _deleted boolean"
+    )
+    t = TransactionalTable(str(tmp_path / "cow"))
+    t.commit(base, stats_cols=["id"])
+    v = t.apply_cdc(spark, thin_tomb, key="id", stats_cols=["id"])
+    assert sorted(r["id"] for r in t.read(spark, v).collect()) == [
+        0, 1, 3, 4, 5, 6, 8, 9
+    ]
+    # No matching dir at all: CoW publishes a metadata-only version
+    # (no snapshot dir is appended for an empty live set).
+    far = spark.createDataFrame([(999, True)], "id bigint, _deleted boolean")
+    v2 = t.apply_cdc(spark, far, key="id")
+    assert t._manifest(v2)["dirs"] == t._manifest(v)["dirs"]
+    m = TransactionalTable(str(tmp_path / "mor"))
+    m.commit(base, stats_cols=["id"])
+    vm = m.apply_cdc_mor(spark, thin_tomb, key="id")
+    man = m._manifest(vm)
+    assert man["meta"]["dv_rows"] == 2 and len(man["dirs"]) == 1
+    assert sorted(r["id"] for r in m.read(spark, vm).collect()) == [
+        0, 1, 3, 4, 5, 6, 8, 9
+    ]
+
+
 def test_apply_cdc_guards(spark, tmp_path):
     from pyspark.sql import functions as F
 
