@@ -1,4 +1,5 @@
-"""Loadtest: merge-on-read vs copy-on-write MERGE write cost (round 12).
+"""Loadtest: merge-on-read vs copy-on-write MERGE and CDC write cost
+(round 12).
 
 The claim merge_rows_mor exists for: an upsert batch touching a few
 rows per snapshot dir should cost O(update batch + matched positions)
@@ -70,11 +71,34 @@ def tree_bytes(path: str) -> int:
     return total
 
 
+def cdc_changes_for(spark, n_rows: int):
+    """The CDC twin of ``updates_for``: same 1k spread keys, every
+    other one a tombstone (payload NULL) and the rest upserts — the
+    Debezium trickle shape both apply_cdc paths must handle."""
+    step = max(1, n_rows // BATCH)
+    return (
+        spark.range(0, n_rows, step)
+        .select(
+            F.col("id"),
+            F.when(
+                F.col("id") % (2 * step) == 0, F.lit(None).cast("string")
+            )
+            .otherwise(
+                F.md5(F.concat(F.lit("v2"), F.col("id").cast("string")))
+            )
+            .alias("payload"),
+            (F.col("id") % (2 * step) == 0).alias("_deleted"),
+        )
+        .localCheckpoint()
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="loadtest_merge_mor")
     for n_rows in (100_000, 1_000_000):
         upd = updates_for(spark, n_rows)
-        out = {"rows": n_rows, "batch": upd.count(), "dirs": N_DIRS}
+        out = {"op": "merge", "rows": n_rows, "batch": upd.count(),
+               "dirs": N_DIRS}
         for label, method in (("mor", "merge_rows_mor"), ("cow", "merge_rows")):
             t = build(spark, n_rows)
             before = tree_bytes(t.path)
@@ -87,6 +111,28 @@ def main() -> None:
             out[f"{label}_read_sec"] = round(time.perf_counter() - t0, 3)
             shutil.rmtree(t.path, ignore_errors=True)
         assert out["mor_read_rows"] == out["cow_read_rows"] == n_rows
+        print(json.dumps(out), flush=True)
+
+        # CDC twin (round 12): half tombstones, half upserts; the MOR
+        # path kills every change key's positions via one vector and
+        # appends only live rows. Final row count = n_rows - tombstone
+        # count on both paths (tombstoned keys vanish).
+        ch = cdc_changes_for(spark, n_rows)
+        n_tomb = ch.filter("_deleted").count()
+        out = {"op": "cdc", "rows": n_rows, "batch": ch.count(),
+               "tombstones": n_tomb, "dirs": N_DIRS}
+        for label, method in (("mor", "apply_cdc_mor"), ("cow", "apply_cdc")):
+            t = build(spark, n_rows)
+            before = tree_bytes(t.path)
+            t0 = time.perf_counter()
+            v = getattr(t, method)(spark, ch, "id", stats_cols=["id"])
+            out[f"{label}_write_sec"] = round(time.perf_counter() - t0, 3)
+            out[f"{label}_bytes_written"] = tree_bytes(t.path) - before
+            t0 = time.perf_counter()
+            out[f"{label}_read_rows"] = t.read(spark, v).count()
+            out[f"{label}_read_sec"] = round(time.perf_counter() - t0, 3)
+            shutil.rmtree(t.path, ignore_errors=True)
+        assert out["mor_read_rows"] == out["cow_read_rows"] == n_rows - n_tomb
         print(json.dumps(out), flush=True)
 
 
