@@ -138,6 +138,7 @@ HEADLINE = [
     "q_table_merge",       # storage-integrated MERGE (stats-pruned upsert)
     "q_table_merge_mor",   # merge-on-read MERGE (position vectors + append)
     "q_table_cdc_mor",     # merge-on-read CDC apply (shared MOR path)
+    "q_table_merge_eq",    # equality-delete upsert (O(batch), zero base reads)
     "q_table_bloom_skip",  # bloom point-lookup skipping (unclustered keys)
     "q_table_changes",     # append-only change feed (incremental consumer)
     "q_table_cluster",     # range-clustered compaction repairs skipping
@@ -241,7 +242,11 @@ SECONDARY_FAMILIES = {
     # copy-on-write vs merge-on-read of the same ranged delete
     "table_delete": ["q_table_delete", "q_table_delete_dv"],
     # copy-on-write vs merge-on-read of the same latest-wins upsert
-    "table_merge": ["q_table_merge", "q_table_merge_mor"],
+    "table_merge": [
+        "q_table_merge",
+        "q_table_merge_mor",
+        "q_table_merge_eq",
+    ],
     # copy-on-write vs merge-on-read of the same tombstone CDC batch
     "table_cdc": ["q_table_cdc", "q_table_cdc_mor"],
     # partition-spec layouts: transform / evolution / bucket

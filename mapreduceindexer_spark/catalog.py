@@ -12400,6 +12400,78 @@ def q_table_merge_mor(spark, sf_dir):
 
 
 @register(
+    "q_table_merge_eq",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 3 AS BIGINT) AS b1,
+                         CAST((2 * count(*)) // 3 AS BIGINT) AS b2
+                  FROM documents),
+            sl AS (SELECT CAST(0 AS BIGINT) AS lo, b1 - 1 AS hi FROM b
+                   UNION ALL SELECT b1, b2 - 1 FROM b
+                   UNION ALL SELECT b2, n - 1 FROM b),
+            p AS (SELECT b1 // 2 AS plo, b1 - 1 AS phi FROM b)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM sl, p
+               WHERE sl.lo <= p.phi AND sl.hi >= p.plo) AS eq_target_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM sl, p
+               WHERE sl.lo > p.phi OR sl.hi < p.plo) AS preserved_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents, p
+               WHERE doc_id BETWEEN p.plo AND p.phi) AS eq_keys,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT)
+                      + 1000 * CAST(count(*) FILTER (
+                          WHERE doc_id BETWEEN p.plo AND p.phi) AS BIGINT)
+               FROM documents, p) AS total_chars""",
+)
+def q_table_merge_eq(spark, sf_dir):
+    """EQUALITY-DELETE UPSERT (sources/transact.py::upsert_eq, round
+    12) — the same three-slice fixture and latest-wins answer as
+    q_table_merge / q_table_merge_mor, at the WRITE-cheapest point of
+    the taxonomy: where the copy-on-write merge rewrites may-match
+    dirs and the position-vector merge still SCANS them to resolve
+    doomed positions, this writes ONLY the batch — one self-describing
+    eq- key file registered against the stats-pruned dirs plus the
+    batch snapshot, O(batch) with ZERO base reads (the Iceberg-v2
+    equality-delete shape a streaming writer uses against a 100 TB
+    base). Readers apply the eq file SCOPED to its registered dirs
+    (never the batch's own snapshot — re-inserted keys survive), the
+    read replaying DV anti-join + eq anti-join + latest-wins union;
+    compaction materializes and maintenance counts eq rows into the
+    same merge-on-read debt (tests/test_transact.py::
+    test_upsert_eq_matches_merge_and_scopes_to_registered_dirs).
+    The oracle replays the prune as interval arithmetic, the key file
+    as the batch-key count, and the merge as arithmetic — identical
+    semantics to the other two merges, cheapest write shape.
+    Reference has no table layer (src/functions.cpp:146-162)."""
+    import shutil
+
+    docs, table, n, b1, b2 = _three_slice_table(
+        spark, sf_dir, "mri_txn_eq_"
+    )
+    plo, phi = b1 // 2, b1 - 1
+    updates = docs.filter(
+        (F.col("doc_id") >= plo) & (F.col("doc_id") <= phi)
+    ).withColumn("n_chars", F.col("n_chars") + 1000)
+    v = table.upsert_eq(spark, updates, "doc_id", stats_cols=["doc_id"])
+    meta = table.meta_of(v)
+    out = (
+        table.read(spark, v)
+        .agg(
+            F.lit(meta["eq_target_dirs"])
+            .cast("bigint")
+            .alias("eq_target_dirs"),
+            F.lit(meta["preserved_dirs"])
+            .cast("bigint")
+            .alias("preserved_dirs"),
+            F.lit(meta["eq_keys"]).cast("bigint").alias("eq_keys"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_changes",
     """WITH b AS (SELECT CAST(count(*) // 3 AS BIGINT) AS b1 FROM documents)
        SELECT CAST(count(*) AS BIGINT) AS n_new_docs,

@@ -268,6 +268,19 @@ def _carry_dv(manifest: dict, dirs) -> dict:
     }
 
 
+def _carry_eq(manifest: dict, dirs) -> dict:
+    """``_carry_dv`` for EQUALITY-delete files: the previous manifest's
+    eq map restricted to dirs kept UNREWRITTEN (a rewritten dir was
+    re-materialized through an eq-applying read, so carrying its eq
+    files would double-apply — and worse, kill re-inserted keys)."""
+    keep = set(dirs)
+    return {
+        d: list(names)
+        for d, names in manifest.get("eq", {}).items()
+        if d in keep
+    }
+
+
 def _grouped_subdir_stats(
     spark: SparkSession,
     snap: str,
@@ -455,6 +468,7 @@ class TransactionalTable:
         # (fast_count) are memoized per vector.
         self._dv_files_cache: dict[tuple[str, ...], list[str] | None] = {}
         self._dv_rows_cache: dict[str, dict[str, int] | None] = {}
+        self._eq_keycol_cache: dict[str, str] = {}
 
     # -- version resolution -------------------------------------------------
 
@@ -603,6 +617,7 @@ class TransactionalTable:
             stats[os.path.basename(snap)] = entry
 
         dv = {}
+        eq = {}
         if prev is not None:
             dirs = prev["dirs"] + [os.path.basename(snap)]
             # Inherited dirs keep whatever stats their own commit
@@ -611,6 +626,7 @@ class TransactionalTable:
             # snapshot has none by construction).
             stats = {**prev.get("stats", {}), **stats}
             dv = _carry_dv(prev, prev["dirs"])
+            eq = _carry_eq(prev, prev["dirs"])
         else:
             dirs = [os.path.basename(snap)]
 
@@ -625,6 +641,8 @@ class TransactionalTable:
             payload["stats"] = stats
         if dv:
             payload["dv"] = dv
+        if eq:
+            payload["eq"] = eq
         if unique_probe_dirs is not None:
             meta = {**(meta or {}), "unique_probe_dirs": unique_probe_dirs}
         if meta:
@@ -682,12 +700,74 @@ class TransactionalTable:
     def _read_dirs(
         self, spark: SparkSession, manifest: dict, dirs
     ) -> DataFrame:
-        """Read a subset of one version's dirs, applying the version's
-        RECORDED schema when the manifest carries one — the schema-
-        evolution read path: a historic dir missing a later-added
-        column reads it as NULL, and time travel to an old version
-        shows that version's schema, not today's. Manifests from
-        before schema recording read as before (inferred).
+        """Read a subset of one version's dirs, applying (in order):
+        the version's RECORDED schema, its position deletion vectors
+        (``_read_dirs_dv``), and its EQUALITY-delete files. Equality
+        deletes are SCOPED: an eq file kills keys only in the dirs it
+        was registered against (older data), never in the snapshot
+        appended alongside it — so dirs are grouped by their eq-file
+        signature and each group is anti-joined against exactly its
+        own key sets. A version with no eq entries takes the plain
+        dv path unchanged."""
+        eq_map = manifest.get("eq", {})
+        if not any(eq_map.get(d) for d in dirs):
+            return self._read_dirs_dv(spark, manifest, dirs)
+        groups: dict[tuple, list] = {}
+        for d in dirs:
+            groups.setdefault(tuple(sorted(eq_map.get(d, []))), []).append(d)
+        parts = []
+        for sig in sorted(groups):
+            part = self._read_dirs_dv(spark, manifest, groups[sig])
+            for keycol, names in sorted(self._eq_by_key(sig).items()):
+                # The keys side is bounded by rows DELETED (distinct
+                # upserted/tombstoned keys), never table size — AQE
+                # broadcast-picks it, same as the DV anti-join.
+                keys = (
+                    spark.read.parquet(
+                        *[os.path.join(self.path, n) for n in names]
+                    )
+                    .select(keycol)
+                    .distinct()
+                )
+                part = part.join(keys, keycol, "left_anti")
+            parts.append(part)
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part)
+        return out
+
+    def _eq_by_key(self, names) -> dict[str, list[str]]:
+        """{key column: [eq dir names]} of the named equality-delete
+        dirs — each eq parquet is self-describing (its single column
+        IS the delete key), read driver-side from the footer and
+        memoized (eq files are immutable once linked)."""
+        out: dict[str, list[str]] = {}
+        for n in names:
+            col = self._eq_keycol_cache.get(n)
+            if col is None:
+                import pyarrow.parquet as pq
+
+                d = os.path.join(self.path, n)
+                f = next(
+                    f
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
+                col = pq.ParquetFile(
+                    os.path.join(d, f)
+                ).schema_arrow.names[0]
+                self._eq_keycol_cache[n] = col
+            out.setdefault(col, []).append(n)
+        return out
+
+    def _read_dirs_dv(
+        self, spark: SparkSession, manifest: dict, dirs
+    ) -> DataFrame:
+        """Schema-evolution + position-DV half of ``_read_dirs``: a
+        historic dir missing a later-added column reads it as NULL,
+        and time travel to an old version shows that version's schema,
+        not today's. Manifests from before schema recording read as
+        before (inferred).
 
         If the manifest carries deletion vectors for any dir being
         read (``delete_where_dv``), the scan is anti-joined against
@@ -986,6 +1066,7 @@ class TransactionalTable:
                 if pm is None or not (
                     set(pm["dirs"]) <= set(m["dirs"])
                     and pm.get("dv", {}) == m.get("dv", {})
+                    and pm.get("eq", {}) == m.get("eq", {})
                 ):
                     raise ValueError(
                         f"version {v} is mode={m.get('mode')!r}; the "
@@ -1322,6 +1403,9 @@ class TransactionalTable:
         dv = _carry_dv(manifest, preserved)
         if dv:
             payload["dv"] = dv
+        eq = _carry_eq(manifest, preserved)
+        if eq:
+            payload["eq"] = eq
         return self._publish_manifest(payload, new_version, cleanup)
 
     def delete_where_dv(
@@ -1377,6 +1461,7 @@ class TransactionalTable:
         may_match, preserved = self.pruned_dirs(col, lo, hi, cur)
         new_version = cur + 1
         dv_map = _carry_dv(manifest, manifest["dirs"])
+        eq_map = _carry_eq(manifest, manifest["dirs"])
         cleanup: list[str] = []
         dv_rows = 0
         if may_match:
@@ -1455,6 +1540,8 @@ class TransactionalTable:
             payload["stats"] = manifest["stats"]
         if dv_map:
             payload["dv"] = dv_map
+        if eq_map:
+            payload["eq"] = eq_map
         return self._publish_manifest(payload, new_version, cleanup)
 
     def merge_rows(
@@ -1585,6 +1672,9 @@ class TransactionalTable:
         dv = _carry_dv(manifest, preserved)
         if dv:
             payload["dv"] = dv
+        eq = _carry_eq(manifest, preserved)
+        if eq:
+            payload["eq"] = eq
         return self._publish_manifest(payload, new_version, cleanup)
 
     def merge_rows_mor(
@@ -1673,6 +1763,147 @@ class TransactionalTable:
             meta={"merged_from": cur},
         )
 
+    def upsert_eq(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str,
+        stats_cols: tuple[str, ...] | list[str] | None = None,
+        bloom_cols: tuple[str, ...] | list[str] | None = None,
+    ) -> int:
+        """EQUALITY-DELETE upsert (latest-wins by ``key``): same answer
+        as ``merge_rows`` / ``merge_rows_mor``, cheapest possible
+        write. Where the position-vector MOR merge still SCANS every
+        may-match dir to find doomed row positions, this writes ONLY
+        the batch: one ``eq-`` dir holding the batch's distinct keys
+        (registered against the stats-pruned may-match dirs) plus one
+        snapshot dir of the batch rows — O(batch) work with ZERO base
+        reads, the Iceberg-v2 equality-delete shape a streaming writer
+        uses precisely because position lookups against a 100 TB base
+        are the expensive part. The eq file is self-describing (its
+        single column is the delete key) and SCOPED: readers apply it
+        only to the dirs it was registered against, never to the
+        batch's own snapshot, so re-inserted keys survive
+        (``_read_dirs``).
+
+        The trade, honestly: reads pay a key anti-join whose probe
+        side is every row of the registered dirs (position vectors
+        pre-resolved that to file-granular row ids), so eq deletes are
+        the WRITE-cheapest and READ-costliest tier — trickle writers
+        use them and let ``compact`` (or any rewrite) materialize;
+        ``maintenance_plan`` counts eq rows into the same
+        merge-on-read debt that schedules compaction. Batch discipline
+        is identical to the merges: pinned batch, non-NULL unique
+        keys, CHECK constraints, loud missing-column check; an empty
+        batch publishes a pure-metadata version; prior eq files and
+        position vectors carry verbatim and compose (all subtractive,
+        disjoint mechanisms)."""
+        from pyspark.sql import functions as F
+
+        updates = updates.localCheckpoint(eager=True)
+        bounds = updates.agg(
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+            F.count("*").alias("n"),
+            F.count(key).alias("n_keyed"),
+            F.count_distinct(key).alias("n_keys"),
+        ).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        if bounds["n_keyed"] < bounds["n"]:
+            raise ValueError(
+                f"upsert_eq update batch has "
+                f"{bounds['n'] - bounds['n_keyed']} NULL {key!r} rows; "
+                "a NULL key matches nothing"
+            )
+        if bounds["n_keys"] < bounds["n_keyed"]:
+            raise ValueError(
+                f"upsert_eq update batch has duplicate {key!r} values "
+                f"({bounds['n']} rows, {bounds['n_keys']} distinct "
+                "keys); latest-wins needs one row per key"
+            )
+        cur = self.current_version()
+        if cur == 0:
+            return self.commit(
+                updates,
+                "overwrite",
+                stats_cols=stats_cols,
+                bloom_cols=bloom_cols,
+            )
+        manifest = self._manifest(cur)
+        sj = manifest.get("schema")
+        inserts = updates
+        if sj is not None:
+            wanted = [f["name"] for f in sj["fields"]]
+            gap = [c for c in wanted if c not in set(updates.columns)]
+            if gap:
+                raise ValueError(
+                    f"upsert_eq update batch is missing table "
+                    f"column(s) {gap}"
+                )
+            inserts = updates.select(*wanted)
+        _validate_constraints(
+            inserts,
+            _carried_props(manifest).get("constraints", {}),
+            "upsert_eq update batch",
+            sj,
+        )
+        if lo is None:  # empty batch: pure-metadata new version
+            may_match: list[str] = []
+            preserved = list(manifest["dirs"])
+        else:
+            may_match, preserved = self.pruned_dirs(key, lo, hi, cur)
+        new_version = cur + 1
+        dv_map = _carry_dv(manifest, manifest["dirs"])
+        eq_map = _carry_eq(manifest, manifest["dirs"])
+        cleanup: list[str] = []
+        dirs = list(manifest["dirs"])
+        stats = dict(manifest.get("stats", {}))
+        if lo is not None:
+            if may_match:
+                eqdir = os.path.join(
+                    self.path, f"eq-{uuid.uuid4().hex[:12]}"
+                )
+                # One file per eq set, like the vectors: bounded by
+                # the batch's distinct keys, never table size.
+                inserts.select(F.col(key)).distinct().coalesce(
+                    1
+                ).write.mode("error").parquet(eqdir)
+                fsync_tree(eqdir)
+                fsync_path(self.path)
+                cleanup.append(eqdir)
+                name = os.path.basename(eqdir)
+                for d in may_match:
+                    eq_map.setdefault(d, []).append(name)
+            snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
+            inserts.write.mode("error").parquet(snap)
+            fsync_tree(snap)
+            fsync_path(self.path)
+            cleanup.append(snap)
+            dirs.append(os.path.basename(snap))
+            entry = _snapshot_entry(spark, snap, stats_cols, bloom_cols)
+            if entry:
+                stats[os.path.basename(snap)] = entry
+        payload = {
+            "version": new_version,
+            "mode": "merge_eq",
+            **({"schema": sj} if sj is not None else {}),
+            **_carried_props(manifest),
+            "dirs": dirs,
+            "meta": {
+                "merged_from": cur,
+                "eq_keys": int(bounds["n_keys"] or 0),
+                "eq_target_dirs": len(may_match),
+                "preserved_dirs": len(preserved),
+            },
+        }
+        if stats:
+            payload["stats"] = stats
+        if dv_map:
+            payload["dv"] = dv_map
+        if eq_map:
+            payload["eq"] = eq_map
+        return self._publish_manifest(payload, new_version, cleanup)
+
     def _mor_apply(
         self,
         spark: SparkSession,
@@ -1738,6 +1969,7 @@ class TransactionalTable:
             may_match, preserved = self.pruned_dirs(key, lo, hi, cur)
         new_version = cur + 1
         dv_map = _carry_dv(manifest, manifest["dirs"])
+        eq_map = _carry_eq(manifest, manifest["dirs"])
         cleanup: list[str] = []
         dv_rows = 0
         if may_match:
@@ -1824,6 +2056,8 @@ class TransactionalTable:
             payload["stats"] = stats
         if dv_map:
             payload["dv"] = dv_map
+        if eq_map:
+            payload["eq"] = eq_map
         return self._publish_manifest(payload, new_version, cleanup)
 
     def apply_cdc(
@@ -1973,6 +2207,9 @@ class TransactionalTable:
         dv = _carry_dv(manifest, preserved)
         if dv:
             payload["dv"] = dv
+        eq = _carry_eq(manifest, preserved)
+        if eq:
+            payload["eq"] = eq
         return self._publish_manifest(payload, new_version, cleanup)
 
     def apply_cdc_mor(
@@ -2627,6 +2864,7 @@ class TransactionalTable:
             spark, snap, self._PART, stats_cols, bloom_cols
         )
         dv = {}
+        eq = {}
         if prev_m is not None:
             prev = prev_m
             prev_dir_specs = self._dir_specs(prev)
@@ -2654,6 +2892,7 @@ class TransactionalTable:
             dirs = prev["dirs"] + subdirs
             stats = {**prev.get("stats", {}), **stats}
             dv = _carry_dv(prev, prev["dirs"])
+            eq = _carry_eq(prev, prev["dirs"])
             specs, dir_spec = self._extend_specs(
                 prev_dir_specs, spec, subdirs
             )
@@ -2678,6 +2917,8 @@ class TransactionalTable:
             payload["stats"] = stats
         if dv:
             payload["dv"] = dv
+        if eq:
+            payload["eq"] = eq
         return self._publish_manifest(payload, base_v + 1, [snap])
 
     @staticmethod
@@ -2849,6 +3090,9 @@ class TransactionalTable:
         dv = _carry_dv(manifest, kept)
         if dv:
             payload["dv"] = dv
+        eq = _carry_eq(manifest, kept)
+        if eq:
+            payload["eq"] = eq
         return self._publish_manifest(payload, cur + 1, snap_cleanup)
 
     def pruned_dirs_part(
@@ -3033,11 +3277,14 @@ class TransactionalTable:
         fm = self._manifest(from_version)
         tm = self._manifest(to_version)
         fdv, tdv = fm.get("dv", {}), tm.get("dv", {})
+        feq, teq = fm.get("eq", {}), tm.get("eq", {})
         to_dirs = set(tm["dirs"])
         common = {
             d
             for d in fm["dirs"]
-            if d in to_dirs and fdv.get(d, []) == tdv.get(d, [])
+            if d in to_dirs
+            and fdv.get(d, []) == tdv.get(d, [])
+            and feq.get(d, []) == teq.get(d, [])
         }
         old_only = [d for d in fm["dirs"] if d not in common]
         new_only = [d for d in tm["dirs"] if d not in common]
@@ -3077,11 +3324,14 @@ class TransactionalTable:
         fm = self._manifest(from_version)
         tm = self._manifest(to_version)
         fdv, tdv = fm.get("dv", {}), tm.get("dv", {})
+        feq, teq = fm.get("eq", {}), tm.get("eq", {})
         to_dirs = set(tm["dirs"])
         common = {
             d
             for d in fm["dirs"]
-            if d in to_dirs and fdv.get(d, []) == tdv.get(d, [])
+            if d in to_dirs
+            and fdv.get(d, []) == tdv.get(d, [])
+            and feq.get(d, []) == teq.get(d, [])
         }
         return (
             len([d for d in fm["dirs"] if d not in common]),
@@ -3279,7 +3529,7 @@ class TransactionalTable:
                     len(m["dirs"]),
                     self._fast_count_m(m),  # reuse this parse (O(V), not O(V^2))
                     len(m.get("constraints", {})),
-                    bool(m.get("dv")),
+                    bool(m.get("dv") or m.get("eq")),
                     _json.dumps(m.get("meta", {}), sort_keys=True),
                 )
             )
@@ -3443,19 +3693,24 @@ class TransactionalTable:
         seen = set()
         dv_rows = 0
 
-        for names in m.get("dv", {}).values():
-            for name in names:
-                if name in seen:
-                    continue
-                seen.add(name)
-                d = os.path.join(self.path, name)
-                if not os.path.isdir(d):
-                    continue
-                for f in sorted(os.listdir(d)):
-                    if f.endswith(".parquet"):
-                        dv_rows += pq.ParquetFile(
-                            os.path.join(d, f)
-                        ).metadata.num_rows
+        # Equality-delete files carry the same merge-on-read debt
+        # semantics (each row is a deleted key — an upper bound on dead
+        # base rows per registered dir), so they feed the same
+        # compaction trigger; like vectors, each file counts once.
+        for aux in ("dv", "eq"):
+            for names in m.get(aux, {}).values():
+                for name in names:
+                    if name in seen:
+                        continue
+                    seen.add(name)
+                    d = os.path.join(self.path, name)
+                    if not os.path.isdir(d):
+                        continue
+                    for f in sorted(os.listdir(d)):
+                        if f.endswith(".parquet"):
+                            dv_rows += pq.ParquetFile(
+                                os.path.join(d, f)
+                            ).metadata.num_rows
         dv_actual_permille = (
             (dv_rows * 1000) // total_rows if total_rows else 0
         )
@@ -3514,6 +3769,11 @@ class TransactionalTable:
         would undercount (review finding). Positions are unique across
         a version's vectors by construction (``delete_where_dv``
         excludes prior vectors), so the per-dir sums are exact."""
+        if manifest.get("eq"):
+            # How many base rows an equality-delete file kills per dir
+            # is unknowable without reading data (it deletes by KEY);
+            # fall back to the counting scan.
+            return None
         stats = manifest.get("stats", {})
         total = 0
         for d in manifest["dirs"]:
@@ -3578,7 +3838,9 @@ class TransactionalTable:
         if version < 1 or version not in self.versions():
             raise ValueError(f"version {version} does not exist")
         manifest = self._manifest(version)
-        if manifest.get("dv"):
+        if manifest.get("dv") or manifest.get("eq"):
+            # Merge-on-read deletes may have removed the extreme rows;
+            # recorded stats are only an outer bound then.
             return None
         stats = manifest.get("stats", {})
         lo = hi = None
@@ -3880,6 +4142,8 @@ class TransactionalTable:
             payload["stats"] = tm["stats"]
         if tm.get("dv"):
             payload["dv"] = tm["dv"]
+        if tm.get("eq"):
+            payload["eq"] = tm["eq"]
         return self._publish_manifest(payload, cur + 1, [])
 
     # -- branches & tags (write-audit-publish) --------------------------------
@@ -3942,9 +4206,11 @@ class TransactionalTable:
                 "replay the staged commits"
             )
         fm, hm = b._manifest(fork), b._manifest(head)
-        append_only = set(fm["dirs"]) <= set(hm["dirs"]) and fm.get(
-            "dv", {}
-        ) == hm.get("dv", {})
+        append_only = (
+            set(fm["dirs"]) <= set(hm["dirs"])
+            and fm.get("dv", {}) == hm.get("dv", {})
+            and fm.get("eq", {}) == hm.get("eq", {})
+        )
         payload = {
             **hm,
             "version": cur + 1,
@@ -4053,6 +4319,11 @@ class TransactionalTable:
             payload["dv"] = {
                 _abs(d): [_abs(n) for n in names]
                 for d, names in m["dv"].items()
+            }
+        if m.get("eq"):
+            payload["eq"] = {
+                _abs(d): [_abs(n) for n in names]
+                for d, names in m["eq"].items()
             }
         os.makedirs(dest.path, exist_ok=True)
         dest._publish_manifest(payload, 1, [])
@@ -4214,8 +4485,9 @@ class TransactionalTable:
                                 continue  # racing drop_branch
                             _ref_cache[full] = m
                         ldirs.update(m["dirs"])
-                        for names in m.get("dv", {}).values():
-                            ldvs.update(names)
+                        for aux in ("dv", "eq"):
+                            for names in m.get(aux, {}).values():
+                                ldvs.update(names)
             tags_root = os.path.join(self.path, "_tags")
             if os.path.isdir(tags_root):
                 for tn in os.listdir(tags_root):
@@ -4249,7 +4521,10 @@ class TransactionalTable:
             return mcache[v]
 
         for name in sorted(os.listdir(self.path)):
-            is_dv = name.startswith("dv-")
+            # Equality-delete files share the vectors' lifecycle: live
+            # while any kept manifest's eq map references them, aged
+            # out like a dead snapshot after rewrites drop references.
+            is_dv = name.startswith("dv-") or name.startswith("eq-")
             if not (name.startswith("snap-") or is_dv):
                 continue
             try:
@@ -4272,8 +4547,9 @@ class TransactionalTable:
             ):
                 m = _manifest_cached(v)
                 live_now.update(m["dirs"])
-                for names in m.get("dv", {}).values():
-                    live_dvs.update(names)
+                for aux in ("dv", "eq"):
+                    for names in m.get(aux, {}).values():
+                        live_dvs.update(names)
             if is_dv:
                 # A deletion vector is live while ANY kept manifest
                 # references it; compaction/rewrites drop references,

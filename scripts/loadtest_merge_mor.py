@@ -1,5 +1,5 @@
-"""Loadtest: merge-on-read vs copy-on-write MERGE and CDC write cost
-(round 12).
+"""Loadtest: equality-delete vs merge-on-read vs copy-on-write MERGE
+(and CDC) write cost (round 12).
 
 The claim merge_rows_mor exists for: an upsert batch touching a few
 rows per snapshot dir should cost O(update batch + matched positions)
@@ -99,7 +99,11 @@ def main() -> None:
         upd = updates_for(spark, n_rows)
         out = {"op": "merge", "rows": n_rows, "batch": upd.count(),
                "dirs": N_DIRS}
-        for label, method in (("mor", "merge_rows_mor"), ("cow", "merge_rows")):
+        for label, method in (
+            ("eq", "upsert_eq"),
+            ("mor", "merge_rows_mor"),
+            ("cow", "merge_rows"),
+        ):
             t = build(spark, n_rows)
             before = tree_bytes(t.path)
             t0 = time.perf_counter()
@@ -110,7 +114,12 @@ def main() -> None:
             out[f"{label}_read_rows"] = t.read(spark, v).count()
             out[f"{label}_read_sec"] = round(time.perf_counter() - t0, 3)
             shutil.rmtree(t.path, ignore_errors=True)
-        assert out["mor_read_rows"] == out["cow_read_rows"] == n_rows
+        assert (
+            out["eq_read_rows"]
+            == out["mor_read_rows"]
+            == out["cow_read_rows"]
+            == n_rows
+        )
         print(json.dumps(out), flush=True)
 
         # CDC twin (round 12): half tombstones, half upserts; the MOR

@@ -1691,6 +1691,126 @@ def test_stale_expected_version_after_vacuum_is_commit_conflict(
         t.commit(spark.range(9), mode="overwrite", expected_version=stale)
 
 
+def test_upsert_eq_matches_merge_and_scopes_to_registered_dirs(spark, tmp_path):
+    """Equality-delete upsert: same final table as merge_rows /
+    merge_rows_mor on the same fixture, with ZERO base reads at write
+    time — the batch's keys land in one eq- dir registered against the
+    stats-pruned may-match dirs, the batch appends as one snapshot.
+    The eq file must be SCOPED: it kills keys only in registered dirs,
+    never in the batch's own snapshot (re-inserted keys survive)."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    base = lambda a, b: spark.range(a, b).withColumn(  # noqa: E731
+        "val", F.col("id") * 10
+    )
+    t.commit(base(0, 10), stats_cols=["id"])
+    t.commit(base(10, 20), mode="append", stats_cols=["id"])
+    t.commit(base(20, 30), mode="append", stats_cols=["id"])
+    d1, d2, d3 = t._manifest(3)["dirs"]
+    updates = spark.createDataFrame(
+        [(12, -1), (14, -2), (31, -3)], "id bigint, val bigint"
+    )
+    v = t.upsert_eq(spark, updates, "id", stats_cols=["id"])
+    m = t._manifest(v)
+    assert m["dirs"][:3] == [d1, d2, d3] and len(m["dirs"]) == 4
+    assert m["meta"]["eq_keys"] == 3
+    assert m["meta"]["eq_target_dirs"] == 2  # [12, 31] ∩ {d2, d3}
+    assert m["meta"]["preserved_dirs"] == 1
+    eq = m["eq"]
+    assert set(eq) == {d2, d3} and eq[d2] == eq[d3]
+    snap = m["dirs"][3]
+    assert snap not in eq  # never registered against its own snapshot
+    got = {r["id"]: r["val"] for r in t.read(spark).collect()}
+    assert len(got) == 31
+    assert got[12] == -1 and got[14] == -2 and got[31] == -3
+    assert got[13] == 130 and got[0] == 0 and got[29] == 290
+    assert _ids(t.read(spark, 3)) == list(range(30))  # time travel
+    # Stacking: a second upsert of an already-upserted key must kill
+    # the FIRST upsert's snapshot row too (it registers against every
+    # dir of v, including the first snap).
+    v2 = t.upsert_eq(
+        spark,
+        spark.createDataFrame([(12, -100)], "id bigint, val bigint"),
+        "id",
+        stats_cols=["id"],
+    )
+    got = {r["id"]: r["val"] for r in t.read(spark).collect()}
+    assert len(got) == 31 and got[12] == -100 and got[14] == -2
+    assert snap in t._manifest(v2)["eq"]  # first snap now targeted
+    # Composes with position vectors; compaction materializes both.
+    t.delete_where_dv(spark, "id", lo=0, hi=1)
+    got = {r["id"]: r["val"] for r in t.read(spark).collect()}
+    assert len(got) == 29 and 0 not in got and got[12] == -100
+    vc = t.compact(spark, stats_cols=["id"])
+    mc = t._manifest(vc)
+    assert "eq" not in mc and "dv" not in mc and len(mc["dirs"]) == 1
+    assert {r["id"]: r["val"] for r in t.read(spark).collect()} == got
+
+
+def test_upsert_eq_guards_degenerates_and_lifecycle(spark, tmp_path):
+    """NULL/duplicate keys and thin batches raise; empty batch is a
+    metadata-only version; empty table = initial commit; the change
+    feed refuses eq-bearing versions; fast row counts fall back; diff
+    treats an eq change as a changed dir; vacuum keeps referenced eq
+    dirs and reclaims them after compaction."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(10).withColumn("val", F.col("id")), stats_cols=["id"])
+    nulls = (
+        spark.range(2)
+        .withColumn("id", F.lit(None).cast("bigint"))
+        .withColumn("val", F.lit(0).cast("bigint"))
+    )
+    with pytest.raises(ValueError, match="NULL 'id'"):
+        t.upsert_eq(spark, nulls, "id")
+    dups = spark.createDataFrame([(1, 0), (1, 1)], "id bigint, val bigint")
+    with pytest.raises(ValueError, match="duplicate 'id'"):
+        t.upsert_eq(spark, dups, "id")
+    thin = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(ValueError, match="missing table column"):
+        t.upsert_eq(spark, thin, "id")
+    dirs_before = t._manifest(1)["dirs"]
+    v = t.upsert_eq(spark, t.read(spark).limit(0), "id")
+    m = t._manifest(v)
+    assert m["dirs"] == dirs_before and "eq" not in m
+    assert m["meta"]["eq_keys"] == 0
+    e = TransactionalTable(str(tmp_path / "e"))
+    assert e.upsert_eq(spark, spark.range(5), "id", stats_cols=["id"]) == 1
+    assert _ids(e.read(spark)) == list(range(5))
+    # Real upsert: change feed refuses, fast count falls back, diff
+    # sees the targeted dir as changed.
+    v = t.upsert_eq(
+        spark,
+        spark.createDataFrame([(2, -2)], "id bigint, val bigint"),
+        "id",
+        stats_cols=["id"],
+    )
+    with pytest.raises(ValueError, match="change feed"):
+        t.change_dirs(1, v)
+    assert t._fast_count_m(t._manifest(v)) is None
+    assert t.read(spark, v).count() == 10
+    old_only, new_only, common = t.diff_dirs(2, v)
+    assert old_only == 1 and new_only == 2 and common == 0
+    d = t.diff(spark, 2, v)
+    changes = {(r["id"], r["val"], r["_change"]) for r in d.collect()}
+    assert (2, -2, "added") in changes and (2, 2, "removed") in changes
+    # Vacuum: the referenced eq dir survives; after compaction it ages
+    # out with the old versions.
+    t.vacuum(keep_versions=1, grace_seconds=0)
+    assert len(glob.glob(os.path.join(t.path, "eq-*"))) == 1
+    assert t.read(spark).count() == 10
+    t.compact(spark, stats_cols=["id"])
+    t.vacuum(keep_versions=1, grace_seconds=0)
+    assert glob.glob(os.path.join(t.path, "eq-*")) == []
+    got = {r["id"]: r["val"] for r in t.read(spark).collect()}
+    assert got[2] == -2 and len(got) == 10
+
+
 def test_apply_cdc_tombstones_and_upserts_in_one_pass(spark, tmp_path):
     from pyspark.sql import functions as F
 
