@@ -139,6 +139,7 @@ HEADLINE = [
     "q_table_merge_mor",   # merge-on-read MERGE (position vectors + append)
     "q_table_cdc_mor",     # merge-on-read CDC apply (shared MOR path)
     "q_table_merge_eq",    # equality-delete upsert (O(batch), zero base reads)
+    "q_table_delete_eq",   # equality delete by key set (same tier)
     "q_table_bloom_skip",  # bloom point-lookup skipping (unclustered keys)
     "q_table_changes",     # append-only change feed (incremental consumer)
     "q_table_cluster",     # range-clustered compaction repairs skipping
@@ -240,7 +241,11 @@ SECONDARY_FAMILIES = {
     # stats-pruning variants over the same manifest machinery
     "table_skipping": ["q_table_skipping", "q_table_skipping_multi"],
     # copy-on-write vs merge-on-read of the same ranged delete
-    "table_delete": ["q_table_delete", "q_table_delete_dv"],
+    "table_delete": [
+        "q_table_delete",
+        "q_table_delete_dv",
+        "q_table_delete_eq",
+    ],
     # copy-on-write vs merge-on-read of the same latest-wins upsert
     "table_merge": [
         "q_table_merge",

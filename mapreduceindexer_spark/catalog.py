@@ -11776,6 +11776,71 @@ def q_table_delete_dv(spark, sf_dir):
 
 
 @register(
+    "q_table_delete_eq",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(*) // 3 AS BIGINT) AS b1,
+                         CAST((2 * count(*)) // 3 AS BIGINT) AS b2
+                  FROM documents),
+            sl AS (SELECT CAST(0 AS BIGINT) AS lo, b1 - 1 AS hi FROM b
+                   UNION ALL SELECT b1, b2 - 1 FROM b
+                   UNION ALL SELECT b2, n - 1 FROM b),
+            p AS (SELECT b1 // 2 AS plo, b1 - 1 AS phi FROM b)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents, p
+               WHERE doc_id BETWEEN p.plo AND p.phi) AS eq_keys,
+              (SELECT CAST(count(*) AS BIGINT) FROM sl, p
+               WHERE sl.lo <= p.phi AND sl.hi >= p.plo) AS eq_target_dirs,
+              CAST(3 AS BIGINT) AS n_dirs,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents, p
+               WHERE doc_id NOT BETWEEN p.plo AND p.phi) AS n_docs,
+              (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents, p
+               WHERE doc_id NOT BETWEEN p.plo AND p.phi) AS total_chars,
+              (SELECT n FROM b) AS n_docs_pre""",
+)
+def q_table_delete_eq(spark, sf_dir):
+    """EQUALITY DELETE by key set (sources/transact.py::delete_eq,
+    round 12) — the delete family's third write shape beside the
+    copy-on-write rewrite (q_table_delete) and the position vector
+    (q_table_delete_dv): the SAME erased key set as the DV variant,
+    but expressed as an explicit key batch whose distinct keys land as
+    one self-describing eq- file registered against the stats-pruned
+    may-match dir — O(batch) erasure with ZERO base reads (the vector
+    path still scans the may-match dir to resolve positions, and only
+    expresses ranges). The manifest still lists the same 3 dirs; the
+    read replays the scoped key anti-join; the oracle replays the key
+    count, the interval-arithmetic target decision, and the survivors
+    as NOT BETWEEN — identical final relation to q_table_delete_dv.
+    Reference has no table/DML layer (src/functions.cpp:146-162)."""
+    import shutil
+
+    docs, table, n, b1, b2 = _three_slice_table(spark, sf_dir, "mri_txn_deq_")
+    plo, phi = b1 // 2, b1 - 1
+    keys = docs.filter(
+        (F.col("doc_id") >= plo) & (F.col("doc_id") <= phi)
+    ).select("doc_id")
+    v = table.delete_eq(spark, keys, "doc_id")
+    meta = table.meta_of(v)
+    pre = table.read(spark, v - 1).count()
+    out = (
+        table.read(spark, v)
+        .agg(
+            F.lit(meta["eq_keys"]).cast("bigint").alias("eq_keys"),
+            F.lit(meta["eq_target_dirs"])
+            .cast("bigint")
+            .alias("eq_target_dirs"),
+            F.lit(len(table._manifest(v)["dirs"]))
+            .cast("bigint")
+            .alias("n_dirs"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.lit(pre).cast("bigint").alias("n_docs_pre"),
+        )
+        .localCheckpoint()  # materialize before the table files vanish
+    )
+    shutil.rmtree(table.path, ignore_errors=True)
+    return out
+
+
+@register(
     "q_table_maintenance",
     """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
             dv AS (SELECT CAST(count(*) AS BIGINT) AS r

@@ -1904,6 +1904,89 @@ class TransactionalTable:
             payload["eq"] = eq_map
         return self._publish_manifest(payload, new_version, cleanup)
 
+    def delete_eq(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        key: str,
+    ) -> int:
+        """EQUALITY DELETE by key set — the erasure half of the
+        ``upsert_eq`` tier (a Flink-style CDC writer emits exactly
+        this for tombstones): the batch's distinct keys land as ONE
+        self-describing ``eq-`` file registered against the
+        stats-pruned may-match dirs, nothing else is written or read —
+        O(batch) erasure with ZERO base reads, where
+        ``delete_where_dv`` still scans may-match dirs to resolve
+        positions (and only expresses RANGES). A key absent from the
+        table deletes nothing (set semantics); duplicate batch keys
+        collapse. Same read/compaction/vacuum/maintenance lifecycle as
+        every eq file (``_read_dirs`` scoping, MOR debt, map-
+        referenced liveness)."""
+        from pyspark.sql import functions as F
+
+        keys = keys.select(F.col(key)).localCheckpoint(eager=True)
+        bounds = keys.agg(
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+            F.count("*").alias("n"),
+            F.count(key).alias("n_keyed"),
+            F.count_distinct(key).alias("n_keys"),
+        ).collect()[0]
+        if bounds["n_keyed"] < bounds["n"]:
+            raise ValueError(
+                f"delete_eq batch has {bounds['n'] - bounds['n_keyed']} "
+                f"NULL {key!r} rows; a NULL key matches nothing"
+            )
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError(
+                "nothing to delete: table has no committed version"
+            )
+        manifest = self._manifest(cur)
+        lo, hi = bounds["lo"], bounds["hi"]
+        if lo is None:
+            may_match: list[str] = []
+            preserved = list(manifest["dirs"])
+        else:
+            may_match, preserved = self.pruned_dirs(key, lo, hi, cur)
+        new_version = cur + 1
+        dv_map = _carry_dv(manifest, manifest["dirs"])
+        eq_map = _carry_eq(manifest, manifest["dirs"])
+        cleanup: list[str] = []
+        if may_match:
+            eqdir = os.path.join(self.path, f"eq-{uuid.uuid4().hex[:12]}")
+            keys.distinct().coalesce(1).write.mode("error").parquet(eqdir)
+            fsync_tree(eqdir)
+            fsync_path(self.path)
+            cleanup.append(eqdir)
+            name = os.path.basename(eqdir)
+            for d in may_match:
+                eq_map.setdefault(d, []).append(name)
+        payload = {
+            "version": new_version,
+            "mode": "delete_eq",
+            **(
+                {"schema": manifest["schema"]}
+                if manifest.get("schema") is not None
+                else {}
+            ),
+            **_carried_props(manifest),
+            "dirs": list(manifest["dirs"]),
+            "meta": {
+                "deleted_from": cur,
+                "eq_keys": int(bounds["n_keys"] or 0),
+                "eq_target_dirs": len(may_match),
+                "preserved_dirs": len(preserved),
+            },
+        }
+        if manifest.get("stats"):
+            payload["stats"] = dict(manifest["stats"])
+        if dv_map:
+            payload["dv"] = dv_map
+        if eq_map:
+            payload["eq"] = eq_map
+        return self._publish_manifest(payload, new_version, cleanup)
+
     def _mor_apply(
         self,
         spark: SparkSession,

@@ -1811,6 +1811,43 @@ def test_upsert_eq_guards_degenerates_and_lifecycle(spark, tmp_path):
     assert got[2] == -2 and len(got) == 10
 
 
+def test_delete_eq_matches_dv_delete_and_guards(spark, tmp_path):
+    """Equality delete by key set: same survivors as the DV range
+    delete over the same keys, zero base reads (no snapshot written,
+    dirs unchanged); NULL keys raise, duplicates collapse, absent keys
+    are no-ops, empty batch is metadata-only, empty table raises."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 20).withColumn("v", F.col("id"))
+    t = TransactionalTable(str(tmp_path / "eq"))
+    t.commit(base, stats_cols=["id"])
+    d = TransactionalTable(str(tmp_path / "dv"))
+    d.commit(base, stats_cols=["id"])
+    keys = spark.createDataFrame(
+        [(5,), (5,), (6,), (7,), (99,)], "id bigint"  # dup + absent key
+    )
+    v = t.delete_eq(spark, keys, "id")
+    m = t._manifest(v)
+    assert m["meta"]["eq_keys"] == 4  # distinct batch keys
+    assert m["dirs"] == t._manifest(1)["dirs"]  # nothing rewritten
+    d.delete_where_dv(spark, "id", lo=5, hi=7)
+    assert sorted(_ids(t.read(spark))) == sorted(_ids(d.read(spark)))
+    assert t.read(spark, 1).count() == 20  # time travel
+    with pytest.raises(ValueError, match="NULL 'id'"):
+        t.delete_eq(
+            spark,
+            spark.range(1).withColumn("id", F.lit(None).cast("bigint")),
+            "id",
+        )
+    v2 = t.delete_eq(spark, t.read(spark).select("id").limit(0), "id")
+    m2 = t._manifest(v2)
+    assert m2["meta"]["eq_keys"] == 0 and m2["eq"] == m["eq"]
+    with pytest.raises(ValueError, match="no committed version"):
+        TransactionalTable(str(tmp_path / "empty")).delete_eq(
+            spark, keys, "id"
+        )
+
+
 def test_apply_cdc_tombstones_and_upserts_in_one_pass(spark, tmp_path):
     from pyspark.sql import functions as F
 
