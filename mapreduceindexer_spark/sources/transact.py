@@ -1711,7 +1711,10 @@ class TransactionalTable:
         prune, so untouched snapshots are not even scanned for
         matches. Rows a PRIOR vector already deleted are excluded from
         the new vector (``dv_rows`` in the commit meta is the exact
-        newly-dead count). Old versions stay time-travelable;
+        newly-dead count on tables without equality deletes; eq-dead
+        rows are not position-resolved, so on a table that mixes both
+        mechanisms dv_rows — and the maintenance debt metric — is an
+        upper bound). Old versions stay time-travelable;
         optimistic concurrency via the manifest CAS as everywhere."""
         from pyspark.sql import functions as F
 
@@ -1864,10 +1867,13 @@ class TransactionalTable:
                     self.path, f"eq-{uuid.uuid4().hex[:12]}"
                 )
                 # One file per eq set, like the vectors: bounded by
-                # the batch's distinct keys, never table size.
-                inserts.select(F.col(key)).distinct().coalesce(
-                    1
-                ).write.mode("error").parquet(eqdir)
+                # the batch's keys, never table size. No distinct —
+                # the batch was just validated unique-per-key, and a
+                # redundant shuffle has no place on the O(batch) hot
+                # path (r12 second review).
+                inserts.select(F.col(key)).coalesce(1).write.mode(
+                    "error"
+                ).parquet(eqdir)
                 fsync_tree(eqdir)
                 fsync_path(self.path)
                 cleanup.append(eqdir)
@@ -1943,6 +1949,17 @@ class TransactionalTable:
                 "nothing to delete: table has no committed version"
             )
         manifest = self._manifest(cur)
+        sj = manifest.get("schema")
+        if sj is not None and key not in {f["name"] for f in sj["fields"]}:
+            # A typo'd key would otherwise publish a poison version:
+            # the eq file comes from the KEYS df (which has the
+            # column), so the write succeeds and every later read
+            # throws UNRESOLVED_COLUMN in the anti-join — with compact
+            # unable to repair it because it reads the same path
+            # (r12 second review). Fail at write time instead.
+            raise ValueError(
+                f"delete_eq key {key!r} is not a table column"
+            )
         lo, hi = bounds["lo"], bounds["hi"]
         if lo is None:
             may_match: list[str] = []
@@ -1965,20 +1982,34 @@ class TransactionalTable:
         payload = {
             "version": new_version,
             "mode": "delete_eq",
-            **(
-                {"schema": manifest["schema"]}
-                if manifest.get("schema") is not None
-                else {}
-            ),
+            **({"schema": sj} if sj is not None else {}),
             **_carried_props(manifest),
             "dirs": list(manifest["dirs"]),
             "meta": {
+                # An equality delete never disturbs the partitioned
+                # layout (dirs are carried verbatim), so the layout
+                # metadata must travel — dropping it would wedge every
+                # partition-aware op on the table (r12 second review;
+                # same carry as delete_where_dv, plus the transform).
+                **(
+                    {
+                        k: manifest["meta"][k]
+                        for k in (
+                            "partitioned_by",
+                            "partition_transform",
+                        )
+                        if manifest.get("meta", {}).get(k)
+                    }
+                ),
                 "deleted_from": cur,
                 "eq_keys": int(bounds["n_keys"] or 0),
                 "eq_target_dirs": len(may_match),
                 "preserved_dirs": len(preserved),
             },
         }
+        if manifest.get("specs"):
+            payload["specs"] = manifest["specs"]
+            payload["dir_spec"] = manifest["dir_spec"]
         if manifest.get("stats"):
             payload["stats"] = dict(manifest["stats"])
         if dv_map:
@@ -3779,7 +3810,12 @@ class TransactionalTable:
         # Equality-delete files carry the same merge-on-read debt
         # semantics (each row is a deleted key — an upper bound on dead
         # base rows per registered dir), so they feed the same
-        # compaction trigger; like vectors, each file counts once.
+        # compaction trigger; like vectors, each file counts once. On
+        # a table mixing both mechanisms the same dead row can be
+        # counted in an eq file AND a later vector (position scans
+        # don't resolve eq-dead rows), so the debt metric is an upper
+        # bound there — conservative in the safe direction (compaction
+        # triggers earlier, never later).
         for aux in ("dv", "eq"):
             for names in m.get(aux, {}).values():
                 for name in names:

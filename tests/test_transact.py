@@ -1848,6 +1848,47 @@ def test_delete_eq_matches_dv_delete_and_guards(spark, tmp_path):
         )
 
 
+def test_delete_eq_carries_partition_layout_and_validates_key(spark, tmp_path):
+    """r12 second review: an equality delete changes no dirs, so the
+    partitioned layout metadata must travel with the new version
+    (dropping it wedges every partition-aware op), and a typo'd key
+    must fail at WRITE time — deferring it poisons every later read
+    with an unresolvable anti-join column."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(0, 20).withColumn("part", F.col("id") % 4).withColumn(
+        "v", F.col("id")
+    )
+    t.commit_partitioned(spark, df, "part", stats_cols=["id"])
+    with pytest.raises(ValueError, match="not a table column"):
+        t.delete_eq(
+            spark, spark.range(2).select(F.col("id").alias("idd")), "idd"
+        )
+    v = t.delete_eq(
+        spark, spark.createDataFrame([(3,), (7,)], "id bigint"), "id"
+    )
+    m = t._manifest(v)
+    assert m["meta"]["partitioned_by"] == "part"
+    assert sorted(_ids(t.read(spark))) == [
+        i for i in range(20) if i not in (3, 7)
+    ]
+    # The partition-aware ops still work across the eq version.
+    v2 = t.replace_partitions(
+        spark,
+        spark.createDataFrame(
+            [(100, 1, 100)], "id bigint, part bigint, v bigint"
+        ),
+        [1],
+        stats_cols=["id"],
+    )
+    got = sorted(_ids(t.read(spark, v2)))
+    assert 100 in got and 3 not in got
+    assert [i for i in got if i < 20] == [
+        i for i in range(20) if i % 4 != 1 and i not in (3, 7)
+    ]
+
+
 def test_apply_cdc_tombstones_and_upserts_in_one_pass(spark, tmp_path):
     from pyspark.sql import functions as F
 
