@@ -416,10 +416,12 @@ def _snapshot_entry(
     stats_cols,
     bloom_cols,
 ) -> dict:
-    """The manifest stats entry of one freshly written snapshot dir —
-    ONE shared read of the new dir feeding both the min/max aggregate
-    and the bloom position jobs (review finding: reading the snapshot
-    separately per stats kind doubled commit-path scans)."""
+    """The manifest stats entry of one EXISTING snapshot dir (stats
+    backfill — ``analyze``): ONE shared read of the dir feeding both
+    the min/max aggregate and the bloom position jobs (review finding:
+    reading the snapshot separately per stats kind doubled commit-path
+    scans). Fresh writes use ``_write_snap_with_stats`` instead, which
+    observes the same numbers during the write itself."""
     entry: dict = {}
     if stats_cols or bloom_cols:
         snap_df = spark.read.parquet(snap_dir)
@@ -427,6 +429,63 @@ def _snapshot_entry(
             entry.update(_snapshot_stats(snap_df, list(stats_cols)))
         if bloom_cols:
             entry["bloom"] = _snapshot_bloom(snap_df, list(bloom_cols))
+    return entry
+
+
+def _write_snap_with_stats(
+    df: DataFrame,
+    snap: str,
+    table_path: str,
+    stats_cols,
+    bloom_cols,
+) -> dict:
+    """Write ``df`` as snapshot dir ``snap`` and return its manifest
+    stats entry, computing (rows, per-column min/max) DURING the write
+    via an ``Observation`` — the single-pass commit (optimization
+    round 12, guide §1.2 "remove passes"): previously every
+    stats-bearing write re-read the snapshot it had just written to
+    aggregate the same numbers, a second full scan of every appended
+    byte (at 100 TB an extra read pass per ingest batch). Observed
+    metrics are computed from exactly the rows the write action
+    persists, so the stats are identical to the read-back's — pinned by
+    tests/test_transact.py::test_commit_stats_match_readback.
+
+    Bloom bitmaps still read the written dir: their per-column
+    DISTINCT-position aggregate is not expressible as an observed
+    metric (observe forbids distinct aggregates) — but that read
+    happens only when ``bloom_cols`` were requested, and it remains
+    the single shared read ``_snapshot_entry`` always did.
+
+    Also owns the durability barrier (fsync of the tree, then of the
+    table root so the ``snap-*`` directory ENTRY survives power loss
+    before any manifest references it)."""
+    entry: dict = {}
+    to_write = df
+    obs = None
+    if stats_cols:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        to_write = df.observe(obs, *aggs)
+    to_write.write.mode("error").parquet(snap)
+    fsync_tree(snap)
+    fsync_path(table_path)
+    if obs is not None:
+        row = obs.get
+        entry = {
+            "rows": row["_rows"],
+            "cols": {
+                c: [_json_stat(row[f"_min_{c}"]), _json_stat(row[f"_max_{c}"])]
+                for c in stats_cols
+            },
+        }
+    if bloom_cols:
+        snap_df = df.sparkSession.read.parquet(snap)
+        entry["bloom"] = _snapshot_bloom(snap_df, list(bloom_cols))
     return entry
 
 
@@ -604,15 +663,12 @@ class TransactionalTable:
                 )
 
         snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
-        df.write.mode("error").parquet(snap)
-        fsync_tree(snap)
-        # The snap-* directory ENTRY lives in the table root: without
-        # this fsync a power loss could keep the manifest (synced below)
-        # while dropping the directory it references.
-        fsync_path(self.path)
-
+        # Write + stats in ONE pass (observed metrics); the helper also
+        # fsyncs the tree and the table root — without the root fsync a
+        # power loss could keep the manifest (synced below) while
+        # dropping the directory it references.
         stats: dict[str, dict] = {}
-        entry = _snapshot_entry(df.sparkSession, snap, stats_cols, bloom_cols)
+        entry = _write_snap_with_stats(df, snap, self.path, stats_cols, bloom_cols)
         if entry:
             stats[os.path.basename(snap)] = entry
 
@@ -1371,12 +1427,11 @@ class TransactionalTable:
                 spark, manifest, may_match
             ).filter(F.col(col).isNull() | ~matched)
             snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
-            survivors.write.mode("error").parquet(snap)
-            fsync_tree(snap)
-            fsync_path(self.path)
+            entry = _write_snap_with_stats(
+                survivors, snap, self.path, stats_cols, bloom_cols
+            )
             cleanup.append(snap)
             dirs = dirs + [os.path.basename(snap)]
-            entry = _snapshot_entry(spark, snap, stats_cols, bloom_cols)
             if entry:
                 stats[os.path.basename(snap)] = entry
         payload = {
@@ -1641,12 +1696,11 @@ class TransactionalTable:
                     updates.select(*survivors.columns)
                 )
             snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
-            new_rows.write.mode("error").parquet(snap)
-            fsync_tree(snap)
-            fsync_path(self.path)
+            entry = _write_snap_with_stats(
+                new_rows, snap, self.path, stats_cols, bloom_cols
+            )
             cleanup.append(snap)
             dirs = dirs + [os.path.basename(snap)]
-            entry = _snapshot_entry(spark, snap, stats_cols, bloom_cols)
             if entry:
                 stats[os.path.basename(snap)] = entry
         payload = {
@@ -1881,12 +1935,11 @@ class TransactionalTable:
                 for d in may_match:
                     eq_map.setdefault(d, []).append(name)
             snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
-            inserts.write.mode("error").parquet(snap)
-            fsync_tree(snap)
-            fsync_path(self.path)
+            entry = _write_snap_with_stats(
+                inserts, snap, self.path, stats_cols, bloom_cols
+            )
             cleanup.append(snap)
             dirs.append(os.path.basename(snap))
-            entry = _snapshot_entry(spark, snap, stats_cols, bloom_cols)
             if entry:
                 stats[os.path.basename(snap)] = entry
         payload = {
@@ -2145,12 +2198,11 @@ class TransactionalTable:
         stats = dict(manifest.get("stats", {}))
         if inserts is not None:
             snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
-            inserts.write.mode("error").parquet(snap)
-            fsync_tree(snap)
-            fsync_path(self.path)
+            entry = _write_snap_with_stats(
+                inserts, snap, self.path, stats_cols, bloom_cols
+            )
             cleanup.append(snap)
             dirs.append(os.path.basename(snap))
-            entry = _snapshot_entry(spark, snap, stats_cols, bloom_cols)
             if entry:
                 stats[os.path.basename(snap)] = entry
         payload = {
@@ -2291,12 +2343,11 @@ class TransactionalTable:
                 new_rows = live
             if new_rows is not None:
                 snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
-                new_rows.write.mode("error").parquet(snap)
-                fsync_tree(snap)
-                fsync_path(self.path)
+                entry = _write_snap_with_stats(
+                    new_rows, snap, self.path, stats_cols, bloom_cols
+                )
                 cleanup.append(snap)
                 dirs = dirs + [os.path.basename(snap)]
-                entry = _snapshot_entry(spark, snap, stats_cols, bloom_cols)
                 if entry:
                     stats[os.path.basename(snap)] = entry
         payload = {
@@ -2878,20 +2929,30 @@ class TransactionalTable:
         if part_col not in df.columns:
             raise ValueError(f"partition column {part_col!r} not in schema")
         key = self._transform_key_expr(part_col, kind, param)
-        b = df.agg(
+        # The lossy-key guard is OBSERVED during the write instead of
+        # paying its own full scan first (optimization round 12, guide
+        # §1.2): count(part_col) vs count(key) ride the write action as
+        # metrics. A violation is detected before the manifest ever
+        # references the dir — the freshly written snap is removed and
+        # the same ValueError raised, so no reader can observe the
+        # difference (pinned by the existing lossy-key tests).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
+        df.withColumn(self._PART, key).observe(
+            obs,
             F.count(part_col).alias("n_keyed"),
-            F.count(key).alias("n_cast"),
-        ).collect()[0]
+            F.count(self._PART).alias("n_cast"),
+        ).write.mode("error").partitionBy(self._PART).parquet(snap)
+        b = obs.get
         if b["n_cast"] < b["n_keyed"]:
+            shutil.rmtree(snap, ignore_errors=True)
             raise ValueError(
                 f"cannot partition on {kind}({part_col!r}): "
                 f"{b['n_keyed'] - b['n_cast']} values produce NULL keys "
                 "— a lossy key would scatter rows across sub-dirs"
             )
-        snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
-        df.withColumn(self._PART, key).write.mode("error").partitionBy(
-            self._PART
-        ).parquet(snap)
         fsync_tree(snap)
         fsync_path(self.path)
         base = os.path.basename(snap)
@@ -4003,22 +4064,31 @@ class TransactionalTable:
         spark = df.sparkSession
         scanned = 0
         for c in cols:
-            dup = (
+            # ONE aggregate answers both questions (optimization round
+            # 12, guide §1.2 — the dup check and the [min, max] probe
+            # bounds used to be two separate scans of the batch): the
+            # grouped key relation yields max(per-key count) for the
+            # duplicate test and min/max over the distinct keys, which
+            # equal min/max over all rows (min/max ignore multiplicity
+            # and NULLs alike).
+            b = (
                 df.filter(F.col(c).isNotNull())
                 .groupBy(c)
                 .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .count()
+                .agg(
+                    F.max("count").alias("mx"),
+                    F.min(c).alias("lo"),
+                    F.max(c).alias("hi"),
+                )
+                .collect()[0]
             )
-            if dup:
+            if (b["mx"] or 0) > 1:
                 raise ValueError(
                     f"batch violates UNIQUE({c}): duplicate keys inside "
                     "the batch"
                 )
             if prev_manifest is None:
                 continue  # overwrite: the batch IS the new table
-            b = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
             if b["lo"] is None:
                 continue  # all keys NULL: exempt
             kept, _ = self._range_prune(prev_manifest, c, b["lo"], b["hi"])

@@ -3022,3 +3022,50 @@ def test_concurrent_unique_writers_validate_against_cas_base(spark, tmp_path):
     ), results
     ids = [r["id"] for r in t.read(spark).collect()]
     assert len(ids) == len(set(ids)) == 40  # 10 seed + 3x10 disjoint
+
+
+def test_commit_stats_match_readback(spark, tmp_path):
+    """Single-pass commit stats (observed during the write) must equal
+    what a re-read of the written snapshot aggregates — the exactness
+    contract the optimization-round rewrite of the stats path rests on,
+    across numeric / string / timestamp columns, an append, and an
+    all-NULL stats column."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 3, "0")).alias(
+            "name"
+        ),
+        (
+            F.lit(dt.datetime(2024, 1, 1))
+            + F.make_interval(hours=F.col("id").cast("int"))
+        ).alias("ts"),
+        F.lit(None).cast("double").alias("hole"),
+    )
+    v1 = t.commit(df, stats_cols=["id", "name", "ts", "hole"])
+    t.commit(
+        df.filter("id >= 90"), mode="append", stats_cols=["id", "name", "ts"]
+    )
+
+    m = t._manifest(t.current_version())
+    for d, entry in m["stats"].items():
+        back = spark.read.parquet(os.path.join(t.path, d))
+        assert entry["rows"] == back.count()
+        for c, (lo, hi) in entry["cols"].items():
+            row = back.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+            norm = lambda v: v.isoformat() if hasattr(v, "isoformat") else v
+            assert lo == norm(row["lo"]) and hi == norm(row["hi"]), (d, c)
+    # The all-NULL column records [None, None], exactly as the read-back
+    # aggregate would.
+    v1_dir = t._manifest(v1)["dirs"][0]
+    assert m["stats"][v1_dir]["cols"]["hole"] == [None, None]
+    # Stats-driven pruning still works end to end on the observed stats:
+    # [95, 99] intersects both dirs; [101, 200] prunes both.
+    kept, skipped = t._range_prune(m, "id", 95, 99)
+    assert len(kept) == 2 and skipped == []
+    kept, skipped = t._range_prune(m, "id", 101, 200)
+    assert kept == [] and len(skipped) == 2
