@@ -3069,3 +3069,53 @@ def test_commit_stats_match_readback(spark, tmp_path):
     assert len(kept) == 2 and skipped == []
     kept, skipped = t._range_prune(m, "id", 101, 200)
     assert kept == [] and len(skipped) == 2
+
+
+def test_partitioned_write_clusters_one_file_per_subdir(spark, tmp_path):
+    """The pre-write hash distribution on the partition key (Iceberg's
+    write.distribution-mode=hash) must bound the fanout: each sub-dir
+    holds whole key groups instead of one sliver per input task, so a
+    32-task input no longer writes tasks x keys files."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(0, 1000).repartition(8).select(
+        F.col("id"), (F.col("id") % 5).alias("cell")
+    )
+    t.commit_partitioned(spark, df, "cell", stats_cols=["id"])
+    snap = [d for d in os.listdir(t.path) if d.startswith("snap-")][0]
+    for sub in os.listdir(os.path.join(t.path, snap)):
+        p = os.path.join(t.path, snap, sub)
+        if os.path.isdir(p):
+            parts = [f for f in os.listdir(p) if f.endswith(".parquet")]
+            assert len(parts) == 1, (sub, parts)
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(1000))
+
+
+def test_empty_batch_observed_stats_fallback(spark, tmp_path):
+    """AQE's empty-relation propagation can eliminate the CollectMetrics
+    node from a zero-row write; the stats/guard fallbacks must stay
+    exact (rows=0, all-None extents) instead of crashing or silently
+    skipping the lossy-key guard."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    base = spark.range(0, 30).select(
+        F.col("id"), (F.col("id") % 3).alias("cell")
+    )
+    t.commit_partitioned(spark, base, "cell", stats_cols=["id"])
+    # Pure partition delete: zero-row replacement batch through the
+    # partitioned write (the shape that loses its metrics under AQE).
+    empty = base.filter("id < 0").localCheckpoint(eager=True)
+    v = t.replace_partitions(spark, empty, [1], stats_cols=["id"])
+    got = sorted(r["id"] for r in t.read(spark, v).collect())
+    assert got == [i for i in range(30) if i % 3 != 1]
+    # Plain commit of an empty checkpointed batch with stats: entry is
+    # exact-empty, appended version still reads clean.
+    v2 = t.commit(empty.select("id", "cell"), mode="append", stats_cols=["id"])
+    m = t._manifest(v2)
+    new_dir = m["dirs"][-1]
+    e = m["stats"].get(new_dir)
+    if e is not None:  # zero-task writes may leave no readable part files
+        assert e["rows"] == 0 and e["cols"]["id"] == [None, None]
+    assert sorted(r["id"] for r in t.read(spark, v2).collect()) == got
