@@ -47,6 +47,7 @@ own schema — type changes raise).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 import shutil
@@ -56,6 +57,32 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from mapreduceindexer_spark.ioutil import fsync_path, fsync_tree
+
+_log = logging.getLogger(__name__)
+
+# Telemetry (optimization round 13): the observe-metrics fallback exists
+# for ONE expected case — AQE's empty-relation propagation removing the
+# CollectMetrics node from a zero-row write. A fallback firing on a
+# write that actually produced part files means the engine dropped the
+# single-pass stats for some OTHER reason, silently re-paying the
+# second full scan the round-12 optimization removed — count it so a
+# Spark upgrade can't quietly restore two-pass commits (the test suite
+# asserts this stays 0).
+OBS_FALLBACK_NONEMPTY = 0
+
+
+def _snap_parquet_files(snap: str) -> list[str]:
+    """Every data file a snapshot write left under ``snap`` (recursive —
+    partitioned snapshots nest one sub-dir per key). Empty means the
+    write ran zero tasks: parquet writes of one or more rows always
+    produce at least one part file, so no files proves a zero-row
+    snapshot without running a job."""
+    out: list[str] = []
+    for root, _dirs, files in os.walk(snap):
+        out.extend(
+            os.path.join(root, f) for f in files if f.endswith(".parquet")
+        )
+    return out
 
 
 class CommitConflict(Exception):
@@ -247,12 +274,19 @@ def _validate_constraints(
     row = df.agg(*aggs).collect()[0]
     bad = {name: row[name] for name in constraints if row[name] > 0}
     if bad:
-        raise ValueError(
-            f"{what} violates CHECK constraint(s) "
-            + ", ".join(
-                f"{n!r} ({c} rows): {constraints[n]}" for n, c in bad.items()
-            )
+        raise _constraint_error(bad, constraints, what)
+
+
+def _constraint_error(bad: dict, constraints: dict, what: str) -> ValueError:
+    """The CHECK-violation error — ONE message format whether the
+    violation was found by the pre-write batch scan or by the
+    violation counts observed on the write itself."""
+    return ValueError(
+        f"{what} violates CHECK constraint(s) "
+        + ", ".join(
+            f"{n!r} ({c} rows): {constraints[n]}" for n, c in bad.items()
         )
+    )
 
 
 def _carry_dv(manifest: dict, dirs) -> dict:
@@ -281,6 +315,107 @@ def _carry_eq(manifest: dict, dirs) -> dict:
     }
 
 
+def _footer_subdir_stats(snap: str, part_name: str, cols: list) -> dict | None:
+    """Per-sub-dir (rows, min/max) manifest entries lifted STRAIGHT from
+    the parquet footers the write just produced — driver-side pyarrow,
+    ZERO Spark jobs (optimization round 13, guide §6: a production
+    writer never rescans bytes it just wrote to learn their stats).
+
+    Footer stats must be EXACT (manifest extents surface in declared
+    query results via ``fast_minmax``, not just in pruning decisions),
+    so the fast path is gated to types whose chunk statistics
+    parquet-mr writes exactly-or-not-at-all, verified empirically and
+    pinned by tests/test_transact.py::test_grouped_footer_stats_*:
+
+    - INT32/INT64 with logical NONE / signed INT / DATE, and BOOLEAN:
+      always exact;
+    - BYTE_ARRAY String: exact when present (parquet-mr DROPS binary
+      chunk stats above its 4 KB cap rather than truncating them — and
+      a defensive length guard below refuses anything near that cap, so
+      a writer that truncates with a different default can never leak a
+      truncated bound into the manifest);
+    - everything else (FLOAT/DOUBLE: NaN and signed-zero ordering;
+      INT96 timestamps: no stats at all; decimals): not eligible.
+
+    Returns {"<part>=<v>": entry} or None when ANY column of ANY file
+    is not provably exact — the caller then falls back to the grouped
+    Spark aggregate, which is always exact."""
+    import pyarrow.parquet as pq
+
+    _SAFE_INT_LOGICAL = {"NONE", "DATE"}
+    _STRING_STAT_MAX_BYTES = 2048  # far under parquet-mr's 4 KB drop cap
+
+    prefix = f"{part_name}="
+    try:
+        subdirs = sorted(
+            d
+            for d in os.listdir(snap)
+            if d.startswith(prefix)
+            and os.path.isdir(os.path.join(snap, d))
+        )
+    except OSError:
+        return None
+    out: dict[str, dict] = {}
+    for d in subdirs:
+        rows = 0
+        lo: dict = {c: None for c in cols}
+        hi: dict = {c: None for c in cols}
+        files = sorted(
+            f
+            for f in os.listdir(os.path.join(snap, d))
+            if f.endswith(".parquet")
+        )
+        if not files:
+            return None  # a keyed sub-dir with no data files: bail out
+        for fname in files:
+            md = pq.ParquetFile(os.path.join(snap, d, fname)).metadata
+            rows += md.num_rows
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                chunks = {
+                    g.column(ci).path_in_schema: g.column(ci)
+                    for ci in range(g.num_columns)
+                }
+                for c in cols:
+                    ch = chunks.get(c)
+                    if ch is None:
+                        return None  # column absent from the file
+                    st = ch.statistics
+                    if st is None:
+                        return None  # writer recorded no stats
+                    if not st.has_min_max:
+                        if st.num_values == 0:
+                            continue  # all-NULL chunk contributes nothing
+                        return None  # stats dropped (e.g. oversized binary)
+                    phys = st.physical_type
+                    logical = getattr(st.logical_type, "type", "NONE")
+                    if phys in ("INT32", "INT64"):
+                        if logical not in _SAFE_INT_LOGICAL and not (
+                            logical == "INT"
+                            and getattr(st.logical_type, "is_signed", False)
+                        ):
+                            return None
+                    elif phys == "BYTE_ARRAY" and logical == "STRING":
+                        if (
+                            len(str(st.min).encode()) >= _STRING_STAT_MAX_BYTES
+                            or len(str(st.max).encode())
+                            >= _STRING_STAT_MAX_BYTES
+                        ):
+                            return None
+                    elif phys != "BOOLEAN":
+                        return None
+                    mn, mx = st.min, st.max
+                    if lo[c] is None or mn < lo[c]:
+                        lo[c] = mn
+                    if hi[c] is None or mx > hi[c]:
+                        hi[c] = mx
+        out[d] = {
+            "rows": rows,
+            "cols": {c: [_json_stat(lo[c]), _json_stat(hi[c])] for c in cols},
+        }
+    return out
+
+
 def _grouped_subdir_stats(
     spark: SparkSession,
     snap: str,
@@ -289,21 +424,22 @@ def _grouped_subdir_stats(
     bloom_cols,
 ) -> dict:
     """Per-sub-dir manifest stats of one PARTITIONED snapshot
-    (``{snap}/{part_name}={v}`` layout): (rows, min/max) and Bloom
-    bitmaps (with the column type, same soundness contract as
-    ``_snapshot_bloom``) computed in ONE grouped pass over the freshly
-    written snapshot — partition discovery restores the partition
-    column — never one read+agg job set per sub-dir (review finding,
-    round 7). Shared by ``compact_clustered``, ``commit_partitioned``
-    and ``replace_partitions``. Returns {"<base>/<part>=<v>": entry}."""
+    (``{snap}/{part_name}={v}`` layout): (rows, min/max) lifted from the
+    parquet footers just written (``_footer_subdir_stats`` — zero Spark
+    jobs; one grouped aggregate over the fresh snapshot as the exact
+    fallback for types footers cannot prove), and Bloom bitmaps (with
+    the column type, same soundness contract as ``_snapshot_bloom``)
+    in one grouped pass. Shared by ``compact_clustered``,
+    ``commit_partitioned`` and ``replace_partitions``.
+    Returns {"<base>/<part>=<v>": entry}."""
     from pyspark.sql import functions as F
 
     stats: dict[str, dict] = {}
     if not (stats_cols or bloom_cols):
         return stats
     base = os.path.basename(snap)
-    snap_df = spark.read.parquet(snap)
-    types = {f.name: f.dataType.simpleString() for f in snap_df.schema.fields}
+    snap_df = None
+    types: dict = {}
 
     def key_of(part_val) -> str:
         sub = (
@@ -312,6 +448,14 @@ def _grouped_subdir_stats(
         return f"{base}/{part_name}={sub}"
 
     if stats_cols:
+        footer = _footer_subdir_stats(snap, part_name, list(stats_cols))
+        if footer is not None:
+            for sub, entry in footer.items():
+                stats[f"{base}/{sub}"] = entry
+    else:
+        footer = None
+    if stats_cols and footer is None:
+        snap_df = spark.read.parquet(snap)
         aggs = [F.count("*").alias("_rows")]
         for c in stats_cols:
             aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
@@ -327,6 +471,10 @@ def _grouped_subdir_stats(
                 },
             }
     if bloom_cols:
+        snap_df = spark.read.parquet(snap) if snap_df is None else snap_df
+        types = {
+            f.name: f.dataType.simpleString() for f in snap_df.schema.fields
+        }
         from mapreduceindexer_spark.functions.hashing import hash60
 
         seeds = F.array([F.lit(i) for i in range(BLOOM_K)])
@@ -438,59 +586,89 @@ def _write_snap_with_stats(
     table_path: str,
     stats_cols,
     bloom_cols,
+    constraints: dict | None = None,
+    what: str = "write",
 ) -> dict:
     """Write ``df`` as snapshot dir ``snap`` and return its manifest
-    stats entry, computing (rows, per-column min/max) DURING the write
-    via an ``Observation`` — the single-pass commit (optimization
-    round 12, guide §1.2 "remove passes"): previously every
-    stats-bearing write re-read the snapshot it had just written to
-    aggregate the same numbers, a second full scan of every appended
-    byte (at 100 TB an extra read pass per ingest batch). Observed
-    metrics are computed from exactly the rows the write action
-    persists, so the stats are identical to the read-back's — pinned by
-    tests/test_transact.py::test_commit_stats_match_readback.
+    stats entry, computing EVERYTHING the commit needs during the write
+    itself via one ``Observation`` — the single-pass commit
+    (optimization rounds 12-13, guide §1.2 "remove passes"):
 
-    Bloom bitmaps still read the written dir: their per-column
-    DISTINCT-position aggregate is not expressible as an observed
-    metric (observe forbids distinct aggregates) — but that read
-    happens only when ``bloom_cols`` were requested, and it remains
-    the single shared read ``_snapshot_entry`` always did.
+    - (rows, per-column min/max) for data skipping (round 12);
+    - per-column Bloom bitmaps (round 13): the bitmap is an OR over the
+      k hash positions of every row, and OR is insensitive to
+      multiplicity, so hashing every row observes the IDENTICAL bitmap
+      the old distinct-value read-back computed — without re-reading a
+      byte (observe forbids distinct aggregates, but collect_set of the
+      bounded position domain, ≤ BLOOM_BITS ints per seed, is allowed);
+    - CHECK-violation counts (round 13): a violation is detected before
+      PUBLISH instead of before bytes land — the freshly written snap is
+      removed and the same ValueError raised, so no reader can observe
+      the difference (the lossy-key-guard contract, VERDICT r12 item 7).
+
+    Observed metrics are computed from exactly the rows the write action
+    persists — pinned by tests/test_transact.py::
+    test_commit_stats_match_readback (stats) and
+    test_commit_bloom_matches_readback (bitmaps).
 
     Also owns the durability barrier (fsync of the tree, then of the
     table root so the ``snap-*`` directory ENTRY survives power loss
     before any manifest references it)."""
-    entry: dict = {}
-    to_write = df
-    obs = None
-    if stats_cols:
-        from pyspark.sql import Observation
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        obs = Observation()
-        aggs = [F.count(F.lit(1)).alias("_rows")]
+    stats_cols = list(stats_cols or ())
+    bloom_cols = list(bloom_cols or ())
+    constraints = dict(constraints or {})
+    aggs = []
+    if stats_cols:
+        aggs.append(F.count(F.lit(1)).alias("_rows"))
         for c in stats_cols:
             aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    if bloom_cols:
+        from mapreduceindexer_spark.functions.hashing import hash60
+
+        for c in bloom_cols:
+            v = F.col(c).cast("string")
+            for i in range(BLOOM_K):
+                aggs.append(
+                    F.collect_set(hash60(v, F.lit(i)) % BLOOM_BITS).alias(
+                        f"_bloom_{c}_{i}"
+                    )
+                )
+    if constraints:
+        for name, expr in constraints.items():
+            aggs.append(
+                F.count(
+                    F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1)
+                ).alias(f"_viol_{name}")
+            )
+    obs = None
+    to_write = df
+    if aggs:
+        from pyspark.sql import Observation
+
+        obs = Observation()
         to_write = df.observe(obs, *aggs)
     to_write.write.mode("error").parquet(snap)
     fsync_tree(snap)
     fsync_path(table_path)
-    if obs is not None:
-        try:
-            row = obs.get
-        except Exception:
-            # AQE's empty-relation propagation can optimize the
-            # CollectMetrics node out of a zero-row write plan (the
-            # write then runs zero tasks and may leave no readable
-            # part files), and the Observation has no metrics row to
-            # return. Fall back to aggregating the source plan — in
-            # that case it is provably empty, so the aggregate is free
-            # and exact (rows=0, all-None extents), and on any other
-            # engine surprise it keeps stats exact instead of
-            # guessing.
-            entry = _snapshot_stats(df, list(stats_cols))
-            if bloom_cols:
-                entry["bloom"] = _snapshot_bloom(df, list(bloom_cols))
-            return entry
+    if obs is None:
+        return {}
+    try:
+        row = obs.get
+    except Exception as exc:
+        return _write_stats_fallback(
+            df, snap, stats_cols, bloom_cols, constraints, what, exc
+        )
+    if constraints:
+        bad = {
+            n: row[f"_viol_{n}"] for n in constraints if row[f"_viol_{n}"] > 0
+        }
+        if bad:
+            shutil.rmtree(snap, ignore_errors=True)
+            raise _constraint_error(bad, constraints, what)
+    entry: dict = {}
+    if stats_cols:
         entry = {
             "rows": row["_rows"],
             "cols": {
@@ -499,8 +677,83 @@ def _write_snap_with_stats(
             },
         }
     if bloom_cols:
-        snap_df = df.sparkSession.read.parquet(snap)
-        entry["bloom"] = _snapshot_bloom(snap_df, list(bloom_cols))
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        entry["bloom"] = {}
+        for c in bloom_cols:
+            bm = 0
+            for i in range(BLOOM_K):
+                for p in row[f"_bloom_{c}_{i}"] or ():
+                    bm |= 1 << p
+            entry["bloom"][c] = {
+                "k": BLOOM_K,
+                "bits": BLOOM_BITS,
+                "hex": format(bm, "x"),
+                "type": types.get(c),
+            }
+    return entry
+
+
+def _write_stats_fallback(
+    df: DataFrame,
+    snap: str,
+    stats_cols: list,
+    bloom_cols: list,
+    constraints: dict,
+    what: str,
+    exc: Exception,
+) -> dict:
+    """``obs.get`` raised after the snapshot write. The one EXPECTED
+    cause is AQE's empty-relation propagation optimizing the
+    CollectMetrics node out of a zero-row write plan — the write then
+    ran zero tasks and left no part files, which proves the snapshot is
+    empty, so the exact entry (rows=0, all-None extents, all-zero
+    bitmaps, zero violations) is synthesized with NO job at all.
+
+    On any other engine surprise the written files DO exist: aggregate
+    those exact bytes (never the source plan — a non-deterministic,
+    un-checkpointed lineage could re-evaluate differently from what was
+    persisted, r12 ADVICE) and count the occurrence so the suite can
+    assert the single-pass path never silently degrades."""
+    global OBS_FALLBACK_NONEMPTY
+    if not _snap_parquet_files(snap):
+        entry: dict = {}
+        if stats_cols:
+            entry = {"rows": 0, "cols": {c: [None, None] for c in stats_cols}}
+        if bloom_cols:
+            types = {
+                f.name: f.dataType.simpleString() for f in df.schema.fields
+            }
+            entry["bloom"] = {
+                c: {
+                    "k": BLOOM_K,
+                    "bits": BLOOM_BITS,
+                    "hex": "0",
+                    "type": types.get(c),
+                }
+                for c in bloom_cols
+            }
+        return entry
+    OBS_FALLBACK_NONEMPTY += 1
+    _log.warning(
+        "observed-metrics fallback on a NON-empty snapshot write (%s): "
+        "%s: %s — re-aggregating the written files; the single-pass "
+        "commit is degraded",
+        what,
+        type(exc).__name__,
+        exc,
+    )
+    snap_df = df.sparkSession.read.parquet(snap)
+    if constraints:
+        try:
+            _validate_constraints(snap_df, constraints, what)
+        except ValueError:
+            shutil.rmtree(snap, ignore_errors=True)
+            raise
+    entry = {}
+    if stats_cols:
+        entry = _snapshot_stats(snap_df, stats_cols)
+    if bloom_cols:
+        entry["bloom"] = _snapshot_bloom(snap_df, bloom_cols)
     return entry
 
 
@@ -657,6 +910,7 @@ class TransactionalTable:
         # gate the batch before any bytes land.
         props = _carried_props(cur_m)
         unique_probe_dirs = None
+        folded_constraints: dict = {}
         if validate:
             if props.get("unique"):
                 # Pin the batch BEFORE validating and writing: the
@@ -666,24 +920,56 @@ class TransactionalTable:
                 # then persist different, duplicate-carrying rows
                 # (the replace_partitions discipline).
                 df = df.localCheckpoint(eager=True)
-            _validate_constraints(
-                df,
-                props.get("constraints", {}),
-                f"commit to v{new_version}",
-                schema_json,
-            )
+            constraints = props.get("constraints", {})
+            if constraints:
+                # CHECK constraints ride the write as observed violation
+                # counts (optimization round 13, guide §1.2): one less
+                # scan of the batch per constrained commit. A violation
+                # is then detected before PUBLISH instead of before
+                # bytes land — the snap is removed and the identical
+                # ValueError raised, so no reader (and no caller that
+                # catches it) can observe the difference. The pre-write
+                # scan remains ONLY for add-only appends that omit a
+                # recorded column: the batch must be padded with typed
+                # NULLs before evaluation, and pad columns cannot ride a
+                # write without being persisted.
+                from pyspark.sql.types import StructType
+
+                have = set(df.columns)
+                needs_pads = any(
+                    f.name not in have
+                    for f in StructType.fromJson(schema_json).fields
+                )
+                if needs_pads:
+                    _validate_constraints(
+                        df,
+                        constraints,
+                        f"commit to v{new_version}",
+                        schema_json,
+                    )
+                else:
+                    folded_constraints = constraints
             if props.get("unique"):
                 unique_probe_dirs = self._validate_unique(
                     df, props["unique"], prev
                 )
 
         snap = os.path.join(self.path, f"snap-{uuid.uuid4().hex[:12]}")
-        # Write + stats in ONE pass (observed metrics); the helper also
-        # fsyncs the tree and the table root — without the root fsync a
-        # power loss could keep the manifest (synced below) while
-        # dropping the directory it references.
+        # Write + stats + blooms + constraint counts in ONE pass
+        # (observed metrics); the helper also fsyncs the tree and the
+        # table root — without the root fsync a power loss could keep
+        # the manifest (synced below) while dropping the directory it
+        # references.
         stats: dict[str, dict] = {}
-        entry = _write_snap_with_stats(df, snap, self.path, stats_cols, bloom_cols)
+        entry = _write_snap_with_stats(
+            df,
+            snap,
+            self.path,
+            stats_cols,
+            bloom_cols,
+            constraints=folded_constraints,
+            what=f"commit to v{new_version}",
+        )
         if entry:
             stats[os.path.basename(snap)] = entry
 
@@ -2974,17 +3260,42 @@ class TransactionalTable:
         ).parquet(snap)
         try:
             b = obs.get
-        except Exception:
+        except Exception as exc:
             # Zero-row batch under AQE: empty-relation propagation can
             # optimize the CollectMetrics node out of the write plan
-            # (replace_partitions' pure-delete shape). Re-aggregate the
-            # source — provably empty there, so the guard is exact and
-            # the aggregate free; never silently skip a correctness
-            # guard.
-            b = df.agg(
-                F.count(part_col).alias("n_keyed"),
-                F.count(key).alias("n_cast"),
-            ).collect()[0]
+            # (replace_partitions' pure-delete shape). The guard is
+            # re-checked against the WRITTEN BYTES, never the source
+            # plan (r12 ADVICE: an un-checkpointed non-deterministic
+            # lineage could pass a source re-check while the persisted
+            # files carry NULL-keyed rows): no part files proves the
+            # batch was empty; a violation means non-NULL source rows
+            # landed in the Hive default partition, so if that sub-dir
+            # does not exist the guard holds with zero jobs, and if it
+            # does, one narrow count of just that sub-dir is exact.
+            global OBS_FALLBACK_NONEMPTY
+            files = _snap_parquet_files(snap)
+            hive = os.path.join(
+                snap, f"{self._PART}=__HIVE_DEFAULT_PARTITION__"
+            )
+            if not files:
+                b = {"n_keyed": 0, "n_cast": 0}
+            else:
+                OBS_FALLBACK_NONEMPTY += 1
+                _log.warning(
+                    "lossy-key-guard fallback on a NON-empty partitioned "
+                    "write: %s: %s — re-checking the written files",
+                    type(exc).__name__,
+                    exc,
+                )
+                if not os.path.isdir(hive):
+                    b = {"n_keyed": 0, "n_cast": 0}
+                else:
+                    n_bad = (
+                        spark.read.parquet(hive)
+                        .where(F.col(part_col).isNotNull())
+                        .count()
+                    )
+                    b = {"n_keyed": n_bad, "n_cast": 0}
         if b["n_cast"] < b["n_keyed"]:
             shutil.rmtree(snap, ignore_errors=True)
             raise ValueError(

@@ -21,3 +21,18 @@ def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     spark = get_spark(app_name="mapreduceindexer_spark-tests", shuffle_partitions=8)
     yield spark
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _no_nonempty_observe_fallbacks():
+    """The observed-metrics fallback is expected ONLY for provably-empty
+    writes. A non-empty occurrence anywhere in the suite means the
+    engine silently degraded the single-pass commit back to two passes
+    (VERDICT r12 item 8) — fail the session so it cannot go unnoticed."""
+    yield
+    from mapreduceindexer_spark.sources import transact
+
+    assert transact.OBS_FALLBACK_NONEMPTY == 0, (
+        f"{transact.OBS_FALLBACK_NONEMPTY} non-empty observe fallback(s) "
+        "fired during the suite: the single-pass commit path is degraded"
+    )

@@ -3119,3 +3119,141 @@ def test_empty_batch_observed_stats_fallback(spark, tmp_path):
     if e is not None:  # zero-task writes may leave no readable part files
         assert e["rows"] == 0 and e["cols"]["id"] == [None, None]
     assert sorted(r["id"] for r in t.read(spark, v2).collect()) == got
+
+
+def test_commit_bloom_matches_readback(spark, tmp_path):
+    """Single-pass bloom bitmaps (observed during the write as
+    collect_set of hash positions) must equal what the old read-back
+    path computes over the written snapshot — OR over every row's
+    positions is the same bitmap as OR over the distinct values',
+    across an int key, a string key, NULLs, and an empty batch."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindexer_spark.sources.transact import _snapshot_bloom
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(0, 200).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 13).cast("string")))
+        .alias("tag"),
+    )
+    t.commit(df, bloom_cols=["id", "tag"])
+    m = t._manifest(t.current_version())
+    d = m["dirs"][0]
+    entry = m["stats"][d]["bloom"]
+    back = _snapshot_bloom(
+        spark.read.parquet(os.path.join(t.path, d)), ["id", "tag"]
+    )
+    assert entry == back
+    assert entry["id"]["type"] == "bigint" and entry["tag"]["type"] == "string"
+    # Empty appended batch: all-zero bitmap, exactly as the read-back
+    # would compute (and the commit survives the AQE metrics hazard).
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("id", LongType()), StructField("tag", StringType())])
+    ).localCheckpoint(eager=True)
+    v2 = t.commit(empty, mode="append", bloom_cols=["id"])
+    e2 = t._manifest(v2)["stats"].get(t._manifest(v2)["dirs"][-1])
+    if e2 is not None:
+        assert e2["bloom"]["id"]["hex"] == "0"
+
+
+def test_commit_constraint_folded_into_write(spark, tmp_path):
+    """CHECK validation rides the write as observed violation counts:
+    a violating commit raises the identical ValueError, publishes no
+    version, and leaves no orphan snap dir; a passing commit records
+    the same stats as ever."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(0, 50).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    t.commit(df, stats_cols=["id"])
+    t.add_constraint(spark, "v_nonneg", "v >= 0")
+    before_dirs = sorted(
+        d for d in os.listdir(t.path) if d.startswith("snap-")
+    )
+    v_before = t.current_version()
+    bad = spark.range(0, 10).select(
+        (F.col("id") + 1000).alias("id"), (F.col("id") - 5).alias("v")
+    )
+    with pytest.raises(ValueError, match="violates CHECK constraint"):
+        t.commit(bad, mode="append", stats_cols=["id"])
+    assert t.current_version() == v_before
+    after_dirs = sorted(d for d in os.listdir(t.path) if d.startswith("snap-"))
+    assert after_dirs == before_dirs  # violating snap was removed
+    # Passing append still records exact stats in the same single pass.
+    ok = spark.range(100, 120).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    v2 = t.commit(ok, mode="append", stats_cols=["id"])
+    m = t._manifest(v2)
+    assert m["stats"][m["dirs"][-1]]["cols"]["id"] == [100, 119]
+    # Add-only append omitting a recorded column still validates via the
+    # padded pre-write path (`v IS NOT NULL`-style constraints can fail
+    # on the omitted column).
+    t.add_constraint(spark, "v_present", "v IS NOT NULL")
+    with pytest.raises(ValueError, match="v_present"):
+        t.commit(
+            spark.range(200, 210).select("id"),
+            mode="append",
+            stats_cols=["id"],
+        )
+    assert t.current_version() == v2 + 1  # only add_constraint's bump
+
+
+def test_grouped_footer_stats_match_spark_agg(spark, tmp_path):
+    """Partitioned/clustered manifest stats now come from the parquet
+    footers of the files just written (zero Spark jobs); they must be
+    byte-identical to the grouped Spark aggregate across int and string
+    columns, NULLs, and every sub-dir."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("cell"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise(F.concat(F.lit("k"), F.lpad((F.col("id") % 17).cast("string"), 2, "0")))
+        .alias("name"),
+    )
+    t.commit_partitioned(spark, df, "cell", stats_cols=["id", "name"])
+    m = t._manifest(t.current_version())
+    assert len(m["stats"]) == 4
+    for d, entry in m["stats"].items():
+        back = spark.read.parquet(os.path.join(t.path, d))
+        assert entry["rows"] == back.count(), d
+        for c, (lo, hi) in entry["cols"].items():
+            row = back.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+            assert lo == row["lo"] and hi == row["hi"], (d, c)
+
+
+def test_grouped_footer_stats_fallback_exact(spark, tmp_path):
+    """Columns whose footer stats are not provably exact (timestamps,
+    doubles, oversized strings) must take the grouped-aggregate
+    fallback and still record the exact extents."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(0, 40).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("cell"),
+        (
+            F.lit(dt.datetime(2024, 6, 1))
+            + F.make_interval(hours=F.col("id").cast("int"))
+        ).alias("ts"),
+        (F.col("id") / 7.0).alias("score"),
+        F.concat(F.lit("x"), F.rpad((F.col("id") % 5).cast("string"), 3000, "y")).alias("blob"),
+    )
+    t.commit_partitioned(
+        spark, df, "cell", stats_cols=["id", "ts", "score", "blob"]
+    )
+    m = t._manifest(t.current_version())
+    norm = lambda v: v.isoformat() if hasattr(v, "isoformat") else v
+    for d, entry in m["stats"].items():
+        back = spark.read.parquet(os.path.join(t.path, d))
+        assert entry["rows"] == back.count(), d
+        for c, (lo, hi) in entry["cols"].items():
+            row = back.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+            assert lo == norm(row["lo"]) and hi == norm(row["hi"]), (d, c)
