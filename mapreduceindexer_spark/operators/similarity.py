@@ -1142,6 +1142,88 @@ def knn_graph(
     )
 
 
+def _enrich_with_cells(embeddings: DataFrame, cells: DataFrame) -> DataFrame:
+    """(vec_id, embedding, nrm, cell) — the ONE relation every branch of
+    a graph-index construction reads (L0 self-join sides, hub selection,
+    member stars, the final neighbor payload). Callers materialize it
+    ONCE (``localCheckpoint``) instead of staging the assignment and the
+    norm-enriched join separately — the r13 build-tier fix: each removed
+    checkpoint is one fewer sequential job locally and one fewer
+    cluster-wide pass at 100 TB, and every later branch that used to
+    re-scan the base embeddings (the payload join, the hub star) now
+    reads this bounded relation instead. ``nrm`` is the same
+    ``l2_norm(embedding)`` expression as ever, so every downstream
+    cosine is bit-identical."""
+    from mapreduceindexer_spark.functions.vector import l2_norm
+
+    return embeddings.join(cells, "vec_id").withColumn(
+        "nrm", l2_norm("embedding")
+    )
+
+
+def _knn_topk_enriched(e: DataFrame, k: int) -> DataFrame:
+    """Pairing + per-vector top-k over a MATERIALIZED enriched relation
+    ``e`` = (vec_id, embedding, nrm, cell): cell self-equi-join, round-6
+    cosine, WindowGroupLimit top-k. ``e`` must be eagerly materialized
+    (both sides of the self-join reference it, and Spark does not reuse
+    un-materialized subtrees across join branches — no ReusedExchange
+    fires here, verified on the executed plan; the multi-branch-staging
+    rule from PLANS.md round 4).
+
+    The in-cell join pairs each UNORDERED pair once (``vec_id <
+    nbr_id``) and a post-scoring ``explode`` emits both directions —
+    halving the dominant quadratic term, the per-pair interpreted dot
+    product (r13; guide §1.2 "don't compute things twice"). The emitted
+    cosine is bit-identical to scoring both directions independently:
+    IEEE-754 multiplication is commutative, so ``dot(a,b) == dot(b,a)``
+    element-by-element and ``nrm_a*nrm_b == nrm_b*nrm_a`` — the oracle
+    replays the same value either way (pinned by the edge-identity
+    tests and the recall contracts)."""
+    from mapreduceindexer_spark.functions.vector import dot
+
+    left = e.select(
+        "vec_id", F.col("embedding").alias("va"), F.col("nrm").alias("nrm_a"), "cell"
+    )
+    right = e.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
+        F.col("cell").alias("cell_b"),
+    )
+    half = (
+        left.join(
+            right,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("vec_id") < F.col("nbr_id")),
+        )
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.round(
+                dot("va", "vb") / (F.col("nrm_a") * F.col("nrm_b")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    both = F.explode(
+        F.array(
+            F.struct(F.col("vec_id").alias("a"), F.col("nbr_id").alias("b")),
+            F.struct(
+                F.col("nbr_id").alias("a"), F.col("vec_id").alias("b")
+            ),
+        )
+    )
+    scored = half.select(both.alias("p"), "cos_sim").select(
+        F.col("p.a").alias("vec_id"),
+        F.col("p.b").alias("nbr_id"),
+        "cos_sim",
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def _knn_topk_within_cells(
     embeddings: DataFrame, cells: DataFrame, k: int
 ) -> DataFrame:
@@ -1153,48 +1235,9 @@ def _knn_topk_within_cells(
     quadratic term): each candidate pair evaluates a single higher-order
     dot product, and ``sqrt`` of a per-vector aggregate is the same IEEE
     value whether computed per pair or per vector — the oracle replays
-    it bit-for-bit either way.
-
-    The (vector, cell, norm) relation is localCheckpointed: BOTH sides
-    of the self-join reference it, and Spark does not reuse
-    un-materialized subtrees across join branches (no ReusedExchange
-    fires here — verified on the executed plan), so without staging the
-    n x cells centroid assignment — the dominant LINEAR term at scale —
-    runs twice. The multi-branch-staging rule from PLANS.md round 4."""
-    from mapreduceindexer_spark.functions.vector import dot, l2_norm
-
-    e = (
-        embeddings.join(cells, "vec_id")
-        .withColumn("nrm", l2_norm("embedding"))
-        .localCheckpoint()
-    )
-    left = e.select(
-        "vec_id", F.col("embedding").alias("va"), F.col("nrm").alias("nrm_a"), "cell"
-    )
-    right = e.select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("embedding").alias("vb"),
-        F.col("nrm").alias("nrm_b"),
-        F.col("cell").alias("cell_b"),
-    )
-    scored = (
-        left.join(
-            right,
-            (F.col("cell") == F.col("cell_b"))
-            & (F.col("vec_id") != F.col("nbr_id")),
-        )
-        .select(
-            "vec_id",
-            "nbr_id",
-            F.round(
-                dot("va", "vb") / (F.col("nrm_a") * F.col("nrm_b")), 6
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= k)
+    it bit-for-bit either way."""
+    return _knn_topk_enriched(
+        _enrich_with_cells(embeddings, cells).localCheckpoint(), k
     )
 
 
@@ -1255,34 +1298,30 @@ def nsw_graph_edges(
     — build once, probe hops-many times, the graph-with-payload layout
     every graph-ANN store uses.
     """
-    from mapreduceindexer_spark.functions.vector import l2_norm
-
-    cells = ivf_assignments(embeddings, n_centroids).localCheckpoint()
-    knn = _knn_topk_within_cells(embeddings, cells, k_edges).select(
-        "vec_id", "nbr_id"
-    )
-    hubs = cells.groupBy("cell").agg(F.min("vec_id").alias("hub_id"))
+    # ONE materialized relation feeds the KNN self-join, the hub
+    # selection, the member<->hub star AND the final payload join (r13:
+    # previously the assignment and the norm-enriched join were staged
+    # separately — two sequential jobs — and the payload re-scanned the
+    # base embeddings; now one checkpoint, and the payload reads it).
+    e0 = _enrich_with_cells(
+        embeddings, ivf_assignments(embeddings, n_centroids)
+    ).localCheckpoint()
+    knn = _knn_topk_enriched(e0, k_edges).select("vec_id", "nbr_id")
+    hubs = e0.groupBy("cell").agg(F.min("vec_id").alias("hub_id"))
     hub_mesh = (
         hubs.select(F.col("hub_id").alias("vec_id"))
         .crossJoin(F.broadcast(hubs.select(F.col("hub_id").alias("nbr_id"))))
         .filter(F.col("vec_id") != F.col("nbr_id"))
     )
-    member_hub = cells.join(F.broadcast(hubs), "cell").filter(
-        F.col("vec_id") != F.col("hub_id")
-    )
+    member_hub = e0.select("vec_id", "cell").join(
+        F.broadcast(hubs), "cell"
+    ).filter(F.col("vec_id") != F.col("hub_id"))
     up = member_hub.select("vec_id", F.col("hub_id").alias("nbr_id"))
     down = member_hub.select(
         F.col("hub_id").alias("vec_id"), F.col("vec_id").alias("nbr_id")
     )
     edges = knn.union(hub_mesh).union(up).union(down).distinct()
-    payload = embeddings.select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("embedding").alias("nbr_vec"),
-        l2_norm("embedding").alias("nbr_nrm"),
-    )
-    return edges.join(payload, "nbr_id").select(
-        "vec_id", "nbr_id", "nbr_vec", "nbr_nrm"
-    )
+    return _payload_join_enriched(e0, edges)
 
 
 def hnsw_graph_edges(
@@ -1318,10 +1357,10 @@ def hnsw_graph_edges(
     payload layout as ``nsw_graph_edges`` — ``ann_graph_search`` runs
     on either graph unchanged.
     """
-    cells = ivf_assignments(embeddings, n_centroids).localCheckpoint()
-    return _hnsw_edges_from(
-        embeddings, cells, min_id_coarse_picker(n_coarse), k_edges
-    )
+    e0 = _enrich_with_cells(
+        embeddings, ivf_assignments(embeddings, n_centroids)
+    ).localCheckpoint()
+    return _hnsw_edges_from(e0, min_id_coarse_picker(n_coarse), k_edges)
 
 
 def min_id_coarse_picker(n_coarse: int):
@@ -1343,44 +1382,56 @@ def min_id_coarse_picker(n_coarse: int):
 
 
 def _hnsw_upper_edges(
-    embeddings: DataFrame,
-    cells: DataFrame,
+    members: DataFrame,
     coarse_of,
     k_edges: int,
 ) -> DataFrame:
     """Layers 1-2 of the hierarchy + both member<->hub stars, given the
-    L0 cell assignment — the part of the index that is O(hubs), not
-    O(corpus). Factored out of ``_hnsw_edges_from`` so the incremental
-    maintenance stream (streaming/ann_stream.py::streaming_hnsw_index)
-    can REBUILD these tiny layers per microbatch from the members state
-    while maintaining only the corpus-sized L0 KNN incrementally — one
-    construction body, so streamed and cold indexes cannot fork."""
-    hubs = cells.groupBy("cell").agg(F.min("vec_id").alias("hub_id"))
-    # One row per cell: tiny, but feeds four branches — stage it.
-    hub_vecs = embeddings.join(
-        hubs.select(F.col("hub_id").alias("vec_id")), "vec_id"
-    ).localCheckpoint()
-    coarse = coarse_of(hub_vecs)
-    hub_cells = assign_to_centroids(hub_vecs, coarse).localCheckpoint()
-    hub_knn = _knn_topk_within_cells(hub_vecs, hub_cells, k_edges).select(
-        "vec_id", "nbr_id"
+    MATERIALIZED L0 member relation (vec_id, embedding, cell[, nrm]) —
+    the part of the index that is O(hubs), not O(corpus). Factored out
+    of ``_hnsw_edges_from`` so the incremental maintenance stream
+    (streaming/ann_stream.py::streaming_hnsw_index) can REBUILD these
+    tiny layers per microbatch from the members state while maintaining
+    only the corpus-sized L0 KNN incrementally — one construction body,
+    so streamed and cold indexes cannot fork. The hub-level norm is
+    computed HERE over the hub relation only (hubs-many rows), so a
+    caller whose member state carries no ``nrm`` pays nothing
+    corpus-sized."""
+    from mapreduceindexer_spark.functions.vector import l2_norm
+
+    hubs = members.groupBy("cell").agg(F.min("vec_id").alias("hub_id"))
+    # One row per cell: tiny, but feeds three branches — stage it.
+    hub_vecs = (
+        members.join(hubs.select(F.col("hub_id").alias("vec_id")), "vec_id")
+        .select("vec_id", "embedding")
+        .localCheckpoint()
     )
-    hubs2 = hub_cells.groupBy("cell").agg(F.min("vec_id").alias("hub2"))
+    coarse = coarse_of(hub_vecs)
+    # ONE enriched hub relation (assignment + norm) instead of staging
+    # the assignment and the KNN join input separately (r13: two
+    # checkpoints -> one on the hub tier).
+    e1 = (
+        hub_vecs.join(assign_to_centroids(hub_vecs, coarse), "vec_id")
+        .withColumn("nrm", l2_norm("embedding"))
+        .localCheckpoint()
+    )
+    hub_knn = _knn_topk_enriched(e1, k_edges).select("vec_id", "nbr_id")
+    hubs2 = e1.groupBy("cell").agg(F.min("vec_id").alias("hub2"))
     mesh2 = (
         hubs2.select(F.col("hub2").alias("vec_id"))
         .crossJoin(F.broadcast(hubs2.select(F.col("hub2").alias("nbr_id"))))
         .filter(F.col("vec_id") != F.col("nbr_id"))
     )
-    memb1 = cells.join(F.broadcast(hubs), "cell").filter(
-        F.col("vec_id") != F.col("hub_id")
-    )
+    memb1 = members.select("vec_id", "cell").join(
+        F.broadcast(hubs), "cell"
+    ).filter(F.col("vec_id") != F.col("hub_id"))
     up1 = memb1.select("vec_id", F.col("hub_id").alias("nbr_id"))
     down1 = memb1.select(
         F.col("hub_id").alias("vec_id"), F.col("vec_id").alias("nbr_id")
     )
-    memb2 = hub_cells.join(F.broadcast(hubs2), "cell").filter(
-        F.col("vec_id") != F.col("hub2")
-    )
+    memb2 = e1.select("vec_id", "cell").join(
+        F.broadcast(hubs2), "cell"
+    ).filter(F.col("vec_id") != F.col("hub2"))
     up2 = memb2.select("vec_id", F.col("hub2").alias("nbr_id"))
     down2 = memb2.select(
         F.col("hub2").alias("vec_id"), F.col("vec_id").alias("nbr_id")
@@ -1405,23 +1456,36 @@ def hnsw_payload_join(embeddings: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+def _payload_join_enriched(e0: DataFrame, edges: DataFrame) -> DataFrame:
+    """``hnsw_payload_join`` reading the already-materialized enriched
+    relation instead of re-scanning the base embeddings and recomputing
+    every norm (r13): ``e0.nrm`` is the identical ``l2_norm`` value, so
+    the payload is bit-for-bit the same."""
+    payload = e0.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("nbr_vec"),
+        F.col("nrm").alias("nbr_nrm"),
+    )
+    return edges.join(payload, "nbr_id").select(
+        "vec_id", "nbr_id", "nbr_vec", "nbr_nrm"
+    )
+
+
 def _hnsw_edges_from(
-    embeddings: DataFrame,
-    cells: DataFrame,
+    e0: DataFrame,
     coarse_of,
     k_edges: int,
 ) -> DataFrame:
-    """The shared three-layer HNSW construction given the L0 assignment
-    relation and a coarse-centroid picker over the hub relation — ONE
-    body for the fixed-dial and production-dial builds (review finding:
-    two verbatim copies could silently fork the index layouts)."""
-    knn = _knn_topk_within_cells(embeddings, cells, k_edges).select(
-        "vec_id", "nbr_id"
-    )
+    """The shared three-layer HNSW construction given the MATERIALIZED
+    enriched L0 relation (``_enrich_with_cells(...).localCheckpoint()``)
+    and a coarse-centroid picker over the hub relation — ONE body for
+    the fixed-dial and production-dial builds (review finding: two
+    verbatim copies could silently fork the index layouts)."""
+    knn = _knn_topk_enriched(e0, k_edges).select("vec_id", "nbr_id")
     edges = knn.union(
-        _hnsw_upper_edges(embeddings, cells, coarse_of, k_edges)
+        _hnsw_upper_edges(e0, coarse_of, k_edges)
     ).distinct()
-    return hnsw_payload_join(embeddings, edges)
+    return _payload_join_enriched(e0, edges)
 
 
 def hnsw_graph_edges_scaled(
@@ -1462,7 +1526,9 @@ def hnsw_graph_edges_scaled(
             F.col("embedding").alias("cvec"),
         )
     )
-    cells = assign_to_centroids(embeddings, centroids).localCheckpoint()
+    e0 = _enrich_with_cells(
+        embeddings, assign_to_centroids(embeddings, centroids)
+    ).localCheckpoint()
     w_hub = Window.orderBy(F.asc("vec_id"))
 
     def coarse_of(hub_vecs: DataFrame) -> DataFrame:
@@ -1476,7 +1542,7 @@ def hnsw_graph_edges_scaled(
             )
         )
 
-    return _hnsw_edges_from(embeddings, cells, coarse_of, k_edges)
+    return _hnsw_edges_from(e0, coarse_of, k_edges)
 
 
 def ann_graph_search(

@@ -302,8 +302,7 @@ def _apply_hnsw_batch(
         .select("cell", "vec_id", "nbr_id")
     )
     upper = _hnsw_upper_edges(
-        all_members.select("vec_id", "embedding"),
-        all_members.select("vec_id", "cell"),
+        all_members.select("vec_id", "embedding", "cell"),
         min_id_coarse_picker(n_coarse),
         k_edges,
     ).select(
