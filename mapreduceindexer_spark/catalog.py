@@ -9298,15 +9298,22 @@ def q_wordpiece_encode(spark, sf_dir):
     through the tf join, exactly like q_bpe_encode's vocabulary-level
     merge apply. Both engines run the textually-parallel recursion.
 
-    Staging rule for recursion (measured, not guessed): the recursive
-    member references ``jumps`` on EVERY level, and UnionLoop re-executes
-    un-materialized subtrees per level — with the jump table derived
-    lazily from the corpus, each recursion level re-tokenized the corpus
-    (10.8 s at sf0.1). The vocabulary-level relations (tf, terms, jumps —
-    all |vocab|-sized) are localCheckpointed BEFORE the recursive SQL, so
-    the walk joins a materialized ~hundreds-row table per level
-    (10.8 s → ~1 s). The recursion-input staging twin of the
-    multi-branch-staging rule."""
+    Walk execution (optimization round 13, guide §1.2): the jump-table
+    TRAVERSAL is per-term local state — position strictly increases,
+    next hop depends only on (term, pos) — so it folds into ONE
+    higher-order ``aggregate`` over sequence(1, L) with the term's jump
+    map as a plain MAP column: no recursion operator at all. The
+    previous native WITH RECURSIVE UnionLoop ran one job set per level
+    (depth = max pieces per word — 49 jobs at sf0.1, the r12 VERDICT's
+    job-count smell); the fold emits the identical (term, piece)
+    multiset (same substring at every visited position) in a single
+    pass. The DuckDB oracle keeps its textually-recursive walk — the
+    hash equality of the two is exactly the declared contract. Only the
+    corpus-derived tf relation is checkpointed (it feeds both the jump
+    derivation and the final weight join); the vocabulary-sized jump
+    map lives inline in the one plan."""
+    from pyspark.sql import Window
+
     from mapreduceindexer_spark.functions.text import tokens_normalized
 
     toks = tokens_normalized(_docs(spark, sf_dir))
@@ -9315,37 +9322,63 @@ def q_wordpiece_encode(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("tf"))
         .localCheckpoint()
     )
-    tf.createOrReplaceTempView("mri_wp_tf")
-    terms = tf.select("term", F.length("term").alias("L")).localCheckpoint()
-    terms.createOrReplaceTempView("mri_wp_terms")
-    jumps = spark.sql(
-        f"""SELECT pos.term, pos.pos, CAST(max(length(p.piece)) AS INT) AS jump
-            FROM (SELECT term, explode(sequence(1, L)) AS pos
-                  FROM mri_wp_terms) pos
-            JOIN (SELECT piece FROM VALUES {_WP_VALUES} AS v(piece)) p
-              ON substring(pos.term, pos.pos, length(p.piece)) = p.piece
-            GROUP BY pos.term, pos.pos"""
-    ).localCheckpoint()
-    jumps.createOrReplaceTempView("mri_wp_jumps")
-    return spark.sql(
-        """WITH RECURSIVE
-             walk(term, pos) AS (
-               SELECT term, 1 AS pos FROM mri_wp_terms
-               UNION ALL
-               SELECT w.term, w.pos + j.jump AS pos
-               FROM walk w JOIN mri_wp_jumps j
-                 ON w.term = j.term AND w.pos = j.pos),
-             segs AS (SELECT w.term, substring(w.term, w.pos, j.jump) AS piece
-                      FROM walk w JOIN mri_wp_jumps j
-                        ON w.term = j.term AND w.pos = j.pos)
-           SELECT piece, n_tokens, rn FROM (
-             SELECT piece, n_tokens,
-                    CAST(row_number() OVER (ORDER BY n_tokens DESC, piece ASC)
-                      AS BIGINT) AS rn
-             FROM (SELECT s.piece, CAST(sum(tf.tf) AS BIGINT) AS n_tokens
-                   FROM segs s JOIN mri_wp_tf tf ON s.term = tf.term
-                   GROUP BY s.piece))
-           WHERE rn <= 15"""
+    terms = tf.select("term", F.length("term").cast("int").alias("L"))
+    vocab = spark.sql(f"SELECT piece FROM VALUES {_WP_VALUES} AS v(piece)")
+    jumps = (
+        terms.select(
+            "term", F.explode(F.sequence(F.lit(1), F.col("L"))).alias("pos")
+        )
+        .join(
+            F.broadcast(vocab),
+            F.expr("substring(term, pos, length(piece)) = piece"),
+        )
+        .groupBy("term", "pos")
+        .agg(F.max(F.length("piece")).cast("int").alias("jump"))
+    )
+    jump_map = jumps.groupBy("term").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("pos", "jump")))
+        ).alias("jm")
+    )
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.col("L")),
+        F.struct(
+            F.lit(1).cast("int").alias("pos"),
+            F.array().cast("array<string>").alias("ps"),
+        ),
+        lambda acc, i: F.when(
+            i == acc["pos"],
+            F.struct(
+                (acc["pos"] + F.element_at(F.col("jm"), acc["pos"]))
+                .cast("int")
+                .alias("pos"),
+                F.concat(
+                    acc["ps"],
+                    F.array(
+                        F.col("term").substr(
+                            acc["pos"], F.element_at(F.col("jm"), acc["pos"])
+                        )
+                    ),
+                ).alias("ps"),
+            ),
+        ).otherwise(acc),
+        lambda acc: acc["ps"],
+    )
+    segs = (
+        terms.join(jump_map, "term")
+        .select("term", F.explode(walk.alias("pieces")).alias("piece"))
+    )
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("piece"))
+    return (
+        segs.join(tf, "term")
+        .groupBy("piece")
+        .agg(F.sum("tf").cast("bigint").alias("n_tokens"))
+        .select(
+            "piece",
+            "n_tokens",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 15)
     )
 
 
