@@ -12824,76 +12824,78 @@ def q_table_bloom_skip(spark, sf_dir):
 
 
 _CHECK_PRIORITY = [
-    # Round-12 window: ROTATE TO THE r6 COHORT (verdict r11 item 1).
-    # Leads: the two re-contracted state-store queries (one green row
-    # after a red deserves a second consecutive external green) and the
-    # two round-12-born ops — merge-on-read MERGE and the
-    # state-bundled kernel (born-op rule). Then 46 of the 49 queries
-    # whose latest driver row is r6 — the stalest evidence in the
-    # ledger — leaving exactly three r6 rows for the r13 window,
-    # chosen for having the strongest non-driver evidence: q_index_lines
-    # (byte-exact golden e2e on the FULL 355-file corpus every session,
-    # tests/test_golden_full.py), q_bm25 (family externally green
-    # through r7+ via q_bm25_multi/q_bm25_pruned) and q_multimodal_wav
-    # (family twin q_multimodal_png green r11, q_multimodal_gif in this
-    # window; all value-checked locally each session like everything
-    # else). After this window lands, no query's latest driver row
-    # predates r6, and only those three are r6.
-    # All 50 are value-verified against DuckDB in-session by the full
-    # driver-shaped drive before this rotation is committed.
-    # -- second consecutive green after the r10 red (2)
-    "q_tws_totals",
-    "q_state_reader",
-    # -- born this round: merge-on-read MERGE + bundled-state kernel (2)
-    "q_table_merge_mor",
-    "q_tws_totals_bundled",
-    # -- last driver row r6 (46 of 49)
-    "q_agg_pricing_summary",
-    "q_ann_recall",
-    "q_approx_topk_bound",
-    "q_arrow_token_stats",
-    "q_canonical",
-    "q_cogroup_funnel",
-    "q_collation_group",
-    "q_contamination",
-    "q_cross_dedup",
-    "q_curation_pipeline",
-    "q_dedup_exact",
-    "q_dup_clusters_logstar",
-    "q_embed_quant",
-    "q_excess_suppliers",
-    "q_hll_native_merge_bound",
-    "q_hybrid_rrf",
-    "q_idle_customers",
-    "q_interval_join",
-    "q_knn_graph_scaled",
-    "q_lateral_topdocs",
-    "q_market_share",
-    "q_min_cost_supplier",
-    "q_multimodal_gif",
-    "q_near_dup",
-    "q_ngram_jaccard",
-    "q_order_distribution",
-    "q_outer_join_daily",
-    "q_pagerank",
-    "q_param_sql",
-    "q_pipe_syntax",
-    "q_pq_ann",
-    "q_prefix_search",
-    "q_prefix_trie",
-    "q_range_join",
-    "q_session_vars",
-    "q_shortest_path",
-    "q_small_qty_revenue",
-    "q_sql_scripting",
-    "q_sql_table_udf",
-    "q_sql_udf",
-    "q_supplier_variety",
-    "q_table_versions",
-    "q_top_supplier",
-    "q_udtf_table_arg",
-    "q_unigram_lm",
-    "q_wordpiece_encode",
+    # Round-13 window. Leads: the three r6-stale rows deferred from the
+    # r12 rotation exactly as COVERAGE.md promised (q_index_lines —
+    # byte-exact golden e2e on the full corpus every session; q_bm25 —
+    # family green through r7+ via q_bm25_multi/q_bm25_pruned;
+    # q_multimodal_wav — family twins green r11/r12); the three ops born
+    # AFTER the r12 window was cut (merge-on-read CDC apply and the
+    # equality-delete tier, born-op rule); the zorder family re-windowed
+    # so the driver re-hashes that path after the r12 0.78x excursion
+    # was discharged as ambient (r12 VERDICT items 1 and 9); and four
+    # representatives of the paths this optimization round touched
+    # (constraint fold, bloom-observe commit, footer-stats partitioned
+    # writes, the halved-pair graph-ANN build). The remaining 38 slots
+    # take the stalest ledger rows — the r7 cohort — in name order
+    # (deterministic), which happens to re-hash most of the remaining
+    # ANN family after the build change. All 50 are value-verified
+    # against DuckDB in-session by the full driver-shaped drive before
+    # this rotation is committed.
+    # -- deferred r6 trio (3)
+    "q_index_lines",
+    "q_bm25",
+    "q_multimodal_wav",
+    # -- born after the r12 window was cut (3)
+    "q_table_cdc_mor",
+    "q_table_merge_eq",
+    "q_table_delete_eq",
+    # -- zorder family re-hash after the ambient discharge (2)
+    "q_table_zorder",
+    "q_zorder_layout",
+    # -- r13-touched write/build paths (4)
+    "q_table_constraints",
+    "q_table_bloom_skip",
+    "q_table_retention",
+    "q_ann_hnsw",
+    # -- stalest ledger rows (latest green r7), name order (38)
+    "q_ann_batch",
+    "q_ann_external",
+    "q_ann_external_recall",
+    "q_ann_graph",
+    "q_ann_graph_recall",
+    "q_ann_hnsw_recall",
+    "q_ann_hnsw_scaled",
+    "q_ann_kmeans",
+    "q_ann_multiprobe",
+    "q_array_bool",
+    "q_bm25_multi",
+    "q_bm25_pruned",
+    "q_bpe_encode",
+    "q_bpe_pairs",
+    "q_context_chunks",
+    "q_domain_cap",
+    "q_embed_centroids",
+    "q_embed_dup",
+    "q_entropy",
+    "q_fingerprint",
+    "q_fuzzy_pairs",
+    "q_gram_matrix",
+    "q_ivfpq_ann",
+    "q_knn_graph",
+    "q_lang_id",
+    "q_lang_stats",
+    "q_ngram_freq",
+    "q_postings",
+    "q_postings_ef",
+    "q_repetition",
+    "q_salted_join",
+    "q_scd2",
+    "q_semantic_dedup_2level",
+    "q_semantic_dedup_scaled",
+    "q_sequence_pack",
+    "q_table_changes",
+    "q_table_cluster",
+    "q_table_compact",
 ]
 assert len(_CHECK_PRIORITY) == 50, (
     f"driver check window is exactly 50 slots, got {len(_CHECK_PRIORITY)}"

@@ -76,3 +76,32 @@ def test_stable_total_is_rotation_invariant():
     t_one = bench.stable_total({**base, fam[0]: 5.0})
     t_all = bench.stable_total({**base, **{n: 9.9 for n in fam}})
     assert t_none == t_one == t_all == 3.0
+
+
+def test_emit_line_truncation_is_value_independent():
+    """The kept entry set is a function of the measured-entry NAMES
+    alone (drop order pinned to the frozen cost snapshot, worst-case
+    width budgeting): timing noise must never change WHICH entries the
+    driver line carries round-over-round (r12 PERF reported 10 spurious
+    dropped_from_bench names under the old fastest-first rule)."""
+    import json
+    import random
+
+    import bench
+
+    times = {k: v for k, v in bench._EMIT_KEEP_COST.items()}
+    base = json.loads(bench.emit_line(100.0, times, 0.1))
+    rng = random.Random(7)
+    for _ in range(5):
+        noisy = {k: v * rng.uniform(0.2, 3.0) for k, v in times.items()}
+        got = json.loads(bench.emit_line(rng.uniform(50, 500), noisy, 0.1))
+        assert set(got["queries"]) == set(base["queries"])
+        assert len(bench.emit_line(100.0, noisy, 0.1)) <= 1900
+    # The most expensive pinned entries are always on the line.
+    top = sorted(times, key=times.get, reverse=True)[:20]
+    assert all(t in base["queries"] for t in top)
+    # Entries born after the pin epoch (no pinned cost) are never
+    # dropped before pinned ones.
+    with_new = {**times, "q_brand_new_entry": 0.001}
+    got = json.loads(bench.emit_line(100.0, with_new, 0.1))
+    assert "q_brand_new_entry" in got["queries"]
