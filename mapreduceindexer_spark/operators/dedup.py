@@ -424,8 +424,13 @@ def _pairs_within_cells(
         F.col("nrm").alias("nrm_b"),
         "cell",
     )
+    # The quadratic stage keeps core-count parallelism regardless of its
+    # (tiny) input byte size — see similarity._spread_cells (r13): AQE
+    # would otherwise coalesce the whole in-cell pair join to ~1 task.
+    from mapreduceindexer_spark.operators.similarity import _spread_cells
+
     return (
-        a.join(b, "cell")
+        _spread_cells(a, "cell").join(_spread_cells(b, "cell"), "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
@@ -849,8 +854,12 @@ def _semantic_prune(
     cos = F.when(
         (F.col("na") > 0) & (F.col("nb") > 0), d / (F.col("na") * F.col("nb"))
     ).otherwise(F.lit(0.0))
+    # Same AQE-collapse guard as _pairs_within_cells (r13): the in-cell
+    # pair join is compute-quadratic at constant bytes.
+    from mapreduceindexer_spark.operators.similarity import _spread_cells
+
     dropped = (
-        a.join(b, "cell")
+        _spread_cells(a, "cell").join(_spread_cells(b, "cell"), "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", F.round(cos, 6))
         .filter(F.col("cos") >= threshold)

@@ -813,8 +813,11 @@ def _srp_pairs_from_sigs(
         b = small.select(
             F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "sig"
         )
+        # _spread_cells: the per-bucket pair join is compute-quadratic
+        # at constant bytes (per-pair cosine) — keep it core-parallel
+        # instead of letting AQE coalesce it to ~1 task (r13).
         cands = (
-            a.join(b, "sig")
+            _spread_cells(a, "sig").join(_spread_cells(b, "sig"), "sig")
             .filter(F.col("vec_a") < F.col("vec_b"))
             .select("vec_a", "va", "vec_b", "vb", "sig")
             .unionByName(star)
@@ -827,7 +830,7 @@ def _srp_pairs_from_sigs(
             F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "sig"
         )
         cands = (
-            a.join(b, "sig")
+            _spread_cells(a, "sig").join(_spread_cells(b, "sig"), "sig")
             .filter(F.col("vec_a") < F.col("vec_b"))
             .select("vec_a", "va", "vec_b", "vb", "sig")
         )
@@ -1161,6 +1164,24 @@ def _enrich_with_cells(embeddings: DataFrame, cells: DataFrame) -> DataFrame:
     )
 
 
+def _spread_cells(df: DataFrame, key: str) -> DataFrame:
+    """Pin the partition count of a cell-keyed self-join side to the
+    session's core count (r13; guide §2.5/§8 "use what you know that
+    the optimizer does not"): AQE coalesces post-shuffle partitions by
+    INPUT bytes, but an in-cell quadratic join produces ~cell_size x
+    more compute than bytes — the interpreted per-pair dot product, the
+    dominant term of every graph build. Measured at sf0.1: AQE packed
+    the whole join into ONE task on 32 cores (1 MB of vectors -> 200k
+    dot products on one core). An explicit ``repartition(n, key)`` is
+    exempt from AQE coalescing, so the quadratic stage keeps core-count
+    parallelism; 4x cores smooths cell->partition hash collisions. Rows
+    and values are untouched (same join, same arithmetic; the key is
+    deterministic, so retries are safe per SPARK-38388), and at cluster
+    scale AQE's skew-join split still applies to the shuffle it reads."""
+    n = df.sparkSession.sparkContext.defaultParallelism * 4
+    return df.repartition(n, F.col(key))
+
+
 def _knn_topk_enriched(e: DataFrame, k: int) -> DataFrame:
     """Pairing + per-vector top-k over a MATERIALIZED enriched relation
     ``e`` = (vec_id, embedding, nrm, cell): cell self-equi-join, round-6
@@ -1191,8 +1212,8 @@ def _knn_topk_enriched(e: DataFrame, k: int) -> DataFrame:
         F.col("cell").alias("cell_b"),
     )
     half = (
-        left.join(
-            right,
+        _spread_cells(left, "cell").join(
+            _spread_cells(right, "cell_b"),
             (F.col("cell") == F.col("cell_b"))
             & (F.col("vec_id") < F.col("nbr_id")),
         )

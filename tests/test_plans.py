@@ -859,3 +859,49 @@ def test_html_extract_is_one_narrow_pass(spark):
     ), plan
     for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_node not in plan, plan
+
+
+def test_cell_pair_joins_pin_quadratic_stage_parallelism(spark):
+    """The in-cell / in-bucket pair self-joins are compute-QUADRATIC at
+    tiny input bytes (one interpreted dot product per candidate pair),
+    so AQE's byte-based partition sizing coalesces them to ~1 task
+    (measured at sf0.1: the whole KNN join ran (0+1)/1 on 32 cores).
+    Both join sides must carry the explicit 4x-cores repartition on the
+    pairing key — 'REPARTITION_BY_NUM', which AQE never coalesces — and
+    the spread must not change a single row (r13; guide §2.5/§8)."""
+    from mapreduceindexer_spark.catalog import QUERIES
+    from mapreduceindexer_spark.operators import dedup as dd
+    from mapreduceindexer_spark.operators import similarity as sim
+    from mapreduceindexer_spark.plans import explain_str
+
+    n_pin = spark.sparkContext.defaultParallelism * 4
+    for q in ("q_knn_graph", "q_embed_dup", "q_semantic_dedup"):
+        plan = explain_str(QUERIES[q][0](spark, SF_SMOKE), "simple")
+        pins = re.findall(
+            r"hashpartitioning\((?:cell|sig)[^)]*, (\d+)\), REPARTITION_BY_NUM",
+            plan,
+        )
+        assert len(pins) >= 2 and all(int(p) == n_pin for p in pins), (
+            q,
+            pins,
+            plan,
+        )
+
+    # Row identity: the spread is placement-only. Same rows (and the
+    # same rounded cosines) with the repartition stubbed out.
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .limit(200)
+        .localCheckpoint()
+    )
+    real = sim._spread_cells
+    try:
+        on_knn = sorted(map(tuple, sim.knn_graph(emb, k=3).collect()))
+        on_sem = sorted(map(tuple, dd.semantic_dedup(emb).collect()))
+        sim._spread_cells = lambda df, key: df
+        off_knn = sorted(map(tuple, sim.knn_graph(emb, k=3).collect()))
+        off_sem = sorted(map(tuple, dd.semantic_dedup(emb).collect()))
+    finally:
+        sim._spread_cells = real
+    assert on_knn == off_knn and len(on_knn) > 0
+    assert on_sem == off_sem and len(on_sem) > 0
