@@ -37,16 +37,23 @@ OPS = ["postings_index", "knn_graph_scaled", "hnsw_build_scaled",
 
 def _replicate(df, k: int, id_col: str):
     """k shifted copies of df: same distribution, k x rows, ids disjoint
-    (shift = 10^12 per copy — far above any fixture id)."""
+    (shift = 10^12 per copy — far above any fixture id). The result is
+    parallelism-hardened exactly like the catalog loaders
+    (sources/tables.py::ensure_parallelism): the single-row-group test
+    parquet yields a 1-split scan, so without it the union has only k
+    partitions and every narrow CPU-bound stage (centroid assignment,
+    tokenization) measures the INPUT SPLIT count, not the operator."""
     from pyspark.sql import functions as F
 
-    if k == 1:
-        return df
-    out = None
-    for i in range(k):
-        c = df.withColumn(id_col, F.col(id_col) + F.lit(i * 10**12))
-        out = c if out is None else out.unionByName(c)
-    return out
+    from mapreduceindexer_spark.sources.tables import ensure_parallelism
+
+    if k > 1:
+        out = None
+        for i in range(k):
+            c = df.withColumn(id_col, F.col(id_col) + F.lit(i * 10**12))
+            out = c if out is None else out.unionByName(c)
+        df = out
+    return ensure_parallelism(df)
 
 
 def run_cell(scale: int, cpus: int, ops: list[str] | None = None) -> dict:
