@@ -86,8 +86,34 @@ def staged_value(
     return val
 
 
+def _unpersist_handle(v: object) -> None:
+    """Best-effort synchronous release of a localCheckpoint'd
+    DataFrame's storage blocks. Without this, a cleared entry's blocks
+    wait for Python GC + the JVM ContextCleaner (asynchronous), so a
+    long shared-JVM session — the bench runs ~120 entries in one — can
+    accumulate dead checkpoint blocks between measurements (r12
+    deferred candidate #4). Only LogicalRDD-rooted plans (what
+    ``localCheckpoint`` returns, per the ``staged`` contract) own
+    blocks to release; anything else is left to the normal GC path."""
+    if not isinstance(v, DataFrame):
+        return
+    try:
+        plan = v._jdf.queryExecution().analyzed()
+        if plan.nodeName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # release is an optimization; never fail a clear()
+
+
 def clear() -> None:
     """Drop all memoized handles (tests / benchmarks that must re-pay
-    staging call this between measurements)."""
+    staging call this between measurements) and synchronously release
+    their checkpoint blocks. Handles must not be used after clear() —
+    a localCheckpoint cannot recompute — which was already the
+    registry's contract (every consumer re-resolves through
+    ``staged``)."""
     with _LOCK:
+        vals = list(_CACHE.values())
         _CACHE.clear()
+    for v in vals:
+        _unpersist_handle(v)
